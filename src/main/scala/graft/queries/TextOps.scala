@@ -1,0 +1,187 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the language-ID /
+  * quality-scoring / token-counting / sentiment surface of SURVEY §2.8
+  * re-expressed as pure column expressions (codegen-friendly, no UDFs),
+  * plus the training-data-pipeline text ops the 100 TB brief requires.
+  *
+  * Reference semantics preserved: marker-list language ID with confidence
+  * `min(hits/words, 1.0)` and an `unknown` floor of 0.3
+  * (nlp_processor_simple.py:42-75); keyword-lexicon sentiment with score
+  * `clamp(0.2·(pos−neg), ±0.8)` and ±0.1 label thresholds
+  * (test_phase2_simple.py:83-104, nlp_processor_simple.py:96-102).
+  */
+object TextOps extends QueryModule {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  private val wsTokens = "size(split(text, ' '))"
+
+  /** Quality scoring: length stats, stopword ratio, quality flag ladder
+    * (stg_raw_reviews.sql:28-33 length bands; quality flags P4/P5). */
+  private def q21(s: SparkSession, d: String): DataFrame = {
+    val nTokens = size(split(col("text"), " "))
+    val nChars = length(col("text"))
+    val stopHits = regexp_count(col("text"), lit("\\b(the|a)\\b"))
+    val avgTokLen = (nChars - (nTokens - 1)).cast("double") / nTokens.cast("double")
+    val stopRatio = stopHits.cast("double") / nTokens.cast("double")
+    t(s, d, "documents")
+      .select(col("doc_id"), nTokens.as("n_tokens"), nChars.as("n_chars_m"),
+        avgTokLen.as("avg_token_len"), stopHits.as("stop_hits"),
+        stopRatio.as("stop_ratio"))
+      .withColumn("quality_flag",
+        when(col("n_tokens") < 10, "too_short")
+          .when(col("n_tokens") > 5000, "too_long")
+          .when(col("stop_ratio") > 0.2, "boilerplate")
+          .otherwise("valid"))
+      .orderBy("doc_id")
+  }
+  private val q21Sql =
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       |  CAST(length(text) AS INTEGER) AS n_chars_m,
+       |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+       |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len,
+       |  CAST(len(regexp_extract_all(text, '\\b(the|a)\\b')) AS INTEGER) AS stop_hits,
+       |  CAST(len(regexp_extract_all(text, '\\b(the|a)\\b')) AS DOUBLE)
+       |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+       |  CASE WHEN len(string_split(text, ' ')) < 10 THEN 'too_short'
+       |       WHEN len(string_split(text, ' ')) > 5000 THEN 'too_long'
+       |       WHEN CAST(len(regexp_extract_all(text, '\\b(the|a)\\b')) AS DOUBLE)
+       |            / CAST(len(string_split(text, ' ')) AS DOUBLE) > 0.2 THEN 'boilerplate'
+       |       ELSE 'valid' END AS quality_flag
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Marker-list language ID (N1, nlp_processor_simple.py:42-75): per-language
+    * marker hit counts, priority resolution, conf = min(hits/words, 1), with
+    * the reference's 'unknown' → 0.3 confidence floor. */
+  private def q22(s: SparkSession, d: String): DataFrame = {
+    val en = regexp_count(col("text"), lit("\\b(the|a|is|and|of)\\b"))
+    val fr = regexp_count(col("text"), lit("\\b(le|la|les|et|est|une)\\b"))
+    val de = regexp_count(col("text"), lit("\\b(der|die|das|und|ist)\\b"))
+    val nTokens = size(split(col("text"), " "))
+    t(s, d, "documents")
+      .select(col("doc_id"), en.as("en_hits"), fr.as("fr_hits"), de.as("de_hits"),
+        nTokens.as("n_tokens"))
+      .withColumn("lang_pred",
+        when(col("fr_hits") > col("en_hits") && col("fr_hits") > col("de_hits"), "fr")
+          .when(col("de_hits") > col("en_hits"), "de")
+          .when(col("en_hits") > 0, "en")
+          .otherwise("unknown"))
+      .withColumn("lang_conf",
+        when(col("lang_pred") === "unknown", 0.3)
+          .otherwise(least(
+            greatest(col("en_hits"), col("fr_hits"), col("de_hits")).cast("double")
+              / col("n_tokens").cast("double"),
+            lit(1.0))))
+      .orderBy("doc_id")
+  }
+  private val q22Sql =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '\b(the|a|is|and|of)\b')) AS INTEGER) AS en_hits,
+      |    CAST(len(regexp_extract_all(text, '\b(le|la|les|et|est|une)\b')) AS INTEGER) AS fr_hits,
+      |    CAST(len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) AS INTEGER) AS de_hits,
+      |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+      |  FROM documents)
+      |SELECT doc_id, en_hits, fr_hits, de_hits, n_tokens,
+      |  CASE WHEN fr_hits > en_hits AND fr_hits > de_hits THEN 'fr'
+      |       WHEN de_hits > en_hits THEN 'de'
+      |       WHEN en_hits > 0 THEN 'en'
+      |       ELSE 'unknown' END AS lang_pred,
+      |  CASE WHEN (CASE WHEN fr_hits > en_hits AND fr_hits > de_hits THEN 'fr'
+      |                  WHEN de_hits > en_hits THEN 'de'
+      |                  WHEN en_hits > 0 THEN 'en'
+      |                  ELSE 'unknown' END) = 'unknown' THEN 0.3
+      |       ELSE least(CAST(greatest(en_hits, fr_hits, de_hits) AS DOUBLE)
+      |                  / CAST(n_tokens AS DOUBLE), 1.0) END AS lang_conf
+      |FROM h ORDER BY doc_id""".stripMargin
+
+  /** Token counting per language group: whitespace tokens + BPE-ish regex
+    * tokens (word/number/symbol classes), N9 word_count semantics
+    * (run_phase2_transformation.py:149-150). */
+  private def q23(s: SparkSession, d: String): DataFrame = {
+    val ws = size(split(col("text"), " "))
+    val bpe = regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+    t(s, d, "documents")
+      .select(col("lang"), ws.as("ws"), bpe.as("bpe"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("total_ws_tokens"),
+        (sum(col("ws")).cast("double") / count(lit(1))).as("avg_ws_tokens"),
+        sum(col("bpe")).as("total_bpe_tokens"))
+      .orderBy("lang")
+  }
+  private val q23Sql =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+      |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_ws_tokens,
+      |  CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS total_bpe_tokens
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Keyword-lexicon sentiment (N2 portable spec, test_phase2_simple.py:83-104):
+    * score = clamp(0.2·(pos−neg), ±0.8), label thresholds ±0.1. */
+  private def q24(s: SparkSession, d: String): DataFrame = {
+    val pos = regexp_count(col("text"), lit("\\b(fast|small)\\b"))
+    val neg = regexp_count(col("text"), lit("\\b(slow|big)\\b"))
+    t(s, d, "documents")
+      .select(col("doc_id"), pos.as("pos_hits"), neg.as("neg_hits"))
+      .withColumn("sentiment_score",
+        least(greatest(lit(0.2) * (col("pos_hits") - col("neg_hits")), lit(-0.8)), lit(0.8)))
+      .withColumn("sentiment_label",
+        when(col("sentiment_score") > 0.1, "Positive")
+          .when(col("sentiment_score") < -0.1, "Negative")
+          .otherwise("Neutral"))
+      .orderBy("doc_id")
+  }
+  private val q24Sql =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '\b(fast|small)\b')) AS INTEGER) AS pos_hits,
+      |    CAST(len(regexp_extract_all(text, '\b(slow|big)\b')) AS INTEGER) AS neg_hits
+      |  FROM documents),
+      |sc AS (
+      |  SELECT doc_id, pos_hits, neg_hits,
+      |    least(greatest(CAST(0.2 AS DOUBLE) * (pos_hits - neg_hits),
+      |                   CAST(-0.8 AS DOUBLE)), CAST(0.8 AS DOUBLE)) AS sentiment_score
+      |  FROM h)
+      |SELECT doc_id, pos_hits, neg_hits, sentiment_score,
+      |  CASE WHEN sentiment_score > 0.1 THEN 'Positive'
+      |       WHEN sentiment_score < -0.1 THEN 'Negative'
+      |       ELSE 'Neutral' END AS sentiment_label
+      |FROM sc ORDER BY doc_id""".stripMargin
+
+  /** Rolling-hash document fingerprinting: order-sensitive polynomial hash
+    * over characters mod 2^31−1, full text + 64-char prefix variant.
+    * Expressed as an ordered fold (`aggregate`) — codegen-friendly, no UDF. */
+  private def q25(s: SparkSession, d: String): DataFrame = {
+    val fp = expr(
+      "aggregate(split(text, ''), 0L, (a, c) -> (a * 31 + ascii(c)) % 2147483647)")
+    val fpPrefix = expr(
+      "aggregate(split(substring(text, 1, 64), ''), 0L, (a, c) -> (a * 31 + ascii(c)) % 2147483647)")
+    t(s, d, "documents")
+      .select(col("doc_id"), fp.as("fp_full"), fpPrefix.as("fp_prefix"))
+      .orderBy("doc_id")
+  }
+  private val q25Sql =
+    """SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |    (a, b) -> (a * 31 + b) % 2147483647) AS fp_full,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(string_split(substring(text, 1, 64), ''), c -> CAST(ascii(c) AS BIGINT))),
+      |    (a, b) -> (a * 31 + b) % 2147483647) AS fp_prefix
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q21_text_quality", q21, Some(q21Sql)),
+    Q("q22_langid", q22, Some(q22Sql)),
+    Q("q23_token_stats", q23, Some(q23Sql)),
+    Q("q24_sentiment_lexicon", q24, Some(q24Sql)),
+    Q("q25_doc_fingerprint", q25, Some(q25Sql)))
+}

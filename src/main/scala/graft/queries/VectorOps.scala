@@ -1,0 +1,120 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (Array[Float] column):
+  * brute-force cosine top-k as the exact baseline, and a random-hyperplane
+  * LSH-bucketed variant as the scale path. No reference analog — this is the
+  * training-data-pipeline extension required by the brief.
+  *
+  * Determinism: dot products / norms are ordered folds over the array
+  * (`aggregate` in Spark, `list_reduce` in the DuckDB oracle) with each
+  * float cast to double — bit-identical across engines, so even rank
+  * boundaries agree without rounding.
+  *
+  * Scale design: brute-force is O(|Q|·|C|·dim) with the query side
+  * broadcast — the right baseline shape when |Q| is small. The LSH variant
+  * buckets by sign-bit signature so candidate generation is an equi-join on
+  * the bucket key; at 1000 executors that's a plain shuffle join with no
+  * all-pairs blowup.
+  */
+object VectorOps extends QueryModule {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  private val sumSq =
+    "aggregate(embedding, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double))"
+
+  /** Vector norms + dims: the `functions.aggregate` dot-product shape. */
+  private def q31(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        size(col("embedding")).as("dim"),
+        sqrt(expr(sumSq)).as("l2_norm"))
+      .orderBy("vec_id")
+  }
+  private val q31Sql =
+    """SELECT vec_id, label,
+      |  CAST(len(embedding) AS INTEGER) AS dim,
+      |  sqrt(list_reduce(list_prepend(0.0,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |    (a, b) -> a + b)) AS l2_norm
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  /** Brute-force cosine top-5 for query vectors vec_id < 8 against the whole
+    * corpus: broadcast the (tiny) query side, ordered-fold dot products,
+    * rank per query. RANK keeps boundary ties deterministically in both
+    * engines. */
+  private def q32(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val dot = expr(
+      "aggregate(zip_with(qe, ce, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (a, p) -> a + p)")
+    val nq = expr("aggregate(qe, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double))")
+    val nc = expr("aggregate(ce, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double))")
+    val sims = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot / (sqrt(nq) * sqrt(nc))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    sims.withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 5)
+      .orderBy("query_id", "rnk", "neighbor_id")
+  }
+  private val q32Sql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+      |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+      |sims AS (
+      |  SELECT query_id, neighbor_id,
+      |    list_reduce(list_prepend(0.0, list_transform(list_zip(qe, ce),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a, b) -> a + b)
+      |    / (sqrt(list_reduce(list_prepend(0.0, list_transform(qe,
+      |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))
+      |       * sqrt(list_reduce(list_prepend(0.0, list_transform(ce,
+      |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))) AS cosine
+      |  FROM q JOIN c ON query_id <> neighbor_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cosine,
+      |    CAST(RANK() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk
+      |  FROM sims)
+      |SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 5
+      |ORDER BY query_id, rnk, neighbor_id""".stripMargin
+
+  /** Random-hyperplane LSH ANN: 8 deterministic pseudo-random hyperplanes
+    * (plane[p][d] = cos(p·97 + d·13), seedless + reproducible), bucket =
+    * 8 sign bits; candidates share a bucket; exact cosine within bucket,
+    * top-3 per query. Float-trig sign boundaries → no SQL oracle
+    * (rows-only). */
+  private def q33(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val bucketExpr = expr(
+      """aggregate(sequence(0, 7), 0,
+        |  (acc, p) -> acc + if(
+        |    aggregate(zip_with(embedding, transform(sequence(0, size(embedding) - 1), dd -> cos(p * 97 + dd * 13)),
+        |      (x, pl) -> cast(x as double) * pl), cast(0.0 as double), (a, v) -> a + v) > 0,
+        |    shiftleft(1, p), 0))""".stripMargin)
+    val bucketed = e.select(col("vec_id"), col("label"), col("embedding"),
+      bucketExpr.as("bucket"))
+    val a = bucketed.select(col("bucket"), col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val b = bucketed.select(col("bucket").as("bucket_b"), col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val dot = expr(
+      "aggregate(zip_with(qe, ce, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (a, p) -> a + p)")
+    val nq = expr("aggregate(qe, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double))")
+    val nc = expr("aggregate(ce, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double))")
+    val sims = a.join(b, col("bucket") === col("bucket_b") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), (dot / (sqrt(nq) * sqrt(nc))).as("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    sims.withColumn("rnk", rank().over(w)).filter(col("rnk") <= 3)
+      .orderBy("query_id", "rnk", "neighbor_id")
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q31_embed_norms", q31, Some(q31Sql)),
+    Q("q32_ann_bruteforce", q32, Some(q32Sql)),
+    Q("q33_ann_lsh", q33, None))
+}
