@@ -1,0 +1,107 @@
+package graft.domain
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregate/window marts (SURVEY §2.5-2.6): the reference's
+  * int_bank_performance / mart_bank_analytics / comprehensive analysis /
+  * BI views as DataFrame functions. Every one is a partial-aggregating
+  * hash aggregate; dims broadcast; the only total-order ops are tiny
+  * (ranking over per-bank aggregates).
+  */
+object Marts {
+
+  private def rate(n: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =
+    round(n.cast("decimal(20,6)") / d * 100, 2)
+
+  /** A1: per-bank performance (phase2_transformation_pipeline.py:405-418). */
+  def bankPerformance(enriched: DataFrame): DataFrame =
+    enriched.groupBy(col("bank_name")).agg(
+      count(lit(1)).as("total_reviews"),
+      round(avg(col("rating")), 2).as("avg_rating"),
+      round(avg(col("sentiment_score")), 4).as("avg_sentiment"),
+      count(when(col("rating") >= Thresholds.ratingHigh, 1)).as("positive_reviews"),
+      count(when(col("rating") <= Thresholds.ratingLow, 1)).as("negative_reviews"),
+      count(when(col("mentions_service"), 1)).as("service_mentions"),
+      count(when(col("mentions_waiting"), 1)).as("waiting_mentions"),
+      count(when(col("mentions_fees"), 1)).as("fees_mentions"),
+      round(avg(col("word_count")), 1).as("avg_review_length"))
+
+  /** A2: comprehensive per-bank stats — rating/sentiment histograms,
+    * sample stddev (mart_comprehensive_bank_analysis.sql:10-51). */
+  def bankComprehensive(enriched: DataFrame): DataFrame =
+    enriched.groupBy(col("bank_name")).agg(
+      count(lit(1)).as("total_reviews"),
+      round(avg(col("rating")), 2).as("avg_rating"),
+      round(avg(col("sentiment_score")), 4).as("avg_sentiment"),
+      round(stddev_samp(col("sentiment_score")), 4).as("sentiment_stddev"),
+      count(when(col("rating") === 5, 1)).as("five_star"),
+      count(when(col("rating") === 4, 1)).as("four_star"),
+      count(when(col("rating") === 3, 1)).as("three_star"),
+      count(when(col("rating") === 2, 1)).as("two_star"),
+      count(when(col("rating") === 1, 1)).as("one_star"),
+      count(when(col("sentiment_label") === "Positive", 1)).as("positive_sentiment"),
+      count(when(col("sentiment_label") === "Neutral", 1)).as("neutral_sentiment"),
+      count(when(col("sentiment_label") === "Negative", 1)).as("negative_sentiment"))
+
+  /** A3: per-branch with satisfaction rate
+    * (mart_comprehensive_bank_analysis.sql:53-72). */
+  def branchPerformance(enriched: DataFrame): DataFrame =
+    enriched.groupBy(col("bank_name"), col("branch_name"), col("place_id")).agg(
+      count(lit(1)).as("total_reviews"),
+      round(avg(col("rating")), 2).as("avg_rating"),
+      round(avg(col("sentiment_score")), 4).as("avg_sentiment"),
+      rate(count(when(col("rating") >= Thresholds.ratingHigh, 1)), count(lit(1)))
+        .as("satisfaction_rate"))
+
+  /** A5+W3: quarterly trend with LAG
+    * (mart_comprehensive_bank_analysis.sql:91-107). */
+  def quarterlyTrend(enriched: DataFrame): DataFrame = {
+    val q = enriched
+      .filter(col("review_year").isNotNull)
+      .groupBy(col("bank_name"), col("review_year"),
+        quarter(col("review_time")).as("review_quarter"))
+      .agg(count(lit(1)).as("reviews"),
+        round(avg(col("rating")), 2).as("q_avg_rating"),
+        round(avg(col("sentiment_score")), 4).as("q_avg_sentiment"))
+    val w = Window.partitionBy(col("bank_name"))
+      .orderBy(col("review_year"), col("review_quarter"))
+    q.withColumn("prev_q_avg_rating", lag(col("q_avg_rating"), 1).over(w))
+      .withColumn("rating_trend", col("q_avg_rating") - col("prev_q_avg_rating"))
+  }
+
+  /** W2: gapped RANK leaderboard (phase2_transformation_pipeline.py:462). */
+  def bankRanking(enriched: DataFrame): DataFrame = {
+    val perf = bankPerformance(enriched)
+    val w = Window.orderBy(col("avg_rating").desc, col("avg_sentiment").desc)
+    perf.withColumn("bank_rank", rank().over(w))
+      .withColumn("performance_tier",
+        when(col("avg_rating") >= 4.0, "Excellent")
+          .when(col("avg_rating") >= 3.0, "Good")
+          .when(col("avg_rating") >= 2.0, "Average")
+          .otherwise("Poor"))
+  }
+
+  /** A9: BI dashboard view — fact ⋈ broadcast dims
+    * (vw_bank_performance_dashboard, complete_data_pipeline_fixed.py:269-280). */
+  def bankDashboard(fact: DataFrame, dimBank: DataFrame): DataFrame =
+    fact.select(col("bank_key"), col("rating"), col("sentiment_score"), col("branch_key"))
+      .join(broadcast(dimBank.select(col("bank_key"), col("bank_name"))), Seq("bank_key"))
+      .groupBy(col("bank_key"), col("bank_name")).agg(
+        count(lit(1)).as("total_reviews"),
+        round(avg(col("rating")), 2).as("avg_rating"),
+        round(avg(col("sentiment_score")), 4).as("avg_sentiment"),
+        countDistinct(col("branch_key")).as("branch_count"))
+      .orderBy(col("total_reviews").desc)
+
+  /** A7/A8: per-topic rollup with sorted string agg
+    * (phase2_transformation_pipeline.py:420-431). */
+  def topicAnalysis(enriched: DataFrame): DataFrame =
+    enriched.filter(col("dominant_topic").isNotNull)
+      .groupBy(col("dominant_topic")).agg(
+        count(lit(1)).as("topic_count"),
+        round(avg(col("sentiment_score")), 4).as("avg_sentiment"),
+        array_join(array_sort(collect_set(col("bank_name"))), ", ").as("banks"))
+      .orderBy(col("topic_count").desc)
+}

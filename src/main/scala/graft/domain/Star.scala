@@ -1,0 +1,124 @@
+package graft.domain
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Star-schema build (SURVEY §2.4-2.6, §3.1): dim_sentiment, dim_date,
+  * dim_bank, dim_branch, fact_reviews. All dims are broadcast-join
+  * candidates (≤ thousands of rows); the fact build is one lineage with
+  * two broadcast left-joins + the ordered sentiment-range CASE.
+  *
+  * Surrogate keys: `parityMode=true` reproduces the reference's global
+  * `ROW_NUMBER() OVER (ORDER BY …)` keys (complete_data_pipeline_fixed.py:
+  * 150,186,200,226) — exact but single-partition; `parityMode=false` uses
+  * `monotonically_increasing_id` — the 100 TB-safe mode (SURVEY §7.4.1).
+  */
+object Star {
+
+  /** dim_sentiment: 5 static buckets with the reference's overlapping score
+    * ranges (dim_sentiment.sql:27-31). Priority order (very_* first) is the
+    * disambiguation spec — see sentimentKey. */
+  def dimSentiment(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1, "very_positive", "Very Positive", 0.5, 1.0),
+      (2, "positive", "Positive", 0.1, 1.0),
+      (3, "neutral", "Neutral", -0.1, 0.1),
+      (4, "negative", "Negative", -1.0, -0.1),
+      (5, "very_negative", "Very Negative", -1.0, -0.5))
+      .toDF("sentiment_key", "sentiment_id", "sentiment_display",
+        "score_range_min", "score_range_max")
+  }
+
+  /** J7: sentiment score → key via the ordered CASE ladder; the CASE
+    * priority order IS the spec because ranges overlap
+    * (complete_data_pipeline_fixed.py:229-235, fact_reviews.sql:91-97). */
+  def sentimentKey(scoreCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(scoreCol >= Thresholds.sentimentVeryPositive, 1)
+      .when(scoreCol > Thresholds.sentimentPositive, 2)
+      .when(scoreCol >= Thresholds.sentimentNegative, 3)
+      .when(scoreCol > Thresholds.sentimentVeryNegative, 4)
+      .otherwise(5)
+
+  /** dim_date: 2020-01-01..2030-12-31 spine (4018 rows, dim_date.sql:17-23)
+    * with date_key = YYYYMMDD int, PG-semantics DOW, season + weekend flags. */
+  def dimDate(spark: SparkSession): DataFrame = {
+    val spine = spark.sql(
+      "SELECT explode(sequence(to_date('2020-01-01'), to_date('2030-12-31'), interval 1 day)) AS full_date")
+    val fd = col("full_date")
+    spine.select(
+      (year(fd) * 10000 + month(fd) * 100 + dayofmonth(fd)).as("date_key"),
+      fd,
+      year(fd).as("year"), quarter(fd).as("quarter"), month(fd).as("month"),
+      date_format(fd, "MMMM").as("month_name"),
+      weekofyear(fd).as("week_of_year"),
+      dayofmonth(fd).as("day_of_month"),
+      (dayofweek(fd) - 1).as("day_of_week"), // PG EXTRACT(DOW): 0=Sunday
+      date_format(fd, "EEEE").as("day_name"),
+      dayofweek(fd).isin(1, 7).as("is_weekend"),
+      when(month(fd).isin(12, 1, 2), "Winter")
+        .when(month(fd).isin(3, 4, 5), "Spring")
+        .when(month(fd).isin(6, 7, 8), "Summer")
+        .otherwise("Autumn").as("season"))
+  }
+
+  private def surrogate(df: DataFrame, keyName: String, orderCols: Seq[String],
+      parityMode: Boolean): DataFrame =
+    if (parityMode)
+      df.withColumn(keyName,
+        row_number().over(Window.orderBy(orderCols.map(col): _*)))
+    else
+      df.withColumn(keyName, monotonically_increasing_id())
+
+  /** dim_bank: distinct banks + branch-count metric join
+    * (complete_data_pipeline_fixed.py:182-196; dim_bank.sql:16-101). */
+  def dimBank(staged: DataFrame, parityMode: Boolean = true): DataFrame = {
+    val banks = staged.select(col("bank_name")).distinct()
+    val metrics = staged.groupBy(col("bank_name"))
+      .agg(countDistinct(col("place_id")).as("total_branches"))
+    val joined = banks.join(broadcast(metrics), Seq("bank_name"), "left")
+      .withColumn("bank_id", regexp_replace(col("bank_name"), " ", "_"))
+      .withColumn("total_branches", coalesce(col("total_branches"), lit(0L)))
+    surrogate(joined, "bank_key", Seq("bank_name"), parityMode)
+      .select(col("bank_key"), col("bank_id"), col("bank_name"), col("total_branches"))
+  }
+
+  /** dim_branch: distinct (place_id, branch, bank) + bank_key lookup
+    * (complete_data_pipeline_fixed.py:198-221; dim_branch.sql:17-106). */
+  def dimBranch(staged: DataFrame, dimBank: DataFrame, parityMode: Boolean = true): DataFrame = {
+    val branches = staged
+      .select(col("place_id").as("branch_id"), col("branch_name"), col("bank_name"))
+      .distinct()
+    val joined = branches.join(broadcast(dimBank.select("bank_key", "bank_name")),
+      Seq("bank_name"), "left")
+    surrogate(joined, "branch_key", Seq("branch_id"), parityMode)
+      .select(col("branch_key"), col("branch_id"), col("branch_name"),
+        col("bank_name"), col("bank_key"))
+  }
+
+  /** fact_reviews: staged silver ⋈ broadcast dims (J1 left + null-filter,
+    * J2 left), sentiment key CASE, date_key, stable reviewer hash
+    * (complete_data_pipeline_fixed.py:223-261; fact_reviews.sql:69-163).
+    *
+    * reviewer_key uses Spark's Murmur3 `hash` — deliberately NOT PG
+    * hashtext (non-portable, SURVEY §7.4.3); stability within this engine
+    * is what matters. */
+  def factReviews(enriched: DataFrame, dimBank: DataFrame, dimBranch: DataFrame,
+      parityMode: Boolean = true): DataFrame = {
+    val withKeys = enriched
+      .join(broadcast(dimBank.select("bank_key", "bank_name")), Seq("bank_name"), "left")
+      .filter(col("bank_key").isNotNull) // J1: left + null-filter, not inner (parity)
+      .join(broadcast(dimBranch.select(col("branch_key"), col("branch_id"))),
+        enriched("place_id") === col("branch_id"), "left")
+      .withColumn("sentiment_key", sentimentKey(col("sentiment_score")))
+      .withColumn("date_key",
+        year(col("review_time")) * 10000 + month(col("review_time")) * 100 +
+          dayofmonth(col("review_time")))
+      .withColumn("reviewer_key",
+        abs(hash(concat(coalesce(col("author_name"), lit("")),
+          coalesce(col("author_url"), lit(""))))))
+      .withColumn("loaded_at", current_timestamp())
+    surrogate(withKeys, "review_key", Seq("review_time", "review_id"), parityMode)
+  }
+}

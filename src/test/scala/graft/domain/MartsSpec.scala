@@ -1,0 +1,61 @@
+package graft.domain
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MartsSpec extends SparkSpec {
+  private lazy val silver = Pipeline.enrichOnly(Fixtures.reviews(spark))
+
+  test("bankPerformance: counts, rounded avgs, conditional counts") {
+    val perf = Marts.bankPerformance(silver).collect()
+      .map(r => r.getAs[String]("bank_name") -> r).toMap
+    val alpha = perf("Bank Alpha")
+    assert(alpha.getAs[Long]("total_reviews") === 4) // r1 r2 r3 r6
+    // ratings 5,1,4,3 → avg 3.25
+    assert(alpha.getAs[Double]("avg_rating") === 3.25)
+    assert(alpha.getAs[Long]("positive_reviews") === 2) // r1, r3 (>=4)
+    assert(alpha.getAs[Long]("negative_reviews") === 1) // r2 (<=2)
+  }
+
+  test("bankComprehensive: star histogram sums to total") {
+    Marts.bankComprehensive(silver).collect().foreach { r =>
+      val hist = Seq("five_star", "four_star", "three_star", "two_star", "one_star")
+        .map(r.getAs[Long]).sum
+      assert(hist === r.getAs[Long]("total_reviews"))
+      val sent = Seq("positive_sentiment", "neutral_sentiment", "negative_sentiment")
+        .map(r.getAs[Long]).sum
+      assert(sent === r.getAs[Long]("total_reviews"))
+    }
+  }
+
+  test("branchPerformance: satisfaction rate bounded 0..100") {
+    Marts.branchPerformance(silver).collect().foreach { r =>
+      val rate = r.getAs[java.math.BigDecimal]("satisfaction_rate").doubleValue()
+      assert(rate >= 0 && rate <= 100)
+    }
+  }
+
+  test("bankRanking: gapped rank ordered by avg_rating then sentiment") {
+    val ranked = Marts.bankRanking(silver)
+      .select("bank_name", "bank_rank").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(ranked.values.min === 1)
+    // Gamma: single 5-star review → top rank
+    assert(ranked("Bank Gamma") === 1)
+  }
+
+  test("quarterlyTrend: lag null on first quarter per bank") {
+    val trend = Marts.quarterlyTrend(silver)
+    val firsts = trend.filter(col("prev_q_avg_rating").isNull).count()
+    assert(firsts >= trend.select("bank_name").distinct().count())
+  }
+
+  test("bankDashboard joins fact to dim and counts branches") {
+    val bank = Star.dimBank(silver)
+    val branch = Star.dimBranch(silver, bank)
+    val fact = Star.factReviews(silver, bank, branch)
+    val dash = Marts.bankDashboard(fact, bank).collect()
+      .map(r => r.getAs[String]("bank_name") -> r.getAs[Long]("branch_count")).toMap
+    assert(dash("Bank Alpha") === 2L)
+  }
+}

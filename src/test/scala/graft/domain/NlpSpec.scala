@@ -1,0 +1,105 @@
+package graft.domain
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class NlpSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def langOf(text: String): (String, Double) = {
+    val df = Nlp.withLanguage(Seq(text).toDF("text"))
+    val r = df.select("detected_language", "language_confidence").head()
+    (r.getString(0), r.getDouble(1))
+  }
+
+  private def sentimentOf(text: String): (Double, String) = {
+    val df = Nlp.withSentiment(Seq(text).toDF("text"))
+    val r = df.select("sentiment_score", "sentiment_label").head()
+    (r.getDouble(0), r.getString(1))
+  }
+
+  test("language: French markers beat Arabic; confidence = hits/words capped") {
+    val (lang, conf) = langOf("le service est excellent dans cette banque")
+    assert(lang === "fr")
+    assert(conf > 0 && conf <= 1.0)
+  }
+
+  test("language: Arabic detected from marker tokens") {
+    assert(langOf("خدمة بنك جيد")._1 === "ar")
+  }
+
+  test("language: <3 chars → unknown with 0.0 confidence (reference floor)") {
+    assert(langOf("ab") === (("unknown", 0.0)))
+  }
+
+  test("language: no markers → unknown with 0.3 confidence floor") {
+    val (lang, conf) = langOf("zzz qqq www")
+    assert(lang === "unknown")
+    assert(conf === Thresholds.languageUnknownConfidence)
+  }
+
+  test("sentiment: lexicon scoring with ±0.8 clamp and ±0.1 label bands") {
+    val (s1, l1) = sentimentOf("excellent service bon personnel rapide merci super parfait")
+    assert(s1 === 0.8) // 7 positive hits → clamped to 0.8
+    assert(l1 === "Positive")
+    val (s2, l2) = sentimentOf("mauvais lent horrible nul pire attente")
+    assert(s2 === -0.8)
+    assert(l2 === "Negative")
+    val (s3, l3) = sentimentOf("une visite normale sans rien")
+    assert(s3 === 0.0)
+    assert(l3 === "Neutral")
+  }
+
+  test("sentiment: score always within clamp; label total function (property sweep)") {
+    val vocab = Nlp.positiveLexicon ++ Nlp.negativeLexicon ++ Seq("banque", "agence")
+    val rng = new scala.util.Random(42)
+    val texts = (1 to 50).map { _ =>
+      (0 until rng.nextInt(30)).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" ")
+    }.map(t => if (t.isEmpty) "x" else t)
+    val rows = Nlp.withSentiment(texts.toDF("text"))
+      .select("sentiment_score", "sentiment_label").collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) >= -0.8 && r.getDouble(0) <= 0.8)
+      assert(Set("Positive", "Negative", "Neutral").contains(r.getString(1)))
+    }
+  }
+
+  test("features: word_count/char_count/rating_category/detail level") {
+    val df = Nlp.withFeatures(
+      Seq((5, "un deux trois", "2024-06-01 10:00:00"))
+        .toDF("rating", "text", "rt")
+        .withColumn("review_time", col("rt").cast("timestamp")))
+    val r = df.select("word_count", "char_count", "rating_category",
+      "review_detail_level", "review_year", "review_month", "day_of_week").head()
+    assert(r.getInt(0) === 3)
+    assert(r.getInt(1) === 13)
+    assert(r.getString(2) === "Positive")
+    assert(r.getString(3) === "brief")
+    assert(r.getInt(4) === 2024)
+    assert(r.getString(5) === "2024-06")
+    assert(r.getString(6) === "Saturday")
+  }
+
+  test("word_count: empty text → 0 (python semantics, not PG string_to_array)") {
+    val df = Nlp.withFeatures(
+      Seq((3, "", "2024-06-01 10:00:00")).toDF("rating", "text", "rt")
+        .withColumn("review_time", col("rt").cast("timestamp")))
+    assert(df.select("word_count").head().getInt(0) === 0)
+  }
+
+  test("mention flags are null-safe and case-insensitive") {
+    val df = Nlp.withFeatures(
+      Seq((3, "Le SERVICE est top, frais corrects", "2024-06-01 10:00:00"))
+        .toDF("rating", "text", "rt")
+        .withColumn("review_time", col("rt").cast("timestamp")))
+    val r = df.select("mentions_service", "mentions_fees", "mentions_waiting").head()
+    assert(r.getBoolean(0)); assert(r.getBoolean(1)); assert(!r.getBoolean(2))
+  }
+
+  test("topicTokens: lowercases, strips digits/punct, drops stopwords and short tokens") {
+    val toks = Seq("Le Service est EXCELLENT!!! 123 au guichet")
+      .toDF("text").select(Nlp.topicTokens(col("text")).as("t"))
+      .head().getSeq[String](0)
+    assert(toks === Seq("service", "excellent", "guichet"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.domain
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StarSpec extends SparkSpec {
+  private lazy val bronze = Fixtures.reviews(spark)
+  private lazy val silver = Pipeline.enrichOnly(bronze)
+  private lazy val bank = Star.dimBank(silver)
+  private lazy val branch = Star.dimBranch(silver, bank)
+  private lazy val fact = Star.factReviews(silver, bank, branch)
+
+  test("dim_sentiment has 5 prioritized buckets with reference ranges") {
+    val dim = Star.dimSentiment(spark)
+    assert(dim.count() === 5)
+    val vp = dim.filter(col("sentiment_id") === "very_positive").head()
+    assert(vp.getAs[Double]("score_range_min") === 0.5)
+  }
+
+  test("sentimentKey CASE priority resolves the overlapping ranges") {
+    import spark.implicits._
+    val scored = Seq(0.7, 0.3, 0.0, -0.3, -0.7).toDF("s")
+      .select(col("s"), Star.sentimentKey(col("s")).as("k"))
+      .collect().map(r => r.getDouble(0) -> r.getInt(1)).toMap
+    assert(scored(0.7) === 1) // very_positive wins over positive
+    assert(scored(0.3) === 2)
+    assert(scored(0.0) === 3)
+    assert(scored(-0.3) === 4)
+    assert(scored(-0.7) === 5) // very_negative wins over negative
+  }
+
+  test("dim_date spine: 4018 rows, date_key round-trip, PG DOW semantics") {
+    val dim = Star.dimDate(spark)
+    assert(dim.count() === 4018)
+    val jan1 = dim.filter(col("full_date") === lit("2024-01-01").cast("date")).head()
+    assert(jan1.getAs[Int]("date_key") === 20240101)
+    assert(jan1.getAs[Int]("day_of_week") === 1) // Monday: PG DOW=1
+    assert(jan1.getAs[String]("season") === "Winter")
+    val sun = dim.filter(col("full_date") === lit("2024-01-07").cast("date")).head()
+    assert(sun.getAs[Int]("day_of_week") === 0) // Sunday: PG DOW=0
+    assert(sun.getAs[Boolean]("is_weekend"))
+  }
+
+  test("dim_bank: one row per bank with branch counts and slug ids") {
+    val rows = bank.collect().map(r =>
+      r.getAs[String]("bank_name") -> (r.getAs[Long]("total_branches"), r.getAs[String]("bank_id"))).toMap
+    assert(rows.keySet === Set("Bank Alpha", "Bank Beta", "Bank Gamma"))
+    assert(rows("Bank Alpha")._1 === 2L) // p1, p2
+    assert(rows("Bank Alpha")._2 === "Bank_Alpha")
+    val keys = bank.select("bank_key").collect().map(_.getInt(0)).sorted
+    assert(keys === Array(1, 2, 3)) // parity mode: dense row_number keys
+  }
+
+  test("dim_branch carries its bank_key via broadcast lookup") {
+    assert(branch.count() === 4) // p1, p2, p3, p5 survive staging
+    assert(branch.filter(col("bank_key").isNull).count() === 0)
+  }
+
+  test("fact: row-for-row from silver, surrogate + sentiment + date keys") {
+    assert(fact.count() === silver.count())
+    assert(fact.filter(col("bank_key").isNull).count() === 0)
+    assert(fact.filter(col("sentiment_key").between(1, 5)).count() === fact.count())
+    val r1 = fact.filter(col("review_id") === "r1").head()
+    assert(r1.getAs[Int]("date_key") === 20240601)
+    assert(fact.select("review_key").distinct().count() === fact.count())
+  }
+
+  test("scale mode: monotonically_increasing_id keys are unique without a global sort") {
+    val f2 = Star.factReviews(silver, Star.dimBank(silver, parityMode = false),
+      Star.dimBranch(silver, Star.dimBank(silver, parityMode = false), parityMode = false),
+      parityMode = false)
+    assert(f2.select("review_key").distinct().count() === f2.count())
+  }
+}
