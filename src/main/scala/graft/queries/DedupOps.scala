@@ -168,7 +168,7 @@ object DedupOps extends QueryModule {
   /** SimHash candidate pairs: docs sharing any 16-bit band, verified by
     * hamming distance ≤ 8. No oracle (hash-based). */
   private def q30(s: SparkSession, d: String): DataFrame = {
-    val sk = q29(s, d)
+    val sk = q29(s, d).cache() // self-joined below: materialize once
     val bands = sk.select(col("doc_id"), col("simhash"),
       explode(array(
         struct(lit(0).as("b"), col("band0").as("v")),

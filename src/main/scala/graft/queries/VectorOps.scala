@@ -48,18 +48,28 @@ object VectorOps extends QueryModule {
     * corpus: broadcast the (tiny) query side, ordered-fold dot products,
     * rank per query. RANK keeps boundary ties deterministically in both
     * engines. */
+  /** Unit-normalized vectors: norm computed ONCE per vector (not per pair),
+    * so the per-pair work is a single dot-product fold — 3× less lambda
+    * work than naive cosine, and the same shape a real ANN system stores.
+    * Cached: Catalyst's CollapseProject would otherwise inline the
+    * normalize-fold into every downstream lambda reference and recompute it
+    * per pair (measured 5× blowup on the LSH query). */
+  private def unitVectors(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .withColumn("nrm", sqrt(expr(sumSq)))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        expr("transform(embedding, x -> cast(x as double) / nrm)").as("ue"))
+      .cache()
+
   private def q32(s: SparkSession, d: String): DataFrame = {
-    val e = t(s, d, "embeddings")
-    val q = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val u = unitVectors(s, d)
+    val q = u.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("ue").as("qu"))
+    val c = u.select(col("vec_id").as("neighbor_id"), col("ue").as("cu"))
     val dot = expr(
-      "aggregate(zip_with(qe, ce, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (a, p) -> a + p)")
-    val nq = expr("aggregate(qe, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double))")
-    val nc = expr("aggregate(ce, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double))")
+      "aggregate(zip_with(qu, cu, (x, y) -> x * y), cast(0.0 as double), (a, p) -> a + p)")
     val sims = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (dot / (sqrt(nq) * sqrt(nc))).as("cosine"))
+      .select(col("query_id"), col("neighbor_id"), dot.as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     sims.withColumn("rnk", rank().over(w))
@@ -67,16 +77,18 @@ object VectorOps extends QueryModule {
       .orderBy("query_id", "rnk", "neighbor_id")
   }
   private val q32Sql =
-    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
-      |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+    """WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) AS nrm
+      |  FROM embeddings),
+      |u AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS ue FROM e),
+      |q AS (SELECT vec_id AS query_id, ue AS qu FROM u WHERE vec_id < 8),
+      |c AS (SELECT vec_id AS neighbor_id, ue AS cu FROM u),
       |sims AS (
       |  SELECT query_id, neighbor_id,
-      |    list_reduce(list_prepend(0.0, list_transform(list_zip(qe, ce),
-      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a, b) -> a + b)
-      |    / (sqrt(list_reduce(list_prepend(0.0, list_transform(qe,
-      |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))
-      |       * sqrt(list_reduce(list_prepend(0.0, list_transform(ce,
-      |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))) AS cosine
+      |    list_reduce(list_prepend(0.0, list_transform(list_zip(qu, cu),
+      |      p -> p[1] * p[2])), (a, b) -> a + b) AS cosine
       |  FROM q JOIN c ON query_id <> neighbor_id),
       |ranked AS (
       |  SELECT query_id, neighbor_id, cosine,
@@ -91,23 +103,23 @@ object VectorOps extends QueryModule {
     * top-3 per query. Float-trig sign boundaries → no SQL oracle
     * (rows-only). */
   private def q33(s: SparkSession, d: String): DataFrame = {
-    val e = t(s, d, "embeddings")
+    // Bucket bits from the RAW embedding — sign(dot) is invariant under the
+    // positive per-vector scaling, so no need to touch the normalized copy.
     val bucketExpr = expr(
       """aggregate(sequence(0, 7), 0,
         |  (acc, p) -> acc + if(
         |    aggregate(zip_with(embedding, transform(sequence(0, size(embedding) - 1), dd -> cos(p * 97 + dd * 13)),
         |      (x, pl) -> cast(x as double) * pl), cast(0.0 as double), (a, v) -> a + v) > 0,
         |    shiftleft(1, p), 0))""".stripMargin)
-    val bucketed = e.select(col("vec_id"), col("label"), col("embedding"),
-      bucketExpr.as("bucket"))
-    val a = bucketed.select(col("bucket"), col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val b = bucketed.select(col("bucket").as("bucket_b"), col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val bucketed = unitVectors(s, d)
+      .select(col("vec_id"), col("ue"), bucketExpr.as("bucket"))
+      .cache()
+    val a = bucketed.select(col("bucket"), col("vec_id").as("query_id"), col("ue").as("qu"))
+    val b = bucketed.select(col("bucket").as("bucket_b"), col("vec_id").as("neighbor_id"), col("ue").as("cu"))
     val dot = expr(
-      "aggregate(zip_with(qe, ce, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (a, p) -> a + p)")
-    val nq = expr("aggregate(qe, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double))")
-    val nc = expr("aggregate(ce, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double))")
+      "aggregate(zip_with(qu, cu, (x, y) -> x * y), cast(0.0 as double), (a, p) -> a + p)")
     val sims = a.join(b, col("bucket") === col("bucket_b") && col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), (dot / (sqrt(nq) * sqrt(nc))).as("cosine"))
+      .select(col("query_id"), col("neighbor_id"), dot.as("cosine"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     sims.withColumn("rnk", rank().over(w)).filter(col("rnk") <= 3)
       .orderBy("query_id", "rnk", "neighbor_id")
