@@ -25,15 +25,16 @@ object VectorOps extends QueryModule {
 
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
-  private val sumSq =
-    "aggregate(embedding, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double))"
+  /** array<float> → array<double> (codegen'd cast, not a lambda). */
+  private val asDouble = "cast(embedding as array<double>)"
 
-  /** Vector norms + dims: the `functions.aggregate` dot-product shape. */
+  /** Vector norms + dims via the native graft_l2norm expression
+    * (graft.functions.L2NormD — codegen'd loop, ordered accumulation). */
   private def q31(s: SparkSession, d: String): DataFrame = {
     t(s, d, "embeddings")
       .select(col("vec_id"), col("label"),
         size(col("embedding")).as("dim"),
-        sqrt(expr(sumSq)).as("l2_norm"))
+        expr(s"graft_l2norm($asDouble)").as("l2_norm"))
       .orderBy("vec_id")
   }
   private val q31Sql =
@@ -56,7 +57,7 @@ object VectorOps extends QueryModule {
     * per pair (measured 5× blowup on the LSH query). */
   private def unitVectors(s: SparkSession, d: String): DataFrame =
     t(s, d, "embeddings")
-      .withColumn("nrm", sqrt(expr(sumSq)))
+      .withColumn("nrm", expr(s"graft_l2norm($asDouble)"))
       .select(col("vec_id"), col("label"), col("embedding"),
         expr("transform(embedding, x -> cast(x as double) / nrm)").as("ue"))
       .cache()
@@ -66,8 +67,7 @@ object VectorOps extends QueryModule {
     val q = u.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("ue").as("qu"))
     val c = u.select(col("vec_id").as("neighbor_id"), col("ue").as("cu"))
-    val dot = expr(
-      "aggregate(zip_with(qu, cu, (x, y) -> x * y), cast(0.0 as double), (a, p) -> a + p)")
+    val dot = expr("graft_dot(qu, cu)")
     val sims = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), dot.as("cosine"))
     val w = Window.partitionBy(col("query_id"))
@@ -116,8 +116,7 @@ object VectorOps extends QueryModule {
       .cache()
     val a = bucketed.select(col("bucket"), col("vec_id").as("query_id"), col("ue").as("qu"))
     val b = bucketed.select(col("bucket").as("bucket_b"), col("vec_id").as("neighbor_id"), col("ue").as("cu"))
-    val dot = expr(
-      "aggregate(zip_with(qu, cu, (x, y) -> x * y), cast(0.0 as double), (a, p) -> a + p)")
+    val dot = expr("graft_dot(qu, cu)")
     val sims = a.join(b, col("bucket") === col("bucket_b") && col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), dot.as("cosine"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))

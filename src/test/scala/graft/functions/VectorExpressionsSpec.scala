@@ -1,0 +1,49 @@
+package graft.functions
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graft_dot matches the ordered lambda fold bit-for-bit on real data") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(expr("cast(embedding as array<double>)").as("v")).limit(100)
+    val both = e.select(
+      expr("graft_dot(v, v)").as("native"),
+      expr("aggregate(zip_with(v, v, (x, y) -> x * y), cast(0.0 as double), (a, p) -> a + p)").as("fold"))
+    assert(both.filter(col("native") =!= col("fold")).count() === 0)
+  }
+
+  test("graft_l2norm matches sqrt of the squared fold") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(expr("cast(embedding as array<double>)").as("v")).limit(100)
+    val both = e.select(
+      expr("graft_l2norm(v)").as("native"),
+      sqrt(expr("aggregate(v, cast(0.0 as double), (a, x) -> a + x * x)")).as("fold"))
+    assert(both.filter(col("native") =!= col("fold")).count() === 0)
+  }
+
+  test("null and empty-array semantics") {
+    val df = Seq(
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0))),
+      (None, Some(Seq(1.0))),
+      (Some(Seq.empty[Double]), Some(Seq.empty[Double])))
+      .toDF("a", "b")
+    val out = df.select(expr("graft_dot(a, b)").as("d"), expr("graft_l2norm(a)").as("n")).collect()
+    assert(out(0).getDouble(0) === 11.0)
+    assert(out(0).getDouble(1) === math.sqrt(5.0))
+    assert(out(1).isNullAt(0) && out(1).isNullAt(1))
+    assert(out(2).getDouble(0) === 0.0)
+  }
+
+  test("expressions run inside whole-stage codegen (no interpreted fallback)") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(expr("graft_dot(cast(embedding as array<double>), cast(embedding as array<double>))").as("d"))
+    val codegen = e.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark operators fused into a WholeStageCodegen stage
+    assert(codegen.matches("(?s).*\\*\\(\\d+\\) Project \\[graft_dot.*"),
+      s"graft_dot not inside a codegen stage:\n$codegen")
+    assert(e.count() === 500)
+  }
+}
