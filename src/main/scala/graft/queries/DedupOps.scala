@@ -116,19 +116,29 @@ object DedupOps extends QueryModule {
           xxhash64((b * 4 until b * 4 + 4).map(i => col(s"h$i")): _*).as("sig"))): _*))
         .as("bs"))
       .select(col("doc_id"), col("bs.band"), col("bs.sig"))
+    // cached: referenced four times below (doc lists, two verify joins,
+    // final left join) — each broadcast would otherwise re-run the whole
+    // sketch+band pipeline.
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // Verify candidates with exact Jaccard (same machinery as q27).
+      .cache()
+    // Verify candidates with exact Jaccard (same machinery as q27). The
+    // candidate set is tiny (only band-colliding pairs), so first semi-join
+    // the shingle table down to candidate docs — every verify join then
+    // touches a few hundred rows instead of the full shingle index.
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b2"), col("shingle").as("shingle_b")),
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val shc = sh.join(broadcast(candDocs), "doc_id")
+    val inter = broadcast(cand)
+      .join(shc.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(broadcast(shc.select(col("doc_id").as("doc_b2"), col("shingle").as("shingle_b"))),
         col("doc_b") === col("doc_b2") && col("shingle") === col("shingle_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    cand.join(inter, Seq("doc_a", "doc_b"), "left")
+    broadcast(cand).join(inter, Seq("doc_a", "doc_b"), "left")
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
       .withColumn("jaccard",
