@@ -1,0 +1,170 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Num._
+
+/** Extended relational surface: top-N joins, rollup, semi joins, pivot,
+  * set operations, and an as-of join — operators beyond the reference's
+  * inventory that a complete warehouse engine needs (and that Spark
+  * expresses natively; SURVEY §2.4 notes the absent families).
+  */
+object RelationalExt extends QueryModule {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  /** TPC-H Q3-shaped: selective join + grouped revenue + top-10 ordered
+    * limit (compiles to TakeOrderedAndProject — no global sort at scale). */
+  private def q34(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("order_date"))
+      .agg(sum(dec(col("l_extendedprice"), 2) * (dec(lit(1), 2) - dec(col("l_discount"), 6)))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+  private val q34Sql =
+    """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** ROLLUP hierarchy totals with 'ALL' labels (subtotal + grand total in
+    * one pass — partial-aggregating, no reference analog). */
+  private def q35(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+      .rollup(col("yr"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice"), 2).as("revenue"))
+      .select(
+        coalesce(col("yr").cast("string"), lit("ALL")).as("yr_label"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority_label"),
+        col("n_orders"), col("revenue"))
+      .orderBy("yr_label", "priority_label")
+  }
+  private val q35Sql =
+    s"""SELECT
+       |  COALESCE(CAST(yr AS VARCHAR), 'ALL') AS yr_label,
+       |  COALESCE(o_orderpriority, 'ALL') AS priority_label,
+       |  COUNT(*) AS n_orders, ${dsumSql("o_totalprice", 2)} AS revenue
+       |FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderpriority, o_totalprice FROM orders) t
+       |GROUP BY ROLLUP(yr, o_orderpriority)
+       |ORDER BY yr_label, priority_label""".stripMargin
+
+  /** LEFT SEMI join (EXISTS): customers with ≥1 1996 order, per nation. */
+  private def q36(s: SparkSession, d: String): DataFrame = {
+    val orders96 = t(s, d, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    t(s, d, "customer")
+      .join(orders96, col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("active_customers"))
+      .orderBy("n_name")
+  }
+  private val q36Sql =
+    """SELECT n_name, COUNT(*) AS active_customers
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** PIVOT: per-year order-status histogram as wide columns (Spark pivot ≡
+    * conditional aggregation; absent combos coalesced to 0 for parity). */
+  private def q37(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+      .groupBy(col("yr"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("yr"),
+        coalesce(col("F"), lit(0L)).as("status_f"),
+        coalesce(col("O"), lit(0L)).as("status_o"),
+        coalesce(col("P"), lit(0L)).as("status_p"))
+      .orderBy("yr")
+  }
+  private val q37Sql =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_f,
+      |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS status_o,
+      |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_p
+      |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin
+
+  /** Set operations: nations appearing as customer vs supplier homes —
+    * INTERSECT / EXCEPT / UNION with distinct semantics. */
+  private def q38(s: SparkSession, d: String): DataFrame = {
+    val custN = t(s, d, "customer").select(col("c_nationkey").as("nationkey")).distinct()
+    val suppN = t(s, d, "supplier").select(col("s_nationkey").as("nationkey")).distinct()
+    val both = custN.intersect(suppN).withColumn("membership", lit("both"))
+    val custOnly = custN.except(suppN).withColumn("membership", lit("customer_only"))
+    val suppOnly = suppN.except(custN).withColumn("membership", lit("supplier_only"))
+    both.union(custOnly).union(suppOnly)
+      .select(col("membership"), col("nationkey"))
+      .orderBy("membership", "nationkey")
+  }
+  private val q38Sql =
+    """WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+      |s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+      |SELECT 'both' AS membership, nationkey FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s) t
+      |UNION ALL
+      |SELECT 'customer_only', nationkey FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s) t
+      |UNION ALL
+      |SELECT 'supplier_only', nationkey FROM (SELECT nationkey FROM s EXCEPT SELECT nationkey FROM c) t
+      |ORDER BY membership, nationkey""".stripMargin
+
+  /** As-of (backward) join: each purchase matched to the same user's most
+    * recent strictly-earlier click. Implemented as the union+ordered-window
+    * pattern — one shuffle on user_id, no range-join pair blowup; the shape
+    * that scales to 100 TB event streams. */
+  private def q39(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("click_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_sec",
+        last(when(col("event_type") === "click", col("sec")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("sec").as("purchase_sec"), col("click_id"), col("click_sec"),
+        (col("sec") - col("click_sec")).as("gap_sec"))
+      .orderBy("purchase_id")
+  }
+  private val q39Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS sec, value
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |m AS (
+      |  SELECT user_id, event_id, event_type, sec,
+      |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      |      OVER w AS click_id,
+      |    last_value(CASE WHEN event_type = 'click' THEN sec END IGNORE NULLS)
+      |      OVER w AS click_sec
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT event_id AS purchase_id, user_id, sec AS purchase_sec,
+      |       click_id, click_sec, sec - click_sec AS gap_sec
+      |FROM m WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q34_topn_join", q34, Some(q34Sql)),
+    Q("q35_rollup", q35, Some(q35Sql)),
+    Q("q36_semi_join", q36, Some(q36Sql)),
+    Q("q37_pivot", q37, Some(q37Sql)),
+    Q("q38_set_ops", q38, Some(q38Sql)),
+    Q("q39_asof_join", q39, Some(q39Sql)))
+}
