@@ -1,0 +1,27 @@
+package graft.domain
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class PipelineSpec extends SparkSpec {
+
+  test("run: bronze parquet → gold star schema + marts with validation counts") {
+    val base = Files.createTempDirectory("graft_pipe").toString
+    Fixtures.reviews(spark).write.mode("overwrite").parquet(s"$base/bronze")
+    val r = Pipeline.run(spark, s"$base/bronze", s"$base/gold")
+    assert(r.bronzeCount === 10)
+    assert(r.stagedCount === 7) // dup dropped, empty/too-short filtered
+    assert(r.factCount === 7)
+    assert(r.bankCount === 3)
+    assert(r.branchCount === 4)
+    // gold is partitioned by review_year → partition pruning applies
+    val fact = spark.read.parquet(s"$base/gold/fact_reviews")
+    assert(fact.columns.contains("review_year"))
+    val pruned = fact.filter(col("review_year") === 2024)
+    assert(pruned.count() === 7)
+    // idempotent rebuild (SaveMode.Overwrite ≡ DROP CASCADE + CTAS)
+    val r2 = Pipeline.run(spark, s"$base/bronze", s"$base/gold")
+    assert(r2 === r.copy())
+  }
+}

@@ -1,0 +1,51 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+class ReadersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("score", DoubleType)))
+
+  test("csv reader applies the declared schema (no inference drift)") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    Files.write(java.nio.file.Paths.get(dir, "a.csv"),
+      "id,name,score\n1,alpha,0.5\n2,beta,0.75\n".getBytes)
+    val df = Readers.csv(spark, dir, schema)
+    assert(df.schema === schema)
+    assert(df.count() === 2)
+    assert(df.filter(col("name") === "beta").head().getDouble(2) === 0.75)
+  }
+
+  test("json reader applies the declared schema") {
+    val dir = Files.createTempDirectory("graft_json").toString
+    Files.write(java.nio.file.Paths.get(dir, "a.json"),
+      """{"id": 1, "name": "alpha", "score": 0.5}
+        |{"id": 2, "name": "beta"}
+        |""".stripMargin.getBytes)
+    val df = Readers.json(spark, dir, schema)
+    assert(df.schema === schema)
+    assert(df.filter(col("score").isNull).count() === 1)
+  }
+
+  test("latestPartition reads only the newest batch directory") {
+    val base = Files.createTempDirectory("graft_parts").toString
+    Seq((1L, "old")).toDF("id", "tag").write.parquet(s"$base/ds=2024-06-01")
+    Seq((2L, "new"), (3L, "new")).toDF("id", "tag").write.parquet(s"$base/ds=2024-06-02")
+    val df = Readers.latestPartition(spark, base, "ds")
+    assert(df.count() === 2)
+    assert(df.select("tag").distinct().head().getString(0) === "new")
+  }
+
+  test("backupCsv round-trips through the dated layout") {
+    val base = Files.createTempDirectory("graft_backup").toString
+    Readers.backupCsv(Seq((1L, "x", 0.1)).toDF("id", "name", "score"), base, "2024-06-03")
+    val back = Readers.csv(spark, s"$base/2024-06-03", schema)
+    assert(back.count() === 1)
+  }
+}
