@@ -84,17 +84,46 @@ object Star {
       .select(col("bank_key"), col("bank_id"), col("bank_name"), col("total_branches"))
   }
 
+  /** City/region extraction from branch names — the dim_branch CASE ladder
+    * family (dim_branch.sql:22-68): ordered ILIKE-contains router plus the
+    * ARRAY services literal and NULL-typed opening_hours (dim_branch.sql:
+    * 95-100). Cities cover the reference's Moroccan metro areas. */
+  def branchGeo(df: DataFrame, nameCol: String = "branch_name"): DataFrame = {
+    val n = lower(coalesce(col(nameCol), lit("")))
+    val city = when(n.contains("casablanca"), "Casablanca")
+      .when(n.contains("rabat"), "Rabat")
+      .when(n.contains("marrakech"), "Marrakech")
+      .when(n.contains("fes") || n.contains("fès"), "Fes")
+      .when(n.contains("tanger"), "Tangier")
+      .when(n.contains("agadir"), "Agadir")
+      .otherwise("Other")
+    val region = when(col("city").isin("Casablanca", "Rabat"), "Casablanca-Rabat Axis")
+      .when(col("city").isin("Marrakech", "Agadir"), "South")
+      .when(col("city").isin("Fes", "Tangier"), "North")
+      .otherwise("Other")
+    val branchType = when(n.contains("siege") || n.contains("siège"), "headquarters")
+      .when(n.contains("agence"), "branch")
+      .otherwise("branch")
+    df.withColumn("city", city)
+      .withColumn("region", region)
+      .withColumn("branch_type", branchType)
+      .withColumn("services",
+        typedLit(Seq("ATM", "Cash Withdrawal", "Account Services")))
+      .withColumn("opening_hours", lit(null).cast("map<string,string>"))
+  }
+
   /** dim_branch: distinct (place_id, branch, bank) + bank_key lookup
     * (complete_data_pipeline_fixed.py:198-221; dim_branch.sql:17-106). */
   def dimBranch(staged: DataFrame, dimBank: DataFrame, parityMode: Boolean = true): DataFrame = {
     val branches = staged
       .select(col("place_id").as("branch_id"), col("branch_name"), col("bank_name"))
       .distinct()
-    val joined = branches.join(broadcast(dimBank.select("bank_key", "bank_name")),
-      Seq("bank_name"), "left")
+    val joined = branchGeo(branches.join(
+      broadcast(dimBank.select("bank_key", "bank_name")), Seq("bank_name"), "left"))
     surrogate(joined, "branch_key", Seq("branch_id"), parityMode)
       .select(col("branch_key"), col("branch_id"), col("branch_name"),
-        col("bank_name"), col("bank_key"))
+        col("bank_name"), col("bank_key"), col("city"), col("region"),
+        col("branch_type"), col("services"), col("opening_hours"))
   }
 
   /** fact_reviews: staged silver ⋈ broadcast dims (J1 left + null-filter,

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin equals the plain join result under a skewed key") {
+    // 90% of rows share key 0 — the classic hot-key shape.
+    val big = (0 until 2000).map(i => (if (i % 10 == 0) i % 5 else 0, i))
+      .toDF("k", "payload")
+    val small = Seq((0, "hot"), (1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("k", "tag")
+    val plain = big.join(small, "k").groupBy("tag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedJoin(big, small, "k", 8, col("payload"))
+      .groupBy("tag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted === plain)
+  }
+
+  test("saltedSumCount equals the direct aggregation") {
+    val df = (0 until 5000).map(i => (if (i % 100 == 0) i % 7 else 0, i.toDouble))
+      .toDF("k", "v")
+    val direct = df.groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), (r.getDouble(1), r.getLong(2)))).toMap
+    val salted = Skew.saltedSumCount(df, "k", "v", 16, col("v"))
+      .collect().map(r => (r.getInt(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(salted.keySet === direct.keySet)
+    direct.foreach { case (k, (s, c)) =>
+      assert(math.abs(salted(k)._1 - s) < 1e-6)
+      assert(salted(k)._2 === c)
+    }
+  }
+
+  test("KmvDistinct: exact below k, within ~3 stderr above k, mergeable across partitions") {
+    val small = spark.range(100).select(KmvDistinct(col("id")).as("d"))
+    assert(small.head().getLong(0) === 100L)
+
+    val n = 50000
+    val est = spark.range(n).repartition(8)
+      .select(KmvDistinct(col("id")).as("d")).head().getLong(0)
+    val stderr = n / math.sqrt(256 - 2)
+    assert(math.abs(est - n) < 3 * stderr, s"estimate $est vs true $n")
+  }
+
+  test("KmvDistinct grouped: per-nation estimates track exact counts") {
+    val c = Tables(spark, "/root/testdata/sf0.01", "customer")
+    val exact = c.groupBy("c_nationkey").agg(countDistinct("c_custkey").as("e"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val est = c.groupBy("c_nationkey").agg(KmvDistinct(col("c_custkey")).as("d"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      // all nations have < k=256... only if small; allow 10% otherwise
+      if (e < 256) assert(est(k) === e) else assert(math.abs(est(k) - e).toDouble / e < 0.2)
+    }
+  }
+}
