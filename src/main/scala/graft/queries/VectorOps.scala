@@ -124,8 +124,47 @@ object VectorOps extends QueryModule {
       .orderBy("query_id", "rnk", "neighbor_id")
   }
 
+  /** Embedding-cosine near-dup baseline: every vector's single nearest
+    * neighbor (all-pairs k=1). The dedup decision (cosine ≥ τ) is then a
+    * filter on this table; emitting the NN keeps the output non-empty on
+    * corpora with no near-dups (this testdata's max pair cosine ≈ 0.51). */
+  private def q40(s: SparkSession, d: String): DataFrame = {
+    val u = unitVectors(s, d)
+    val a = u.select(col("vec_id"), col("ue"))
+    val b = u.select(col("vec_id").as("neighbor_id"), col("ue").as("cu"))
+    val sims = a.join(b, col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        expr("graft_dot(ue, cu)").as("cosine"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("neighbor_id"), col("cosine"),
+        (col("cosine") >= 0.9).as("is_near_dup"))
+      .orderBy("vec_id")
+  }
+  private val q40Sql =
+    """WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) AS nrm
+      |  FROM embeddings),
+      |u AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS ue FROM e),
+      |sims AS (
+      |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+      |    list_reduce(list_prepend(0.0, list_transform(list_zip(a.ue, b.ue),
+      |      p -> p[1] * p[2])), (x, y) -> x + y) AS cosine
+      |  FROM u a JOIN u b ON a.vec_id <> b.vec_id),
+      |ranked AS (
+      |  SELECT vec_id, neighbor_id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rnk
+      |  FROM sims)
+      |SELECT vec_id, neighbor_id, cosine, cosine >= 0.9 AS is_near_dup
+      |FROM ranked WHERE rnk = 1 ORDER BY vec_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q31_embed_norms", q31, Some(q31Sql)),
     Q("q32_ann_bruteforce", q32, Some(q32Sql)),
-    Q("q33_ann_lsh", q33, None))
+    Q("q33_ann_lsh", q33, None),
+    Q("q40_embed_nn_dedup", q40, Some(q40Sql)))
 }
