@@ -149,23 +149,19 @@ object DedupOps extends QueryModule {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** SimHash near-dup detection: 64-bit simhash over token frequencies,
-    * 4 × 16-bit band blocking, hamming ≤ 6 verification via bit_count(xor).
+  /** SimHash near-dup detection: 64-bit simhash over token frequencies via
+    * the SimhashAgg typed Aggregator (graft.operators.SimhashAgg — fixed
+    * 512-byte state per doc, single aggregation pass; no 64× bit-explode
+    * row amplification), 4 × 16-bit bands for downstream blocking.
     * Hash-based → no SQL oracle. Emits per-doc sketches (deterministic,
-    * always non-empty) plus pair count — sketch table is the useful artifact
-    * for downstream blocking. */
+    * always non-empty) — the useful artifact for blocking. */
   private def q29(s: SparkSession, d: String): DataFrame = {
     val tf = t(s, d, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
       .withColumn("th", xxhash64(col("token")))
-    val bits = tf.select(col("doc_id"), col("cnt"), col("th"),
-        explode(expr("sequence(0, 63)")).as("bit"))
-      .withColumn("w",
-        when(expr("(th >> bit) & 1") === 1, col("cnt")).otherwise(-col("cnt")))
-      .groupBy(col("doc_id"), col("bit")).agg(sum(col("w")).as("ws"))
-      .withColumn("bitval", when(col("ws") > 0, expr("shiftleft(1L, bit)")).otherwise(0L))
-      .groupBy(col("doc_id")).agg(sum(col("bitval")).as("simhash"))
+    val bits = tf.groupBy(col("doc_id"))
+      .agg(graft.operators.SimhashAgg(col("th"), col("cnt")).as("simhash"))
     bits.select(
         col("doc_id"), col("simhash"),
         expr("(simhash >> 0)  & 65535").as("band0"),

@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Further training-data-pipeline operators: PII redaction/pseudonymization
+  * and duplicate-cluster resolution (connected components over near-dup
+  * pairs) — the step after pair detection that an actual dedup pipeline
+  * needs (keep one doc per cluster).
+  */
+object PipelineOps extends QueryModule {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  /** Redaction + pseudonymization: numeric-literal scrubbing in a payload
+    * column and SHA-256 key pseudonymization (bit-identical across engines
+    * — standardized hash, lowercase hex in both). */
+  private def q41(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "events")
+      .select(
+        col("event_id"),
+        regexp_replace(col("props"), "[0-9]+", "<NUM>").as("props_redacted"),
+        sha2(col("user_id").cast("string"), 256).as("user_pseudonym"))
+      .orderBy("event_id")
+  }
+  private val q41Sql =
+    """SELECT event_id,
+      |  regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS props_redacted,
+      |  sha256(CAST(user_id AS VARCHAR)) AS user_pseudonym
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Duplicate-cluster assignment: connected components over the q27
+    * near-dup pairs via iterative min-label propagation (converges in
+    * O(diameter) joins; the checksum-monotonicity stop avoids a full
+    * change-count pass). Singletons are their own cluster. */
+  private def q42(s: SparkSession, d: String): DataFrame = {
+    val pairs = DedupOps.queries("q27_dedup_ngram_jaccard")(s, d)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .distinct().cache()
+    var labels = t(s, d, "documents")
+      .select(col("doc_id"), col("doc_id").as("cluster_id")).cache()
+    var prevSum = labels.agg(sum("cluster_id")).head().getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val prop = edges
+        .join(labels.withColumnRenamed("doc_id", "doc_b2"),
+          col("doc_b") === col("doc_b2"))
+        .groupBy(col("doc_a")).agg(min(col("cluster_id")).as("nb_min"))
+      val next = labels
+        .join(prop, col("doc_id") === col("doc_a"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .cache()
+      val sumNow = next.agg(sum("cluster_id")).head().getLong(0)
+      converged = sumNow == prevSum
+      prevSum = sumNow
+      labels = next
+      iter += 1
+    }
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+  private val q42Sql =
+    """WITH RECURSIVE docs AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |idx AS (
+      |  SELECT doc_id, source, toks, unnest(generate_series(1, len(toks) - 2)) AS i FROM docs),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, source, array_to_string(toks[i:i+2], ' ') AS shingle FROM idx),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      |  FROM sh a JOIN sh b
+      |    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |nd AS (
+      |  SELECT doc_a, doc_b FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+      |  JOIN sizes sb ON doc_b = sb.doc_id
+      |  WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5),
+      |edges AS (SELECT doc_a AS u, doc_b AS v FROM nd
+      |          UNION SELECT doc_b, doc_a FROM nd),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |labels AS (
+      |  SELECT d.doc_id,
+      |    least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id
+      |  FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+      |  GROUP BY d.doc_id),
+      |sizes2 AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY cluster_id)
+      |SELECT doc_id, labels.cluster_id, cluster_size,
+      |       doc_id = labels.cluster_id AS is_canonical
+      |FROM labels JOIN sizes2 ON labels.cluster_id = sizes2.cluster_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** Correlated max per group (window-max filter ≡ correlated subquery):
+    * customers holding their nation's top account balance. */
+  private def q43(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+    t(s, d, "customer")
+      .withColumn("nation_max", max(col("c_acctbal")).over(w))
+      .filter(col("c_acctbal") === col("nation_max"))
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
+      .orderBy("c_nationkey", "c_custkey")
+  }
+  private val q43Sql =
+    """SELECT c_nationkey, c_custkey, c_acctbal
+      |FROM customer c
+      |WHERE c_acctbal = (SELECT MAX(c2.c_acctbal) FROM customer c2
+      |                   WHERE c2.c_nationkey = c.c_nationkey)
+      |ORDER BY c_nationkey, c_custkey""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q41_redaction", q41, Some(q41Sql)),
+    Q("q42_dup_clusters", q42, Some(q42Sql)),
+    Q("q43_correlated_max", q43, Some(q43Sql)))
+}

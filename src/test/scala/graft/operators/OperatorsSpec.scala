@@ -44,6 +44,24 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(est - n) < 3 * stderr, s"estimate $est vs true $n")
   }
 
+  test("SimhashAgg equals the explode-per-bit formulation") {
+    val tf = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+      .withColumn("th", xxhash64(col("token")))
+    val viaAgg = tf.groupBy(col("doc_id"))
+      .agg(SimhashAgg(col("th"), col("cnt")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaExplode = tf
+      .select(col("doc_id"), col("cnt"), col("th"), explode(expr("sequence(0, 63)")).as("bit"))
+      .withColumn("w", when(expr("(th >> bit) & 1") === 1, col("cnt")).otherwise(-col("cnt")))
+      .groupBy(col("doc_id"), col("bit")).agg(sum(col("w")).as("ws"))
+      .withColumn("bitval", when(col("ws") > 0, expr("shiftleft(1L, bit)")).otherwise(0L))
+      .groupBy(col("doc_id")).agg(sum(col("bitval")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaAgg === viaExplode)
+  }
+
   test("KmvDistinct grouped: per-nation estimates track exact counts") {
     val c = Tables(spark, "/root/testdata/sf0.01", "customer")
     val exact = c.groupBy("c_nationkey").agg(countDistinct("c_custkey").as("e"))
