@@ -160,11 +160,82 @@ object RelationalExt extends QueryModule {
       |       click_id, click_sec, sec - click_sec AS gap_sec
       |FROM m WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin
 
+  /** Exact interpolated percentiles per group (Spark `percentile` ≡ DuckDB
+    * `quantile_cont` bit-for-bit — verified on this data; the scale
+    * alternative is approx_percentile, documented not oracled). */
+  private def q44(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "events")
+      .select(col("event_type"), col("value").cast("double").as("v"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("percentile(v, 0.25)").as("p25"),
+        expr("percentile(v, 0.5)").as("p50"),
+        expr("percentile(v, 0.75)").as("p75"))
+      .orderBy("event_type")
+  }
+  private val q44Sql =
+    """SELECT event_type, COUNT(*) AS n,
+      |  quantile_cont(CAST(value AS DOUBLE), 0.25) AS p25,
+      |  quantile_cont(CAST(value AS DOUBLE), 0.5) AS p50,
+      |  quantile_cont(CAST(value AS DOUBLE), 0.75) AS p75
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Explicit ROWS frame: trailing-4-event rolling sum/avg per user
+    * (the reference uses only default frames, SURVEY §2.6 — this covers
+    * bounded frames; decimal accumulation keeps cross-engine parity). */
+  private def q45(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+      .rowsBetween(-3, Window.currentRow)
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"), col("value"))
+      .withColumn("rolling_sum", sum(dec(col("value"), 6)).over(w).cast("double"))
+      .withColumn("rolling_n", count(lit(1)).over(w))
+      .withColumn("rolling_avg", col("rolling_sum") / col("rolling_n"))
+      .select(col("event_id"), col("user_id"), col("rolling_sum"),
+        col("rolling_n"), col("rolling_avg"))
+      .orderBy("event_id")
+  }
+  private val q45Sql =
+    """SELECT event_id, user_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS rolling_sum,
+      |  COUNT(*) OVER w AS rolling_n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) / (COUNT(*) OVER w) AS rolling_avg
+      |FROM (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events) e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id
+      |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  /** Distribution windows: ntile quartiles, percent_rank, cume_dist over a
+    * total order (none exist in the reference — SURVEY §2.6 notes the gap). */
+  private def q46(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(s, d, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .orderBy("c_custkey")
+  }
+  private val q46Sql =
+    """SELECT c_custkey, c_acctbal,
+      |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume
+      |FROM customer
+      |WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q34_topn_join", q34, Some(q34Sql)),
     Q("q35_rollup", q35, Some(q35Sql)),
     Q("q36_semi_join", q36, Some(q36Sql)),
     Q("q37_pivot", q37, Some(q37Sql)),
     Q("q38_set_ops", q38, Some(q38Sql)),
-    Q("q39_asof_join", q39, Some(q39Sql)))
+    Q("q39_asof_join", q39, Some(q39Sql)),
+    Q("q44_percentiles", q44, Some(q44Sql)),
+    Q("q45_rolling_frame", q45, Some(q45Sql)),
+    Q("q46_distribution_windows", q46, Some(q46Sql)))
 }
