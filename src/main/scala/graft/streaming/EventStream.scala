@@ -66,6 +66,28 @@ object EventStream {
       }.toDF()
   }
 
+  /** Stream-stream interval join: purchases matched to the same user's
+    * clicks within the preceding 30 minutes. Both sides watermarked so the
+    * join state is bounded (clicks older than watermark+interval are
+    * evicted) — the streaming twin of the q39 as-of join, with interval
+    * instead of last-match semantics. */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("interval 30 minutes"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("click_id"), col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
   /** Run any of the above to completion over existing files (the reference's
     * daily batch semantics): Trigger.AvailableNow into an in-memory sink. */
   def runAvailableNow(spark: SparkSession, df: DataFrame, name: String,

@@ -35,6 +35,24 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.count() === 1000)
   }
 
+  test("stream-stream interval join matches the batch equivalent") {
+    implicit val s = spark
+    val streamed = EventStream.runAvailableNow(spark,
+      EventStream.purchaseAttribution(EventStream.read(spark, eventsDir)),
+      "attribution", OutputMode.Append())
+    val e = Tables(spark, "/root/testdata/sf0.001", "events")
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    val batch = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("interval 30 minutes"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.count() > 0)
+  }
+
   test("stateful sessionization emits one state per user with sane bounds") {
     implicit val s = spark
     val sessions = EventStream.runAvailableNow(spark,
