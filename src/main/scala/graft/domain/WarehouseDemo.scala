@@ -20,7 +20,8 @@ object WarehouseDemo {
       "tres bien merci", "parfait et professionnel")
     val neg = Seq("attente longue et lente", "mauvais service horrible",
       "probleme jamais resolu", "frais eleves nul")
-    val rows = (0 until 200).map { i =>
+    val nRows = args.drop(1).headOption.map(_.toInt).getOrElse(200)
+    val rows = (0 until nRows).map { i =>
       val bank = s"Bank ${('A' + i % 3).toChar}"
       val place = s"p${i % 12}"
       val good = i % 3 != 0
