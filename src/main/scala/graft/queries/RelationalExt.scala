@@ -228,6 +228,51 @@ object RelationalExt extends QueryModule {
       |WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)
       |ORDER BY c_custkey""".stripMargin
 
+  /** Date arithmetic family: add/diff/truncate-to-boundary
+    * (complements q11's extract family). */
+  private def q47(s: SparkSession, d: String): DataFrame = {
+    val od = col("o_orderdate").cast("date")
+    t(s, d, "orders")
+      .select(
+        col("o_orderkey"),
+        date_add(od, 30).as("due_date"),
+        add_months(od, 3).as("quarter_later"),
+        last_day(od).as("month_end"),
+        datediff(lit("2002-01-01").cast("date"), od).as("days_to_epoch_end"),
+        (od === last_day(od)).as("is_month_end"))
+      .orderBy("o_orderkey")
+  }
+  private val q47Sql =
+    """SELECT o_orderkey,
+      |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+      |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS quarter_later,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_epoch_end,
+      |  CAST(o_orderdate AS DATE) = last_day(CAST(o_orderdate AS DATE)) AS is_month_end
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Null-handling scalar family: nullif / coalesce chains / greatest-least
+    * with nulls / null-safe equality (P6's imputation generalized). */
+  private def q48(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "customer")
+      .select(
+        col("c_custkey"),
+        nullif(col("c_mktsegment"), lit("MACHINERY")).as("seg_or_null"),
+        coalesce(nullif(col("c_mktsegment"), lit("MACHINERY")), lit("REDACTED")).as("seg_coalesced"),
+        greatest(col("c_acctbal"), lit(0.0)).as("bal_floor"),
+        least(col("c_acctbal"), lit(5000.0)).as("bal_cap"),
+        col("c_mktsegment").eqNullSafe(lit("MACHINERY")).as("is_machinery"))
+      .orderBy("c_custkey")
+  }
+  private val q48Sql =
+    """SELECT c_custkey,
+      |  nullif(c_mktsegment, 'MACHINERY') AS seg_or_null,
+      |  coalesce(nullif(c_mktsegment, 'MACHINERY'), 'REDACTED') AS seg_coalesced,
+      |  greatest(c_acctbal, CAST(0.0 AS DOUBLE)) AS bal_floor,
+      |  least(c_acctbal, CAST(5000.0 AS DOUBLE)) AS bal_cap,
+      |  c_mktsegment IS NOT DISTINCT FROM 'MACHINERY' AS is_machinery
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q34_topn_join", q34, Some(q34Sql)),
     Q("q35_rollup", q35, Some(q35Sql)),
@@ -237,5 +282,7 @@ object RelationalExt extends QueryModule {
     Q("q39_asof_join", q39, Some(q39Sql)),
     Q("q44_percentiles", q44, Some(q44Sql)),
     Q("q45_rolling_frame", q45, Some(q45Sql)),
-    Q("q46_distribution_windows", q46, Some(q46Sql)))
+    Q("q46_distribution_windows", q46, Some(q46Sql)),
+    Q("q47_date_arithmetic", q47, Some(q47Sql)),
+    Q("q48_null_handling", q48, Some(q48Sql)))
 }
