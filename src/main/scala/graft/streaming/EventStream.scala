@@ -88,6 +88,23 @@ object EventStream {
         col("click_id"), col("purchase_ts"), col("click_ts"), col("value"))
   }
 
+  /** Streaming gold rebuild via foreachBatch — the SURVEY §2.9 upgrade of
+    * the reference's daily drop-and-rebuild cron: each micro-batch of new
+    * bronze files re-aggregates and overwrites the gold table idempotently
+    * (complete_data_pipeline_fixed.py:95-107 semantics under a stream). */
+  def goldRebuild(spark: SparkSession, events: DataFrame, goldDir: String): Unit = {
+    val q = events.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+          .write.mode("overwrite").parquet(s"$goldDir/events_by_type")
+        (): Unit
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run any of the above to completion over existing files (the reference's
     * daily batch semantics): Trigger.AvailableNow into an in-memory sink. */
   def runAvailableNow(spark: SparkSession, df: DataFrame, name: String,

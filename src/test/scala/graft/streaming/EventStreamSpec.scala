@@ -53,6 +53,16 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.count() > 0)
   }
 
+  test("foreachBatch gold rebuild produces the batch aggregate") {
+    val gold = java.nio.file.Files.createTempDirectory("graft_gold").toString
+    EventStream.goldRebuild(spark, EventStream.read(spark, eventsDir), gold)
+    val rebuilt = spark.read.parquet(s"$gold/events_by_type")
+    val batch = Tables(spark, "/root/testdata/sf0.001", "events")
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    assert(rebuilt.count() === batch.count())
+    assert(rebuilt.agg(sum("n_events")).head().getLong(0) === 1000L)
+  }
+
   test("stateful sessionization emits one state per user with sane bounds") {
     implicit val s = spark
     val sessions = EventStream.runAvailableNow(spark,
