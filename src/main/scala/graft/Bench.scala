@@ -17,11 +17,16 @@ object Bench {
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
       sorted.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        spark.catalog.clearCache()
       }
     val results = sorted.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Queries release their scratch caches themselves; this drops the
+      // (small) final-result caches so 48 queries don't accumulate storage.
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -33,13 +33,17 @@ object Star {
 
   /** J7: sentiment score → key via the ordered CASE ladder; the CASE
     * priority order IS the spec because ranges overlap
-    * (complete_data_pipeline_fixed.py:229-235, fact_reviews.sql:91-97). */
+    * (complete_data_pipeline_fixed.py:229-235, fact_reviews.sql:91-97).
+    * Branch order and boundary operators mirror the reference verbatim:
+    * >= 0.5 very_positive, >= 0.1 positive (exactly 0.1 IS positive),
+    * <= -0.5 very_negative, <= -0.1 negative (exactly -0.1 IS negative),
+    * else neutral. */
   def sentimentKey(scoreCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(scoreCol >= Thresholds.sentimentVeryPositive, 1)
-      .when(scoreCol > Thresholds.sentimentPositive, 2)
-      .when(scoreCol >= Thresholds.sentimentNegative, 3)
-      .when(scoreCol > Thresholds.sentimentVeryNegative, 4)
-      .otherwise(5)
+      .when(scoreCol >= Thresholds.sentimentPositive, 2)
+      .when(scoreCol <= Thresholds.sentimentVeryNegative, 5)
+      .when(scoreCol <= Thresholds.sentimentNegative, 4)
+      .otherwise(3)
 
   /** dim_date: 2020-01-01..2030-12-31 spine (4018 rows, dim_date.sql:17-23)
     * with date_key = YYYYMMDD int, PG-semantics DOW, season + weekend flags. */

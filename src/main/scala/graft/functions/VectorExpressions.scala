@@ -118,5 +118,13 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_l2norm"),
       new ExpressionInfo(classOf[L2NormD].getName, "graft_l2norm"),
       (exprs: Seq[Expression]) => L2NormD(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimhashExpr].getName, "graft_simhash"),
+      (exprs: Seq[Expression]) => SimhashExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinhashExpr].getName, "graft_minhash"),
+      (exprs: Seq[Expression]) => MinhashExpr(exprs(0), exprs(1), exprs(2))))
   }
 }

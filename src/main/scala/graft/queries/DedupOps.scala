@@ -57,9 +57,12 @@ object DedupOps extends QueryModule {
       |ORDER BY doc_id""".stripMargin
 
   /** n-gram Jaccard near-dup pairs (within-source blocking): 3-shingle
-    * inverted-index self-join → intersection counts → |A∩B|/|A∪B| ≥ 0.5. */
+    * inverted-index self-join → intersection counts → |A∩B|/|A∪B| ≥ 0.5.
+    * The shingle index is localCheckpoint'ed (3 references below): it
+    * materializes once with lineage cut, outside the CacheManager, and its
+    * blocks are reclaimed by the ContextCleaner when the query is done. */
   private def q27(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d).cache()
+    val sh = shingles(s, d).localCheckpoint(true)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val a = sh.select(col("source"), col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("source").as("source_b"), col("doc_id").as("doc_b"), col("shingle").as("shingle_b"))
@@ -97,50 +100,63 @@ object DedupOps extends QueryModule {
       |WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** MinHash + LSH near-dup detection: 16 permutations via seeded xxhash64,
-    * 4 bands × 4 rows; band-bucket join yields candidates, exact Jaccard
-    * verifies. Hash-based → no SQL oracle (driver rows-only check).
+  /** MinHash + LSH near-dup detection: 16-permutation signature computed
+    * per document by the native graft_minhash expression (one pass over the
+    * token array inside the scan's codegen span — ZERO corpus-wide shuffle,
+    * vs the explode-shingles→groupBy formulation that moved every shingle
+    * row through a shuffle); 4 bands × 4 rows; band-bucket equi-join yields
+    * candidates; exact Jaccard over string shingles verifies. Hash-based →
+    * no SQL oracle (driver rows-only check).
     *
-    * At scale: candidate generation is a shuffle on (band, bandHash) — the
-    * sketch is 16 longs/doc regardless of doc length, so the shuffle is tiny
-    * vs the corpus; only bucket-colliding pairs are verified. */
+    * At scale: the only corpus-wide shuffle is the candidate join on
+    * (band, sig) — 4 rows of 2 longs per doc regardless of doc length.
+    * Everything downstream (verification) touches candidate docs only. */
   private def q28(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d).cache()
-    val minhashAggs = (0 until 16).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
-    val sketches = sh.groupBy(col("doc_id")).agg(minhashAggs.head, minhashAggs.tail: _*)
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val sketches = docs.select(col("doc_id"),
+      expr("graft_minhash(toks, 3, 16)").as("mh"))
     val bands = sketches.select(
       col("doc_id"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          xxhash64((b * 4 until b * 4 + 4).map(i => col(s"h$i")): _*).as("sig"))): _*))
-        .as("bs"))
+      explode(expr(
+        """transform(sequence(0, 3), b ->
+          |  struct(b AS band,
+          |         xxhash64(mh[b*4], mh[b*4+1], mh[b*4+2], mh[b*4+3]) AS sig))"""
+          .stripMargin)).as("bs"))
       .select(col("doc_id"), col("bs.band"), col("bs.sig"))
-    // cached: referenced four times below (doc lists, two verify joins,
-    // final left join) — each broadcast would otherwise re-run the whole
-    // sketch+band pipeline.
+    // Candidate pairs materialize once, lineage cut (referenced three times
+    // below); tiny — only band-colliding pairs survive.
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-      .cache()
-    // Verify candidates with exact Jaccard (same machinery as q27). The
-    // candidate set is tiny (only band-colliding pairs), so first semi-join
-    // the shingle table down to candidate docs — every verify join then
-    // touches a few hundred rows instead of the full shingle index.
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      .localCheckpoint(true)
+    // Verify candidates with exact Jaccard (q27's definition). Shingles are
+    // built for CANDIDATE DOCS ONLY — the semi-join happens before the
+    // explode, so verification work is proportional to candidates, not
+    // corpus.
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val shc = sh.join(broadcast(candDocs), "doc_id")
+    val shc = docs.join(broadcast(candDocs), "doc_id")
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(toks) - 2), i -> array_join(slice(toks, i, 3), ' '))"))
+          .as("shingle"))
+      .distinct()
+      .localCheckpoint(true)
+    val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = broadcast(cand)
       .join(shc.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
       .join(broadcast(shc.select(col("doc_id").as("doc_b2"), col("shingle").as("shingle_b"))),
         col("doc_b") === col("doc_b2") && col("shingle") === col("shingle_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    broadcast(cand).join(inter, Seq("doc_a", "doc_b"), "left")
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+    // Broadcast the RIGHT side: hinting the left (stream) side of a left
+    // outer join is unsupported (build side must be the non-preserved side)
+    // and Spark ignores the hint with a planner warning.
+    cand.join(broadcast(inter), Seq("doc_a", "doc_b"), "left")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a")), "doc_a")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b")), "doc_b")
       .withColumn("jaccard",
         coalesce(col("inter"), lit(0L)).cast("double") /
           (col("sz_a") + col("sz_b") - coalesce(col("inter"), lit(0L))).cast("double"))
@@ -149,20 +165,20 @@ object DedupOps extends QueryModule {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** SimHash near-dup detection: 64-bit simhash over token frequencies via
-    * the SimhashAgg typed Aggregator (graft.operators.SimhashAgg — fixed
-    * 512-byte state per doc, single aggregation pass; no 64× bit-explode
-    * row amplification), 4 × 16-bit bands for downstream blocking.
-    * Hash-based → no SQL oracle. Emits per-doc sketches (deterministic,
-    * always non-empty) — the useful artifact for blocking. */
+  /** SimHash near-dup detection: 64-bit simhash computed per document by
+    * the native graft_simhash expression — one pass over the token array
+    * inside the scan's codegen span, ZERO shuffle (the previous
+    * explode→groupBy(doc,token)→SimhashAgg formulation shuffled every token
+    * row twice; per-occurrence ±1 votes add linearly, so the result is
+    * bit-identical — OperatorsSpec cross-validates). 4 × 16-bit bands for
+    * downstream blocking. Hash-based → no SQL oracle. Emits per-doc
+    * sketches (deterministic, always non-empty) — the useful artifact for
+    * blocking. */
   private def q29(s: SparkSession, d: String): DataFrame = {
-    val tf = t(s, d, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
-      .withColumn("th", xxhash64(col("token")))
-    val bits = tf.groupBy(col("doc_id"))
-      .agg(graft.operators.SimhashAgg(col("th"), col("cnt")).as("simhash"))
-    bits.select(
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        expr("graft_simhash(split(text, ' '))").as("simhash"))
+      .select(
         col("doc_id"), col("simhash"),
         expr("(simhash >> 0)  & 65535").as("band0"),
         expr("(simhash >> 16) & 65535").as("band1"),
@@ -174,7 +190,10 @@ object DedupOps extends QueryModule {
   /** SimHash candidate pairs: docs sharing any 16-bit band, verified by
     * hamming distance ≤ 8. No oracle (hash-based). */
   private def q30(s: SparkSession, d: String): DataFrame = {
-    val sk = q29(s, d).cache() // self-joined below: materialize once
+    // Materialize the (tiny: doc_id + 5 longs) sketch table once for the
+    // self-join, lineage cut — recomputing the scan per side would be fine
+    // too, but this keeps the join inputs exchange-reusable.
+    val sk = q29(s, d).localCheckpoint(true)
     val bands = sk.select(col("doc_id"), col("simhash"),
       explode(array(
         struct(lit(0).as("b"), col("band0").as("v")),

@@ -32,37 +32,58 @@ object PipelineOps extends QueryModule {
       |FROM events ORDER BY event_id""".stripMargin
 
   /** Duplicate-cluster assignment: connected components over the q27
-    * near-dup pairs via iterative min-label propagation (converges in
-    * O(diameter) joins; the checksum-monotonicity stop avoids a full
-    * change-count pass). Singletons are their own cluster. */
+    * near-dup pairs via min-label propagation with pointer doubling
+    * (each round also reads the label OF the current label), so chain depth
+    * halves per round and convergence is O(log diameter) — the iteration cap
+    * covers diameter 2^20 and is unreachable for any physical corpus; if it
+    * is ever hit anyway we fail loudly rather than return unconverged
+    * labels. Singletons are their own cluster. */
   private def q42(s: SparkSession, d: String): DataFrame = {
     val pairs = DedupOps.queries("q27_dedup_ngram_jaccard")(s, d)
       .select(col("doc_a"), col("doc_b"))
+    // localCheckpoint, not cache, throughout the iteration: each round's
+    // labels are materialized with lineage CUT, so the loop's plans stay
+    // constant-size (no lineage growth across iterations) and freeing an
+    // old round can never cascade into CacheManager recompiles. Old rounds'
+    // blocks are reclaimed by the ContextCleaner as the vars drop them.
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .distinct().cache()
+      .distinct().localCheckpoint(true)
     var labels = t(s, d, "documents")
-      .select(col("doc_id"), col("doc_id").as("cluster_id")).cache()
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint(true)
     var prevSum = labels.agg(sum("cluster_id")).head().getLong(0)
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
+    val maxIter = 20
+    while (!converged && iter < maxIter) {
       val prop = edges
         .join(labels.withColumnRenamed("doc_id", "doc_b2"),
           col("doc_b") === col("doc_b2"))
         .groupBy(col("doc_a")).agg(min(col("cluster_id")).as("nb_min"))
-      val next = labels
+      val viaNeighbors = labels
         .join(prop, col("doc_id") === col("doc_a"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id")))
             .as("cluster_id"))
-        .cache()
+      // Pointer doubling: cluster ids are themselves doc ids, so joining
+      // labels to labels-on-cluster_id jumps each doc to its label's label.
+      val next = viaNeighbors.as("l")
+        .join(viaNeighbors
+            .select(col("doc_id").as("p_doc"), col("cluster_id").as("p_cl")),
+          col("l.cluster_id") === col("p_doc"), "left")
+        .select(col("l.doc_id").as("doc_id"),
+          least(col("l.cluster_id"), coalesce(col("p_cl"), col("l.cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(true)
       val sumNow = next.agg(sum("cluster_id")).head().getLong(0)
       converged = sumNow == prevSum
       prevSum = sumNow
       labels = next
       iter += 1
     }
+    require(converged,
+      s"q42 label propagation did not converge within $maxIter pointer-doubling iterations")
     val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),

@@ -12,6 +12,22 @@ final case class Q(
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String])
 
+/** Scratch-materialization convention for query implementations: an
+  * intermediate that is referenced more than once is materialized with
+  * `localCheckpoint(true)`, NOT `cache()`.
+  *
+  * Why not cache: `cache()` registers with the session-global CacheManager
+  * and lives until an explicit `unpersist` — a 48-query Verify/Bench session
+  * would accumulate every query's scratch tables in executor storage for the
+  * whole session. And unpersisting is a trap of its own: CacheManager reacts
+  * to unpersist of a subtree by recompiling every dependent cached plan and
+  * DROPPING its materialized data, so "cache the result, then unpersist the
+  * scratch" silently recomputes the entire query on the caller's first
+  * action (measured 6× on q42). `localCheckpoint(true)` materializes once,
+  * cuts lineage (so nothing can cascade into it), and its blocks are
+  * reclaimed by the ContextCleaner as soon as the DataFrame is garbage —
+  * no session-lifetime leak.
+  */
 trait QueryModule {
   def all: Seq[Q]
   final def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -324,8 +324,12 @@ object Relational extends QueryModule {
     val ranked = e
       .withColumn("rn", row_number().over(Window.orderBy(col("v"))))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1))))
+    // Integer division on purpose: Spark `/` on longs is fractional, so
+    // (n+1)/2 = 5000.5 would never equal rn on even counts; floor() selects
+    // both middle rows exactly like the oracle's `//`.
     val med = ranked
-      .filter(col("rn") === (col("n") + 1) / 2 || col("rn") === (col("n") + 2) / 2)
+      .filter(col("rn") === floor((col("n") + 1) / 2) ||
+        col("rn") === floor((col("n") + 2) / 2))
       .agg(davg(col("v"), 6).as("median_value"))
     base.crossJoin(med)
   }

@@ -52,15 +52,17 @@ object VectorOps extends QueryModule {
   /** Unit-normalized vectors: norm computed ONCE per vector (not per pair),
     * so the per-pair work is a single dot-product fold — 3× less lambda
     * work than naive cosine, and the same shape a real ANN system stores.
-    * Cached: Catalyst's CollapseProject would otherwise inline the
-    * normalize-fold into every downstream lambda reference and recompute it
-    * per pair (measured 5× blowup on the LSH query). */
+    * localCheckpoint'ed: Catalyst's CollapseProject would otherwise inline
+    * the normalize-fold into every downstream lambda reference and
+    * recompute it per pair (measured 5× blowup on the LSH query); the
+    * checkpoint materializes once with lineage cut, outside the
+    * CacheManager, and is reclaimed by the ContextCleaner afterwards. */
   private def unitVectors(s: SparkSession, d: String): DataFrame =
     t(s, d, "embeddings")
       .withColumn("nrm", expr(s"graft_l2norm($asDouble)"))
       .select(col("vec_id"), col("label"), col("embedding"),
         expr("transform(embedding, x -> cast(x as double) / nrm)").as("ue"))
-      .cache()
+      .localCheckpoint(true)
 
   private def q32(s: SparkSession, d: String): DataFrame = {
     val u = unitVectors(s, d)
@@ -113,14 +115,15 @@ object VectorOps extends QueryModule {
         |    shiftleft(1, p), 0))""".stripMargin)
     val bucketed = unitVectors(s, d)
       .select(col("vec_id"), col("ue"), bucketExpr.as("bucket"))
-      .cache()
+      .localCheckpoint(true)
     val a = bucketed.select(col("bucket"), col("vec_id").as("query_id"), col("ue").as("qu"))
     val b = bucketed.select(col("bucket").as("bucket_b"), col("vec_id").as("neighbor_id"), col("ue").as("cu"))
     val dot = expr("graft_dot(qu, cu)")
     val sims = a.join(b, col("bucket") === col("bucket_b") && col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), dot.as("cosine"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    sims.withColumn("rnk", rank().over(w)).filter(col("rnk") <= 3)
+    sims.withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 3)
       .orderBy("query_id", "rnk", "neighbor_id")
   }
 
@@ -135,12 +138,16 @@ object VectorOps extends QueryModule {
     val sims = a.join(b, col("vec_id") =!= col("neighbor_id"))
       .select(col("vec_id"), col("neighbor_id"),
         expr("graft_dot(ue, cu)").as("cosine"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    sims.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
-      .select(col("vec_id"), col("neighbor_id"), col("cosine"),
-        (col("cosine") >= 0.9).as("is_near_dup"))
+    // Top-1 per vector as a hash aggregation: max(struct(cosine, -id))
+    // picks the same (cosine DESC, neighbor_id ASC) winner as a row_number
+    // window, but aggregates map-side instead of sorting all |V|² pairs
+    // within partitions — the shape that survives a big corpus.
+    sims
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cosine"), (-col("neighbor_id")).as("negid"))).as("best"))
+      .select(col("vec_id"), (-col("best.negid")).as("neighbor_id"),
+        col("best.cosine").as("cosine"),
+        (col("best.cosine") >= 0.9).as("is_near_dup"))
       .orderBy("vec_id")
   }
   private val q40Sql =

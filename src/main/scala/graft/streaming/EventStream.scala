@@ -89,13 +89,25 @@ object EventStream {
   }
 
   /** Streaming gold rebuild via foreachBatch — the SURVEY §2.9 upgrade of
-    * the reference's daily drop-and-rebuild cron: each micro-batch of new
-    * bronze files re-aggregates and overwrites the gold table idempotently
-    * (complete_data_pipeline_fixed.py:95-107 semantics under a stream). */
-  def goldRebuild(spark: SparkSession, events: DataFrame, goldDir: String): Unit = {
-    val q = events.writeStream
+    * the reference's daily drop-and-rebuild cron: new bronze files arriving
+    * trigger a full re-read + re-aggregate + overwrite of the gold table
+    * (complete_data_pipeline_fixed.py:95-107 drop-and-rebuild semantics).
+    *
+    * The micro-batch itself is only the arrival signal: it holds just the
+    * NEW files, so aggregating it would silently drop all prior events'
+    * contributions in any multi-batch (maxFilesPerTrigger) or checkpointed
+    * incremental run. The rebuild therefore re-reads the whole bronze
+    * directory with a batch reader inside foreachBatch. */
+  def goldRebuild(spark: SparkSession, bronzeDir: String, goldDir: String,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val reader = spark.readStream.schema(eventSchema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(bronzeDir)
+    val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.groupBy(col("event_type"))
+        batch.sparkSession.read.schema(eventSchema).parquet(bronzeDir)
+          .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
           .write.mode("overwrite").parquet(s"$goldDir/events_by_type")
         (): Unit

@@ -19,13 +19,17 @@ class StarSpec extends SparkSpec {
 
   test("sentimentKey CASE priority resolves the overlapping ranges") {
     import spark.implicits._
-    val scored = Seq(0.7, 0.3, 0.0, -0.3, -0.7).toDF("s")
+    val scored = Seq(0.7, 0.5, 0.3, 0.1, 0.0, -0.1, -0.3, -0.5, -0.7).toDF("s")
       .select(col("s"), Star.sentimentKey(col("s")).as("k"))
       .collect().map(r => r.getDouble(0) -> r.getInt(1)).toMap
     assert(scored(0.7) === 1) // very_positive wins over positive
+    assert(scored(0.5) === 1) // boundary: >= 0.5 is very_positive
     assert(scored(0.3) === 2)
+    assert(scored(0.1) === 2) // boundary: exactly 0.1 IS positive (ref `>=`)
     assert(scored(0.0) === 3)
+    assert(scored(-0.1) === 4) // boundary: exactly -0.1 IS negative (ref `<=`)
     assert(scored(-0.3) === 4)
+    assert(scored(-0.5) === 5) // boundary: <= -0.5 is very_negative
     assert(scored(-0.7) === 5) // very_negative wins over negative
   }
 

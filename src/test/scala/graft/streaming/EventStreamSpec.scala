@@ -55,11 +55,27 @@ class EventStreamSpec extends SparkSpec {
 
   test("foreachBatch gold rebuild produces the batch aggregate") {
     val gold = java.nio.file.Files.createTempDirectory("graft_gold").toString
-    EventStream.goldRebuild(spark, EventStream.read(spark, eventsDir), gold)
+    EventStream.goldRebuild(spark, eventsDir, gold)
     val rebuilt = spark.read.parquet(s"$gold/events_by_type")
     val batch = Tables(spark, "/root/testdata/sf0.001", "events")
       .groupBy("event_type").agg(count(lit(1)).as("n"))
     assert(rebuilt.count() === batch.count())
+    assert(rebuilt.agg(sum("n_events")).head().getLong(0) === 1000L)
+  }
+
+  test("gold rebuild keeps full totals when files arrive across many micro-batches") {
+    // Split events into several files so maxFilesPerTrigger=1 forces a
+    // multi-batch run: each batch sees only one new file, and gold must
+    // still hold ALL events' contributions after the last batch.
+    val bronze = java.nio.file.Files.createTempDirectory("graft_bronze").toString
+    Tables(spark, "/root/testdata/sf0.001", "events")
+      .repartition(4).write.mode("overwrite").parquet(bronze)
+    val nFiles = new java.io.File(bronze).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(nFiles >= 2)
+    val gold = java.nio.file.Files.createTempDirectory("graft_gold_mb").toString
+    EventStream.goldRebuild(spark, bronze, gold, maxFilesPerTrigger = Some(1))
+    val rebuilt = spark.read.parquet(s"$gold/events_by_type")
     assert(rebuilt.agg(sum("n_events")).head().getLong(0) === 1000L)
   }
 
