@@ -126,5 +126,7 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinhashExpr].getName, "graft_minhash"),
       (exprs: Seq[Expression]) => MinhashExpr(exprs(0), exprs(1), exprs(2))))
+    // Whole-operator extension: native backward as-of join (graft.plans).
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
   }
 }

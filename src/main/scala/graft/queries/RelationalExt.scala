@@ -160,6 +160,32 @@ object RelationalExt extends QueryModule {
       |       click_id, click_sec, sec - click_sec AS gap_sec
       |FROM m WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin
 
+  /** q39's backward as-of join executed by the NATIVE AsOfJoin operator
+    * (graft.plans: LogicalPlan + SparkStrategy + SparkPlan via
+    * SparkSessionExtensions) instead of the union+window emulation: one
+    * hash exchange per side, a sort, and an O(1)-state merge pass per
+    * partition — no union relation, no window buffering. Same oracle as
+    * q39, so the custom operator is held to the exact-hash gate. */
+  private def q49(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"), col("event_type"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("sec"))
+    // Right side aliased to fresh names/exprIds (self-source as-of join).
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("sec").as("click_sec"))
+    graft.plans.AsOf.join(purchases, clicks,
+        keys = Seq("user_id" -> "c_user"),
+        order = Seq("sec" -> "click_sec", "event_id" -> "click_id"))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("sec").as("purchase_sec"), col("click_id"), col("click_sec"),
+        (col("sec") - col("click_sec")).as("gap_sec"))
+      .orderBy("purchase_id")
+  }
+
   /** Exact interpolated percentiles per group (Spark `percentile` ≡ DuckDB
     * `quantile_cont` bit-for-bit — verified on this data; the scale
     * alternative is approx_percentile, documented not oracled). */
@@ -280,6 +306,7 @@ object RelationalExt extends QueryModule {
     Q("q37_pivot", q37, Some(q37Sql)),
     Q("q38_set_ops", q38, Some(q38Sql)),
     Q("q39_asof_join", q39, Some(q39Sql)),
+    Q("q49_asof_native", q49, Some(q39Sql)),
     Q("q44_percentiles", q44, Some(q44Sql)),
     Q("q45_rolling_frame", q45, Some(q45Sql)),
     Q("q46_distribution_windows", q46, Some(q46Sql)),

@@ -1,0 +1,65 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("edge cases: no earlier match -> nulls; strict order; same-key streams merge") {
+    val quotes = Seq(
+      // (sym, t, px)
+      ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 30L, 3.0),
+      ("B", 15L, 9.0))
+      .toDF("q_sym", "q_t", "px")
+    val trades = Seq(
+      ("A", 5L),  // before any quote -> null
+      ("A", 20L), // strict: equal-time quote does NOT match -> t=10 quote
+      ("A", 25L), // -> t=20 quote
+      ("A", 99L), // -> t=30 quote
+      ("B", 16L), // -> t=15 quote
+      ("C", 50L)) // key with no quotes at all -> null
+      .toDF("sym", "t")
+    val out = AsOf.join(trades, quotes,
+        keys = Seq("sym" -> "q_sym"), order = Seq("t" -> "q_t"))
+      .select("sym", "t", "q_t", "px")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2))).toSet
+    assert(out === Set(
+      ("A", 5L, null), ("A", 20L, 10L), ("A", 25L, 20L), ("A", 99L, 30L),
+      ("B", 16L, 15L), ("C", 50L, null)))
+  }
+
+  test("matches the union+window as-of formulation row-for-row on sf0.01") {
+    val d = "/root/testdata/sf0.01"
+    def rows(q: String) = graft.queries.RelationalExt.queries(q)(spark, d)
+      .collect().map(_.toSeq).toSet
+    assert(rows("q49_asof_native") === rows("q39_asof_join"))
+  }
+
+  test("physical plan: AsOfJoinExec with one exchange per side, no union") {
+    val d = "/root/testdata/sf0.001"
+    val df = graft.queries.RelationalExt.queries("q49_asof_native")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(!plan.contains("Union"), "native as-of must not union the inputs")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges:\n$plan")
+  }
+
+  test("left ordering and partitioning are preserved for downstream reuse") {
+    // A groupBy on the join key after the as-of join must not re-shuffle:
+    // outputPartitioning passes the left child's hash partitioning through.
+    val quotes = Seq(("A", 1L, 1.0)).toDF("q_sym", "q_t", "px")
+    val trades = Seq(("A", 2L), ("A", 3L)).toDF("sym", "t")
+    val agg = AsOf.join(trades.repartition(col("sym")), quotes,
+        keys = Seq("sym" -> "q_sym"), order = Seq("t" -> "q_t"))
+      .groupBy("sym").agg(count(lit(1)).as("n"))
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(agg.queryExecution.executedPlan.toString).length
+    // one for each join side at most — none added for the aggregate
+    assert(exchanges <= 2,
+      s"aggregate after as-of join added an exchange:\n${agg.queryExecution.executedPlan}")
+    assert(agg.collect().map(r => (r.getString(0), r.getLong(1))).toSet === Set(("A", 2L)))
+  }
+}
