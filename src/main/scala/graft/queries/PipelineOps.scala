@@ -142,8 +142,34 @@ object PipelineOps extends QueryModule {
       |                   WHERE c2.c_nationkey = c.c_nationkey)
       |ORDER BY c_nationkey, c_custkey""".stripMargin
 
+  /** Deterministic train/val/test assignment by content-independent key
+    * hash (md5 — standardized, bit-identical across engines): the split a
+    * training-data pipeline needs to be reproducible across reruns AND
+    * engines, unlike rand()-based sampling. First hex nibble buckets
+    * 12/2/2 of 16 → 75% train, 12.5% val, 12.5% test. Emits per
+    * (split, source) row counts + total text bytes (shard-size planning). */
+  private def q50(s: SparkSession, d: String): DataFrame = {
+    val nib = substring(md5(col("doc_id").cast("string")), 1, 1)
+    t(s, d, "documents")
+      .withColumn("split",
+        when(nib <= "b", "train").when(nib <= "d", "val").otherwise("test"))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("text_bytes"))
+      .orderBy("split", "source")
+  }
+  private val q50Sql =
+    """SELECT
+      |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+      |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+      |       ELSE 'test' END AS split,
+      |  source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CAST(len(text) AS BIGINT)) AS BIGINT) AS text_bytes
+      |FROM documents GROUP BY 1, 2 ORDER BY split, source""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q41_redaction", q41, Some(q41Sql)),
     Q("q42_dup_clusters", q42, Some(q42Sql)),
-    Q("q43_correlated_max", q43, Some(q43Sql)))
+    Q("q43_correlated_max", q43, Some(q43Sql)),
+    Q("q50_hash_split", q50, Some(q50Sql)))
 }

@@ -59,6 +59,31 @@ object RelationalExt extends QueryModule {
        |GROUP BY ROLLUP(yr, o_orderpriority)
        |ORDER BY yr_label, priority_label""".stripMargin
 
+  /** CUBE over (status, priority) with grouping_id — all 4 grouping sets in
+    * one partial-aggregating pass (completes the grouping-sets family next
+    * to q35's ROLLUP). grouping_id bit order (first cube column = MSB) is
+    * the shared Spark/DuckDB/Postgres convention. */
+  private def q51(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_orders"), dsum(col("o_totalprice"), 2).as("revenue"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status_label"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority_label"),
+        col("gid"), col("n_orders"), col("revenue"))
+      .orderBy("status_label", "priority_label")
+  }
+  private val q51Sql =
+    s"""SELECT
+       |  COALESCE(o_orderstatus, 'ALL') AS status_label,
+       |  COALESCE(o_orderpriority, 'ALL') AS priority_label,
+       |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+       |  COUNT(*) AS n_orders, ${dsumSql("o_totalprice", 2)} AS revenue
+       |FROM orders
+       |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+       |ORDER BY status_label, priority_label""".stripMargin
+
   /** LEFT SEMI join (EXISTS): customers with ≥1 1996 order, per nation. */
   private def q36(s: SparkSession, d: String): DataFrame = {
     val orders96 = t(s, d, "orders")
@@ -302,6 +327,7 @@ object RelationalExt extends QueryModule {
   val all: Seq[Q] = Seq(
     Q("q34_topn_join", q34, Some(q34Sql)),
     Q("q35_rollup", q35, Some(q35Sql)),
+    Q("q51_cube", q51, Some(q51Sql)),
     Q("q36_semi_join", q36, Some(q36Sql)),
     Q("q37_pivot", q37, Some(q37Sql)),
     Q("q38_set_ops", q38, Some(q38Sql)),

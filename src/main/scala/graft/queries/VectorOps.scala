@@ -127,6 +127,82 @@ object VectorOps extends QueryModule {
       .orderBy("query_id", "rnk", "neighbor_id")
   }
 
+  /** IVF (inverted-file) ANN — the second scale path beside q33's LSH: a
+    * coarse quantizer assigns every corpus vector to its nearest centroid
+    * cell once; a query probes only its nprobe=2 nearest cells, so search
+    * cost is |Q|·k + |Q|·(corpus/k·nprobe) instead of |Q|·corpus. Centroids
+    * here are the first 16 vectors — a deterministic seed quantizer that
+    * keeps the DuckDB oracle exact (production trains k-means; every plan
+    * shape below is identical, only the centroid table differs). The
+    * candidate→corpus join is a shuffle join on vec_id, NOT a broadcast of
+    * the corpus — the shape that survives a billion-vector table. */
+  private def q52(s: SparkSession, d: String): DataFrame = {
+    val u = unitVectors(s, d)
+    val cent = u.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("ue").as("cu"))
+    val cc = u.select(col("vec_id"), col("ue"))
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"), expr("graft_dot(ue, cu)").as("cc"))
+    // cell assignment: argmax as a hash agg (max struct), not a window sort
+    val assign = cc
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cc"), (-col("cid")).as("negcid"))).as("b"))
+      .select(col("vec_id"), (-col("b.negcid")).as("cell"))
+    val wp = Window.partitionBy(col("query_id")).orderBy(col("cc").desc, col("cid"))
+    val probes = cc.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("cid"), col("cc"))
+      .withColumn("rnk", rank().over(wp)).filter(col("rnk") <= 2)
+      .select(col("query_id"), col("cid").as("cell"))
+    val cand = probes
+      .join(assign.withColumnRenamed("vec_id", "neighbor_id"), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val qv = u.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("ue").as("qu"))
+    val scored = cand
+      .join(broadcast(qv), "query_id")
+      .join(u.select(col("vec_id").as("neighbor_id"), col("ue").as("nu")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), expr("graft_dot(qu, nu)").as("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rnk", rank().over(w)).filter(col("rnk") <= 3)
+      .orderBy("query_id", "rnk", "neighbor_id")
+  }
+  private val q52Sql =
+    """WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) AS nrm
+      |  FROM embeddings),
+      |u AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS ue FROM e),
+      |cent AS (SELECT vec_id AS cid, ue AS cu FROM u WHERE vec_id < 16),
+      |cc AS (
+      |  SELECT u.vec_id, cent.cid,
+      |    list_reduce(list_prepend(0.0, list_transform(list_zip(u.ue, cent.cu),
+      |      p -> p[1] * p[2])), (a, b) -> a + b) AS cc
+      |  FROM u CROSS JOIN cent),
+      |assign AS (
+      |  SELECT vec_id, cid AS cell FROM (
+      |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+      |    FROM cc) t WHERE rn = 1),
+      |probes AS (
+      |  SELECT query_id, cid AS cell FROM (
+      |    SELECT vec_id AS query_id, cid, RANK() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rnk
+      |    FROM cc WHERE vec_id < 8) t WHERE rnk <= 2),
+      |cand AS (
+      |  SELECT p.query_id, a.vec_id AS neighbor_id
+      |  FROM probes p JOIN assign a ON p.cell = a.cell
+      |  WHERE p.query_id <> a.vec_id),
+      |scored AS (
+      |  SELECT c.query_id, c.neighbor_id,
+      |    list_reduce(list_prepend(0.0, list_transform(list_zip(q.ue, n.ue),
+      |      p -> p[1] * p[2])), (a, b) -> a + b) AS cosine
+      |  FROM cand c JOIN u q ON c.query_id = q.vec_id JOIN u n ON c.neighbor_id = n.vec_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cosine,
+      |    CAST(RANK() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 3
+      |ORDER BY query_id, rnk, neighbor_id""".stripMargin
+
   /** Embedding-cosine near-dup baseline: every vector's single nearest
     * neighbor (all-pairs k=1). The dedup decision (cosine ≥ τ) is then a
     * filter on this table; emitting the NN keeps the output non-empty on
@@ -173,5 +249,6 @@ object VectorOps extends QueryModule {
     Q("q31_embed_norms", q31, Some(q31Sql)),
     Q("q32_ann_bruteforce", q32, Some(q32Sql)),
     Q("q33_ann_lsh", q33, None),
-    Q("q40_embed_nn_dedup", q40, Some(q40Sql)))
+    Q("q40_embed_nn_dedup", q40, Some(q40Sql)),
+    Q("q52_ann_ivf", q52, Some(q52Sql)))
 }
