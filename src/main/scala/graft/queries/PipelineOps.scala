@@ -167,9 +167,60 @@ object PipelineOps extends QueryModule {
       |  CAST(SUM(CAST(len(text) AS BIGINT)) AS BIGINT) AS text_bytes
       |FROM documents GROUP BY 1, 2 ORDER BY split, source""".stripMargin
 
+  /** Stratified deterministic sampling: per source, the 10 documents with
+    * the smallest md5(doc_id) — an order-free, engine-reproducible "random"
+    * sample per stratum (the per-group eval-set draw a training pipeline
+    * needs to be stable across reruns). Spark 4 plans the rank filter as
+    * WindowGroupLimit: partial top-10 per group BEFORE the exchange. */
+  private def q53(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    t(s, d, "documents")
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("source"), col("doc_id"), col("h"), col("rn"))
+      .orderBy("source", "rn")
+  }
+  private val q53Sql =
+    """SELECT source, doc_id, h, rn FROM (
+      |  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rn
+      |  FROM documents) t
+      |WHERE rn <= 10 ORDER BY source, rn""".stripMargin
+
+  /** One-pass table profiling: null count + distinct count for EVERY column
+    * of orders, computed generically from the schema (dynamic-schema op) in
+    * a single scan/aggregation, then unpivoted to one row per column — the
+    * data-quality probe shape that still works when the table is 100 TB
+    * (one pass, no per-column jobs). */
+  private def q54(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+    val aggs = o.columns.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      countDistinct(col(c)).as(s"${c}__distinct")))
+    o.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(o.columns.map(c => struct(
+        lit(c).as("column"),
+        col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__distinct").as("n_distinct"))): _*)).as("s"))
+      .select(col("s.column").as("column"), col("s.n_nulls"), col("s.n_distinct"))
+      .orderBy("column")
+  }
+  private val q54Sql = Seq(
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority")
+    .map(c =>
+      s"""SELECT '$c' AS "column",
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct FROM orders""".stripMargin)
+    .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+
   val all: Seq[Q] = Seq(
     Q("q41_redaction", q41, Some(q41Sql)),
     Q("q42_dup_clusters", q42, Some(q42Sql)),
     Q("q43_correlated_max", q43, Some(q43Sql)),
-    Q("q50_hash_split", q50, Some(q50Sql)))
+    Q("q50_hash_split", q50, Some(q50Sql)),
+    Q("q53_stratified_sample", q53, Some(q53Sql)),
+    Q("q54_profile", q54, Some(q54Sql)))
 }

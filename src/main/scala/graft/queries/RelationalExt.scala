@@ -84,6 +84,27 @@ object RelationalExt extends QueryModule {
        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
        |ORDER BY status_label, priority_label""".stripMargin
 
+  /** Two-phase salted aggregation through the exact-decimal gate: phase 1
+    * aggregates per (key, salt=pmod(event_id,16)) so a hot key spreads over
+    * 16 reducers, phase 2 merges the 16 partials — the skew-survival shape
+    * (operator twin: graft.operators.Skew.saltedSumCount). Decimal partial
+    * sums are associative-exact, so the oracle is the DIRECT single-phase
+    * aggregation: salting provably changes cost, not results. */
+  private def q55(s: SparkSession, d: String): DataFrame = {
+    val partial = t(s, d, "events")
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(sum(Num.dec(col("value"), 6)).as("psum"), count(lit(1)).as("pn"))
+    partial.groupBy(col("event_type"))
+      .agg(sum(col("psum")).cast("double").as("total_value"),
+        sum(col("pn")).as("n_events"))
+      .orderBy("event_type")
+  }
+  private val q55Sql =
+    s"""SELECT event_type, ${dsumSql("value", 6)} AS total_value,
+       |  COUNT(*) AS n_events
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** LEFT SEMI join (EXISTS): customers with ≥1 1996 order, per nation. */
   private def q36(s: SparkSession, d: String): DataFrame = {
     val orders96 = t(s, d, "orders")
@@ -328,6 +349,7 @@ object RelationalExt extends QueryModule {
     Q("q34_topn_join", q34, Some(q34Sql)),
     Q("q35_rollup", q35, Some(q35Sql)),
     Q("q51_cube", q51, Some(q51Sql)),
+    Q("q55_salted_agg", q55, Some(q55Sql)),
     Q("q36_semi_join", q36, Some(q36Sql)),
     Q("q37_pivot", q37, Some(q37Sql)),
     Q("q38_set_ops", q38, Some(q38Sql)),

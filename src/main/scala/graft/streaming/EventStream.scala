@@ -40,6 +40,19 @@ object EventStream {
     events.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark(Seq("event_id"))
 
+  /** Streaming exact CONTENT dedup — the streaming twin of q26's
+    * normalized-text canonical dedup: a document is dropped if the md5 of
+    * its whitespace-normalized lowercase text was already seen within the
+    * watermark. State is one fingerprint per distinct content (bounded by
+    * the watermark), so a 100 TB/day ingest keeps only a day of 16-byte
+    * fingerprints, not the corpus. */
+  def dedupByContent(docs: DataFrame, textCol: String, tsCol: String): DataFrame =
+    docs
+      .withColumn("content_fp",
+        md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")))
+      .withWatermark(tsCol, "2 hours")
+      .dropDuplicatesWithinWatermark(Seq("content_fp"))
+
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class SessionOut(user_id: Long, session_start: Long, n_events: Int,
       duration_sec: Long)

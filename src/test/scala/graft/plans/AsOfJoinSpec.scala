@@ -37,6 +37,16 @@ class AsOfJoinSpec extends SparkSpec {
     assert(rows("q49_asof_native") === rows("q39_asof_join"))
   }
 
+  test("matches the window formulation at sf0.1 (multi-partition shuffles under AQE)") {
+    // The co-partitioning contract (both exchanges aligned, zipPartitions
+    // merge) is exactly what AQE partition coalescing could break — exercise
+    // it at a scale where the shuffles have real multi-partition maps.
+    val d = "/root/testdata/sf0.1"
+    def rows(q: String) = graft.queries.RelationalExt.queries(q)(spark, d)
+      .collect().map(_.toSeq).toSet
+    assert(rows("q49_asof_native") === rows("q39_asof_join"))
+  }
+
   test("physical plan: AsOfJoinExec with one exchange per side, no union") {
     val d = "/root/testdata/sf0.001"
     val df = graft.queries.RelationalExt.queries("q49_asof_native")(spark, d)

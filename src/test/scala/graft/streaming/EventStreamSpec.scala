@@ -79,6 +79,27 @@ class EventStreamSpec extends SparkSpec {
     assert(rebuilt.agg(sum("n_events")).head().getLong(0) === 1000L)
   }
 
+  test("streaming content dedup keeps exactly one doc per normalized text") {
+    implicit val s = spark
+    import org.apache.spark.sql.types._
+    val docsDir = java.nio.file.Files.createTempDirectory("graft_docs_stream").toString
+    Tables(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+      .select("doc_id", "text", "ts")
+      .write.mode("overwrite").parquet(docsDir)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("ts", TimestampType)))
+    val streamed = EventStream.runAvailableNow(spark,
+      EventStream.dedupByContent(
+        spark.readStream.schema(schema).parquet(docsDir), "text", "ts"),
+      "content_dedup", OutputMode.Append())
+    val batchDistinct = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("norm"))
+      .distinct().count()
+    assert(streamed.count() === batchDistinct)
+    assert(streamed.select("content_fp").distinct().count() === streamed.count())
+  }
+
   test("stateful sessionization emits one state per user with sane bounds") {
     implicit val s = spark
     val sessions = EventStream.runAvailableNow(spark,
