@@ -105,6 +105,23 @@ object RelationalExt extends QueryModule {
        |  COUNT(*) AS n_events
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** The at-scale approximate twin of q13's exact stats: HLL++
+    * approx_count_distinct (order-independent, mergeable — the A6
+    * "documented alternative" in SURVEY §2.5) and approx_percentile
+    * sketches, one pass, no global sort. Sketch internals are
+    * engine-specific → no SQL oracle (rows-only gate); the spec bounds the
+    * error against the exact answers instead. */
+  private def q56(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "events")
+      .select(col("event_type"), col("user_id"), col("value").cast("double").as("v"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id")).as("n_users_approx"),
+        expr("approx_percentile(v, array(0.25, 0.5, 0.75), 10000)").as("pcts"))
+      .orderBy("event_type")
+  }
+
   /** LEFT SEMI join (EXISTS): customers with ≥1 1996 order, per nation. */
   private def q36(s: SparkSession, d: String): DataFrame = {
     val orders96 = t(s, d, "orders")
@@ -350,6 +367,7 @@ object RelationalExt extends QueryModule {
     Q("q35_rollup", q35, Some(q35Sql)),
     Q("q51_cube", q51, Some(q51Sql)),
     Q("q55_salted_agg", q55, Some(q55Sql)),
+    Q("q56_approx_stats", q56, None),
     Q("q36_semi_join", q36, Some(q36Sql)),
     Q("q37_pivot", q37, Some(q37Sql)),
     Q("q38_set_ops", q38, Some(q38Sql)),
