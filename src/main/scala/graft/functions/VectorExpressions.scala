@@ -126,7 +126,10 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinhashExpr].getName, "graft_minhash"),
       (exprs: Seq[Expression]) => MinhashExpr(exprs(0), exprs(1), exprs(2))))
-    // Whole-operator extension: native backward as-of join (graft.plans).
+    // Whole-operator extension: native backward as-of join (graft.plans),
+    // plus the optimizer rule that lets Catalyst push left-side filters
+    // through it down to the scan.
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
   }
 }

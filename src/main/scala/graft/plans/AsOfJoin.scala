@@ -135,6 +135,32 @@ object GraftStrategy extends SparkStrategy {
   }
 }
 
+/** Optimizer rule completing the custom operator: Catalyst cannot push
+  * predicates through a node it does not know, so without this a
+  * `filter` after an as-of join reads both inputs in full. Left-side
+  * conjuncts are safe to push — as-of output rows are exactly the left
+  * rows (1:1, null-extended right), so filtering left input ≡ filtering
+  * output on left columns. Right-side conjuncts are NOT pushed: they see
+  * the matched row, and filtering the right input would change which row
+  * matches. Injected via injectOptimizerRule (operatorOptimization batch),
+  * so pushed predicates keep flowing down to the parquet scan. */
+object PushFilterThroughAsOfJoin
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with PredicateHelper {
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j: AsOfJoin) =>
+      val (leftOnly, rest) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(j.left.outputSet))
+      if (leftOnly.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(leftOnly.reduce(And), j.left))
+        rest.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 /** DataFrame-level API for the native as-of join. */
 object AsOf {
 

@@ -57,6 +57,34 @@ class AsOfJoinSpec extends SparkSpec {
     assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges:\n$plan")
   }
 
+  test("left-side filters push through the as-of join to the parquet scan") {
+    val d = "/root/testdata/sf0.001"
+    val e = graft.Tables(spark, d, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"))
+    val left = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"))
+    val right = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"))
+    val filtered = AsOf.join(left, right,
+        keys = Seq("user_id" -> "c_user"), order = Seq("event_id" -> "click_id"))
+      .filter(col("user_id") < 100)
+    val plan = filtered.queryExecution.executedPlan.toString
+    // pushed below the AsOfJoin AND into the left scan's parquet filters
+    assert(plan.contains("LessThan(user_id,100)"),
+      s"filter did not reach the scan:\n$plan")
+    // semantics unchanged vs filtering before the join
+    val direct = AsOf.join(left.filter(col("user_id") < 100), right,
+        keys = Seq("user_id" -> "c_user"), order = Seq("event_id" -> "click_id"))
+    assert(filtered.collect().map(_.toSeq).toSet === direct.collect().map(_.toSeq).toSet)
+    // right-side predicates must NOT be pushed (they see the matched row)
+    val rightFiltered = AsOf.join(left, right,
+        keys = Seq("user_id" -> "c_user"), order = Seq("event_id" -> "click_id"))
+      .filter(col("click_id") > 0)
+    val analyzed = rightFiltered.queryExecution.optimizedPlan.toString
+    assert(analyzed.trim.startsWith("Filter") || analyzed.contains("Filter (click_id"),
+      s"right-side filter should stay above the join:\n$analyzed")
+  }
+
   test("left ordering and partitioning are preserved for downstream reuse") {
     // A groupBy on the join key after the as-of join must not re-shuffle:
     // outputPartitioning passes the left child's hash partitioning through.
