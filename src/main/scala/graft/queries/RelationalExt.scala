@@ -122,6 +122,62 @@ object RelationalExt extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** Value-window family (first_value / nth_value / last_value over an
+    * explicit full-partition frame): per nation, the richest, runner-up,
+    * and poorest customers in one windowed pass. Completes the W-coverage
+    * beyond rank/lag/ntile (q07/q08/q46). */
+  private def q57(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, d, "customer")
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("richest_cust", first(col("c_custkey")).over(wf))
+      .withColumn("second_cust", nth_value(col("c_custkey"), 2).over(wf))
+      .withColumn("poorest_cust", last(col("c_custkey")).over(wf))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("c_nationkey"), col("richest_cust"), col("second_cust"),
+        col("poorest_cust"))
+      .orderBy("c_nationkey")
+  }
+  private val q57Sql =
+    """SELECT c_nationkey, richest_cust, second_cust, poorest_cust FROM (
+      |  SELECT c_nationkey,
+      |    FIRST_VALUE(c_custkey) OVER wf AS richest_cust,
+      |    NTH_VALUE(c_custkey, 2) OVER wf AS second_cust,
+      |    LAST_VALUE(c_custkey) OVER wf AS poorest_cust,
+      |    ROW_NUMBER() OVER wo AS rn
+      |  FROM customer
+      |  WINDOW
+      |    wf AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+      |    wo AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+      |) t WHERE rn = 1 ORDER BY c_nationkey""".stripMargin
+
+  /** Array aggregation family: per-nation balances collected, sorted
+    * descending, top-3 sliced out as columns (collect_list/sort_array/
+    * slice/getItem — the array-column manipulation surface). */
+  private def q58(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(slice(sort_array(collect_list(col("c_acctbal")), asc = false), 1, 3).as("top3"),
+        count(lit(1)).as("n_custs"))
+      .select(col("c_nationkey"),
+        col("top3").getItem(0).as("top1_bal"),
+        col("top3").getItem(1).as("top2_bal"),
+        col("top3").getItem(2).as("top3_bal"),
+        col("n_custs"))
+      .orderBy("c_nationkey")
+  }
+  private val q58Sql =
+    """SELECT c_nationkey,
+      |  l[1] AS top1_bal, l[2] AS top2_bal, l[3] AS top3_bal, n_custs
+      |FROM (SELECT c_nationkey, list_sort(list(c_acctbal), 'DESC') AS l,
+      |        COUNT(*) AS n_custs
+      |      FROM customer GROUP BY c_nationkey) t
+      |ORDER BY c_nationkey""".stripMargin
+
   /** LEFT SEMI join (EXISTS): customers with ≥1 1996 order, per nation. */
   private def q36(s: SparkSession, d: String): DataFrame = {
     val orders96 = t(s, d, "orders")
@@ -368,6 +424,8 @@ object RelationalExt extends QueryModule {
     Q("q51_cube", q51, Some(q51Sql)),
     Q("q55_salted_agg", q55, Some(q55Sql)),
     Q("q56_approx_stats", q56, None),
+    Q("q57_value_windows", q57, Some(q57Sql)),
+    Q("q58_array_topk", q58, Some(q58Sql)),
     Q("q36_semi_join", q36, Some(q36Sql)),
     Q("q37_pivot", q37, Some(q37Sql)),
     Q("q38_set_ops", q38, Some(q38Sql)),
