@@ -178,6 +178,43 @@ object RelationalExt extends QueryModule {
       |      FROM customer GROUP BY c_nationkey) t
       |ORDER BY c_nationkey""".stripMargin
 
+  /** Gap sessionization via the NATIVE session_window operator (batch mode)
+    * — the idiomatic Spark form of q19's manual lag/cumsum arithmetic, and
+    * the same operator the streaming path uses. Boundary semantics differ
+    * from q19 on purpose: session_window starts a NEW session at gap >=
+    * 30min (merge while next < end), while q19's manual form keeps exactly
+    * 1800s in-session — the oracle encodes the >= boundary. Timestamps
+    * floored to seconds on both sides so the grouping is integer-exact. */
+  private def q59(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "events")
+      .select(col("user_id"),
+        timestamp_seconds(unix_timestamp(col("ts"))).as("tss"))
+      .groupBy(col("user_id"), session_window(col("tss"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("sw").getField("start")).as("session_start_sec"),
+        unix_timestamp(col("sw").getField("end")).as("session_end_sec"),
+        col("n_events"))
+      .orderBy("user_id", "session_start_sec")
+  }
+  private val q59Sql =
+    """WITH e AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+      |g AS (
+      |  SELECT user_id, sec,
+      |    CASE WHEN LAG(sec) OVER w IS NULL OR sec - LAG(sec) OVER w >= 1800
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)),
+      |sess AS (
+      |  SELECT user_id, sec,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY sec
+      |                      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM g)
+      |SELECT user_id, MIN(sec) AS session_start_sec,
+      |  MAX(sec) + 1800 AS session_end_sec, COUNT(*) AS n_events
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_sec""".stripMargin
+
   /** LEFT SEMI join (EXISTS): customers with ≥1 1996 order, per nation. */
   private def q36(s: SparkSession, d: String): DataFrame = {
     val orders96 = t(s, d, "orders")
@@ -426,6 +463,7 @@ object RelationalExt extends QueryModule {
     Q("q56_approx_stats", q56, None),
     Q("q57_value_windows", q57, Some(q57Sql)),
     Q("q58_array_topk", q58, Some(q58Sql)),
+    Q("q59_session_window", q59, Some(q59Sql)),
     Q("q36_semi_join", q36, Some(q36Sql)),
     Q("q37_pivot", q37, Some(q37Sql)),
     Q("q38_set_ops", q38, Some(q38Sql)),

@@ -20,6 +20,11 @@ class PipelineSpec extends SparkSpec {
     assert(fact.columns.contains("review_year"))
     val pruned = fact.filter(col("review_year") === 2024)
     assert(pruned.count() === 7)
+    // pruning must show up as PartitionFilters in the scan, not a post-scan
+    // filter — the difference between reading one partition and all of them
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") &&
+      planStr.contains("review_year"), planStr)
     // idempotent rebuild (SaveMode.Overwrite ≡ DROP CASCADE + CTAS)
     val r2 = Pipeline.run(spark, s"$base/bronze", s"$base/gold")
     assert(r2 === r.copy())
