@@ -79,6 +79,34 @@ object EventStream {
       }.toDF()
   }
 
+  /** Closed-session emitter via flatMapGroupsWithState: unlike
+    * [[sessionize]] (mapGroupsWithState — emits the CURRENT session each
+    * update), this emits a session row exactly once, when a later event
+    * closes it by exceeding the 30-min gap; the still-open session stays in
+    * state. Append-mode-friendly shape: downstream consumers see each
+    * session exactly once. */
+  def closedSessions(events: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val typed = events.select(col("user_id"), unix_timestamp(col("ts")).as("sec"))
+      .as[(Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[SessionState]) =>
+          val secs = rows.map(_._2).toSeq.sorted
+          val closed = scala.collection.mutable.ListBuffer.empty[SessionOut]
+          var st = state.getOption.getOrElse(SessionState(secs.head, secs.head, 0))
+          secs.foreach { s =>
+            if (s - st.last > 1800) {
+              closed += SessionOut(user, st.start, st.n, st.last - st.start)
+              st = SessionState(s, s, 1)
+            } else st = st.copy(last = math.max(st.last, s), n = st.n + 1)
+          }
+          state.update(st)
+          closed.iterator
+      }.toDF()
+  }
+
   /** Stream-stream interval join: purchases matched to the same user's
     * clicks within the preceding 30 minutes. Both sides watermarked so the
     * join state is bounded (clicks older than watermark+interval are

@@ -100,6 +100,26 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.select("content_fp").distinct().count() === streamed.count())
   }
 
+  test("flatMapGroupsWithState emits each closed session exactly once") {
+    implicit val s = spark
+    val closed = EventStream.runAvailableNow(spark,
+      EventStream.closedSessions(EventStream.read(spark, eventsDir)), "closed",
+      OutputMode.Append())
+    // every emitted session is closed (a later event exceeded the gap), so
+    // batch-side truth: total sessions per user MINUS the final (open) one
+    val e = Tables(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("sec"))
+    val batchClosed = e
+      .withColumn("prev", lag(col("sec"), 1).over(w))
+      .withColumn("is_new", when(col("prev").isNull || col("sec") - col("prev") > 1800, 1).otherwise(0))
+      .agg(sum(col("is_new")).as("sessions")).head().getLong(0) -
+      e.select("user_id").distinct().count() // one open session per user
+    assert(closed.count() === batchClosed)
+    assert(closed.filter(col("duration_sec") < 0).count() === 0)
+  }
+
   test("stateful sessionization emits one state per user with sane bounds") {
     implicit val s = spark
     val sessions = EventStream.runAvailableNow(spark,
