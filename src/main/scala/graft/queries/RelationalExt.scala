@@ -215,6 +215,89 @@ object RelationalExt extends QueryModule {
       |FROM sess GROUP BY user_id, sid
       |ORDER BY user_id, session_start_sec""".stripMargin
 
+  /** FULL OUTER join (the one join family not yet exercised): per-nation
+    * customer counts vs supplier counts, null-extended on both sides and
+    * coalesced — the classic reconciliation shape. Keys restricted to
+    * disjoint-ish subsets so both null sides actually occur. */
+  private def q60(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer").filter(col("c_nationkey") < 15)
+      .groupBy(col("c_nationkey").as("nk_c")).agg(count(lit(1)).as("n_customers"))
+    val su = t(s, d, "supplier").filter(col("s_nationkey") >= 10)
+      .groupBy(col("s_nationkey").as("nk_s")).agg(count(lit(1)).as("n_suppliers"))
+    c.join(su, col("nk_c") === col("nk_s"), "full_outer")
+      .select(
+        coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+      .orderBy("nationkey")
+  }
+  private val q60Sql =
+    """SELECT COALESCE(nk_c, nk_s) AS nationkey,
+      |  COALESCE(n_customers, 0) AS n_customers,
+      |  COALESCE(n_suppliers, 0) AS n_suppliers
+      |FROM (SELECT c_nationkey AS nk_c, COUNT(*) AS n_customers
+      |      FROM customer WHERE c_nationkey < 15 GROUP BY 1) c
+      |FULL OUTER JOIN
+      |     (SELECT s_nationkey AS nk_s, COUNT(*) AS n_suppliers
+      |      FROM supplier WHERE s_nationkey >= 10 GROUP BY 1) s
+      |ON nk_c = nk_s
+      |ORDER BY nationkey""".stripMargin
+
+  /** Multiset set operations (INTERSECT ALL / EXCEPT ALL): duplicate-
+    * preserving semantics the q38 DISTINCT variants don't cover — the
+    * difference matters for row-level reconciliation. */
+  private def q61(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+    val su = t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))
+    val inter = c.intersectAll(su)
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("intersect_all"))
+    val diff = c.exceptAll(su)
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("except_all"))
+    inter.unionByName(diff)
+      .select(col("op"), col("nationkey"), col("n"))
+      .orderBy("op", "nationkey")
+  }
+  private val q61Sql =
+    """SELECT 'intersect_all' AS op, nationkey, COUNT(*) AS n FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  INTERSECT ALL
+      |  SELECT s_nationkey FROM supplier) t GROUP BY nationkey
+      |UNION ALL
+      |SELECT 'except_all' AS op, nationkey, COUNT(*) AS n FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  EXCEPT ALL
+      |  SELECT s_nationkey FROM supplier) t GROUP BY nationkey
+      |ORDER BY op, nationkey""".stripMargin
+
+  /** RANGE-based window frame (value distance, not row count — q45 covers
+    * ROWS): each order's count of same-priority orders priced within
+    * ±10000, computed per priority ordered by price. Long-typed order
+    * column keeps the frame arithmetic integer-exact in both engines. */
+  private def q62(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("price_l"))
+      .rangeBetween(-10000L, 10000L)
+    t(s, d, "orders")
+      // floor, not a bare cast: DuckDB CAST(DOUBLE AS BIGINT) rounds while
+      // Spark truncates — floor() agrees in both engines.
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        floor(col("o_totalprice")).as("price_l"))
+      .withColumn("n_similar", count(lit(1)).over(w))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("price_l"),
+        col("n_similar"))
+      .orderBy("o_orderkey")
+  }
+  private val q62Sql =
+    """SELECT o_orderkey, o_orderpriority, price_l,
+      |  COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY price_l
+      |                 RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING)
+      |    AS n_similar
+      |FROM (SELECT o_orderkey, o_orderpriority,
+      |        CAST(floor(o_totalprice) AS BIGINT) AS price_l FROM orders) t
+      |ORDER BY o_orderkey""".stripMargin
+
   /** LEFT SEMI join (EXISTS): customers with ≥1 1996 order, per nation. */
   private def q36(s: SparkSession, d: String): DataFrame = {
     val orders96 = t(s, d, "orders")
@@ -464,6 +547,9 @@ object RelationalExt extends QueryModule {
     Q("q57_value_windows", q57, Some(q57Sql)),
     Q("q58_array_topk", q58, Some(q58Sql)),
     Q("q59_session_window", q59, Some(q59Sql)),
+    Q("q60_full_outer", q60, Some(q60Sql)),
+    Q("q61_set_ops_all", q61, Some(q61Sql)),
+    Q("q62_range_frame", q62, Some(q62Sql)),
     Q("q36_semi_join", q36, Some(q36Sql)),
     Q("q37_pivot", q37, Some(q37Sql)),
     Q("q38_set_ops", q38, Some(q38Sql)),
