@@ -57,6 +57,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges:\n$plan")
   }
 
+  test("composite join keys and composite order tuples resolve correctly") {
+    val quotes = Seq(
+      ("A", 1, 10L, 1.0), ("A", 1, 20L, 2.0), // (sym, venue) = (A,1)
+      ("A", 2, 15L, 9.0),                     // same sym, different venue
+      ("B", 1, 12L, 5.0))
+      .toDF("q_sym", "q_venue", "q_t", "px")
+    val trades = Seq(
+      ("A", 1, 25L), // matches (A,1) t=20, NOT (A,2) t=15
+      ("A", 2, 25L), // matches (A,2) t=15
+      ("B", 1, 11L), // before (B,1)'s only quote -> null
+      ("B", 2, 99L)) // venue with no quotes -> null
+      .toDF("sym", "venue", "t")
+    val out = AsOf.join(trades, quotes,
+        keys = Seq("sym" -> "q_sym", "venue" -> "q_venue"),
+        order = Seq("t" -> "q_t"))
+      .select("sym", "venue", "t", "px")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toSet
+    assert(out === Set(
+      ("A", 1, 25L, 2.0), ("A", 2, 25L, 9.0),
+      ("B", 1, 11L, null), ("B", 2, 99L, null)))
+  }
+
   test("left-side filters push through the as-of join to the parquet scan") {
     val d = "/root/testdata/sf0.001"
     val e = graft.Tables(spark, d, "events")
