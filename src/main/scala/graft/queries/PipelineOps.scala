@@ -49,7 +49,11 @@ object PipelineOps extends QueryModule {
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .distinct().localCheckpoint(true)
-    var labels = t(s, d, "documents")
+    // Propagation state covers ONLY docs touched by an edge: singletons can
+    // never change labels, so the iterated table is proportional to the
+    // near-dup subgraph (a few pairs per million docs in a real corpus),
+    // not the corpus. Singletons rejoin as their own cluster at the end.
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint(true)
     var prevSum = labels.agg(sum("cluster_id")).head().getLong(0)
@@ -84,9 +88,21 @@ object PipelineOps extends QueryModule {
     }
     require(converged,
       s"q42 label propagation did not converge within $maxIter pointer-doubling iterations")
-    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "cluster_id")
-      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+    // Singletons rejoin: label = own doc_id where no edge touched the doc,
+    // size = 1 where no component size exists. Both joins have the small
+    // label-side on the right (auto-broadcast), so the corpus is never
+    // shuffled — the only corpus-wide exchange left is the deterministic
+    // output orderBy.
+    val compSizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    t(s, d, "documents")
+      .join(labels.withColumnRenamed("doc_id", "l_doc"),
+        col("doc_id") === col("l_doc"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .join(compSizes, Seq("cluster_id"), "left")
+      .select(col("doc_id"), col("cluster_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
         (col("doc_id") === col("cluster_id")).as("is_canonical"))
       .orderBy("doc_id")
   }

@@ -298,6 +298,45 @@ object RelationalExt extends QueryModule {
       |        CAST(floor(o_totalprice) AS BIGINT) AS price_l FROM orders) t
       |ORDER BY o_orderkey""".stripMargin
 
+  /** TPC-H Q5-shaped six-way star-snowflake join: local-supplier revenue
+    * per nation for one region and one order year. Exercises deep join
+    * ordering — two fact-fact shuffle joins (orders⋈lineitem⋈supplier)
+    * with the c_nationkey = s_nationkey colocation predicate, dims
+    * broadcast, date filter pushed to the orders scan. */
+  private def q63(s: SparkSession, d: String): DataFrame = {
+    val asiaNations = t(s, d, "nation")
+      .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+    t(s, d, "customer")
+      .join(t(s, d, "orders"),
+        col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, d, "supplier"),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice"), 2) * (dec(lit(1), 2) - dec(col("l_discount"), 6)))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+  private val q63Sql =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
   /** LEFT SEMI join (EXISTS): customers with ≥1 1996 order, per nation. */
   private def q36(s: SparkSession, d: String): DataFrame = {
     val orders96 = t(s, d, "orders")
@@ -550,6 +589,7 @@ object RelationalExt extends QueryModule {
     Q("q60_full_outer", q60, Some(q60Sql)),
     Q("q61_set_ops_all", q61, Some(q61Sql)),
     Q("q62_range_frame", q62, Some(q62Sql)),
+    Q("q63_tpch_q5", q63, Some(q63Sql)),
     Q("q36_semi_join", q36, Some(q36Sql)),
     Q("q37_pivot", q37, Some(q37Sql)),
     Q("q38_set_ops", q38, Some(q38Sql)),
