@@ -337,6 +337,32 @@ object RelationalExt extends QueryModule {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** Null-safe equality join (<=> / IS NOT DISTINCT FROM): the NOT-IN-with-
+    * NULLs trap made explicit. Keys are nulled on one value per side so the
+    * null<=>null bucket genuinely joins; a plain = join would silently drop
+    * those rows. */
+  private def q64(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+      .select(nullif(col("c_nationkey"), lit(3)).as("nk"))
+      .groupBy(col("nk")).agg(count(lit(1)).as("n_customers"))
+    val su = t(s, d, "supplier")
+      .select(nullif(col("s_nationkey"), lit(3)).as("nk_s"))
+      .groupBy(col("nk_s")).agg(count(lit(1)).as("n_suppliers"))
+    c.join(su, col("nk") <=> col("nk_s"), "left")
+      .select(col("nk").as("nationkey_or_null"), col("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+      .orderBy(asc_nulls_first("nationkey_or_null"))
+  }
+  private val q64Sql =
+    """SELECT nk AS nationkey_or_null, n_customers,
+      |  COALESCE(n_suppliers, 0) AS n_suppliers
+      |FROM (SELECT nullif(c_nationkey, 3) AS nk, COUNT(*) AS n_customers
+      |      FROM customer GROUP BY 1) c
+      |LEFT JOIN (SELECT nullif(s_nationkey, 3) AS nk_s, COUNT(*) AS n_suppliers
+      |           FROM supplier GROUP BY 1) s
+      |ON nk IS NOT DISTINCT FROM nk_s
+      |ORDER BY nationkey_or_null NULLS FIRST""".stripMargin
+
   /** LEFT SEMI join (EXISTS): customers with ≥1 1996 order, per nation. */
   private def q36(s: SparkSession, d: String): DataFrame = {
     val orders96 = t(s, d, "orders")
@@ -590,6 +616,7 @@ object RelationalExt extends QueryModule {
     Q("q61_set_ops_all", q61, Some(q61Sql)),
     Q("q62_range_frame", q62, Some(q62Sql)),
     Q("q63_tpch_q5", q63, Some(q63Sql)),
+    Q("q64_null_safe_join", q64, Some(q64Sql)),
     Q("q36_semi_join", q36, Some(q36Sql)),
     Q("q37_pivot", q37, Some(q37Sql)),
     Q("q38_set_ops", q38, Some(q38Sql)),

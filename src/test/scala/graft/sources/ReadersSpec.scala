@@ -55,6 +55,20 @@ class ReadersSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("id"), plan)
   }
 
+  test("malformed csv rows null out instead of failing the job (S7 row-skip analog)") {
+    // The reference's loader skips bad rows one at a time
+    // (phase2_transformation_pipeline.py:261-339); the engine-side analog is
+    // PERMISSIVE parsing + a validity filter, which keeps ingestion
+    // vectorized and the bad-row policy declarative.
+    val dir = Files.createTempDirectory("graft_badcsv").toString
+    Files.write(java.nio.file.Paths.get(dir, "a.csv"),
+      "id,name,score\n1,alpha,0.5\nnot_a_long,beta,oops\n3,gamma,0.25\n".getBytes)
+    val df = Readers.csv(spark, dir, schema)
+    assert(df.count() === 3) // no rows dropped silently by the parser
+    val valid = df.filter(col("id").isNotNull && col("score").isNotNull)
+    assert(valid.count() === 2) // the declarative validity filter skips them
+  }
+
   test("backupCsv round-trips through the dated layout") {
     val base = Files.createTempDirectory("graft_backup").toString
     Readers.backupCsv(Seq((1L, "x", 0.1)).toDF("id", "name", "score"), base, "2024-06-03")
