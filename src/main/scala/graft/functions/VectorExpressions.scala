@@ -126,6 +126,10 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinhashExpr].getName, "graft_minhash"),
       (exprs: Seq[Expression]) => MinhashExpr(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(classOf[ZOrderExpr].getName, "graft_zorder"),
+      (exprs: Seq[Expression]) => ZOrderExpr(exprs(0), exprs(1))))
     // Whole-operator extension: native backward as-of join (graft.plans),
     // plus the optimizer rule that lets Catalyst push left-side filters
     // through it down to the scan.

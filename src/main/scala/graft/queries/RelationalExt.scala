@@ -363,6 +363,41 @@ object RelationalExt extends QueryModule {
       |ON nk IS NOT DISTINCT FROM nk_s
       |ORDER BY nationkey_or_null NULLS FIRST""".stripMargin
 
+  /** Z-order (Morton) layout: orders clustered on (custkey, price-band) via
+    * the graft_zorder codegen expression, split into 16 layout chunks, and
+    * each chunk's bounding box reported — the per-file min/max stats a
+    * z-ordered writer would produce (tight boxes on BOTH dims → file
+    * skipping for filters on either). A real writer replaces ntile with
+    * repartitionByRange(z) + sortWithinPartitions(z); ntile keeps the demo
+    * deterministic for the oracle. The encoding is plain bit arithmetic, so
+    * the oracle reproduces it exactly (ZOrderUtil.mortonSql). */
+  private def q65(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("z"), col("o_orderkey"))
+    t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey").as("x"),
+        floor(col("o_totalprice") / 1000).as("y"))
+      .withColumn("z", expr("graft_zorder(x, y)"))
+      .withColumn("chunk", ntile(16).over(w))
+      .groupBy(col("chunk"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+      .orderBy("chunk")
+  }
+  private val q65Sql = {
+    val z = graft.functions.ZOrderUtil.mortonSql(
+      "o_custkey", "CAST(floor(o_totalprice / 1000) AS BIGINT)")
+    s"""SELECT chunk, COUNT(*) AS n_rows,
+       |  MIN(x) AS x_min, MAX(x) AS x_max, MIN(y) AS y_min, MAX(y) AS y_max
+       |FROM (
+       |  SELECT CAST(NTILE(16) OVER (ORDER BY z, o_orderkey) AS INTEGER) AS chunk, x, y
+       |  FROM (SELECT o_orderkey, o_custkey AS x,
+       |          CAST(floor(o_totalprice / 1000) AS BIGINT) AS y,
+       |          $z AS z
+       |        FROM orders) t1) t2
+       |GROUP BY chunk ORDER BY chunk""".stripMargin
+  }
+
   /** LEFT SEMI join (EXISTS): customers with ≥1 1996 order, per nation. */
   private def q36(s: SparkSession, d: String): DataFrame = {
     val orders96 = t(s, d, "orders")
@@ -617,6 +652,7 @@ object RelationalExt extends QueryModule {
     Q("q62_range_frame", q62, Some(q62Sql)),
     Q("q63_tpch_q5", q63, Some(q63Sql)),
     Q("q64_null_safe_join", q64, Some(q64Sql)),
+    Q("q65_zorder_layout", q65, Some(q65Sql)),
     Q("q36_semi_join", q36, Some(q36Sql)),
     Q("q37_pivot", q37, Some(q37Sql)),
     Q("q38_set_ops", q38, Some(q38Sql)),

@@ -80,6 +80,39 @@ class AsOfJoinSpec extends SparkSpec {
       ("B", 1, 11L, null), ("B", 2, 99L, null)))
   }
 
+  test("differential property: native as-of equals the window emulation on random data") {
+    // Deterministic seed; heavy key collisions + duplicate timestamps so
+    // boundary/tie paths are exercised, not just the happy path.
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { round =>
+      val trades = (1 to 200).map(i =>
+        (rnd.nextInt(8).toLong, rnd.nextInt(50).toLong, i.toLong))
+        .toDF("k", "t", "trade_id")
+      val quotes = (1 to 150).map(i =>
+        (rnd.nextInt(8).toLong, rnd.nextInt(50).toLong, (1000 + i).toLong))
+        .toDF("qk", "qt", "quote_id")
+      val native = AsOf.join(trades, quotes,
+          keys = Seq("k" -> "qk"), order = Seq("t" -> "qt", "trade_id" -> "quote_id"))
+        .select("k", "t", "trade_id", "quote_id")
+        .collect().map(_.toSeq).toSet
+      // window emulation: union both sides, last quote_id strictly before
+      // in (time, id) order within the key
+      val u = trades.select(col("k"), col("t"), col("trade_id").as("id"),
+          lit(null).cast("long").as("qid"))
+        .unionByName(quotes.select(col("qk").as("k"), col("qt").as("t"),
+          col("quote_id").as("id"), col("quote_id").as("qid")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+        .orderBy(col("t"), col("id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val emulated = u
+        .withColumn("last_q", last(col("qid"), ignoreNulls = true).over(w))
+        .filter(col("qid").isNull)
+        .select(col("k"), col("t"), col("id").as("trade_id"), col("last_q").as("quote_id"))
+        .collect().map(_.toSeq).toSet
+      assert(native === emulated, s"divergence in round $round")
+    }
+  }
+
   test("left-side filters push through the as-of join to the parquet scan") {
     val d = "/root/testdata/sf0.001"
     val e = graft.Tables(spark, d, "events")
