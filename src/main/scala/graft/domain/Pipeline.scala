@@ -44,7 +44,12 @@ object Pipeline {
     branch.write.mode(SaveMode.Overwrite).parquet(s"$goldDir/dim_branch")
     Star.dimSentiment(spark).write.mode(SaveMode.Overwrite).parquet(s"$goldDir/dim_sentiment")
     dates.write.mode(SaveMode.Overwrite).parquet(s"$goldDir/dim_date")
+    // Within each year partition, rows are z-ordered on (bank_key,
+    // date_key): per-file min/max stats become tight on BOTH keys, so
+    // bank-sliced AND date-sliced mart scans skip files (graft_zorder —
+    // see graft.functions.ZOrderUtil).
     fact.withColumn("review_year", year(col("review_time")))
+      .sortWithinPartitions(expr("graft_zorder(bank_key, date_key)"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("review_year")
       .parquet(s"$goldDir/fact_reviews")
