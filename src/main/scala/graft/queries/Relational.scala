@@ -29,8 +29,8 @@ object Relational extends QueryModule {
       .agg(
         dsum(col("l_quantity"), 2).as("sum_qty"),
         dsum(col("l_extendedprice"), 2).as("sum_base_price"),
-        sum(dec(col("l_extendedprice"), 2) * (dec(lit(1), 2) - dec(col("l_discount"), 6)))
-          .cast("double").as("sum_disc_price"),
+        d2d(sum(dec(col("l_extendedprice"), 2) * (dec(lit(1), 2) - dec(col("l_discount"), 6))))
+          .as("sum_disc_price"),
         davg(col("l_quantity"), 2).as("avg_qty"),
         davg(col("l_extendedprice"), 2).as("avg_price"),
         dstddev(col("l_quantity"), 2).as("std_qty"),
@@ -42,7 +42,7 @@ object Relational extends QueryModule {
     s"""SELECT l_returnflag, l_linestatus,
        |  ${dsumSql("l_quantity", 2)} AS sum_qty,
        |  ${dsumSql("l_extendedprice", 2)} AS sum_base_price,
-       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS sum_disc_price,
+       |  ${d2dSql("SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,6))))")} AS sum_disc_price,
        |  ${davgSql("l_quantity", 2)} AS avg_qty,
        |  ${davgSql("l_extendedprice", 2)} AS avg_price,
        |  ${dstddevSql("l_quantity", 2)} AS std_qty,

@@ -22,14 +22,14 @@ object RelationalExt extends QueryModule {
       .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
       .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("order_date"))
-      .agg(sum(dec(col("l_extendedprice"), 2) * (dec(lit(1), 2) - dec(col("l_discount"), 6)))
-        .cast("double").as("revenue"))
+      .agg(d2d(sum(dec(col("l_extendedprice"), 2) * (dec(lit(1), 2) - dec(col("l_discount"), 6))))
+        .as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
   }
   private val q34Sql =
-    """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue
+    s"""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+      |  ${d2dSql("SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,6))))")} AS revenue
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
       |JOIN lineitem ON o_orderkey = l_orderkey
@@ -180,11 +180,12 @@ object RelationalExt extends QueryModule {
 
   /** Gap sessionization via the NATIVE session_window operator (batch mode)
     * — the idiomatic Spark form of q19's manual lag/cumsum arithmetic, and
-    * the same operator the streaming path uses. Boundary semantics differ
-    * from q19 on purpose: session_window starts a NEW session at gap >=
-    * 30min (merge while next < end), while q19's manual form keeps exactly
-    * 1800s in-session — the oracle encodes the >= boundary. Timestamps
-    * floored to seconds on both sides so the grouping is integer-exact. */
+    * the same operator the streaming path uses. Boundary semantics (found
+    * empirically at sf0.1 — an exactly-1800s gap): session_window MERGES an
+    * event landing exactly on the window end, i.e. a new session requires
+    * gap > 30min, same as q19's manual form; the oracle encodes the strict
+    * > boundary. Timestamps floored to seconds on both sides so the
+    * grouping is integer-exact. */
   private def q59(s: SparkSession, d: String): DataFrame = {
     t(s, d, "events")
       .select(col("user_id"),
@@ -202,7 +203,7 @@ object RelationalExt extends QueryModule {
       |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
       |g AS (
       |  SELECT user_id, sec,
-      |    CASE WHEN LAG(sec) OVER w IS NULL OR sec - LAG(sec) OVER w >= 1800
+      |    CASE WHEN LAG(sec) OVER w IS NULL OR sec - LAG(sec) OVER w > 1800
       |         THEN 1 ELSE 0 END AS is_new
       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)),
       |sess AS (
@@ -318,13 +319,13 @@ object RelationalExt extends QueryModule {
           col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(sum(dec(col("l_extendedprice"), 2) * (dec(lit(1), 2) - dec(col("l_discount"), 6)))
-        .cast("double").as("revenue"))
+      .agg(d2d(sum(dec(col("l_extendedprice"), 2) * (dec(lit(1), 2) - dec(col("l_discount"), 6))))
+        .as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
   private val q63Sql =
-    """SELECT n_name,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue
+    s"""SELECT n_name,
+      |  ${d2dSql("SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,6))))")} AS revenue
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
       |JOIN lineitem ON o_orderkey = l_orderkey
