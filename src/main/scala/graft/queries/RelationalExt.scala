@@ -399,6 +399,33 @@ object RelationalExt extends QueryModule {
        |GROUP BY chunk ORDER BY chunk""".stripMargin
   }
 
+  /** Native unpivot/melt (wide metrics → long rows), the inverse of q37's
+    * pivot: per-nation metric columns melted to (nation, metric, value).
+    * Spark's Dataset.unpivot emits the column name as the metric label;
+    * the oracle is the equivalent UNION ALL (engine-portable melt). */
+  private def q66(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).cast("double").as("n_customers"),
+        davg(col("c_acctbal"), 2).as("avg_bal"))
+      .unpivot(
+        Array(col("c_nationkey")),
+        Array(col("n_customers"), col("avg_bal")),
+        "metric", "value")
+      .orderBy("c_nationkey", "metric")
+  }
+  private val q66Sql =
+    s"""WITH wide AS (
+       |  SELECT c_nationkey,
+       |    CAST(COUNT(*) AS DOUBLE) AS n_customers,
+       |    ${davgSql("c_acctbal", 2)} AS avg_bal
+       |  FROM customer GROUP BY c_nationkey)
+       |SELECT c_nationkey, metric, value FROM (
+       |  SELECT c_nationkey, 'n_customers' AS metric, n_customers AS value FROM wide
+       |  UNION ALL
+       |  SELECT c_nationkey, 'avg_bal' AS metric, avg_bal AS value FROM wide) t
+       |ORDER BY c_nationkey, metric""".stripMargin
+
   /** LEFT SEMI join (EXISTS): customers with ≥1 1996 order, per nation. */
   private def q36(s: SparkSession, d: String): DataFrame = {
     val orders96 = t(s, d, "orders")
@@ -654,6 +681,7 @@ object RelationalExt extends QueryModule {
     Q("q63_tpch_q5", q63, Some(q63Sql)),
     Q("q64_null_safe_join", q64, Some(q64Sql)),
     Q("q65_zorder_layout", q65, Some(q65Sql)),
+    Q("q66_unpivot", q66, Some(q66Sql)),
     Q("q36_semi_join", q36, Some(q36Sql)),
     Q("q37_pivot", q37, Some(q37Sql)),
     Q("q38_set_ops", q38, Some(q38Sql)),
