@@ -212,11 +212,11 @@ object PipelineOps extends QueryModule {
     * (one pass, no per-column jobs). */
   private def q54(s: SparkSession, d: String): DataFrame = {
     val o = t(s, d, "orders")
-    val aggs = o.columns.flatMap(c => Seq(
+    val aggs = o.columns.toSeq.flatMap(c => Seq(
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
       countDistinct(col(c)).as(s"${c}__distinct")))
     o.agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(o.columns.map(c => struct(
+      .select(explode(array(o.columns.toSeq.map(c => struct(
         lit(c).as("column"),
         col(s"${c}__nulls").as("n_nulls"),
         col(s"${c}__distinct").as("n_distinct"))): _*)).as("s"))
