@@ -179,9 +179,23 @@ object AsOf {
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
           s"asof join: column $n not in [${p.output.map(_.name).mkString(", ")}]"))
-    val node = AsOfJoin(lPlan, rPlan,
-      keys.map(k => attr(lPlan, k._1)), keys.map(k => attr(rPlan, k._2)),
-      order.map(o => attr(lPlan, o._1)), order.map(o => attr(rPlan, o._2)))
+    val lk = keys.map(k => attr(lPlan, k._1))
+    val rk = keys.map(k => attr(rPlan, k._2))
+    val lo = order.map(o => attr(lPlan, o._1))
+    val ro = order.map(o => attr(rPlan, o._2))
+    // Type equality is load-bearing, not cosmetic: HashPartitioning hashes
+    // the same logical value differently per type (int 5 ≠ long 5), which
+    // silently breaks co-partitioning, and the left-typed RowOrdering is
+    // applied to right-projected rows. Mismatches must fail loudly here.
+    def requireSameTypes(l: Seq[Attribute], r: Seq[Attribute], what: String): Unit =
+      l.zip(r).foreach { case (a, b) =>
+        require(a.dataType == b.dataType,
+          s"asof join: $what type mismatch — left ${a.name}: ${a.dataType.sql} " +
+            s"vs right ${b.name}: ${b.dataType.sql}; cast one side explicitly")
+      }
+    requireSameTypes(lk, rk, "key")
+    requireSameTypes(lo, ro, "order")
+    val node = AsOfJoin(lPlan, rPlan, lk, rk, lo, ro)
     org.apache.spark.sql.graftbridge.GraftSqlBridge.ofRows(left.sparkSession, node)
   }
 }

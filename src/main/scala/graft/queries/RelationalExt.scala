@@ -95,8 +95,11 @@ object RelationalExt extends QueryModule {
       .withColumn("salt", pmod(col("event_id"), lit(16)))
       .groupBy(col("event_type"), col("salt"))
       .agg(sum(Num.dec(col("value"), 6)).as("psum"), count(lit(1)).as("pn"))
+    // Num.d2d (string-bridged), not .cast("double"): the direct
+    // BigDecimal.doubleValue disagrees with the oracle's d2dSql in the
+    // last ulp once the merged sum exceeds 53 significand bits.
     partial.groupBy(col("event_type"))
-      .agg(sum(col("psum")).cast("double").as("total_value"),
+      .agg(Num.d2d(sum(col("psum"))).as("total_value"),
         sum(col("pn")).as("n_events"))
       .orderBy("event_type")
   }
@@ -110,7 +113,10 @@ object RelationalExt extends QueryModule {
     * "documented alternative" in SURVEY §2.5) and approx_percentile
     * sketches, one pass, no global sort. Sketch internals are
     * engine-specific → no SQL oracle (rows-only gate); the spec bounds the
-    * error against the exact answers instead. */
+    * error against the exact answers instead. The percentile sketch's
+    * array output is projected to scalar p25/p50/p75 columns — the
+    * harness's rows-only check sorts the frame, and an array-typed
+    * column is unsortable there (round-2 gate crash). */
   private def q56(s: SparkSession, d: String): DataFrame = {
     t(s, d, "events")
       .select(col("event_type"), col("user_id"), col("value").cast("double").as("v"))
@@ -119,6 +125,10 @@ object RelationalExt extends QueryModule {
         count(lit(1)).as("n_events"),
         approx_count_distinct(col("user_id")).as("n_users_approx"),
         expr("approx_percentile(v, array(0.25, 0.5, 0.75), 10000)").as("pcts"))
+      .select(col("event_type"), col("n_events"), col("n_users_approx"),
+        col("pcts").getItem(0).as("p25"),
+        col("pcts").getItem(1).as("p50"),
+        col("pcts").getItem(2).as("p75"))
       .orderBy("event_type")
   }
 

@@ -28,7 +28,7 @@ class QueriesSmokeSpec extends SparkSpec {
     val d = "/root/testdata/sf0.01"
     val approx = SparkEntry.queries("q56_approx_stats")(spark, d)
       .collect().map(r => r.getString(0) ->
-        (r.getLong(2), r.getSeq[Double](3))).toMap
+        (r.getLong(2), Seq(r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
     val exact = Tables(spark, d, "events")
       .select(col("event_type"), col("user_id"), col("value").cast("double").as("v"))
       .groupBy("event_type")

@@ -141,6 +141,23 @@ class AsOfJoinSpec extends SparkSpec {
       s"right-side filter should stay above the join:\n$analyzed")
   }
 
+  test("mismatched key or order types are rejected loudly, not silently wrong") {
+    // int vs long keys hash differently under HashPartitioning (breaking
+    // co-partitioning) and the left-typed RowOrdering would misread right
+    // rows — the API must refuse instead of returning wrong rows.
+    val left = Seq((1, 10L)).toDF("k", "t")                 // k: int
+    val rightLongKey = Seq((1L, 5L, 1.0)).toDF("qk", "qt", "px") // qk: long
+    val e1 = intercept[IllegalArgumentException] {
+      AsOf.join(left, rightLongKey, keys = Seq("k" -> "qk"), order = Seq("t" -> "qt"))
+    }
+    assert(e1.getMessage.contains("key type mismatch"), e1.getMessage)
+    val rightIntOrder = Seq((1, 5, 1.0)).toDF("qk", "qt", "px") // qt: int
+    val e2 = intercept[IllegalArgumentException] {
+      AsOf.join(left, rightIntOrder, keys = Seq("k" -> "qk"), order = Seq("t" -> "qt"))
+    }
+    assert(e2.getMessage.contains("order type mismatch"), e2.getMessage)
+  }
+
   test("left ordering and partitioning are preserved for downstream reuse") {
     // A groupBy on the join key after the as-of join must not re-shuffle:
     // outputPartitioning passes the left child's hash partitioning through.
