@@ -31,28 +31,101 @@ object PipelineOps extends QueryModule {
       |  sha256(CAST(user_id AS VARCHAR)) AS user_pseudonym
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Edge-count threshold below which q42 resolves components on the
+    * driver. 2M directed edges ≈ 32 MB of longs — trivial driver memory,
+    * and far above any plausible near-dup yield for corpora whose
+    * distributed iteration would otherwise cost minutes of job overhead. */
+  private val DriverCcMaxEdges = 2L * 1000 * 1000
+
   /** Duplicate-cluster assignment: connected components over the q27
-    * near-dup pairs via min-label propagation with pointer doubling
-    * (each round also reads the label OF the current label), so chain depth
-    * halves per round and convergence is O(log diameter) — the iteration cap
-    * covers diameter 2^20 and is unreachable for any physical corpus; if it
-    * is ever hit anyway we fail loudly rather than return unconverged
-    * labels. Singletons are their own cluster. */
+    * near-dup pairs, min-label per component. Two execution tiers chosen by
+    * the EDGE count (not the corpus size): the corpus is never iterated —
+    * only docs touched by an edge are, and near-dup edge sets are sparse by
+    * construction (a few pairs per million docs).
+    *
+    *  - edges ≤ [[DriverCcMaxEdges]]: collect the edge list and run
+    *    union-find with path compression on the driver — exact same labels,
+    *    zero iterative Spark jobs. This is the realistic branch even at
+    *    100 TB: the expensive distributed work is the pair GENERATION
+    *    (q27's inverted-index join); the component graph it emits is tiny.
+    *  - otherwise: distributed min-label propagation with pointer doubling
+    *    (each round also reads the label OF the current label), so chain
+    *    depth halves per round and convergence is O(log diameter); the
+    *    20-round cap covers diameter 2^20 and failure to converge raises
+    *    rather than returning wrong labels.
+    *
+    * Singletons are their own cluster. */
   private def q42(s: SparkSession, d: String): DataFrame = {
+    // Materialize the pair list ONCE before the self-union: without this
+    // the union's two branches each re-execute the whole q27 shingle join.
     val pairs = DedupOps.queries("q27_dedup_ngram_jaccard")(s, d)
       .select(col("doc_a"), col("doc_b"))
-    // localCheckpoint, not cache, throughout the iteration: each round's
-    // labels are materialized with lineage CUT, so the loop's plans stay
-    // constant-size (no lineage growth across iterations) and freeing an
-    // old round can never cascade into CacheManager recompiles. Old rounds'
-    // blocks are reclaimed by the ContextCleaner as the vars drop them.
+      .localCheckpoint(true)
+    // localCheckpoint, not cache, throughout: materialized with lineage
+    // CUT, so iterative plans stay constant-size and freeing an old round
+    // can never cascade into CacheManager recompiles (see QueryModule).
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .distinct().localCheckpoint(true)
-    // Propagation state covers ONLY docs touched by an edge: singletons can
-    // never change labels, so the iterated table is proportional to the
-    // near-dup subgraph (a few pairs per million docs in a real corpus),
-    // not the corpus. Singletons rejoin as their own cluster at the end.
+    val labels =
+      if (edges.count() <= DriverCcMaxEdges) driverComponents(s, edges)
+      else distributedComponents(edges)
+    // Singletons rejoin: label = own doc_id where no edge touched the doc,
+    // size = 1 where no component size exists. Both joins have the small
+    // label-side on the right (auto-broadcast), so the corpus is never
+    // shuffled — the only corpus-wide exchange left is the deterministic
+    // output orderBy.
+    val compSizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    t(s, d, "documents")
+      .join(labels.withColumnRenamed("doc_id", "l_doc"),
+        col("doc_id") === col("l_doc"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .join(compSizes, Seq("cluster_id"), "left")
+      .select(col("doc_id"), col("cluster_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  /** Driver-side exact components for small edge sets: union-find with
+    * path compression + union by min, then every member labeled with its
+    * component's minimum doc_id (same labels the distributed propagation
+    * converges to). One collect of the (already tiny) edge list. */
+  private[queries] def driverComponents(s: SparkSession,
+      edges: DataFrame): DataFrame = {
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root) root = parent(root)
+      var cur = x // path compression
+      while (parent.getOrElse(cur, cur) != cur) {
+        val nxt = parent(cur); parent(cur) = root; cur = nxt
+      }
+      root
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // union by min keeps roots = component minima
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+      parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
+    }
+    val members = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    import s.implicits._
+    members.toSeq.map(m => (m, find(m))).toDF("doc_id", "cluster_id")
+  }
+
+  /** Distributed min-label propagation with pointer doubling, for edge sets
+    * too large to collect. Chain depth halves per round → O(log diameter)
+    * rounds; the cap covers diameter 2^20 and a non-converged exit raises
+    * rather than returning wrong labels. */
+  private[queries] def distributedComponents(edges: DataFrame): DataFrame = {
+    // Propagation state covers ONLY docs touched by an edge: singletons
+    // can never change labels, so the iterated table is proportional to
+    // the near-dup subgraph, not the corpus.
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint(true)
@@ -88,24 +161,9 @@ object PipelineOps extends QueryModule {
     }
     require(converged,
       s"q42 label propagation did not converge within $maxIter pointer-doubling iterations")
-    // Singletons rejoin: label = own doc_id where no edge touched the doc,
-    // size = 1 where no component size exists. Both joins have the small
-    // label-side on the right (auto-broadcast), so the corpus is never
-    // shuffled — the only corpus-wide exchange left is the deterministic
-    // output orderBy.
-    val compSizes = labels.groupBy(col("cluster_id"))
-      .agg(count(lit(1)).as("cluster_size"))
-    t(s, d, "documents")
-      .join(labels.withColumnRenamed("doc_id", "l_doc"),
-        col("doc_id") === col("l_doc"), "left")
-      .select(col("doc_id"),
-        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-      .join(compSizes, Seq("cluster_id"), "left")
-      .select(col("doc_id"), col("cluster_id"),
-        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
-        (col("doc_id") === col("cluster_id")).as("is_canonical"))
-      .orderBy("doc_id")
+    labels
   }
+
   private val q42Sql =
     """WITH RECURSIVE docs AS (
       |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
