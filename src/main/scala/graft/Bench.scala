@@ -30,19 +30,34 @@ object Bench {
         spark.catalog.clearCache()
         t
       }.min
+      // Untimed GC between queries: localCheckpoint RDDs and broadcasts are
+      // reclaimed by the ContextCleaner only after their referents are
+      // GC'd; on a 24g heap collections are rare, so without this nudge
+      // blocks accumulate across 66 queries and squeeze execution memory
+      // for the late ones (BENCH_r03 showed 2-10x tail-query inflation).
+      System.gc()
       name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // The caller parses the last stdout line as JSON from a bounded tail
+    // capture (observed: 2000 chars). Full query names at full precision
+    // are ~3.9 KB and get truncated (BENCH_r01..r03 all parsed:null), so
+    // stdout uses the short qNN keys and 0.1 ms precision (~1 KB); the
+    // full-name full-precision line goes to BENCH_SELF.json.
+    val qsShort = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
+    }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"agg":"min","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":2,"agg":"min","queries":$qsShort,"sf":"$sfDir"}"""
     println(line)
-    // Stdout gets "[info] " prefixes under sbt runMain, which can defeat a
-    // caller's line-parse (round 1's harness recorded parsed:null). Also
-    // drop the same line as a file so the numbers are always readable.
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val lineFull =
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"agg":"min","queries":$qsFull,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_SELF.json"), line + "\n")
+      java.nio.file.Paths.get("BENCH_SELF.json"), lineFull + "\n")
     catch { case _: Throwable => () }
     spark.stop()
   }
