@@ -100,17 +100,20 @@ object VectorOps extends QueryModule {
       |ORDER BY query_id, rnk, neighbor_id""".stripMargin
 
   /** Random-hyperplane LSH ANN: 8 deterministic pseudo-random hyperplanes
-    * (plane[p][d] = cos(p·97 + d·13), seedless + reproducible), bucket =
-    * 8 sign bits; candidates share a bucket; exact cosine within bucket,
-    * top-3 per query. Float-trig sign boundaries → no SQL oracle
-    * (rows-only). */
+    * with integer-valued weights (plane[p][d] = (p·97 + d·13) mod 7 − 3,
+    * seedless + reproducible), bucket = 8 sign bits; candidates share a
+    * bucket; exact cosine within bucket, top-3 per query. Integer weights
+    * (not trig) are exactly representable as doubles, and the dot product
+    * is an ordered IEEE fold — so sign bits, buckets, and the final rows
+    * are bit-identical in the DuckDB oracle (which trig hyperplanes could
+    * not guarantee at sign boundaries). */
   private def q33(s: SparkSession, d: String): DataFrame = {
     // Bucket bits from the RAW embedding — sign(dot) is invariant under the
     // positive per-vector scaling, so no need to touch the normalized copy.
     val bucketExpr = expr(
       """aggregate(sequence(0, 7), 0,
         |  (acc, p) -> acc + if(
-        |    aggregate(zip_with(embedding, transform(sequence(0, size(embedding) - 1), dd -> cos(p * 97 + dd * 13)),
+        |    aggregate(zip_with(embedding, transform(sequence(0, size(embedding) - 1), dd -> cast((p * 97 + dd * 13) % 7 - 3 as double)),
         |      (x, pl) -> cast(x as double) * pl), cast(0.0 as double), (a, v) -> a + v) > 0,
         |    shiftleft(1, p), 0))""".stripMargin)
     val bucketed = unitVectors(s, d)
@@ -245,10 +248,39 @@ object VectorOps extends QueryModule {
       |SELECT vec_id, neighbor_id, cosine, cosine >= 0.9 AS is_near_dup
       |FROM ranked WHERE rnk = 1 ORDER BY vec_id""".stripMargin
 
+  private val q33Sql =
+    """WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) AS nrm
+      |  FROM embeddings),
+      |b AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS ue,
+      |    CAST(list_sum(list_transform(range(0, 8), p ->
+      |      CASE WHEN list_reduce(list_prepend(0.0, list_transform(
+      |          list_zip(embedding,
+      |            list_transform(range(0, len(embedding)),
+      |              dd -> CAST((p * 97 + dd * 13) % 7 - 3 AS DOUBLE))),
+      |          pr -> CAST(pr[1] AS DOUBLE) * pr[2])), (a, v) -> a + v) > 0
+      |        THEN 1 << p ELSE 0 END)) AS INTEGER) AS bucket
+      |  FROM e),
+      |sims AS (
+      |  SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_reduce(list_prepend(0.0, list_transform(list_zip(a.ue, c.ue),
+      |      p -> p[1] * p[2])), (x, y) -> x + y) AS cosine
+      |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cosine,
+      |    CAST(RANK() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk
+      |  FROM sims)
+      |SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 3
+      |ORDER BY query_id, rnk, neighbor_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q31_embed_norms", q31, Some(q31Sql)),
     Q("q32_ann_bruteforce", q32, Some(q32Sql)),
-    Q("q33_ann_lsh", q33, None),
+    Q("q33_ann_lsh", q33, Some(q33Sql)),
     Q("q40_embed_nn_dedup", q40, Some(q40Sql)),
     Q("q52_ann_ivf", q52, Some(q52Sql)))
 }
