@@ -1,0 +1,151 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Source/sink fidelity and warehouse-history operators.
+  *
+  * q67/q68 close the loop on the reference's file-hop sources and sinks
+  * (SURVEY §2.1 S3 JSON sink, S4 CSV sink/source — reference:
+  * google_maps_collector.py:185-217, phase2_transformation_pipeline.py:87-89):
+  * the engine writes a table out through the text format, reads it back with
+  * an explicit schema, and aggregates — the DuckDB oracle computes the same
+  * aggregate on the ORIGINAL parquet, so the hash match proves the
+  * round-trip is lossless, not just that two reads agree. Doubles survive
+  * because Spark emits the shortest round-trip decimal form (Java
+  * `Double.toString`) and parses it back to the identical bits; timestamps
+  * are projected to DATE for CSV (the default CSV timestamp pattern is
+  * millisecond-truncating, a real pitfall worth pinning in a test).
+  *
+  * q69 is the SCD2 / gaps-and-islands history build (dbt's snapshot
+  * pattern): collapse an ordered event log into value-change validity
+  * intervals [valid_from, valid_to) with an is_current flag — value-change
+  * islands, complementing q19's time-gap sessionization.
+  *
+  * Scale notes: the round-trip writes shuffle nothing (narrow write of the
+  * scan), and the aggregates are plain partial+final hash aggs. q69 is one
+  * window pass + one hash agg + one tiny window over runs — all partitioned
+  * by user_id, no global sort except the deterministic output ORDER BY.
+  */
+object SourceOps extends QueryModule {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+  import Num.{dsumSql, dec, d2d}
+
+  /** Scratch dir for round-trip sinks: per-sf-dir so concurrent
+    * Verify/Bench runs at different scales never collide. */
+  private def rtDir(kind: String, d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_rt_${kind}_${math.abs(d.hashCode)}"
+
+  /** CSV sink → CSV source round-trip (S4), proven lossless by aggregating
+    * the re-read copy against the parquet-side oracle. */
+  private def q67(s: SparkSession, d: String): DataFrame = {
+    val dir = rtDir("csv", d)
+    t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate").cast("date").as("o_date"))
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    s.read
+      .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING," +
+        " o_totalprice DOUBLE, o_date DATE")
+      .option("header", "true").csv(dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        d2d(sum(dec(col("o_totalprice"), 2))).as("total_price"),
+        min(col("o_date")).as("first_date"),
+        max(col("o_date")).as("last_date"))
+      .orderBy("o_orderstatus")
+  }
+  private val q67Sql =
+    s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+       |  ${dsumSql("o_totalprice", 2)} AS total_price,
+       |  MIN(CAST(o_orderdate AS DATE)) AS first_date,
+       |  MAX(CAST(o_orderdate AS DATE)) AS last_date
+       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** JSON sink → JSON source round-trip (S3), same lossless-by-oracle
+    * construction over the customer table. */
+  private def q68(s: SparkSession, d: String): DataFrame = {
+    val dir = rtDir("json", d)
+    t(s, d, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+      .write.mode("overwrite").json(dir)
+    s.read
+      .schema("c_custkey BIGINT, c_name STRING, c_nationkey INT," +
+        " c_acctbal DOUBLE, c_mktsegment STRING")
+      .json(dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        d2d(sum(dec(col("c_acctbal"), 2))).as("total_bal"),
+        min(col("c_name")).as("first_name"),
+        max(col("c_name")).as("last_name"))
+      .orderBy("c_mktsegment")
+  }
+  private val q68Sql =
+    s"""SELECT c_mktsegment, COUNT(*) AS n_customers,
+       |  ${dsumSql("c_acctbal", 2)} AS total_bal,
+       |  MIN(c_name) AS first_name, MAX(c_name) AS last_name
+       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** SCD2 validity intervals from the event log: one row per run of equal
+    * event_type per user — [valid_from, valid_to) epoch seconds, open
+    * (NULL + is_current) on the latest run. lag-compare → change flag →
+    * running sum = run id (gaps-and-islands), then one agg per run and a
+    * lead() over the per-user run table for the closing bound. */
+  private def q69(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val runs = t(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1).otherwise(0))
+      .withColumn("run", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("run"), col("event_type"))
+      .agg(min(col("sec")).as("valid_from"))
+    val byRun = Window.partitionBy(col("user_id")).orderBy(col("run"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byRun))
+      .select(col("user_id"), col("run").cast("int").as("version"),
+        col("event_type"), col("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
+  private val q69Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, event_id, event_type, sec,
+      |    CASE WHEN LAG(event_type) OVER w IS NULL
+      |           OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+      |r AS (
+      |  SELECT user_id, event_type, sec,
+      |    SUM(chg) OVER (PARTITION BY user_id ORDER BY sec, event_id
+      |                   ROWS UNBOUNDED PRECEDING) AS run
+      |  FROM g),
+      |runs AS (
+      |  SELECT user_id, CAST(run AS INTEGER) AS version, event_type,
+      |    MIN(sec) AS valid_from
+      |  FROM r GROUP BY user_id, run, event_type),
+      |iv AS (
+      |  SELECT user_id, version, event_type, valid_from,
+      |    LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to
+      |  FROM runs)
+      |SELECT user_id, version, event_type, valid_from, valid_to,
+      |  valid_to IS NULL AS is_current
+      |FROM iv ORDER BY user_id, version""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q67_csv_roundtrip", q67, Some(q67Sql)),
+    Q("q68_json_roundtrip", q68, Some(q68Sql)),
+    Q("q69_scd2_intervals", q69, Some(q69Sql)))
+}
