@@ -79,6 +79,43 @@ class EventStreamSpec extends SparkSpec {
     assert(rebuilt.agg(sum("n_events")).head().getLong(0) === 1000L)
   }
 
+  test("incremental merge gold equals the batch aggregate across batches and restarts") {
+    val bronze = java.nio.file.Files.createTempDirectory("graft_bronze_inc").toString
+    val gold = java.nio.file.Files.createTempDirectory("graft_gold_inc").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_cp_inc").toString
+    val events = Tables(spark, "/root/testdata/sf0.001", "events")
+    val firstWave = events.filter(col("event_id") % 5 =!= 0)
+    val secondWave = events.filter(col("event_id") % 5 === 0)
+    firstWave.repartition(3).write.mode("overwrite").parquet(bronze)
+    // Run 1: three files, one per micro-batch — partials must MERGE, not
+    // overwrite each other.
+    EventStream.goldIncrementalMerge(spark, bronze, gold, cp,
+      maxFilesPerTrigger = Some(1))
+    val g1 = spark.read.parquet(s"$gold/events_by_type_inc")
+    assert(g1.agg(sum("n_events")).head().getLong(0) === firstWave.count())
+    // Run 2 on the SAME checkpoint after new files land: only the new wave
+    // is read (offsets resume), and its partial merges into existing gold.
+    secondWave.coalesce(1).write.mode("append").parquet(bronze)
+    EventStream.goldIncrementalMerge(spark, bronze, gold, cp,
+      maxFilesPerTrigger = Some(1))
+    val g2 = spark.read.parquet(s"$gold/events_by_type_inc")
+    val batchTwin = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("total_value"))
+    assert(g2.agg(sum("n_events")).head().getLong(0) === 1000L)
+    assert(g2.exceptAll(batchTwin).isEmpty && batchTwin.exceptAll(g2).isEmpty,
+      "incremental merge must reproduce the batch aggregate exactly")
+    // Replay idempotence: a batch id that already committed is a no-op.
+    val commits = new java.io.File(s"$gold/events_by_type_inc_commits")
+      .listFiles().map(_.getName).toSet
+    assert(commits.nonEmpty)
+    EventStream.goldIncrementalMerge(spark, bronze, gold, cp,
+      maxFilesPerTrigger = Some(1))
+    val g3 = spark.read.parquet(s"$gold/events_by_type_inc")
+    assert(g3.agg(sum("n_events")).head().getLong(0) === 1000L,
+      "re-run with no new data must not double-count")
+  }
+
   test("streaming content dedup keeps exactly one doc per normalized text") {
     implicit val s = spark
     import org.apache.spark.sql.types._
