@@ -667,6 +667,36 @@ object RelationalExt extends QueryModule {
         col("c_mktsegment").eqNullSafe(lit("MACHINERY")).as("is_machinery"))
       .orderBy("c_custkey")
   }
+  /** Explicit GROUPING SETS — the non-hierarchical member of the family
+    * (q35 ROLLUP, q51 CUBE): two independent single-column slices plus the
+    * full cross, skipping the grand total — a set CUBE cannot express
+    * without a post-filter. SQL surface (GROUPING SETS has no DataFrame
+    * API); one partial-aggregating pass, same as cube/rollup. gid breaks
+    * the label tie between a (status, ALL) slice row and a cross row whose
+    * priority happens to be NULL. */
+  private def q70(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "orders").createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status_label,
+        |  coalesce(o_orderpriority, 'ALL') AS priority_label,
+        |  cast(grouping_id(o_orderstatus, o_orderpriority) as int) AS gid,
+        |  count(1) AS n_orders,
+        |  cast(cast(sum(cast(o_totalprice as decimal(18,2))) as string) as double) AS revenue
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |                        (o_orderstatus, o_orderpriority))
+        |ORDER BY status_label, priority_label, gid""".stripMargin)
+  }
+  private val q70Sql =
+    s"""SELECT coalesce(o_orderstatus, 'ALL') AS status_label,
+       |  coalesce(o_orderpriority, 'ALL') AS priority_label,
+       |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+       |  COUNT(*) AS n_orders, ${dsumSql("o_totalprice", 2)} AS revenue
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+       |                        (o_orderstatus, o_orderpriority))
+       |ORDER BY status_label, priority_label, gid""".stripMargin
+
   private val q48Sql =
     """SELECT c_custkey,
       |  nullif(c_mktsegment, 'MACHINERY') AS seg_or_null,
@@ -692,6 +722,7 @@ object RelationalExt extends QueryModule {
     Q("q64_null_safe_join", q64, Some(q64Sql)),
     Q("q65_zorder_layout", q65, Some(q65Sql)),
     Q("q66_unpivot", q66, Some(q66Sql)),
+    Q("q70_grouping_sets", q70, Some(q70Sql)),
     Q("q36_semi_join", q36, Some(q36Sql)),
     Q("q37_pivot", q37, Some(q37Sql)),
     Q("q38_set_ops", q38, Some(q38Sql)),

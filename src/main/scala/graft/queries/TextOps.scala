@@ -178,7 +178,27 @@ object TextOps extends QueryModule {
       |    (a, b) -> (a * 31 + b) % 2147483647) AS fp_prefix
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Ordinal token explode (LATERAL VIEW posexplode): token position kept
+    * through the flatten — the UDTF-with-ordinality surface q17's plain
+    * explode drops. Oracle zips DuckDB's parallel unnests positionally
+    * (generate_series ∥ the token list); no WITH ORDINALITY in its 1.0
+    * dialect. */
+  private def q71(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "documents")
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .orderBy("doc_id", "pos")
+  }
+  private val q71Sql =
+    """SELECT doc_id,
+      |  CAST(unnest(generate_series(1, len(string_split(text, ' ')))) - 1 AS INTEGER) AS pos,
+      |  unnest(string_split(text, ' ')) AS token
+      |FROM documents WHERE doc_id < 50
+      |ORDER BY doc_id, pos""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q71_posexplode_ordinal", q71, Some(q71Sql)),
     Q("q21_text_quality", q21, Some(q21Sql)),
     Q("q22_langid", q22, Some(q22Sql)),
     Q("q23_token_stats", q23, Some(q23Sql)),
