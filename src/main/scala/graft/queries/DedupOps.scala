@@ -23,15 +23,31 @@ object DedupOps extends QueryModule {
 
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
-  /** Distinct (doc_id, source, shingle) rows of 3-token shingles. */
-  private def shingles(s: SparkSession, d: String): DataFrame =
+  /** (doc_id, source, sz, shingle) posting rows of distinct 3-token
+    * shingles. Per-doc dedup is `array_distinct` BEFORE the explode — a
+    * row-local operation inside the scan's codegen span — and sz rides
+    * along as a column, so the whole posting list is produced with ZERO
+    * shuffles (the previous global `distinct()` + `groupBy(doc_id)` sizes
+    * aggregation were two exchanges of the full posting set, and the sizes
+    * then had to be joined back twice after the pair aggregation). */
+  /** Doc-level distinct 3-token shingle SETS, lexicographically sorted:
+    * (doc_id, source, shs, sz). Built per-row inside the scan's codegen
+    * span — zero shuffles — and materialized once (localCheckpoint): shs
+    * is referenced several times downstream (size, prefix slice, exact
+    * verification) and CollapseProject would otherwise inline the
+    * transform+array_distinct chain into every reference, computing the
+    * array repeatedly per row (the round-2 q33 blowup, same mechanism).
+    * 1 row per doc — tiny. */
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), col("source"),
-        explode(expr("transform(sequence(1, size(toks) - 2), i -> array_join(slice(toks, i, 3), ' '))"))
-          .as("shingle"))
-      .distinct()
+        sort_array(array_distinct(expr(
+          "transform(sequence(1, size(toks) - 2), i -> array_join(slice(toks, i, 3), ' '))")))
+          .as("shs"))
+      .localCheckpoint(true)
+      .withColumn("sz", size(col("shs")))
 
   /** Exact dedup after normalization (D1/D2 generalized): canonical id =
     * min doc_id per normalized text, via a single hash-partitioned window. */
@@ -62,23 +78,35 @@ object DedupOps extends QueryModule {
     * materializes once with lineage cut, outside the CacheManager, and its
     * blocks are reclaimed by the ContextCleaner when the query is done. */
   private def q27(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d).localCheckpoint(true)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    // Pair generation as a codegen'd self-join on the (source, shingle)
-    // inverted-index key. The groupBy+collect_list(posting-list) alternative
-    // shuffles half the bytes but was MEASURED 2x slower here: ~2.5M almost-
-    // all-singleton groups pay per-group array allocation/sort, while the
-    // hash join stays inside whole-stage codegen.
-    val a = sh.select(col("source"), col("doc_id").as("doc_a"), col("shingle"))
-    val b = sh.select(col("source").as("source_b"), col("doc_id").as("doc_b"), col("shingle").as("shingle_b"))
-    val pairs = a.join(b,
+    val sets = shingleSets(s, d)
+    // PPJoin-style EXACT prefix filtering: under any common total order
+    // (here: the lexicographic sort baked into shs), two sets with
+    // J >= 0.5 must share an element among the first
+    // |S| - ceil(0.5*|S|) + 1 = floor(|S|/2) + 1 elements of each — so
+    // only the prefixes are exploded into the inverted index, halving
+    // both sides of the candidate join and quartering its hash matches.
+    // The join condition also carries the exact length-band prune
+    // (J >= 0.5 forces max(sz) <= 2*min(sz)). Both prunes are
+    // necessary-condition filters: no qualifying pair can be lost.
+    val prefix = sets.select(col("source"), col("doc_id"), col("sz"),
+      explode(expr("slice(shs, 1, size(shs) div 2 + 1)")).as("shingle"))
+    val a = prefix.select(col("source"), col("doc_id").as("doc_a"),
+      col("sz").as("sz_a"), col("shingle"))
+    val b = prefix.select(col("source").as("source_b"), col("doc_id").as("doc_b"),
+      col("sz").as("sz_b"), col("shingle").as("shingle_b"))
+    val cand = a.join(b,
         col("source") === col("source_b") && col("shingle") === col("shingle_b") &&
-          col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+          col("doc_a") < col("doc_b") &&
+          col("sz_a") <= col("sz_b") * 2 && col("sz_b") <= col("sz_a") * 2)
+      .select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
+      .distinct()
+    // Exact verification on the doc-level sets: candidates join back to
+    // the checkpointed arrays and intersect row-locally — work is
+    // proportional to candidates, not corpus.
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))).cast("bigint"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= 0.5)
