@@ -697,6 +697,69 @@ object RelationalExt extends QueryModule {
        |                        (o_orderstatus, o_orderpriority))
        |ORDER BY status_label, priority_label, gid""".stripMargin
 
+  /** Interval-overlap join — the true two-sided range join missing from
+    * q16's static bucket lookup: user sessions (gap-sessionized, q19's
+    * definition) joined to "busy hours" (hours whose event count exceeds
+    * 1.2x the mean — an integer-exact n*H*5 > N*6 comparison, portable
+    * across engines and scale factors). The Spark side is the SCALE path:
+    * each session explodes into the hour buckets it spans (sessions are
+    * bounded, so fan-out is small) and equi-joins the broadcast busy-hour
+    * table — no theta join ever executes; the oracle states the same
+    * semantics as a plain overlap theta join (s_start <= h_end AND
+    * h_start <= s_end), which is provably identical for closed integer
+    * intervals: s_start <= hb*3600+3599 iff floor(s_start/3600) <= hb, and
+    * hb*3600 <= s_end iff hb <= floor(s_end/3600). */
+  private def q72(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("sec"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val sess = e
+      .withColumn("prev", lag(col("sec"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("sec") - col("prev") > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("sec")).as("s_start"), max(col("sec")).as("s_end"))
+    val h = e.groupBy(expr("sec div 3600").as("hb"))
+      .agg(count(lit(1)).as("n_events"))
+    val tot = h.agg(count(lit(1)).as("hh"), sum(col("n_events")).as("nn"))
+    val busy = h.crossJoin(broadcast(tot))
+      .filter(col("n_events") * col("hh") * 5 > col("nn") * 6)
+      .select(col("hb"), col("n_events"))
+    sess
+      .withColumn("hb", explode(sequence(expr("s_start div 3600"), expr("s_end div 3600"))))
+      .join(broadcast(busy), "hb")
+      .select(col("user_id"), col("session_id").cast("int").as("session_id"),
+        col("s_start"), col("s_end"),
+        (col("hb") * 3600).as("hour_start"), col("n_events"))
+      .orderBy("user_id", "session_id", "hour_start")
+  }
+  private val q72Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+      |g AS (
+      |  SELECT user_id, event_id, sec,
+      |    CASE WHEN LAG(sec) OVER w IS NULL OR sec - LAG(sec) OVER w > 1800
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+      |sess AS (
+      |  SELECT user_id, sec,
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id
+      |  FROM g),
+      |si AS (
+      |  SELECT user_id, session_id, MIN(sec) AS s_start, MAX(sec) AS s_end
+      |  FROM sess GROUP BY user_id, session_id),
+      |h AS (SELECT sec // 3600 AS hb, COUNT(*) AS n_events FROM e GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS hh, SUM(n_events) AS nn FROM h),
+      |busy AS (SELECT hb, n_events FROM h, tot WHERE n_events * hh * 5 > nn * 6)
+      |SELECT s.user_id, s.session_id, s.s_start, s.s_end,
+      |  b.hb * 3600 AS hour_start, b.n_events
+      |FROM si s JOIN busy b
+      |  ON s.s_start <= b.hb * 3600 + 3599 AND b.hb * 3600 <= s.s_end
+      |ORDER BY user_id, session_id, hour_start""".stripMargin
+
   private val q48Sql =
     """SELECT c_custkey,
       |  nullif(c_mktsegment, 'MACHINERY') AS seg_or_null,
@@ -723,6 +786,7 @@ object RelationalExt extends QueryModule {
     Q("q65_zorder_layout", q65, Some(q65Sql)),
     Q("q66_unpivot", q66, Some(q66Sql)),
     Q("q70_grouping_sets", q70, Some(q70Sql)),
+    Q("q72_interval_join", q72, Some(q72Sql)),
     Q("q36_semi_join", q36, Some(q36Sql)),
     Q("q37_pivot", q37, Some(q37Sql)),
     Q("q38_set_ops", q38, Some(q38Sql)),
