@@ -172,27 +172,24 @@ object DedupOps extends QueryModule {
     // corpus.
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val shc = docs.join(broadcast(candDocs), "doc_id")
+    // Doc-level shingle SETS for candidate docs only, intersected
+    // row-locally (q27's verification shape): no posting explode, no
+    // distinct/sizes shuffles, no per-shingle joins — just two broadcast
+    // lookups of the candidate arrays. Materialized once: referenced by
+    // both the a and b side.
+    val candSets = docs.join(broadcast(candDocs), "doc_id")
       .select(col("doc_id"),
-        explode(expr("transform(sequence(1, size(toks) - 2), i -> array_join(slice(toks, i, 3), ' '))"))
-          .as("shingle"))
-      .distinct()
+        array_distinct(expr(
+          "transform(sequence(1, size(toks) - 2), i -> array_join(slice(toks, i, 3), ' '))"))
+          .as("shs"))
       .localCheckpoint(true)
-    val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = broadcast(cand)
-      .join(shc.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
-      .join(broadcast(shc.select(col("doc_id").as("doc_b2"), col("shingle").as("shingle_b"))),
-        col("doc_b") === col("doc_b2") && col("shingle") === col("shingle_b"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    // Broadcast the RIGHT side: hinting the left (stream) side of a left
-    // outer join is unsupported (build side must be the non-preserved side)
-    // and Spark ignores the hint with a planner warning.
-    cand.join(broadcast(inter), Seq("doc_a", "doc_b"), "left")
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a")), "doc_a")
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b")), "doc_b")
+    cand
+      .join(broadcast(candSets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a"))), "doc_a")
+      .join(broadcast(candSets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b"))), "doc_b")
+      .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))))
       .withColumn("jaccard",
-        coalesce(col("inter"), lit(0L)).cast("double") /
-          (col("sz_a") + col("sz_b") - coalesce(col("inter"), lit(0L))).cast("double"))
+        col("inter").cast("double") /
+          (size(col("shs_a")) + size(col("shs_b")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
