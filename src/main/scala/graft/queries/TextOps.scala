@@ -197,8 +197,61 @@ object TextOps extends QueryModule {
       |FROM documents WHERE doc_id < 50
       |ORDER BY doc_id, pos""".stripMargin
 
+  /** Exact distributed heavy hitters (tokens with count >= total/500) via
+    * the mergeable-summaries two-phase shape: phase 1 runs Misra-Gries
+    * with k=512 counters per partition inside mapPartitions — the genuine
+    * per-partition-imperative tier — emitting a small candidate set;
+    * phase 2 exactly recounts candidates only (broadcast semi-join) and
+    * filters by the integer-exact cnt*500 >= N test.
+    *
+    * Exactness proof: a token with global count >= N/500 has count
+    * >= n_p/500 in at least one partition p (else summing over partitions
+    * contradicts the global bound). Misra-Gries with k counters performs
+    * at most n_p/(k+1) decrement rounds, so any token with partition count
+    * > n_p/(k+1) survives; k=512 > 499 makes n_p/513 < n_p/500, hence
+    * every qualifying token reaches phase 2, where counting is exact —
+    * no false negatives, and phase 2 removes all false positives. At scale
+    * this touches the corpus twice with ZERO wide shuffles on raw tokens:
+    * the only aggregation keyed on token is over the candidate subset. */
+  private def q73(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val k = 512
+    val cands = toks.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { tok =>
+        counters.get(tok) match {
+          case Some(c) => counters(tok) = c + 1
+          case None if counters.size < k => counters(tok) = 1L
+          case None => // full: decrement-all round (new item implicitly too)
+            val dead = List.newBuilder[String]
+            counters.foreach { case (key, c) =>
+              if (c == 1L) dead += key else counters(key) = c - 1
+            }
+            dead.result().foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.distinct().toDF("tok")
+    val counts = toks.join(broadcast(cands), "tok")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val tot = toks.agg(count(lit(1)).as("tn"))
+    counts.crossJoin(broadcast(tot))
+      .filter(col("cnt") * 500 >= col("tn"))
+      .select(col("tok"), col("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+  }
+  private val q73Sql =
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |c AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+      |tot AS (SELECT SUM(cnt) AS tn FROM c)
+      |SELECT tok, cnt FROM c, tot WHERE cnt * 500 >= tn
+      |ORDER BY cnt DESC, tok""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q71_posexplode_ordinal", q71, Some(q71Sql)),
+    Q("q73_heavy_hitters", q73, Some(q73Sql)),
     Q("q21_text_quality", q21, Some(q21Sql)),
     Q("q22_langid", q22, Some(q22Sql)),
     Q("q23_token_stats", q23, Some(q23Sql)),
