@@ -217,23 +217,9 @@ object TextOps extends QueryModule {
     import s.implicits._
     val toks = t(s, d, "documents")
       .select(explode(split(col("text"), " ")).as("tok"))
-    val k = 512
-    val cands = toks.as[String].mapPartitions { it =>
-      val counters = scala.collection.mutable.HashMap.empty[String, Long]
-      it.foreach { tok =>
-        counters.get(tok) match {
-          case Some(c) => counters(tok) = c + 1
-          case None if counters.size < k => counters(tok) = 1L
-          case None => // full: decrement-all round (new item implicitly too)
-            val dead = List.newBuilder[String]
-            counters.foreach { case (key, c) =>
-              if (c == 1L) dead += key else counters(key) = c - 1
-            }
-            dead.result().foreach(counters.remove)
-        }
-      }
-      counters.keysIterator
-    }.distinct().toDF("tok")
+    val cands = toks.as[String]
+      .mapPartitions(graft.operators.FreqItems.misraGries(_, 512))
+      .distinct().toDF("tok")
     val counts = toks.join(broadcast(cands), "tok")
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val tot = toks.agg(count(lit(1)).as("tn"))

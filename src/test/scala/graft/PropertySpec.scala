@@ -79,6 +79,23 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("Misra-Gries retains every item above the n/(k+1) bound (property)") {
+    val stream = Gen.listOf(Gen.chooseNum(0, 30).map("w" + _))
+    val kGen = Gen.chooseNum(2, 16)
+    check("retention", Prop.forAll(stream, kGen) { (s, k) =>
+      val out = graft.operators.FreqItems.misraGries(s.iterator, k).toSet
+      val counts = s.groupBy(identity).view.mapValues(_.size.toLong)
+      val mustKeep = counts.filter(_._2 > s.size.toLong / (k + 1)).keys
+      mustKeep.forall(out.contains) && out.size <= k
+    })
+    // two-phase exactness on a deliberately adversarial split: heavy item
+    // spread thinly across partitions still surfaces in at least one
+    val parts = Seq.fill(8)(Seq.fill(40)("hot") ++ (1 to 160).map("cold" + _))
+    val cands = parts.flatMap(p =>
+      graft.operators.FreqItems.misraGries(p.iterator, 512)).toSet
+    assert(cands.contains("hot"))
+  }
+
   test("whitespace normalization is idempotent and word-count stable (property via Spark)") {
     import spark.implicits._
     val word = Gen.nonEmptyListOf(Gen.alphaChar).map(_.mkString)
