@@ -760,6 +760,32 @@ object RelationalExt extends QueryModule {
       |  ON s.s_start <= b.hb * 3600 + 3599 AND b.hb * 3600 <= s.s_end
       |ORDER BY user_id, session_id, hour_start""".stripMargin
 
+  /** Bloom-pruned semi join (the explicit form of AQE's runtime-filter
+    * pruning, exposed as graft.operators.BloomFilter): the selective
+    * build side (urgent finished orders) aggregates into an 8 KB bitmap
+    * that broadcasts to the probe side, whose rows are pre-filtered by
+    * codegen'd bit arithmetic BEFORE the shuffle — at scale the probe
+    * shuffle carries only might-match rows. False positives are removed
+    * by the exact semi join behind the filter, so the oracle is the plain
+    * IN-subquery; the bloom provably cannot change results. */
+  private def q74(s: SparkSession, d: String): DataFrame = {
+    val build = t(s, d, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
+      .select(col("o_orderkey"))
+    graft.operators.BloomFilter
+      .semiJoin(t(s, d, "lineitem"), "l_orderkey", build, "o_orderkey")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity"), 2).as("total_qty"))
+      .orderBy("l_returnflag")
+  }
+  private val q74Sql =
+    s"""SELECT l_returnflag, COUNT(*) AS n_items,
+       |  ${dsumSql("l_quantity", 2)} AS total_qty
+       |FROM lineitem
+       |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+       |                     WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F')
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   private val q48Sql =
     """SELECT c_custkey,
       |  nullif(c_mktsegment, 'MACHINERY') AS seg_or_null,
@@ -787,6 +813,7 @@ object RelationalExt extends QueryModule {
     Q("q66_unpivot", q66, Some(q66Sql)),
     Q("q70_grouping_sets", q70, Some(q70Sql)),
     Q("q72_interval_join", q72, Some(q72Sql)),
+    Q("q74_bloom_semi_join", q74, Some(q74Sql)),
     Q("q36_semi_join", q36, Some(q36Sql)),
     Q("q37_pivot", q37, Some(q37Sql)),
     Q("q38_set_ops", q38, Some(q38Sql)),
