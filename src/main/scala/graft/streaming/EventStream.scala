@@ -107,6 +107,45 @@ object EventStream {
       }.toDF()
   }
 
+  final case class Scd2State(tpe: String, since: Long, version: Int)
+  final case class Scd2Out(user_id: Long, version: Int, event_type: String,
+      valid_from: Long, valid_to: Long)
+
+  /** Streaming SCD2 — the stateful twin of batch q69: per user, one state
+    * object holds the OPEN validity interval (current event_type, its
+    * start, version); a value change emits the closed interval exactly
+    * once (append-mode) and opens the next. Events are sorted by
+    * (sec, event_id) within each batch so in-batch order matches q69's
+    * window ordering; across batches correctness relies on per-user event
+    * time not regressing between triggers (same contract as
+    * [[closedSessions]] — file-source batches arrive in arrival order).
+    * State is O(1) per user regardless of history — the property that
+    * lets this run forever. */
+  def scd2Stream(events: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Scd2State, Scd2Out](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[Scd2State]) =>
+          val evs = rows.toSeq.sortBy(r => (r._2, r._3))
+          val closed = scala.collection.mutable.ListBuffer.empty[Scd2Out]
+          var st = state.getOption.orNull
+          evs.foreach { case (_, sec, _, tpe) =>
+            if (st == null) st = Scd2State(tpe, sec, 1)
+            else if (tpe != st.tpe) {
+              closed += Scd2Out(user, st.version, st.tpe, st.since, sec)
+              st = Scd2State(tpe, sec, st.version + 1)
+            }
+          }
+          state.update(st)
+          closed.iterator
+      }.toDF()
+  }
+
   /** Stream-stream interval join: purchases matched to the same user's
     * clicks within the preceding 30 minutes. Both sides watermarked so the
     * join state is bounded (clicks older than watermark+interval are

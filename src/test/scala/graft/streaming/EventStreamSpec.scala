@@ -79,6 +79,21 @@ class EventStreamSpec extends SparkSpec {
     assert(rebuilt.agg(sum("n_events")).head().getLong(0) === 1000L)
   }
 
+  test("streaming SCD2 emits exactly the batch query's closed intervals") {
+    implicit val s = spark
+    val stream = EventStream.scd2Stream(EventStream.read(spark, eventsDir))
+    val out = EventStream.runAvailableNow(spark, stream, "scd2_closed",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val batchClosed = graft.SparkEntry
+      .queries("q69_scd2_intervals")(spark, "/root/testdata/sf0.001")
+      .filter(col("valid_to").isNotNull)
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("valid_from"), col("valid_to"))
+    assert(out.count() > 0)
+    assert(out.exceptAll(batchClosed).isEmpty && batchClosed.exceptAll(out).isEmpty,
+      "streaming closed intervals must equal the batch q69 closed rows")
+  }
+
   test("incremental merge gold equals the batch aggregate across batches and restarts") {
     val bronze = java.nio.file.Files.createTempDirectory("graft_bronze_inc").toString
     val gold = java.nio.file.Files.createTempDirectory("graft_gold_inc").toString
