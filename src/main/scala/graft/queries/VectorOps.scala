@@ -277,8 +277,59 @@ object VectorOps extends QueryModule {
       |SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 3
       |ORDER BY query_id, rnk, neighbor_id""".stripMargin
 
+  /** Scalar int8 quantization of embeddings (the storage format a 100 TB
+    * vector corpus actually ships): per-vector min/max range, code =
+    * floor((x-mn)/scale) with scale = (mx-mn)/255 — floor, not round,
+    * because Spark HALF_UP and DuckDB HALF_EVEN disagree on ties while
+    * floor of the identical IEEE quotient is bit-portable. Emits the code
+    * checksum (proves the quantization itself matches, not just stats)
+    * and the max reconstruction error, whose theoretical bound is one
+    * scale step. min/max folds are order-independent-exact; everything
+    * else is ordered IEEE arithmetic — hash-matched oracle.
+    *
+    * Two-projection shape with the checkpoint BETWEEN: mn/mx are
+    * referenced inside per-element lambdas, and CollapseProject would
+    * inline the whole min/max fold into every element (O(d²) per row —
+    * the q27/q33 blowup, same mechanism). */
+  private def q75(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "embeddings")
+      .select(col("vec_id"), expr(s"$asDouble").as("e"))
+      .withColumn("mn", expr("aggregate(e, cast('Infinity' as double), (a, x) -> least(a, x))"))
+      .withColumn("mx", expr("aggregate(e, cast('-Infinity' as double), (a, x) -> greatest(a, x))"))
+      .filter(col("mx") > col("mn"))
+      .localCheckpoint(true)
+    base
+      .withColumn("scale", (col("mx") - col("mn")) / 255.0)
+      .select(col("vec_id"), size(col("e")).as("dim"), col("mn"), col("mx"),
+        expr("aggregate(e, cast(0 as bigint), (a, x) -> a + cast(floor((x - mn) / scale) as bigint))")
+          .as("code_sum"),
+        expr("aggregate(e, cast(0.0 as double), (a, x) -> greatest(a, (x - mn) - floor((x - mn) / scale) * scale))")
+          .as("max_err"))
+      .orderBy("vec_id")
+  }
+  private val q75Sql =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |r AS (
+      |  SELECT vec_id, e,
+      |    list_aggregate(e, 'min') AS mn, list_aggregate(e, 'max') AS mx
+      |  FROM e),
+      |q AS (
+      |  SELECT vec_id, e, mn, mx, (mx - mn) / 255.0 AS scale
+      |  FROM r WHERE mx > mn)
+      |SELECT vec_id, CAST(len(e) AS INTEGER) AS dim, mn, mx,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(e, x -> CAST(floor((x - mn) / scale) AS BIGINT))),
+      |    (a, b) -> a + b) AS code_sum,
+      |  list_reduce(list_prepend(0.0,
+      |    list_transform(e, x -> (x - mn) - floor((x - mn) / scale) * scale)),
+      |    (a, b) -> CASE WHEN b > a THEN b ELSE a END) AS max_err
+      |FROM q ORDER BY vec_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q31_embed_norms", q31, Some(q31Sql)),
+    Q("q75_embed_quantize", q75, Some(q75Sql)),
     Q("q32_ann_bruteforce", q32, Some(q32Sql)),
     Q("q33_ann_lsh", q33, Some(q33Sql)),
     Q("q40_embed_nn_dedup", q40, Some(q40Sql)),
