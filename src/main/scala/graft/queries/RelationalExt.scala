@@ -786,6 +786,45 @@ object RelationalExt extends QueryModule {
        |                     WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F')
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Argmax/argmin AGGREGATES (max_by/min_by): per nation, the richest and
+    * poorest customer plus the grand count — one hash aggregate with
+    * partial/final merge, no window sort anywhere (the aggregate dual of
+    * q57's first/nth/last window forms and q43's correlated-subquery max).
+    * Ordering key is struct(acctbal, custkey) so ties break
+    * deterministically INSIDE the aggregate; the oracle states the same
+    * winner via ROW_NUMBER with the identical tiebreak (DuckDB 1.0's
+    * arg_max has no composite-key form). */
+  private def q76(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        max_by(col("c_custkey"), struct(col("c_acctbal"), col("c_custkey"))).as("richest_cust"),
+        max(col("c_acctbal")).as("max_bal"),
+        min_by(col("c_custkey"), struct(col("c_acctbal"), col("c_custkey"))).as("poorest_cust"),
+        min(col("c_acctbal")).as("min_bal"))
+      .orderBy("c_nationkey")
+  }
+  private val q76Sql =
+    """WITH rich AS (
+      |  SELECT c_nationkey, c_custkey, c_acctbal,
+      |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+      |                       ORDER BY c_acctbal DESC, c_custkey DESC) AS rd,
+      |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+      |                       ORDER BY c_acctbal ASC, c_custkey ASC) AS ra
+      |  FROM customer),
+      |agg AS (
+      |  SELECT c_nationkey, COUNT(*) AS n_customers,
+      |    MAX(c_acctbal) AS max_bal, MIN(c_acctbal) AS min_bal
+      |  FROM customer GROUP BY c_nationkey)
+      |SELECT a.c_nationkey, a.n_customers,
+      |  r.c_custkey AS richest_cust, a.max_bal,
+      |  p.c_custkey AS poorest_cust, a.min_bal
+      |FROM agg a
+      |JOIN rich r ON a.c_nationkey = r.c_nationkey AND r.rd = 1
+      |JOIN rich p ON a.c_nationkey = p.c_nationkey AND p.ra = 1
+      |ORDER BY a.c_nationkey""".stripMargin
+
   private val q48Sql =
     """SELECT c_custkey,
       |  nullif(c_mktsegment, 'MACHINERY') AS seg_or_null,
@@ -814,6 +853,7 @@ object RelationalExt extends QueryModule {
     Q("q70_grouping_sets", q70, Some(q70Sql)),
     Q("q72_interval_join", q72, Some(q72Sql)),
     Q("q74_bloom_semi_join", q74, Some(q74Sql)),
+    Q("q76_argmax_agg", q76, Some(q76Sql)),
     Q("q36_semi_join", q36, Some(q36Sql)),
     Q("q37_pivot", q37, Some(q37Sql)),
     Q("q38_set_ops", q38, Some(q38Sql)),
