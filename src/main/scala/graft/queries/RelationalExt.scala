@@ -825,6 +825,30 @@ object RelationalExt extends QueryModule {
       |JOIN rich p ON a.c_nationkey = p.c_nationkey AND p.ra = 1
       |ORDER BY a.c_nationkey""".stripMargin
 
+  /** Conditional-aggregate surface (count_if / bool_and / bool_or /
+    * filtered sums) — predicates aggregated directly in one hash-agg pass,
+    * no pre-pivot or self-join. DuckDB states the same via FILTER clauses
+    * and its bool_and/bool_or. */
+  private def q77(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        count_if(col("o_orderstatus") === "F").as("n_finished"),
+        dsum(when(col("o_orderstatus") === "F", col("o_totalprice"))
+          .otherwise(lit(0.0)), 2).as("finished_revenue"),
+        bool_and(col("o_totalprice") > 0.0).as("all_positive"),
+        bool_or(col("o_totalprice") > 400000.0).as("any_jumbo"))
+      .orderBy("o_orderpriority")
+  }
+  private val q77Sql =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+       |  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+       |  ${dsumSql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END", 2)} AS finished_revenue,
+       |  bool_and(o_totalprice > 0.0) AS all_positive,
+       |  bool_or(o_totalprice > 400000.0) AS any_jumbo
+       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   private val q48Sql =
     """SELECT c_custkey,
       |  nullif(c_mktsegment, 'MACHINERY') AS seg_or_null,
@@ -854,6 +878,7 @@ object RelationalExt extends QueryModule {
     Q("q72_interval_join", q72, Some(q72Sql)),
     Q("q74_bloom_semi_join", q74, Some(q74Sql)),
     Q("q76_argmax_agg", q76, Some(q76Sql)),
+    Q("q77_cond_agg", q77, Some(q77Sql)),
     Q("q36_semi_join", q36, Some(q36Sql)),
     Q("q37_pivot", q37, Some(q37Sql)),
     Q("q38_set_ops", q38, Some(q38Sql)),

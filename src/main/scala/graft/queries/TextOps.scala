@@ -235,9 +235,33 @@ object TextOps extends QueryModule {
       |SELECT tok, cnt FROM c, tot WHERE cnt * 500 >= tn
       |ORDER BY cnt DESC, tok""".stripMargin
 
+  /** Regex group-extraction surface (regexp_extract with capture groups,
+    * regexp_extract_all counting, regexp_like) — the extraction family
+    * next to q10's regexp_replace and q41's redaction. Patterns stay in
+    * the RE2-safe subset (no backrefs/lookaround) where Java regex (Spark)
+    * and RE2 (DuckDB) agree. DuckDB 1.0 has no regexp_count, so the
+    * oracle counts len(regexp_extract_all(..)). */
+  private def q78(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "customer")
+      .select(col("c_custkey"),
+        regexp_extract(col("c_name"), "Customer#0*([0-9]+)$", 1).as("id_digits"),
+        regexp_extract(col("c_name"), "^([A-Za-z]+)#", 1).as("entity"),
+        expr("regexp_count(c_name, '[0-9]')").cast("int").as("n_digits"),
+        col("c_name").rlike("^Customer#[0-9]{9}$").as("well_formed"))
+      .orderBy("c_custkey")
+  }
+  private val q78Sql =
+    """SELECT c_custkey,
+      |  regexp_extract(c_name, 'Customer#0*([0-9]+)$', 1) AS id_digits,
+      |  regexp_extract(c_name, '^([A-Za-z]+)#', 1) AS entity,
+      |  CAST(len(regexp_extract_all(c_name, '[0-9]')) AS INTEGER) AS n_digits,
+      |  regexp_matches(c_name, '^Customer#[0-9]{9}$') AS well_formed
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q71_posexplode_ordinal", q71, Some(q71Sql)),
     Q("q73_heavy_hitters", q73, Some(q73Sql)),
+    Q("q78_regex_extract", q78, Some(q78Sql)),
     Q("q21_text_quality", q21, Some(q21Sql)),
     Q("q22_langid", q22, Some(q22Sql)),
     Q("q23_token_stats", q23, Some(q23Sql)),
