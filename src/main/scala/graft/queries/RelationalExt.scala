@@ -849,6 +849,59 @@ object RelationalExt extends QueryModule {
        |  bool_or(o_totalprice > 400000.0) AS any_jumbo
        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Exact distributed second-moment statistics: Pearson correlation and
+    * least-squares slope/intercept of (quantity, extendedprice) per return
+    * flag, from five DECIMAL-exact sums (n, Σx, Σy, Σxy, Σx², Σy²) — the
+    * only shuffle is the hash agg of exact partials, so the result is
+    * independent of partitioning/AQE re-plans (Spark's built-in corr()
+    * accumulates doubles in partition order and is NOT reproducible at
+    * scale). Each sum crosses to double through the string bridge
+    * (Num.d2d), and the remaining arithmetic is identically-parenthesized
+    * IEEE double ops — division and sqrt are correctly rounded, so both
+    * engines produce bit-identical statistics. */
+  private def q79(s: SparkSession, d: String): DataFrame = {
+    val x = dec(col("l_quantity"), 2)
+    val y = dec(col("l_extendedprice"), 2)
+    val sums = t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        d2d(sum(x)).as("sx"), d2d(sum(y)).as("sy"),
+        d2d(sum(x * y)).as("sxy"),
+        d2d(sum(x * x)).as("sxx"), d2d(sum(y * y)).as("syy"))
+    sums
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("dx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dy", col("n") * col("syy") - col("sy") * col("sy"))
+      .select(col("l_returnflag"), col("n").cast("bigint").as("n_items"),
+        (col("num") / sqrt(col("dx") * col("dy"))).as("corr_qty_price"),
+        (col("num") / col("dx")).as("slope"),
+        ((col("sy") - (col("num") / col("dx")) * col("sx")) / col("n")).as("intercept"))
+      .orderBy("l_returnflag")
+  }
+  private val q79Sql = {
+    val sx = d2dSql("SUM(CAST(l_quantity AS DECIMAL(18,2)))")
+    val sy = d2dSql("SUM(CAST(l_extendedprice AS DECIMAL(18,2)))")
+    val sxy = d2dSql("SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)))")
+    val sxx = d2dSql("SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)))")
+    val syy = d2dSql("SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)))")
+    s"""WITH sums AS (
+       |  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+       |    $sx AS sx, $sy AS sy, $sxy AS sxy, $sxx AS sxx, $syy AS syy
+       |  FROM lineitem GROUP BY l_returnflag),
+       |m AS (
+       |  SELECT l_returnflag, n, sx, sy,
+       |    n * sxy - sx * sy AS num,
+       |    n * sxx - sx * sx AS dx,
+       |    n * syy - sy * sy AS dy
+       |  FROM sums)
+       |SELECT l_returnflag, CAST(n AS BIGINT) AS n_items,
+       |  num / sqrt(dx * dy) AS corr_qty_price,
+       |  num / dx AS slope,
+       |  (sy - (num / dx) * sx) / n AS intercept
+       |FROM m ORDER BY l_returnflag""".stripMargin
+  }
+
   private val q48Sql =
     """SELECT c_custkey,
       |  nullif(c_mktsegment, 'MACHINERY') AS seg_or_null,
@@ -879,6 +932,7 @@ object RelationalExt extends QueryModule {
     Q("q74_bloom_semi_join", q74, Some(q74Sql)),
     Q("q76_argmax_agg", q76, Some(q76Sql)),
     Q("q77_cond_agg", q77, Some(q77Sql)),
+    Q("q79_exact_corr", q79, Some(q79Sql)),
     Q("q36_semi_join", q36, Some(q36Sql)),
     Q("q37_pivot", q37, Some(q37Sql)),
     Q("q38_set_ops", q38, Some(q38Sql)),
