@@ -902,6 +902,46 @@ object RelationalExt extends QueryModule {
        |FROM m ORDER BY l_returnflag""".stripMargin
   }
 
+  /** Pareto 80/20: the smallest prefix of customers (by revenue, ties by
+    * custkey) that covers 80% of total revenue. The keep rule is
+    * (cum - rev) * 5 < total * 4 — "the prefix BEFORE this row hadn't
+    * reached 80% yet" — evaluated entirely in DECIMAL (cumulative window
+    * sum of exact decimals, integer scaling instead of a 0.8 double), so
+    * the crossing row is engine-exact. The global sort is over the
+    * customer AGGREGATE (one row per customer), never the fact table. */
+  private def q80(s: SparkSession, d: String): DataFrame = {
+    val rev = t(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec(col("o_totalprice"), 2)).as("rev"))
+    val w = Window.orderBy(col("rev").desc, col("o_custkey"))
+    rev
+      .withColumn("cum", sum(col("rev")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("rev")).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter((col("cum") - col("rev")) * 5 < col("total") * 4)
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .select(col("o_custkey"), d2d(col("rev")).as("revenue"),
+        d2d(col("cum")).as("cum_revenue"), col("rnk"))
+      .orderBy("rnk")
+  }
+  private val q80Sql =
+    """WITH rev AS (
+      |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY o_custkey),
+      |c AS (
+      |  SELECT o_custkey, rev,
+      |    SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+      |                   ROWS UNBOUNDED PRECEDING) AS cum,
+      |    SUM(rev) OVER () AS total,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS INTEGER) AS rnk
+      |  FROM rev)
+      |SELECT o_custkey,
+      |  CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS revenue,
+      |  CAST(CAST(cum AS VARCHAR) AS DOUBLE) AS cum_revenue, rnk
+      |FROM c WHERE (cum - rev) * 5 < total * 4
+      |ORDER BY rnk""".stripMargin
+
   private val q48Sql =
     """SELECT c_custkey,
       |  nullif(c_mktsegment, 'MACHINERY') AS seg_or_null,
@@ -933,6 +973,7 @@ object RelationalExt extends QueryModule {
     Q("q76_argmax_agg", q76, Some(q76Sql)),
     Q("q77_cond_agg", q77, Some(q77Sql)),
     Q("q79_exact_corr", q79, Some(q79Sql)),
+    Q("q80_pareto", q80, Some(q80Sql)),
     Q("q36_semi_join", q36, Some(q36Sql)),
     Q("q37_pivot", q37, Some(q37Sql)),
     Q("q38_set_ops", q38, Some(q38Sql)),
