@@ -942,6 +942,47 @@ object RelationalExt extends QueryModule {
       |FROM c WHERE (cum - rev) * 5 < total * 4
       |ORDER BY rnk""".stripMargin
 
+  /** Time-weighted average (step-function TWA): each event's value holds
+    * until the user's next event; TWA = Σ value·Δt / (last − first). The
+    * per-interval contribution is DECIMAL(value) × BIGINT(Δt) — exact, so
+    * the aggregation is order-independent (a double Σ value·Δt would
+    * drift under shuffle-merge reordering); only the final division runs
+    * in doubles (correctly rounded, engine-identical). Single-event users
+    * (zero span) are excluded. One window pass + one hash agg, all
+    * partitioned by user. */
+  private def q81(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"), dec(col("value"), 6).as("v"))
+      .withColumn("nxt", lead(col("sec"), 1).over(w))
+      .withColumn("contrib", col("v") * (col("nxt") - col("sec")))
+      .groupBy(col("user_id"))
+      .agg(sum(col("contrib")).as("total"),
+        (max(col("sec")) - min(col("sec"))).as("span"),
+        count(lit(1)).as("n_events"))
+      .filter(col("span") > 0)
+      .select(col("user_id"), col("n_events"), col("span"),
+        (d2d(col("total")) / col("span")).as("twa_value"))
+      .orderBy("user_id")
+  }
+  private val q81Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      |    CAST(value AS DECIMAL(18,6)) AS v
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, sec, v,
+      |    LEAD(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS nxt
+      |  FROM e),
+      |a AS (
+      |  SELECT user_id, SUM(v * (nxt - sec)) AS total,
+      |    MAX(sec) - MIN(sec) AS span, COUNT(*) AS n_events
+      |  FROM g GROUP BY user_id)
+      |SELECT user_id, n_events, span,
+      |  CAST(CAST(total AS VARCHAR) AS DOUBLE) / span AS twa_value
+      |FROM a WHERE span > 0 ORDER BY user_id""".stripMargin
+
   private val q48Sql =
     """SELECT c_custkey,
       |  nullif(c_mktsegment, 'MACHINERY') AS seg_or_null,
@@ -974,6 +1015,7 @@ object RelationalExt extends QueryModule {
     Q("q77_cond_agg", q77, Some(q77Sql)),
     Q("q79_exact_corr", q79, Some(q79Sql)),
     Q("q80_pareto", q80, Some(q80Sql)),
+    Q("q81_time_weighted_avg", q81, Some(q81Sql)),
     Q("q36_semi_join", q36, Some(q36Sql)),
     Q("q37_pivot", q37, Some(q37Sql)),
     Q("q38_set_ops", q38, Some(q38Sql)),
