@@ -46,6 +46,10 @@ object Bench {
     // are ~3.9 KB and get truncated (BENCH_r01..r03 all parsed:null), so
     // stdout uses the short qNN keys and 0.1 ms precision (~1 KB); the
     // full-name full-precision line goes to BENCH_SELF.json.
+    val shortKeys = results.map(_._1.takeWhile(_ != '_'))
+    require(shortKeys.distinct.size == shortKeys.size,
+      "duplicate short bench keys (qNN prefixes must stay unique): " +
+        shortKeys.diff(shortKeys.distinct).distinct.mkString(", "))
     val qsShort = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
     }.mkString("{", ",", "}")

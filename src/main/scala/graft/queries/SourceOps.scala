@@ -34,10 +34,12 @@ object SourceOps extends QueryModule {
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
   import Num.{dsumSql, dec, d2d}
 
-  /** Scratch dir for round-trip sinks: per-sf-dir so concurrent
-    * Verify/Bench runs at different scales never collide. */
+  /** Scratch dir for round-trip sinks: keyed by sf-dir AND pid so
+    * concurrent runs — different scales, or two JVMs on the same scale
+    * (Verify racing Bench) — never interleave overwrite with read. */
   private def rtDir(kind: String, d: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_rt_${kind}_${math.abs(d.hashCode)}"
+    s"${System.getProperty("java.io.tmpdir")}/graft_rt_${kind}_" +
+      s"${math.abs(d.hashCode)}_${ProcessHandle.current.pid}"
 
   /** CSV sink → CSV source round-trip (S4), proven lossless by aggregating
     * the re-read copy against the parquet-side oracle. */

@@ -205,20 +205,25 @@ object EventStream {
     * are mergeable; the sum accumulates as decimal so merge order can never
     * drift the result.
     *
-    * Exactly-once: the checkpoint makes batch ids monotone across restarts,
-    * and a commit marker per batch id (written AFTER the gold overwrite)
-    * makes replays of an already-merged batch no-ops — the
-    * read-merge-overwrite is not atomic on a plain file sink, so the marker
-    * is what keeps a crash between overwrite and offset-commit from
-    * double-counting. The merged gold is localCheckpoint'ed before the
-    * overwrite so the new version is fully materialized before the old one
-    * is deleted (reading and overwriting the same path in one job is the
-    * alternative, broken, plan). */
+    * Exactly-once: the checkpoint makes batch ids monotone across restarts;
+    * each batch stages its merged gold into a batch-id-VERSIONED directory
+    * and the commit marker is the single commit point. The merge always
+    * reads the latest COMMITTED version (never a possibly-half-written
+    * directory), so every crash window closes:
+    *  - crash mid-stage: no marker → replay rewrites the same versioned dir
+    *    from the same checkpointed input (readers never saw it);
+    *  - crash between stage and marker: same — the staged dir is simply
+    *    overwritten with identical content, then committed;
+    *  - crash after marker: replay sees the marker and skips — no
+    *    double-merge.
+    * Readers go through [[readIncrementalGold]], which resolves the latest
+    * committed version. Old versions are garbage-collected after commit
+    * (the latest two are kept so an in-flight reader of the previous
+    * version is never yanked). */
   def goldIncrementalMerge(spark: SparkSession, bronzeDir: String,
       goldDir: String, checkpointDir: String,
       maxFilesPerTrigger: Option[Int] = None): Unit = {
-    val dataDir = s"$goldDir/events_by_type_inc"
-    val commitDir = new java.io.File(s"$goldDir/events_by_type_inc_commits")
+    val commitDir = new java.io.File(incCommitDir(goldDir))
     commitDir.mkdirs()
     val reader = spark.readStream.schema(eventSchema)
     val stream = maxFilesPerTrigger
@@ -228,31 +233,72 @@ object EventStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-            id: Long) =>
-          val marker = new java.io.File(commitDir, s"batch_$id")
-          if (!marker.exists()) {
-            val ss = batch.sparkSession
-            val partial = batch.groupBy(col("event_type"))
-              .agg(count(lit(1)).as("n_events"),
-                sum(col("value").cast("decimal(18,6)")).as("total_value"))
-            val prev =
-              if (new java.io.File(dataDir).exists())
-                ss.read.parquet(dataDir)
-              else partial.limit(0)
-            val merged = prev.unionByName(partial)
-              .groupBy(col("event_type"))
-              .agg(sum(col("n_events")).as("n_events"),
-                sum(col("total_value")).as("total_value"))
-              .coalesce(1)
-              .localCheckpoint(true)
-            merged.write.mode("overwrite").parquet(dataDir)
-            marker.createNewFile()
-          }
-          (): Unit
+            id: Long) => mergeIncrementalBatch(goldDir, id, batch)
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** One merge step of [[goldIncrementalMerge]] — package-visible so the
+    * spec can drive the crash windows (staged-but-uncommitted version dir,
+    * replayed committed batch) directly, without forging checkpoint state
+    * under a live metadata log. */
+  private[streaming] def mergeIncrementalBatch(goldDir: String, id: Long,
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): Unit = {
+    val marker = new java.io.File(incCommitDir(goldDir), s"batch_$id")
+    marker.getParentFile.mkdirs()
+    if (!marker.exists()) {
+      val ss = batch.sparkSession
+      val partial = batch.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).as("total_value"))
+      val prev = latestCommittedBatch(goldDir)
+        .map(v => ss.read.parquet(incVersionDir(goldDir, v)))
+        .getOrElse(partial.limit(0))
+      val merged = prev.unionByName(partial)
+        .groupBy(col("event_type"))
+        .agg(sum(col("n_events")).as("n_events"),
+          sum(col("total_value")).as("total_value"))
+        .coalesce(1)
+      merged.write.mode("overwrite").parquet(incVersionDir(goldDir, id))
+      require(marker.createNewFile() || marker.exists(),
+        s"could not write commit marker for batch $id")
+      // GC: committed versions older than the previous one can no
+      // longer be read by anyone; a crash mid-delete is harmless.
+      latestCommittedBatch(goldDir).foreach { latest =>
+        committedBatches(goldDir).filter(_ < latest - 1).foreach { old =>
+          deleteRecursively(new java.io.File(incVersionDir(goldDir, old)))
+        }
+      }
+    }
+    (): Unit
+  }
+
+  /** Read the incremental gold table at its latest committed version. */
+  def readIncrementalGold(spark: SparkSession, goldDir: String): DataFrame = {
+    val v = latestCommittedBatch(goldDir).getOrElse(
+      throw new IllegalStateException(s"no committed incremental gold under $goldDir"))
+    spark.read.parquet(incVersionDir(goldDir, v))
+  }
+
+  private def incCommitDir(goldDir: String) = s"$goldDir/events_by_type_inc_commits"
+  private def incVersionDir(goldDir: String, id: Long) =
+    s"$goldDir/events_by_type_inc_versions/batch_$id"
+
+  private def committedBatches(goldDir: String): Seq[Long] = {
+    val fs = Option(new java.io.File(incCommitDir(goldDir)).listFiles())
+      .getOrElse(Array.empty)
+    fs.toSeq.map(_.getName).collect { case s if s.startsWith("batch_") =>
+      s.stripPrefix("batch_").toLong }
+  }
+  private def latestCommittedBatch(goldDir: String): Option[Long] =
+    committedBatches(goldDir).maxOption
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+    (): Unit
   }
 
   /** Run any of the above to completion over existing files (the reference's

@@ -106,14 +106,14 @@ class EventStreamSpec extends SparkSpec {
     // overwrite each other.
     EventStream.goldIncrementalMerge(spark, bronze, gold, cp,
       maxFilesPerTrigger = Some(1))
-    val g1 = spark.read.parquet(s"$gold/events_by_type_inc")
+    val g1 = EventStream.readIncrementalGold(spark, gold)
     assert(g1.agg(sum("n_events")).head().getLong(0) === firstWave.count())
     // Run 2 on the SAME checkpoint after new files land: only the new wave
     // is read (offsets resume), and its partial merges into existing gold.
     secondWave.coalesce(1).write.mode("append").parquet(bronze)
     EventStream.goldIncrementalMerge(spark, bronze, gold, cp,
       maxFilesPerTrigger = Some(1))
-    val g2 = spark.read.parquet(s"$gold/events_by_type_inc")
+    val g2 = EventStream.readIncrementalGold(spark, gold)
     val batchTwin = events.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,6)")).as("total_value"))
@@ -126,9 +126,41 @@ class EventStreamSpec extends SparkSpec {
     assert(commits.nonEmpty)
     EventStream.goldIncrementalMerge(spark, bronze, gold, cp,
       maxFilesPerTrigger = Some(1))
-    val g3 = spark.read.parquet(s"$gold/events_by_type_inc")
+    val g3 = EventStream.readIncrementalGold(spark, gold)
     assert(g3.agg(sum("n_events")).head().getLong(0) === 1000L,
       "re-run with no new data must not double-count")
+  }
+
+  test("incremental merge closes both crash windows (staged-uncommitted and replayed-committed)") {
+    val gold = java.nio.file.Files.createTempDirectory("graft_gold_crash").toString
+    val events = Tables(spark, "/root/testdata/sf0.001", "events")
+    val wave1 = events.filter(col("event_id") % 2 === 0)
+    val wave2 = events.filter(col("event_id") % 2 =!= 0)
+    EventStream.mergeIncrementalBatch(gold, 0L, wave1)
+    val v0 = EventStream.readIncrementalGold(spark, gold)
+      .agg(sum("n_events")).head().getLong(0)
+    assert(v0 === wave1.count())
+    // Crash window 1: batch 1 stages its versioned dir but dies before the
+    // marker — forge that state by writing a GARBAGE staged dir (doubled
+    // counts). Readers must not see it, and the replay must overwrite it
+    // from the committed v0, not merge on top of it.
+    val staged = s"$gold/events_by_type_inc_versions/batch_1"
+    EventStream.readIncrementalGold(spark, gold)
+      .withColumn("n_events", col("n_events") * 2)
+      .write.mode("overwrite").parquet(staged)
+    assert(EventStream.readIncrementalGold(spark, gold)
+      .agg(sum("n_events")).head().getLong(0) === v0,
+      "an uncommitted staged version must be invisible to readers")
+    EventStream.mergeIncrementalBatch(gold, 1L, wave2)
+    assert(EventStream.readIncrementalGold(spark, gold)
+      .agg(sum("n_events")).head().getLong(0) === 1000L,
+      "replay over a stale staged dir must rebuild from the committed version")
+    // Crash window 2: batch 1 committed, but the stream's offset commit was
+    // lost — the replayed (id, data) must be a no-op.
+    EventStream.mergeIncrementalBatch(gold, 1L, wave2)
+    assert(EventStream.readIncrementalGold(spark, gold)
+      .agg(sum("n_events")).head().getLong(0) === 1000L,
+      "replay of a committed batch must not double-count")
   }
 
   test("streaming content dedup keeps exactly one doc per normalized text") {
