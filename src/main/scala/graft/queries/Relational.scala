@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.operators.GlobalRank
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -313,6 +314,8 @@ object Relational extends QueryModule {
     * (run_phase2_transformation.py:203-222). */
   private def q13(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "events").select(col("value").cast("double").as("v"), col("user_id"))
+    // One row; materialized because it feeds both the median's n and the
+    // final cross join.
     val base = e.agg(
       count(lit(1)).as("n_events"),
       countDistinct(col("user_id")).as("n_users"),
@@ -321,9 +324,14 @@ object Relational extends QueryModule {
       dstddev(col("v"), 6).as("std_value"),
       min(col("v")).as("min_value"),
       max(col("v")).as("max_value"))
-    val ranked = e
-      .withColumn("rn", row_number().over(Window.orderBy(col("v"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .localCheckpoint(true)
+    // Exact median via the scale-safe two-pass global rank (bucketed
+    // row_number — graft.operators.GlobalRank), never a single-partition
+    // window over the fact table. Values at the two middle ranks are
+    // well-defined under ties (any tie order sorts the same multiset).
+    val ranked = GlobalRank.withRank(e, col("v"), descending = false,
+      tieBreakers = Seq.empty, rnName = "rn")
+      .crossJoin(broadcast(base.select(col("n_events").as("n"))))
     // Integer division on purpose: Spark `/` on longs is fractional, so
     // (n+1)/2 = 5000.5 would never equal rn on even counts; floor() selects
     // both middle rows exactly like the oracle's `//`.

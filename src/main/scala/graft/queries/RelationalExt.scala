@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.operators.GlobalRank
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -612,14 +613,37 @@ object RelationalExt extends QueryModule {
       |ORDER BY event_id""".stripMargin
 
   /** Distribution windows: ntile quartiles, percent_rank, cume_dist over a
-    * total order (none exist in the reference — SURVEY §2.6 notes the gap). */
+    * total order (none exist in the reference — SURVEY §2.6 notes the gap).
+    *
+    * Computed ARITHMETICALLY from the scale-safe two-pass global rank
+    * (graft.operators.GlobalRank) instead of `ntile/percent_rank/cume_dist
+    * OVER (ORDER BY …)`, whose single-partition window funnels the whole
+    * table through one task. The order (acctbal DESC, custkey) is a total
+    * order — no ties — so rank = row_number, cume_dist = rn/n,
+    * percent_rank = (rn-1)/(n-1), and NTILE follows the standard SQL
+    * bucket-size rule (first n%b buckets get one extra row), all exact
+    * integer/IEEE arithmetic identical to the window builtins. */
   private def q46(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
-    t(s, d, "customer")
-      .select(col("c_custkey"), col("c_acctbal"))
-      .withColumn("quartile", ntile(4).over(w))
-      .withColumn("pct_rank", percent_rank().over(w))
-      .withColumn("cume", cume_dist().over(w))
+    val cust = t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
+    val nDf = broadcast(cust.agg(count(lit(1)).as("n")))
+    val rn = col("rn"); val n = col("n")
+    // NTILE(4), pure integer arithmetic: q = n div 4 rows per bucket, the
+    // first r = n % 4 buckets take one extra.
+    val quartile = expr(
+      """CASE WHEN rn <= (n div 4 + 1) * (n % 4)
+        |     THEN (rn - 1) div (n div 4 + 1) + 1
+        |     ELSE n % 4 + (rn - (n % 4) * (n div 4 + 1) - 1) div (n div 4) + 1
+        |END""".stripMargin)
+    GlobalRank.withRank(cust, col("c_acctbal"), descending = true,
+        tieBreakers = Seq(col("c_custkey")), rnName = "rn")
+      .crossJoin(nDf)
+      .withColumn("quartile", quartile.cast("int"))
+      .withColumn("pct_rank",
+        when(n === 1, 0.0).otherwise(
+          (rn - 1).cast("double") / (n - 1).cast("double")))
+      .withColumn("cume", rn.cast("double") / n.cast("double"))
+      .select(col("c_custkey"), col("c_acctbal"), col("quartile"),
+        col("pct_rank"), col("cume"))
       .orderBy("c_custkey")
   }
   private val q46Sql =
@@ -913,14 +937,20 @@ object RelationalExt extends QueryModule {
     val rev = t(s, d, "orders")
       .groupBy(col("o_custkey"))
       .agg(sum(dec(col("o_totalprice"), 2)).as("rev"))
-    val w = Window.orderBy(col("rev").desc, col("o_custkey"))
-    rev
-      .withColumn("cum", sum(col("rev")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("total", sum(col("rev")).over(
-        Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    // Scale-safe form of the running sum: bucketed global rank + exact
+    // decimal prefix sums (graft.operators.GlobalRank) instead of an
+    // unpartitioned window — one row per customer is still billions of
+    // rows at 100 TB. The offset+local running sum is cast back to the
+    // plain window sum's decimal type so the emitted strings (and thus
+    // the d2d doubles) are unchanged.
+    val total = broadcast(rev.agg(sum(col("rev")).cast("decimal(28,2)").as("total")))
+    GlobalRank.withRank(rev, col("rev"), descending = true,
+        tieBreakers = Seq(col("o_custkey")), rnName = "rn",
+        prefixSum = Some((col("rev"), "cum0")))
+      .withColumn("cum", col("cum0").cast("decimal(28,2)"))
+      .crossJoin(total)
       .filter((col("cum") - col("rev")) * 5 < col("total") * 4)
-      .withColumn("rnk", row_number().over(w).cast("int"))
+      .withColumn("rnk", col("rn").cast("int"))
       .select(col("o_custkey"), d2d(col("rev")).as("revenue"),
         d2d(col("cum")).as("cum_revenue"), col("rnk"))
       .orderBy("rnk")
