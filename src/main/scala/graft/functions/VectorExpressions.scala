@@ -119,6 +119,10 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[L2NormD].getName, "graft_l2norm"),
       (exprs: Seq[Expression]) => L2NormD(exprs.head)))
     ext.injectFunction((
+      FunctionIdentifier("graft_h60"),
+      new ExpressionInfo(classOf[H60Expr].getName, "graft_h60"),
+      (exprs: Seq[Expression]) => H60Expr(exprs.head)))
+    ext.injectFunction((
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimhashExpr].getName, "graft_simhash"),
       (exprs: Seq[Expression]) => SimhashExpr(exprs.head)))

@@ -144,11 +144,16 @@ object DedupOps extends QueryModule {
     * token array inside the scan's codegen span — ZERO corpus-wide shuffle,
     * vs the explode-shingles→groupBy formulation that moved every shingle
     * row through a shuffle); 4 bands × 4 rows; band-bucket equi-join yields
-    * candidates; exact Jaccard over string shingles verifies. Hash-based →
-    * no SQL oracle (driver rows-only check).
+    * candidates; exact Jaccard over string shingles verifies.
+    *
+    * The sketch hashing is the engine-portable MD5-lane family
+    * (SketchUtil.h60 + affine maps mod 2^31-1) and the band key is the
+    * plain comma-joined lane string, so DuckDB reproduces signatures,
+    * bands, candidates, and verified pairs bit-for-bit — this query has an
+    * exact SQL oracle, not a rows-only check.
     *
     * At scale: the only corpus-wide shuffle is the candidate join on
-    * (band, sig) — 4 rows of 2 longs per doc regardless of doc length.
+    * (band, sig) — 4 short strings per doc regardless of doc length.
     * Everything downstream (verification) touches candidate docs only. */
   private def q28(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
@@ -161,7 +166,7 @@ object DedupOps extends QueryModule {
       explode(expr(
         """transform(sequence(0, 3), b ->
           |  struct(b AS band,
-          |         xxhash64(mh[b*4], mh[b*4+1], mh[b*4+2], mh[b*4+3]) AS sig))"""
+          |         concat_ws(',', mh[b*4], mh[b*4+1], mh[b*4+2], mh[b*4+3]) AS sig))"""
           .stripMargin)).as("bs"))
       .select(col("doc_id"), col("bs.band"), col("bs.sig"))
     // Candidate pairs materialize once, lineage cut (referenced three times
@@ -201,30 +206,31 @@ object DedupOps extends QueryModule {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** SimHash near-dup detection: 64-bit simhash computed per document by
+  /** SimHash near-dup detection: 60-bit simhash computed per document by
     * the native graft_simhash expression — one pass over the token array
     * inside the scan's codegen span, ZERO shuffle (the previous
     * explode→groupBy(doc,token)→SimhashAgg formulation shuffled every token
     * row twice; per-occurrence ±1 votes add linearly, so the result is
-    * bit-identical — OperatorsSpec cross-validates). 4 × 16-bit bands for
-    * downstream blocking. Hash-based → no SQL oracle. Emits per-doc
-    * sketches (deterministic, always non-empty) — the useful artifact for
-    * blocking. */
+    * bit-identical — SketchExpressionsSpec cross-validates). 4 × 15-bit
+    * bands for downstream blocking. Token hashing is the portable MD5-lane
+    * h60, so the sketch has an exact SQL oracle (sum of per-bit sign
+    * votes, reproduced verbatim in DuckDB). Emits per-doc sketches
+    * (deterministic, always non-empty) — the useful artifact for blocking. */
   private def q29(s: SparkSession, d: String): DataFrame = {
     t(s, d, "documents")
       .select(col("doc_id"),
         expr("graft_simhash(split(text, ' '))").as("simhash"))
       .select(
         col("doc_id"), col("simhash"),
-        expr("(simhash >> 0)  & 65535").as("band0"),
-        expr("(simhash >> 16) & 65535").as("band1"),
-        expr("(simhash >> 32) & 65535").as("band2"),
-        expr("(simhash >> 48) & 65535").as("band3"))
+        expr("(simhash >> 0)  & 32767").as("band0"),
+        expr("(simhash >> 15) & 32767").as("band1"),
+        expr("(simhash >> 30) & 32767").as("band2"),
+        expr("(simhash >> 45) & 32767").as("band3"))
       .orderBy("doc_id")
   }
 
-  /** SimHash candidate pairs: docs sharing any 16-bit band, verified by
-    * hamming distance ≤ 8. No oracle (hash-based). */
+  /** SimHash candidate pairs: docs sharing any 15-bit band, verified by
+    * hamming distance ≤ 8. Exact SQL oracle via the portable sketch. */
   private def q30(s: SparkSession, d: String): DataFrame = {
     // Materialize the (tiny: doc_id + 5 longs) sketch table once for the
     // self-join, lineage cut — recomputing the scan per side would be fine
@@ -247,10 +253,94 @@ object DedupOps extends QueryModule {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Shared oracle fragment: distinct 3-shingle strings per doc — the same
+    * CTE chain q27's oracle uses. */
+  private val shingleCte =
+    """docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |idx AS (
+      |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i FROM docs),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle FROM idx)""".stripMargin
+
+  /** The portable MinHash pipeline verbatim in SQL: h60 = first 15 hex
+    * nibbles of md5; lanes = affine maps mod the Mersenne prime — every
+    * constant mirrors SketchUtil exactly. */
+  private val q28Sql =
+    s"""WITH $shingleCte,
+       |hv AS (
+       |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS hm
+       |  FROM sh),
+       |perms AS (
+       |  SELECT p, (1103515245 * (p + 1) + 12345) % 2147483647 AS a,
+       |         (69069 * (p + 1) + 1) % 2147483647 AS b
+       |  FROM (SELECT unnest(generate_series(0, 15)) AS p)),
+       |lanes AS (
+       |  SELECT doc_id, p, MIN((a * hm + b) % 2147483647) AS lane
+       |  FROM hv CROSS JOIN perms GROUP BY doc_id, p),
+       |bands AS (
+       |  SELECT doc_id, p // 4 AS band, string_agg(lane::VARCHAR, ',' ORDER BY p) AS sig
+       |  FROM lanes GROUP BY doc_id, p // 4),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |ints AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+       |  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+       |              JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+       |  GROUP BY c.doc_a, c.doc_b)
+       |SELECT i.doc_a, i.doc_b,
+       |  CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) AS jaccard
+       |FROM ints i JOIN sizes sa ON i.doc_a = sa.doc_id
+       |            JOIN sizes sb ON i.doc_b = sb.doc_id
+       |WHERE CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** 60-bit SimHash in SQL: per-bit ±1 occurrence votes, sign → bit. */
+  private val simhashCte =
+    """alldocs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |tok AS (SELECT doc_id, unnest(toks) AS tk FROM alldocs),
+      |th AS (
+      |  SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS h FROM tok),
+      |bt AS (
+      |  SELECT doc_id, b,
+      |    CASE WHEN SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+      |         THEN (1::BIGINT << b) ELSE 0 END AS bit
+      |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) g
+      |  GROUP BY doc_id, b),
+      |sk AS (SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS simhash FROM bt GROUP BY doc_id)""".stripMargin
+
+  private val q29Sql =
+    s"""WITH $simhashCte
+       |SELECT doc_id, simhash,
+       |  (simhash >> 0)  & 32767 AS band0,
+       |  (simhash >> 15) & 32767 AS band1,
+       |  (simhash >> 30) & 32767 AS band2,
+       |  (simhash >> 45) & 32767 AS band3
+       |FROM sk ORDER BY doc_id""".stripMargin
+
+  private val q30Sql =
+    s"""WITH $simhashCte,
+       |bb AS (
+       |  SELECT doc_id, simhash, (simhash >> (bi * 15)) & 32767 AS v, bi
+       |  FROM (SELECT doc_id, simhash, unnest(generate_series(0, 3)) AS bi FROM sk)),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |         x.simhash AS sa, y.simhash AS sb
+       |  FROM bb x JOIN bb y
+       |    ON x.bi = y.bi AND x.v = y.v AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+       |FROM pairs
+       |WHERE bit_count(xor(sa, sb)) <= 8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q26_dedup_exact", q26, Some(q26Sql)),
     Q("q27_dedup_ngram_jaccard", q27, Some(q27Sql)),
-    Q("q28_dedup_minhash_lsh", q28, None),
-    Q("q29_simhash_sketch", q29, None),
-    Q("q30_simhash_pairs", q30, None))
+    Q("q28_dedup_minhash_lsh", q28, Some(q28Sql)),
+    Q("q29_simhash_sketch", q29, Some(q29Sql)),
+    Q("q30_simhash_pairs", q30, Some(q30Sql)))
 }

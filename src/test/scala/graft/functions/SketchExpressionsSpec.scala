@@ -14,11 +14,32 @@ class SketchExpressionsSpec extends SparkSpec {
     val viaAgg = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
-      .withColumn("th", xxhash64(col("token")))
+      .withColumn("th", expr("graft_h60(token)"))
       .groupBy(col("doc_id"))
       .agg(graft.operators.SimhashAgg(col("th"), col("cnt")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaExpr === viaAgg)
+  }
+
+  test("h60 matches the SQL formulation ('0x' || substr(md5(s),1,15))::BIGINT") {
+    // Values pinned from DuckDB 1.0 — the oracle engine must agree on the
+    // portable hash or every sketch oracle collapses.
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(SketchUtil.h60(UTF8String.fromString("")) === 955282973525019424L)
+    assert(SketchUtil.h60(UTF8String.fromString("hello")) === 419982666956583591L)
+    // And the column expression is the same function.
+    val viaExpr = Seq("", "hello", "héllo wörld")
+      .toDF("s").select(expr("graft_h60(s)")).as[Long].collect()
+    val direct = Seq("", "hello", "héllo wörld")
+      .map(s => SketchUtil.h60(UTF8String.fromString(s)))
+    assert(viaExpr.toSeq === direct)
+  }
+
+  test("minhash lane constants are non-zero across the usable permutation range") {
+    (0 until (1 << 20)).foreach { p =>
+      assert(SketchUtil.laneA(p) != 0L, s"laneA($p) = 0")
+      assert(SketchUtil.laneB(p) != 0L, s"laneB($p) = 0")
+    }
   }
 
   test("graft_simhash is insensitive to token order, sensitive to token multiset") {
