@@ -95,6 +95,17 @@ object Marts {
         countDistinct(col("branch_key")).as("branch_count"))
       .orderBy(col("total_reviews").desc)
 
+  /** vw_geographic_analysis: city-level BI view — fact ⋈ broadcast branch
+    * dim, grouped by city (complete_data_pipeline_fixed.py:281-291). */
+  def geographicAnalysis(fact: DataFrame, dimBranch: DataFrame): DataFrame =
+    fact.select(col("branch_key"), col("rating"), col("sentiment_score"))
+      .join(broadcast(dimBranch.select(col("branch_key"), col("city"))), Seq("branch_key"))
+      .groupBy(col("city")).agg(
+        count(lit(1)).as("total_reviews"),
+        round(avg(col("rating")), 2).as("avg_rating"),
+        round(avg(col("sentiment_score")), 4).as("avg_sentiment"))
+      .orderBy(col("total_reviews").desc, col("city"))
+
   /** A7/A8: per-topic rollup with sorted string agg
     * (phase2_transformation_pipeline.py:420-431). */
   def topicAnalysis(enriched: DataFrame): DataFrame =

@@ -64,7 +64,20 @@ object Star {
       when(month(fd).isin(12, 1, 2), "Winter")
         .when(month(fd).isin(3, 4, 5), "Spring")
         .when(month(fd).isin(6, 7, 8), "Summer")
-        .otherwise("Autumn").as("season"))
+        .otherwise("Autumn").as("season"),
+      year(fd).as("fiscal_year"), // Jan-Dec fiscal calendar (dim_date.sql:65-67)
+      quarter(fd).as("fiscal_quarter"),
+      isMoroccanHoliday(fd).as("is_holiday"))
+  }
+
+  /** Fixed-date Moroccan public holidays (dim_date.sql:68-81): New Year,
+    * Independence Manifesto, Labour Day, Throne Day, Oued Ed-Dahab,
+    * Revolution Day, Youth Day, Green March, Independence Day. The
+    * reference models only the fixed Gregorian dates (religious holidays
+    * shift yearly and are out of its scope — kept identical here). */
+  def isMoroccanHoliday(fd: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val holidays = Seq((1, 1), (1, 11), (5, 1), (7, 30), (8, 14), (8, 20), (8, 21), (11, 6), (11, 18))
+    (month(fd) * 100 + dayofmonth(fd)).isin(holidays.map { case (m, dd) => m * 100 + dd }: _*)
   }
 
   private def surrogate(df: DataFrame, keyName: String, orderCols: Seq[String],
@@ -75,17 +88,67 @@ object Star {
     else
       df.withColumn(keyName, monotonically_increasing_id())
 
-  /** dim_bank: distinct banks + branch-count metric join
+  /** Descriptive bank attributes — the dbt dim's CASE lookup ladders
+    * (dim_bank.sql:21-73): category and type from name patterns,
+    * establishment year / headquarters / website from the known-bank
+    * lookup. Pure row-local column expressions. */
+  def bankAttributes(df: DataFrame, nameCol: String = "bank_name"): DataFrame = {
+    val n = lower(col(nameCol))
+    val category = when(n.contains("islamic") || n.contains("barid"), "Islamic")
+      .when(n.contains("credit") || n.contains("crédit"), "Credit")
+      .when(n.contains("populaire"), "Cooperative")
+      .when(n.contains("international"), "International")
+      .otherwise("Commercial")
+    val bankType = when(n.isin("attijariwafa bank", "banque populaire", "bmce bank"),
+        "Large Commercial")
+      .when(n.contains("crédit") || n.contains("credit"), "Credit Institution")
+      .when(n.contains("islamic"), "Islamic Banking")
+      .otherwise("Commercial")
+    val established = when(n === "attijariwafa bank", 2004)
+      .when(n === "banque populaire", 1961)
+      .when(n === "bmce bank", 1959)
+      .when(n === "crédit agricole du maroc", 1961)
+      .when(n === "bmci", 1943)
+      .when(n === "société générale maroc", 1962)
+      .when(n === "cih bank", 1920)
+      .when(n === "cdm", 1959)
+      .when(n === "al barid bank", 2009)
+      .otherwise(lit(null).cast("int"))
+    val hq = when(n.isin("attijariwafa bank", "bmce bank", "bmci",
+        "société générale maroc", "cih bank"), "Casablanca")
+      .when(n.isin("banque populaire", "crédit agricole du maroc", "cdm",
+        "al barid bank"), "Rabat")
+      .otherwise("Casablanca") // default to the economic capital (dim_bank.sql:62)
+    val website = when(n === "attijariwafa bank", "https://www.attijariwafabank.com")
+      .when(n === "banque populaire", "https://www.gbp.ma")
+      .when(n === "bmce bank", "https://www.bmcebank.ma")
+      .when(n === "crédit agricole du maroc", "https://www.creditagricole.ma")
+      .when(n === "bmci", "https://www.bmci.ma")
+      .when(n === "société générale maroc", "https://www.sgmaroc.com")
+      .when(n === "cih bank", "https://www.cih.co.ma")
+      .when(n === "al barid bank", "https://www.albaridbank.ma")
+      .otherwise(lit(null).cast("string"))
+    df.withColumn("bank_category", category)
+      .withColumn("bank_type", bankType)
+      .withColumn("established_year", established)
+      .withColumn("headquarters_city", hq)
+      .withColumn("website_url", website)
+  }
+
+  /** dim_bank: distinct banks + branch-count metric join + descriptive
+    * attribute ladders
     * (complete_data_pipeline_fixed.py:182-196; dim_bank.sql:16-101). */
   def dimBank(staged: DataFrame, parityMode: Boolean = true): DataFrame = {
     val banks = staged.select(col("bank_name")).distinct()
     val metrics = staged.groupBy(col("bank_name"))
       .agg(countDistinct(col("place_id")).as("total_branches"))
-    val joined = banks.join(broadcast(metrics), Seq("bank_name"), "left")
+    val joined = bankAttributes(banks.join(broadcast(metrics), Seq("bank_name"), "left"))
       .withColumn("bank_id", regexp_replace(col("bank_name"), " ", "_"))
       .withColumn("total_branches", coalesce(col("total_branches"), lit(0L)))
     surrogate(joined, "bank_key", Seq("bank_name"), parityMode)
-      .select(col("bank_key"), col("bank_id"), col("bank_name"), col("total_branches"))
+      .select(col("bank_key"), col("bank_id"), col("bank_name"),
+        col("bank_category"), col("bank_type"), col("established_year"),
+        col("headquarters_city"), col("website_url"), col("total_branches"))
   }
 
   /** City/region extraction from branch names — the dim_branch CASE ladder

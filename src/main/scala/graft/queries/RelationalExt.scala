@@ -1013,6 +1013,37 @@ object RelationalExt extends QueryModule {
       |  CAST(CAST(total AS VARCHAR) AS DOUBLE) / span AS twa_value
       |FROM a WHERE span > 0 ORDER BY user_id""".stripMargin
 
+  /** Geographic rollup — the vw_geographic_analysis BI-view shape
+    * (complete_data_pipeline_fixed.py:281-291; Marts.geographicAnalysis is
+    * the domain twin): fact grouped by the geography of its dimension
+    * chain, volume-ordered. Join strategy is per-dim: customer is
+    * fact-scale (NOT broadcast — shuffle join, AQE-managed), nation is the
+    * genuinely small dim and broadcasts. Decimal-exact avgs via Num. */
+  private def q82(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "orders")
+      .select(col("o_custkey"), col("o_totalprice"))
+      .join(t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"), col("c_acctbal")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation").select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("city"))
+      .agg(
+        count(lit(1)).as("total_orders"),
+        davg(col("o_totalprice"), 2).as("avg_order_value"),
+        davg(col("c_acctbal"), 4).as("avg_acctbal"),
+        countDistinct(col("o_custkey")).as("active_customers"))
+      .orderBy(col("total_orders").desc, col("city"))
+  }
+  private val q82Sql =
+    s"""SELECT n_name AS city, COUNT(*) AS total_orders,
+       |  ${davgSql("o_totalprice", 2)} AS avg_order_value,
+       |  ${davgSql("c_acctbal", 4)} AS avg_acctbal,
+       |  COUNT(DISTINCT o_custkey) AS active_customers
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |            JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY n_name
+       |ORDER BY total_orders DESC, city""".stripMargin
+
   private val q48Sql =
     """SELECT c_custkey,
       |  nullif(c_mktsegment, 'MACHINERY') AS seg_or_null,
@@ -1046,6 +1077,7 @@ object RelationalExt extends QueryModule {
     Q("q79_exact_corr", q79, Some(q79Sql)),
     Q("q80_pareto", q80, Some(q80Sql)),
     Q("q81_time_weighted_avg", q81, Some(q81Sql)),
+    Q("q82_geo_rollup", q82, Some(q82Sql)),
     Q("q36_semi_join", q36, Some(q36Sql)),
     Q("q37_pivot", q37, Some(q37Sql)),
     Q("q38_set_ops", q38, Some(q38Sql)),

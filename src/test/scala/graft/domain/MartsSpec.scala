@@ -58,4 +58,25 @@ class MartsSpec extends SparkSpec {
       .map(r => r.getAs[String]("bank_name") -> r.getAs[Long]("branch_count")).toMap
     assert(dash("Bank Alpha") === 2L)
   }
+
+  test("geographicAnalysis aggregates the fact per city with rounded avgs") {
+    val bank = Star.dimBank(silver)
+    val branch = Star.dimBranch(silver, bank)
+    val fact = Star.factReviews(silver, bank, branch)
+    val geo = Marts.geographicAnalysis(fact, branch)
+    val rows = geo.collect()
+    assert(rows.nonEmpty)
+    // Totals must partition the joined fact rows (every fact row has a
+    // branch in the fixture), and avgs carry the view's rounding.
+    val joined = fact.join(branch.select("branch_key"), Seq("branch_key")).count()
+    assert(rows.map(_.getAs[Long]("total_reviews")).sum === joined)
+    rows.foreach { r =>
+      val avg = r.getAs[Double]("avg_rating")
+      assert(avg >= 1.0 && avg <= 5.0)
+      assert((avg * 100).round / 100.0 === avg) // rounded to 2 decimals
+    }
+    // Ordered by volume desc (vw_geographic_analysis ORDER BY).
+    val counts = rows.map(_.getAs[Long]("total_reviews"))
+    assert(counts.sameElements(counts.sortBy(-_)))
+  }
 }

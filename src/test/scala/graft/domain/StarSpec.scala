@@ -45,6 +45,47 @@ class StarSpec extends SparkSpec {
     assert(sun.getAs[Boolean]("is_weekend"))
   }
 
+  test("dim_date holiday ladder flags exactly the reference's fixed dates") {
+    val dim = Star.dimDate(spark)
+    val holidays2024 = dim
+      .filter(col("is_holiday") && col("year") === 2024)
+      .select(date_format(col("full_date"), "MM-dd"))
+      .collect().map(_.getString(0)).toSet
+    assert(holidays2024 === Set("01-01", "01-11", "05-01", "07-30",
+      "08-14", "08-20", "08-21", "11-06", "11-18")) // dim_date.sql:68-81
+    val jan1 = dim.filter(col("full_date") === lit("2024-01-01").cast("date")).head()
+    assert(jan1.getAs[Int]("fiscal_year") === 2024)
+    assert(jan1.getAs[Int]("fiscal_quarter") === 1)
+  }
+
+  test("bank attribute ladders reproduce the dbt CASE lookups") {
+    import spark.implicits._
+    val attrs = Star.bankAttributes(
+      Seq("Attijariwafa Bank", "Banque Populaire", "Al Barid Bank",
+        "Crédit Agricole du Maroc", "Some Unknown Bank").toDF("bank_name"))
+      .collect().map(r => r.getAs[String]("bank_name") -> r).toMap
+    val awb = attrs("Attijariwafa Bank") // dim_bank.sql:33,42,55,65
+    assert(awb.getAs[String]("bank_type") === "Large Commercial")
+    assert(awb.getAs[Int]("established_year") === 2004)
+    assert(awb.getAs[String]("headquarters_city") === "Casablanca")
+    assert(awb.getAs[String]("website_url") === "https://www.attijariwafabank.com")
+    val bp = attrs("Banque Populaire") // populaire → Cooperative (dim_bank.sql:26)
+    assert(bp.getAs[String]("bank_category") === "Cooperative")
+    assert(bp.getAs[String]("headquarters_city") === "Rabat")
+    val barid = attrs("Al Barid Bank") // barid → Islamic (dim_bank.sql:24)
+    assert(barid.getAs[String]("bank_category") === "Islamic")
+    assert(barid.getAs[Int]("established_year") === 2009)
+    val cam = attrs("Crédit Agricole du Maroc")
+    assert(cam.getAs[String]("bank_category") === "Credit")
+    assert(cam.getAs[String]("bank_type") === "Credit Institution")
+    val unknown = attrs("Some Unknown Bank") // every ELSE branch
+    assert(unknown.getAs[String]("bank_category") === "Commercial")
+    assert(unknown.getAs[String]("bank_type") === "Commercial")
+    assert(unknown.isNullAt(unknown.fieldIndex("established_year")))
+    assert(unknown.getAs[String]("headquarters_city") === "Casablanca")
+    assert(unknown.isNullAt(unknown.fieldIndex("website_url")))
+  }
+
   test("dim_bank: one row per bank with branch counts and slug ids") {
     val rows = bank.collect().map(r =>
       r.getAs[String]("bank_name") -> (r.getAs[Long]("total_branches"), r.getAs[String]("bank_id"))).toMap
