@@ -36,6 +36,18 @@ import org.apache.spark.sql.functions._
   */
 object GlobalRank {
 
+  /** Standard SQL NTILE computed arithmetically from a global rank: with
+    * n rows and b buckets, the first n % b buckets take one extra row.
+    * Pure integer `div` arithmetic — bit-identical to the window builtin
+    * in any engine. `rnCol`/`nCol` name columns produced by [[withRank]]
+    * and a count agg. */
+  def ntileFromRank(b: Int, rnCol: String = "rn", nCol: String = "n"): Column =
+    expr(
+      s"""CASE WHEN $rnCol <= ($nCol div $b + 1) * ($nCol % $b)
+         |     THEN ($rnCol - 1) div ($nCol div $b + 1) + 1
+         |     ELSE $nCol % $b + ($rnCol - ($nCol % $b) * ($nCol div $b + 1) - 1) div ($nCol div $b) + 1
+         |END""".stripMargin)
+
   /** Adds a 1-based contiguous global row number `rnName` (BIGINT) ordered
     * by (key ± , tieBreakers...), and optionally the running sum of a
     * column in that order (`prefixSum = Some((col, cumName))`, exact for

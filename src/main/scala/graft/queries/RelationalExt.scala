@@ -112,26 +112,47 @@ object RelationalExt extends QueryModule {
   /** The at-scale approximate twin of q13's exact stats: HLL++
     * approx_count_distinct (order-independent, mergeable — the A6
     * "documented alternative" in SURVEY §2.5) and approx_percentile
-    * sketches, one pass, no global sort. Sketch internals are
-    * engine-specific → no SQL oracle (rows-only gate); the spec bounds the
-    * error against the exact answers instead. The percentile sketch's
-    * array output is projected to scalar p25/p50/p75 columns — the
-    * harness's rows-only check sorts the frame, and an array-typed
-    * column is unsortable there (round-2 gate crash). */
+    * sketches, one pass, no global sort.
+    *
+    * Sketch INTERNALS are engine-specific, so the raw estimates can never
+    * hash-match a DuckDB oracle. Instead the output carries (a) the exact
+    * columns riding the same pass (count, distinct users, min/max) and
+    * (b) tolerance BOOLEANS evaluated Spark-side against exact answers —
+    * HLL++ within its 3·rsd envelope, the percentile sketch's median
+    * inside the exact 45th..55th percentile band (its rank error bound is
+    * 1e-4), quartiles monotone. The oracle recomputes the exact columns
+    * and emits literal TRUE for the booleans — a full-frame hash check
+    * that fails if the sketches ever leave tolerance (the previous
+    * rows-only gate carried no value signal at all). */
   private def q56(s: SparkSession, d: String): DataFrame = {
     t(s, d, "events")
       .select(col("event_type"), col("user_id"), col("value").cast("double").as("v"))
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        approx_count_distinct(col("user_id")).as("n_users_approx"),
-        expr("approx_percentile(v, array(0.25, 0.5, 0.75), 10000)").as("pcts"))
-      .select(col("event_type"), col("n_events"), col("n_users_approx"),
-        col("pcts").getItem(0).as("p25"),
-        col("pcts").getItem(1).as("p50"),
-        col("pcts").getItem(2).as("p75"))
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("v")).as("min_value"),
+        max(col("v")).as("max_value"),
+        approx_count_distinct(col("user_id")).as("cd_approx"),
+        expr("approx_percentile(v, array(0.25, 0.5, 0.75), 10000)").as("pcts"),
+        expr("percentile(v, array(0.45, 0.55))").as("band"))
+      .select(col("event_type"), col("n_events"), col("n_users"),
+        col("min_value"), col("max_value"),
+        (abs(col("cd_approx") - col("n_users")).cast("double") /
+          col("n_users") <= 0.15).as("hll_within_tol"),
+        (col("pcts").getItem(1) >= col("band").getItem(0) &&
+          col("pcts").getItem(1) <= col("band").getItem(1)).as("p50_within_tol"),
+        (col("pcts").getItem(0) <= col("pcts").getItem(1) &&
+          col("pcts").getItem(1) <= col("pcts").getItem(2)).as("pcts_monotone"))
       .orderBy("event_type")
   }
+  private val q56Sql =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  MIN(CAST(value AS DOUBLE)) AS min_value,
+      |  MAX(CAST(value AS DOUBLE)) AS max_value,
+      |  TRUE AS hll_within_tol, TRUE AS p50_within_tol, TRUE AS pcts_monotone
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Value-window family (first_value / nth_value / last_value over an
     * explicit full-partition frame): per nation, the richest, runner-up,
@@ -379,17 +400,22 @@ object RelationalExt extends QueryModule {
     * the graft_zorder codegen expression, split into 16 layout chunks, and
     * each chunk's bounding box reported — the per-file min/max stats a
     * z-ordered writer would produce (tight boxes on BOTH dims → file
-    * skipping for filters on either). A real writer replaces ntile with
-    * repartitionByRange(z) + sortWithinPartitions(z); ntile keeps the demo
-    * deterministic for the oracle. The encoding is plain bit arithmetic, so
-    * the oracle reproduces it exactly (ZOrderUtil.mortonSql). */
+    * skipping for filters on either). Chunk assignment is exact NTILE
+    * semantics computed from the scale-safe bucketed global rank
+    * (GlobalRank — a real writer's repartitionByRange(z) +
+    * sortWithinPartitions(z) has the same two-pass shape), deterministic
+    * for the oracle. The encoding is plain bit arithmetic, so the oracle
+    * reproduces it exactly (ZOrderUtil.mortonSql). */
   private def q65(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(col("z"), col("o_orderkey"))
-    t(s, d, "orders")
+    val zd = t(s, d, "orders")
       .select(col("o_orderkey"), col("o_custkey").as("x"),
         floor(col("o_totalprice") / 1000).as("y"))
       .withColumn("z", expr("graft_zorder(x, y)"))
-      .withColumn("chunk", ntile(16).over(w))
+    val nDf = broadcast(zd.agg(count(lit(1)).as("n")))
+    GlobalRank.withRank(zd, col("z"), descending = false,
+        tieBreakers = Seq(col("o_orderkey")), rnName = "rn")
+      .crossJoin(nDf)
+      .withColumn("chunk", GlobalRank.ntileFromRank(16).cast("int"))
       .groupBy(col("chunk"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("x")).as("x_min"), max(col("x")).as("x_max"),
@@ -627,17 +653,10 @@ object RelationalExt extends QueryModule {
     val cust = t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
     val nDf = broadcast(cust.agg(count(lit(1)).as("n")))
     val rn = col("rn"); val n = col("n")
-    // NTILE(4), pure integer arithmetic: q = n div 4 rows per bucket, the
-    // first r = n % 4 buckets take one extra.
-    val quartile = expr(
-      """CASE WHEN rn <= (n div 4 + 1) * (n % 4)
-        |     THEN (rn - 1) div (n div 4 + 1) + 1
-        |     ELSE n % 4 + (rn - (n % 4) * (n div 4 + 1) - 1) div (n div 4) + 1
-        |END""".stripMargin)
     GlobalRank.withRank(cust, col("c_acctbal"), descending = true,
         tieBreakers = Seq(col("c_custkey")), rnName = "rn")
       .crossJoin(nDf)
-      .withColumn("quartile", quartile.cast("int"))
+      .withColumn("quartile", GlobalRank.ntileFromRank(4).cast("int"))
       .withColumn("pct_rank",
         when(n === 1, 0.0).otherwise(
           (rn - 1).cast("double") / (n - 1).cast("double")))
@@ -1058,7 +1077,7 @@ object RelationalExt extends QueryModule {
     Q("q35_rollup", q35, Some(q35Sql)),
     Q("q51_cube", q51, Some(q51Sql)),
     Q("q55_salted_agg", q55, Some(q55Sql)),
-    Q("q56_approx_stats", q56, None),
+    Q("q56_approx_stats", q56, Some(q56Sql)),
     Q("q57_value_windows", q57, Some(q57Sql)),
     Q("q58_array_topk", q58, Some(q58Sql)),
     Q("q59_session_window", q59, Some(q59Sql)),

@@ -41,4 +41,36 @@ object Readers {
   /** S9: dated CSV backup sink (\copy analog). */
   def backupCsv(df: DataFrame, base: String, ds: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(s"$base/$ds")
+
+  /** S7: batched JDBC sink — the reference's psycopg2 execute_values insert
+    * loop (complete_data_pipeline_fixed.py:90-140) as Spark's native JDBC
+    * writer: each partition opens one connection and writes
+    * `batchsize`-row prepared-statement batches in parallel across the
+    * cluster, which is the distributed version of the reference's
+    * single-connection loop. */
+  def jdbcWrite(df: DataFrame, url: String, table: String,
+      batchSize: Int = 1000, mode: String = "overwrite"): Unit =
+    df.write.mode(mode)
+      .option("batchsize", batchSize)
+      .jdbc(url, table, new java.util.Properties)
+
+  /** S6: JDBC scan (the PG source family). `partitionColumn` + bounds split
+    * the table into `numPartitions` range-predicate reads so the scan is
+    * parallel and each task streams `fetchsize` rows at a time — the shape
+    * that matters when the relational side is large. Catalyst pushes
+    * filters into the remote query (PushedFilters on the JDBCRelation). */
+  def jdbc(spark: SparkSession, url: String, table: String,
+      partitionColumn: Option[(String, Long, Long, Int)] = None,
+      fetchSize: Int = 1000): DataFrame = {
+    val base = spark.read
+      .option("fetchsize", fetchSize)
+    partitionColumn match {
+      case Some((c, lo, hi, n)) =>
+        base.option("partitionColumn", c)
+          .option("lowerBound", lo).option("upperBound", hi)
+          .option("numPartitions", n)
+          .jdbc(url, table, new java.util.Properties)
+      case None => base.jdbc(url, table, new java.util.Properties)
+    }
+  }
 }

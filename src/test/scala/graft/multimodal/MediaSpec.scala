@@ -41,6 +41,41 @@ class MediaSpec extends SparkSpec {
       again.sortBy(_.media_id).map(_.byte_mean).toSeq)
   }
 
+  test("real image decode recovers true dimensions from PNG and JPEG bytes") {
+    implicit val s = spark
+    val imgDir = Files.createTempDirectory("graft_media_png").toString
+    // Deterministic real images, written with the same JDK codec stack the
+    // executors decode with.
+    def writeImage(name: String, fmt: String, w: Int, h: Int): Unit = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, (x * 31 + y * 7) % 0xffffff)))
+      javax.imageio.ImageIO.write(img, fmt, new java.io.File(imgDir, name))
+    }
+    writeImage("a.png", "png", 3, 5)
+    writeImage("b.png", "png", 17, 2)
+    writeImage("c.jpg", "jpg", 4, 9)
+    val media = Media.ingest(spark, imgDir, "image", glob = "*.{png,jpg}")
+    val feats = Media.extractFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    val byName = media.select("media_id", "uri").collect()
+      .map(r => r.getString(1).split('/').last -> r.getLong(0)).toMap
+    assert(feats(byName("a.png")).width.contains(3))
+    assert(feats(byName("a.png")).height.contains(5))
+    assert(feats(byName("b.png")).width.contains(17))
+    assert(feats(byName("b.png")).height.contains(2))
+    assert(feats(byName("c.jpg")).width.contains(4))
+    assert(feats(byName("c.jpg")).height.contains(9))
+    // Undecodable bytes (the fake 'jpg' fixtures) and non-image kinds → None.
+    val fake = Media.extractFeatures(Media.ingest(spark, dir, "image", glob = "*.jpg"))
+      .collect()
+    assert(fake.forall(f => f.width.isEmpty && f.height.isEmpty))
+    val audio = Media.extractFeatures(Media.ingest(spark, imgDir, "audio", glob = "*.png"))
+      .collect()
+    assert(audio.forall(f => f.width.isEmpty && f.height.isEmpty))
+  }
+
   test("frame sampling plan explodes metadata without decoding") {
     import spark.implicits._
     val vids = Seq((1L, "video", 3500L), (2L, "video", 999L), (3L, "image", 0L))

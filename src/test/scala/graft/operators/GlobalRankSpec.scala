@@ -61,8 +61,9 @@ class GlobalRankSpec extends SparkSpec {
     assert(rns === (1L to 100L).toArray)
   }
 
-  test("q13/q46/q80 plans carry no unpartitioned window") {
-    for (q <- Seq("q13_stats_median", "q46_distribution_windows", "q80_pareto")) {
+  test("q13/q46/q65/q80 plans carry no unpartitioned window") {
+    for (q <- Seq("q13_stats_median", "q46_distribution_windows",
+        "q65_zorder_layout", "q80_pareto")) {
       val df = graft.SparkEntry.queries(q)(spark, sf)
       assert(unpartitionedWindows(df) === 0, s"$q has an unpartitioned window")
     }

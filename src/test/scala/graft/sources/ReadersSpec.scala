@@ -75,4 +75,28 @@ class ReadersSpec extends SparkSpec {
     val back = Readers.csv(spark, s"$base/2024-06-03", schema)
     assert(back.count() === 1)
   }
+
+  test("S6/S7 executed: real JDBC write + partitioned read round-trip (embedded Derby)") {
+    // Derby ships in /opt/spark/jars — a genuine spark.read.jdbc /
+    // write.jdbc against a real SQL database, no external service needed.
+    val dbDir = Files.createTempDirectory("graft_derby").toString
+    val url = s"jdbc:derby:$dbDir/graftdb;create=true"
+    val src = graft.Tables(spark, "/root/testdata/sf0.001", "nation")
+      .select(col("n_nationkey").cast("long").as("n_nationkey"),
+        col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+    Readers.jdbcWrite(src, url, "nation_rt", batchSize = 10)
+    // Partitioned parallel scan: 4 range-predicate reads over the key.
+    val back = Readers.jdbc(spark, url, "nation_rt",
+      partitionColumn = Some(("n_nationkey", 0L, 24L, 4)))
+    assert(back.rdd.getNumPartitions === 4)
+    assert(back.orderBy("n_nationkey").collect().map(_.toSeq).toSeq ===
+      src.orderBy("n_nationkey").collect().map(_.toSeq).toSeq)
+    // Catalyst pushes the filter into the remote SQL (PushedFilters).
+    val plan = back.filter(col("n_regionkey") === 2L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_regionkey"), plan)
+    // Append mode: second write lands alongside the first.
+    Readers.jdbcWrite(src.limit(5), url, "nation_rt", mode = "append")
+    assert(Readers.jdbc(spark, url, "nation_rt").count() === 30)
+  }
 }
