@@ -235,6 +235,57 @@ object TextOps extends QueryModule {
       |SELECT tok, cnt FROM c, tot WHERE cnt * 500 >= tn
       |ORDER BY cnt DESC, tok""".stripMargin
 
+  /** Count-Min Sketch token frequency (q73's approximate sibling): the
+    * sketch builds in ONE pass over raw token occurrences with zero
+    * token-keyed shuffle — per-partition partial sketches merge as fixed
+    * 32 KB arrays — then the exact top-30 tokens are looked up against it.
+    * Output: exact count, CMS estimate, and the never-underestimates
+    * invariant. Because cell indexing uses the portable h60/affine family
+    * (graft.operators.CmsAgg), DuckDB rebuilds the sketch cells verbatim
+    * and the ESTIMATES hash-match exactly — not a tolerance check.
+    *
+    * At 100 TB: the exact-top-30 branch exists to ground the oracle; the
+    * sketch branch is the scale artifact (mergeable, broadcastable,
+    * constant-size). */
+  private def q83(s: SparkSession, d: String): DataFrame = {
+    val toks = t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .withColumn("hm", expr("graft_h60(tok)"))
+    val cms = toks.agg(graft.operators.CmsAgg(col("hm")).as("cms"))
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+      .limit(30)
+    top.crossJoin(broadcast(cms))
+      .withColumn("cms_est",
+        graft.operators.CmsAgg.estimate(col("cms"), expr("graft_h60(tok)")))
+      .select(col("tok").as("token"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") >= col("exact_cnt")).as("no_underestimate"))
+      .orderBy(col("exact_cnt").desc, col("token"))
+  }
+  private val q83Sql =
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tk FROM documents),
+      |hm AS (SELECT tk, ('0x' || substr(md5(tk), 1, 15))::BIGINT % 2147483647 AS h FROM tok),
+      |perms AS (
+      |  SELECT p, (1103515245 * (p + 1) + 12345) % 2147483647 AS a,
+      |         (69069 * (p + 1) + 1) % 2147483647 AS b
+      |  FROM (SELECT unnest(generate_series(0, 3)) AS p)),
+      |cells AS (
+      |  SELECT p, ((a * h + b) % 2147483647) % 1024 AS cell, COUNT(*) AS c
+      |  FROM hm CROSS JOIN perms GROUP BY 1, 2),
+      |top AS (
+      |  SELECT tk, COUNT(*) AS exact_cnt FROM tok GROUP BY tk
+      |  ORDER BY exact_cnt DESC, tk LIMIT 30),
+      |est AS (
+      |  SELECT t.tk, t.exact_cnt, MIN(c.c) AS cms_est
+      |  FROM top t CROSS JOIN perms pr
+      |  JOIN cells c ON c.p = pr.p AND c.cell =
+      |    ((pr.a * (('0x' || substr(md5(t.tk), 1, 15))::BIGINT % 2147483647) + pr.b)
+      |      % 2147483647) % 1024
+      |  GROUP BY t.tk, t.exact_cnt)
+      |SELECT tk AS token, exact_cnt, cms_est,
+      |  cms_est >= exact_cnt AS no_underestimate
+      |FROM est ORDER BY exact_cnt DESC, token""".stripMargin
+
   /** Regex group-extraction surface (regexp_extract with capture groups,
     * regexp_extract_all counting, regexp_like) — the extraction family
     * next to q10's regexp_replace and q41's redaction. Patterns stay in
@@ -261,6 +312,7 @@ object TextOps extends QueryModule {
   val all: Seq[Q] = Seq(
     Q("q71_posexplode_ordinal", q71, Some(q71Sql)),
     Q("q73_heavy_hitters", q73, Some(q73Sql)),
+    Q("q83_cms_token_freq", q83, Some(q83Sql)),
     Q("q78_regex_extract", q78, Some(q78Sql)),
     Q("q21_text_quality", q21, Some(q21Sql)),
     Q("q22_langid", q22, Some(q22Sql)),

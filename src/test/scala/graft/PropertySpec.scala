@@ -96,6 +96,28 @@ class PropertySpec extends SparkSpec {
     assert(cands.contains("hot"))
   }
 
+  test("GlobalRank equals the sorted index for arbitrary multisets (property via Spark)") {
+    import spark.implicits._
+    // Random duplicates-heavy doubles (negatives, ties, tiny/degenerate
+    // sizes) — the boundary/bucket edge cases a fixed dataset never hits.
+    val data = Gen.listOf(Gen.chooseNum(-50, 50).map(_ / 7.0))
+    (1 to 12).foreach { i =>
+      val vs = data.sample.getOrElse(Nil)
+      if (vs.nonEmpty) {
+        val df = vs.zipWithIndex.map { case (v, id) => (id.toLong, v) }.toDF("id", "v")
+        val ranked = graft.operators.GlobalRank
+          .withRank(df, col("v"), descending = i % 2 == 0,
+            tieBreakers = Seq(col("id")), rnName = "rn")
+          .select("id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val expected = vs.zipWithIndex
+          .sortBy { case (v, id) => (if (i % 2 == 0) -v else v, id) }
+          .zipWithIndex.map { case ((_, id), rn) => id.toLong -> (rn + 1).toLong }
+          .toMap
+        assert(ranked === expected, s"round $i: ranks diverged from sorted index")
+      }
+    }
+  }
+
   test("whitespace normalization is idempotent and word-count stable (property via Spark)") {
     import spark.implicits._
     val word = Gen.nonEmptyListOf(Gen.alphaChar).map(_.mkString)
