@@ -67,6 +67,12 @@ object Pipeline {
       branchCount = spark.read.parquet(s"$goldDir/dim_branch").count())
     silver.unpersist()
     require(r.factCount <= r.stagedCount, "fact cannot exceed staged rows")
+    // S11: run-stats JSON sink — the reference drops a processing-stats
+    // JSON at the end of each phase (nlp_processor_simple.py:289-301);
+    // here it is the per-stage validation counts next to the gold layer.
+    import spark.implicits._
+    Seq(r).toDS().coalesce(1).write.mode(SaveMode.Overwrite)
+      .json(s"$goldDir/run_stats")
     r
   }
 }

@@ -25,6 +25,11 @@ class PipelineSpec extends SparkSpec {
     val planStr = pruned.queryExecution.executedPlan.toString
     assert(planStr.contains("PartitionFilters") &&
       planStr.contains("review_year"), planStr)
+    // S11: the run-stats JSON sink reproduces the validation counts
+    val stats = spark.read.json(s"$base/gold/run_stats").head()
+    assert(stats.getAs[Long]("bronzeCount") === r.bronzeCount)
+    assert(stats.getAs[Long]("stagedCount") === r.stagedCount)
+    assert(stats.getAs[Long]("factCount") === r.factCount)
     // idempotent rebuild (SaveMode.Overwrite ≡ DROP CASCADE + CTAS)
     val r2 = Pipeline.run(spark, s"$base/bronze", s"$base/gold")
     assert(r2 === r.copy())
