@@ -56,7 +56,8 @@ object GlobalRank {
   def withRank(df: DataFrame, key: Column, descending: Boolean,
       tieBreakers: Seq[Column], rnName: String,
       prefixSum: Option[(Column, String)] = None,
-      buckets: Int = 32): DataFrame = {
+      buckets: Int = 32,
+      totalName: Option[String] = None): DataFrame = {
     val keyed = df.withColumn("__grk", key)
     // Pass 1: boundary values. approx_percentile never invents values, so
     // boundaries are real key values; duplicates just leave buckets empty.
@@ -88,9 +89,14 @@ object GlobalRank {
       .groupBy(col("__ab").as("__gb"))
       .agg(offAggs.head, offAggs.tail: _*)
     // Pass 3: the one wide shuffle — window partitioned by bucket.
+    // `totalName` rides along for free: the per-bucket counts already
+    // exist, so n = their sum — callers needing NTILE/percent formulas
+    // skip a whole extra scan-and-count of the input.
     val order = (if (descending) col("__grk").desc else col("__grk").asc) +: tieBreakers
     val w = Window.partitionBy(col("__gb")).orderBy(order: _*)
-    val ranked = withB.join(broadcast(offs), "__gb")
+    val offsTot = totalName.fold(offs)(tn =>
+      offs.crossJoin(broadcast(per.agg(sum("__cnt").as(tn)))))
+    val ranked = withB.join(broadcast(offsTot), "__gb")
       .withColumn(rnName, col("__offcnt") + row_number().over(w))
     prefixSum
       .fold(ranked) { case (c, cumName) =>

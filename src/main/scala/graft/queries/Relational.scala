@@ -314,8 +314,6 @@ object Relational extends QueryModule {
     * (run_phase2_transformation.py:203-222). */
   private def q13(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "events").select(col("value").cast("double").as("v"), col("user_id"))
-    // One row; materialized because it feeds both the median's n and the
-    // final cross join.
     val base = e.agg(
       count(lit(1)).as("n_events"),
       countDistinct(col("user_id")).as("n_users"),
@@ -324,14 +322,13 @@ object Relational extends QueryModule {
       dstddev(col("v"), 6).as("std_value"),
       min(col("v")).as("min_value"),
       max(col("v")).as("max_value"))
-      .localCheckpoint(true)
     // Exact median via the scale-safe two-pass global rank (bucketed
     // row_number — graft.operators.GlobalRank), never a single-partition
     // window over the fact table. Values at the two middle ranks are
-    // well-defined under ties (any tie order sorts the same multiset).
+    // well-defined under ties (any tie order sorts the same multiset);
+    // n rides along from the rank's own bucket counts.
     val ranked = GlobalRank.withRank(e, col("v"), descending = false,
-      tieBreakers = Seq.empty, rnName = "rn")
-      .crossJoin(broadcast(base.select(col("n_events").as("n"))))
+      tieBreakers = Seq.empty, rnName = "rn", totalName = Some("n"))
     // Integer division on purpose: Spark `/` on longs is fractional, so
     // (n+1)/2 = 5000.5 would never equal rn on even counts; floor() selects
     // both middle rows exactly like the oracle's `//`.

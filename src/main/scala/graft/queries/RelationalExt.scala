@@ -411,10 +411,9 @@ object RelationalExt extends QueryModule {
       .select(col("o_orderkey"), col("o_custkey").as("x"),
         floor(col("o_totalprice") / 1000).as("y"))
       .withColumn("z", expr("graft_zorder(x, y)"))
-    val nDf = broadcast(zd.agg(count(lit(1)).as("n")))
     GlobalRank.withRank(zd, col("z"), descending = false,
-        tieBreakers = Seq(col("o_orderkey")), rnName = "rn")
-      .crossJoin(nDf)
+        tieBreakers = Seq(col("o_orderkey")), rnName = "rn",
+        totalName = Some("n"))
       .withColumn("chunk", GlobalRank.ntileFromRank(16).cast("int"))
       .groupBy(col("chunk"))
       .agg(count(lit(1)).as("n_rows"),
@@ -651,11 +650,10 @@ object RelationalExt extends QueryModule {
     * integer/IEEE arithmetic identical to the window builtins. */
   private def q46(s: SparkSession, d: String): DataFrame = {
     val cust = t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
-    val nDf = broadcast(cust.agg(count(lit(1)).as("n")))
     val rn = col("rn"); val n = col("n")
     GlobalRank.withRank(cust, col("c_acctbal"), descending = true,
-        tieBreakers = Seq(col("c_custkey")), rnName = "rn")
-      .crossJoin(nDf)
+        tieBreakers = Seq(col("c_custkey")), rnName = "rn",
+        totalName = Some("n"))
       .withColumn("quartile", GlobalRank.ntileFromRank(4).cast("int"))
       .withColumn("pct_rank",
         when(n === 1, 0.0).otherwise(

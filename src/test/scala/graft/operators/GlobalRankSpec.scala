@@ -61,6 +61,20 @@ class GlobalRankSpec extends SparkSpec {
     assert(rns === (1L to 100L).toArray)
   }
 
+  test("ntileFromRank equals Spark's ntile window function across sizes and buckets") {
+    for (n <- Seq(1, 2, 3, 4, 5, 7, 16, 97); b <- Seq(2, 4, 16)) {
+      val df = (1 to n).map(i => (i.toLong, i * 3 % 17)).toDF("id", "v")
+      val w = Window.orderBy(col("v"), col("id"))
+      val viaWindow = df.withColumn("nt", ntile(b).over(w))
+        .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+      val viaRank = GlobalRank.withRank(df, col("v"), descending = false,
+          tieBreakers = Seq(col("id")), rnName = "rn", totalName = Some("n"))
+        .withColumn("nt", GlobalRank.ntileFromRank(b).cast("int"))
+        .collect().map(r => r.getLong(r.fieldIndex("id")) -> r.getInt(r.fieldIndex("nt"))).toMap
+      assert(viaRank === viaWindow, s"n=$n b=$b")
+    }
+  }
+
   test("q13/q46/q65/q80 plans carry no unpartitioned window") {
     for (q <- Seq("q13_stats_median", "q46_distribution_windows",
         "q65_zorder_layout", "q80_pareto")) {
