@@ -52,7 +52,13 @@ object GlobalRank {
     * by (key ± , tieBreakers...), and optionally the running sum of a
     * column in that order (`prefixSum = Some((col, cumName))`, exact for
     * decimal inputs). `buckets` bounds the boundary count; parallelism of
-    * the wide stage is min(buckets, distinct keys). */
+    * the wide stage is min(buckets, distinct keys).
+    *
+    * Evaluation contract: `df` is evaluated up to three times (boundary
+    * sampling, bucket counts, the ranked output). Cheap scan/projection
+    * inputs should be passed as-is — re-scanning parquet beats
+    * materializing it — but localCheckpoint anything with an expensive
+    * upstream (joins, aggregations) first, or that work runs thrice. */
   def withRank(df: DataFrame, key: Column, descending: Boolean,
       tieBreakers: Seq[Column], rnName: String,
       prefixSum: Option[(Column, String)] = None,

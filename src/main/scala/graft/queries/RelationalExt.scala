@@ -951,9 +951,13 @@ object RelationalExt extends QueryModule {
     * the crossing row is engine-exact. The global sort is over the
     * customer AGGREGATE (one row per customer), never the fact table. */
   private def q80(s: SparkSession, d: String): DataFrame = {
+    // Materialized once: GlobalRank evaluates its input in three branches
+    // (boundaries, counts, window) — without the checkpoint this per-
+    // customer aggregation would re-shuffle orders three times.
     val rev = t(s, d, "orders")
       .groupBy(col("o_custkey"))
       .agg(sum(dec(col("o_totalprice"), 2)).as("rev"))
+      .localCheckpoint(true)
     // Scale-safe form of the running sum: bucketed global rank + exact
     // decimal prefix sums (graft.operators.GlobalRank) instead of an
     // unpartitioned window — one row per customer is still billions of
