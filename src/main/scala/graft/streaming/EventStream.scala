@@ -301,6 +301,72 @@ object EventStream {
     (): Unit
   }
 
+  /** Streaming Count-Min token frequency: each micro-batch computes its
+    * partial sketch (one pass, zero token-keyed shuffle — see
+    * graft.operators.CmsAgg) and element-wise ADDS it into the running
+    * sketch; CMS merge is exactly array addition, so the streamed result
+    * is bit-identical to a batch sketch over the same corpus — the
+    * property that lets a training-data pipeline keep corpus-wide token
+    * statistics current while documents arrive, without ever re-reading
+    * history. Commit protocol is the same versioned-dir + marker single
+    * commit point as goldIncrementalMerge (exactly-once under replay). */
+  def cmsTokenStream(spark: SparkSession, docsDir: String, sketchDir: String,
+      checkpointDir: String, textSchema: org.apache.spark.sql.types.StructType,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val reader = spark.readStream.schema(textSchema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(docsDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) => mergeCmsBatch(sketchDir, id, batch)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  private[streaming] def mergeCmsBatch(sketchDir: String, id: Long,
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): Unit = {
+    val marker = new java.io.File(s"$sketchDir/commits", s"batch_$id")
+    marker.getParentFile.mkdirs()
+    if (!marker.exists()) {
+      val ss = batch.sparkSession
+      val partial = batch
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .withColumn("hm", expr("graft_h60(tok)"))
+        .agg(graft.operators.CmsAgg(col("hm")).as("cms"))
+      val prevId = Option(new java.io.File(s"$sketchDir/commits").listFiles())
+        .getOrElse(Array.empty).map(_.getName)
+        .collect { case s if s.startsWith("batch_") => s.stripPrefix("batch_").toLong }
+        .maxOption
+      val merged = prevId match {
+        case Some(v) =>
+          val prev = ss.read.parquet(s"$sketchDir/versions/batch_$v")
+          partial.crossJoin(prev.select(col("cms").as("prev_cms")))
+            .select(expr("zip_with(cms, prev_cms, (a, b) -> a + b)").as("cms"))
+        case None => partial
+      }
+      merged.coalesce(1).write.mode("overwrite")
+        .parquet(s"$sketchDir/versions/batch_$id")
+      require(marker.createNewFile() || marker.exists(),
+        s"could not commit CMS batch $id")
+    }
+    (): Unit
+  }
+
+  /** Read the streaming sketch at its latest committed version. */
+  def readCmsSketch(spark: SparkSession, sketchDir: String): DataFrame = {
+    val v = Option(new java.io.File(s"$sketchDir/commits").listFiles())
+      .getOrElse(Array.empty).map(_.getName)
+      .collect { case s if s.startsWith("batch_") => s.stripPrefix("batch_").toLong }
+      .maxOption
+      .getOrElse(throw new IllegalStateException(s"no committed sketch under $sketchDir"))
+    spark.read.parquet(s"$sketchDir/versions/batch_$v")
+  }
+
   /** Run any of the above to completion over existing files (the reference's
     * daily batch semantics): Trigger.AvailableNow into an in-memory sink. */
   def runAvailableNow(spark: SparkSession, df: DataFrame, name: String,

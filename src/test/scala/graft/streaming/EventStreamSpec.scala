@@ -163,6 +163,41 @@ class EventStreamSpec extends SparkSpec {
       "replay of a committed batch must not double-count")
   }
 
+  test("streaming CMS merge is bit-identical to the batch sketch") {
+    implicit val s = spark
+    val docsDir = java.nio.file.Files.createTempDirectory("graft_cms_stream").toString
+    val sketchDir = java.nio.file.Files.createTempDirectory("graft_cms_state").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_cms_cp").toString
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    docs.repartition(4).write.mode("overwrite").parquet(docsDir)
+    EventStream.cmsTokenStream(spark, docsDir, sketchDir, cp,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))),
+      maxFilesPerTrigger = Some(1)) // 4 micro-batches → 4 incremental merges
+    val streamed = EventStream.readCmsSketch(spark, sketchDir)
+      .head().getSeq[Long](0)
+    val batch = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .withColumn("hm", expr("graft_h60(tok)"))
+      .agg(graft.operators.CmsAgg(col("hm")).as("cms"))
+      .head().getSeq[Long](0)
+    assert(streamed === batch,
+      "incrementally merged sketch must equal the batch sketch bit-for-bit")
+    // Replay idempotence: rerun with the same checkpoint — no double count.
+    EventStream.cmsTokenStream(spark, docsDir, sketchDir, cp,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    assert(EventStream.readCmsSketch(spark, sketchDir)
+      .head().getSeq[Long](0) === batch)
+  }
+
   test("streaming content dedup keeps exactly one doc per normalized text") {
     implicit val s = spark
     import org.apache.spark.sql.types._
