@@ -407,6 +407,10 @@ object RelationalExt extends QueryModule {
     * for the oracle. The encoding is plain bit arithmetic, so the oracle
     * reproduces it exactly (ZOrderUtil.mortonSql). */
   private def q65(s: SparkSession, d: String): DataFrame = {
+    // NOT checkpointed despite GlobalRank's three-branch evaluation:
+    // measured at sf0.1, re-scanning the narrow projection + recomputing
+    // the codegen'd interleave (1.5 s) beats materializing it (1.8 s) —
+    // the "cheap scan inputs pass as-is" side of the contract.
     val zd = t(s, d, "orders")
       .select(col("o_orderkey"), col("o_custkey").as("x"),
         floor(col("o_totalprice") / 1000).as("y"))

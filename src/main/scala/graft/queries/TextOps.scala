@@ -286,6 +286,48 @@ object TextOps extends QueryModule {
       |  cms_est >= exact_cnt AS no_underestimate
       |FROM est ORDER BY exact_cnt DESC, token""".stripMargin
 
+  /** Rare-bigram quality scoring — the n-gram-LM-style document filter a
+    * training-data pipeline runs before model consumption: documents whose
+    * adjacent-token pairs are mostly corpus-rare (global count ≤ 2) are
+    * gibberish/boilerplate candidates. Two wide exchanges, both inherent:
+    * the global bigram count (map-side partial aggregation absorbs the
+    * zipf head) and the bigram-keyed join of docs back to their counts —
+    * the standard corpus-statistics join shape at any scale. The quality
+    * flag is pure integer arithmetic (n_rare·2 ≤ n_bigrams); only the
+    * reported ratio divides, once, in doubles. */
+  private def q84(s: SparkSession, d: String): DataFrame = {
+    val bi = t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"))
+        .as("bigram"))
+    val glob = bi.groupBy(col("bigram")).agg(count(lit(1)).as("gcnt"))
+    bi.join(glob, "bigram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(when(col("gcnt") <= 2, 1)).as("n_rare"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
+        (col("n_rare").cast("double") / col("n_bigrams").cast("double")).as("rare_ratio"),
+        (col("n_rare") * 2 <= col("n_bigrams")).as("passes_quality"))
+      .orderBy("doc_id")
+  }
+  private val q84Sql =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |bi AS (
+      |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bigram
+      |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      |        FROM docs)),
+      |gstats AS (SELECT bigram, COUNT(*) AS gcnt FROM bi GROUP BY bigram)
+      |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+      |  COUNT(*) FILTER (WHERE g.gcnt <= 2) AS n_rare,
+      |  CAST(COUNT(*) FILTER (WHERE g.gcnt <= 2) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS rare_ratio,
+      |  COUNT(*) FILTER (WHERE g.gcnt <= 2) * 2 <= COUNT(*) AS passes_quality
+      |FROM bi b JOIN gstats g USING (bigram)
+      |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
+
   /** Regex group-extraction surface (regexp_extract with capture groups,
     * regexp_extract_all counting, regexp_like) — the extraction family
     * next to q10's regexp_replace and q41's redaction. Patterns stay in
@@ -313,6 +355,7 @@ object TextOps extends QueryModule {
     Q("q71_posexplode_ordinal", q71, Some(q71Sql)),
     Q("q73_heavy_hitters", q73, Some(q73Sql)),
     Q("q83_cms_token_freq", q83, Some(q83Sql)),
+    Q("q84_rare_bigram_quality", q84, Some(q84Sql)),
     Q("q78_regex_extract", q78, Some(q78Sql)),
     Q("q21_text_quality", q21, Some(q21Sql)),
     Q("q22_langid", q22, Some(q22Sql)),
