@@ -327,9 +327,97 @@ object VectorOps extends QueryModule {
       |    (a, b) -> CASE WHEN b > a THEN b ELSE a END) AS max_err
       |FROM q ORDER BY vec_id""".stripMargin
 
+  /** ANN over the int8 codes (q75's storage format): the hot loop is one
+    * exact BIGINT dot over the codes (Σ cq·cn — the 4×-smaller, SIMD-able
+    * arithmetic a 100 TB quantized corpus actually searches with); the
+    * per-vector offset/scale algebra then reconstructs the approximate
+    * cosine from that single integer dot plus four scalar terms:
+    *   recon_dot = mn_q·mn_n·d + mn_q·sc_n·Σc_n + mn_n·sc_q·Σc_q
+    *             + sc_q·sc_n·Σ(c_q·c_n)
+    * (the expansion of dot(mn_q + sc_q·c_q, mn_n + sc_n·c_n)). Every
+    * floating step is written in the identical association order in the
+    * oracle SQL, so the scores — not just the rows — hash-match DuckDB
+    * (q75's floor-code portability + ordered-IEEE precedent). The spec
+    * measures top-k agreement against exact-cosine q32. Same
+    * two-projection + checkpoint shape as q75 (CollapseProject would
+    * inline the min/max folds into every element lambda). */
+  private def q85(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "embeddings")
+      .select(col("vec_id"), expr(s"$asDouble").as("e"))
+      .withColumn("mn", expr("aggregate(e, cast('Infinity' as double), (a, x) -> least(a, x))"))
+      .withColumn("mx", expr("aggregate(e, cast('-Infinity' as double), (a, x) -> greatest(a, x))"))
+      .filter(col("mx") > col("mn"))
+      .localCheckpoint(true)
+    val codes = base
+      .withColumn("scale", (col("mx") - col("mn")) / 255.0)
+      .select(col("vec_id"), col("mn"), col("scale"),
+        expr("transform(e, x -> cast(floor((x - mn) / scale) as bigint))").as("c"),
+        expr("graft_l2norm(e)").as("nrm"))
+      .withColumn("sum_c", expr("aggregate(c, cast(0 as bigint), (s, x) -> s + x)"))
+    val qc = codes.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("mn").as("mn_q"),
+        col("scale").as("sc_q"), col("c").as("cq"),
+        col("nrm").as("nrm_q"), col("sum_c").as("sum_cq"))
+    val scored = codes
+      .select(col("vec_id").as("neighbor_id"), col("mn").as("mn_n"),
+        col("scale").as("sc_n"), col("c").as("cn"),
+        col("nrm").as("nrm_n"), col("sum_c").as("sum_cn"))
+      .join(broadcast(qc), col("query_id") =!= col("neighbor_id"))
+      .withColumn("ip",
+        expr("aggregate(zip_with(cq, cn, (a, b) -> a * b), cast(0 as bigint), (s, x) -> s + x)"))
+      .withColumn("cos_approx", expr(
+        "(mn_q * mn_n * size(cq) + mn_q * sc_n * sum_cn + mn_n * sc_q * sum_cq" +
+          " + sc_q * sc_n * ip) / (nrm_q * nrm_n)"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_approx").desc, col("neighbor_id"))
+    scored.withColumn("rnk", rank().over(w)).filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("ip"),
+        col("cos_approx"), col("rnk").cast("int").as("rnk"))
+      .orderBy("query_id", "rnk", "neighbor_id")
+  }
+  private val q85Sql =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |r AS (
+      |  SELECT vec_id, e,
+      |    list_aggregate(e, 'min') AS mn, list_aggregate(e, 'max') AS mx,
+      |    sqrt(list_reduce(list_prepend(0.0, list_transform(e,
+      |      x -> x * x)), (a, b) -> a + b)) AS nrm
+      |  FROM e),
+      |codes AS (
+      |  SELECT vec_id, mn, (mx - mn) / 255.0 AS scale, nrm,
+      |    list_transform(e, x -> CAST(floor((x - mn) / ((mx - mn) / 255.0)) AS BIGINT)) AS c
+      |  FROM r WHERE mx > mn),
+      |cs AS (
+      |  SELECT vec_id, mn, scale, nrm, c,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), c), (a, b) -> a + b) AS sum_c
+      |  FROM codes),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(list_zip(q.c, n.c), p -> p[1] * p[2])),
+      |      (a, b) -> a + b) AS ip,
+      |    q.mn AS mn_q, q.scale AS sc_q, q.nrm AS nrm_q, q.sum_c AS sum_cq,
+      |    n.mn AS mn_n, n.scale AS sc_n, n.nrm AS nrm_n, n.sum_c AS sum_cn,
+      |    len(q.c) AS dim
+      |  FROM cs q JOIN cs n ON q.vec_id < 8 AND q.vec_id <> n.vec_id),
+      |cosd AS (
+      |  SELECT query_id, neighbor_id, ip,
+      |    (mn_q * mn_n * dim + mn_q * sc_n * sum_cn + mn_n * sc_q * sum_cq
+      |      + sc_q * sc_n * ip) / (nrm_q * nrm_n) AS cos_approx
+      |  FROM scored),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, ip, cos_approx,
+      |    CAST(RANK() OVER (PARTITION BY query_id ORDER BY cos_approx DESC, neighbor_id) AS INTEGER) AS rnk
+      |  FROM cosd)
+      |SELECT query_id, neighbor_id, ip, cos_approx, rnk FROM ranked WHERE rnk <= 3
+      |ORDER BY query_id, rnk, neighbor_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q31_embed_norms", q31, Some(q31Sql)),
     Q("q75_embed_quantize", q75, Some(q75Sql)),
+    Q("q85_ann_quantized", q85, Some(q85Sql)),
     Q("q32_ann_bruteforce", q32, Some(q32Sql)),
     Q("q33_ann_lsh", q33, Some(q33Sql)),
     Q("q40_embed_nn_dedup", q40, Some(q40Sql)),
