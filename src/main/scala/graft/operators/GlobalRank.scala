@@ -31,8 +31,9 @@ import org.apache.spark.sql.functions._
   * a single key value repeated n times still lands in one bucket — inherent
   * to ranking (those rows are order-ties); all OTHER keys stay spread.
   *
-  * Ranking keys must be non-null (all graft call sites rank non-null
-  * measures; null keys would need an explicit first/last bucket).
+  * Null keys are total: they take a dedicated edge bucket matching Spark's
+  * default null ordering (NULLS FIRST ascending, NULLS LAST descending),
+  * so ranks agree with the naive `ORDER BY key` window on nullable keys.
   */
 object GlobalRank {
 
@@ -72,11 +73,16 @@ object GlobalRank {
       expr(s"approx_percentile(__grk, array($fracs), 10000)").as("bs")).head()
     val bounds: Seq[Any] =
       if (bRow.isNullAt(0)) Seq.empty else bRow.getSeq[Any](0)
+    // Null keys: the percentile sketch never sees them; route them to the
+    // edge bucket on the side Spark's default null ordering puts them
+    // (NULLS FIRST asc → before bucket 0; NULLS LAST desc → after the last).
+    val nullBucket = if (descending) buckets else -1
     val bucketCol =
-      if (bounds.isEmpty) lit(0)
+      if (bounds.isEmpty) when(col("__grk").isNull, nullBucket).otherwise(0)
       else {
         val arr = array(bounds.map(lit): _*)
-        size(filter(arr, b => if (descending) b > col("__grk") else b < col("__grk")))
+        when(col("__grk").isNull, nullBucket).otherwise(
+          size(filter(arr, b => if (descending) b > col("__grk") else b < col("__grk"))))
       }
     val withB = keyed.withColumn("__gb", bucketCol)
     // Pass 2: per-bucket counts/sums (B rows) → offsets via triangular join.

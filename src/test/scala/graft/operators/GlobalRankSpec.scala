@@ -53,6 +53,21 @@ class GlobalRankSpec extends SparkSpec {
     assert(unpartitionedWindows(ranked) === 0)
   }
 
+  test("null keys rank exactly where the naive window puts them, both directions") {
+    val df = (1 to 60).map(i =>
+      (i.toLong, if (i % 5 == 0) null else java.lang.Double.valueOf(i * 7 % 13)))
+      .toDF("id", "v")
+    for (desc <- Seq(false, true)) {
+      val order = if (desc) col("v").desc else col("v").asc // Spark defaults:
+      val naive = df.withColumn("rn",                        // FIRST asc, LAST desc
+        row_number().over(Window.orderBy(order, col("id"))))
+      val ranked = GlobalRank.withRank(df, col("v"), descending = desc,
+        tieBreakers = Seq(col("id")), rnName = "rn")
+      assert(ranked.exceptAll(naive).isEmpty && naive.exceptAll(ranked).isEmpty,
+        s"desc=$desc: null keys misranked")
+    }
+  }
+
   test("all-equal keys still rank 1..n (single-bucket degenerate case)") {
     val df = (1 to 100).map(i => (i.toLong, 1.0)).toDF("id", "v")
     val ranked = GlobalRank.withRank(df, col("v"), descending = false,
