@@ -58,6 +58,8 @@ object Pipeline {
       .parquet(s"$goldDir/mart_bank_performance")
     Marts.bankRanking(silver).write.mode(SaveMode.Overwrite)
       .parquet(s"$goldDir/mart_bank_ranking")
+    Marts.geographicAnalysis(fact, branch).write.mode(SaveMode.Overwrite)
+      .parquet(s"$goldDir/mart_geographic")
 
     val r = Result(
       bronzeCount = bronze.count(),

@@ -25,6 +25,11 @@ class PipelineSpec extends SparkSpec {
     val planStr = pruned.queryExecution.executedPlan.toString
     assert(planStr.contains("PartitionFilters") &&
       planStr.contains("review_year"), planStr)
+    // The geographic BI view lands in gold alongside the bank marts.
+    val geo = spark.read.parquet(s"$base/gold/mart_geographic")
+    assert(geo.columns.toSet ===
+      Set("city", "total_reviews", "avg_rating", "avg_sentiment"))
+    assert(geo.agg(sum("total_reviews")).head().getLong(0) === r.factCount)
     // S11: the run-stats JSON sink reproduces the validation counts
     val stats = spark.read.json(s"$base/gold/run_stats").head()
     assert(stats.getAs[Long]("bronzeCount") === r.bronzeCount)
