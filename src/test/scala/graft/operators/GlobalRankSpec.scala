@@ -13,10 +13,10 @@ class GlobalRankSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  // AQE-aware traversal (plain .collect does not descend into
+  // AdaptiveSparkPlanExec and silently finds nothing).
   private def unpartitionedWindows(df: org.apache.spark.sql.DataFrame): Int =
-    df.queryExecution.executedPlan.collect {
-      case w: WindowExec if w.partitionSpec.isEmpty => w
-    }.size
+    graft.plans.PlanHygiene.unpartitionedWindows(df).size
 
   test("row numbers equal the naive global window under duplicate keys") {
     val e = Tables(spark, sf, "events")
