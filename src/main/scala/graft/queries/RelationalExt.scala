@@ -567,6 +567,49 @@ object RelationalExt extends QueryModule {
       |       click_id, click_sec, sec - click_sec AS gap_sec
       |FROM m WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin
 
+  /** FORWARD as-of join — the other direction of the family (q39/q49 are
+    * backward): each click attributes to the NEXT purchase strictly after
+    * it per user (click→conversion lag). Same merge-pass shape — one
+    * union-ordered window partitioned by user, `first value ignore nulls`
+    * over the FOLLOWING frame — so it scales identically; clicks with no
+    * later purchase keep null attribution (left semantics). */
+  private def q86(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    e.withColumn("purchase_id",
+        first(when(col("event_type") === "purchase", col("event_id")),
+          ignoreNulls = true).over(w))
+      .withColumn("purchase_sec",
+        first(when(col("event_type") === "purchase", col("sec")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("sec").as("click_sec"), col("purchase_id"), col("purchase_sec"),
+        (col("purchase_sec") - col("sec")).as("lag_sec"))
+      .orderBy("click_id")
+  }
+  private val q86Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |m AS (
+      |  SELECT user_id, event_id, event_type, sec,
+      |    first_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+      |      OVER w AS purchase_id,
+      |    first_value(CASE WHEN event_type = 'purchase' THEN sec END IGNORE NULLS)
+      |      OVER w AS purchase_sec
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id
+      |                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+      |SELECT event_id AS click_id, user_id, sec AS click_sec,
+      |       purchase_id, purchase_sec, purchase_sec - sec AS lag_sec
+      |FROM m WHERE event_type = 'click' ORDER BY click_id""".stripMargin
+
   /** q39's backward as-of join executed by the NATIVE AsOfJoin operator
     * (graft.plans: LogicalPlan + SparkStrategy + SparkPlan via
     * SparkSessionExtensions) instead of the union+window emulation: one
@@ -1108,6 +1151,7 @@ object RelationalExt extends QueryModule {
     Q("q38_set_ops", q38, Some(q38Sql)),
     Q("q39_asof_join", q39, Some(q39Sql)),
     Q("q49_asof_native", q49, Some(q39Sql)),
+    Q("q86_asof_forward", q86, Some(q86Sql)),
     Q("q44_percentiles", q44, Some(q44Sql)),
     Q("q45_rolling_frame", q45, Some(q45Sql)),
     Q("q46_distribution_windows", q46, Some(q46Sql)),
