@@ -65,6 +65,9 @@ object GlobalRank {
       prefixSum: Option[(Column, String)] = None,
       buckets: Int = 32,
       totalName: Option[String] = None): DataFrame = {
+    require(buckets >= 2,
+      s"GlobalRank needs at least 2 buckets (got $buckets) — with 1 the " +
+        "construction degenerates to the single-partition window it replaces")
     val keyed = df.withColumn("__grk", key)
     // Pass 1: boundary values. approx_percentile never invents values, so
     // boundaries are real key values; duplicates just leave buckets empty.

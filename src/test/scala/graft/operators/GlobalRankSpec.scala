@@ -74,6 +74,16 @@ class GlobalRankSpec extends SparkSpec {
       tieBreakers = Seq(col("id")), rnName = "rn")
     val rns = ranked.select("rn").as[Long].collect().sorted
     assert(rns === (1L to 100L).toArray)
+    // More buckets than rows: empty buckets are harmless.
+    val wide = GlobalRank.withRank(df.limit(3), col("v"), descending = false,
+      tieBreakers = Seq(col("id")), rnName = "rn", buckets = 200)
+    assert(wide.select("rn").as[Long].collect().sorted === Array(1L, 2L, 3L))
+    // buckets=1 would silently degenerate to the hazard this exists to
+    // remove — rejected loudly.
+    assertThrows[IllegalArgumentException] {
+      GlobalRank.withRank(df, col("v"), descending = false,
+        tieBreakers = Seq(col("id")), rnName = "rn", buckets = 1)
+    }
   }
 
   test("ntileFromRank equals Spark's ntile window function across sizes and buckets") {
