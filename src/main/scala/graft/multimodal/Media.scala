@@ -61,7 +61,12 @@ object Media {
     else try {
       Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
         .map(img => (img.getWidth, img.getHeight))
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      // ImageIO.read throws RuntimeExceptions (IllegalArgument, index/array
+      // bounds) on corrupt or truncated headers, not just IOException — one
+      // bad blob must not fail the whole partition task.
+      case scala.util.control.NonFatal(_) => None
+    }
 
   private[multimodal] def decodeOne(id: Long, kind: String, bytes: Array[Byte]): MediaFeatures = {
     val n = if (bytes == null) 0 else bytes.length

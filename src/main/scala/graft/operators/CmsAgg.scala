@@ -26,7 +26,10 @@ class CmsAgg(depth: Int, width: Int)
   override def zero: Array[Long] = new Array[Long](depth * width)
 
   override def reduce(buf: Array[Long], h60: Long): Array[Long] = {
-    val hm = h60 % SketchUtil.MinhashP
+    // floorMod, not %: graft_h60 outputs are non-negative (identical cells
+    // either way — oracle parity holds), but a caller feeding e.g. xxhash64
+    // would get a negative remainder and an ArrayIndexOutOfBounds here.
+    val hm = Math.floorMod(h60, SketchUtil.MinhashP)
     var p = 0
     while (p < depth) {
       val cell = ((SketchUtil.laneA(p) * hm + SketchUtil.laneB(p)) %
@@ -61,7 +64,8 @@ object CmsAgg {
     * element_at). */
   def estimate(cms: Column, h60: Column, depth: Int = 4, width: Int = 1024): Column = {
     import org.apache.spark.sql.functions._
-    val hm = h60 % SketchUtil.MinhashP
+    // pmod mirrors reduce's floorMod (≡ % for graft_h60's non-negative range).
+    val hm = pmod(h60, lit(SketchUtil.MinhashP))
     (0 until depth).map { p =>
       val cell = (lit(SketchUtil.laneA(p)) * hm + lit(SketchUtil.laneB(p))) %
         SketchUtil.MinhashP % width

@@ -72,11 +72,23 @@ object DedupOps extends QueryModule {
     * the join (that duplication made q42 the slowest query in BENCH_r04).
     * A standalone q42 run with no cached artifact builds it itself. The
     * artifact is tiny (one row per verified pair) and lineage-cut; a
-    * replaced checkpoint's blocks are reclaimed by the ContextCleaner. */
+    * replaced checkpoint's blocks are reclaimed by the ContextCleaner.
+    *
+    * The cache assumes the data under `d` is IMMUTABLE while the session
+    * lives — regenerating it in-place would leave q42 on a stale artifact
+    * until the next q27 (producer) run refreshes it. Entries of stopped
+    * sessions are pruned on every access so the map can't retain a dead
+    * session (and its checkpointed-block metadata) for the JVM lifetime. */
   private val pairCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
-  private[queries] def verifiedPairs(s: SparkSession, d: String): DataFrame =
+  private def pruneStopped(): Unit = {
+    pairCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    (): Unit
+  }
+  private[queries] def verifiedPairs(s: SparkSession, d: String): DataFrame = {
+    pruneStopped()
     pairCache.computeIfAbsent((s, d), _ => q27body(s, d).localCheckpoint(true))
+  }
 
   /** n-gram Jaccard near-dup pairs (within-source blocking): 3-shingle
     * inverted-index self-join → intersection counts → |A∩B|/|A∪B| ≥ 0.5.
@@ -84,6 +96,7 @@ object DedupOps extends QueryModule {
     * materializes once with lineage cut, outside the CacheManager, and its
     * blocks are reclaimed by the ContextCleaner when the query is done. */
   private def q27(s: SparkSession, d: String): DataFrame = {
+    pruneStopped()
     val fresh = q27body(s, d).localCheckpoint(true)
     pairCache.put((s, d), fresh)
     fresh.orderBy("doc_a", "doc_b")

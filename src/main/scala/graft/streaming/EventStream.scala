@@ -219,12 +219,15 @@ object EventStream {
     * Readers go through [[readIncrementalGold]], which resolves the latest
     * committed version. Old versions are garbage-collected after commit
     * (the latest two are kept so an in-flight reader of the previous
-    * version is never yanked). */
+    * version is never yanked). The marker lineage is bound to the
+    * checkpoint lineage by an epoch id (see [[alignEpoch]]), so a reset
+    * checkpoint — whose batch ids restart at 0 — can never collide with
+    * stale markers and silently skip new data. */
   def goldIncrementalMerge(spark: SparkSession, bronzeDir: String,
       goldDir: String, checkpointDir: String,
       maxFilesPerTrigger: Option[Int] = None): Unit = {
-    val commitDir = new java.io.File(incCommitDir(goldDir))
-    commitDir.mkdirs()
+    alignEpoch(checkpointDir, incCommitDir(goldDir),
+      s"$goldDir/events_by_type_inc_versions")
     val reader = spark.readStream.schema(eventSchema)
     val stream = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
@@ -264,12 +267,14 @@ object EventStream {
       merged.write.mode("overwrite").parquet(incVersionDir(goldDir, id))
       require(marker.createNewFile() || marker.exists(),
         s"could not write commit marker for batch $id")
-      // GC: committed versions older than the previous one can no
-      // longer be read by anyone; a crash mid-delete is harmless.
-      latestCommittedBatch(goldDir).foreach { latest =>
-        committedBatches(goldDir).filter(_ < latest - 1).foreach { old =>
-          deleteRecursively(new java.io.File(incVersionDir(goldDir, old)))
-        }
+      // GC: keep the TWO LARGEST committed ids (by sort, not id
+      // arithmetic — ids can be non-contiguous, and `latest - 1` would
+      // then delete the second-latest version an in-flight
+      // readIncrementalGold reader just resolved); a crash mid-delete is
+      // harmless. Markers are never deleted — replay dedup needs them.
+      val keep = committedBatches(goldDir).sorted.takeRight(2).toSet
+      committedBatches(goldDir).filterNot(keep).foreach { old =>
+        deleteRecursively(new java.io.File(incVersionDir(goldDir, old)))
       }
     }
     (): Unit
@@ -286,12 +291,50 @@ object EventStream {
   private def incVersionDir(goldDir: String, id: Long) =
     s"$goldDir/events_by_type_inc_versions/batch_$id"
 
-  private def committedBatches(goldDir: String): Seq[Long] = {
-    val fs = Option(new java.io.File(incCommitDir(goldDir)).listFiles())
+  /** Bind the commit-marker lineage to the CHECKPOINT lineage. Batch ids
+    * are minted by the checkpoint; markers are keyed by batch id. If the
+    * checkpoint is reset/deleted while the output dir is kept, ids restart
+    * at 0 and collide with stale markers — batches holding genuinely new
+    * files would be silently skipped and never reach gold. An epoch id
+    * (a UUID minted alongside the checkpoint on its first use) is recorded
+    * next to the markers; an epoch mismatch at startup means the marker
+    * lineage is dead, so markers AND version dirs are dropped and the fresh
+    * checkpoint's full replay rebuilds the output from scratch. */
+  private def alignEpoch(checkpointDir: String, commitDir: String,
+      versionRoot: String): Unit = {
+    val epochFile = new java.io.File(checkpointDir, "graft_epoch")
+    epochFile.getParentFile.mkdirs()
+    if (!epochFile.exists()) {
+      java.nio.file.Files.write(epochFile.toPath,
+        java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
+      (): Unit
+    }
+    val epoch = new String(
+      java.nio.file.Files.readAllBytes(epochFile.toPath), "UTF-8")
+    val recorded = new java.io.File(commitDir, "_epoch")
+    val prior =
+      if (recorded.exists())
+        Some(new String(java.nio.file.Files.readAllBytes(recorded.toPath), "UTF-8"))
+      else None
+    if (!prior.contains(epoch)) {
+      if (prior.isDefined) {
+        deleteRecursively(new java.io.File(commitDir))
+        deleteRecursively(new java.io.File(versionRoot))
+      }
+      recorded.getParentFile.mkdirs()
+      java.nio.file.Files.write(recorded.toPath, epoch.getBytes("UTF-8"))
+      (): Unit
+    }
+  }
+
+  private def listCommitted(commitDir: String): Seq[Long] = {
+    val fs = Option(new java.io.File(commitDir).listFiles())
       .getOrElse(Array.empty)
     fs.toSeq.map(_.getName).collect { case s if s.startsWith("batch_") =>
       s.stripPrefix("batch_").toLong }
   }
+  private def committedBatches(goldDir: String): Seq[Long] =
+    listCommitted(incCommitDir(goldDir))
   private def latestCommittedBatch(goldDir: String): Option[Long] =
     committedBatches(goldDir).maxOption
 
@@ -313,6 +356,7 @@ object EventStream {
   def cmsTokenStream(spark: SparkSession, docsDir: String, sketchDir: String,
       checkpointDir: String, textSchema: org.apache.spark.sql.types.StructType,
       maxFilesPerTrigger: Option[Int] = None): Unit = {
+    alignEpoch(checkpointDir, cmsCommitDir(sketchDir), s"$sketchDir/versions")
     val reader = spark.readStream.schema(textSchema)
     val stream = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
@@ -328,9 +372,13 @@ object EventStream {
     q.awaitTermination()
   }
 
+  private def cmsCommitDir(sketchDir: String) = s"$sketchDir/commits"
+  private def cmsVersionDir(sketchDir: String, id: Long) =
+    s"$sketchDir/versions/batch_$id"
+
   private[streaming] def mergeCmsBatch(sketchDir: String, id: Long,
       batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): Unit = {
-    val marker = new java.io.File(s"$sketchDir/commits", s"batch_$id")
+    val marker = new java.io.File(cmsCommitDir(sketchDir), s"batch_$id")
     marker.getParentFile.mkdirs()
     if (!marker.exists()) {
       val ss = batch.sparkSession
@@ -338,33 +386,34 @@ object EventStream {
         .select(explode(split(col("text"), " ")).as("tok"))
         .withColumn("hm", expr("graft_h60(tok)"))
         .agg(graft.operators.CmsAgg(col("hm")).as("cms"))
-      val prevId = Option(new java.io.File(s"$sketchDir/commits").listFiles())
-        .getOrElse(Array.empty).map(_.getName)
-        .collect { case s if s.startsWith("batch_") => s.stripPrefix("batch_").toLong }
-        .maxOption
+      val prevId = listCommitted(cmsCommitDir(sketchDir)).maxOption
       val merged = prevId match {
         case Some(v) =>
-          val prev = ss.read.parquet(s"$sketchDir/versions/batch_$v")
+          val prev = ss.read.parquet(cmsVersionDir(sketchDir, v))
           partial.crossJoin(prev.select(col("cms").as("prev_cms")))
             .select(expr("zip_with(cms, prev_cms, (a, b) -> a + b)").as("cms"))
         case None => partial
       }
       merged.coalesce(1).write.mode("overwrite")
-        .parquet(s"$sketchDir/versions/batch_$id")
+        .parquet(cmsVersionDir(sketchDir, id))
       require(marker.createNewFile() || marker.exists(),
         s"could not commit CMS batch $id")
+      // Same retention as mergeIncrementalBatch: keep the two largest
+      // committed versions so an in-flight readCmsSketch is never yanked.
+      val committed = listCommitted(cmsCommitDir(sketchDir))
+      val keep = committed.sorted.takeRight(2).toSet
+      committed.filterNot(keep).foreach { old =>
+        deleteRecursively(new java.io.File(cmsVersionDir(sketchDir, old)))
+      }
     }
     (): Unit
   }
 
   /** Read the streaming sketch at its latest committed version. */
   def readCmsSketch(spark: SparkSession, sketchDir: String): DataFrame = {
-    val v = Option(new java.io.File(s"$sketchDir/commits").listFiles())
-      .getOrElse(Array.empty).map(_.getName)
-      .collect { case s if s.startsWith("batch_") => s.stripPrefix("batch_").toLong }
-      .maxOption
+    val v = listCommitted(cmsCommitDir(sketchDir)).maxOption
       .getOrElse(throw new IllegalStateException(s"no committed sketch under $sketchDir"))
-    spark.read.parquet(s"$sketchDir/versions/batch_$v")
+    spark.read.parquet(cmsVersionDir(sketchDir, v))
   }
 
   /** Run any of the above to completion over existing files (the reference's

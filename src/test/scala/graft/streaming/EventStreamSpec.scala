@@ -163,6 +163,45 @@ class EventStreamSpec extends SparkSpec {
       "replay of a committed batch must not double-count")
   }
 
+  test("a reset checkpoint cannot collide with stale markers (epoch binding)") {
+    val bronze = java.nio.file.Files.createTempDirectory("graft_bronze_ep").toString
+    val gold = java.nio.file.Files.createTempDirectory("graft_gold_ep").toString
+    val cp1 = java.nio.file.Files.createTempDirectory("graft_cp_ep1").toString
+    val events = Tables(spark, "/root/testdata/sf0.001", "events")
+    val wave1 = events.filter(col("event_id") % 2 === 0)
+    val wave2 = events.filter(col("event_id") % 2 =!= 0)
+    wave1.coalesce(1).write.mode("overwrite").parquet(bronze)
+    EventStream.goldIncrementalMerge(spark, bronze, gold, cp1)
+    assert(EventStream.readIncrementalGold(spark, gold)
+      .agg(sum("n_events")).head().getLong(0) === wave1.count())
+    // The operator's lost-checkpoint scenario: checkpoint gone, goldDir
+    // kept. A fresh checkpoint replays ALL files with batch ids restarting
+    // at 0; the stale batch_0 marker must not make the replay skip them.
+    wave2.coalesce(1).write.mode("append").parquet(bronze)
+    val cp2 = java.nio.file.Files.createTempDirectory("graft_cp_ep2").toString
+    EventStream.goldIncrementalMerge(spark, bronze, gold, cp2)
+    assert(EventStream.readIncrementalGold(spark, gold)
+      .agg(sum("n_events")).head().getLong(0) === 1000L,
+      "new data must reach gold after a checkpoint reset, not be skipped by stale markers")
+  }
+
+  test("version GC keeps the two largest committed ids even with id gaps") {
+    val gold = java.nio.file.Files.createTempDirectory("graft_gold_gc").toString
+    val events = Tables(spark, "/root/testdata/sf0.001", "events")
+    val third = events.filter(col("event_id") % 3 === 0)
+    // Non-contiguous ids, as a stream with empty/skipped batches produces.
+    EventStream.mergeIncrementalBatch(gold, 0L, third)
+    EventStream.mergeIncrementalBatch(gold, 5L, third)
+    EventStream.mergeIncrementalBatch(gold, 9L, third)
+    val versions = new java.io.File(s"$gold/events_by_type_inc_versions")
+      .listFiles().map(_.getName).toSet
+    assert(versions === Set("batch_5", "batch_9"),
+      "GC must keep the two LARGEST committed versions (batch_5 is the one " +
+        "an in-flight reader of the previous version may hold), not latest-1 arithmetic")
+    assert(EventStream.readIncrementalGold(spark, gold)
+      .agg(sum("n_events")).head().getLong(0) === third.count() * 3)
+  }
+
   test("streaming CMS merge is bit-identical to the batch sketch") {
     implicit val s = spark
     val docsDir = java.nio.file.Files.createTempDirectory("graft_cms_stream").toString
@@ -187,6 +226,12 @@ class EventStreamSpec extends SparkSpec {
       .head().getSeq[Long](0)
     assert(streamed === batch,
       "incrementally merged sketch must equal the batch sketch bit-for-bit")
+    // Retention: sketch version dirs must not accumulate unboundedly —
+    // 4 micro-batches committed, only the two latest versions remain.
+    val vdirs = new java.io.File(s"$sketchDir/versions")
+      .listFiles().map(_.getName).toSet
+    assert(vdirs === Set("batch_2", "batch_3"),
+      s"CMS version GC must keep exactly the two largest committed ids, got $vdirs")
     // Replay idempotence: rerun with the same checkpoint — no double count.
     EventStream.cmsTokenStream(spark, docsDir, sketchDir, cp,
       org.apache.spark.sql.types.StructType(Seq(
