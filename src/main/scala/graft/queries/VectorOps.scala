@@ -99,25 +99,59 @@ object VectorOps extends QueryModule {
       |SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 5
       |ORDER BY query_id, rnk, neighbor_id""".stripMargin
 
-  /** Random-hyperplane LSH ANN: 8 deterministic pseudo-random hyperplanes
-    * with integer-valued weights (plane[p][d] = (p·97 + d·13) mod 7 − 3,
-    * seedless + reproducible), bucket = 8 sign bits; candidates share a
-    * bucket; exact cosine within bucket, top-3 per query. Integer weights
-    * (not trig) are exactly representable as doubles, and the dot product
-    * is an ordered IEEE fold — so sign bits, buckets, and the final rows
-    * are bit-identical in the DuckDB oracle (which trig hyperplanes could
-    * not guarantee at sign boundaries). */
+  /** 8 deterministic pseudo-random hyperplanes with integer-valued weights
+    * (plane[p][d] = (p·97 + d·13) mod 7 − 3, seedless + reproducible);
+    * bucket = 8 sign bits over the RAW embedding — sign(dot) is invariant
+    * under the positive per-vector scaling, so no need to touch the
+    * normalized copy. Integer weights (not trig) are exactly representable
+    * as doubles, and the dot product is an ordered IEEE fold — so sign
+    * bits and buckets are bit-identical in the DuckDB oracle (which trig
+    * hyperplanes could not guarantee at sign boundaries). Shared by the
+    * LSH ANN (q33) and the candidate-union NN dedup (q40). */
+  private val lshBucketExpr: Column = expr(
+    """aggregate(sequence(0, 7), 0,
+      |  (acc, p) -> acc + if(
+      |    aggregate(zip_with(embedding, transform(sequence(0, size(embedding) - 1), dd -> cast((p * 97 + dd * 13) % 7 - 3 as double)),
+      |      (x, pl) -> cast(x as double) * pl), cast(0.0 as double), (a, v) -> a + v) > 0,
+      |    shiftleft(1, p), 0))""".stripMargin)
+
+  /** IVF codebook: the 16 deterministic centroids (first-16 unit vectors,
+    * cid = vec_id) loaded to the driver ONCE and shipped as a literal —
+    * the shape a production IVF index has (codebook trained offline and
+    * broadcast to executors; here 16 × 64 doubles ≈ 8 KB of driver state,
+    * independent of corpus size). Scoring against a literal codebook is a
+    * pure row-local expression: no crossJoin, hence no
+    * BroadcastNestedLoopJoin node anywhere in the consuming plans
+    * (PlanHygieneSpec bans those fleet-wide). The codebook size is the IVF
+    * scale knob: production grows k ∝ √n so per-cell candidate lists stay
+    * bounded; every plan shape here is k-independent. */
+  private def codebook(u: DataFrame): Column = {
+    val rows: Seq[Seq[Double]] = u.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("ue"))
+      .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1)).toSeq
+    typedlit(rows)
+  }
+
+  /** Per-row centroid scores {cc, cid} sorted (cc DESC, cid ASC): element 1
+    * is the assigned cell, element 2 the second probe. The dot product is
+    * the same ordered zip_with/aggregate fold as the oracle's list_reduce,
+    * so assignments and probes are bit-identical in DuckDB. */
+  private def sortedCells(cb: Column): Column = {
+    val scores = transform(sequence(lit(0), lit(15)), c =>
+      struct(
+        aggregate(zip_with(col("ue"), element_at(cb, c + 1), (x, y) => x * y),
+          lit(0.0), (a, v) => a + v).as("cc"),
+        c.as("cid")))
+    array_sort(scores, (a, b) =>
+      when(a("cc") > b("cc"), -1).when(a("cc") < b("cc"), 1)
+        .otherwise(a("cid") - b("cid")))
+  }
+
+  /** Random-hyperplane LSH ANN: candidates share an 8-sign-bit bucket
+    * (lshBucketExpr); exact cosine within bucket, top-3 per query. */
   private def q33(s: SparkSession, d: String): DataFrame = {
-    // Bucket bits from the RAW embedding — sign(dot) is invariant under the
-    // positive per-vector scaling, so no need to touch the normalized copy.
-    val bucketExpr = expr(
-      """aggregate(sequence(0, 7), 0,
-        |  (acc, p) -> acc + if(
-        |    aggregate(zip_with(embedding, transform(sequence(0, size(embedding) - 1), dd -> cast((p * 97 + dd * 13) % 7 - 3 as double)),
-        |      (x, pl) -> cast(x as double) * pl), cast(0.0 as double), (a, v) -> a + v) > 0,
-        |    shiftleft(1, p), 0))""".stripMargin)
     val bucketed = unitVectors(s, d)
-      .select(col("vec_id"), col("ue"), bucketExpr.as("bucket"))
+      .select(col("vec_id"), col("ue"), lshBucketExpr.as("bucket"))
       .localCheckpoint(true)
     val a = bucketed.select(col("bucket"), col("vec_id").as("query_id"), col("ue").as("qu"))
     val b = bucketed.select(col("bucket").as("bucket_b"), col("vec_id").as("neighbor_id"), col("ue").as("cu"))
@@ -133,31 +167,23 @@ object VectorOps extends QueryModule {
   /** IVF (inverted-file) ANN — the second scale path beside q33's LSH: a
     * coarse quantizer assigns every corpus vector to its nearest centroid
     * cell once; a query probes only its nprobe=2 nearest cells, so search
-    * cost is |Q|·k + |Q|·(corpus/k·nprobe) instead of |Q|·corpus. Centroids
-    * here are the first 16 vectors — a deterministic seed quantizer that
-    * keeps the DuckDB oracle exact (production trains k-means; every plan
-    * shape below is identical, only the centroid table differs). The
-    * candidate→corpus join is a shuffle join on vec_id, NOT a broadcast of
-    * the corpus — the shape that survives a billion-vector table. */
+    * cost is |Q|·k + |Q|·(corpus/k·nprobe) instead of |Q|·corpus. The
+    * codebook (see [[codebook]]) is deterministic so the DuckDB oracle is
+    * exact (production trains k-means; every plan shape below is identical,
+    * only the codebook values differ). Cell assignment and probe selection
+    * are row-local expressions against the literal codebook — no crossJoin
+    * — and the candidate→corpus join is a shuffle join on vec_id, NOT a
+    * broadcast of the corpus: the shape that survives a billion-vector
+    * table. */
   private def q52(s: SparkSession, d: String): DataFrame = {
     val u = unitVectors(s, d)
-    val cent = u.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("ue").as("cu"))
-    val cc = u.select(col("vec_id"), col("ue"))
-      .crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("cid"), expr("graft_dot(ue, cu)").as("cc"))
-    // cell assignment: argmax as a hash agg (max struct), not a window sort
-    val assign = cc
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("cc"), (-col("cid")).as("negcid"))).as("b"))
-      .select(col("vec_id"), (-col("b.negcid")).as("cell"))
-    val wp = Window.partitionBy(col("query_id")).orderBy(col("cc").desc, col("cid"))
-    val probes = cc.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("query_id"), col("cid"), col("cc"))
-      .withColumn("rnk", rank().over(wp)).filter(col("rnk") <= 2)
-      .select(col("query_id"), col("cid").as("cell"))
-    val cand = probes
-      .join(assign.withColumnRenamed("vec_id", "neighbor_id"), "cell")
+    val sc = sortedCells(codebook(u))
+    val assign = u.select(col("vec_id").as("neighbor_id"),
+      element_at(sc, 1)("cid").as("cell"))
+    val probes = u.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"),
+        explode(slice(transform(sc, x => x("cid")), 1, 2)).as("cell"))
+    val cand = probes.join(assign, "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
     val qv = u.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("ue").as("qu"))
@@ -206,22 +232,54 @@ object VectorOps extends QueryModule {
       |SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 3
       |ORDER BY query_id, rnk, neighbor_id""".stripMargin
 
-  /** Embedding-cosine near-dup baseline: every vector's single nearest
-    * neighbor (all-pairs k=1). The dedup decision (cosine ≥ τ) is then a
-    * filter on this table; emitting the NN keeps the output non-empty on
-    * corpora with no near-dups (this testdata's max pair cosine ≈ 0.51). */
+  /** Embedding-cosine near-dup: every vector's best neighbor within a
+    * CANDIDATE UNION — LSH bucket mates (q33's 8 hyperplanes) ∪ IVF
+    * nprobe=2 cell mates (q52's codebook) ∪ the probed centroids
+    * themselves — scored exactly, top-1 per vector. The dedup decision
+    * (cosine ≥ τ) is then a filter on this table; near-identical vectors
+    * collide in both sketches, so recall at the τ=0.9 decision boundary is
+    * the LSH/IVF guarantee, and including each vector's probed centroids
+    * makes coverage total (every vector emits a row — its second-probe
+    * centroid is never itself).
+    *
+    * Scale shape: candidate generation is two equi-joins (bucket key, cell
+    * key) + a projection — replacing the previous all-pairs |V|² self-join,
+    * which was the fleet's one O(n²) plan. Candidate volume is governed by
+    * bucket granularity (LSH bits, codebook size k), the standard knobs
+    * that grow with corpus size; all joins stay hash/sort-merge —
+    * PlanHygieneSpec asserts no CartesianProduct/BNL node survives here.
+    * Top-1 per vector is a map-side hash aggregation (max(struct)), not a
+    * window sort over the candidate pairs. */
   private def q40(s: SparkSession, d: String): DataFrame = {
     val u = unitVectors(s, d)
-    val a = u.select(col("vec_id"), col("ue"))
-    val b = u.select(col("vec_id").as("neighbor_id"), col("ue").as("cu"))
-    val sims = a.join(b, col("vec_id") =!= col("neighbor_id"))
-      .select(col("vec_id"), col("neighbor_id"),
-        expr("graft_dot(ue, cu)").as("cosine"))
-    // Top-1 per vector as a hash aggregation: max(struct(cosine, -id))
-    // picks the same (cosine DESC, neighbor_id ASC) winner as a row_number
-    // window, but aggregates map-side instead of sorting all |V|² pairs
-    // within partitions — the shape that survives a big corpus.
-    sims
+    val sc = sortedCells(codebook(u))
+    // pcells = [assigned cell, second probe] — 16 ordered dots + a sort,
+    // checkpointed once (CollapseProject would inline the fold into every
+    // downstream reference — the q75 hazard, same mechanism).
+    val cells = u.select(col("vec_id"),
+        slice(transform(sc, x => x("cid").cast("bigint")), 1, 2).as("pcells"))
+      .localCheckpoint(true)
+    val assign = cells.select(col("vec_id").as("neighbor_id"),
+      element_at(col("pcells"), 1).as("cell"))
+    val probes = cells.select(col("vec_id"), explode(col("pcells")).as("cell"))
+    val ivfPairs = probes.join(assign, "cell")
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"))
+    // Probed centroids are corpus vectors (cid = vec_id) — 2 row-local
+    // candidate pairs per vector, guaranteeing non-empty candidate sets.
+    val centPairs = probes.filter(col("cell") =!= col("vec_id"))
+      .select(col("vec_id"), col("cell").as("neighbor_id"))
+    val bucketed = u.select(col("vec_id"), lshBucketExpr.as("bucket"))
+    val lshPairs = bucketed.join(
+        bucketed.select(col("bucket").as("bucket_b"), col("vec_id").as("neighbor_id")),
+        col("bucket") === col("bucket_b") && col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"))
+    val cand = lshPairs.union(ivfPairs).union(centPairs).distinct()
+    val scored = cand
+      .join(u.select(col("vec_id"), col("ue").as("qu")), "vec_id")
+      .join(u.select(col("vec_id").as("neighbor_id"), col("ue").as("cu")), "neighbor_id")
+      .select(col("vec_id"), col("neighbor_id"), expr("graft_dot(qu, cu)").as("cosine"))
+    scored
       .groupBy(col("vec_id"))
       .agg(max(struct(col("cosine"), (-col("neighbor_id")).as("negid"))).as("best"))
       .select(col("vec_id"), (-col("best.negid")).as("neighbor_id"),
@@ -235,16 +293,46 @@ object VectorOps extends QueryModule {
       |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) AS nrm
       |  FROM embeddings),
-      |u AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS ue FROM e),
-      |sims AS (
-      |  SELECT a.vec_id, b.vec_id AS neighbor_id,
-      |    list_reduce(list_prepend(0.0, list_transform(list_zip(a.ue, b.ue),
+      |u AS (SELECT vec_id, embedding, list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS ue FROM e),
+      |b AS (
+      |  SELECT vec_id,
+      |    CAST(list_sum(list_transform(range(0, 8), p ->
+      |      CASE WHEN list_reduce(list_prepend(0.0, list_transform(
+      |          list_zip(embedding,
+      |            list_transform(range(0, len(embedding)),
+      |              dd -> CAST((p * 97 + dd * 13) % 7 - 3 AS DOUBLE))),
+      |          pr -> CAST(pr[1] AS DOUBLE) * pr[2])), (a, v) -> a + v) > 0
+      |        THEN 1 << p ELSE 0 END)) AS INTEGER) AS bucket
+      |  FROM u),
+      |cent AS (SELECT vec_id AS cid, ue AS cu FROM u WHERE vec_id < 16),
+      |cc AS (
+      |  SELECT u.vec_id, cent.cid,
+      |    list_reduce(list_prepend(0.0, list_transform(list_zip(u.ue, cent.cu),
+      |      p -> p[1] * p[2])), (a, b) -> a + b) AS cc
+      |  FROM u CROSS JOIN cent),
+      |ranked_cells AS (
+      |  SELECT vec_id, cid,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+      |  FROM cc),
+      |assign AS (SELECT vec_id, cid AS cell FROM ranked_cells WHERE rn = 1),
+      |probes AS (SELECT vec_id, cid AS cell FROM ranked_cells WHERE rn <= 2),
+      |cand AS (
+      |  SELECT a.vec_id, c.vec_id AS neighbor_id
+      |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+      |  UNION
+      |  SELECT p.vec_id, a.vec_id AS neighbor_id
+      |  FROM probes p JOIN assign a ON p.cell = a.cell AND p.vec_id <> a.vec_id
+      |  UNION
+      |  SELECT vec_id, cell AS neighbor_id FROM probes WHERE cell <> vec_id),
+      |scored AS (
+      |  SELECT c.vec_id, c.neighbor_id,
+      |    list_reduce(list_prepend(0.0, list_transform(list_zip(q.ue, n.ue),
       |      p -> p[1] * p[2])), (x, y) -> x + y) AS cosine
-      |  FROM u a JOIN u b ON a.vec_id <> b.vec_id),
+      |  FROM cand c JOIN u q ON c.vec_id = q.vec_id JOIN u n ON c.neighbor_id = n.vec_id),
       |ranked AS (
       |  SELECT vec_id, neighbor_id, cosine,
       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rnk
-      |  FROM sims)
+      |  FROM scored)
       |SELECT vec_id, neighbor_id, cosine, cosine >= 0.9 AS is_near_dup
       |FROM ranked WHERE rnk = 1 ORDER BY vec_id""".stripMargin
 
