@@ -1,8 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import scala.jdk.CollectionConverters._
 
 /** Exact global row numbers / running sums WITHOUT a single-partition
   * window.
@@ -49,17 +51,42 @@ object GlobalRank {
          |     ELSE $nCol % $b + ($rnCol - ($nCol % $b) * ($nCol div $b + 1) - 1) div ($nCol div $b) + 1
          |END""".stripMargin)
 
+  /** Driver-side exact addition for the collected per-bucket prefix sums
+    * (B ≤ buckets+1 values — the same bounded driver state class as the
+    * boundary sample). */
+  private def add(a: Any, b: Any): Any = (a, b) match {
+    case (null, x) => x
+    case (x, null) => x
+    case (x: Long, y: Long) => x + y
+    case (x: Int, y: Int) => x.toLong + y.toLong
+    case (x: Double, y: Double) => x + y
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.add(y)
+    case _ => throw new IllegalArgumentException(
+      s"unsupported prefix-sum type: ${a.getClass}")
+  }
+
   /** Adds a 1-based contiguous global row number `rnName` (BIGINT) ordered
     * by (key ± , tieBreakers...), and optionally the running sum of a
     * column in that order (`prefixSum = Some((col, cumName))`, exact for
     * decimal inputs). `buckets` bounds the boundary count; parallelism of
-    * the wide stage is min(buckets, distinct keys).
+    * the wide stage is min(buckets, distinct keys); small inputs get their
+    * boundary set thinned (≥ ~4k rows per bucket) so tiny tables don't pay
+    * a 32-way boundary filter per row.
     *
-    * Evaluation contract: `df` is evaluated up to three times (boundary
-    * sampling, bucket counts, the ranked output). Cheap scan/projection
-    * inputs should be passed as-is — re-scanning parquet beats
-    * materializing it — but localCheckpoint anything with an expensive
-    * upstream (joins, aggregations) first, or that work runs thrice. */
+    * Evaluation contract: `df` is evaluated up to three times (one job for
+    * boundaries + total count, one for per-bucket counts, the ranked
+    * output). Cheap scan/projection inputs should be passed as-is —
+    * re-scanning parquet beats materializing it — but localCheckpoint
+    * anything with an expensive upstream (joins, aggregations) first, or
+    * that work runs thrice.
+    *
+    * Driver-side state is bounded and data-independent: B-1 boundary
+    * values plus B per-bucket (count, sum) rows — the same two collections
+    * a RangePartitioner-based writer makes. Turning the per-bucket stats
+    * into literal offsets here (instead of the previous B-row triangular
+    * self-join) keeps every join in the plan an equi-join: no
+    * CartesianProduct/BroadcastNestedLoopJoin node anywhere
+    * (PlanHygieneSpec enforces this fleet-wide). */
   def withRank(df: DataFrame, key: Column, descending: Boolean,
       tieBreakers: Seq[Column], rnName: String,
       prefixSum: Option[(Column, String)] = None,
@@ -69,13 +96,22 @@ object GlobalRank {
       s"GlobalRank needs at least 2 buckets (got $buckets) — with 1 the " +
         "construction degenerates to the single-partition window it replaces")
     val keyed = df.withColumn("__grk", key)
-    // Pass 1: boundary values. approx_percentile never invents values, so
-    // boundaries are real key values; duplicates just leave buckets empty.
+    // Pass 1 (ONE job): boundary values + total count. approx_percentile
+    // never invents values, so boundaries are real key values; duplicates
+    // just leave buckets empty.
     val fracs = (1 until buckets).map(i => s"${i.toDouble / buckets}").mkString(",")
     val bRow = keyed.agg(
-      expr(s"approx_percentile(__grk, array($fracs), 10000)").as("bs")).head()
-    val bounds: Seq[Any] =
+      expr(s"approx_percentile(__grk, array($fracs), 10000)").as("bs"),
+      count(lit(1)).as("n")).head()
+    val n = bRow.getLong(1)
+    val allBounds: Seq[Any] =
       if (bRow.isNullAt(0)) Seq.empty else bRow.getSeq[Any](0)
+    // Adaptive thinning: any boundary subset is still exact (boundaries
+    // only balance buckets), so aim for ≥4k rows per bucket.
+    val effB = math.max(2, math.min(buckets, math.ceil(n / 4096.0).toInt))
+    val bounds: Seq[Any] =
+      if (allBounds.isEmpty || effB >= buckets) allBounds
+      else (1 until effB).map(i => allBounds(i * buckets / effB - 1))
     // Null keys: the percentile sketch never sees them; route them to the
     // edge bucket on the side Spark's default null ordering puts them
     // (NULLS FIRST asc → before bucket 0; NULLS LAST desc → after the last).
@@ -88,34 +124,40 @@ object GlobalRank {
           size(filter(arr, b => if (descending) b > col("__grk") else b < col("__grk"))))
       }
     val withB = keyed.withColumn("__gb", bucketCol)
-    // Pass 2: per-bucket counts/sums (B rows) → offsets via triangular join.
+    // Pass 2 (one job): per-bucket counts/sums — B rows collected to the
+    // driver; exclusive prefix offsets computed here and shipped back as a
+    // broadcast equi-join on the bucket id.
     val perAggs = count(lit(1)).as("__cnt") +:
       prefixSum.map { case (c, _) => sum(c).as("__ps") }.toSeq
     val per = withB.groupBy("__gb").agg(perAggs.head, perAggs.tail: _*)
-    val pa = per.select(
-      col("__gb").as("__ab") +: col("__cnt").as("__acnt") +:
-        prefixSum.map(_ => col("__ps").as("__aps")).toSeq: _*)
-    val pb = per.select(
-      col("__gb").as("__bb") +: col("__cnt").as("__bcnt") +:
-        prefixSum.map(_ => col("__ps").as("__bps")).toSeq: _*)
-    val offAggs = coalesce(sum("__bcnt"), lit(0L)).as("__offcnt") +:
-      prefixSum.map(_ => coalesce(sum("__bps"), lit(0)).as("__offps")).toSeq
-    val offs = pa.join(pb, col("__bb") < col("__ab"), "left")
-      .groupBy(col("__ab").as("__gb"))
-      .agg(offAggs.head, offAggs.tail: _*)
+    val perRows = per.collect().sortBy(_.getInt(0))
+    var cumCnt = 0L
+    var cumPs: Any = null
+    val offRows = perRows.map { r =>
+      val out =
+        if (prefixSum.isDefined) Row(r.getInt(0), cumCnt, cumPs)
+        else Row(r.getInt(0), cumCnt)
+      cumCnt += r.getLong(1)
+      if (prefixSum.isDefined) cumPs = add(cumPs, r.get(2))
+      out
+    }
+    val perSchema = per.schema
+    val offSchema = StructType(
+      perSchema("__gb").copy(nullable = false) +:
+        StructField("__offcnt", LongType, nullable = false) +:
+        prefixSum.map(_ => perSchema("__ps").copy(name = "__offps")).toSeq)
+    val offs = df.sparkSession.createDataFrame(
+      offRows.toSeq.asJava, offSchema)
     // Pass 3: the one wide shuffle — window partitioned by bucket.
-    // `totalName` rides along for free: the per-bucket counts already
-    // exist, so n = their sum — callers needing NTILE/percent formulas
-    // skip a whole extra scan-and-count of the input.
+    // `totalName` rides along for free from pass 1's count.
     val order = (if (descending) col("__grk").desc else col("__grk").asc) +: tieBreakers
     val w = Window.partitionBy(col("__gb")).orderBy(order: _*)
-    val offsTot = totalName.fold(offs)(tn =>
-      offs.crossJoin(broadcast(per.agg(sum("__cnt").as(tn)))))
-    val ranked = withB.join(broadcast(offsTot), "__gb")
+    val ranked = withB.join(broadcast(offs), "__gb")
       .withColumn(rnName, col("__offcnt") + row_number().over(w))
+    val withTotal = totalName.fold(ranked)(tn => ranked.withColumn(tn, lit(n)))
     prefixSum
-      .fold(ranked) { case (c, cumName) =>
-        ranked.withColumn(cumName, col("__offps") +
+      .fold(withTotal) { case (c, cumName) =>
+        withTotal.withColumn(cumName, coalesce(col("__offps"), lit(0)) +
           sum(c).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       }
       .drop("__gb", "__grk", "__offcnt", "__offps")

@@ -2,21 +2,47 @@ package graft.plans
 
 import graft.{SparkEntry, SparkSpec}
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
 
 object PlanHygiene {
   /** Full physical-plan traversal that DESCENDS INTO AdaptiveSparkPlanExec
-    * (whose inner plan is a field, not a child — a plain `.collect` sees
-    * nothing under AQE and makes plan assertions vacuous). */
+    * and materialized query stages (whose inner plan is a field, not a
+    * child — a plain `.collect` sees nothing under AQE and makes plan
+    * assertions vacuous). */
   def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => a +: allNodes(a.executedPlan)
+    case q: QueryStageExec => q +: allNodes(q.plan)
     case _ => p +: p.children.flatMap(allNodes)
   }
 
   def unpartitionedWindows(df: org.apache.spark.sql.DataFrame): Seq[WindowExec] =
     allNodes(df.queryExecution.executedPlan).collect {
       case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+
+  /** True when a plan subtree is provably OUTPUT-BOUNDED: it contains a
+    * global (groupless) aggregate, so at most one row flows out of it
+    * regardless of input size. This is the scalar-crossJoin idiom
+    * (withScalar: attach a 1-row aggregate to every row). */
+  private def isScalarSubtree(p: SparkPlan): Boolean =
+    allNodes(p).exists {
+      case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+      case _ => false
+    }
+
+  /** Cartesian/broadcast-nested-loop joins whose BOTH sides are
+    * data-proportional — the plans that cannot survive a 100× scale-up.
+    * A side containing a groupless aggregate is bounded (≤1 row), which
+    * excuses the scalar-attach idiom but nothing else. */
+  def unboundedLoopJoins(df: org.apache.spark.sql.DataFrame): Seq[SparkPlan] =
+    allNodes(df.queryExecution.executedPlan).collect {
+      case j: CartesianProductExec
+        if !isScalarSubtree(j.left) && !isScalarSubtree(j.right) => j
+      case j: BroadcastNestedLoopJoinExec
+        if !isScalarSubtree(j.left) && !isScalarSubtree(j.right) => j
     }
 }
 
@@ -48,6 +74,26 @@ class PlanHygieneSpec extends SparkSpec {
     boundedAllowlist.foreach { name =>
       assert(PlanHygiene.unpartitionedWindows(SparkEntry.queries(name)(spark, sf)).nonEmpty,
         s"$name no longer has an unpartitioned window — drop it from the allowlist")
+    }
+  }
+
+  /** Queries allowed a loop join over non-scalar inputs, each justified —
+    * entries must be BOUNDED by construction, never data-proportional. */
+  private val loopJoinAllowlist: Set[String] = Set.empty
+
+  test("no query plan has a cartesian/BNL join over data-proportional inputs") {
+    val sf = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val bad = PlanHygiene.unboundedLoopJoins(fn(spark, sf))
+      if (bad.nonEmpty && !loopJoinAllowlist.contains(name))
+        Some(s"$name: ${bad.map(_.nodeName).distinct.mkString(",")}")
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"queries with data-proportional loop joins (all-pairs plans): $offenders")
+    loopJoinAllowlist.foreach { name =>
+      assert(PlanHygiene.unboundedLoopJoins(SparkEntry.queries(name)(spark, sf)).nonEmpty,
+        s"$name no longer has a loop join — drop it from the allowlist")
     }
   }
 }
