@@ -71,6 +71,26 @@ object Marts {
       .withColumn("rating_trend", col("q_avg_rating") - col("prev_q_avg_rating"))
   }
 
+  /** vw_monthly_trends — named in the reference's drop list
+    * (airflow/dags/complete_data_pipeline_fixed.py:99) and documented in
+    * its README (5_documentation/project_README.md:308-311) but never
+    * actually created there (a documented reference breakage, SURVEY
+    * §1.1). This implements the stated intent: per-(bank, month) review
+    * volume + average rating/sentiment with month-over-month LAG. The
+    * window partitions by bank, so it never sees data-proportional input. */
+  def monthlyTrends(enriched: DataFrame): DataFrame = {
+    val m = enriched
+      .filter(col("review_time").isNotNull)
+      .groupBy(col("bank_name"),
+        date_format(col("review_time"), "yyyy-MM").as("review_month"))
+      .agg(count(lit(1)).as("reviews"),
+        round(avg(col("rating")), 2).as("m_avg_rating"),
+        round(avg(col("sentiment_score")), 4).as("m_avg_sentiment"))
+    val w = Window.partitionBy(col("bank_name")).orderBy(col("review_month"))
+    m.withColumn("prev_m_avg_rating", lag(col("m_avg_rating"), 1).over(w))
+      .withColumn("rating_mom", col("m_avg_rating") - col("prev_m_avg_rating"))
+  }
+
   /** W2: gapped RANK leaderboard (phase2_transformation_pipeline.py:462). */
   def bankRanking(enriched: DataFrame): DataFrame = {
     val perf = bankPerformance(enriched)

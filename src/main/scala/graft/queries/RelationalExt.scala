@@ -610,6 +610,39 @@ object RelationalExt extends QueryModule {
       |       purchase_id, purchase_sec, purchase_sec - sec AS lag_sec
       |FROM m WHERE event_type = 'click' ORDER BY click_id""".stripMargin
 
+  /** vw_monthly_trends intent (the reference drops the view at
+    * complete_data_pipeline_fixed.py:99 and documents it at
+    * project_README.md:308-311 but never creates it — SURVEY §1.1):
+    * per-(entity, month) volume + average with month-over-month LAG,
+    * window partitioned by the entity so it never buffers
+    * data-proportional input. Domain twin: Marts.monthlyTrends. */
+  private def q87(s: SparkSession, d: String): DataFrame = {
+    val m = t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        davg(col("o_totalprice"), 2).as("m_avg_price"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("order_month"))
+    m.withColumn("prev_m_avg_price", lag(col("m_avg_price"), 1).over(w))
+      .withColumn("price_mom", col("m_avg_price") - col("prev_m_avg_price"))
+      .orderBy("n_name", "order_month")
+  }
+  private val q87Sql =
+    s"""SELECT n_name, order_month, n_orders, m_avg_price,
+       |  LAG(m_avg_price, 1) OVER w AS prev_m_avg_price,
+       |  m_avg_price - LAG(m_avg_price, 1) OVER w AS price_mom
+       |FROM (
+       |  SELECT n_name, strftime(o_orderdate, '%Y-%m') AS order_month,
+       |         COUNT(*) AS n_orders, ${davgSql("o_totalprice", 2)} AS m_avg_price
+       |  FROM orders
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY 1, 2) m
+       |WINDOW w AS (PARTITION BY n_name ORDER BY order_month)
+       |ORDER BY n_name, order_month""".stripMargin
+
   /** q39's backward as-of join executed by the NATIVE AsOfJoin operator
     * (graft.plans: LogicalPlan + SparkStrategy + SparkPlan via
     * SparkSessionExtensions) instead of the union+window emulation: one
@@ -1152,6 +1185,7 @@ object RelationalExt extends QueryModule {
     Q("q39_asof_join", q39, Some(q39Sql)),
     Q("q49_asof_native", q49, Some(q39Sql)),
     Q("q86_asof_forward", q86, Some(q86Sql)),
+    Q("q87_monthly_trends", q87, Some(q87Sql)),
     Q("q44_percentiles", q44, Some(q44Sql)),
     Q("q45_rolling_frame", q45, Some(q45Sql)),
     Q("q46_distribution_windows", q46, Some(q46Sql)),

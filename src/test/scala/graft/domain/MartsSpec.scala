@@ -50,6 +50,19 @@ class MartsSpec extends SparkSpec {
     assert(firsts >= trend.select("bank_name").distinct().count())
   }
 
+  test("monthlyTrends: one null-lag first month per bank, MoM delta elsewhere") {
+    val mt = Marts.monthlyTrends(silver)
+    val firsts = mt.filter(col("prev_m_avg_rating").isNull).count()
+    assert(firsts === mt.select("bank_name").distinct().count())
+    // Bank Alpha spans 2024-05 (r2), 2024-06 (r1,r3), 2024-07 (r6) →
+    // null delta on the first month only, non-null on the later two.
+    val alpha = mt.filter(col("bank_name") === "Bank Alpha")
+      .orderBy("review_month").collect()
+    assert(alpha.length === 3)
+    assert(alpha.head.getAs[Any]("rating_mom") == null)
+    assert(alpha.tail.forall(_.getAs[Any]("rating_mom") != null))
+  }
+
   test("bankDashboard joins fact to dim and counts branches") {
     val bank = Star.dimBank(silver)
     val branch = Star.dimBranch(silver, bank)

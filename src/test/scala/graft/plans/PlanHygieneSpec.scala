@@ -1,7 +1,7 @@
 package graft.plans
 
 import graft.{SparkEntry, SparkSpec}
-import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.{LocalTableScanExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
@@ -24,12 +24,15 @@ object PlanHygiene {
     }
 
   /** True when a plan subtree is provably OUTPUT-BOUNDED: it contains a
-    * global (groupless) aggregate, so at most one row flows out of it
-    * regardless of input size. This is the scalar-crossJoin idiom
-    * (withScalar: attach a 1-row aggregate to every row). */
+    * global (groupless) aggregate — at most one row flows out regardless
+    * of input size (the scalar-crossJoin idiom: attach a 1-row aggregate
+    * to every row) — or it is rooted in a LocalTableScan, a literal
+    * in-memory relation whose row count is fixed at plan-build time and
+    * cannot grow with the data (e.g. a constant tier/band lookup table). */
   private def isScalarSubtree(p: SparkPlan): Boolean =
     allNodes(p).exists {
       case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+      case _: LocalTableScanExec => true
       case _ => false
     }
 
@@ -78,8 +81,15 @@ class PlanHygieneSpec extends SparkSpec {
   }
 
   /** Queries allowed a loop join over non-scalar inputs, each justified —
-    * entries must be BOUNDED by construction, never data-proportional. */
-  private val loopJoinAllowlist: Set[String] = Set.empty
+    * entries must be BOUNDED by construction, never data-proportional:
+    *  - q32: brute-force ANN BASELINE. The broadcast side is the query
+    *    set `vec_id < 8` — ≤8 rows at ANY scale factor by id predicate —
+    *    so the BNL scans 8·n pairs: linear in data, the intended exact
+    *    baseline the LSH (q33) / IVF (q52) paths are measured against.
+    *  - q85: quantized rerank over the same ≤8-row broadcast query set;
+    *    identical 8·n shape. */
+  private val loopJoinAllowlist: Set[String] =
+    Set("q32_ann_bruteforce", "q85_ann_quantized")
 
   test("no query plan has a cartesian/BNL join over data-proportional inputs") {
     val sf = "/root/testdata/sf0.001"
