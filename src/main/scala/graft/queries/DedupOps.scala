@@ -87,7 +87,17 @@ object DedupOps extends QueryModule {
   }
   private[queries] def verifiedPairs(s: SparkSession, d: String): DataFrame = {
     pruneStopped()
-    pairCache.computeIfAbsent((s, d), _ => q27body(s, d).localCheckpoint(true))
+    // get-then-putIfAbsent, NOT computeIfAbsent: the build runs a full
+    // Spark job (minutes at scale) and computeIfAbsent would hold the
+    // map's bin lock for its whole duration, stalling unrelated keys that
+    // hash to the same bin. A rare concurrent duplicate build is harmless
+    // — the artifact is deterministic and the loser's checkpoint blocks
+    // are reclaimed by the ContextCleaner.
+    val key = (s, d)
+    Option(pairCache.get(key)).getOrElse {
+      val built = q27body(s, d).localCheckpoint(true)
+      Option(pairCache.putIfAbsent(key, built)).getOrElse(built)
+    }
   }
 
   /** n-gram Jaccard near-dup pairs (within-source blocking): 3-shingle

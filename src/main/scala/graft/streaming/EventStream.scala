@@ -222,7 +222,15 @@ object EventStream {
     * version is never yanked). The marker lineage is bound to the
     * checkpoint lineage by an epoch id (see [[alignEpoch]]), so a reset
     * checkpoint — whose batch ids restart at 0 — can never collide with
-    * stale markers and silently skip new data. */
+    * stale markers and silently skip new data.
+    *
+    * LOCAL-FS REQUIREMENT: goldDir and checkpointDir must live on a
+    * filesystem reachable via java.io.File from the driver — the marker /
+    * version / epoch protocol uses local file APIs. With an HDFS/S3
+    * checkpoint location the epoch file would land on driver-local disk,
+    * decoupled from the real checkpoint lineage. Porting the protocol to
+    * `org.apache.hadoop.fs.FileSystem` resolved from the path is the
+    * lift needed for object-store deployments. */
   def goldIncrementalMerge(spark: SparkSession, bronzeDir: String,
       goldDir: String, checkpointDir: String,
       maxFilesPerTrigger: Option[Int] = None): Unit = {
@@ -317,9 +325,19 @@ object EventStream {
         Some(new String(java.nio.file.Files.readAllBytes(recorded.toPath), "UTF-8"))
       else None
     if (!prior.contains(epoch)) {
-      if (prior.isDefined) {
-        deleteRecursively(new java.io.File(commitDir))
+      // Markers with NO recorded epoch are just as dead as a mismatched
+      // one: they predate epoch binding (or survived a partial purge), so
+      // their batch-id lineage is unverifiable — purge those too instead
+      // of adopting them into the new epoch.
+      val unboundMarkers = prior.isEmpty && listCommitted(commitDir).nonEmpty
+      if (prior.isDefined || unboundMarkers) {
+        // versionRoot FIRST: if the purge dies between the two deletes,
+        // commitDir (holding the old _epoch / markers) survives, the
+        // mismatch is re-detected on restart, and the purge re-runs.
+        // Deleting commitDir first would make the retry see prior=None
+        // with no markers → stale version dirs leak forever.
         deleteRecursively(new java.io.File(versionRoot))
+        deleteRecursively(new java.io.File(commitDir))
       }
       recorded.getParentFile.mkdirs()
       java.nio.file.Files.write(recorded.toPath, epoch.getBytes("UTF-8"))
@@ -352,7 +370,14 @@ object EventStream {
     * property that lets a training-data pipeline keep corpus-wide token
     * statistics current while documents arrive, without ever re-reading
     * history. Commit protocol is the same versioned-dir + marker single
-    * commit point as goldIncrementalMerge (exactly-once under replay). */
+    * commit point as goldIncrementalMerge (exactly-once under replay).
+    *
+    * LOCAL-FS REQUIREMENT: sketchDir and checkpointDir must live on a
+    * filesystem reachable via java.io.File from the driver (the marker /
+    * version / epoch protocol uses local file APIs). An HDFS/S3 URI would
+    * silently resolve the epoch file to driver-local disk, decoupling it
+    * from the real checkpoint lineage. Same constraint as
+    * [[goldIncrementalMerge]]. */
   def cmsTokenStream(spark: SparkSession, docsDir: String, sketchDir: String,
       checkpointDir: String, textSchema: org.apache.spark.sql.types.StructType,
       maxFilesPerTrigger: Option[Int] = None): Unit = {

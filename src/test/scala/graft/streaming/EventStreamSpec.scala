@@ -185,6 +185,26 @@ class EventStreamSpec extends SparkSpec {
       "new data must reach gold after a checkpoint reset, not be skipped by stale markers")
   }
 
+  test("pre-epoch (unbound) markers are purged on first epoch binding") {
+    val bronze = java.nio.file.Files.createTempDirectory("graft_bronze_ub").toString
+    val gold = java.nio.file.Files.createTempDirectory("graft_gold_ub").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_cp_ub").toString
+    val events = Tables(spark, "/root/testdata/sf0.001", "events")
+    val wave1 = events.filter(col("event_id") % 2 === 0)
+    val wave2 = events.filter(col("event_id") % 2 =!= 0)
+    // An output dir written BEFORE epoch binding existed: batch_* markers
+    // present, no _epoch recorded. Adopting them into the new epoch would
+    // resurrect the stale-marker skip bug for exactly one checkpoint reset.
+    EventStream.mergeIncrementalBatch(gold, 0L, wave1)
+    wave1.coalesce(1).write.mode("overwrite").parquet(bronze)
+    wave2.coalesce(1).write.mode("append").parquet(bronze)
+    EventStream.goldIncrementalMerge(spark, bronze, gold, cp)
+    assert(EventStream.readIncrementalGold(spark, gold)
+      .agg(sum("n_events")).head().getLong(0) === 1000L,
+      "unbound markers must be treated as a dead lineage and purged, " +
+        "not adopted into the fresh checkpoint's epoch")
+  }
+
   test("version GC keeps the two largest committed ids even with id gaps") {
     val gold = java.nio.file.Files.createTempDirectory("graft_gold_gc").toString
     val events = Tables(spark, "/root/testdata/sf0.001", "events")
