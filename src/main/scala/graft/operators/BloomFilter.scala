@@ -99,8 +99,7 @@ object BloomFilter {
   def semiJoin(probe: DataFrame, probeKey: String, build: DataFrame,
       buildKey: String, numWords: Int = 1024, numHashes: Int = 3): DataFrame = {
     val bm = build.agg(agg(col(buildKey), numWords, numHashes).as("bm"))
-    val pruned = probe
-      .crossJoin(broadcast(bm))
+    val pruned = graft.Scalars.withScalar(probe, bm)
       .filter(mightContain(col("bm"), col(probeKey), numWords, numHashes))
       .drop("bm")
     pruned.join(build.select(col(buildKey).as(probeKey)), Seq(probeKey), "left_semi")

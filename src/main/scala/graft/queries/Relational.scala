@@ -336,7 +336,7 @@ object Relational extends QueryModule {
       .filter(col("rn") === floor((col("n") + 1) / 2) ||
         col("rn") === floor((col("n") + 2) / 2))
       .agg(davg(col("v"), 6).as("median_value"))
-    base.crossJoin(med)
+    graft.Scalars.withScalar(base, med)
   }
   private val q13Sql =
     s"""WITH r AS (

@@ -845,7 +845,7 @@ object RelationalExt extends QueryModule {
     val h = e.groupBy(expr("sec div 3600").as("hb"))
       .agg(count(lit(1)).as("n_events"))
     val tot = h.agg(count(lit(1)).as("hh"), sum(col("n_events")).as("nn"))
-    val busy = h.crossJoin(broadcast(tot))
+    val busy = graft.Scalars.withScalar(h, tot)
       .filter(col("n_events") * col("hh") * 5 > col("nn") * 6)
       .select(col("hb"), col("n_events"))
     sess
@@ -1044,12 +1044,12 @@ object RelationalExt extends QueryModule {
     // rows at 100 TB. The offset+local running sum is cast back to the
     // plain window sum's decimal type so the emitted strings (and thus
     // the d2d doubles) are unchanged.
-    val total = broadcast(rev.agg(sum(col("rev")).cast("decimal(28,2)").as("total")))
-    GlobalRank.withRank(rev, col("rev"), descending = true,
+    val total = rev.agg(sum(col("rev")).cast("decimal(28,2)").as("total"))
+    val ranked = GlobalRank.withRank(rev, col("rev"), descending = true,
         tieBreakers = Seq(col("o_custkey")), rnName = "rn",
         prefixSum = Some((col("rev"), "cum0")))
       .withColumn("cum", col("cum0").cast("decimal(28,2)"))
-      .crossJoin(total)
+    graft.Scalars.withScalar(ranked, total)
       .filter((col("cum") - col("rev")) * 5 < col("total") * 4)
       .withColumn("rnk", col("rn").cast("int"))
       .select(col("o_custkey"), d2d(col("rev")).as("revenue"),

@@ -223,7 +223,7 @@ object TextOps extends QueryModule {
     val counts = toks.join(broadcast(cands), "tok")
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val tot = toks.agg(count(lit(1)).as("tn"))
-    counts.crossJoin(broadcast(tot))
+    graft.Scalars.withScalar(counts, tot)
       .filter(col("cnt") * 500 >= col("tn"))
       .select(col("tok"), col("cnt"))
       .orderBy(col("cnt").desc, col("tok"))
@@ -255,7 +255,7 @@ object TextOps extends QueryModule {
     val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("tok"))
       .limit(30)
-    top.crossJoin(broadcast(cms))
+    graft.Scalars.withScalar(top, cms)
       .withColumn("cms_est",
         graft.operators.CmsAgg.estimate(col("cms"), expr("graft_h60(tok)")))
       .select(col("tok").as("token"), col("exact_cnt"), col("cms_est"),

@@ -415,7 +415,7 @@ object EventStream {
       val merged = prevId match {
         case Some(v) =>
           val prev = ss.read.parquet(cmsVersionDir(sketchDir, v))
-          partial.crossJoin(prev.select(col("cms").as("prev_cms")))
+          graft.Scalars.withScalar(partial, prev.select(col("cms").as("prev_cms")))
             .select(expr("zip_with(cms, prev_cms, (a, b) -> a + b)").as("cms"))
         case None => partial
       }
