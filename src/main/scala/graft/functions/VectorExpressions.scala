@@ -105,6 +105,79 @@ case class L2NormD(child: Expression)
     copy(child = c)
 }
 
+/** 8-sign-bit random-hyperplane LSH bucket over the raw embedding
+  * (array<float> or array<double>): bit p is sign(dot(v, plane_p)) with
+  * the seedless integer planes plane[p][d] = (p·97 + d·13) mod 7 − 3 —
+  * exactly the weights the interpreted aggregate/zip_with version used
+  * and the DuckDB oracles still spell out. Per-plane accumulation is in
+  * array-index order with each element widened to double first, so sign
+  * boundaries (and therefore buckets) stay bit-identical across engines.
+  * Replaces an 8-plane nested HigherOrderFunction chain that never
+  * entered whole-stage codegen — this is the per-row hot loop of the LSH
+  * ANN (q33) and the candidate-union NN dedup (q40). */
+case class LshBits8(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<float> or array<double> argument")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_lsh8"
+
+  private lazy val elemIsFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var bucket = 0
+    var p = 0
+    while (p < 8) {
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        val v = if (elemIsFloat) x.getFloat(d).toDouble else x.getDouble(d)
+        acc += v * ((p * 97 + d * 13) % 7 - 3)
+        d += 1
+      }
+      if (acc > 0) bucket |= 1 << p
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val get = if (elemIsFloat) "getFloat" else "getDouble"
+      val n = ctx.freshName("n")
+      val b = ctx.freshName("bucket")
+      val p = ctx.freshName("p")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |int $b = 0;
+         |for (int $p = 0; $p < 8; $p++) {
+         |  double $acc = 0.0;
+         |  for (int $d = 0; $d < $n; $d++) {
+         |    $acc += (double) $a.$get($d) * (double) (($p * 97 + $d * 13) % 7 - 3);
+         |  }
+         |  if ($acc > 0) $b |= 1 << $p;
+         |}
+         |${ev.value} = $b;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** SparkSessionExtensions installer: makes graft_dot / graft_l2norm
   * available to SQL and `expr(...)` in every session built via
   * graft.Sessions. */
@@ -130,6 +203,10 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinhashExpr].getName, "graft_minhash"),
       (exprs: Seq[Expression]) => MinhashExpr(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_lsh8"),
+      new ExpressionInfo(classOf[LshBits8].getName, "graft_lsh8"),
+      (exprs: Seq[Expression]) => LshBits8(exprs.head)))
     ext.injectFunction((
       FunctionIdentifier("graft_zorder"),
       new ExpressionInfo(classOf[ZOrderExpr].getName, "graft_zorder"),

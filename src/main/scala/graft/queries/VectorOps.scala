@@ -107,13 +107,12 @@ object VectorOps extends QueryModule {
     * as doubles, and the dot product is an ordered IEEE fold — so sign
     * bits and buckets are bit-identical in the DuckDB oracle (which trig
     * hyperplanes could not guarantee at sign boundaries). Shared by the
-    * LSH ANN (q33) and the candidate-union NN dedup (q40). */
-  private val lshBucketExpr: Column = expr(
-    """aggregate(sequence(0, 7), 0,
-      |  (acc, p) -> acc + if(
-      |    aggregate(zip_with(embedding, transform(sequence(0, size(embedding) - 1), dd -> cast((p * 97 + dd * 13) % 7 - 3 as double)),
-      |      (x, pl) -> cast(x as double) * pl), cast(0.0 as double), (a, v) -> a + v) > 0,
-      |    shiftleft(1, p), 0))""".stripMargin)
+    * LSH ANN (q33) and the candidate-union NN dedup (q40). Evaluated by
+    * the native codegen'd LshBits8 expression (functions/
+    * VectorExpressions.scala) — the interpreted aggregate/zip_with chain
+    * it replaces never entered whole-stage codegen and dominated the
+    * per-row cost of both queries. */
+  private val lshBucketExpr: Column = expr("graft_lsh8(embedding)")
 
   /** IVF codebook: the 16 deterministic centroids (first-16 unit vectors,
     * cid = vec_id) loaded to the driver ONCE and shipped as a literal —
@@ -139,8 +138,7 @@ object VectorOps extends QueryModule {
   private def sortedCells(cb: Column): Column = {
     val scores = transform(sequence(lit(0), lit(15)), c =>
       struct(
-        aggregate(zip_with(col("ue"), element_at(cb, c + 1), (x, y) => x * y),
-          lit(0.0), (a, v) => a + v).as("cc"),
+        call_function("graft_dot", col("ue"), element_at(cb, c + 1)).as("cc"),
         c.as("cid")))
     array_sort(scores, (a, b) =>
       when(a("cc") > b("cc"), -1).when(a("cc") < b("cc"), 1)
