@@ -76,16 +76,20 @@ object Nlp {
       .drop("__fr", "__ar", "__w")
   }
 
-  /** N2: adds sentiment_score / sentiment_label / sentiment_confidence. */
-  def withSentiment(df: DataFrame, textCol: String = "text"): DataFrame = {
+  /** N2: adds sentiment_score / sentiment_label / sentiment_confidence.
+    * The scorer is pluggable (see graft.domain.SentimentScorer): the
+    * default [[PortableScorer]] is the reference's bit-reproducible spec
+    * the pipeline and q24 run on; [[FullLexiconScorer]] narrows the gap
+    * to the reference's TextBlob scorer. Label thresholds (±0.1,
+    * nlp_processor_simple.py:96-102) and the confidence shape are shared
+    * — they're the reference's, independent of lexicon. */
+  def withSentiment(df: DataFrame, textCol: String = "text",
+      scorer: SentimentScorer = PortableScorer): DataFrame = {
     val t = col(textCol)
-    val pos = markerHits(t, positiveLexicon)
-    val neg = markerHits(t, negativeLexicon)
-    val raw = lit(Thresholds.lexiconHitWeight) * (pos - neg)
-    val score = least(greatest(raw, lit(-Thresholds.lexiconScoreClamp)),
-      lit(Thresholds.lexiconScoreClamp))
+    val pos = scorer.hits(t, scorer.positive)
+    val neg = scorer.hits(t, scorer.negative)
     df.withColumn("__pos", pos).withColumn("__neg", neg)
-      .withColumn("sentiment_score", score)
+      .withColumn("sentiment_score", scorer.score(col("__pos"), col("__neg")))
       .withColumn("sentiment_label",
         when(col("sentiment_score") > Thresholds.sentimentPositive, "Positive")
           .when(col("sentiment_score") < Thresholds.sentimentNegative, "Negative")
