@@ -46,12 +46,25 @@ object Star {
       .otherwise(3)
 
   /** dim_date: 2020-01-01..2030-12-31 spine (4018 rows, dim_date.sql:17-23)
-    * with date_key = YYYYMMDD int, PG-semantics DOW, season + weekend flags. */
-  def dimDate(spark: SparkSession): DataFrame = {
+    * with date_key = YYYYMMDD int, PG-semantics DOW, season + weekend flags.
+    *
+    * `holidayFromDim = false` (parity mode) computes is_holiday with the
+    * reference's CASE expression; `true` derives it by broadcast-joining
+    * the [[dimHoliday]] DATA table instead — the production shape, where
+    * the holiday calendar is reference data you append to (lunar/religious
+    * holidays, new years) rather than logic you redeploy. StarSpec asserts
+    * the two modes agree on every day of the spine. */
+  def dimDate(spark: SparkSession, holidayFromDim: Boolean = false): DataFrame = {
     val spine = spark.sql(
       "SELECT explode(sequence(to_date('2020-01-01'), to_date('2030-12-31'), interval 1 day)) AS full_date")
     val fd = col("full_date")
-    spine.select(
+    val isHoliday =
+      if (!holidayFromDim) isMoroccanHoliday(fd)
+      else col("holiday_name").isNotNull
+    val joined =
+      if (!holidayFromDim) spine
+      else spine.join(broadcast(dimHoliday(spark)), Seq("full_date"), "left")
+    joined.select(
       (year(fd) * 10000 + month(fd) * 100 + dayofmonth(fd)).as("date_key"),
       fd,
       year(fd).as("year"), quarter(fd).as("quarter"), month(fd).as("month"),
@@ -67,7 +80,28 @@ object Star {
         .otherwise("Autumn").as("season"),
       year(fd).as("fiscal_year"), // Jan-Dec fiscal calendar (dim_date.sql:65-67)
       quarter(fd).as("fiscal_quarter"),
-      isMoroccanHoliday(fd).as("is_holiday"))
+      isHoliday.as("is_holiday"))
+  }
+
+  /** dim_holiday: the nine fixed-date Moroccan public holidays
+    * (dim_date.sql:68-81) as a DATA table — one row per occurrence over
+    * the dim_date spine years (9 × 11 = 99 rows). Religious (lunar)
+    * holidays shift yearly and are out of the reference's scope; appending
+    * their observed dates here is the extension path that needs no code
+    * change, which is the point of the table. */
+  def dimHoliday(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val fixed = Seq(
+      (1, 1, "New Year"), (1, 11, "Independence Manifesto Day"),
+      (5, 1, "Labour Day"), (7, 30, "Throne Day"),
+      (8, 14, "Oued Ed-Dahab Day"), (8, 20, "Revolution Day"),
+      (8, 21, "Youth Day"), (11, 6, "Green March Day"),
+      (11, 18, "Independence Day"))
+    val rows = for {
+      y <- 2020 to 2030
+      (m, dd, name) <- fixed
+    } yield (java.sql.Date.valueOf(f"$y-$m%02d-$dd%02d"), name)
+    rows.toDF("full_date", "holiday_name")
   }
 
   /** Fixed-date Moroccan public holidays (dim_date.sql:68-81): New Year,

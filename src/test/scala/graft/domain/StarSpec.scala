@@ -58,6 +58,18 @@ class StarSpec extends SparkSpec {
     assert(jan1.getAs[Int]("fiscal_quarter") === 1)
   }
 
+  test("dim_holiday data table agrees with the CASE expression on the whole spine") {
+    val parity = Star.dimDate(spark)
+      .select(col("date_key"), col("is_holiday").as("h_expr"))
+    val viaDim = Star.dimDate(spark, holidayFromDim = true)
+      .select(col("date_key"), col("is_holiday").as("h_dim"))
+    val joined = parity.join(viaDim, "date_key")
+    assert(joined.count() === 4018)
+    assert(joined.filter(col("h_expr") =!= col("h_dim")).count() === 0,
+      "every day 2020-2030 must get the same is_holiday from both modes")
+    assert(Star.dimHoliday(spark).count() === 99) // 9 holidays x 11 years
+  }
+
   test("bank attribute ladders reproduce the dbt CASE lookups") {
     import spark.implicits._
     val attrs = Star.bankAttributes(
