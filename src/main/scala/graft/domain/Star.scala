@@ -86,10 +86,15 @@ object Star {
   /** dim_holiday: the nine fixed-date Moroccan public holidays
     * (dim_date.sql:68-81) as a DATA table — one row per occurrence over
     * the dim_date spine years (9 × 11 = 99 rows). Religious (lunar)
-    * holidays shift yearly and are out of the reference's scope; appending
-    * their observed dates here is the extension path that needs no code
-    * change, which is the point of the table. */
-  def dimHoliday(spark: SparkSession): DataFrame = {
+    * holidays shift yearly and are out of the reference's scope (and the
+    * parity CASE ladder's); `includeReligious = true` appends their
+    * observed/projected Gregorian dates — the extension the reference
+    * could never express in a CASE over (month, day), and the reason this
+    * is a table. Lunar dates beyond the mid-2020s are astronomical
+    * projections (actual observance follows moon sighting and can shift
+    * ±1 day) — the operational path is correcting the row, not the code. */
+  def dimHoliday(spark: SparkSession,
+      includeReligious: Boolean = false): DataFrame = {
     import spark.implicits._
     val fixed = Seq(
       (1, 1, "New Year"), (1, 11, "Independence Manifesto Day"),
@@ -101,7 +106,40 @@ object Star {
       y <- 2020 to 2030
       (m, dd, name) <- fixed
     } yield (java.sql.Date.valueOf(f"$y-$m%02d-$dd%02d"), name)
-    rows.toDF("full_date", "holiday_name")
+    val base = rows.toDF("full_date", "holiday_name")
+    if (!includeReligious) base
+    else base.unionByName(
+      religiousHolidays.map { case (d, n) => (java.sql.Date.valueOf(d), n) }
+        .toDF("full_date", "holiday_name"))
+  }
+
+  /** Morocco observes two days each for Eid al-Fitr, Eid al-Adha and
+    * Fatih Muharram is one day; Aid al-Mawlid two. First-day dates below;
+    * each spans the listed day plus the following day for the two-day
+    * holidays. Kept flat (one row per observed day). */
+  private[domain] val religiousHolidays: Seq[(String, String)] = {
+    val eidFitr = Seq( // 1 Shawwal (+1 day observed)
+      "2020-05-24", "2021-05-13", "2022-05-02", "2023-04-21", "2024-04-10",
+      "2025-03-31", "2026-03-20", "2027-03-10", "2028-02-27", "2029-02-15",
+      "2030-02-05")
+    val eidAdha = Seq( // 10 Dhu al-Hijjah (+1 day observed)
+      "2020-07-31", "2021-07-20", "2022-07-10", "2023-06-29", "2024-06-17",
+      "2025-06-07", "2026-05-27", "2027-05-17", "2028-05-05", "2029-04-24",
+      "2030-04-14")
+    val hijriNewYear = Seq( // 1 Muharram
+      "2020-08-20", "2021-08-09", "2022-07-30", "2023-07-19", "2024-07-08",
+      "2025-06-27", "2026-06-17", "2027-06-07", "2028-05-26", "2029-05-15",
+      "2030-05-05")
+    val mawlid = Seq( // 12 Rabi al-Awwal (+1 day observed)
+      "2020-10-29", "2021-10-19", "2022-10-08", "2023-09-28", "2024-09-16",
+      "2025-09-05", "2026-08-26", "2027-08-15", "2028-08-03", "2029-07-24",
+      "2030-07-13")
+    def plusOne(d: String): String =
+      java.time.LocalDate.parse(d).plusDays(1).toString
+    eidFitr.flatMap(d => Seq(d -> "Eid al-Fitr", plusOne(d) -> "Eid al-Fitr (day 2)")) ++
+      eidAdha.flatMap(d => Seq(d -> "Eid al-Adha", plusOne(d) -> "Eid al-Adha (day 2)")) ++
+      hijriNewYear.map(_ -> "Fatih Muharram") ++
+      mawlid.flatMap(d => Seq(d -> "Aid al-Mawlid", plusOne(d) -> "Aid al-Mawlid (day 2)"))
   }
 
   /** Fixed-date Moroccan public holidays (dim_date.sql:68-81): New Year,

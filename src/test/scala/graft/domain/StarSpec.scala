@@ -70,6 +70,21 @@ class StarSpec extends SparkSpec {
     assert(Star.dimHoliday(spark).count() === 99) // 9 holidays x 11 years
   }
 
+  test("dim_holiday religious extension adds lunar rows without touching parity") {
+    val full = Star.dimHoliday(spark, includeReligious = true)
+    // 99 fixed + 11 years x (2 Fitr + 2 Adha + 1 Muharram + 2 Mawlid)
+    assert(full.count() === 99 + 11 * 7)
+    // Known observed dates (Gregorian), e.g. Eid al-Fitr 2024 = Apr 10.
+    val fitr24 = full.filter(col("full_date") === lit("2024-04-10").cast("date"))
+      .select("holiday_name").collect().map(_.getString(0))
+    assert(fitr24 === Array("Eid al-Fitr"))
+    // The parity CASE ladder must NOT see lunar dates: default mode stays
+    // bit-identical to the reference's fixed-date spec.
+    assert(Star.dimDate(spark)
+      .filter(col("full_date") === lit("2024-04-10").cast("date"))
+      .head().getAs[Boolean]("is_holiday") === false)
+  }
+
   test("bank attribute ladders reproduce the dbt CASE lookups") {
     import spark.implicits._
     val attrs = Star.bankAttributes(
