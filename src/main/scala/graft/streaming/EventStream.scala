@@ -224,13 +224,10 @@ object EventStream {
     * checkpoint — whose batch ids restart at 0 — can never collide with
     * stale markers and silently skip new data.
     *
-    * LOCAL-FS REQUIREMENT: goldDir and checkpointDir must live on a
-    * filesystem reachable via java.io.File from the driver — the marker /
-    * version / epoch protocol uses local file APIs. With an HDFS/S3
-    * checkpoint location the epoch file would land on driver-local disk,
-    * decoupled from the real checkpoint lineage. Porting the protocol to
-    * `org.apache.hadoop.fs.FileSystem` resolved from the path is the
-    * lift needed for object-store deployments. */
+    * All marker/epoch/version I/O goes through the Hadoop FileSystem
+    * resolved from each path (see [[Fs]]): goldDir and checkpointDir may
+    * be file://, hdfs://, or object-store URIs — the epoch always lives
+    * next to the real checkpoint, never on driver-local disk. */
   def goldIncrementalMerge(spark: SparkSession, bronzeDir: String,
       goldDir: String, checkpointDir: String,
       maxFilesPerTrigger: Option[Int] = None): Unit = {
@@ -257,9 +254,8 @@ object EventStream {
     * under a live metadata log. */
   private[streaming] def mergeIncrementalBatch(goldDir: String, id: Long,
       batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): Unit = {
-    val marker = new java.io.File(incCommitDir(goldDir), s"batch_$id")
-    marker.getParentFile.mkdirs()
-    if (!marker.exists()) {
+    val marker = s"${incCommitDir(goldDir)}/batch_$id"
+    if (!Fs.exists(marker)) {
       val ss = batch.sparkSession
       val partial = batch.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
@@ -273,7 +269,7 @@ object EventStream {
           sum(col("total_value")).as("total_value"))
         .coalesce(1)
       merged.write.mode("overwrite").parquet(incVersionDir(goldDir, id))
-      require(marker.createNewFile() || marker.exists(),
+      require(Fs.touch(marker),
         s"could not write commit marker for batch $id")
       // GC: keep the TWO LARGEST committed ids (by sort, not id
       // arithmetic — ids can be non-contiguous, and `latest - 1` would
@@ -282,7 +278,7 @@ object EventStream {
       // harmless. Markers are never deleted — replay dedup needs them.
       val keep = committedBatches(goldDir).sorted.takeRight(2).toSet
       committedBatches(goldDir).filterNot(keep).foreach { old =>
-        deleteRecursively(new java.io.File(incVersionDir(goldDir, old)))
+        Fs.delete(incVersionDir(goldDir, old))
       }
     }
     (): Unit
@@ -310,20 +306,12 @@ object EventStream {
     * checkpoint's full replay rebuilds the output from scratch. */
   private def alignEpoch(checkpointDir: String, commitDir: String,
       versionRoot: String): Unit = {
-    val epochFile = new java.io.File(checkpointDir, "graft_epoch")
-    epochFile.getParentFile.mkdirs()
-    if (!epochFile.exists()) {
-      java.nio.file.Files.write(epochFile.toPath,
-        java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
-      (): Unit
-    }
-    val epoch = new String(
-      java.nio.file.Files.readAllBytes(epochFile.toPath), "UTF-8")
-    val recorded = new java.io.File(commitDir, "_epoch")
-    val prior =
-      if (recorded.exists())
-        Some(new String(java.nio.file.Files.readAllBytes(recorded.toPath), "UTF-8"))
-      else None
+    val epochFile = s"$checkpointDir/graft_epoch"
+    if (!Fs.exists(epochFile))
+      Fs.write(epochFile, java.util.UUID.randomUUID().toString)
+    val epoch = Fs.read(epochFile)
+    val recorded = s"$commitDir/_epoch"
+    val prior = if (Fs.exists(recorded)) Some(Fs.read(recorded)) else None
     if (!prior.contains(epoch)) {
       // Markers with NO recorded epoch are just as dead as a mismatched
       // one: they predate epoch binding (or survived a partial purge), so
@@ -336,30 +324,62 @@ object EventStream {
         // mismatch is re-detected on restart, and the purge re-runs.
         // Deleting commitDir first would make the retry see prior=None
         // with no markers → stale version dirs leak forever.
-        deleteRecursively(new java.io.File(versionRoot))
-        deleteRecursively(new java.io.File(commitDir))
+        Fs.delete(versionRoot)
+        Fs.delete(commitDir)
       }
-      recorded.getParentFile.mkdirs()
-      java.nio.file.Files.write(recorded.toPath, epoch.getBytes("UTF-8"))
-      (): Unit
+      Fs.write(recorded, epoch)
     }
   }
 
-  private def listCommitted(commitDir: String): Seq[Long] = {
-    val fs = Option(new java.io.File(commitDir).listFiles())
-      .getOrElse(Array.empty)
-    fs.toSeq.map(_.getName).collect { case s if s.startsWith("batch_") =>
+  private def listCommitted(commitDir: String): Seq[Long] =
+    Fs.list(commitDir).collect { case s if s.startsWith("batch_") =>
       s.stripPrefix("batch_").toLong }
-  }
   private def committedBatches(goldDir: String): Seq[Long] =
     listCommitted(incCommitDir(goldDir))
   private def latestCommittedBatch(goldDir: String): Option[Long] =
     committedBatches(goldDir).maxOption
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete()
-    (): Unit
+  /** Marker/epoch/version-dir I/O through the Hadoop FileSystem resolved
+    * from each path (file://, hdfs://, s3a://, ... — whatever serves the
+    * checkpoint serves the protocol), not java.io.File: a driver-local
+    * epoch file against an HDFS/S3 checkpoint would silently decouple the
+    * epoch from the real checkpoint lineage. All calls are driver-side.
+    *
+    * Object-store note: the protocol's correctness comes from the single
+    * commit point (the marker) under a SINGLE WRITER — which Structured
+    * Streaming's one-active-query-per-checkpoint model provides — not
+    * from createNewFile atomicity, so eventual-consistency-era S3
+    * create-if-absent races are out of scope by construction. */
+  private object Fs {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    private def conf =
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+    private def on[A](p: String)(f: (FileSystem, Path) => A): A = {
+      val path = new Path(p)
+      f(path.getFileSystem(conf), path)
+    }
+    def exists(p: String): Boolean = on(p)(_.exists(_))
+    def read(p: String): String = on(p) { (fs, path) =>
+      val in = fs.open(path)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+    }
+    def write(p: String, s: String): Unit = on(p) { (fs, path) =>
+      val out = fs.create(path, true)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    /** create-if-absent; true when this call (or a prior one) left the
+      * marker in place. */
+    def touch(p: String): Boolean = on(p) { (fs, path) =>
+      fs.createNewFile(path) || fs.exists(path)
+    }
+    def delete(p: String): Unit = on(p) { (fs, path) =>
+      fs.delete(path, true); (): Unit
+    }
+    def list(p: String): Seq[String] = on(p) { (fs, path) =>
+      if (!fs.exists(path)) Seq.empty
+      else fs.listStatus(path).toSeq.map(_.getPath.getName)
+    }
   }
 
   /** Streaming Count-Min token frequency: each micro-batch computes its
@@ -370,14 +390,9 @@ object EventStream {
     * property that lets a training-data pipeline keep corpus-wide token
     * statistics current while documents arrive, without ever re-reading
     * history. Commit protocol is the same versioned-dir + marker single
-    * commit point as goldIncrementalMerge (exactly-once under replay).
-    *
-    * LOCAL-FS REQUIREMENT: sketchDir and checkpointDir must live on a
-    * filesystem reachable via java.io.File from the driver (the marker /
-    * version / epoch protocol uses local file APIs). An HDFS/S3 URI would
-    * silently resolve the epoch file to driver-local disk, decoupling it
-    * from the real checkpoint lineage. Same constraint as
-    * [[goldIncrementalMerge]]. */
+    * commit point as goldIncrementalMerge (exactly-once under replay),
+    * with the same Hadoop-FileSystem path resolution (see [[Fs]]) — any
+    * filesystem that serves the checkpoint serves the protocol. */
   def cmsTokenStream(spark: SparkSession, docsDir: String, sketchDir: String,
       checkpointDir: String, textSchema: org.apache.spark.sql.types.StructType,
       maxFilesPerTrigger: Option[Int] = None): Unit = {
@@ -403,9 +418,8 @@ object EventStream {
 
   private[streaming] def mergeCmsBatch(sketchDir: String, id: Long,
       batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): Unit = {
-    val marker = new java.io.File(cmsCommitDir(sketchDir), s"batch_$id")
-    marker.getParentFile.mkdirs()
-    if (!marker.exists()) {
+    val marker = s"${cmsCommitDir(sketchDir)}/batch_$id"
+    if (!Fs.exists(marker)) {
       val ss = batch.sparkSession
       val partial = batch
         .select(explode(split(col("text"), " ")).as("tok"))
@@ -421,14 +435,14 @@ object EventStream {
       }
       merged.coalesce(1).write.mode("overwrite")
         .parquet(cmsVersionDir(sketchDir, id))
-      require(marker.createNewFile() || marker.exists(),
+      require(Fs.touch(marker),
         s"could not commit CMS batch $id")
       // Same retention as mergeIncrementalBatch: keep the two largest
       // committed versions so an in-flight readCmsSketch is never yanked.
       val committed = listCommitted(cmsCommitDir(sketchDir))
       val keep = committed.sorted.takeRight(2).toSet
       committed.filterNot(keep).foreach { old =>
-        deleteRecursively(new java.io.File(cmsVersionDir(sketchDir, old)))
+        Fs.delete(cmsVersionDir(sketchDir, old))
       }
     }
     (): Unit
