@@ -328,6 +328,60 @@ object TextOps extends QueryModule {
       |FROM bi b JOIN gstats g USING (bigram)
       |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
 
+  /** Gopher-style rule-set quality filter (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", §A1.1 — the standard pre-training
+    * document gate): word count bounds, mean word length band, most-
+    * frequent-word dominance cap, minimum stopword evidence. Thresholds
+    * are tuned to the synthetic corpus so the gate splits it non-
+    * trivially; the rule SHAPES are the published ones. Scale: one
+    * explode + two (doc-keyed) partial hash aggregations — the same
+    * corpus-statistics shape as q84, no window, no driver state. All
+    * ratios divide once in doubles from exact integer sums, so the
+    * DuckDB comparison is bit-exact at the rule boundaries too. */
+  private def q88(s: SparkSession, d: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "to", "and", "in")
+    val tf = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val stats = tf.groupBy(col("doc_id")).agg(
+      sum(col("c")).as("word_count"),
+      max(col("c")).as("top_cnt"),
+      sum(length(col("tok")) * col("c")).as("char_sum"),
+      sum(when(col("tok").isin(stop: _*), col("c")).otherwise(lit(0L)))
+        .as("stop_hits"))
+    val meanLen = col("char_sum").cast("double") / col("word_count")
+    val topFrac = col("top_cnt").cast("double") / col("word_count")
+    stats.select(col("doc_id"), col("word_count"),
+        meanLen.as("mean_word_len"), topFrac.as("top_word_frac"),
+        col("stop_hits"),
+        (col("word_count") >= 30 && col("word_count") <= 1000 &&
+          meanLen >= 3.0 && meanLen <= 10.0 &&
+          topFrac < 0.2 && col("stop_hits") >= 2).as("passes_gopher"))
+      .orderBy("doc_id")
+  }
+  private val q88Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
+      |stats AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(c) AS BIGINT) AS word_count,
+      |    CAST(MAX(c) AS BIGINT) AS top_cnt,
+      |    CAST(SUM(len(tok) * c) AS BIGINT) AS char_sum,
+      |    CAST(SUM(CASE WHEN tok IN ('the','a','of','to','and','in')
+      |              THEN c ELSE 0 END) AS BIGINT) AS stop_hits
+      |  FROM tf GROUP BY doc_id)
+      |SELECT doc_id, word_count,
+      |  CAST(char_sum AS DOUBLE) / word_count AS mean_word_len,
+      |  CAST(top_cnt AS DOUBLE) / word_count AS top_word_frac,
+      |  stop_hits,
+      |  (word_count >= 30 AND word_count <= 1000
+      |   AND CAST(char_sum AS DOUBLE) / word_count >= 3.0
+      |   AND CAST(char_sum AS DOUBLE) / word_count <= 10.0
+      |   AND CAST(top_cnt AS DOUBLE) / word_count < 0.2
+      |   AND stop_hits >= 2) AS passes_gopher
+      |FROM stats ORDER BY doc_id""".stripMargin
+
   /** Regex group-extraction surface (regexp_extract with capture groups,
     * regexp_extract_all counting, regexp_like) — the extraction family
     * next to q10's regexp_replace and q41's redaction. Patterns stay in
@@ -361,5 +415,6 @@ object TextOps extends QueryModule {
     Q("q22_langid", q22, Some(q22Sql)),
     Q("q23_token_stats", q23, Some(q23Sql)),
     Q("q24_sentiment_lexicon", q24, Some(q24Sql)),
-    Q("q25_doc_fingerprint", q25, Some(q25Sql)))
+    Q("q25_doc_fingerprint", q25, Some(q25Sql)),
+    Q("q88_gopher_quality", q88, Some(q88Sql)))
 }
