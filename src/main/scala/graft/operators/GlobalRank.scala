@@ -116,12 +116,20 @@ object GlobalRank {
     // edge bucket on the side Spark's default null ordering puts them
     // (NULLS FIRST asc → before bucket 0; NULLS LAST desc → after the last).
     val nullBucket = if (descending) buckets else -1
+    // Bucket id = count of boundaries strictly before the key in sort
+    // direction, unrolled as a sum of literal comparisons: boundaries are
+    // plan-time constants, so this stays inside whole-stage codegen — the
+    // array/filter HOF form it replaces was interpreted per row and
+    // dominated the two extra passes' cost (measured ~25% of q65).
     val bucketCol =
       if (bounds.isEmpty) when(col("__grk").isNull, nullBucket).otherwise(0)
       else {
-        val arr = array(bounds.map(lit): _*)
-        when(col("__grk").isNull, nullBucket).otherwise(
-          size(filter(arr, b => if (descending) b > col("__grk") else b < col("__grk"))))
+        val cnt = bounds
+          .map(b => when(
+            if (descending) lit(b) > col("__grk") else lit(b) < col("__grk"),
+            1).otherwise(0))
+          .reduce(_ + _)
+        when(col("__grk").isNull, nullBucket).otherwise(cnt)
       }
     val withB = keyed.withColumn("__gb", bucketCol)
     // Pass 2 (one job): per-bucket counts/sums — B rows collected to the
