@@ -60,6 +60,31 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_lsh8 matches the interpreted plane/fold formulation bit-for-bit") {
+    // The exact expression graft_lsh8 replaced (q33/q40's original bucket):
+    // 8 sign bits over ordered per-plane folds with the seedless integer
+    // planes (p*97 + d*13) % 7 - 3.
+    val foldExpr =
+      """aggregate(sequence(0, 7), 0,
+        |  (acc, p) -> acc + if(
+        |    aggregate(zip_with(embedding, transform(sequence(0, size(embedding) - 1), dd -> cast((p * 97 + dd * 13) % 7 - 3 as double)),
+        |      (x, pl) -> cast(x as double) * pl), cast(0.0 as double), (a, v) -> a + v) > 0,
+        |    shiftleft(1, p), 0))""".stripMargin
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val both = e.select(
+      expr("graft_lsh8(embedding)").as("native"),
+      expr(foldExpr).as("fold"))
+    assert(both.filter(col("native") =!= col("fold")).count() === 0)
+    // double input path agrees with the float path (float→double is exact)
+    val dbl = e.select(
+      expr("graft_lsh8(embedding)").as("f"),
+      expr("graft_lsh8(cast(embedding as array<double>))").as("d"))
+    assert(dbl.filter(col("f") =!= col("d")).count() === 0)
+    // buckets spread: 500 vectors over 256 buckets must not collapse
+    val distinct = e.select(expr("graft_lsh8(embedding)")).distinct().count()
+    assert(distinct > 50, s"suspiciously few LSH buckets: $distinct")
+  }
+
   test("expressions run inside whole-stage codegen (no interpreted fallback)") {
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
       .select(expr("graft_dot(cast(embedding as array<double>), cast(embedding as array<double>))").as("d"))
