@@ -8,9 +8,11 @@ import org.apache.spark.sql.types._
   * typed metadata, per the large-scale-pipeline brief. The Spark-side
   * plumbing — schema, ingestion via the binaryFile source, partition-size
   * management, batched per-partition processing (the Scala analog of
-  * mapInPandas batching) — is real and tested. IMAGE decode is real too
-  * (JPEG/PNG/GIF/BMP dimensions via the JDK's javax.imageio); only the
-  * audio/video codec step is a STUB (no such libraries in this container)
+  * mapInPandas batching) — is real and tested. IMAGE decode is real
+  * (JPEG/PNG/GIF/BMP dimensions via the JDK's javax.imageio) and so is
+  * uncompressed AUDIO (WAV/AIFF/AU duration/rate/channels via the JDK's
+  * javax.sound.sampled); only the video and compressed-audio codec step
+  * is a STUB (no such libraries in this container or the JDK),
   * implemented as a deterministic byte-statistics fake, clearly marked
   * below.
   */
@@ -50,7 +52,8 @@ object Media {
   final case class MediaFeatures(
       media_id: Long, kind: String, n_bytes: Int, byte_mean: Double,
       byte_entropy: Double, width: Option[Int], height: Option[Int],
-      feature: Array[Float])
+      duration_ms: Option[Long], sample_rate: Option[Int],
+      channels: Option[Int], feature: Array[Float])
 
   /** REAL image decode: JPEG/PNG/GIF/BMP via the JDK's javax.imageio — no
     * external libraries needed. Returns None for undecodable bytes (or
@@ -65,6 +68,30 @@ object Media {
       // ImageIO.read throws RuntimeExceptions (IllegalArgument, index/array
       // bounds) on corrupt or truncated headers, not just IOException — one
       // bad blob must not fail the whole partition task.
+      case scala.util.control.NonFatal(_) => None
+    }
+
+  /** REAL audio decode: WAV/AIFF/AU container + PCM metadata via the
+    * JDK's javax.sound.sampled — like imageio, shipped with the JDK, no
+    * external libraries. Returns (duration_ms, sample_rate, channels);
+    * None for undecodable bytes or non-audio kinds. Compressed codecs
+    * (MP3/AAC) have no JDK decoder and remain behind the stub boundary
+    * below. */
+  private[multimodal] def decodeAudioMeta(bytes: Array[Byte])
+      : Option[(Long, Int, Int)] =
+    if (bytes == null || bytes.isEmpty) None
+    else try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        if (frames <= 0 || fmt.getFrameRate <= 0) None
+        else Some((
+          (frames * 1000.0 / fmt.getFrameRate).toLong,
+          fmt.getSampleRate.toInt, fmt.getChannels))
+      } finally in.close()
+    } catch {
       case scala.util.control.NonFatal(_) => None
     }
 
@@ -84,16 +111,20 @@ object Media {
     val feat = new Array[Float](16)
     i = 0
     while (i < n) { feat(i % 16) += (bytes(i) & 0xff) / 255.0f; i += 1 }
-    // Images decode for real (JDK imageio); the stub below covers only the
-    // codecs this container lacks.
+    // Images (JDK imageio) and uncompressed audio (JDK javax.sound)
+    // decode for real; the stub below covers only the codecs the JDK
+    // itself lacks.
     val dims = if (kind == "image") decodeImageDims(bytes) else None
+    val audio = if (kind == "audio") decodeAudioMeta(bytes) else None
     /* ======================= STUB BOUNDARY =======================
-     * Audio/video codecs (PCM, H.264) are not available in this
-     * container; their byte-statistics features above are a deterministic
-     * stand-in with the same shape/contract a real extractor would have.
-     * Swap this branch for a codec-backed implementation at deploy time.
+     * Video (H.264/VP9) and compressed-audio (MP3/AAC) codecs are not
+     * available in this container or the JDK; their byte-statistics
+     * features above are a deterministic stand-in with the same shape/
+     * contract a real extractor would have. Swap this branch for a
+     * codec-backed implementation at deploy time.
      * ===================== END STUB BOUNDARY ===================== */
-    MediaFeatures(id, kind, n, mean, ent, dims.map(_._1), dims.map(_._2), feat)
+    MediaFeatures(id, kind, n, mean, ent, dims.map(_._1), dims.map(_._2),
+      audio.map(_._1), audio.map(_._2), audio.map(_._3), feat)
   }
 
   /** Batched per-partition feature extraction — the Scala analog of a

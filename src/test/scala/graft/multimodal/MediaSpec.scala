@@ -76,6 +76,41 @@ class MediaSpec extends SparkSpec {
     assert(audio.forall(f => f.width.isEmpty && f.height.isEmpty))
   }
 
+  test("real audio decode recovers duration/rate/channels from WAV bytes") {
+    implicit val s = spark
+    val audioDir = Files.createTempDirectory("graft_media_wav").toString
+    // Deterministic real WAV written with the same JDK codec stack the
+    // executors decode with: 8 kHz mono 16-bit PCM, 8000 frames = 1000 ms.
+    def writeWav(name: String, rateHz: Float, channels: Int, frames: Int): Unit = {
+      val fmt = new javax.sound.sampled.AudioFormat(rateHz, 16, channels, true, false)
+      val pcm = Array.tabulate[Byte](frames * 2 * channels)(i => ((i * 31) % 256).toByte)
+      val in = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      javax.sound.sampled.AudioSystem.write(in,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE,
+        new java.io.File(audioDir, name))
+      (): Unit
+    }
+    writeWav("one_sec.wav", 8000f, 1, 8000)
+    writeWav("half_sec_stereo.wav", 16000f, 2, 8000)
+    val media = Media.ingest(spark, audioDir, "audio", glob = "*.wav")
+    val feats = Media.extractFeatures(media).collect()
+    val byName = media.select("media_id", "uri").collect()
+      .map(r => r.getString(1).split('/').last -> r.getLong(0)).toMap
+    val one = feats.find(_.media_id == byName("one_sec.wav")).get
+    assert(one.duration_ms.contains(1000L))
+    assert(one.sample_rate.contains(8000))
+    assert(one.channels.contains(1))
+    val half = feats.find(_.media_id == byName("half_sec_stereo.wav")).get
+    assert(half.duration_ms.contains(500L))
+    assert(half.sample_rate.contains(16000))
+    assert(half.channels.contains(2))
+    // Non-audio bytes under kind=audio, and audio fields on images → None.
+    val junk = Media.extractFeatures(Media.ingest(spark, dir, "audio", glob = "*.jpg"))
+      .collect()
+    assert(junk.forall(f => f.duration_ms.isEmpty && f.sample_rate.isEmpty))
+  }
+
   test("frame sampling plan explodes metadata without decoding") {
     import spark.implicits._
     val vids = Seq((1L, "video", 3500L), (2L, "video", 999L), (3L, "image", 0L))
