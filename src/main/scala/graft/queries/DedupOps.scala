@@ -365,10 +365,58 @@ object DedupOps extends QueryModule {
        |WHERE bit_count(xor(sa, sb)) <= 8
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Benchmark decontamination — the standard pre-training hygiene op
+    * (flag training documents that overlap a held-out evaluation set;
+    * cf. GPT-3 appendix C / Gopher §A1.2 n-gram overlap checks):
+    * distinct word-3-gram shingles per doc; the benchmark set (doc_id <
+    * 20 stands in for the eval suite) collapses to a distinct-shingle
+    * table that is BROADCAST — eval suites are tiny next to a 100 TB
+    * corpus, so the probe is a map-side left join with no corpus-keyed
+    * shuffle on the hit side; per-doc overlap fraction aggregates with
+    * partial hash aggs. The contaminated flag is integer-exact
+    * (4·hits ≥ shingles ⇔ overlap ≥ 0.25 — near-verbatim leakage), so
+    * no double compares at the decision boundary. */
+  private def q89(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val sh = docs.select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(toks) - 2)," +
+          " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))")).as("sh"))
+    val bench = sh.filter(col("doc_id") < 20).select(col("sh")).distinct()
+      .withColumn("hit", lit(1))
+    sh.filter(col("doc_id") >= 20)
+      .join(broadcast(bench), Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hits"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_shingles")).as("overlap_frac"),
+        (col("n_hits") * 4 >= col("n_shingles")).as("contaminated"))
+      .orderBy("doc_id")
+  }
+  private val q89Sql =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+      |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+      |        FROM docs)),
+      |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 20)
+      |SELECT c.doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      |  CAST(COUNT(b.sh) AS BIGINT) AS n_hits,
+      |  CAST(COUNT(b.sh) AS DOUBLE) / COUNT(*) AS overlap_frac,
+      |  COUNT(b.sh) * 4 >= COUNT(*) AS contaminated
+      |FROM (SELECT * FROM sh WHERE doc_id >= 20) c
+      |LEFT JOIN bench b USING (sh)
+      |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q26_dedup_exact", q26, Some(q26Sql)),
     Q("q27_dedup_ngram_jaccard", q27, Some(q27Sql)),
     Q("q28_dedup_minhash_lsh", q28, Some(q28Sql)),
     Q("q29_simhash_sketch", q29, Some(q29Sql)),
-    Q("q30_simhash_pairs", q30, Some(q30Sql)))
+    Q("q30_simhash_pairs", q30, Some(q30Sql)),
+    Q("q89_contamination", q89, Some(q89Sql)))
 }
