@@ -45,6 +45,33 @@ object VectorOps extends QueryModule {
       |    (a, b) -> a + b)) AS l2_norm
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  /** Scale knobs for the sketch-based ANN family, derived from corpus size
+    * n (the count is one cheap scan over the already-checkpointed
+    * unitVectors artifact):
+    *
+    *  - LSH bit-count: 2^bits buckets targeting ~2 vectors per bucket —
+    *    bits = ceil(log2(n/2)) = bit_length(n−1) − 1, clamped to [4, 24].
+    *    At n = 500 (sf0.001/sf0.01) this is exactly 8; at n = 10⁹ it
+    *    yields 24 bits (16M buckets, ~60/bucket) instead of 256 buckets
+    *    going quadratic within-bucket.
+    *  - IVF codebook size: k = largest power of two ≤ √n, floored at 16 —
+    *    the standard k ∝ √n rule that keeps per-cell candidate lists
+    *    O(√n). n = 500 → 16; n = 2000 → 32; n = 10⁹ → 16384.
+    *
+    * Both are INTEGER-ONLY formulations (bit-length, not float log2 —
+    * ceil(log(x)/log(2)) can land on 8.000000000000002 at power-of-two
+    * boundaries and ceil across engines would disagree) so the DuckDB
+    * oracles derive the IDENTICAL knobs via LENGTH(BIN(n−1)) and the
+    * correctness gate holds at EVERY scale, not just the one whose
+    * constants happen to be baked in. Fixed-point-pinned in
+    * VectorOpsKnobsSpec. */
+  def lshBitsFor(n: Long): Int = {
+    val bitLen = 64 - java.lang.Long.numberOfLeadingZeros(math.max(n, 2L) - 1)
+    math.min(24, math.max(4, bitLen - 1))
+  }
+  def ivfKFor(n: Long): Int =
+    java.lang.Long.highestOneBit(math.max(16L, math.sqrt(n.toDouble).toLong)).toInt
+
   /** Brute-force cosine top-5 for query vectors vec_id < 8 against the whole
     * corpus: broadcast the (tiny) query side, ordered-fold dot products,
     * rank per query. RANK keeps boundary ties deterministically in both
@@ -56,13 +83,33 @@ object VectorOps extends QueryModule {
     * the normalize-fold into every downstream lambda reference and
     * recompute it per pair (measured 5× blowup on the LSH query); the
     * checkpoint materializes once with lineage cut, outside the
-    * CacheManager, and is reclaimed by the ContextCleaner afterwards. */
-  private def unitVectors(s: SparkSession, d: String): DataFrame =
-    t(s, d, "embeddings")
-      .withColumn("nrm", expr(s"graft_l2norm($asDouble)"))
-      .select(col("vec_id"), col("label"), col("embedding"),
-        expr("transform(embedding, x -> cast(x as double) / nrm)").as("ue"))
-      .localCheckpoint(true)
+    * CacheManager, and is reclaimed by the ContextCleaner afterwards.
+    *
+    * Shared per-(session, sf-dir) across the whole ANN family
+    * (q32/q33/q40/q52) the way q27/q42 share verifiedPairs: a production
+    * vector pipeline normalizes its corpus ONCE and every index consumes
+    * the same artifact, so recomputing it per query both misrepresented
+    * that cost structure and paid four redundant normalize+checkpoint
+    * passes per bench run. Same immutability assumption and
+    * stopped-session pruning as DedupOps.pairCache. */
+  private val uvCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def unitVectors(s: SparkSession, d: String): DataFrame = {
+    uvCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val key = (s, d)
+    // get-then-putIfAbsent, not computeIfAbsent: the build runs a Spark job
+    // and must not hold the map's bin lock for its duration (same reasoning
+    // as DedupOps.verifiedPairs — a rare duplicate build is deterministic
+    // and its checkpoint blocks are reclaimed by the ContextCleaner).
+    Option(uvCache.get(key)).getOrElse {
+      val built = t(s, d, "embeddings")
+        .withColumn("nrm", expr(s"graft_l2norm($asDouble)"))
+        .select(col("vec_id"), col("label"), col("embedding"),
+          expr("transform(embedding, x -> cast(x as double) / nrm)").as("ue"))
+        .localCheckpoint(true)
+      Option(uvCache.putIfAbsent(key, built)).getOrElse(built)
+    }
+  }
 
   private def q32(s: SparkSession, d: String): DataFrame = {
     val u = unitVectors(s, d)
@@ -99,33 +146,34 @@ object VectorOps extends QueryModule {
       |SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 5
       |ORDER BY query_id, rnk, neighbor_id""".stripMargin
 
-  /** 8 deterministic pseudo-random hyperplanes with integer-valued weights
+  /** Deterministic pseudo-random hyperplanes with integer-valued weights
     * (plane[p][d] = (p·97 + d·13) mod 7 − 3, seedless + reproducible);
-    * bucket = 8 sign bits over the RAW embedding — sign(dot) is invariant
-    * under the positive per-vector scaling, so no need to touch the
-    * normalized copy. Integer weights (not trig) are exactly representable
-    * as doubles, and the dot product is an ordered IEEE fold — so sign
-    * bits and buckets are bit-identical in the DuckDB oracle (which trig
-    * hyperplanes could not guarantee at sign boundaries). Shared by the
-    * LSH ANN (q33) and the candidate-union NN dedup (q40). Evaluated by
-    * the native codegen'd LshBits8 expression (functions/
+    * bucket = `bits` sign bits over the RAW embedding — sign(dot) is
+    * invariant under the positive per-vector scaling, so no need to touch
+    * the normalized copy. Integer weights (not trig) are exactly
+    * representable as doubles, and the dot product is an ordered IEEE fold
+    * — so sign bits and buckets are bit-identical in the DuckDB oracle
+    * (which trig hyperplanes could not guarantee at sign boundaries).
+    * Shared by the LSH ANN (q33) and the candidate-union NN dedup (q40).
+    * Evaluated by the native codegen'd LshBits expression (functions/
     * VectorExpressions.scala) — the interpreted aggregate/zip_with chain
     * it replaces never entered whole-stage codegen and dominated the
-    * per-row cost of both queries. */
-  private val lshBucketExpr: Column = expr("graft_lsh8(embedding)")
+    * per-row cost of both queries. Bit-count comes from [[lshBitsFor]];
+    * at the oracle scales it is exactly the 8 bits the oracles spell out. */
+  private def lshBucketExpr(bits: Int): Column =
+    expr(s"graft_lsh(embedding, $bits)")
 
-  /** IVF codebook: the 16 deterministic centroids (first-16 unit vectors,
+  /** IVF codebook: k deterministic centroids (first-k unit vectors,
     * cid = vec_id) loaded to the driver ONCE and shipped as a literal —
     * the shape a production IVF index has (codebook trained offline and
-    * broadcast to executors; here 16 × 64 doubles ≈ 8 KB of driver state,
-    * independent of corpus size). Scoring against a literal codebook is a
-    * pure row-local expression: no crossJoin, hence no
-    * BroadcastNestedLoopJoin node anywhere in the consuming plans
-    * (PlanHygieneSpec bans those fleet-wide). The codebook size is the IVF
-    * scale knob: production grows k ∝ √n so per-cell candidate lists stay
-    * bounded; every plan shape here is k-independent. */
-  private def codebook(u: DataFrame): Column = {
-    val rows: Seq[Seq[Double]] = u.filter(col("vec_id") < 16)
+    * broadcast to executors; k × 64 doubles of driver state, k ∝ √n via
+    * [[ivfKFor]], so even a 10⁹-vector corpus ships ~8 MB). Scoring
+    * against a literal codebook is a pure row-local expression: no
+    * crossJoin, hence no BroadcastNestedLoopJoin node anywhere in the
+    * consuming plans (PlanHygieneSpec bans those fleet-wide). Every plan
+    * shape here is k-independent. */
+  private def codebook(u: DataFrame, k: Int): Column = {
+    val rows: Seq[Seq[Double]] = u.filter(col("vec_id") < k)
       .select(col("vec_id"), col("ue"))
       .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1)).toSeq
     typedlit(rows)
@@ -135,8 +183,8 @@ object VectorOps extends QueryModule {
     * is the assigned cell, element 2 the second probe. The dot product is
     * the same ordered zip_with/aggregate fold as the oracle's list_reduce,
     * so assignments and probes are bit-identical in DuckDB. */
-  private def sortedCells(cb: Column): Column = {
-    val scores = transform(sequence(lit(0), lit(15)), c =>
+  private def sortedCells(cb: Column, k: Int): Column = {
+    val scores = transform(sequence(lit(0), lit(k - 1)), c =>
       struct(
         call_function("graft_dot", col("ue"), element_at(cb, c + 1)).as("cc"),
         c.as("cid")))
@@ -145,11 +193,13 @@ object VectorOps extends QueryModule {
         .otherwise(a("cid") - b("cid")))
   }
 
-  /** Random-hyperplane LSH ANN: candidates share an 8-sign-bit bucket
-    * (lshBucketExpr); exact cosine within bucket, top-3 per query. */
+  /** Random-hyperplane LSH ANN: candidates share a sign-bit bucket
+    * (lshBucketExpr, bit-count ∝ log2(corpus) via lshBitsFor); exact
+    * cosine within bucket, top-3 per query. */
   private def q33(s: SparkSession, d: String): DataFrame = {
-    val bucketed = unitVectors(s, d)
-      .select(col("vec_id"), col("ue"), lshBucketExpr.as("bucket"))
+    val u = unitVectors(s, d)
+    val bucketed = u
+      .select(col("vec_id"), col("ue"), lshBucketExpr(lshBitsFor(u.count())).as("bucket"))
       .localCheckpoint(true)
     val a = bucketed.select(col("bucket"), col("vec_id").as("query_id"), col("ue").as("qu"))
     val b = bucketed.select(col("bucket").as("bucket_b"), col("vec_id").as("neighbor_id"), col("ue").as("cu"))
@@ -175,7 +225,8 @@ object VectorOps extends QueryModule {
     * table. */
   private def q52(s: SparkSession, d: String): DataFrame = {
     val u = unitVectors(s, d)
-    val sc = sortedCells(codebook(u))
+    val k = ivfKFor(u.count())
+    val sc = sortedCells(codebook(u, k), k)
     val assign = u.select(col("vec_id").as("neighbor_id"),
       element_at(sc, 1)("cid").as("cell"))
     val probes = u.filter(col("vec_id") < 8)
@@ -194,13 +245,16 @@ object VectorOps extends QueryModule {
       .orderBy("query_id", "rnk", "neighbor_id")
   }
   private val q52Sql =
-    """WITH e AS (
+    """WITH params AS (
+      |  SELECT GREATEST(16, 1 << (LENGTH(BIN(CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) - 1)) AS k
+      |  FROM embeddings),
+      |e AS (
       |  SELECT vec_id, embedding,
       |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) AS nrm
       |  FROM embeddings),
       |u AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS ue FROM e),
-      |cent AS (SELECT vec_id AS cid, ue AS cu FROM u WHERE vec_id < 16),
+      |cent AS (SELECT vec_id AS cid, ue AS cu FROM u WHERE vec_id < (SELECT k FROM params)),
       |cc AS (
       |  SELECT u.vec_id, cent.cid,
       |    list_reduce(list_prepend(0.0, list_transform(list_zip(u.ue, cent.cu),
@@ -243,14 +297,17 @@ object VectorOps extends QueryModule {
     * Scale shape: candidate generation is two equi-joins (bucket key, cell
     * key) + a projection — replacing the previous all-pairs |V|² self-join,
     * which was the fleet's one O(n²) plan. Candidate volume is governed by
-    * bucket granularity (LSH bits, codebook size k), the standard knobs
-    * that grow with corpus size; all joins stay hash/sort-merge —
+    * bucket granularity (LSH bits, codebook size k), both now DERIVED from
+    * corpus size ([[lshBitsFor]] / [[ivfKFor]]) so granularity scales with
+    * the data instead of being a compile-time constant; all joins stay
+    * hash/sort-merge —
     * PlanHygieneSpec asserts no CartesianProduct/BNL node survives here.
     * Top-1 per vector is a map-side hash aggregation (max(struct)), not a
     * window sort over the candidate pairs. */
   private def q40(s: SparkSession, d: String): DataFrame = {
     val u = unitVectors(s, d)
-    val sc = sortedCells(codebook(u))
+    val n = u.count()
+    val sc = sortedCells(codebook(u, ivfKFor(n)), ivfKFor(n))
     // pcells = [assigned cell, second probe] — 16 ordered dots + a sort,
     // checkpointed once (CollapseProject would inline the fold into every
     // downstream reference — the q75 hazard, same mechanism).
@@ -267,7 +324,7 @@ object VectorOps extends QueryModule {
     // candidate pairs per vector, guaranteeing non-empty candidate sets.
     val centPairs = probes.filter(col("cell") =!= col("vec_id"))
       .select(col("vec_id"), col("cell").as("neighbor_id"))
-    val bucketed = u.select(col("vec_id"), lshBucketExpr.as("bucket"))
+    val bucketed = u.select(col("vec_id"), lshBucketExpr(lshBitsFor(n)).as("bucket"))
     val lshPairs = bucketed.join(
         bucketed.select(col("bucket").as("bucket_b"), col("vec_id").as("neighbor_id")),
         col("bucket") === col("bucket_b") && col("vec_id") =!= col("neighbor_id"))
@@ -286,7 +343,11 @@ object VectorOps extends QueryModule {
       .orderBy("vec_id")
   }
   private val q40Sql =
-    """WITH e AS (
+    """WITH params AS (
+      |  SELECT GREATEST(4, LEAST(24, LENGTH(BIN(GREATEST(COUNT(*), 2) - 1)) - 1)) AS bits,
+      |    GREATEST(16, 1 << (LENGTH(BIN(CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) - 1)) AS k
+      |  FROM embeddings),
+      |e AS (
       |  SELECT vec_id, embedding,
       |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) AS nrm
@@ -294,15 +355,16 @@ object VectorOps extends QueryModule {
       |u AS (SELECT vec_id, embedding, list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS ue FROM e),
       |b AS (
       |  SELECT vec_id,
-      |    CAST(list_sum(list_transform(range(0, 8), p ->
+      |    CAST(list_sum(list_transform(range(0, (SELECT bits FROM params)), p ->
       |      CASE WHEN list_reduce(list_prepend(0.0, list_transform(
       |          list_zip(embedding,
       |            list_transform(range(0, len(embedding)),
-      |              dd -> CAST((p * 97 + dd * 13) % 7 - 3 AS DOUBLE))),
+      |              dd -> CASE WHEN p < 8 THEN CAST((p * 97 + dd * 13) % 7 - 3 AS DOUBLE)
+      |                    ELSE CAST(((p * 2654435761 + dd * 40503) >> 16) % 7 - 3 AS DOUBLE) END)),
       |          pr -> CAST(pr[1] AS DOUBLE) * pr[2])), (a, v) -> a + v) > 0
       |        THEN 1 << p ELSE 0 END)) AS INTEGER) AS bucket
       |  FROM u),
-      |cent AS (SELECT vec_id AS cid, ue AS cu FROM u WHERE vec_id < 16),
+      |cent AS (SELECT vec_id AS cid, ue AS cu FROM u WHERE vec_id < (SELECT k FROM params)),
       |cc AS (
       |  SELECT u.vec_id, cent.cid,
       |    list_reduce(list_prepend(0.0, list_transform(list_zip(u.ue, cent.cu),
@@ -335,7 +397,10 @@ object VectorOps extends QueryModule {
       |FROM ranked WHERE rnk = 1 ORDER BY vec_id""".stripMargin
 
   private val q33Sql =
-    """WITH e AS (
+    """WITH params AS (
+      |  SELECT GREATEST(4, LEAST(24, LENGTH(BIN(GREATEST(COUNT(*), 2) - 1)) - 1)) AS bits
+      |  FROM embeddings),
+      |e AS (
       |  SELECT vec_id, embedding,
       |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) AS nrm
@@ -343,11 +408,12 @@ object VectorOps extends QueryModule {
       |b AS (
       |  SELECT vec_id,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS ue,
-      |    CAST(list_sum(list_transform(range(0, 8), p ->
+      |    CAST(list_sum(list_transform(range(0, (SELECT bits FROM params)), p ->
       |      CASE WHEN list_reduce(list_prepend(0.0, list_transform(
       |          list_zip(embedding,
       |            list_transform(range(0, len(embedding)),
-      |              dd -> CAST((p * 97 + dd * 13) % 7 - 3 AS DOUBLE))),
+      |              dd -> CASE WHEN p < 8 THEN CAST((p * 97 + dd * 13) % 7 - 3 AS DOUBLE)
+      |                    ELSE CAST(((p * 2654435761 + dd * 40503) >> 16) % 7 - 3 AS DOUBLE) END)),
       |          pr -> CAST(pr[1] AS DOUBLE) * pr[2])), (a, v) -> a + v) > 0
       |        THEN 1 << p ELSE 0 END)) AS INTEGER) AS bucket
       |  FROM e),

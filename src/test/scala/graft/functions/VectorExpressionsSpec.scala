@@ -85,6 +85,84 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(distinct > 50, s"suspiciously few LSH buckets: $distinct")
   }
 
+  test("graft_lsh(v, n) refines: higher bit-counts subdivide lower ones") {
+    // Plane p depends only on p, so the first 8 planes of a 12-bit bucket
+    // are exactly the 8-bit bucket: lsh(v,12) & 255 == lsh8(v).
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val refine = e.select(
+      expr("graft_lsh(embedding, 12)").as("b12"),
+      expr("graft_lsh8(embedding)").as("b8"))
+    assert(refine.filter((col("b12").bitwiseAND(lit(255))) =!= col("b8")).count() === 0)
+  }
+
+  test("hash-family planes (p >= 8) are pairwise distinct and disjoint from the legacy ones") {
+    // The legacy linear family (p*97 + d*13) % 7 - 3 is periodic in p with
+    // period 7 (any polynomial in p is, mod 7) — plane 7 even duplicates
+    // plane 0 inside the oracle-pinned 8-bit family (so graft_lsh8 carries 7
+    // informative bits; baked into the oracles, harmless for correctness).
+    // Planes 8+ therefore come from a multiplicative-hash family; extending
+    // the linear one would have made every extra bit a verbatim copy and the
+    // scale knob a no-op.
+    def weight(p: Int, d: Int): Int =
+      if (p < 8) (p * 97 + d * 13) % 7 - 3
+      else (((p * 2654435761L + d * 40503L) >>> 16) % 7L).toInt - 3
+    val legacy = (0 until 8).map(p => (0 until 64).map(d => weight(p, d)))
+    val hashed = (8 until 24).map(p => (0 until 64).map(d => weight(p, d)))
+    assert(legacy(7) === legacy(0))           // the documented legacy quirk
+    assert(legacy.take(7).distinct.size === 7)
+    assert(hashed.distinct.size === 16, "hash-family planes must be pairwise distinct")
+    assert((hashed.toSet & legacy.toSet).isEmpty, "hash planes must not duplicate legacy ones")
+  }
+
+  test("bucket populations shrink as the bit-count grows (the scale knob works)") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    def stats(bits: Int): (Long, Long) = {
+      val counts = e.groupBy(expr(s"graft_lsh(embedding, $bits)")).count()
+      (counts.count(), counts.agg(max("count")).head().getLong(0))
+    }
+    val (distinct8, max8) = stats(8)
+    val (distinct12, max12) = stats(12)
+    assert(distinct12 >= distinct8,
+      s"12-bit buckets ($distinct12) should be at least as many as 8-bit ($distinct8)")
+    assert(max12 <= max8,
+      s"12-bit max bucket population ($max12) should not exceed 8-bit ($max8)")
+    // and strictly: on this corpus the refinement genuinely splits buckets
+    assert(distinct12 > distinct8 && max12 < max8)
+  }
+
+  test("graft_lsh null-element semantics: any null element clears every bit") {
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0, 3.0)),
+      (2L, Seq[java.lang.Double](1.0, null, 3.0)))
+      .toDF("id", "v")
+    val out = df.select(col("id"), expr("graft_lsh(v, 8)").as("b"),
+      // the interpreted fold the expression claims parity with: a null
+      // element nulls the per-plane aggregate, if(null,..,0) clears the bit
+      expr(
+        """aggregate(sequence(0, 7), 0,
+          |  (acc, p) -> acc + if(
+          |    aggregate(zip_with(v, transform(sequence(0, size(v) - 1), dd -> cast((p * 97 + dd * 13) % 7 - 3 as double)),
+          |      (x, pl) -> x * pl), cast(0.0 as double), (a, w) -> a + w) > 0,
+          |    shiftleft(1, p), 0))""".stripMargin).as("fold"))
+      .collect().sortBy(_.getLong(0))
+    assert(out(0).getInt(1) === out(0).getInt(2)) // clean row: parity
+    assert(out(1).getInt(1) === 0)                // null element: all bits clear
+    assert(out(1).getInt(2) === 0)                // matches the fold
+  }
+
+  test("graft_lsh rejects non-foldable or out-of-range bit-counts") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings").limit(1)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      e.select(expr("graft_lsh(embedding, 31)")).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      e.select(expr("graft_lsh(embedding, 0)")).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      e.select(expr("graft_lsh(embedding, cast(vec_id as int))")).collect()
+    }
+  }
+
   test("expressions run inside whole-stage codegen (no interpreted fallback)") {
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
       .select(expr("graft_dot(cast(embedding as array<double>), cast(embedding as array<double>))").as("d"))
