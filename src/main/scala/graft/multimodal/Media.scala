@@ -8,13 +8,15 @@ import org.apache.spark.sql.types._
   * typed metadata, per the large-scale-pipeline brief. The Spark-side
   * plumbing — schema, ingestion via the binaryFile source, partition-size
   * management, batched per-partition processing (the Scala analog of
-  * mapInPandas batching) — is real and tested. IMAGE decode is real
-  * (JPEG/PNG/GIF/BMP dimensions via the JDK's javax.imageio) and so is
-  * uncompressed AUDIO (WAV/AIFF/AU duration/rate/channels via the JDK's
-  * javax.sound.sampled); only the video and compressed-audio codec step
-  * is a STUB (no such libraries in this container or the JDK),
-  * implemented as a deterministic byte-statistics fake, clearly marked
-  * below.
+  * mapInPandas batching) — is real and tested. METADATA decode is real
+  * for all three kinds: images (JPEG/PNG/GIF/BMP dimensions via the
+  * JDK's javax.imageio), audio (WAV/AIFF/AU via javax.sound.sampled;
+  * MP3 duration/rate/channels via a frame-header parse), and MP4/MOV
+  * video (duration + dimensions via an ISO-BMFF box parse) — see
+  * Containers.scala for the pure byte-format parsers. Only the
+  * sample/frame DECODE step (pixels/PCM) is a STUB (no codec libraries
+  * in this container or the JDK), implemented as a deterministic
+  * byte-statistics fake, clearly marked below.
   */
 object Media {
 
@@ -111,20 +113,27 @@ object Media {
     val feat = new Array[Float](16)
     i = 0
     while (i < n) { feat(i % 16) += (bytes(i) & 0xff) / 255.0f; i += 1 }
-    // Images (JDK imageio) and uncompressed audio (JDK javax.sound)
-    // decode for real; the stub below covers only the codecs the JDK
-    // itself lacks.
-    val dims = if (kind == "image") decodeImageDims(bytes) else None
-    val audio = if (kind == "audio") decodeAudioMeta(bytes) else None
+    // Metadata is real across all three kinds: images via JDK imageio,
+    // uncompressed audio via JDK javax.sound, MP3 via frame-header parse,
+    // MP4/MOV video via ISO-BMFF box parse (Containers.scala) — all pure
+    // public byte formats, no codec library needed.
+    val dims0 = if (kind == "image") decodeImageDims(bytes) else None
+    val audio = if (kind == "audio")
+      decodeAudioMeta(bytes).orElse(
+        Containers.parseMp3(bytes).map(m => (m.durationMs, m.sampleRate, m.channels)))
+    else None
+    val video = if (kind == "video") Containers.parseMp4(bytes) else None
+    val dims = dims0.orElse(for (v <- video; w <- v.width; h <- v.height) yield (w, h))
+    val durationMs = audio.map(_._1).orElse(video.map(_.durationMs))
     /* ======================= STUB BOUNDARY =======================
-     * Video (H.264/VP9) and compressed-audio (MP3/AAC) codecs are not
-     * available in this container or the JDK; their byte-statistics
-     * features above are a deterministic stand-in with the same shape/
-     * contract a real extractor would have. Swap this branch for a
-     * codec-backed implementation at deploy time.
+     * Only the sample/frame DECODE step (H.264/VP9 pixels, AAC/MP3 PCM)
+     * remains stubbed — no such codec exists in this container or the
+     * JDK. The byte-statistics `feature` vector above is its
+     * deterministic stand-in with the same shape/contract a real
+     * decoder-backed extractor would fill. Swap at deploy time.
      * ===================== END STUB BOUNDARY ===================== */
     MediaFeatures(id, kind, n, mean, ent, dims.map(_._1), dims.map(_._2),
-      audio.map(_._1), audio.map(_._2), audio.map(_._3), feat)
+      durationMs, audio.map(_._2), audio.map(_._3), feat)
   }
 
   /** Batched per-partition feature extraction — the Scala analog of a

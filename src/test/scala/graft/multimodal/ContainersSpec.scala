@@ -1,0 +1,132 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.ByteBuffer
+
+/** Container-header parsers on hand-built byte fixtures: every field is
+  * constructed at a known offset per the public specs (ISO/IEC 14496-12
+  * box layout, ISO/IEC 11172-3 frame headers), so the expected values
+  * are first-principles, not parser echoes. */
+class ContainersSpec extends AnyFunSuite {
+
+  // ---- MP4 fixture builders ----
+  private def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + payload.length)
+    bb.putInt(8 + payload.length)
+    bb.put(typ.getBytes("US-ASCII"))
+    bb.put(payload)
+    bb.array()
+  }
+  private def mvhdV0(timescale: Int, duration: Int): Array[Byte] = {
+    val p = ByteBuffer.allocate(100) // version+flags, times, ts, dur, rest zeroed
+    p.putInt(12, timescale)
+    p.putInt(16, duration)
+    box("mvhd", p.array())
+  }
+  private def mvhdV1(timescale: Int, duration: Long): Array[Byte] = {
+    val p = ByteBuffer.allocate(112)
+    p.put(0, 1.toByte) // version 1: 64-bit times
+    p.putInt(20, timescale)
+    p.putLong(24, duration)
+    box("mvhd", p.array())
+  }
+  private def tkhdV0(w: Int, h: Int): Array[Byte] = {
+    val p = ByteBuffer.allocate(84)
+    p.putInt(76, w << 16) // 16.16 fixed point
+    p.putInt(80, h << 16)
+    box("tkhd", p.array())
+  }
+  private def ftyp: Array[Byte] =
+    box("ftyp", "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 1) ++ "isom".getBytes("US-ASCII"))
+
+  test("MP4: mvhd v0 duration + first visual tkhd dimensions") {
+    // timescale 600, duration 3000 ticks -> 5000 ms; 640x360 video track
+    val mp4 = ftyp ++ box("moov",
+      mvhdV0(600, 3000) ++ box("trak", tkhdV0(640, 360)))
+    val m = Containers.parseMp4(mp4)
+    assert(m === Some(Containers.Mp4Meta(5000L, Some(640), Some(360))))
+  }
+
+  test("MP4: mvhd v1 (64-bit duration), audio-only track has no dims") {
+    // timescale 90000, duration 90000*7 -> 7000 ms; tkhd w=h=0 (audio)
+    val mp4 = ftyp ++ box("moov",
+      mvhdV1(90000, 90000L * 7) ++ box("trak", tkhdV0(0, 0)))
+    val m = Containers.parseMp4(mp4)
+    assert(m === Some(Containers.Mp4Meta(7000L, None, None)))
+  }
+
+  test("MP4: first VISUAL track wins (audio tkhd with zero dims skipped)") {
+    val mp4 = ftyp ++ box("moov",
+      mvhdV0(1000, 1500) ++ box("trak", tkhdV0(0, 0)) ++ box("trak", tkhdV0(1920, 1080)))
+    val m = Containers.parseMp4(mp4)
+    assert(m === Some(Containers.Mp4Meta(1500L, Some(1920), Some(1080))))
+  }
+
+  test("MP4: junk, truncation, and missing moov are all None") {
+    assert(Containers.parseMp4(null) === None)
+    assert(Containers.parseMp4(Array.fill[Byte](64)(0x2a)) === None)
+    assert(Containers.parseMp4(ftyp) === None) // no moov
+    val good = ftyp ++ box("moov", mvhdV0(600, 3000) ++ box("trak", tkhdV0(4, 3)))
+    // tail truncation cuts the tkhd but not the mvhd: graceful partial
+    // metadata (duration, no dims), never a crash or an out-of-bounds read
+    assert(Containers.parseMp4(good.take(good.length - 30)) ===
+      Some(Containers.Mp4Meta(5000L, None, None)))
+    // truncation inside the mvhd itself -> nothing parseable
+    assert(Containers.parseMp4(good.take(40)) === None)
+    // random bytes that don't start with a signature box type
+    val evil = Array.tabulate[Byte](256)(i => (i * 37).toByte)
+    assert(Containers.parseMp4(evil) === None)
+  }
+
+  // ---- MP3 fixture builders: MPEG1 Layer III @44100 ----
+  // header: FF FB (sync+MPEG1+L3), bitrate idx 9 = 128 kbps, sr idx 0,
+  // no padding; channel mode in the top 2 bits of byte 3.
+  private def mp3Frame(mono: Boolean, fill: Byte = 0): Array[Byte] = {
+    val len = 144 * 128000 / 44100 // = 417
+    val f = Array.fill[Byte](len)(fill)
+    f(0) = 0xff.toByte
+    f(1) = 0xfb.toByte
+    f(2) = 0x90.toByte
+    f(3) = (if (mono) 0xc0 else 0x00).toByte
+    f
+  }
+
+  test("MP3 CBR: rate/channels/bitrate from the header, duration from size*8/bitrate") {
+    val bytes = mp3Frame(mono = true) ++ mp3Frame(mono = true) ++ mp3Frame(mono = true)
+    val m = Containers.parseMp3(bytes).get
+    assert(m.sampleRate === 44100)
+    assert(m.channels === 1)
+    assert(m.bitrateKbps === 128)
+    assert(m.durationMs === bytes.length * 8L / 128) // 1251*8/128 = 78 ms
+  }
+
+  test("MP3 VBR: Xing frame count wins over the CBR estimate") {
+    // Xing tag sits after the 4-byte header + 17 bytes of mono side info
+    val first = mp3Frame(mono = true)
+    val bb = ByteBuffer.wrap(first)
+    bb.position(4 + 17)
+    bb.put("Xing".getBytes("US-ASCII"))
+    bb.putInt(1)    // flags: frames present
+    bb.putInt(100)  // 100 frames
+    val bytes = first ++ mp3Frame(mono = true)
+    val m = Containers.parseMp3(bytes).get
+    assert(m.durationMs === 100L * 1152 * 1000 / 44100) // 2612 ms
+  }
+
+  test("MP3: stereo mode, ID3v2 skip, and junk rejection") {
+    val stereo = mp3Frame(mono = false) ++ mp3Frame(mono = false)
+    assert(Containers.parseMp3(stereo).get.channels === 2)
+    // ID3v2 header: "ID3" vv f + syncsafe size 20 + 20 bytes of tag junk
+    val id3 = "ID3".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0, 0, 0, 0, 20) ++
+      Array.fill[Byte](20)(0x55)
+    val m = Containers.parseMp3(id3 ++ stereo).get
+    assert(m.sampleRate === 44100 && m.channels === 2)
+    assert(Containers.parseMp3(null) === None)
+    assert(Containers.parseMp3(Array.fill[Byte](1000)(0x41)) === None)
+    // a lone 0xFFE sync with garbage after it must NOT parse (the
+    // two-consecutive-frames rule)
+    val fake = Array.fill[Byte](1000)(0x11)
+    fake(50) = 0xff.toByte; fake(51) = 0xfb.toByte; fake(52) = 0x90.toByte
+    assert(Containers.parseMp3(fake) === None)
+  }
+}

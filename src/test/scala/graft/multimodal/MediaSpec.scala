@@ -111,6 +111,32 @@ class MediaSpec extends SparkSpec {
     assert(junk.forall(f => f.duration_ms.isEmpty && f.sample_rate.isEmpty))
   }
 
+  test("video metadata decode: MP4 container headers through extractFeatures") {
+    implicit val s = spark
+    val vidDir = Files.createTempDirectory("graft_media_mp4").toString
+    // Minimal real ISO-BMFF: ftyp + moov(mvhd ts=600 dur=3000 -> 5000 ms,
+    // trak/tkhd 320x240) — same builder logic as ContainersSpec.
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length); bb.put(typ.getBytes("US-ASCII")); bb.put(payload)
+      bb.array()
+    }
+    val mvhd = { val p = java.nio.ByteBuffer.allocate(100); p.putInt(12, 600); p.putInt(16, 3000); box("mvhd", p.array()) }
+    val tkhd = { val p = java.nio.ByteBuffer.allocate(84); p.putInt(76, 320 << 16); p.putInt(80, 240 << 16); box("tkhd", p.array()) }
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 1) ++ "isom".getBytes("US-ASCII"))
+    Files.write(Paths.get(vidDir, "clip.mp4"), ftyp ++ box("moov", mvhd ++ box("trak", tkhd)))
+    Files.write(Paths.get(vidDir, "junk.mp4"), Array.fill[Byte](64)(0x2a))
+    val feats = Media.extractFeatures(Media.ingest(spark, vidDir, "video", glob = "*.mp4")).collect()
+    val byName = Media.ingest(spark, vidDir, "video", glob = "*.mp4")
+      .select("media_id", "uri").collect()
+      .map(r => r.getString(1).split('/').last -> r.getLong(0)).toMap
+    val clip = feats.find(_.media_id == byName("clip.mp4")).get
+    assert(clip.duration_ms.contains(5000L))
+    assert(clip.width.contains(320) && clip.height.contains(240))
+    val junk = feats.find(_.media_id == byName("junk.mp4")).get
+    assert(junk.duration_ms.isEmpty && junk.width.isEmpty)
+  }
+
   test("frame sampling plan explodes metadata without decoding") {
     import spark.implicits._
     val vids = Seq((1L, "video", 3500L), (2L, "video", 999L), (3L, "image", 0L))
