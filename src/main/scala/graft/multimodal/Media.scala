@@ -55,7 +55,7 @@ object Media {
       media_id: Long, kind: String, n_bytes: Int, byte_mean: Double,
       byte_entropy: Double, width: Option[Int], height: Option[Int],
       duration_ms: Option[Long], sample_rate: Option[Int],
-      channels: Option[Int], feature: Array[Float])
+      channels: Option[Int], feature: Array[Float], bin_sums: Array[Long])
 
   /** REAL image decode: JPEG/PNG/GIF/BMP via the JDK's javax.imageio — no
     * external libraries needed. Returns None for undecodable bytes (or
@@ -110,9 +110,19 @@ object Media {
       if (hist(j) > 0) { val p = hist(j).toDouble / n; ent -= p * math.log(p) / math.log(2) }
       j += 1
     }
+    // feature: float accumulation (the decoder stand-in); bin_sums: the
+    // same 16 positional bins in EXACT integer arithmetic — the form an
+    // engine-external oracle can recompute bit-identically (float += is
+    // order- and rounding-dependent; integer sums are not).
     val feat = new Array[Float](16)
+    val bins = new Array[Long](16)
     i = 0
-    while (i < n) { feat(i % 16) += (bytes(i) & 0xff) / 255.0f; i += 1 }
+    while (i < n) {
+      val b = bytes(i) & 0xff
+      feat(i % 16) += b / 255.0f
+      bins(i % 16) += b
+      i += 1
+    }
     // Metadata is real across all three kinds: images via JDK imageio,
     // uncompressed audio via JDK javax.sound, MP3 via frame-header parse,
     // MP4/MOV video via ISO-BMFF box parse (Containers.scala) — all pure
@@ -133,7 +143,7 @@ object Media {
      * decoder-backed extractor would fill. Swap at deploy time.
      * ===================== END STUB BOUNDARY ===================== */
     MediaFeatures(id, kind, n, mean, ent, dims.map(_._1), dims.map(_._2),
-      durationMs, audio.map(_._2), audio.map(_._3), feat)
+      durationMs, audio.map(_._2), audio.map(_._3), feat, bins)
   }
 
   /** Batched per-partition feature extraction — the Scala analog of a
