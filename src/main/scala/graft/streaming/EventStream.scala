@@ -307,11 +307,23 @@ object EventStream {
   private def alignEpoch(checkpointDir: String, commitDir: String,
       versionRoot: String): Unit = {
     val epochFile = s"$checkpointDir/graft_epoch"
-    if (!Fs.exists(epochFile))
-      Fs.write(epochFile, java.util.UUID.randomUUID().toString)
-    val epoch = Fs.read(epochFile)
+    // An UNREADABLE epoch file (torn write + checksum-filesystem sidecar:
+    // LocalFileSystem/HDFS throw ChecksumException on read, they don't
+    // return truncated content) must degrade to the same dead-lineage
+    // handling as a mismatch — before this, a corrupt epoch was a startup
+    // crash LOOP, not a self-heal. Checkpoint side: mint a fresh epoch
+    // (conservative: forces a purge + rebuild). Marker side: any
+    // unreadable _epoch compares unequal, purging the markers with it.
+    val epoch = (if (Fs.exists(epochFile))
+      scala.util.Try(Fs.read(epochFile)).toOption else None)
+      .getOrElse {
+        val e = java.util.UUID.randomUUID().toString
+        Fs.write(epochFile, e)
+        e
+      }
     val recorded = s"$commitDir/_epoch"
-    val prior = if (Fs.exists(recorded)) Some(Fs.read(recorded)) else None
+    val prior = if (!Fs.exists(recorded)) None
+      else Some(scala.util.Try(Fs.read(recorded)).getOrElse("<unreadable>"))
     if (!prior.contains(epoch)) {
       // Markers with NO recorded epoch are just as dead as a mismatched
       // one: they predate epoch binding (or survived a partial purge), so
@@ -364,9 +376,29 @@ object EventStream {
       try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
       finally in.close()
     }
+    /** Atomic publish: write a dot-temp in the same directory, then
+      * rename. A crash mid-write leaves only the invisible temp (dot
+      * prefix — listCommitted's batch_ filter never sees it), NEVER a
+      * torn target: before this, a crash during the _epoch write could
+      * leave a truncated UUID, which reads as an epoch mismatch on
+      * restart and purges committed versions under a LIVE checkpoint
+      * that will not replay them. rename is atomic on HDFS and posix
+      * filesystems; on object stores where rename is copy+delete the
+      * copy is a single full-object PUT, so a torn target is still
+      * impossible — the caveat is only that temp+target may briefly
+      * coexist. If the destination already exists it is deleted first
+      * (FileSystem.rename has no overwrite): a crash in that sliver
+      * leaves NO file, which alignEpoch self-heals as the
+      * missing-epoch/unbound-markers case — current call sites never
+      * hit it (every write follows a purge or an existence check). */
     def write(p: String, s: String): Unit = on(p) { (fs, path) =>
-      val out = fs.create(path, true)
+      val tmp = new Path(path.getParent, s".${path.getName}.tmp")
+      val out = fs.create(tmp, true)
       try out.write(s.getBytes("UTF-8")) finally out.close()
+      if (fs.exists(path)) fs.delete(path, false)
+      if (!fs.rename(tmp, path))
+        throw new java.io.IOException(s"atomic publish failed: $tmp -> $p")
+      (): Unit
     }
     /** create-if-absent; true when this call (or a prior one) left the
       * marker in place. */

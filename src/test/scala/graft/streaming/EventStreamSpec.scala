@@ -205,6 +205,40 @@ class EventStreamSpec extends SparkSpec {
         "not adopted into the fresh checkpoint's epoch")
   }
 
+  test("epoch publish is atomic: torn _epoch and stale publish temps self-heal") {
+    val bronze = java.nio.file.Files.createTempDirectory("graft_bronze_at").toString
+    val gold = java.nio.file.Files.createTempDirectory("graft_gold_at").toString
+    val cp1 = java.nio.file.Files.createTempDirectory("graft_cp_at1").toString
+    val events = Tables(spark, "/root/testdata/sf0.001", "events")
+    events.coalesce(1).write.mode("overwrite").parquet(bronze)
+    EventStream.goldIncrementalMerge(spark, bronze, gold, cp1)
+    val commitDir = new java.io.File(s"$gold/events_by_type_inc_commits")
+    // 1. a clean publish leaves a complete epoch and NO temp residue
+    val epoch = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(commitDir.toString, "_epoch"))
+    assert(java.util.UUID.fromString(epoch).toString === epoch,
+      "_epoch must hold one complete UUID")
+    assert(!commitDir.listFiles().exists(_.getName.endsWith(".tmp")),
+      "publish temp must be renamed away, not left beside the markers")
+    // 2. the pre-fix crash artifact — a TORN _epoch (truncated UUID) plus a
+    // dangling publish temp — must read as a dead lineage: purge + full
+    // rebuild under a fresh checkpoint, clean epoch after, temp gone.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(commitDir.toString, "_epoch"), epoch.take(17))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(commitDir.toString, "._epoch.tmp"), "garbage")
+    val cp2 = java.nio.file.Files.createTempDirectory("graft_cp_at2").toString
+    EventStream.goldIncrementalMerge(spark, bronze, gold, cp2)
+    assert(EventStream.readIncrementalGold(spark, gold)
+      .agg(sum("n_events")).head().getLong(0) === events.count(),
+      "torn epoch must trigger purge + full rebuild, not a partial adopt")
+    val after = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(commitDir.toString, "_epoch"))
+    assert(java.util.UUID.fromString(after).toString === after)
+    assert(!commitDir.listFiles().exists(_.getName.endsWith(".tmp")),
+      "the purge + re-publish must not leave temp residue either")
+  }
+
   test("version GC keeps the two largest committed ids even with id gaps") {
     val gold = java.nio.file.Files.createTempDirectory("graft_gold_gc").toString
     val events = Tables(spark, "/root/testdata/sf0.001", "events")
