@@ -76,27 +76,43 @@ object Nlp {
       .drop("__fr", "__ar", "__w")
   }
 
-  /** N2: adds sentiment_score / sentiment_label / sentiment_confidence.
-    * The scorer is pluggable (see graft.domain.SentimentScorer): the
-    * default [[PortableScorer]] is the reference's bit-reproducible spec
+  /** N2: adds sentiment_score / sentiment_label / sentiment_confidence —
+    * plus `subjectivity` for scorers that model it, completing the
+    * reference's 4-field analyze_sentiment contract with its
+    * min(subjectivity + |polarity|, 1) confidence and all-zero short-text
+    * early return (nlp_processor_simple.py:77-121). The scorer is
+    * pluggable (see graft.domain.SentimentScorer): the default
+    * [[PortableScorer]] is the reference's bit-reproducible 3-column spec
     * the pipeline and q24 run on; [[FullLexiconScorer]] narrows the gap
     * to the reference's TextBlob scorer. Label thresholds (±0.1,
-    * nlp_processor_simple.py:96-102) and the confidence shape are shared
-    * — they're the reference's, independent of lexicon. */
+    * nlp_processor_simple.py:96-102) are shared — they're the
+    * reference's, independent of lexicon. */
   def withSentiment(df: DataFrame, textCol: String = "text",
       scorer: SentimentScorer = PortableScorer): DataFrame = {
     val t = col(textCol)
     val pos = scorer.hits(t, scorer.positive)
     val neg = scorer.hits(t, scorer.negative)
-    df.withColumn("__pos", pos).withColumn("__neg", neg)
-      .withColumn("sentiment_score", scorer.score(col("__pos"), col("__neg")))
+    val subjOpt = scorer.subjectivity(col("__pos"), col("__neg"), col("__w"))
+    // The reference's analyze_sentiment early-returns all-zero fields for
+    // blank/<3-char text (nlp_processor_simple.py:82-88). Applied only on
+    // the 4-field contract path: the portable 3-column spec predates it
+    // and its oracle (q24) must stay byte-stable.
+    val short = length(trim(coalesce(t, lit("")))) < 3
+    def guarded(c: Column): Column =
+      if (subjOpt.isDefined) when(short, lit(0.0)).otherwise(c) else c
+    val base = df.withColumn("__pos", pos).withColumn("__neg", neg)
+      .withColumn("__w", wordCount(t))
+      .withColumn("sentiment_score",
+        guarded(scorer.score(col("__pos"), col("__neg"))))
       .withColumn("sentiment_label",
         when(col("sentiment_score") > Thresholds.sentimentPositive, "Positive")
           .when(col("sentiment_score") < Thresholds.sentimentNegative, "Negative")
           .otherwise("Neutral"))
       .withColumn("sentiment_confidence",
-        least(lit(0.3) + lit(0.1) * (col("__pos") + col("__neg")), lit(1.0)))
-      .drop("__pos", "__neg")
+        guarded(scorer.confidence(col("__pos"), col("__neg"),
+          col("sentiment_score"), subjOpt)))
+    subjOpt.fold(base)(s => base.withColumn("subjectivity", guarded(s)))
+      .drop("__pos", "__neg", "__w")
   }
 
   /** N3 preprocessing as a column: lower, accent-preserving letter filter,

@@ -34,6 +34,18 @@ trait SentimentScorer {
 
   /** sentiment_score from the two hit-count columns. */
   def score(pos: Column, neg: Column): Column
+
+  /** Optional 4th output of the reference's analyze_sentiment contract
+    * (nlp_processor_simple.py:94-121): a subjectivity estimate in [0, 1].
+    * None → the scorer emits the 3-column contract (the portable spec,
+    * whose oracle q24 predates subjectivity and must stay byte-stable). */
+  def subjectivity(pos: Column, neg: Column, words: Column): Option[Column] = None
+
+  /** Confidence shape. Default: the portable 0.3 + 0.1·hits clamp the
+    * silver pipeline has always emitted. */
+  def confidence(pos: Column, neg: Column, score: Column,
+      subj: Option[Column]): Column =
+    least(lit(0.3) + lit(0.1) * (pos + neg), lit(1.0))
 }
 
 /** Reference-portable spec: ASCII lists, ASCII \b boundaries,
@@ -114,4 +126,19 @@ object FullLexiconScorer extends SentimentScorer {
   def score(pos: Column, neg: Column): Column =
     when(pos + neg === 0, lit(0.0))
       .otherwise((pos - neg).cast("double") / (pos + neg))
+
+  /** Lexicon-based subjectivity: the share of words carrying polarity,
+    * capped at 1 — the TextBlob approximation where every lexicon entry
+    * is fully subjective (subjectivity 1.0) and everything else is
+    * objective, so a document's subjectivity is its polarity-word
+    * density. Completes the reference's 4-field analyze_sentiment
+    * contract (nlp_processor_simple.py:94-121). */
+  override def subjectivity(pos: Column, neg: Column, words: Column): Option[Column] =
+    Some(least((pos + neg).cast("double") / greatest(words, lit(1)), lit(1.0)))
+
+  /** The reference's confidence shape: min(subjectivity + |polarity|, 1)
+    * (nlp_processor_simple.py:105). */
+  override def confidence(pos: Column, neg: Column, score: Column,
+      subj: Option[Column]): Column =
+    least(subj.get + abs(score), lit(1.0))
 }

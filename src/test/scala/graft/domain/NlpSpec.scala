@@ -96,6 +96,33 @@ class NlpSpec extends SparkSpec {
       "Positive", "Neutral", "Positive", "Neutral"))
   }
 
+  test("sentiment: FullLexiconScorer emits the reference's full 4-field contract") {
+    // analyze_sentiment returns {score, label, confidence, subjectivity}
+    // with confidence = min(subjectivity + |polarity|, 1) and an all-zero
+    // early return for <3-char text (nlp_processor_simple.py:77-121).
+    val out = Nlp.withSentiment((smokeReviews ++ Seq("ok", "", null)).toDF("text"),
+        scorer = FullLexiconScorer)
+      .select("text", "sentiment_score", "sentiment_label",
+        "sentiment_confidence", "subjectivity")
+      .collect()
+    out.foreach { r =>
+      val (score, conf, subj) = (r.getDouble(1), r.getDouble(3), r.getDouble(4))
+      assert(subj >= 0.0 && subj <= 1.0, s"subjectivity out of range: $r")
+      assert(conf === math.min(subj + math.abs(score), 1.0),
+        s"confidence must be min(subjectivity+|polarity|, 1): $r")
+      if (r.getString(0) == null || r.getString(0).trim.length < 3)
+        assert(score === 0.0 && conf === 0.0 && subj === 0.0 &&
+          r.getString(2) === "Neutral", s"short-text early return violated: $r")
+    }
+    // subjectivity is polarity-word density: smoke review #4 ("Très bonne
+    // expérience, service rapide et efficace") has 3 lexicon hits / 7 words.
+    val r4 = out.find(_.getString(0) == smokeReviews(3)).get
+    assert(r4.getDouble(4) === 3.0 / 7)
+    // the portable scorer keeps the 3-column contract (q24's oracle shape)
+    val portable = Nlp.withSentiment(smokeReviews.toDF("text"))
+    assert(!portable.columns.contains("subjectivity"))
+  }
+
   test("sentiment: full-lexicon score is mean word polarity in [-1, 1]") {
     val rows = Nlp.withSentiment(
         Seq("excellent mais lent", "zzz qqq", "service excellent rapide")
