@@ -15,6 +15,21 @@ import org.apache.spark.sql.functions.broadcast
   * no-all-pairs assertion without allowlisting.
   */
 object Scalars {
-  def withScalar(df: DataFrame, scalar: DataFrame): DataFrame =
+
+  /** The ≤1-row precondition is ENFORCED, not assumed: a multi-row scalar
+    * side would silently multiply every probe row through the broadcast
+    * cross join — the exact all-pairs failure this helper exists to fence
+    * off. Statically provable ≤1-row plans (groupless aggregates, LIMIT 1,
+    * literal relations — Catalyst's `maxRows`) cost nothing to admit; for
+    * plans whose row count is a runtime fact (e.g. a committed 1-row
+    * artifact re-read from parquet) a LIMIT-2 count verifies the
+    * contract — bounded work regardless of how big a mistaken input is. */
+  def withScalar(df: DataFrame, scalar: DataFrame): DataFrame = {
+    val provable = scalar.queryExecution.analyzed.maxRows.exists(_ <= 1L)
+    require(provable || scalar.limit(2).count() <= 1L,
+      "withScalar requires a <=1-row scalar side (groupless aggregate, " +
+        "LIMIT 1, or 1-row committed artifact); a multi-row side would " +
+        "silently multiply rows through the broadcast cross join")
     df.crossJoin(broadcast(scalar))
+  }
 }

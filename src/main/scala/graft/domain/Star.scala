@@ -92,7 +92,14 @@ object Star {
     * could never express in a CASE over (month, day), and the reason this
     * is a table. Lunar dates beyond the mid-2020s are astronomical
     * projections (actual observance follows moon sighting and can shift
-    * ±1 day) — the operational path is correcting the row, not the code. */
+    * ±1 day) — the operational path is correcting the row, not the code.
+    *
+    * `full_date` is UNIQUE in both modes — the contract that makes this
+    * joinable to the date spine without duplicating spine rows. Lunar
+    * dates can land on fixed ones (Fatih Muharram 2020 = Revolution Day,
+    * Hijri New Year 2022 = Throne Day), so the religious mode aggregates
+    * coinciding names into one sorted "A / B" row rather than emitting
+    * two rows for the date. */
   def dimHoliday(spark: SparkSession,
       includeReligious: Boolean = false): DataFrame = {
     import spark.implicits._
@@ -109,8 +116,11 @@ object Star {
     val base = rows.toDF("full_date", "holiday_name")
     if (!includeReligious) base
     else base.unionByName(
-      religiousHolidays.map { case (d, n) => (java.sql.Date.valueOf(d), n) }
-        .toDF("full_date", "holiday_name"))
+        religiousHolidays.map { case (d, n) => (java.sql.Date.valueOf(d), n) }
+          .toDF("full_date", "holiday_name"))
+      .groupBy("full_date")
+      .agg(array_join(array_sort(collect_list(col("holiday_name"))), " / ")
+        .as("holiday_name"))
   }
 
   /** Morocco observes two days each for Eid al-Fitr, Eid al-Adha and

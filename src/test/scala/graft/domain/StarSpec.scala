@@ -72,8 +72,17 @@ class StarSpec extends SparkSpec {
 
   test("dim_holiday religious extension adds lunar rows without touching parity") {
     val full = Star.dimHoliday(spark, includeReligious = true)
-    // 99 fixed + 11 years x (2 Fitr + 2 Adha + 1 Muharram + 2 Mawlid)
-    assert(full.count() === 99 + 11 * 7)
+    // 99 fixed + 11 years x (2 Fitr + 2 Adha + 1 Muharram + 2 Mawlid),
+    // minus the two lunar/fixed coincidences folded into one row each
+    // (Fatih Muharram 2020 = Revolution Day, Hijri New Year 2022 = Throne Day)
+    assert(full.count() === 99 + 11 * 7 - 2)
+    // full_date must stay UNIQUE — the join-key-table contract; joining a
+    // duplicated date to the spine would duplicate spine rows.
+    assert(full.select("full_date").distinct().count() === full.count())
+    // Coinciding holidays fold into one deterministic sorted row.
+    val muh20 = full.filter(col("full_date") === lit("2020-08-20").cast("date"))
+      .select("holiday_name").collect().map(_.getString(0))
+    assert(muh20 === Array("Fatih Muharram / Revolution Day"))
     // Known observed dates (Gregorian), e.g. Eid al-Fitr 2024 = Apr 10.
     val fitr24 = full.filter(col("full_date") === lit("2024-04-10").cast("date"))
       .select("holiday_name").collect().map(_.getString(0))

@@ -1,9 +1,10 @@
 package graft.plans
 
 import graft.{SparkEntry, SparkSpec}
-import org.apache.spark.sql.execution.{LocalTableScanExec, SparkPlan}
+import org.apache.spark.sql.execution.{ExpandExec, GenerateExec, LocalTableScanExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
 
@@ -23,18 +24,30 @@ object PlanHygiene {
       case w: WindowExec if w.partitionSpec.isEmpty => w
     }
 
-  /** True when a plan subtree is provably OUTPUT-BOUNDED: it contains a
-    * global (groupless) aggregate — at most one row flows out regardless
-    * of input size (the scalar-crossJoin idiom: attach a 1-row aggregate
-    * to every row) — or it is rooted in a LocalTableScan, a literal
-    * in-memory relation whose row count is fixed at plan-build time and
-    * cannot grow with the data (e.g. a constant tier/band lookup table). */
-  private def isScalarSubtree(p: SparkPlan): Boolean =
-    allNodes(p).exists {
-      case a: BaseAggregateExec => a.groupingExpressions.isEmpty
-      case _: LocalTableScanExec => true
-      case _ => false
-    }
+  /** True when a plan subtree is provably OUTPUT-BOUNDED — at most a
+    * plan-time-fixed number of rows flows out of its ROOT regardless of
+    * input size. Structurally recursive, NOT an `exists` over all nodes:
+    * a side that merely CONTAINS a LocalTableScan somewhere (a literal
+    * lookup joined to a data-proportional table) is unbounded at its
+    * root and must not be excused.
+    *
+    * Bounded roots: a groupless aggregate (≤1 row — the scalar-crossJoin
+    * idiom) and a LocalTableScan (literal relation, row count fixed at
+    * plan-build time). Interior nodes are bounded iff ALL children are
+    * (joins/unions of fixed-size inputs stay fixed-size), EXCEPT
+    * row-expanding nodes (Generate/Expand): exploding a 1-row aggregate
+    * holding a collect_list is data-proportional again. Any other leaf
+    * (file/RDD scan) is data-proportional. */
+  private def isScalarSubtree(p: SparkPlan): Boolean = p match {
+    case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+    case _: LocalTableScanExec => true
+    case a: AdaptiveSparkPlanExec => isScalarSubtree(a.executedPlan)
+    case q: QueryStageExec => isScalarSubtree(q.plan)
+    case r: ReusedExchangeExec => isScalarSubtree(r.child)
+    case _: GenerateExec | _: ExpandExec => false
+    case _ if p.children.nonEmpty => p.children.forall(isScalarSubtree)
+    case _ => false
+  }
 
   /** Cartesian/broadcast-nested-loop joins whose BOTH sides are
     * data-proportional — the plans that cannot survive a 100× scale-up.
