@@ -104,6 +104,37 @@ class PlanHygieneSpec extends SparkSpec {
   private val loopJoinAllowlist: Set[String] =
     Set("q32_ann_bruteforce", "q85_ann_quantized")
 
+  test("the loop-join gate FIRES: synthetic all-pairs plans are flagged, bounded ones excused") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val a = graft.Tables(spark, sf, "nation")
+    val b = graft.Tables(spark, sf, "customer")
+    // a genuine all-pairs cross join over two data-proportional scans
+    assert(PlanHygiene.unboundedLoopJoins(a.crossJoin(b)).nonEmpty,
+      "a data-proportional cross join must be flagged")
+    // the ADVICE r7 regression: a literal lookup joined INTO one side must
+    // not excuse the cross join — the side's root is still data-proportional
+    // (the old exists-over-all-nodes detector was blind to this)
+    val lookup = broadcast(Seq((0L, "zero"), (1L, "one")).toDF("k", "v"))
+    val sideWithLiteral = b.join(lookup, b("c_nationkey") === lookup("k"))
+    assert(PlanHygiene.unboundedLoopJoins(a.crossJoin(sideWithLiteral)).nonEmpty,
+      "a LocalTableScan buried inside a data-proportional side must not excuse it")
+    // exploding a 1-row collect_list aggregate is data-proportional again
+    val exploded = b.agg(collect_list("c_name").as("xs"))
+      .select(explode(col("xs")).as("x"))
+    assert(PlanHygiene.unboundedLoopJoins(a.crossJoin(broadcast(exploded))).nonEmpty,
+      "Generate over a bounded aggregate must not count as bounded")
+    // the two legitimate bounded shapes stay excused: scalar-attach and
+    // a literal lookup as the WHOLE side
+    val scalarAttach = graft.Scalars.withScalar(a, b.agg(sum("c_acctbal").as("s")))
+    assert(PlanHygiene.unboundedLoopJoins(scalarAttach).isEmpty,
+      "the groupless-aggregate scalar-attach idiom must stay excused")
+    val literalSide = a.crossJoin(broadcast(Seq(("lo", 0), ("hi", 1)).toDF("band", "o")))
+    assert(PlanHygiene.unboundedLoopJoins(literalSide).isEmpty,
+      "a literal relation as the whole side is plan-time bounded")
+  }
+
   test("no query plan has a cartesian/BNL join over data-proportional inputs") {
     val sf = "/root/testdata/sf0.001"
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
