@@ -100,6 +100,111 @@ object Containers {
     durationMs.map(d => Mp4Meta(d, dims.map(_._1), dims.map(_._2)))
   }
 
+  final case class MkvMeta(durationMs: Long, width: Option[Int], height: Option[Int])
+
+  /** EBML variable-length integer at offset o: the first byte's leading
+    * zeros give the length; element IDs keep the marker bit (they are
+    * defined with it), sizes strip it. None on malformed/truncated. */
+  private def vint(b: Array[Byte], o: Int, keepMarker: Boolean): Option[(Long, Int)] = {
+    if (o >= b.length) return None
+    val first = b(o) & 0xff
+    if (first == 0) return None // >8-byte vint: not a valid id/size here
+    val len = Integer.numberOfLeadingZeros(first) - 23
+    if (o + len > b.length) return None
+    var v: Long = if (keepMarker) first.toLong else (first & (0xff >>> len)).toLong
+    var i = 1
+    while (i < len) { v = (v << 8) | (b(o + i) & 0xff); i += 1 }
+    Some((v, len))
+  }
+
+  /** Child elements of an EBML master element body: (id, payloadStart,
+    * payloadEnd). An all-ones size (unknown length — streamed files use it
+    * for Segment) extends to the enclosing end. Malformed data stops the
+    * walk — partial metadata beats a crash. */
+  private def ebmlChildren(b: Array[Byte], start: Long, end: Long): Seq[(Long, Long, Long)] = {
+    val out = Seq.newBuilder[(Long, Long, Long)]
+    var o = start
+    var ok = true
+    while (ok && o < end) {
+      val parsed = for {
+        (id, idLen) <- vint(b, o.toInt, keepMarker = true)
+        (sz, szLen) <- vint(b, (o + idLen).toInt, keepMarker = false)
+      } yield (id, sz, szLen, idLen + szLen)
+      parsed match {
+        case Some((id, sz, szLen, hdr)) =>
+          val ps = o + hdr
+          val unknown = sz == (1L << (7 * szLen)) - 1
+          val pe = if (unknown) end else math.min(end, ps + sz)
+          if (ps > end) ok = false
+          else { out += ((id, ps, pe)); o = if (unknown) end else pe }
+        case None => ok = false
+      }
+    }
+    out.result()
+  }
+
+  private def ebmlUint(b: Array[Byte], ps: Long, pe: Long): Long = {
+    var v = 0L
+    var i = ps
+    while (i < pe && i - ps < 8) { v = (v << 8) | (b(i.toInt) & 0xff); i += 1 }
+    v
+  }
+  private def ebmlFloat(b: Array[Byte], ps: Long, pe: Long): Option[Double] =
+    (pe - ps) match {
+      case 4 => Some(java.lang.Float.intBitsToFloat(ebmlUint(b, ps, pe).toInt).toDouble)
+      case 8 => Some(java.lang.Double.longBitsToDouble(ebmlUint(b, ps, pe)))
+      case _ => None
+    }
+
+  // EBML element IDs (stored form, marker bit included)
+  private val EbmlMagic = 0x1A45DFA3L
+  private val Segment = 0x18538067L
+  private val Info = 0x1549A966L
+  private val TimestampScale = 0x2AD7B1L
+  private val DurationId = 0x4489L
+  private val Tracks = 0x1654AE6BL
+  private val TrackEntry = 0xAEL
+  private val VideoEl = 0xE0L
+  private val PixelWidth = 0xB0L
+  private val PixelHeight = 0xBAL
+
+  /** MKV/WebM metadata from the EBML tree (RFC 8794 + the public Matroska
+    * element registry): duration = Info/Duration (float ticks) ×
+    * Info/TimestampScale (ns/tick, default 10⁶), dimensions from the
+    * first TrackEntry/Video's PixelWidth/PixelHeight. Header-only — no
+    * Cluster/sample data touched; unknown-size Segments (streamed files)
+    * extend to end-of-buffer. */
+  def parseMkv(b: Array[Byte]): Option[MkvMeta] = {
+    if (b == null || b.length < 8) return None
+    if (u32(b, 0) != EbmlMagic) return None
+    ebmlChildren(b, 0L, b.length.toLong).find(_._1 == Segment).flatMap { case (_, ss, se) =>
+      var scaleNs = 1000000L
+      var durTicks: Option[Double] = None
+      var w: Option[Int] = None
+      var h: Option[Int] = None
+      ebmlChildren(b, ss, se).foreach {
+        case (Info, ps, pe) =>
+          ebmlChildren(b, ps, pe).foreach {
+            case (TimestampScale, ips, ipe) => scaleNs = ebmlUint(b, ips, ipe)
+            case (DurationId, ips, ipe) => durTicks = ebmlFloat(b, ips, ipe)
+            case _ =>
+          }
+        case (Tracks, ps, pe) if w.isEmpty =>
+          for {
+            (id1, tps, tpe) <- ebmlChildren(b, ps, pe) if id1 == TrackEntry
+            (id2, vps, vpe) <- ebmlChildren(b, tps, tpe) if id2 == VideoEl
+            (id3, ips, ipe) <- ebmlChildren(b, vps, vpe)
+          } id3 match {
+            case PixelWidth if w.isEmpty => w = Some(ebmlUint(b, ips, ipe).toInt)
+            case PixelHeight if h.isEmpty => h = Some(ebmlUint(b, ips, ipe).toInt)
+            case _ =>
+          }
+        case _ =>
+      }
+      durTicks.map(d => MkvMeta((d * scaleNs / 1e6).toLong, w, h))
+    }
+  }
+
   // MPEG audio tables (Layer III only — the overwhelmingly common case;
   // Layer I/II return None). Index 0 = MPEG1, 1 = MPEG2, 2 = MPEG2.5.
   private val SampleRates = Array(

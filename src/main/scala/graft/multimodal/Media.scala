@@ -11,9 +11,9 @@ import org.apache.spark.sql.types._
   * mapInPandas batching) — is real and tested. METADATA decode is real
   * for all three kinds: images (JPEG/PNG/GIF/BMP dimensions via the
   * JDK's javax.imageio), audio (WAV/AIFF/AU via javax.sound.sampled;
-  * MP3 duration/rate/channels via a frame-header parse), and MP4/MOV
-  * video (duration + dimensions via an ISO-BMFF box parse) — see
-  * Containers.scala for the pure byte-format parsers. Only the
+  * MP3 duration/rate/channels via a frame-header parse), and MP4/MOV +
+  * MKV/WebM video (duration + dimensions via ISO-BMFF box / EBML tree
+  * parses) — see Containers.scala for the pure byte-format parsers. Only the
   * sample/frame DECODE step (pixels/PCM) is a STUB (no codec libraries
   * in this container or the JDK), implemented as a deterministic
   * byte-statistics fake, clearly marked below.
@@ -132,9 +132,12 @@ object Media {
       decodeAudioMeta(bytes).orElse(
         Containers.parseMp3(bytes).map(m => (m.durationMs, m.sampleRate, m.channels)))
     else None
-    val video = if (kind == "video") Containers.parseMp4(bytes) else None
-    val dims = dims0.orElse(for (v <- video; w <- v.width; h <- v.height) yield (w, h))
-    val durationMs = audio.map(_._1).orElse(video.map(_.durationMs))
+    val video: Option[(Long, Option[Int], Option[Int])] = if (kind == "video")
+      Containers.parseMp4(bytes).map(m => (m.durationMs, m.width, m.height))
+        .orElse(Containers.parseMkv(bytes).map(m => (m.durationMs, m.width, m.height)))
+    else None
+    val dims = dims0.orElse(for (v <- video; w <- v._2; h <- v._3) yield (w, h))
+    val durationMs = audio.map(_._1).orElse(video.map(_._1))
     /* ======================= STUB BOUNDARY =======================
      * Only the sample/frame DECODE step (H.264/VP9 pixels, AAC/MP3 PCM)
      * remains stubbed — no such codec exists in this container or the

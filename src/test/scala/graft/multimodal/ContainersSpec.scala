@@ -78,6 +78,59 @@ class ContainersSpec extends AnyFunSuite {
     assert(Containers.parseMp4(evil) === None)
   }
 
+  // ---- MKV/EBML fixture builders ----
+  private def beBytes(v: Long): Array[Byte] = {
+    // minimal big-endian encoding (EBML uints are variable length)
+    val full = ByteBuffer.allocate(8).putLong(v).array()
+    val skip = full.indexWhere(_ != 0) match { case -1 => 7; case i => i }
+    full.drop(skip)
+  }
+  private def el(id: Long, payload: Array[Byte]): Array[Byte] = {
+    require(payload.length < 127)
+    beBytes(id) ++ Array((0x80 | payload.length).toByte) ++ payload
+  }
+  private def mkv(timestampScaleNs: Long, durationTicks: Float,
+      w: Int, h: Int): Array[Byte] = {
+    val info = el(0x1549A966L,
+      el(0x2AD7B1L, beBytes(timestampScaleNs)) ++
+        el(0x4489L, ByteBuffer.allocate(4).putFloat(durationTicks).array()))
+    val video = el(0xE0L, el(0xB0L, beBytes(w)) ++ el(0xBAL, beBytes(h)))
+    val tracks = el(0x1654AE6BL, el(0xAEL, video))
+    el(0x1A45DFA3L, Array.empty[Byte]) ++ el(0x18538067L, info ++ tracks)
+  }
+
+  test("MKV: duration from Duration x TimestampScale, dims from the video track") {
+    // 5000 ticks at the default 1e6 ns/tick -> 5000 ms, 1280x720
+    val m = Containers.parseMkv(mkv(1000000L, 5000.0f, 1280, 720))
+    assert(m === Some(Containers.MkvMeta(5000L, Some(1280), Some(720))))
+    // non-default scale: 2000 ticks x 2e6 ns = 4000 ms
+    val m2 = Containers.parseMkv(mkv(2000000L, 2000.0f, 320, 240))
+    assert(m2 === Some(Containers.MkvMeta(4000L, Some(320), Some(240))))
+  }
+
+  test("MKV: unknown-size Segment (streamed file) extends to end of buffer") {
+    val body = mkv(1000000L, 1500.0f, 64, 48)
+    // rewrite the Segment's 1-byte size to the all-ones 'unknown' vint
+    val segOff = el(0x1A45DFA3L, Array.empty[Byte]).length
+    val sizeOff = segOff + 4 // segment id is 4 bytes
+    val streamed = body.clone()
+    streamed(sizeOff) = 0xff.toByte
+    val m = Containers.parseMkv(streamed)
+    assert(m === Some(Containers.MkvMeta(1500L, Some(64), Some(48))))
+  }
+
+  test("MKV: junk and truncation are None or partial, never a crash") {
+    assert(Containers.parseMkv(null) === None)
+    assert(Containers.parseMkv(Array.fill[Byte](64)(0x3c)) === None)
+    val good = mkv(1000000L, 5000.0f, 1280, 720)
+    // cutting into the Tracks element degrades dims but keeps duration
+    assert(Containers.parseMkv(good.take(good.length - 8))
+      .exists(_.durationMs === 5000L),
+      "duration must survive a tail cut into Tracks")
+    // cutting into Info loses everything parseable
+    assert(Containers.parseMkv(good.take(12)) === None)
+  }
+
   // ---- MP3 fixture builders: MPEG1 Layer III @44100 ----
   // header: FF FB (sync+MPEG1+L3), bitrate idx 9 = 128 kbps, sr idx 0,
   // no padding; channel mode in the top 2 bits of byte 3.
