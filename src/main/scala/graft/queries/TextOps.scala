@@ -382,6 +382,98 @@ object TextOps extends QueryModule {
       |   AND stop_hits >= 2) AS passes_gopher
       |FROM stats ORDER BY doc_id""".stripMargin
 
+  /** Gopher REPETITION signals (Rae et al. 2021 §A1.1, Table A1) — the
+    * second half of the Gopher gate beside q88's rule set: documents
+    * dominated by repeated n-grams are boilerplate/spam. Emitted per doc:
+    * the most frequent word bigram and the character share of all its
+    * occurrences (threshold ≤ 0.20), and the character share of
+    * duplicated 5-grams — Σ over 5-grams with count ≥ 2 of
+    * count·length(gram) — (threshold ≤ 0.15). The corpus has no newlines,
+    * so the line-level duplicate signals are vacuous here and the
+    * word-level family is the meaningful one.
+    *
+    * Portability: all counting is exact integer arithmetic; each fraction
+    * is ONE double division, identical in DuckDB. Top-bigram tie-break is
+    * (count DESC, gram ASC) via min(struct(-cnt, gram)) — a hash
+    * aggregation, not a window sort (the oracle uses ROW_NUMBER; same
+    * result, different physical shape).
+    *
+    * Scale shape: explode → (doc_id, gram)-keyed partial hash aggs →
+    * doc-keyed rollup, q88's pattern — linear in corpus size with
+    * map-side combine, no per-doc quadratic work, no window over grams. */
+  private def q91(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), length(col("text")).as("n_chars"),
+        split(trim(col("text")), "\\s+").as("toks"))
+      .localCheckpoint(true) // two gram sizes read it; don't re-split per branch
+    def gramCounts(n: Int) = docs
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), col("n_chars"),
+        explode(expr(s"transform(sequence(1, size(toks) - ${n - 1})," +
+          s" i -> array_join(slice(toks, i, $n), ' '))")).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"), max(col("n_chars")).as("nc"))
+    val top2 = gramCounts(2)
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("cnt")).as("neg"), col("gram"))).as("t"),
+        max(col("nc")).as("nc"))
+      .select(col("doc_id"), col("t.gram").as("top_bigram"),
+        ((-col("t.neg")) * length(col("t.gram"))).cast("double")
+          ./(col("nc")).as("top_bigram_frac"))
+    val dup5 = gramCounts(5)
+      .groupBy(col("doc_id"))
+      .agg((coalesce(
+          sum(when(col("cnt") >= 2, col("cnt") * length(col("gram")))), lit(0L))
+        .cast("double") / max(col("nc"))).as("dup_5gram_frac"))
+    t(s, d, "documents").select(col("doc_id"))
+      .join(top2, Seq("doc_id"), "left")
+      .join(dup5, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("top_bigram"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
+        coalesce(col("dup_5gram_frac"), lit(0.0)).as("dup_5gram_frac"),
+        (coalesce(col("top_bigram_frac"), lit(0.0)) <= 0.20 &&
+          coalesce(col("dup_5gram_frac"), lit(0.0)) <= 0.15)
+          .as("repetition_pass"))
+      .orderBy("doc_id")
+  }
+  private val q91Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, length(text) AS n_chars,
+      |    regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents),
+      |g2 AS (
+      |  SELECT doc_id, n_chars,
+      |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS gram
+      |  FROM toks WHERE len(t) >= 2),
+      |c2 AS (SELECT doc_id, gram, ANY_VALUE(n_chars) AS nc, COUNT(*) AS cnt
+      |       FROM g2 GROUP BY doc_id, gram),
+      |top2 AS (
+      |  SELECT doc_id, gram AS top_bigram,
+      |    CAST(cnt * length(gram) AS DOUBLE) / nc AS top_bigram_frac
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |          ORDER BY cnt DESC, gram) AS rn FROM c2)
+      |  WHERE rn = 1),
+      |g5 AS (
+      |  SELECT doc_id, n_chars,
+      |    unnest(list_transform(range(1, len(t) - 3),
+      |      i -> array_to_string(t[i:i + 4], ' '))) AS gram
+      |  FROM toks WHERE len(t) >= 5),
+      |c5 AS (SELECT doc_id, gram, ANY_VALUE(n_chars) AS nc, COUNT(*) AS cnt
+      |       FROM g5 GROUP BY doc_id, gram),
+      |d5 AS (
+      |  SELECT doc_id,
+      |    CAST(COALESCE(SUM(CASE WHEN cnt >= 2 THEN cnt * length(gram) END), 0)
+      |      AS DOUBLE) / ANY_VALUE(nc) AS dup_5gram_frac
+      |  FROM c5 GROUP BY doc_id)
+      |SELECT d.doc_id, top_bigram,
+      |  COALESCE(top_bigram_frac, 0.0) AS top_bigram_frac,
+      |  COALESCE(dup_5gram_frac, 0.0) AS dup_5gram_frac,
+      |  (COALESCE(top_bigram_frac, 0.0) <= 0.20
+      |   AND COALESCE(dup_5gram_frac, 0.0) <= 0.15) AS repetition_pass
+      |FROM documents d
+      |LEFT JOIN top2 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** Regex group-extraction surface (regexp_extract with capture groups,
     * regexp_extract_all counting, regexp_like) — the extraction family
     * next to q10's regexp_replace and q41's redaction. Patterns stay in
@@ -416,5 +508,6 @@ object TextOps extends QueryModule {
     Q("q23_token_stats", q23, Some(q23Sql)),
     Q("q24_sentiment_lexicon", q24, Some(q24Sql)),
     Q("q25_doc_fingerprint", q25, Some(q25Sql)),
-    Q("q88_gopher_quality", q88, Some(q88Sql)))
+    Q("q88_gopher_quality", q88, Some(q88Sql)),
+    Q("q91_gopher_repetition", q91, Some(q91Sql)))
 }
