@@ -290,11 +290,55 @@ object PipelineOps extends QueryModule {
          |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct FROM orders""".stripMargin)
     .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
 
+  /** Sequence-packing plan (q92): the concat-and-chunk batching a
+    * pretraining pipeline feeds the trainer — documents are concatenated
+    * in a deterministic order within each shard and sliced into
+    * fixed-size context windows (2048 tokens here), so every token lands
+    * in exactly one (shard, bin) and fill is 100% except each shard's
+    * tail. Emitted per doc: its token count, the bin its FIRST token
+    * lands in, and the offset within that bin — the plan a downstream
+    * tokenizer/writer executes without re-scanning text.
+    *
+    * Scale shape: one narrow token-count projection, then a running sum
+    * over a window PARTITIONED BY SHARD (source here; a 100 TB corpus
+    * hashes into many shards, each window partition independent — never
+    * an unpartitioned global sort). Explicit ROWS frame so Spark and
+    * DuckDB agree even on tied order keys; all arithmetic integer-exact. */
+  private def q92(s: SparkSession, d: String): DataFrame = {
+    val binSize = 2048L
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"),
+        ((col("cum_tokens") - col("n_tokens")) / binSize).cast("bigint").as("pack_bin"),
+        ((col("cum_tokens") - col("n_tokens")) % binSize).as("bin_offset"))
+      .orderBy("doc_id")
+  }
+  private val q92Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |cum AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      |  FROM tok)
+      |SELECT doc_id, source, n_tokens,
+      |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+      |  CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS pack_bin,
+      |  CAST((cum_tokens - n_tokens) % 2048 AS BIGINT) AS bin_offset
+      |FROM cum ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q41_redaction", q41, Some(q41Sql)),
     Q("q42_dup_clusters", q42, Some(q42Sql)),
     Q("q43_correlated_max", q43, Some(q43Sql)),
     Q("q50_hash_split", q50, Some(q50Sql)),
     Q("q53_stratified_sample", q53, Some(q53Sql)),
-    Q("q54_profile", q54, Some(q54Sql)))
+    Q("q54_profile", q54, Some(q54Sql)),
+    Q("q92_sequence_packing", q92, Some(q92Sql)))
 }
