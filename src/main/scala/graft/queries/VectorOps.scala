@@ -165,9 +165,12 @@ object VectorOps extends QueryModule {
 
   /** IVF codebook: k deterministic centroids (first-k unit vectors,
     * cid = vec_id) loaded to the driver ONCE and shipped as a literal —
-    * the shape a production IVF index has (codebook trained offline and
-    * broadcast to executors; k × 64 doubles of driver state, k ∝ √n via
-    * [[ivfKFor]], so even a 10⁹-vector corpus ships ~8 MB). Scoring
+    * the shape a production IVF index has (codebook trained offline via
+    * [[trainCodebook]] and broadcast to executors; k × 64 doubles of
+    * driver state, k ∝ √n via [[ivfKFor]], so even a 10⁹-vector corpus
+    * ships ~8 MB). The ORACLED queries keep the seed codebook — the
+    * DuckDB oracle can restate first-k selection but not k-means — while
+    * trainCodebook is the spec-validated production path. Scoring
     * against a literal codebook is a pure row-local expression: no
     * crossJoin, hence no BroadcastNestedLoopJoin node anywhere in the
     * consuming plans (PlanHygieneSpec bans those fleet-wide). Every plan
@@ -177,6 +180,50 @@ object VectorOps extends QueryModule {
       .select(col("vec_id"), col("ue"))
       .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1)).toSeq
     typedlit(rows)
+  }
+
+  /** Lloyd's k-means for the IVF coarse quantizer — the trainer the
+    * [[codebook]] scaladoc has always pointed at ("production trains
+    * k-means offline"). Spherical variant: assign each unit vector to its
+    * max-cosine centroid (row-local scoring against the literal codebook —
+    * no crossJoin, same shape as q52's assignment), recompute each cell's
+    * centroid as the per-dimension mean, re-normalize to unit length.
+    *
+    * DETERMINISTIC by construction, which a naive implementation is not:
+    * per-cell means accumulate in DecimalType(38,18) (exact, commutative —
+    * the Num.dsum argument), so the result is bit-identical under ANY
+    * partitioning, AQE re-plan, or rerun; seeding is the first k unit
+    * vectors (q52's seed codebook); iteration count is fixed. Empty cells
+    * keep their previous centroid. Driver state is k×dim doubles per
+    * iteration — independent of corpus size; the per-iteration work is
+    * one row-local assignment + one (cell, dim)-keyed hash aggregation,
+    * both linear. Spec: determinism across repartitionings, monotone
+    * assignment quality vs the seed, unit-norm output. */
+  def trainCodebook(s: SparkSession, d: String, k: Int, iters: Int): Seq[Seq[Double]] = {
+    val u = unitVectors(s, d)
+    var cb: Seq[Seq[Double]] = u.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("ue"))
+      .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1)).toSeq
+    for (_ <- 1 to iters) {
+      val assigned = u.select(col("ue"),
+        element_at(sortedCells(typedlit(cb), k), 1)("cid").as("cell"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("ue")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg((Num.d2d(sum(col("v").cast(org.apache.spark.sql.types.DecimalType(38, 18))))
+          / count(lit(1))).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x("m")).as("mean"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      cb = cb.indices.map { c =>
+        means.get(c).fold(cb(c)) { m =>
+          val nrm = math.sqrt(m.foldLeft(0.0)((a, x) => a + x * x))
+          if (nrm == 0.0) cb(c) else m.map(_ / nrm)
+        }
+      }
+    }
+    cb
   }
 
   /** Per-row centroid scores {cc, cid} sorted (cc DESC, cid ASC): element 1
