@@ -333,6 +333,49 @@ object PipelineOps extends QueryModule {
       |  CAST((cum_tokens - n_tokens) % 2048 AS BIGINT) AS bin_offset
       |FROM cum ORDER BY doc_id""".stripMargin
 
+  /** Temperature-balanced source sampling (q93): the source/language
+    * re-weighting step a multilingual pretraining mix runs — big sources
+    * are downsampled toward √n so small sources aren't drowned (the
+    * α = 0.5 point of the pⁱ ∝ nᵢ^α temperature family; √ is used
+    * because IEEE sqrt is correctly rounded in BOTH engines, where a
+    * general pow(x, 0.7) is not bit-portable). Per-source quota =
+    * ceil(√n · 10); selection is the deterministic smallest-md5-ticket
+    * rank from q53 — membership is a pure function of the data, stable
+    * across engines, partitionings, and reruns.
+    *
+    * Scale shape: one count agg (broadcast back — one row per source), a
+    * source-partitioned rank window, no global sort except the oracle
+    * ORDER BY. */
+  private def q93(s: SparkSession, d: String): DataFrame = {
+    val quota = t(s, d, "documents").groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("source"), col("n_docs"),
+        ceil(sqrt(col("n_docs").cast("double")) * 10).cast("bigint").as("quota"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("tkt"), col("doc_id"))
+    t(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        md5(concat_ws("|", col("source"), col("doc_id"))).as("tkt"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .join(broadcast(quota), "source")
+      .filter(col("rnk") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("n_docs"), col("quota"), col("rnk"))
+      .orderBy("doc_id")
+  }
+  private val q93Sql =
+    """WITH q AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE)) * 10) AS BIGINT) AS quota
+      |  FROM documents GROUP BY source),
+      |r AS (
+      |  SELECT doc_id, source,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY md5(source || '|' || CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+      |  FROM documents)
+      |SELECT r.doc_id, r.source, q.n_docs, q.quota, r.rnk
+      |FROM r JOIN q USING (source)
+      |WHERE r.rnk <= q.quota ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q41_redaction", q41, Some(q41Sql)),
     Q("q42_dup_clusters", q42, Some(q42Sql)),
@@ -340,5 +383,6 @@ object PipelineOps extends QueryModule {
     Q("q50_hash_split", q50, Some(q50Sql)),
     Q("q53_stratified_sample", q53, Some(q53Sql)),
     Q("q54_profile", q54, Some(q54Sql)),
-    Q("q92_sequence_packing", q92, Some(q92Sql)))
+    Q("q92_sequence_packing", q92, Some(q92Sql)),
+    Q("q93_temperature_sample", q93, Some(q93Sql)))
 }
