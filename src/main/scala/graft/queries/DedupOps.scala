@@ -412,11 +412,95 @@ object DedupOps extends QueryModule {
       |LEFT JOIN bench b USING (sh)
       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
 
+  /** Exact substring-dedup spans (q94) — the Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better") shape:
+    * find every ≥8-token run that also occurs in ANOTHER document, and
+    * emit per document the MAXIMAL duplicated spans (token intervals) a
+    * downstream cleaner would cut, rather than a doc-level flag. Two
+    * steps, both integer-exact:
+    *
+    *  1. positional 8-gram index: explode (doc_id, start, gram), group by
+    *     gram, keep grams spanning ≥2 distinct docs (min ≠ max doc_id —
+    *     no countDistinct needed);
+    *  2. merge each doc's duplicated starts into maximal spans with the
+    *     gaps-and-islands idiom: island breaks where a gram's start
+    *     clears the running max end of everything before it (strict
+    *     overlap merge — [i, i+8) ∪ [i+1, i+9) chains collapse, adjacent
+    *     non-overlapping runs stay separate).
+    *
+    * Scale shape: the gram index is the same shuffle-by-shingle pattern
+    * as q27/q89 (never all-pairs); span merging is a doc-partitioned
+    * window over only the DUPLICATED grams (a small fraction of the
+    * corpus). Token positions are 1-based in both engines. */
+  private def q94(s: SparkSession, d: String): DataFrame = {
+    val n = 8
+    val grams = t(s, d, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(1, size(toks) - ${n - 1})," +
+          s" i -> struct(i as start, array_join(slice(toks, i, $n), ' ') as g))")).as("x"))
+      .select(col("doc_id"), col("x.start").as("start"), col("x.g").as("g"))
+    val crossDoc = grams.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("g"))
+    val dupStarts = grams.join(crossDoc, "g")
+      .select(col("doc_id"), col("start"), (col("start") + n).as("end"))
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dupStarts
+      .withColumn("brk",
+        when(col("start") < coalesce(max(col("end")).over(wPrev), lit(0)), 0).otherwise(1))
+      .withColumn("island", sum(col("brk")).over(wRun))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("start")).cast("bigint").as("span_start"),
+        max(col("end")).cast("bigint").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"), col("n_grams"))
+      .orderBy("doc_id", "span_start")
+  }
+  private val q94Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      |grams AS (
+      |  SELECT doc_id, x.start, x.g FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 6),
+      |      i -> struct_pack(start := i, g := array_to_string(t[i:i + 7], ' ')))) AS x
+      |    FROM toks WHERE len(t) >= 8)),
+      |crossdoc AS (
+      |  SELECT g FROM grams GROUP BY g HAVING MIN(doc_id) <> MAX(doc_id)),
+      |dup AS (
+      |  SELECT doc_id, start, start + 8 AS "end"
+      |  FROM grams JOIN crossdoc USING (g)),
+      |flagged AS (
+      |  SELECT doc_id, start, "end",
+      |    CASE WHEN start < COALESCE(MAX("end") OVER (PARTITION BY doc_id
+      |        ORDER BY start ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      THEN 0 ELSE 1 END AS brk
+      |  FROM dup),
+      |islands AS (
+      |  SELECT doc_id, start, "end",
+      |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY start
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM flagged)
+      |SELECT doc_id,
+      |  CAST(MIN(start) AS BIGINT) AS span_start,
+      |  CAST(MAX("end") AS BIGINT) AS span_end,
+      |  CAST(MAX("end") - MIN(start) AS BIGINT) AS span_tokens,
+      |  COUNT(*) AS n_grams
+      |FROM islands GROUP BY doc_id, island
+      |ORDER BY doc_id, span_start""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q26_dedup_exact", q26, Some(q26Sql)),
     Q("q27_dedup_ngram_jaccard", q27, Some(q27Sql)),
     Q("q28_dedup_minhash_lsh", q28, Some(q28Sql)),
     Q("q29_simhash_sketch", q29, Some(q29Sql)),
     Q("q30_simhash_pairs", q30, Some(q30Sql)),
-    Q("q89_contamination", q89, Some(q89Sql)))
+    Q("q89_contamination", q89, Some(q89Sql)),
+    Q("q94_substring_dedup_spans", q94, Some(q94Sql)))
 }
