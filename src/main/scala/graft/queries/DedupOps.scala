@@ -434,6 +434,9 @@ object DedupOps extends QueryModule {
     * corpus). Token positions are 1-based in both engines. */
   private def q94(s: SparkSession, d: String): DataFrame = {
     val n = 8
+    // Two references below (cross-doc filter + position join): materialize
+    // once with lineage cut (the QueryModule localCheckpoint convention)
+    // instead of re-splitting and re-exploding the corpus per reference.
     val grams = t(s, d, "documents")
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
       .filter(size(col("toks")) >= n)
@@ -441,6 +444,7 @@ object DedupOps extends QueryModule {
         explode(expr(s"transform(sequence(1, size(toks) - ${n - 1})," +
           s" i -> struct(i as start, array_join(slice(toks, i, $n), ' ') as g))")).as("x"))
       .select(col("doc_id"), col("x.start").as("start"), col("x.g").as("g"))
+      .localCheckpoint(true)
     val crossDoc = grams.groupBy(col("g"))
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
       .filter(col("mn") =!= col("mx"))
