@@ -20,16 +20,27 @@ object Scalars {
     * side would silently multiply every probe row through the broadcast
     * cross join — the exact all-pairs failure this helper exists to fence
     * off. Statically provable ≤1-row plans (groupless aggregates, LIMIT 1,
-    * literal relations — Catalyst's `maxRows`) cost nothing to admit; for
-    * plans whose row count is a runtime fact (e.g. a committed 1-row
-    * artifact re-read from parquet) a LIMIT-2 count verifies the
-    * contract — bounded work regardless of how big a mistaken input is. */
+    * literal relations — Catalyst's `maxRows`) cost nothing to admit and
+    * run no job at construction time. A plan whose row count is only a
+    * runtime fact (e.g. a committed 1-row artifact re-read from parquet)
+    * is materialized ONCE with `localCheckpoint` and both the guard count
+    * and the join read that artifact — counting one execution and joining
+    * a second would let a nondeterministic side (a sample, an unordered
+    * `first()`) pass the guard and still multiply rows at join time. The
+    * LIMIT-2 count on the checkpoint is bounded work regardless of how
+    * big a mistaken input is. */
   def withScalar(df: DataFrame, scalar: DataFrame): DataFrame = {
     val provable = scalar.queryExecution.analyzed.maxRows.exists(_ <= 1L)
-    require(provable || scalar.limit(2).count() <= 1L,
-      "withScalar requires a <=1-row scalar side (groupless aggregate, " +
-        "LIMIT 1, or 1-row committed artifact); a multi-row side would " +
-        "silently multiply rows through the broadcast cross join")
-    df.crossJoin(broadcast(scalar))
+    val side =
+      if (provable) scalar
+      else {
+        val once = scalar.localCheckpoint(true)
+        require(once.limit(2).count() <= 1L,
+          "withScalar requires a <=1-row scalar side (groupless aggregate, " +
+            "LIMIT 1, or 1-row committed artifact); a multi-row side would " +
+            "silently multiply rows through the broadcast cross join")
+        once
+      }
+    df.crossJoin(broadcast(side))
   }
 }

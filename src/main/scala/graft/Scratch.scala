@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch-directory naming for round-trip sinks (CSV/JSON/parquet
+  * write-then-read queries), named once instead of hand-rolled per module.
+  *
+  * The key has three isolation axes:
+  *  - an md5 prefix of the sf-dir STRING — `hashCode` was the old key, but
+  *    `math.abs(Int.MinValue)` is negative and 32-bit hashCode collisions
+  *    across sf dirs would share a scratch path between scales;
+  *  - the pid — two JVMs on the same scale (Verify racing Bench) must not
+  *    interleave an overwrite-mode write with the sibling's read;
+  *  - the session's identity hash — two SparkSessions in ONE JVM running
+  *    the same query concurrently would otherwise race on one
+  *    overwrite-mode dir.
+  */
+object Scratch {
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+
+  def dir(kind: String, spark: SparkSession, sfDir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_rt_${kind}_" +
+      s"${md5Hex(sfDir).take(12)}_${ProcessHandle.current.pid}_" +
+      f"${System.identityHashCode(spark)}%08x"
+}

@@ -74,7 +74,12 @@ object Containers {
         } else if (v == 1 && pe - ps >= 32) {
           val timescale = u32(b, p + 20)
           val duration = u64(b, p + 24)
-          if (timescale > 0) durationMs = Some(duration * 1000L / timescale)
+          // duration is an attacker-controlled unsigned 64-bit field read
+          // into a signed Long: a top-bit value arrives negative, and
+          // duration * 1000 can overflow into garbage. Both violate the
+          // defensive-parser contract → no duration rather than a lie.
+          if (timescale > 0 && duration >= 0 && duration <= Long.MaxValue / 1000)
+            durationMs = Some(duration * 1000L / timescale)
         }
       case ("trak", ps, pe) if dims.isEmpty =>
         boxes(b, ps, pe).foreach {

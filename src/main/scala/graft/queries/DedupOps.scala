@@ -441,8 +441,14 @@ object DedupOps extends QueryModule {
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"),
+        // The index key is md5(gram), not the raw 8-token string: the
+        // gram index is the query's whole shuffle, and a ~50–60-byte
+        // text key vs a constant 32-char digest is 2–4× the bytes for
+        // zero information the join needs (128-bit collisions are
+        // negligible at any corpus size — the repo's q50/q93 idiom).
+        // The oracle hashes identically, so equality survives.
         explode(expr(s"transform(sequence(1, size(toks) - ${n - 1})," +
-          s" i -> struct(i as start, array_join(slice(toks, i, $n), ' ') as g))")).as("x"))
+          s" i -> struct(i as start, md5(array_join(slice(toks, i, $n), ' ')) as g))")).as("x"))
       .select(col("doc_id"), col("x.start").as("start"), col("x.g").as("g"))
       .localCheckpoint(true)
     val crossDoc = grams.groupBy(col("g"))
@@ -473,7 +479,7 @@ object DedupOps extends QueryModule {
       |grams AS (
       |  SELECT doc_id, x.start, x.g FROM (
       |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 6),
-      |      i -> struct_pack(start := i, g := array_to_string(t[i:i + 7], ' ')))) AS x
+      |      i -> struct_pack(start := i, g := md5(array_to_string(t[i:i + 7], ' '))))) AS x
       |    FROM toks WHERE len(t) >= 8)),
       |crossdoc AS (
       |  SELECT g FROM grams GROUP BY g HAVING MIN(doc_id) <> MAX(doc_id)),

@@ -32,11 +32,10 @@ object MediaOps extends QueryModule {
 
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
-  /** Scratch dir for the feature-parquet sink, same isolation convention
-    * as SourceOps.rtDir (sf-dir + pid keyed). */
-  private def featDir(d: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_rt_mediafeat_" +
-      s"${math.abs(d.hashCode)}_${ProcessHandle.current.pid}"
+  /** Scratch dir for the feature-parquet sink (shared Scratch convention:
+    * md5(sf-dir) + pid + session nonce). */
+  private def featDir(s: SparkSession, d: String): String =
+    graft.Scratch.dir("mediafeat", s, d)
 
   private def q90(s: SparkSession, d: String): DataFrame = {
     implicit val ss: SparkSession = s
@@ -45,7 +44,7 @@ object MediaOps extends QueryModule {
         encode(col("text"), "UTF-8").as("content"))
     // Real multimodal path: batched mapPartitions extraction → parquet
     // sink → re-read (the artifact a downstream training pipeline reads).
-    val dir = featDir(d)
+    val dir = featDir(s, d)
     Media.extractFeatures(media).toDF()
       .select("media_id", "n_bytes", "byte_mean", "bin_sums")
       .write.mode("overwrite").parquet(dir)

@@ -290,6 +290,20 @@ object PipelineOps extends QueryModule {
          |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct FROM orders""".stripMargin)
     .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
 
+  /** Chunk width for the two-level window decompositions (q92/q93):
+    * largest power of two ≤ √n, floored at 16 — the same corpus-derived,
+    * integer-valued knob family as VectorOps.lshBitsFor/ivfKFor. Splitting
+    * an n-row order into √n-wide chunks makes BOTH levels of a two-level
+    * prefix computation √n-sized: the chunk-local window sorts ≤ ~S rows
+    * per task and the per-chunk summary window sorts ~n/S rows per source
+    * — no task ever sorts a corpus-proportional partition, at any scale.
+    * (Unlike the ANN knobs this never has to match an oracle-side
+    * derivation: the oracle states the one-level SPEC and hash equality
+    * proves the decomposition exact, so √ portability is a non-issue.) */
+  private[queries] def chunkWidthFor(n: Long): Long =
+    math.max(16L, java.lang.Long.highestOneBit(
+      math.max(1L, math.sqrt(math.max(0L, n).toDouble).toLong)))
+
   /** Sequence-packing plan (q92): the concat-and-chunk batching a
     * pretraining pipeline feeds the trainer — documents are concatenated
     * in a deterministic order within each shard and sliced into
@@ -299,21 +313,50 @@ object PipelineOps extends QueryModule {
     * lands in, and the offset within that bin — the plan a downstream
     * tokenizer/writer executes without re-scanning text.
     *
-    * Scale shape: one narrow token-count projection, then a running sum
-    * over a window PARTITIONED BY SHARD (source here; a 100 TB corpus
-    * hashes into many shards, each window partition independent — never
-    * an unpartitioned global sort). Explicit ROWS frame so Spark and
-    * DuckDB agree even on tied order keys; all arithmetic integer-exact. */
+    * Scale shape: a per-source running sum computed as a TWO-LEVEL exact
+    * prefix sum, because a window partitioned by raw `source` alone puts
+    * corpus/|sources| rows in ONE task's sort — source cardinality does
+    * not grow with the corpus (VERDICT r8 #1). Chunks are doc_id ranges
+    * (`doc_id div S`, S = [[chunkWidthFor]] ≈ √n), so chunk order extends
+    * doc_id order and prefix sums compose exactly:
+    *
+    *  1. chunk-local running sum over a (source, chunk) window — ≤ ~S
+    *     rows per partition;
+    *  2. per-chunk token totals, prefix-summed over a (source) window of
+    *     chunk SUMMARIES — ~n/S ≈ √n rows per source, not n;
+    *  3. cum_tokens = chunk_offset + chunk-local cum. Integer-exact, so
+    *     the composition is bit-identical to the one-level sum.
+    *
+    * The offsets join keys on (source, chunk) — the same hash
+    * partitioning the chunk-local window just produced, so no extra
+    * exchange on the big side. The oracle deliberately stays the
+    * ONE-level spec (a single global running sum per source): hash
+    * equality IS the proof that the two-level decomposition is exact.
+    * Explicit ROWS frames so Spark and DuckDB agree on tied order keys;
+    * `div` keeps pack_bin integer-exact at any magnitude (double-rounding
+    * from true `/` first drifts past 2^53). */
   private def q92(s: SparkSession, d: String): DataFrame = {
     val binSize = 2048L
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t(s, d, "documents")
+    val chunkW = chunkWidthFor(t(s, d, "documents").count())
+    val tok = t(s, d, "documents")
       .select(col("doc_id"), col("source"),
-        size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tokens"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tokens"),
+        expr(s"doc_id div $chunkW").as("chunk"))
+    val wLocal = Window.partitionBy(col("source"), col("chunk"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wChunks = Window.partitionBy(col("source")).orderBy(col("chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = tok.groupBy(col("source"), col("chunk"))
+      .agg(sum(col("n_tokens")).as("chunk_tokens"))
+      .select(col("source"), col("chunk"),
+        coalesce(sum(col("chunk_tokens")).over(wChunks), lit(0L)).as("chunk_offset"))
+    tok
+      .withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
+      .join(offsets, Seq("source", "chunk"))
+      .withColumn("cum_tokens", col("chunk_offset") + col("local_cum"))
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"),
-        ((col("cum_tokens") - col("n_tokens")) / binSize).cast("bigint").as("pack_bin"),
+        expr(s"(cum_tokens - n_tokens) div $binSize").as("pack_bin"),
         ((col("cum_tokens") - col("n_tokens")) % binSize).as("bin_offset"))
       .orderBy("doc_id")
   }
@@ -333,6 +376,16 @@ object PipelineOps extends QueryModule {
       |  CAST((cum_tokens - n_tokens) % 2048 AS BIGINT) AS bin_offset
       |FROM cum ORDER BY doc_id""".stripMargin
 
+  /** md5-ticket bucket-prefix length for q93's two-level rank: k hex
+    * chars give 16^k buckets; k ≈ bit_length(n)/8 targets ~√n buckets of
+    * ~√n rows each, clamped to [1, 8]. Same corpus-derived-knob family
+    * as [[chunkWidthFor]], and like it never oracle-matched — the oracle
+    * is the one-level spec. */
+  private[queries] def ticketPrefixFor(n: Long): Int = {
+    val bitLen = 64 - java.lang.Long.numberOfLeadingZeros(math.max(n, 2L) - 1)
+    math.max(1, math.min(8, bitLen / 8))
+  }
+
   /** Temperature-balanced source sampling (q93): the source/language
     * re-weighting step a multilingual pretraining mix runs — big sources
     * are downsampled toward √n so small sources aren't drowned (the
@@ -341,22 +394,54 @@ object PipelineOps extends QueryModule {
     * general pow(x, 0.7) is not bit-portable). Per-source quota =
     * ceil(√n · 10); selection is the deterministic smallest-md5-ticket
     * rank from q53 — membership is a pure function of the data, stable
-    * across engines, partitionings, and reruns.
+    * across engines, partitionings, and reruns. Tickets coalesce a NULL
+    * source to '' on BOTH sides (concat_ws would silently skip the NULL
+    * in Spark while the oracle's `||` propagates it — divergent sampling
+    * membership the moment source is nullable).
     *
-    * Scale shape: one count agg (broadcast back — one row per source), a
-    * source-partitioned rank window, no global sort except the oracle
-    * ORDER BY. */
+    * Scale shape: the per-source rank is computed as a TWO-LEVEL exact
+    * rank, because a window partitioned by raw `source` alone sorts
+    * corpus/|sources| rows in one task — source cardinality does not
+    * grow with the corpus (VERDICT r8 #1). The ticket's own leading k
+    * hex chars ([[ticketPrefixFor]], 16^k ≈ √n) bucket the ORDER-BY key
+    * space, so bucket order extends ticket order — md5 is uniform, so
+    * buckets are balanced by construction (the same reason GlobalRank's
+    * range buckets work, done here per source with zero driver state):
+    *
+    *  1. bucket-local row_number over a (source, bucket) window — ~n/16^k
+    *     ≈ √n rows per partition;
+    *  2. per-bucket counts, prefix-summed over a (source) window of
+    *     bucket SUMMARIES — 16^k ≈ √n rows per source, not n;
+    *  3. rnk = bucket_offset + bucket-local rank; quota filter after a
+    *     broadcast join of the per-source quotas (one row per source).
+    *
+    * Both levels are corpus-size-bounded at ~√n; the counts join keys on
+    * (source, bucket) — the hash partitioning the bucket-local window
+    * just produced. The oracle deliberately stays the ONE-level spec
+    * (a single per-source rank window): hash equality IS the proof that
+    * the bucket decomposition is exact. */
   private def q93(s: SparkSession, d: String): DataFrame = {
+    val k = ticketPrefixFor(t(s, d, "documents").count())
     val quota = t(s, d, "documents").groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"))
       .select(col("source"), col("n_docs"),
         ceil(sqrt(col("n_docs").cast("double")) * 10).cast("bigint").as("quota"))
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("tkt"), col("doc_id"))
-    t(s, d, "documents")
+    val tickets = t(s, d, "documents")
       .select(col("doc_id"), col("source"),
-        md5(concat_ws("|", col("source"), col("doc_id"))).as("tkt"))
-      .withColumn("rnk", row_number().over(w).cast("bigint"))
+        md5(concat_ws("|", coalesce(col("source"), lit("")), col("doc_id"))).as("tkt"))
+      .withColumn("bucket", substring(col("tkt"), 1, k))
+    val wLocal = Window.partitionBy(col("source"), col("bucket"))
+      .orderBy(col("tkt"), col("doc_id"))
+    val wBuckets = Window.partitionBy(col("source")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = tickets.groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_docs"))
+      .select(col("source"), col("bucket"),
+        coalesce(sum(col("bucket_docs")).over(wBuckets), lit(0L)).as("bucket_offset"))
+    tickets
+      .withColumn("local_rnk", row_number().over(wLocal).cast("bigint"))
+      .join(offsets, Seq("source", "bucket"))
+      .withColumn("rnk", col("bucket_offset") + col("local_rnk"))
       .join(broadcast(quota), "source")
       .filter(col("rnk") <= col("quota"))
       .select(col("doc_id"), col("source"), col("n_docs"), col("quota"), col("rnk"))
@@ -370,7 +455,8 @@ object PipelineOps extends QueryModule {
       |r AS (
       |  SELECT doc_id, source,
       |    ROW_NUMBER() OVER (PARTITION BY source
-      |      ORDER BY md5(source || '|' || CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+      |      ORDER BY md5(COALESCE(source, '') || '|' || CAST(doc_id AS VARCHAR)),
+      |        doc_id) AS rnk
       |  FROM documents)
       |SELECT r.doc_id, r.source, q.n_docs, q.quota, r.rnk
       |FROM r JOIN q USING (source)

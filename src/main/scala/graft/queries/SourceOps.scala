@@ -34,17 +34,17 @@ object SourceOps extends QueryModule {
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
   import Num.{dsumSql, dec, d2d}
 
-  /** Scratch dir for round-trip sinks: keyed by sf-dir AND pid so
-    * concurrent runs — different scales, or two JVMs on the same scale
-    * (Verify racing Bench) — never interleave overwrite with read. */
-  private def rtDir(kind: String, d: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_rt_${kind}_" +
-      s"${math.abs(d.hashCode)}_${ProcessHandle.current.pid}"
+  /** Scratch dir for round-trip sinks (shared Scratch convention:
+    * md5(sf-dir) + pid + session nonce, so concurrent runs — different
+    * scales, two JVMs on one scale, or two sessions in one JVM — never
+    * interleave an overwrite with a read). */
+  private def rtDir(kind: String, s: SparkSession, d: String): String =
+    graft.Scratch.dir(kind, s, d)
 
   /** CSV sink → CSV source round-trip (S4), proven lossless by aggregating
     * the re-read copy against the parquet-side oracle. */
   private def q67(s: SparkSession, d: String): DataFrame = {
-    val dir = rtDir("csv", d)
+    val dir = rtDir("csv", s, d)
     t(s, d, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"), col("o_orderdate").cast("date").as("o_date"))
@@ -71,7 +71,7 @@ object SourceOps extends QueryModule {
   /** JSON sink → JSON source round-trip (S3), same lossless-by-oracle
     * construction over the customer table. */
   private def q68(s: SparkSession, d: String): DataFrame = {
-    val dir = rtDir("json", d)
+    val dir = rtDir("json", s, d)
     t(s, d, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
         col("c_acctbal"), col("c_mktsegment"))

@@ -55,6 +55,21 @@ class ContainersSpec extends AnyFunSuite {
     assert(m === Some(Containers.Mp4Meta(7000L, None, None)))
   }
 
+  test("MP4: mvhd v1 overflow-hostile durations are rejected, not garbled") {
+    // duration is attacker-controlled unsigned 64-bit: a top-bit value
+    // reads negative through the signed Long, and duration * 1000 past
+    // Long.MaxValue/1000 overflows — both must be None, never a
+    // negative/garbage durationMs (the defensive-parser contract).
+    assert(Containers.parseMp4(
+      ftyp ++ box("moov", mvhdV1(90000, Long.MinValue))) === None)
+    assert(Containers.parseMp4(
+      ftyp ++ box("moov", mvhdV1(90000, Long.MaxValue / 1000 + 1))) === None)
+    // the boundary-safe maximum still parses exactly
+    assert(Containers.parseMp4(
+      ftyp ++ box("moov", mvhdV1(1000, Long.MaxValue / 1000))) ===
+      Some(Containers.Mp4Meta(Long.MaxValue / 1000, None, None)))
+  }
+
   test("MP4: first VISUAL track wins (audio tkhd with zero dims skipped)") {
     val mp4 = ftyp ++ box("moov",
       mvhdV0(1000, 1500) ++ box("trak", tkhdV0(0, 0)) ++ box("trak", tkhdV0(1920, 1080)))
