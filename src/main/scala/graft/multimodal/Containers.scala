@@ -251,15 +251,19 @@ object Containers {
     * Skips a leading ID3v2 tag (syncsafe length). Requires TWO
     * consecutive valid frame headers so random byte blobs that happen to
     * contain 0xFFE somewhere don't parse. */
+  /** Bytes to skip for a leading ID3v2 tag ("ID3" + version(2) + flags(1)
+    * + syncsafe u28 size) — both MP3 and ADTS AAC streams commonly carry
+    * one. 0 when absent. */
+  private def id3v2Skip(b: Array[Byte]): Int =
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val sz = ((u8(b, 6) & 0x7f) << 21) | ((u8(b, 7) & 0x7f) << 14) |
+        ((u8(b, 8) & 0x7f) << 7) | (u8(b, 9) & 0x7f)
+      10 + sz
+    } else 0
+
   def parseMp3(b: Array[Byte]): Option[Mp3Meta] = {
     if (b == null || b.length < 4) return None
-    // ID3v2: "ID3" + version(2) + flags(1) + syncsafe u28 size, then tag
-    val audioStart =
-      if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
-        val sz = ((u8(b, 6) & 0x7f) << 21) | ((u8(b, 7) & 0x7f) << 14) |
-          ((u8(b, 8) & 0x7f) << 7) | (u8(b, 9) & 0x7f)
-        10 + sz
-      } else 0
+    val audioStart = id3v2Skip(b)
     if (audioStart + 4 > b.length) return None
     // Scan a bounded window for the first sync'd frame whose SUCCESSOR is
     // also a valid frame (or lands exactly at end-of-buffer).
@@ -294,6 +298,72 @@ object Containers {
         case None => (b.length - start).toLong * 8L / f.bitrateKbps
       }
       Mp3Meta(durationMs, f.sampleRate, f.channels, f.bitrateKbps)
+    }
+  }
+
+  final case class AacMeta(durationMs: Long, sampleRate: Int, channels: Int)
+
+  /** ISO/IEC 14496-3 sampling-frequency-index table (13 defined values;
+    * 13–15 are reserved/escape → reject). */
+  private val AacSampleRates = Array(96000, 88200, 64000, 48000, 44100,
+    32000, 24000, 22050, 16000, 12000, 11025, 8000, 7350)
+  /** channel_configuration → channel count; config 6 is 5.1 (6 ch),
+    * 7 is 7.1 (8 ch); 0 means "in a PCE" which header-only parsing
+    * cannot resolve → reject. */
+  private val AacChannels = Array(0, 1, 2, 3, 4, 5, 6, 8)
+
+  /** One ADTS frame header at `o`: (frameLen, sampleRate, channels,
+    * samples in this frame). The 7-byte (9 with CRC) public header:
+    * 12-bit 0xFFF sync, MPEG version bit (either accepted), 2 layer bits
+    * (must be 00), protection-absent bit; then profile(2),
+    * sampling_frequency_index(4), private(1), channel_configuration(3),
+    * …, 13-bit frame length spanning bytes 3–5, and
+    * number_of_raw_data_blocks−1 in byte 6 (each raw block = 1024
+    * samples). */
+  private def parseAdtsHeader(b: Array[Byte], o: Int): Option[(Int, Int, Int, Long)] = {
+    if (o + 7 > b.length) return None
+    if (u8(b, o) != 0xff || (u8(b, o + 1) & 0xf6) != 0xf0) return None
+    val sfIdx = (u8(b, o + 2) >> 2) & 0xf
+    if (sfIdx >= AacSampleRates.length) return None
+    val chanCfg = ((u8(b, o + 2) & 1) << 2) | ((u8(b, o + 3) >> 6) & 3)
+    if (chanCfg == 0) return None
+    val frameLen = ((u8(b, o + 3) & 3) << 11) | (u8(b, o + 4) << 3) |
+      ((u8(b, o + 5) >> 5) & 7)
+    val headerLen = if ((u8(b, o + 1) & 1) == 0) 9 else 7 // CRC adds 2
+    if (frameLen < headerLen) return None
+    val rawBlocks = (u8(b, o + 6) & 3) + 1
+    Some((frameLen, AacSampleRates(sfIdx), AacChannels(chanCfg), rawBlocks * 1024L))
+  }
+
+  /** AAC (ADTS stream) metadata from frame headers only: sample rate and
+    * channel count from the first frame, duration by hopping frame
+    * lengths and summing raw-data-block sample counts — exact for the
+    * fully-present frames, no codec touched. Same anti-false-positive
+    * rule as MP3: the first frame's SUCCESSOR must also parse (or the
+    * frame must end exactly at end-of-buffer), so random blobs containing
+    * a stray 0xFFFx don't parse. A truncated or corrupt tail ends the
+    * walk gracefully — metadata reflects the valid prefix. */
+  def parseAacAdts(b: Array[Byte]): Option[AacMeta] = {
+    if (b == null || b.length < 7) return None
+    val start = id3v2Skip(b)
+    if (start + 7 > b.length) return None
+    parseAdtsHeader(b, start).flatMap { case (len0, sr, ch, _) =>
+      val secondOk = start + len0 == b.length ||
+        parseAdtsHeader(b, start + len0).isDefined
+      if (!secondOk) None
+      else {
+        var off = start
+        var samples = 0L
+        var walking = true
+        while (walking && off + 7 <= b.length) {
+          parseAdtsHeader(b, off) match {
+            case Some((len, _, _, smp)) if off + len <= b.length =>
+              samples += smp; off += len
+            case _ => walking = false
+          }
+        }
+        Some(AacMeta(samples * 1000L / sr, sr, ch))
+      }
     }
   }
 }

@@ -124,13 +124,15 @@ object Media {
       i += 1
     }
     // Metadata is real across all three kinds: images via JDK imageio,
-    // uncompressed audio via JDK javax.sound, MP3 via frame-header parse,
-    // MP4/MOV video via ISO-BMFF box parse (Containers.scala) — all pure
-    // public byte formats, no codec library needed.
+    // uncompressed audio via JDK javax.sound, MP3 and ADTS AAC via
+    // frame-header parse, MP4/MOV video via ISO-BMFF box parse
+    // (Containers.scala) — all pure public byte formats, no codec
+    // library needed.
     val dims0 = if (kind == "image") decodeImageDims(bytes) else None
     val audio = if (kind == "audio")
-      decodeAudioMeta(bytes).orElse(
-        Containers.parseMp3(bytes).map(m => (m.durationMs, m.sampleRate, m.channels)))
+      decodeAudioMeta(bytes)
+        .orElse(Containers.parseMp3(bytes).map(m => (m.durationMs, m.sampleRate, m.channels)))
+        .orElse(Containers.parseAacAdts(bytes).map(m => (m.durationMs, m.sampleRate, m.channels)))
     else None
     val video: Option[(Long, Option[Int], Option[Int])] = if (kind == "video")
       Containers.parseMp4(bytes).map(m => (m.durationMs, m.width, m.height))

@@ -197,4 +197,63 @@ class ContainersSpec extends AnyFunSuite {
     fake(50) = 0xff.toByte; fake(51) = 0xfb.toByte; fake(52) = 0x90.toByte
     assert(Containers.parseMp3(fake) === None)
   }
+
+  // ---- ADTS AAC fixture builders: header fields at first-principles
+  // bit offsets (ISO/IEC 14496-3): FF F1/F0 sync+layer00+protection,
+  // AAC-LC profile, sfIdx at byte2 bits 5-2, channel config straddling
+  // bytes 2/3, 13-bit frame length straddling bytes 3-5, raw-data-block
+  // count minus one in byte 6's low 2 bits.
+  private def adtsFrame(sfIdx: Int, chanCfg: Int, payload: Int,
+      rawBlocks: Int = 1, crc: Boolean = false): Array[Byte] = {
+    val hdr = if (crc) 9 else 7
+    val len = hdr + payload
+    val f = Array.tabulate[Byte](len)(i => (i * 31).toByte)
+    f(0) = 0xff.toByte
+    f(1) = (0xf0 | (if (crc) 0 else 1)).toByte
+    f(2) = ((1 << 6) | (sfIdx << 2) | ((chanCfg >> 2) & 1)).toByte
+    f(3) = (((chanCfg & 3) << 6) | ((len >> 11) & 3)).toByte
+    f(4) = ((len >> 3) & 0xff).toByte
+    f(5) = (((len & 7) << 5) | 0x1f).toByte // buffer-fullness bits: junk
+    f(6) = (0xfc | (rawBlocks - 1)).toByte
+    f
+  }
+
+  test("ADTS AAC: rate/channels from the header, duration from frame-hop sample count") {
+    // two stereo 44100 frames, 1024 samples each -> 2048*1000/44100 = 46 ms
+    val bytes = adtsFrame(4, 2, 13) ++ adtsFrame(4, 2, 21)
+    assert(Containers.parseAacAdts(bytes) ===
+      Some(Containers.AacMeta(46L, 44100, 2)))
+    // multiple raw data blocks per frame each contribute 1024 samples
+    val multi = adtsFrame(11, 1, 13, rawBlocks = 4) ++ adtsFrame(11, 1, 9, rawBlocks = 4)
+    assert(Containers.parseAacAdts(multi) ===
+      Some(Containers.AacMeta(8192L * 1000 / 8000, 8000, 1)))
+  }
+
+  test("ADTS AAC: CRC headers, 5.1 config, ID3v2 skip") {
+    val crc = adtsFrame(4, 6, 13, crc = true) ++ adtsFrame(4, 6, 13, crc = true)
+    assert(Containers.parseAacAdts(crc) === Some(Containers.AacMeta(46L, 44100, 6)))
+    val id3 = "ID3".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0, 0, 0, 0, 20) ++
+      Array.fill[Byte](20)(0x55)
+    assert(Containers.parseAacAdts(id3 ++ adtsFrame(4, 2, 13) ++ adtsFrame(4, 2, 13)) ===
+      Some(Containers.AacMeta(46L, 44100, 2)))
+  }
+
+  test("ADTS AAC: junk, lone syncs, reserved fields, truncation all defend") {
+    assert(Containers.parseAacAdts(null) === None)
+    assert(Containers.parseAacAdts(Array.fill[Byte](500)(0x41)) === None)
+    // a valid first frame followed by garbage (not end-of-buffer): the
+    // two-consecutive-frames rule rejects the stray-sync false positive
+    assert(Containers.parseAacAdts(
+      adtsFrame(4, 2, 13) ++ Array.fill[Byte](64)(0x2a)) === None)
+    // reserved sampling index (13) and PCE channel config (0) reject
+    assert(Containers.parseAacAdts(adtsFrame(13, 2, 13) ++ adtsFrame(13, 2, 13)) === None)
+    assert(Containers.parseAacAdts(adtsFrame(4, 0, 13) ++ adtsFrame(4, 0, 13)) === None)
+    // layer bits must be 00: flip one and the sync check fails
+    val badLayer = adtsFrame(4, 2, 13) ++ adtsFrame(4, 2, 13)
+    badLayer(1) = (badLayer(1) | 0x06).toByte
+    assert(Containers.parseAacAdts(badLayer) === None)
+    // a truncated FINAL frame ends the walk: only the whole frames count
+    val cut = adtsFrame(4, 2, 13) ++ adtsFrame(4, 2, 13) ++ adtsFrame(4, 2, 200).take(30)
+    assert(Containers.parseAacAdts(cut) === Some(Containers.AacMeta(46L, 44100, 2)))
+  }
 }
