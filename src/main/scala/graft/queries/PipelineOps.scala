@@ -338,10 +338,13 @@ object PipelineOps extends QueryModule {
   private def q92(s: SparkSession, d: String): DataFrame = {
     val binSize = 2048L
     val chunkW = chunkWidthFor(t(s, d, "documents").count())
+    // Referenced twice (chunk sums + the main running sum): materialize
+    // per the QueryModule convention so the corpus is tokenized once.
     val tok = t(s, d, "documents")
       .select(col("doc_id"), col("source"),
         size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tokens"),
         expr(s"doc_id div $chunkW").as("chunk"))
+      .localCheckpoint(true)
     val wLocal = Window.partitionBy(col("source"), col("chunk"))
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -426,10 +429,13 @@ object PipelineOps extends QueryModule {
       .agg(count(lit(1)).as("n_docs"))
       .select(col("source"), col("n_docs"),
         ceil(sqrt(col("n_docs").cast("double")) * 10).cast("bigint").as("quota"))
+    // Referenced twice (bucket counts + the ranked probe): materialize
+    // per the QueryModule convention so tickets are hashed once.
     val tickets = t(s, d, "documents")
       .select(col("doc_id"), col("source"),
         md5(concat_ws("|", coalesce(col("source"), lit("")), col("doc_id"))).as("tkt"))
       .withColumn("bucket", substring(col("tkt"), 1, k))
+      .localCheckpoint(true)
     val wLocal = Window.partitionBy(col("source"), col("bucket"))
       .orderBy(col("tkt"), col("doc_id"))
     val wBuckets = Window.partitionBy(col("source")).orderBy(col("bucket"))
