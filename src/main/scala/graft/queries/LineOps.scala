@@ -1,0 +1,170 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Line-level corpus hygiene — the two standard web-pretraining passes
+  * between HTML extraction (q96) and document-level filtering (q88/q91):
+  *
+  *  - q97: C4-style LINE filters (Raffel et al. 2020, "Exploring the
+  *    Limits of Transfer Learning with a Unified Text-to-Text
+  *    Transformer", §2.2) — keep only lines that end in terminal
+  *    punctuation and have enough words, drop lines carrying a
+  *    blocklisted token, drop whole documents containing a blocklisted
+  *    phrase or left with too few lines.
+  *  - q98: corpus-wide duplicate-LINE removal (C4 §2.2 "three-sentence
+  *    span" dedup, RefinedWeb / Penedo et al. 2023 line dedup): any line
+  *    whose exact text occurs elsewhere in the corpus is removed except
+  *    its globally-first occurrence.
+  *
+  * The synthetic corpus has no newlines (TESTDATA.md), so both queries
+  * first SYNTHESIZE deterministic line structure — fixed-width token
+  * windows, plus (q97) content-derived terminal punctuation — with the
+  * identical arithmetic restated in the DuckDB oracle, the q96 HTML-shell
+  * construction pattern: the gate then checks the filter/dedup semantics,
+  * not the wrapping. Rule SHAPES are the published ones; thresholds and
+  * blocklist words are tuned so every rule is load-bearing on this corpus
+  * (at sf0.01: 2477 lines → 819 kept, 108/500 docs pass, 21 docs hit the
+  * phrase blocklist; q98 removes 175 duplicate occurrences).
+  *
+  * Scale shapes:
+  *  - q97 is row-local string/array expressions end to end — no shuffle,
+  *    no window; pipelines inside the scan stage at any corpus size
+  *    (C4's own line filters are embarrassingly parallel).
+  *  - q98 is the canonical exact-span-dedup shuffle: explode to
+  *    (line, position), hash-aggregate by md5(line) (map-side combine
+  *    absorbs the duplicate mass), broadcast-free equi-join of the
+  *    first-occurrence table back on the SAME md5 key the aggregation
+  *    just partitioned by, then one doc-keyed rollup. No window over the
+  *    corpus, no global sort except the deterministic output ORDER BY;
+  *    the md5 join key bounds shuffle width (q94's index idiom).
+  */
+object LineOps extends QueryModule {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  /** q97: C4 line filtering. Lines = 12-token windows; a line "ends in
+    * terminal punctuation" iff its raw char length is even (deterministic,
+    * content-derived, restated verbatim in the oracle). Keep rule: ends
+    * with '.', ≥5 words, no blocklisted token ('stream' stands in for
+    * C4's "javascript"). Doc rule: ≥3 kept lines and no blocklisted
+    * phrase ('slow merge' stands in for C4's "lorem ipsum"). */
+  private def q97(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "documents")
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
+      .withColumn("lines", expr(
+        "transform(sequence(0, (size(toks) - 1) div 12), i -> struct(" +
+          "array_join(slice(toks, i * 12 + 1, 12), ' ') AS raw, " +
+          "size(slice(toks, i * 12 + 1, 12)) AS w, " +
+          "array_contains(slice(toks, i * 12 + 1, 12), 'stream') AS bad))"))
+      .withColumn("punct", expr(
+        "transform(lines, x -> struct(" +
+          "CASE WHEN length(x.raw) % 2 = 0 THEN concat(x.raw, '.') " +
+          "ELSE x.raw END AS line, x.w AS w, x.bad AS bad))"))
+      .withColumn("kept", expr(
+        "filter(punct, x -> substr(x.line, length(x.line), 1) = '.'" +
+          " AND x.w >= 5 AND NOT x.bad)"))
+      .select(col("doc_id"),
+        expr("cast(size(lines) as bigint)").as("n_lines"),
+        expr("cast(size(kept) as bigint)").as("n_kept"),
+        array_join(expr("transform(kept, x -> x.line)"), "\n").as("clean_text"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("clean_text"),
+        length(col("clean_text")).cast("long").as("clean_len"))
+      .join(t(s, d, "documents")
+        .select(col("doc_id"),
+          (!col("text").contains("slow merge")).as("no_bad_phrase")), "doc_id")
+      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("clean_text"),
+        col("clean_len"),
+        (col("n_kept") >= 3 && col("no_bad_phrase")).as("doc_pass"))
+      .orderBy("doc_id")
+  }
+  private val q97Sql =
+    """WITH t AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+      |l AS (
+      |  SELECT doc_id, text, list_transform(range(0, (len(toks) - 1) // 12 + 1),
+      |    i -> struct_pack(
+      |      raw := array_to_string(toks[i * 12 + 1 : i * 12 + 12], ' '),
+      |      w := len(toks[i * 12 + 1 : i * 12 + 12]),
+      |      bad := list_contains(toks[i * 12 + 1 : i * 12 + 12], 'stream')))
+      |    AS ls
+      |  FROM t),
+      |p AS (
+      |  SELECT doc_id, text, ls, list_transform(ls, x -> struct_pack(
+      |      line := CASE WHEN length(x.raw) % 2 = 0 THEN x.raw || '.'
+      |              ELSE x.raw END,
+      |      w := x.w, bad := x.bad)) AS ps
+      |  FROM l),
+      |k AS (
+      |  SELECT doc_id, text, CAST(len(ls) AS BIGINT) AS n_lines,
+      |    list_filter(ps, x -> substr(x.line, length(x.line), 1) = '.'
+      |      AND x.w >= 5 AND NOT x.bad) AS kept
+      |  FROM p)
+      |SELECT doc_id, n_lines, CAST(len(kept) AS BIGINT) AS n_kept,
+      |  COALESCE(array_to_string(list_transform(kept, x -> x.line), chr(10)), '')
+      |    AS clean_text,
+      |  CAST(length(COALESCE(array_to_string(list_transform(kept, x -> x.line),
+      |    chr(10)), '')) AS BIGINT) AS clean_len,
+      |  (CAST(len(kept) AS BIGINT) >= 3 AND NOT contains(text, 'slow merge'))
+      |    AS doc_pass
+      |FROM k ORDER BY doc_id""".stripMargin
+
+  /** q98: corpus-wide duplicate-line removal, keep-first. Lines = 8-token
+    * windows (aligned with the near-duplicate structure q94 exposes, so
+    * the pass is non-vacuous here). First occurrence = global min
+    * (doc_id, idx) per md5(line), computed as a hash aggregation (min of
+    * struct), NOT a window over the corpus. */
+  private def q98(s: SparkSession, d: String): DataFrame = {
+    val lines = t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, (size(toks) - 1) div 8)," +
+          " i -> array_join(slice(toks, i * 8 + 1, 8), ' '))"))
+        .as(Seq("idx", "line")))
+      .select(col("doc_id"), col("idx").cast("long").as("idx"), col("line"),
+        md5(col("line")).as("h"))
+    val firsts = lines.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("idx"))).as("first"))
+    lines.join(firsts, "h")
+      .withColumn("kept", col("cnt") === 1 ||
+        (col("doc_id") === col("first.doc_id") && col("idx") === col("first.idx")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(!col("kept"), 1)).as("n_removed"),
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN kept" +
+            " THEN struct(idx, line) END)), x -> x.line)"), "\n")
+          .as("clean_text"))
+      .select(col("doc_id"), col("n_lines"), col("n_removed"), col("clean_text"),
+        length(col("clean_text")).cast("long").as("clean_len"))
+      .orderBy("doc_id")
+  }
+  private val q98Sql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |ln AS (
+      |  SELECT doc_id, idx,
+      |    array_to_string(toks[idx * 8 + 1 : idx * 8 + 8], ' ') AS line
+      |  FROM (SELECT doc_id, toks,
+      |          unnest(range(0, (len(toks) - 1) // 8 + 1)) AS idx
+      |        FROM t)),
+      |mk AS (
+      |  SELECT doc_id, idx, line,
+      |    COUNT(*) OVER (PARTITION BY md5(line)) AS cnt,
+      |    ROW_NUMBER() OVER (PARTITION BY md5(line) ORDER BY doc_id, idx) AS rn
+      |  FROM ln)
+      |SELECT doc_id, COUNT(*) AS n_lines,
+      |  COUNT(*) FILTER (WHERE NOT (cnt = 1 OR rn = 1)) AS n_removed,
+      |  COALESCE(array_to_string(list(line ORDER BY idx)
+      |    FILTER (WHERE cnt = 1 OR rn = 1), chr(10)), '') AS clean_text,
+      |  CAST(length(COALESCE(array_to_string(list(line ORDER BY idx)
+      |    FILTER (WHERE cnt = 1 OR rn = 1), chr(10)), '')) AS BIGINT)
+      |    AS clean_len
+      |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q97_c4_line_filter", q97, Some(q97Sql)),
+    Q("q98_line_dedup", q98, Some(q98Sql)))
+}
