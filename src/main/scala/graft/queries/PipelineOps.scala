@@ -468,22 +468,24 @@ object PipelineOps extends QueryModule {
       |FROM r JOIN q USING (source)
       |WHERE r.rnk <= q.quota ORDER BY doc_id""".stripMargin
 
-  /** Quality funnel (q95): the four LLM-data gates composed in pipeline
-    * order — Gopher rules (q88) → repetition (q91) → benchmark
-    * decontamination (q89) → exact dedup (q26) — emitting the per-stage
-    * survival counts every data team reports before a training run.
-    * Docs a gate never scored (e.g. too short for q89's shingles) are
-    * conservative-defaulted: not passing quality gates, not contaminated,
-    * not duplicate.
+  /** Quality funnel (q95): the five LLM-data gates composed in pipeline
+    * order — C4 line filter (q97) → Gopher rules (q88) → repetition
+    * (q91) → benchmark decontamination (q89) → exact dedup (q26) —
+    * emitting the per-stage survival counts every data team reports
+    * before a training run. Docs a gate never scored (e.g. too short for
+    * q89's shingles) are conservative-defaulted: not passing quality
+    * gates, not contaminated, not duplicate.
     *
     * The implementation REUSES the sibling queries through the public
     * SparkEntry registry rather than restating their logic, and the
     * DuckDB oracle embeds the siblings' published oracle SQL as CTEs —
-    * so the funnel doubles as a composition test: four independently
+    * so the funnel doubles as a composition test: five independently
     * hash-verified gates must still agree when joined. */
   private def q95(s: SparkSession, d: String): DataFrame = {
     val q = graft.SparkEntry.queries
     val flags = t(s, d, "documents").select(col("doc_id"))
+      .join(q("q97_c4_line_filter")(s, d)
+        .select(col("doc_id"), col("doc_pass")), Seq("doc_id"), "left")
       .join(q("q88_gopher_quality")(s, d)
         .select(col("doc_id"), col("passes_gopher")), Seq("doc_id"), "left")
       .join(q("q91_gopher_repetition")(s, d)
@@ -493,22 +495,26 @@ object PipelineOps extends QueryModule {
       .join(q("q26_dedup_exact")(s, d)
         .select(col("doc_id"), col("is_dup")), Seq("doc_id"), "left")
       .select(
+        coalesce(col("doc_pass"), lit(false)).as("l"),
         coalesce(col("passes_gopher"), lit(false)).as("g"),
         coalesce(col("repetition_pass"), lit(false)).as("r"),
         (!coalesce(col("contaminated"), lit(false))).as("c"),
         (!coalesce(col("is_dup"), lit(false))).as("u"))
-    val s0to4 = flags.agg(
+    val s0to5 = flags.agg(
       count(lit(1)).as("s0"),
-      sum(when(col("g"), 1L).otherwise(0L)).as("s1"),
-      sum(when(col("g") && col("r"), 1L).otherwise(0L)).as("s2"),
-      sum(when(col("g") && col("r") && col("c"), 1L).otherwise(0L)).as("s3"),
-      sum(when(col("g") && col("r") && col("c") && col("u"), 1L).otherwise(0L)).as("s4"))
-    s0to4.select(explode(array(
+      sum(when(col("l"), 1L).otherwise(0L)).as("s1"),
+      sum(when(col("l") && col("g"), 1L).otherwise(0L)).as("s2"),
+      sum(when(col("l") && col("g") && col("r"), 1L).otherwise(0L)).as("s3"),
+      sum(when(col("l") && col("g") && col("r") && col("c"), 1L).otherwise(0L)).as("s4"),
+      sum(when(col("l") && col("g") && col("r") && col("c") && col("u"), 1L)
+        .otherwise(0L)).as("s5"))
+    s0to5.select(explode(array(
         struct(lit(0).as("stage"), lit("total").as("stage_name"), col("s0").as("docs_surviving")),
-        struct(lit(1).as("stage"), lit("gopher_rules").as("stage_name"), col("s1").as("docs_surviving")),
-        struct(lit(2).as("stage"), lit("repetition").as("stage_name"), col("s2").as("docs_surviving")),
-        struct(lit(3).as("stage"), lit("decontamination").as("stage_name"), col("s3").as("docs_surviving")),
-        struct(lit(4).as("stage"), lit("exact_dedup").as("stage_name"), col("s4").as("docs_surviving"))))
+        struct(lit(1).as("stage"), lit("line_filter").as("stage_name"), col("s1").as("docs_surviving")),
+        struct(lit(2).as("stage"), lit("gopher_rules").as("stage_name"), col("s2").as("docs_surviving")),
+        struct(lit(3).as("stage"), lit("repetition").as("stage_name"), col("s3").as("docs_surviving")),
+        struct(lit(4).as("stage"), lit("decontamination").as("stage_name"), col("s4").as("docs_surviving")),
+        struct(lit(5).as("stage"), lit("exact_dedup").as("stage_name"), col("s5").as("docs_surviving"))))
         .as("x"))
       .select(col("x.stage").as("stage"), col("x.stage_name").as("stage_name"),
         col("x.docs_surviving").as("docs_surviving"))
@@ -516,33 +522,38 @@ object PipelineOps extends QueryModule {
   }
   /** def, not val: reads the sibling modules' published oracle maps. */
   private def q95Sql: String = {
+    val l = LineOps.oracleSql("q97_c4_line_filter")
     val g = TextOps.oracleSql("q88_gopher_quality")
     val r = TextOps.oracleSql("q91_gopher_repetition")
     val c = DedupOps.oracleSql("q89_contamination")
     val u = DedupOps.oracleSql("q26_dedup_exact")
-    s"""WITH gq AS ($g), rq AS ($r), cq AS ($c), uq AS ($u),
+    s"""WITH lq AS ($l), gq AS ($g), rq AS ($r), cq AS ($c), uq AS ($u),
        |f AS (
        |  SELECT d.doc_id,
+       |    COALESCE(lq.doc_pass, false) AS l,
        |    COALESCE(gq.passes_gopher, false) AS g,
        |    COALESCE(rq.repetition_pass, false) AS r,
        |    NOT COALESCE(cq.contaminated, false) AS c,
        |    NOT COALESCE(uq.is_dup, false) AS u
        |  FROM documents d
-       |  LEFT JOIN gq USING (doc_id) LEFT JOIN rq USING (doc_id)
+       |  LEFT JOIN lq USING (doc_id) LEFT JOIN gq USING (doc_id)
+       |  LEFT JOIN rq USING (doc_id)
        |  LEFT JOIN cq USING (doc_id) LEFT JOIN uq USING (doc_id)),
        |s AS (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS s0,
-       |    CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS s1,
-       |    CAST(SUM(CASE WHEN g AND r THEN 1 ELSE 0 END) AS BIGINT) AS s2,
-       |    CAST(SUM(CASE WHEN g AND r AND c THEN 1 ELSE 0 END) AS BIGINT) AS s3,
-       |    CAST(SUM(CASE WHEN g AND r AND c AND u THEN 1 ELSE 0 END) AS BIGINT) AS s4
+       |    CAST(SUM(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+       |    CAST(SUM(CASE WHEN l AND g THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+       |    CAST(SUM(CASE WHEN l AND g AND r THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+       |    CAST(SUM(CASE WHEN l AND g AND r AND c THEN 1 ELSE 0 END) AS BIGINT) AS s4,
+       |    CAST(SUM(CASE WHEN l AND g AND r AND c AND u THEN 1 ELSE 0 END) AS BIGINT) AS s5
        |  FROM f)
        |SELECT stage, stage_name, docs_surviving FROM (
        |  SELECT 0 AS stage, 'total' AS stage_name, s0 AS docs_surviving FROM s
-       |  UNION ALL SELECT 1, 'gopher_rules', s1 FROM s
-       |  UNION ALL SELECT 2, 'repetition', s2 FROM s
-       |  UNION ALL SELECT 3, 'decontamination', s3 FROM s
-       |  UNION ALL SELECT 4, 'exact_dedup', s4 FROM s)
+       |  UNION ALL SELECT 1, 'line_filter', s1 FROM s
+       |  UNION ALL SELECT 2, 'gopher_rules', s2 FROM s
+       |  UNION ALL SELECT 3, 'repetition', s3 FROM s
+       |  UNION ALL SELECT 4, 'decontamination', s4 FROM s
+       |  UNION ALL SELECT 5, 'exact_dedup', s5 FROM s)
        |ORDER BY stage""".stripMargin
   }
 

@@ -146,8 +146,40 @@ object SourceOps extends QueryModule {
       |  valid_to IS NULL AS is_current
       |FROM iv ORDER BY user_id, version""".stripMargin
 
+  /** ORC sink → ORC source round-trip: the remaining columnar format in
+    * the Spark distribution beside parquet (CSV q67, JSON q68, JDBC q02
+    * cover the row formats). Same lossless-by-oracle construction: the
+    * engine writes part through ORC, reads it back, aggregates, and the
+    * oracle computes the identical aggregate on the ORIGINAL parquet —
+    * so the hash match proves type fidelity (BIGINT/INT/DOUBLE/STRING)
+    * through the ORC writer/reader pair, not just read-read agreement.
+    * Scale: narrow columnar write, partial+final hash agg on re-read. */
+  private def q99(s: SparkSession, d: String): DataFrame = {
+    val dir = rtDir("orc", s, d)
+    t(s, d, "part")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        col("p_size"), col("p_retailprice"))
+      .write.mode("overwrite").orc(dir)
+    s.read.orc(dir)
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        d2d(sum(dec(col("p_retailprice"), 2))).as("total_price"),
+        sum(col("p_size").cast("long")).as("size_sum"),
+        min(col("p_name")).as("first_name"),
+        max(col("p_name")).as("last_name"))
+      .orderBy("p_brand")
+  }
+  private val q99Sql =
+    s"""SELECT p_brand, COUNT(*) AS n_parts,
+       |  ${dsumSql("p_retailprice", 2)} AS total_price,
+       |  CAST(SUM(p_size) AS BIGINT) AS size_sum,
+       |  MIN(p_name) AS first_name, MAX(p_name) AS last_name
+       |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q67_csv_roundtrip", q67, Some(q67Sql)),
     Q("q68_json_roundtrip", q68, Some(q68Sql)),
-    Q("q69_scd2_intervals", q69, Some(q69Sql)))
+    Q("q69_scd2_intervals", q69, Some(q69Sql)),
+    Q("q99_orc_roundtrip", q99, Some(q99Sql)))
 }
