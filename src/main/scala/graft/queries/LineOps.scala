@@ -65,18 +65,13 @@ object LineOps extends QueryModule {
       .withColumn("kept", expr(
         "filter(punct, x -> substr(x.line, length(x.line), 1) = '.'" +
           " AND x.w >= 5 AND NOT x.bad)"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("text"),
         expr("cast(size(lines) as bigint)").as("n_lines"),
         expr("cast(size(kept) as bigint)").as("n_kept"),
         array_join(expr("transform(kept, x -> x.line)"), "\n").as("clean_text"))
       .select(col("doc_id"), col("n_lines"), col("n_kept"), col("clean_text"),
-        length(col("clean_text")).cast("long").as("clean_len"))
-      .join(t(s, d, "documents")
-        .select(col("doc_id"),
-          (!col("text").contains("slow merge")).as("no_bad_phrase")), "doc_id")
-      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("clean_text"),
-        col("clean_len"),
-        (col("n_kept") >= 3 && col("no_bad_phrase")).as("doc_pass"))
+        length(col("clean_text")).cast("long").as("clean_len"),
+        (col("n_kept") >= 3 && !col("text").contains("slow merge")).as("doc_pass"))
       .orderBy("doc_id")
   }
   private val q97Sql =
@@ -116,6 +111,9 @@ object LineOps extends QueryModule {
     * (doc_id, idx) per md5(line), computed as a hash aggregation (min of
     * struct), NOT a window over the corpus. */
   private def q98(s: SparkSession, d: String): DataFrame = {
+    // Referenced twice (occurrence probe + first-occurrence aggregate):
+    // materialize per the QueryModule convention so the corpus is
+    // exploded and hashed once, not re-scanned per reference.
     val lines = t(s, d, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), posexplode(expr(
@@ -124,6 +122,7 @@ object LineOps extends QueryModule {
         .as(Seq("idx", "line")))
       .select(col("doc_id"), col("idx").cast("long").as("idx"), col("line"),
         md5(col("line")).as("h"))
+      .localCheckpoint(true)
     val firsts = lines.groupBy(col("h"))
       .agg(count(lit(1)).as("cnt"),
         min(struct(col("doc_id"), col("idx"))).as("first"))
