@@ -49,6 +49,22 @@ object PlanHygiene {
     case _ => false
   }
 
+  /** Windows over RAW (non-aggregated) rows carrying fewer than two
+    * partition expressions — the q92/q93 hazard class: partitioned by a
+    * fixed-cardinality column alone, one task sorts corpus/|key| rows at
+    * scale, invisible to [[unpartitionedWindows]] because the window IS
+    * partitioned. A window whose subtree contains a grouped aggregate is
+    * the SUMMARY level of a two-level decomposition and is excused: its
+    * input rows are chunk/bucket summaries, not corpus rows. */
+  def oneLevelRawWindows(df: org.apache.spark.sql.DataFrame): Seq[WindowExec] =
+    allNodes(df.queryExecution.executedPlan).collect {
+      case w: WindowExec if w.partitionSpec.size < 2 &&
+        !allNodes(w.child).exists {
+          case a: BaseAggregateExec => a.groupingExpressions.nonEmpty
+          case _ => false
+        } => w
+    }
+
   /** Cartesian/broadcast-nested-loop joins whose BOTH sides are
     * data-proportional — the plans that cannot survive a 100× scale-up.
     * A side containing a groupless aggregate is bounded (≤1 row), which
@@ -90,6 +106,45 @@ class PlanHygieneSpec extends SparkSpec {
     boundedAllowlist.foreach { name =>
       assert(PlanHygiene.unpartitionedWindows(SparkEntry.queries(name)(spark, sf)).nonEmpty,
         s"$name no longer has an unpartitioned window — drop it from the allowlist")
+    }
+  }
+
+  /** VERDICT r8 #1 pinned structurally: q92/q93's windows over RAW corpus
+    * rows must keep the derived second partition key (chunk = doc_id div S,
+    * bucket = ticket prefix) — partitioning by `source` alone puts
+    * corpus/|sources| rows in one task's sort at scale, which the generic
+    * unpartitioned-window gate cannot see because the window IS
+    * partitioned. A window is the SUMMARY level (allowed a 1-expression
+    * spec) iff a grouped aggregate sits beneath it — its input is chunk/
+    * bucket summaries, ~√n per source, not documents. */
+  test("q92/q93 raw-corpus windows keep the two-level decomposition") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    // the gate FIRES on the round-8 shape it exists to prevent: a raw-row
+    // window partitioned by the fixed-cardinality source column alone
+    val docs = graft.Tables(spark, sf, "documents")
+    val oneLevel = docs.withColumn("rnk",
+      row_number().over(Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+    assert(PlanHygiene.oneLevelRawWindows(oneLevel).nonEmpty,
+      "a raw-row window partitioned by source alone must be flagged")
+    // ...and stays quiet on a summary-level window over a grouped aggregate
+    val summary = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .withColumn("off", sum(col("n")).over(
+        Window.partitionBy(col("source")).orderBy(col("n"))))
+    assert(PlanHygiene.oneLevelRawWindows(summary).isEmpty,
+      "a window over chunk summaries must stay excused")
+    Seq("q92_sequence_packing", "q93_temperature_sample").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      val windows = PlanHygiene.allNodes(df.queryExecution.executedPlan)
+        .collect { case w: WindowExec => w }
+      assert(windows.nonEmpty, s"$name: expected window operators")
+      val offenders = PlanHygiene.oneLevelRawWindows(df)
+      assert(offenders.isEmpty,
+        s"$name: a window over raw corpus rows is partitioned by only " +
+          offenders.map(_.partitionSpec.map(_.sql).mkString(", ")).mkString("; ") +
+          " — the two-level decomposition (source + derived chunk/bucket key)" +
+          " is gone")
     }
   }
 
