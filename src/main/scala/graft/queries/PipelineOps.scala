@@ -557,6 +557,59 @@ object PipelineOps extends QueryModule {
        |ORDER BY stage""".stripMargin
   }
 
+  /** Training-shard assignment (q100): the deterministic corpus shuffle a
+    * dataloader pipeline runs before writing fixed-size training shards —
+    * a random-but-reproducible global order (md5 ticket, q93's membership
+    * idiom: a pure function of the data, stable across engines and
+    * reruns) block-assigned to S shards of capacity ceil(n/S), so each
+    * shard is one contiguous run of the shuffled order (what a shard
+    * WRITER wants: shard s = rows [s·cap, (s+1)·cap)).
+    *
+    * Scale shape: the global position comes from [[graft.operators.GlobalRank]]
+    * — the two-pass boundary-bucket construction whose only wide stage is
+    * a per-bucket window — NOT `row_number()` over a single partition,
+    * which is the 100 TB killer the operator exists to replace. S =
+    * [[chunkWidthFor]] ≈ √n (corpus-derived like every knob here); the
+    * oracle restates the one-level ROW_NUMBER spec plus the identical
+    * integer-only knob derivation, so hash equality proves both the rank
+    * decomposition and the shard arithmetic exact at every scale. */
+  private def q100(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"),
+      md5(concat_ws("|", lit("shard"), col("doc_id"))).as("tkt"))
+    val n = docs.count()
+    val cap = (n + chunkWidthFor(n) - 1) / chunkWidthFor(n)
+    // GlobalRank's boundary sketch needs a NUMERIC key; a fixed-length
+    // lowercase-hex string orders identically to its numeric value, so
+    // rank on the ticket's first 15 hex chars (60 bits — fits a BIGINT)
+    // and tie-break on the full ticket: the global order is EXACTLY
+    // (tkt, doc_id), which is what the oracle's one-level window states.
+    graft.operators.GlobalRank
+      .withRank(docs,
+        expr("cast(conv(substring(tkt, 1, 15), 16, 10) as bigint)"),
+        descending = false,
+        tieBreakers = Seq(col("tkt"), col("doc_id")), rnName = "rn")
+      .select(col("doc_id"), col("tkt"), col("rn"),
+        expr(s"(rn - 1) div $cap").as("shard"),
+        expr(s"(rn - 1) % $cap").as("pos"))
+      .orderBy("doc_id")
+  }
+  private val q100Sql =
+    """WITH k AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(GREATEST(16, 1 << (LENGTH(BIN(CAST(FLOOR(SQRT(CAST(COUNT(*)
+      |      AS DOUBLE))) AS BIGINT))) - 1)) AS BIGINT) AS s
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, md5('shard|' || CAST(doc_id AS VARCHAR)) AS tkt,
+      |    CAST(ROW_NUMBER() OVER (
+      |      ORDER BY md5('shard|' || CAST(doc_id AS VARCHAR)), doc_id)
+      |      AS BIGINT) AS rn
+      |  FROM documents)
+      |SELECT r.doc_id, r.tkt, r.rn,
+      |  (r.rn - 1) // ((k.n + k.s - 1) // k.s) AS shard,
+      |  (r.rn - 1) % ((k.n + k.s - 1) // k.s) AS pos
+      |FROM r, k ORDER BY r.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q41_redaction", q41, Some(q41Sql)),
     Q("q42_dup_clusters", q42, Some(q42Sql)),
@@ -566,5 +619,6 @@ object PipelineOps extends QueryModule {
     Q("q54_profile", q54, Some(q54Sql)),
     Q("q92_sequence_packing", q92, Some(q92Sql)),
     Q("q93_temperature_sample", q93, Some(q93Sql)),
-    Q("q95_quality_funnel", q95, Some(q95Sql)))
+    Q("q95_quality_funnel", q95, Some(q95Sql)),
+    Q("q100_training_shards", q100, Some(q100Sql)))
 }
