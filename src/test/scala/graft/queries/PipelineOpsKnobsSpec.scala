@@ -52,4 +52,21 @@ class PipelineOpsKnobsSpec extends AnyFunSuite {
       assert(PipelineOps.ticketPrefixFor(a) <= PipelineOps.ticketPrefixFor(b))
     }
   }
+
+  test("q100 oracle knob parity: the SQL shard-count arithmetic equals chunkWidthFor") {
+    // q100's oracle — unlike q92/q93's one-level specs — DERIVES the shard
+    // count itself, via GREATEST(16, 1 << (LENGTH(BIN(FLOOR(SQRT(n)))) - 1)).
+    // Replicate that arithmetic independently (binary-string length, like
+    // BIN) and pin the cross-engine fixed point at many n, not just the
+    // three scale factors the hash gate covers. Both engines floor the
+    // SAME correctly-rounded IEEE sqrt, so parity holds even where
+    // floor(ieee_sqrt(n)) differs from the mathematical floor.
+    Seq(1L, 16L, 255L, 256L, 500L, 4999L, 5000L, 65536L, 1000000L,
+        987654321L, 1000000000000L).foreach { n =>
+      val sq = math.sqrt(n.toDouble).toLong
+      val viaSql = math.max(16L,
+        if (sq < 1) 1L else 1L << (java.lang.Long.toBinaryString(sq).length - 1))
+      assert(PipelineOps.chunkWidthFor(n) === viaSql, s"n=$n")
+    }
+  }
 }
