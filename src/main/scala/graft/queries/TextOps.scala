@@ -497,6 +497,48 @@ object TextOps extends QueryModule {
       |  regexp_matches(c_name, '^Customer#[0-9]{9}$') AS well_formed
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  /** BPE merge-pair statistics (Sennrich et al. 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units", Alg. 1) — the first
+    * iteration of BPE vocabulary training at corpus scale: count adjacent
+    * character pairs weighted by word frequency; the highest-count pair
+    * is the first merge a tokenizer trained on this corpus would learn.
+    * Emits the top 20 candidates with deterministic (count DESC, pair)
+    * order.
+    *
+    * Scale shape — the reason BPE training is feasible on a 100 TB
+    * corpus: the ONLY corpus-proportional pass is the word-frequency hash
+    * aggregation (map-side combine absorbs the zipf head). Pair explosion
+    * runs over the DISTINCT-WORD table — vocabulary-sized, millions of
+    * rows at any corpus size, not trillions — each pair weighted by the
+    * word's corpus count. Top-20 is TakeOrderedAndProject, no global
+    * sort, no window. */
+  private def q101(s: SparkSession, d: String): DataFrame = {
+    val wordFreq = t(s, d, "documents")
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    wordFreq
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(word) - 1)," +
+          " i -> substr(word, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(20)
+  }
+  private val q101Sql =
+    """WITH w AS (
+      |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+      |        FROM documents)
+      |  WHERE length(word) >= 2 GROUP BY word),
+      |p AS (
+      |  SELECT substr(word, i, 2) AS pair, freq
+      |  FROM (SELECT word, freq, unnest(generate_series(1, length(word) - 1)) AS i
+      |        FROM w))
+      |SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+      |FROM p GROUP BY pair
+      |ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q71_posexplode_ordinal", q71, Some(q71Sql)),
     Q("q73_heavy_hitters", q73, Some(q73Sql)),
@@ -509,5 +551,6 @@ object TextOps extends QueryModule {
     Q("q24_sentiment_lexicon", q24, Some(q24Sql)),
     Q("q25_doc_fingerprint", q25, Some(q25Sql)),
     Q("q88_gopher_quality", q88, Some(q88Sql)),
-    Q("q91_gopher_repetition", q91, Some(q91Sql)))
+    Q("q91_gopher_repetition", q91, Some(q91Sql)),
+    Q("q101_bpe_pair_stats", q101, Some(q101Sql)))
 }
