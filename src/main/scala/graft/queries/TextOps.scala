@@ -512,19 +512,31 @@ object TextOps extends QueryModule {
     * rows at any corpus size, not trillions — each pair weighted by the
     * word's corpus count. Top-20 is TakeOrderedAndProject, no global
     * sort, no window. */
-  private def q101(s: SparkSession, d: String): DataFrame = {
-    val wordFreq = t(s, d, "documents")
+  /** Word-frequency table — the ONLY corpus-proportional pass of the BPE
+    * family (q101/q102). */
+  private def bpeWordFreq(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
       .select(explode(split(trim(col("text")), "\\s+")).as("word"))
       .filter(length(col("word")) >= 2)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-    wordFreq
-      .select(col("freq"), explode(expr(
+
+  /** Frequency-weighted adjacent-pair counts over a (word, freq, extra...)
+    * vocabulary table. The length guard is load-bearing for q102: a fully
+    * merged 2-char word collapses to 1 symbol, and Spark's
+    * sequence(1, 0) is a DESCENDING [1, 0] — not empty like DuckDB's
+    * generate_series(1, 0) — so unguarded it would fabricate pairs. */
+  private def bpePairCounts(words: DataFrame, extra: Seq[String] = Nil): DataFrame =
+    words.filter(length(col("word")) >= 2)
+      .select((col("freq") +: extra.map(col)) :+ explode(expr(
         "transform(sequence(1, length(word) - 1)," +
-          " i -> substr(word, i, 2))")).as("pair"))
-      .groupBy(col("pair")).agg(sum(col("freq")).as("pair_count"))
+          " i -> substr(word, i, 2))")).as("pair"): _*)
+      .groupBy(("pair" +: extra).map(col): _*)
+      .agg(sum(col("freq")).as("pair_count"))
+
+  private def q101(s: SparkSession, d: String): DataFrame =
+    bpePairCounts(bpeWordFreq(s, d))
       .orderBy(col("pair_count").desc, col("pair"))
       .limit(20)
-  }
   private val q101Sql =
     """WITH w AS (
       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
@@ -537,6 +549,56 @@ object TextOps extends QueryModule {
       |        FROM w))
       |SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
       |FROM p GROUP BY pair
+      |ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin
+
+  /** Second BPE iteration (q102): take q101's winning pair, APPLY the
+    * merge across the vocabulary (the merged symbol becomes one
+    * placeholder char, '@' — absent from the corpus alphabet — so
+    * 2-char-windowed pair counting stays valid, and replace()'s
+    * leftmost-non-overlapping semantics match BPE's greedy merge in both
+    * engines), then recount. Demonstrates the training ITERATION, not
+    * just one census: merge selection is a 1-row scalar attached via
+    * [[graft.Scalars.withScalar]] (broadcast, provably ≤1 row from
+    * LIMIT 1), the vocabulary is checkpointed once for its two
+    * references, and the corpus is still only read by the q101-shared
+    * word-frequency aggregation. */
+  private def q102(s: SparkSession, d: String): DataFrame = {
+    val wf = bpeWordFreq(s, d).localCheckpoint(true)
+    val top1 = bpePairCounts(wf)
+      .orderBy(col("pair_count").desc, col("pair")).limit(1)
+      .select(col("pair").as("merged_pair"))
+    val merged = graft.Scalars.withScalar(wf, top1)
+      .select(col("freq"), col("merged_pair"),
+        expr("replace(word, merged_pair, '@')").as("word"))
+    bpePairCounts(merged, Seq("merged_pair"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(20)
+      .select(col("merged_pair"), col("pair"), col("pair_count"))
+  }
+  private val q102Sql =
+    """WITH w AS (
+      |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+      |        FROM documents)
+      |  WHERE length(word) >= 2 GROUP BY word),
+      |p1 AS (
+      |  SELECT substr(word, i, 2) AS pair, freq
+      |  FROM (SELECT word, freq, unnest(generate_series(1, length(word) - 1)) AS i
+      |        FROM w)),
+      |t1 AS (
+      |  SELECT pair AS merged_pair FROM p1 GROUP BY pair
+      |  ORDER BY SUM(freq) DESC, pair LIMIT 1),
+      |m AS (
+      |  SELECT replace(w.word, t1.merged_pair, '@') AS word, w.freq,
+      |    t1.merged_pair
+      |  FROM w, t1),
+      |p2 AS (
+      |  SELECT substr(word, i, 2) AS pair, freq, merged_pair
+      |  FROM (SELECT word, freq, merged_pair,
+      |          unnest(generate_series(1, length(word) - 1)) AS i
+      |        FROM m WHERE length(word) >= 2))
+      |SELECT merged_pair, pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+      |FROM p2 GROUP BY merged_pair, pair
       |ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin
 
   val all: Seq[Q] = Seq(
@@ -552,5 +614,6 @@ object TextOps extends QueryModule {
     Q("q25_doc_fingerprint", q25, Some(q25Sql)),
     Q("q88_gopher_quality", q88, Some(q88Sql)),
     Q("q91_gopher_repetition", q91, Some(q91Sql)),
-    Q("q101_bpe_pair_stats", q101, Some(q101Sql)))
+    Q("q101_bpe_pair_stats", q101, Some(q101Sql)),
+    Q("q102_bpe_second_merge", q102, Some(q102Sql)))
 }

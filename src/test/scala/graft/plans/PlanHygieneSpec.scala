@@ -1,7 +1,7 @@
 package graft.plans
 
 import graft.{SparkEntry, SparkSpec}
-import org.apache.spark.sql.execution.{ExpandExec, GenerateExec, LocalTableScanExec, SparkPlan}
+import org.apache.spark.sql.execution.{CollectLimitExec, ExpandExec, GenerateExec, GlobalLimitExec, LocalTableScanExec, SparkPlan, TakeOrderedAndProjectExec}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
@@ -41,6 +41,13 @@ object PlanHygiene {
   private def isScalarSubtree(p: SparkPlan): Boolean = p match {
     case a: BaseAggregateExec => a.groupingExpressions.isEmpty
     case _: LocalTableScanExec => true
+    // A GLOBAL limit caps its root's output at a plan-time constant no
+    // matter what flows beneath — the same admission rule withScalar's
+    // maxRows check applies to LIMIT-1 scalar sides (q102's top-merge).
+    // LocalLimitExec deliberately NOT included: it bounds rows PER
+    // PARTITION, and partition count is data-proportional.
+    case _: GlobalLimitExec | _: TakeOrderedAndProjectExec |
+         _: CollectLimitExec => true
     case a: AdaptiveSparkPlanExec => isScalarSubtree(a.executedPlan)
     case q: QueryStageExec => isScalarSubtree(q.plan)
     case r: ReusedExchangeExec => isScalarSubtree(r.child)
@@ -188,6 +195,11 @@ class PlanHygieneSpec extends SparkSpec {
     val literalSide = a.crossJoin(broadcast(Seq(("lo", 0), ("hi", 1)).toDF("band", "o")))
     assert(PlanHygiene.unboundedLoopJoins(literalSide).isEmpty,
       "a literal relation as the whole side is plan-time bounded")
+    // a LIMIT-1 ordered winner as the scalar side (q102's top-merge shape)
+    val limitWinner = graft.Scalars.withScalar(a,
+      b.orderBy(col("c_acctbal").desc).limit(1).select(col("c_name").as("top")))
+    assert(PlanHygiene.unboundedLoopJoins(limitWinner).isEmpty,
+      "a global-limit side is plan-time bounded")
   }
 
   test("no query plan has a cartesian/BNL join over data-proportional inputs") {
