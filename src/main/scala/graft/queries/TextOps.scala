@@ -601,6 +601,84 @@ object TextOps extends QueryModule {
       |FROM p2 GROUP BY merged_pair, pair
       |ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin
 
+  /** Corpus card (q103): the one-row dataset-documentation summary a
+    * data team publishes with a training corpus (the "Datasheets for
+    * Datasets" / model-card numbers): corpus size, source diversity,
+    * vocabulary size, type-token ratio, document-length distribution,
+    * and source concentration.
+    *
+    * Portability: every count is exact integer; each ratio is ONE double
+    * division; the length percentiles use Spark's exact `percentile` =
+    * DuckDB `quantile_cont` (the q44-proven pairing).
+    *
+    * Scale shape: three independent aggregation branches — doc-level
+    * stats + percentiles, exact distinct-vocabulary count (shuffled by
+    * word with map-side partial distinct), per-source counts → max —
+    * each a narrow scan into a partial+final agg, composed via the
+    * enforced ≤1-row [[graft.Scalars.withScalar]] broadcasts; the
+    * doc-level projection is checkpointed once for its two consumers.
+    * Exact percentiles hold the whole value SET per group in the
+    * aggregation buffer — fine for doc-length distributions (one value
+    * per document); at 100 TB swap in approx_percentile (q56's
+    * tolerance-oracle pattern) if even that collection is too wide. */
+  private def q103(s: SparkSession, d: String): DataFrame = {
+    val dt = t(s, d, "documents")
+      .select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      .localCheckpoint(true)
+    val base = dt.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      sum(col("n_tokens")).as("total_tokens"),
+      sum(col("n_chars")).as("total_chars"),
+      expr("percentile(n_tokens, 0.5)").as("p50_doc_tokens"),
+      expr("percentile(n_tokens, 0.9)").as("p90_doc_tokens"))
+    val vocab = t(s, d, "documents")
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .agg(countDistinct(col("w")).as("vocab_size"))
+    val topSrc = dt.groupBy(col("source")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("top_source_docs"))
+    graft.Scalars.withScalar(graft.Scalars.withScalar(base, vocab), topSrc)
+      .select(col("n_docs"), col("n_sources"), col("total_tokens"),
+        col("total_chars"), col("vocab_size"),
+        (col("vocab_size").cast("double") / col("total_tokens"))
+          .as("type_token_ratio"),
+        (col("total_tokens").cast("double") / col("n_docs"))
+          .as("mean_doc_tokens"),
+        col("p50_doc_tokens"), col("p90_doc_tokens"),
+        (col("top_source_docs").cast("double") / col("n_docs"))
+          .as("top_source_share"))
+  }
+  private val q103Sql =
+    """WITH dt AS (
+      |  SELECT source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+      |      AS n_tokens,
+      |    CAST(length(text) AS BIGINT) AS n_chars
+      |  FROM documents),
+      |base AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+      |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |    quantile_cont(CAST(n_tokens AS DOUBLE), 0.5) AS p50_doc_tokens,
+      |    quantile_cont(CAST(n_tokens AS DOUBLE), 0.9) AS p90_doc_tokens
+      |  FROM dt),
+      |v AS (
+      |  SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS vocab_size
+      |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      |        FROM documents)),
+      |src AS (
+      |  SELECT CAST(MAX(c) AS BIGINT) AS top_source_docs
+      |  FROM (SELECT COUNT(*) AS c FROM dt GROUP BY source))
+      |SELECT n_docs, n_sources, total_tokens, total_chars, vocab_size,
+      |  CAST(vocab_size AS DOUBLE) / total_tokens AS type_token_ratio,
+      |  CAST(total_tokens AS DOUBLE) / n_docs AS mean_doc_tokens,
+      |  p50_doc_tokens, p90_doc_tokens,
+      |  CAST(top_source_docs AS DOUBLE) / n_docs AS top_source_share
+      |FROM base, v, src""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q71_posexplode_ordinal", q71, Some(q71Sql)),
     Q("q73_heavy_hitters", q73, Some(q73Sql)),
@@ -615,5 +693,6 @@ object TextOps extends QueryModule {
     Q("q88_gopher_quality", q88, Some(q88Sql)),
     Q("q91_gopher_repetition", q91, Some(q91Sql)),
     Q("q101_bpe_pair_stats", q101, Some(q101Sql)),
-    Q("q102_bpe_second_merge", q102, Some(q102Sql)))
+    Q("q102_bpe_second_merge", q102, Some(q102Sql)),
+    Q("q103_corpus_card", q103, Some(q103Sql)))
 }
