@@ -34,8 +34,14 @@ object Scalars {
     val side =
       if (provable) scalar
       else {
-        val once = scalar.localCheckpoint(true)
-        require(once.limit(2).count() <= 1L,
+        // limit(2) BEFORE the checkpoint: the materialization itself stays
+        // bounded at 2 rows even when a mistaken caller passes a
+        // corpus-sized side (checkpointing the full side first would run a
+        // data-proportional job before the guard could reject it). When
+        // the guard passes, the ≤1-row checkpoint IS the whole side, so
+        // the count and the join still read the same materialization.
+        val once = scalar.limit(2).localCheckpoint(true)
+        require(once.count() <= 1L,
           "withScalar requires a <=1-row scalar side (groupless aggregate, " +
             "LIMIT 1, or 1-row committed artifact); a multi-row side would " +
             "silently multiply rows through the broadcast cross join")

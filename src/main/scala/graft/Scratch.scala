@@ -22,8 +22,26 @@ object Scratch {
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map(b => f"$b%02x").mkString
 
-  def dir(kind: String, spark: SparkSession, sfDir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_rt_${kind}_" +
+  /** Dirs handed out by this JVM, deleted on clean shutdown — without
+    * this, every (kind, scale, pid, session) combination leaves a full
+    * table copy in tmpdir and repeated bench/verify sessions on a
+    * long-lived host fill the disk monotonically. Registered lazily so
+    * JVMs that never touch a round-trip query add no hook. */
+  private val issued = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  private lazy val hook: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    issued.keySet.forEach { d =>
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(d))
+    }))
+
+  def dir(kind: String, spark: SparkSession, sfDir: String): String = {
+    val d = s"${System.getProperty("java.io.tmpdir")}/graft_rt_${kind}_" +
       s"${md5Hex(sfDir).take(12)}_${ProcessHandle.current.pid}_" +
       f"${System.identityHashCode(spark)}%08x"
+    hook
+    issued.put(d, true)
+    d
+  }
 }

@@ -245,12 +245,6 @@ object Containers {
     else Some(Mp3Frame(mpegIdx, kbps, sr, channels, len, spf))
   }
 
-  /** MP3 metadata from the first valid frame header: sample rate,
-    * channel mode, bitrate; duration from the Xing/Info frame count when
-    * present (VBR-exact), else the CBR estimate audio_bytes·8/bitrate.
-    * Skips a leading ID3v2 tag (syncsafe length). Requires TWO
-    * consecutive valid frame headers so random byte blobs that happen to
-    * contain 0xFFE somewhere don't parse. */
   /** Bytes to skip for a leading ID3v2 tag ("ID3" + version(2) + flags(1)
     * + syncsafe u28 size) — both MP3 and ADTS AAC streams commonly carry
     * one. 0 when absent. */
@@ -261,6 +255,12 @@ object Containers {
       10 + sz
     } else 0
 
+  /** MP3 metadata from the first valid frame header: sample rate,
+    * channel mode, bitrate; duration from the Xing/Info frame count when
+    * present (VBR-exact), else the CBR estimate audio_bytes·8/bitrate.
+    * Skips a leading ID3v2 tag (syncsafe length). Requires TWO
+    * consecutive valid frame headers so random byte blobs that happen to
+    * contain 0xFFE somewhere don't parse. */
   def parseMp3(b: Array[Byte]): Option[Mp3Meta] = {
     if (b == null || b.length < 4) return None
     val audioStart = id3v2Skip(b)

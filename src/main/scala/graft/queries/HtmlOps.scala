@@ -39,9 +39,11 @@ object HtmlOps extends QueryModule {
         "</head><body>" +
         "<nav><a href=\"/\">Home page</a> | <a href=\"/about\">About our project</a>" +
         " | <a href=\"/contact\">Contact the team</a></nav><h1>"),
-      col("source"),
+      coalesce(col("source"), lit("")),
       lit("</h1><p>"),
-      replace(col("text"), lit(" table "), lit(" </p><p> ")),
+      // NULL-safe: concat propagates a NULL source/text into NULL html and
+      // NULL main_text, where the oracle's COALESCE reassembly yields ''.
+      replace(coalesce(col("text"), lit("")), lit(" table "), lit(" </p><p> ")),
       lit("</p><footer><a href=\"/terms\">Terms of use</a>" +
         " <a href=\"/privacy\">Privacy policy</a> (c) example corp</footer>" +
         "</body></html>"))
@@ -65,8 +67,8 @@ object HtmlOps extends QueryModule {
       |    || '</head><body>'
       |    || '<nav><a href="/">Home page</a> | <a href="/about">About our project</a>'
       |    || ' | <a href="/contact">Contact the team</a></nav><h1>'
-      |    || source || '</h1><p>'
-      |    || replace(text, ' table ', ' </p><p> ')
+      |    || COALESCE(source, '') || '</h1><p>'
+      |    || replace(COALESCE(text, ''), ' table ', ' </p><p> ')
       |    || '</p><footer><a href="/terms">Terms of use</a>'
       |    || ' <a href="/privacy">Privacy policy</a> (c) example corp</footer>'
       |    || '</body></html>' AS html

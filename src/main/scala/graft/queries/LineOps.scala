@@ -51,7 +51,12 @@ object LineOps extends QueryModule {
     * C4's "javascript"). Doc rule: ≥3 kept lines and no blocklisted
     * phrase ('slow merge' stands in for C4's "lorem ipsum"). */
   private def q97(s: SparkSession, d: String): DataFrame = {
+    // NULL text is normalized to '' on BOTH sides (q93's nullable-source
+    // lesson): unguarded, Spark propagates NULL clean_text where the
+    // oracle's COALESCE-wrapped reassembly yields '' — divergent the
+    // moment the corpus schema admits a NULL.
     t(s, d, "documents")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
       .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
       .withColumn("lines", expr(
         "transform(sequence(0, (size(toks) - 1) div 12), i -> struct(" +
@@ -76,7 +81,8 @@ object LineOps extends QueryModule {
   }
   private val q97Sql =
     """WITH t AS (
-      |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+      |  SELECT doc_id, COALESCE(text, '') AS text,
+      |    string_split(COALESCE(text, ''), ' ') AS toks FROM documents),
       |l AS (
       |  SELECT doc_id, text, list_transform(range(0, (len(toks) - 1) // 12 + 1),
       |    i -> struct_pack(

@@ -576,21 +576,27 @@ object PipelineOps extends QueryModule {
   private def q100(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents").select(col("doc_id"),
       md5(concat_ws("|", lit("shard"), col("doc_id"))).as("tkt"))
-    val n = docs.count()
-    val cap = (n + chunkWidthFor(n) - 1) / chunkWidthFor(n)
     // GlobalRank's boundary sketch needs a NUMERIC key; a fixed-length
     // lowercase-hex string orders identically to its numeric value, so
     // rank on the ticket's first 15 hex chars (60 bits — fits a BIGINT)
     // and tie-break on the full ticket: the global order is EXACTLY
     // (tkt, doc_id), which is what the oracle's one-level window states.
+    // n rides along from withRank's pass-1 count (no separate count job);
+    // S and cap are the SAME integer formula the oracle states
+    // (= chunkWidthFor, parity pinned in PipelineOpsKnobsSpec), and since
+    // n is a literal the whole arithmetic constant-folds.
+    val sExpr = "greatest(16L, shiftleft(cast(1 as bigint)," +
+      " length(bin(cast(floor(sqrt(cast(n as double))) as bigint))) - 1))"
+    val capExpr = s"((n + ($sExpr) - 1) div ($sExpr))"
     graft.operators.GlobalRank
       .withRank(docs,
         expr("cast(conv(substring(tkt, 1, 15), 16, 10) as bigint)"),
         descending = false,
-        tieBreakers = Seq(col("tkt"), col("doc_id")), rnName = "rn")
+        tieBreakers = Seq(col("tkt"), col("doc_id")), rnName = "rn",
+        totalName = Some("n"))
       .select(col("doc_id"), col("tkt"), col("rn"),
-        expr(s"(rn - 1) div $cap").as("shard"),
-        expr(s"(rn - 1) % $cap").as("pos"))
+        expr(s"(rn - 1) div $capExpr").as("shard"),
+        expr(s"(rn - 1) % $capExpr").as("pos"))
       .orderBy("doc_id")
   }
   private val q100Sql =

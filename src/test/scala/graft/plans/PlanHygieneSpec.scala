@@ -41,13 +41,16 @@ object PlanHygiene {
   private def isScalarSubtree(p: SparkPlan): Boolean = p match {
     case a: BaseAggregateExec => a.groupingExpressions.isEmpty
     case _: LocalTableScanExec => true
-    // A GLOBAL limit caps its root's output at a plan-time constant no
-    // matter what flows beneath — the same admission rule withScalar's
-    // maxRows check applies to LIMIT-1 scalar sides (q102's top-merge).
-    // LocalLimitExec deliberately NOT included: it bounds rows PER
-    // PARTITION, and partition count is data-proportional.
-    case _: GlobalLimitExec | _: TakeOrderedAndProjectExec |
-         _: CollectLimitExec => true
+    // A LIMIT-1 global limit is a scalar no matter what flows beneath —
+    // the same admission rule withScalar's maxRows check applies to its
+    // scalar sides (q102's top-merge). The limit VALUE is checked: a
+    // broadcast cross join against limit(100000) is a plan-time-fixed but
+    // very real 10^5 row multiplier and must not be excused.
+    // LocalLimitExec deliberately NOT included even at 1: it bounds rows
+    // PER PARTITION, and partition count is data-proportional.
+    case g: GlobalLimitExec => g.limit <= 1
+    case t: TakeOrderedAndProjectExec => t.limit <= 1
+    case c: CollectLimitExec => c.limit <= 1
     case a: AdaptiveSparkPlanExec => isScalarSubtree(a.executedPlan)
     case q: QueryStageExec => isScalarSubtree(q.plan)
     case r: ReusedExchangeExec => isScalarSubtree(r.child)
