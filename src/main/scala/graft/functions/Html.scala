@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   * regex is written in the Java∩RE2 dialect so a DuckDB oracle can
   * restate it verbatim):
   *
-  *  1. drop non-content subtrees: `<script>`/`<style>` elements vanish
-  *     wholesale (lazy match, DOTALL — script bodies legally contain
-  *     `<`);
+  *  1. drop non-content subtrees: `<script>`/`<style>` elements and
+  *     `<!-- -->` comments vanish wholesale (lazy match, DOTALL —
+  *     script bodies legally contain `<`, and comments legally contain
+  *     block TAGS: without comment removal, segmentation would split
+  *     inside a comment and leak `<!-- …` fragments into main_text —
+  *     found by HtmlFuzzSpec's tag soup);
   *  2. segment into blocks at block-level tag boundaries
   *     (p/div/h1-h6/li/br/td/th/tr/ul/ol/table/nav/header/footer —
   *     the jusText paragraph unit), then strip the remaining inline
@@ -42,7 +45,8 @@ object Html {
   def blocks(html: Column): Column = {
     val noScript = regexp_replace(html,
       "(?is)<(?:script|style)[^>]*>.*?</(?:script|style)>", "")
-    val segs = split(noScript,
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", "")
+    val segs = split(noComment,
       "(?i)</?(?:p|div|h[1-6]|li|br|td|th|tr|ul|ol|table|nav|header|footer)[^>]*>")
     transform(segs, b => struct(
       trim(regexp_replace(regexp_replace(b, "<[^>]*>", ""), "\\s+", " ")).as("p"),

@@ -37,6 +37,7 @@ object HtmlOps extends QueryModule {
         "<style>p { margin: 0; }</style>" +
         "<script>if (x < 1) { y = \"<div>\"; }</script>" +
         "</head><body>" +
+        "<!-- layout rev 7, uses <p> blocks -->" +
         "<nav><a href=\"/\">Home page</a> | <a href=\"/about\">About our project</a>" +
         " | <a href=\"/contact\">Contact the team</a></nav><h1>"),
       coalesce(col("source"), lit("")),
@@ -65,6 +66,7 @@ object HtmlOps extends QueryModule {
       |    || '<style>p { margin: 0; }</style>'
       |    || '<script>if (x < 1) { y = "<div>"; }</script>'
       |    || '</head><body>'
+      |    || '<!-- layout rev 7, uses <p> blocks -->'
       |    || '<nav><a href="/">Home page</a> | <a href="/about">About our project</a>'
       |    || ' | <a href="/contact">Contact the team</a></nav><h1>'
       |    || COALESCE(source, '') || '</h1><p>'
@@ -76,8 +78,10 @@ object HtmlOps extends QueryModule {
       |seg AS (
       |  SELECT doc_id, list_transform(
       |    regexp_split_to_array(
-      |      regexp_replace(html,
-      |        '(?is)<(?:script|style)[^>]*>.*?</(?:script|style)>', '', 'g'),
+      |      regexp_replace(
+      |        regexp_replace(html,
+      |          '(?is)<(?:script|style)[^>]*>.*?</(?:script|style)>', '', 'g'),
+      |        '(?s)<!--.*?-->', '', 'g'),
       |      '(?i)</?(?:p|div|h[1-6]|li|br|td|th|tr|ul|ol|table|nav|header|footer)[^>]*>'),
       |    b -> struct_pack(
       |      p := trim(regexp_replace(regexp_replace(b, '<[^>]*>', '', 'g'),

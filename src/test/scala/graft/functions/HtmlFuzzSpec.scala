@@ -1,0 +1,58 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Randomized tag-soup robustness for the q96 extractor, complementing
+  * HtmlSpec's hand-built cases: over arbitrary compositions of
+  * well-formed tags, script/style blocks (with '<' in their bodies),
+  * comments, entities and text, the extractor must never throw, never
+  * leak markup into main_text, and keep its counters consistent.
+  * (Stray unmatched '<' outside any tag is out of scope by design — a
+  * bare angle char in TEXT survives extraction, as in jusText — so the
+  * generator emits only well-formed markup; HtmlSpec pins the
+  * unterminated-anchor behavior explicitly.)
+  */
+class HtmlFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("extractor is total, markup-free, and count-consistent on tag soup") {
+    val rnd = new scala.util.Random(42)
+    val frags = Seq(
+      "<p>", "</p>", "<div class=\"x\">", "</div>", "<br>", "<li>", "</li>",
+      "<script>if (a<b) { x = \"<i>hello</i>\"; }</script>",
+      "<style>p { margin: 0; } .x>y { color: red; }</style>",
+      "<a href=\"/x\">link text here</a>", "<a href=\"/y\">more linkage</a>",
+      "<h1>", "</h1>", "<nav>", "</nav>", "<footer>", "</footer>",
+      "<!-- a comment, even with <p> inside -->", "&amp;", "&lt;",
+      "lorem", "ipsum dolor", "x",
+      "some longer chunk of plain text content that clears the length gate")
+    val soups = (1 to 150).map { _ =>
+      (1 to 1 + rnd.nextInt(40)).map(_ => frags(rnd.nextInt(frags.length)))
+        .mkString(" ")
+    }
+    val rows = soups.toDF("html")
+      .select(Html.extract(Html.blocks(col("html"))).as("x"))
+      .select(col("x.n_blocks"), col("x.n_kept"), col("x.n_link_dropped"),
+        col("x.main_text"), length(col("x.main_text")).as("len"))
+      .collect()
+    assert(rows.length === soups.length)
+    rows.foreach { r =>
+      val (nb, nk, nl) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val mt = r.getString(3)
+      assert(nk >= 0 && nl >= 0 && nb >= 0, s"negative counter: $r")
+      assert(nk + nl <= nb,
+        s"kept($nk) + link-dropped($nl) exceed nonempty blocks($nb)")
+      assert(!mt.contains("<") && !mt.contains(">"),
+        s"markup leaked into main_text: '$mt'")
+      assert(!mt.contains("margin") && !mt.contains("a<b"),
+        s"script/style body leaked: '$mt'")
+      assert(!mt.matches(".*\\s\\s.*"), s"whitespace not collapsed: '$mt'")
+    }
+    // determinism: a second evaluation of the same plan is bit-identical
+    val again = soups.toDF("html")
+      .select(Html.extract(Html.blocks(col("html"))).as("x"))
+      .select(col("x.main_text")).collect().map(_.getString(0))
+    assert(again.toSeq === rows.map(_.getString(3)).toSeq)
+  }
+}
