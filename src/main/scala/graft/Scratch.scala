@@ -36,8 +36,34 @@ object Scratch {
       rm(new java.io.File(d))
     }))
 
+  /** Sweep siblings left by CRASHED JVMs: the shutdown hook only covers
+    * clean exits of THIS process, so graft_rt_* dirs whose embedded pid
+    * is no longer alive are reclaimed here (cheap — one tmpdir listing
+    * per handed-out dir, prefix- and numeric-guarded). */
+  private def sweepDead(tmp: java.io.File): Unit = {
+    val kids = tmp.listFiles()
+    if (kids == null) return
+    kids.foreach { f =>
+      val parts = f.getName.split("_")
+      if (f.getName.startsWith("graft_rt_") && parts.length >= 2 &&
+          parts(parts.length - 2).forall(_.isDigit)) {
+        val alive = scala.util.Try(
+          ProcessHandle.of(parts(parts.length - 2).toLong)
+            .map[Boolean](_.isAlive).orElse(false)).getOrElse(true)
+        if (!alive) {
+          def rm(g: java.io.File): Unit = {
+            val ks = g.listFiles(); if (ks != null) ks.foreach(rm); g.delete()
+          }
+          rm(f)
+        }
+      }
+    }
+  }
+
   def dir(kind: String, spark: SparkSession, sfDir: String): String = {
-    val d = s"${System.getProperty("java.io.tmpdir")}/graft_rt_${kind}_" +
+    val tmp = System.getProperty("java.io.tmpdir")
+    sweepDead(new java.io.File(tmp))
+    val d = s"$tmp/graft_rt_${kind}_" +
       s"${md5Hex(sfDir).take(12)}_${ProcessHandle.current.pid}_" +
       f"${System.identityHashCode(spark)}%08x"
     hook

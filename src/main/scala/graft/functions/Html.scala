@@ -43,10 +43,16 @@ object Html {
     * hold no nested block tags, and inline markup inside an anchor
     * counts toward its link chars either way. */
   def blocks(html: Column): Column = {
-    val noScript = regexp_replace(html,
-      "(?is)<(?:script|style)[^>]*>.*?</(?:script|style)>", "")
-    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", "")
-    val segs = split(noComment,
+    // ONE alternation pass, not script-then-comment sequentially: a
+    // comment containing an unmatched '<script>' opener would otherwise
+    // make the lazy script regex swallow real content up to the next
+    // genuine closing tag (leftmost-match resolves both nesting
+    // directions). Replacement is ' ', not '': a removed subtree must
+    // not fuse the words on either side ('price<!-- -->list'); the
+    // later \s+ collapse normalizes any surplus.
+    val noSub = regexp_replace(html,
+      "(?is)<(?:script|style)[^>]*>.*?</(?:script|style)>|<!--.*?-->", " ")
+    val segs = split(noSub,
       "(?i)</?(?:p|div|h[1-6]|li|br|td|th|tr|ul|ol|table|nav|header|footer)[^>]*>")
     transform(segs, b => struct(
       trim(regexp_replace(regexp_replace(b, "<[^>]*>", ""), "\\s+", " ")).as("p"),

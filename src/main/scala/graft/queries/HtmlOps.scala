@@ -78,10 +78,9 @@ object HtmlOps extends QueryModule {
       |seg AS (
       |  SELECT doc_id, list_transform(
       |    regexp_split_to_array(
-      |      regexp_replace(
-      |        regexp_replace(html,
-      |          '(?is)<(?:script|style)[^>]*>.*?</(?:script|style)>', '', 'g'),
-      |        '(?s)<!--.*?-->', '', 'g'),
+      |      regexp_replace(html,
+      |        '(?is)<(?:script|style)[^>]*>.*?</(?:script|style)>|<!--.*?-->',
+      |        ' ', 'g'),
       |      '(?i)</?(?:p|div|h[1-6]|li|br|td|th|tr|ul|ol|table|nav|header|footer)[^>]*>'),
       |    b -> struct_pack(
       |      p := trim(regexp_replace(regexp_replace(b, '<[^>]*>', '', 'g'),

@@ -24,7 +24,8 @@ class HtmlFuzzSpec extends SparkSpec {
       "<style>p { margin: 0; } .x>y { color: red; }</style>",
       "<a href=\"/x\">link text here</a>", "<a href=\"/y\">more linkage</a>",
       "<h1>", "</h1>", "<nav>", "</nav>", "<footer>", "</footer>",
-      "<!-- a comment, even with <p> inside -->", "&amp;", "&lt;",
+      "<!-- a comment, even with <p> inside -->",
+      "<!-- disabled <script> tracker, no closer -->", "&amp;", "&lt;",
       "lorem", "ipsum dolor", "x",
       "some longer chunk of plain text content that clears the length gate")
     val soups = (1 to 150).map { _ =>
@@ -49,6 +50,20 @@ class HtmlFuzzSpec extends SparkSpec {
         s"script/style body leaked: '$mt'")
       assert(!mt.matches(".*\\s\\s.*"), s"whitespace not collapsed: '$mt'")
     }
+    // removed subtrees must not FUSE their neighbors, and a comment
+    // carrying an unmatched <script> opener must not swallow the
+    // following real content (single-pass alternation, leftmost match)
+    val fused = Seq(
+      "<p>price<!-- updated nightly -->list of items in this long block</p>",
+      "<p>First good paragraph of sufficient length here</p>" +
+        "<!-- disabled <script> tracker -->" +
+        "<p>Second good paragraph of sufficient length too</p><style>p{}</style>")
+      .toDF("html")
+      .select(Html.extract(Html.blocks(col("html")))("main_text")).collect()
+    assert(fused(0).getString(0) === "price list of items in this long block")
+    assert(fused(1).getString(0).contains("Second good paragraph"),
+      s"comment with unmatched <script> swallowed content: '${fused(1).getString(0)}'")
+
     // determinism: a second evaluation of the same plan is bit-identical
     val again = soups.toDF("html")
       .select(Html.extract(Html.blocks(col("html"))).as("x"))

@@ -48,9 +48,11 @@ object PlanHygiene {
     // very real 10^5 row multiplier and must not be excused.
     // LocalLimitExec deliberately NOT included even at 1: it bounds rows
     // PER PARTITION, and partition count is data-proportional.
-    case g: GlobalLimitExec => g.limit <= 1
-    case t: TakeOrderedAndProjectExec => t.limit <= 1
-    case c: CollectLimitExec => c.limit <= 1
+    // >= 0 guard: Spark encodes OFFSET-only plans as limit = -1, whose
+    // output is data-proportional and must not be excused.
+    case g: GlobalLimitExec => g.limit >= 0 && g.limit <= 1
+    case t: TakeOrderedAndProjectExec => t.limit >= 0 && t.limit <= 1
+    case c: CollectLimitExec => c.limit >= 0 && c.limit <= 1
     case a: AdaptiveSparkPlanExec => isScalarSubtree(a.executedPlan)
     case q: QueryStageExec => isScalarSubtree(q.plan)
     case r: ReusedExchangeExec => isScalarSubtree(r.child)
