@@ -22,6 +22,20 @@ object Scratch {
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map(b => f"$b%02x").mkString
 
+  /** Recursive delete that never FOLLOWS a directory symlink: in a shared
+    * world-writable tmpdir an adversary can plant `graft_rt_<deadpid>_x`
+    * containing a symlink to a directory elsewhere, and a naive
+    * listFiles-recursion would traverse the link and delete the TARGET's
+    * contents. A symlink (to anything) is unlinked itself; only real
+    * directories are recursed into. */
+  private def rmNoFollow(f: java.io.File): Unit = {
+    val p = f.toPath
+    if (!java.nio.file.Files.isSymbolicLink(p) && f.isDirectory) {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rmNoFollow)
+    }
+    f.delete()
+  }
+
   /** Dirs handed out by this JVM, deleted on clean shutdown — without
     * this, every (kind, scale, pid, session) combination leaves a full
     * table copy in tmpdir and repeated bench/verify sessions on a
@@ -29,12 +43,7 @@ object Scratch {
     * JVMs that never touch a round-trip query add no hook. */
   private val issued = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
   private lazy val hook: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() =>
-    issued.keySet.forEach { d =>
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
-      }
-      rm(new java.io.File(d))
-    }))
+    issued.keySet.forEach(d => rmNoFollow(new java.io.File(d)))))
 
   /** Sweep siblings left by CRASHED JVMs: the shutdown hook only covers
     * clean exits of THIS process, so graft_rt_* dirs whose embedded pid
@@ -50,12 +59,7 @@ object Scratch {
         val alive = scala.util.Try(
           ProcessHandle.of(parts(parts.length - 2).toLong)
             .map[Boolean](_.isAlive).orElse(false)).getOrElse(true)
-        if (!alive) {
-          def rm(g: java.io.File): Unit = {
-            val ks = g.listFiles(); if (ks != null) ks.foreach(rm); g.delete()
-          }
-          rm(f)
-        }
+        if (!alive) rmNoFollow(f)
       }
     }
   }

@@ -120,8 +120,11 @@ object LineOps extends QueryModule {
     // Referenced twice (occurrence probe + first-occurrence aggregate):
     // materialize per the QueryModule convention so the corpus is
     // exploded and hashed once, not re-scanned per reference.
+    // NULL text normalizes to '' exactly as q97 does: unguarded, a NULL
+    // doc explodes to ZERO rows and vanishes from the per-doc output,
+    // where q97 keeps a row for every doc_id.
     val lines = t(s, d, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("toks"))
       .select(col("doc_id"), posexplode(expr(
         "transform(sequence(0, (size(toks) - 1) div 8)," +
           " i -> array_join(slice(toks, i * 8 + 1, 8), ' '))"))
@@ -148,7 +151,8 @@ object LineOps extends QueryModule {
   }
   private val q98Sql =
     """WITH t AS (
-      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks
+      |  FROM documents),
       |ln AS (
       |  SELECT doc_id, idx,
       |    array_to_string(toks[idx * 8 + 1 : idx * 8 + 8], ' ') AS line

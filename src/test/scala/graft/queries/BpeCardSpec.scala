@@ -28,10 +28,14 @@ class BpeCardSpec extends SparkSpec {
   }
 
   test("q102: the winning merge applies greedily and fully-merged words vanish") {
-    // winner is "ab" (count 3). Merged vocabulary: "ab"→"@" (LENGTH 1 —
-    // must contribute NO pairs), "abc"→"@c", "aab"→"a@" (greedy leftmost
-    // merge consumes a[ab], not [aa]b... replace finds "ab" at pos 2).
+    // winner is "ab" (count 4: 2 from "ab"×2, 1 from "abc", 1 from "aab").
+    // Merged vocabulary: "ab"→"@" (LENGTH 1 — must contribute NO pairs),
+    // "abc"→"@c", "aab"→"a@" (greedy leftmost merge consumes a[ab],
+    // not [aa]b... replace finds "ab" at pos 2).
     val dir = writeDocs(Seq((1L, "ab ab abc aab", "s")))
+    val top = TextOps.queries("q101_bpe_pair_stats")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).head
+    assert(top === ("ab", 4L), "q101 winner on this fixture is ab with count 4")
     val got = TextOps.queries("q102_bpe_second_merge")(spark, dir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toList
     assert(got.forall(_._1 == "ab"), s"merged_pair must be the q101 winner: $got")
