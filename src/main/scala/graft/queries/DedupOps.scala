@@ -441,14 +441,24 @@ object DedupOps extends QueryModule {
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"),
-        // The index key is md5(gram), not the raw 8-token string: the
-        // gram index is the query's whole shuffle, and a ~50–60-byte
-        // text key vs a constant 32-char digest is 2–4× the bytes for
-        // zero information the join needs (128-bit collisions are
-        // negligible at any corpus size — the repo's q50/q93 idiom).
-        // The oracle hashes identically, so equality survives.
+        // The index key is xxhash64(gram), decided by a same-host
+        // interleaved A/B at sf0.1 (PLANS.md "q94 gram-key A/B", round
+        // 10): xxh64 med 1.27 s vs raw-gram 1.64 s vs md5 1.73 s vs a
+        // two-lane xxh64 struct 1.73 s — the 8-byte long key wins on
+        // BOTH hash CPU (md5's loss locally) and shuffle bytes (raw's
+        // loss at network scale). The key is internal to the group-by
+        // and self-join and never reaches the output, so the ORACLE
+        // keys on the raw gram text instead: results agree iff xxh64
+        // is injective on the corpus's distinct grams, and the driver's
+        // hash gate verifies exactly that. Collision math: ~5e5 grams
+        // at sf0.1 → P(any collision) ≈ 7e-9; at a 100 TB corpus
+        // (~1e13 grams) expected colliding PAIRS ≈ 2.7e6 (1e-7 of
+        // grams), each of which can only over-mark one extra 8-token
+        // span as duplicated — acceptable for a lossy cleaning pass;
+        // flip to md5() here for a 128-bit key if an exactness-critical
+        // deployment demands it (measured cost: +36% on this query).
         explode(expr(s"transform(sequence(1, size(toks) - ${n - 1})," +
-          s" i -> struct(i as start, md5(array_join(slice(toks, i, $n), ' ')) as g))")).as("x"))
+          s" i -> struct(i as start, xxhash64(array_join(slice(toks, i, $n), ' ')) as g))")).as("x"))
       .select(col("doc_id"), col("x.start").as("start"), col("x.g").as("g"))
       .localCheckpoint(true)
     val crossDoc = grams.groupBy(col("g"))
@@ -479,7 +489,7 @@ object DedupOps extends QueryModule {
       |grams AS (
       |  SELECT doc_id, x.start, x.g FROM (
       |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 6),
-      |      i -> struct_pack(start := i, g := md5(array_to_string(t[i:i + 7], ' '))))) AS x
+      |      i -> struct_pack(start := i, g := array_to_string(t[i:i + 7], ' ')))) AS x
       |    FROM toks WHERE len(t) >= 8)),
       |crossdoc AS (
       |  SELECT g FROM grams GROUP BY g HAVING MIN(doc_id) <> MAX(doc_id)),
