@@ -514,7 +514,7 @@ object TextOps extends QueryModule {
     * sort, no window. */
   /** Word-frequency table — the ONLY corpus-proportional pass of the BPE
     * family (q101/q102). */
-  private def bpeWordFreq(s: SparkSession, d: String): DataFrame =
+  private[queries] def bpeWordFreq(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .select(explode(split(trim(col("text")), "\\s+")).as("word"))
       .filter(length(col("word")) >= 2)
@@ -525,7 +525,7 @@ object TextOps extends QueryModule {
     * merged 2-char word collapses to 1 symbol, and Spark's
     * sequence(1, 0) is a DESCENDING [1, 0] — not empty like DuckDB's
     * generate_series(1, 0) — so unguarded it would fabricate pairs. */
-  private def bpePairCounts(words: DataFrame, extra: Seq[String] = Nil): DataFrame =
+  private[queries] def bpePairCounts(words: DataFrame, extra: Seq[String] = Nil): DataFrame =
     words.filter(length(col("word")) >= 2)
       .select((col("freq") +: extra.map(col)) :+ explode(expr(
         "transform(sequence(1, length(word) - 1)," +
