@@ -1,0 +1,173 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Model-based quality scoring — the CCNet-shaped n-gram LM gate
+  * (Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+  * Datasets from Web Crawl Data": score every document by LM
+  * log-likelihood, drop the worst tail; KenLM's 5-gram stands in
+  * production, an add-one-smoothed bigram model here — the rule SHAPE is
+  * the published one, cf. q84's static rare-bigram approximation which
+  * this supersedes as the model-based family member).
+  *
+  * Per doc: avg log p(w_i | w_{i-1}) with p = (c(bigram)+1) / (c(prev)+V),
+  * counts trained on the corpus itself; docs below the corpus 10th
+  * percentile are flagged.
+  *
+  * Bit-portability is the whole game here, and ln() is NOT portable:
+  * JVM `Math.log` and DuckDB's libm disagree in the last ulp on ~0.03%
+  * of inputs (measured on a 79k-ratio battery this round). So the score
+  * uses a PORTABLE ln, generated once and emitted to both dialects
+  * ([[PortableLn]]): range-reduce an integer argument by its bit length
+  * (`length(bin(n))-1`, exact), mantissa in [1,2) by an exact
+  * power-of-two division, then a fixed-order Horner atanh series —
+  * every step an IEEE correctly-rounded +,-,*,/ both engines compute
+  * identically. Accuracy ~1 ulp of true ln (series truncation at t^35,
+  * |t| < 1/3); determinism exact.
+  *
+  * Scale shape: the two corpus-proportional passes are the unigram and
+  * bigram hash aggregations (map-side combine absorbs the zipf head);
+  * scoring joins transitions back on the SAME keys the aggregations
+  * partitioned by (bigram, then prefix) — the q84 corpus-statistics
+  * join, never a window. The per-doc sum is an ordered fold over a
+  * doc-length-bounded array (the graft_dot discipline — order fixed by
+  * transition position, so the IEEE sum is partitioning-invariant). The
+  * only driver-adjacent state is two 1-row scalars (vocabulary size,
+  * p10 threshold) attached via the enforced ≤1-row
+  * [[graft.Scalars.withScalar]]. Exact `percentile` holds one value per
+  * doc; at 100 TB swap approx_percentile (q56's tolerance-oracle
+  * pattern) if that collection is too wide.
+  */
+object LmOps extends QueryModule {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  /** Generated portable ln over a positive BIGINT expression, emitted as
+    * staged column definitions for either dialect. Literals use
+    * e-notation (`1e0`) which lexes as DOUBLE in BOTH engines — plain
+    * `1.0` is DECIMAL in both, and decimal/decimal division would
+    * diverge from the double path. */
+  private[queries] object PortableLn {
+    /** 1 + t2*(1/3 + t2*(1/5 + ... + t2*(1/35))) — fixed-order Horner. */
+    private def horner(t2: String): String = {
+      val inner = (33 to 3 by -2).foldLeft("(1e0/35e0)") { (acc, den) =>
+        s"((1e0/${den}e0) + ($t2 * $acc))"
+      }
+      s"(1e0 + ($t2 * $inner))"
+    }
+    /** Staged (name, expr) pairs computing ln(x) into column `ln<sfx>`;
+      * stages may reference earlier ones (withColumn chain in Spark,
+      * one CTE per stage in the oracle). Only the power-of-two divisor
+      * spelling differs per dialect. */
+    def steps(x: String, sfx: String, spark: Boolean): Seq[(String, String)] = {
+      val pow2 =
+        if (spark) s"cast(shiftleft(cast(1 as bigint), k$sfx) as double)"
+        else s"CAST((CAST(1 AS BIGINT) << k$sfx) AS DOUBLE)"
+      Seq(
+        s"k$sfx" -> s"(length(bin($x)) - 1)",
+        s"m$sfx" -> s"(cast($x as double) / $pow2)",
+        s"t$sfx" -> s"((m$sfx - 1e0) / (m$sfx + 1e0))",
+        s"t2$sfx" -> s"(t$sfx * t$sfx)",
+        s"ln$sfx" ->
+          s"((2e0 * (t$sfx * ${horner(s"t2$sfx")})) + (cast(k$sfx as double) * 6.931471805599453e-1))")
+    }
+  }
+
+  /** q106: bigram-LM perplexity gate. add-one smoothing keeps every
+    * probability strictly inside (0,1) so the score is total; the
+    * numerator `bcnt+1` and denominator `ucnt+V` stay integers until the
+    * portable-ln, and the per-doc mean divides once. */
+  private def q106(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .localCheckpoint(true) // two consumers: transitions + unigrams
+    val trans = base
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1)," +
+          " i -> struct(i as pos, toks[i-1] as prev, toks[i] as cur))")).as("x"))
+      .select(col("doc_id"), col("x.pos").as("pos"),
+        col("x.prev").as("prev"), col("x.cur").as("cur"))
+      .localCheckpoint(true) // two consumers: bigram counts + probe
+    val uni = base.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("ucnt"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bc = trans.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("bcnt"))
+    val joined = graft.Scalars.withScalar(
+      trans.join(bc, Seq("prev", "cur"))
+        .join(uni.withColumnRenamed("w", "prev"), Seq("prev")),
+      vocab)
+    val lnCols = PortableLn.steps("(bcnt + 1)", "a", spark = true) ++
+      PortableLn.steps("(ucnt + v)", "b", spark = true)
+    val scored = lnCols.foldLeft(joined) { case (df, (name, e)) =>
+      df.withColumn(name, expr(e))
+    }
+    val perDoc = scored
+      .withColumn("lp", expr("lna - lnb"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_transitions"),
+        expr("aggregate(array_sort(collect_list(struct(pos, lp)))," +
+          " cast(0 as double), (a, x) -> a + x.lp)").as("lp_sum"))
+      .select(col("doc_id"), col("n_transitions"),
+        (col("lp_sum") / col("n_transitions").cast("double")).as("avg_logprob"))
+      .localCheckpoint(true) // two consumers: threshold + output
+    val thr = perDoc.agg(expr("percentile(avg_logprob, 0.1)").as("lp_p10"))
+    graft.Scalars.withScalar(perDoc, thr)
+      .select(col("doc_id"), col("n_transitions"), col("avg_logprob"),
+        col("lp_p10"), (col("avg_logprob") < col("lp_p10")).as("flagged_low_quality"))
+      .orderBy("doc_id")
+  }
+
+  private def q106Sql: String = {
+    def stageCtes(from: String): (String, Seq[String]) = {
+      val a = PortableLn.steps("(bcnt + 1)", "a", spark = false)
+      val b = PortableLn.steps("(ucnt + v)", "b", spark = false)
+      // stage i of both instances lands in one CTE so each stage only
+      // references the previous CTE
+      val staged = a.zip(b).zipWithIndex.map { case (((na, ea), (nb, eb)), i) =>
+        val src = if (i == 0) from else s"l$i"
+        s"l${i + 1} AS (SELECT *, $ea AS $na, $eb AS $nb FROM $src)"
+      }
+      (s"l${a.size}", staged)
+    }
+    val (lastStage, lnCtes) = stageCtes("j0")
+    s"""WITH base AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 2),
+       |trans AS (
+       |  SELECT doc_id, i AS pos, toks[i] AS prev, toks[i + 1] AS cur
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+       |        FROM base)),
+       |uni AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS ucnt
+       |  FROM (SELECT unnest(toks) AS w FROM base) GROUP BY w),
+       |vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+       |bc AS (
+       |  SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS bcnt
+       |  FROM trans GROUP BY prev, cur),
+       |j0 AS (
+       |  SELECT t.doc_id, t.pos, b.bcnt, u.ucnt, (SELECT v FROM vv) AS v
+       |  FROM trans t JOIN bc b USING (prev, cur) JOIN uni u ON u.w = t.prev),
+       |${lnCtes.mkString(",\n")},
+       |pd AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(lna - lnb ORDER BY pos)),
+       |      (a, x) -> a + x) AS lp_sum
+       |  FROM $lastStage GROUP BY doc_id),
+       |pd2 AS (
+       |  SELECT doc_id, n_transitions,
+       |    lp_sum / CAST(n_transitions AS DOUBLE) AS avg_logprob
+       |  FROM pd),
+       |thr AS (SELECT quantile_cont(avg_logprob, 0.1) AS lp_p10 FROM pd2)
+       |SELECT doc_id, n_transitions, avg_logprob,
+       |  (SELECT lp_p10 FROM thr) AS lp_p10,
+       |  avg_logprob < (SELECT lp_p10 FROM thr) AS flagged_low_quality
+       |FROM pd2 ORDER BY doc_id""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q106_lm_perplexity", q106, Some(q106Sql)))
+}
