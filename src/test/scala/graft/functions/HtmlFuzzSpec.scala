@@ -70,4 +70,50 @@ class HtmlFuzzSpec extends SparkSpec {
       .select(col("x.main_text")).collect().map(_.getString(0))
     assert(again.toSeq === rows.map(_.getString(3)).toSeq)
   }
+
+  test("adversarial unicode: total, markup-free, and codegen == interpreted") {
+    val rnd = new scala.util.Random(4242)
+    // BOM, NUL, lone surrogates (invalid UTF-16 the UTF8String layer must
+    // normalize once at ingestion), RTL/zero-width marks, combining
+    // diacritics, astral plane — injected into text AND attribute space.
+    val salts = Seq("\uFEFF", "\u0000", "\uD800", "\uDC00",
+      "\uD83D\uDE00", "\u200F", "\u200D", "e\u0301", "\u202E", "\uFFFD")
+    val frags = Seq(
+      "<p>", "</p>", "<div class=\"a b\">", "</div>",
+      "<script>x = \"\uD800 \u0000\";</script>",
+      "<!-- \uFEFF comment \uD83D\uDE00 -->",
+      "<a href=\"/\u200F\">anchor \uFEFF text body</a>",
+      "plain \uFEFF content that is long enough to clear the length gate",
+      "mixed e\u0301\u200D\uD83D\uDE00 text run of sufficient length here")
+    val soups = (1 to 120).map { _ =>
+      (1 to 1 + rnd.nextInt(25)).map { _ =>
+        val f = frags(rnd.nextInt(frags.length))
+        if (rnd.nextBoolean()) salts(rnd.nextInt(salts.length)) + f else f
+      }.mkString(" ")
+    }
+    def run(): Seq[(String, Long, Long, Long)] = soups.toDF("html")
+      .select(Html.extract(Html.blocks(col("html"))).as("x"))
+      .select(col("x.main_text"), col("x.n_blocks"), col("x.n_kept"),
+        col("x.n_link_dropped"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val viaCodegen = run()
+    viaCodegen.foreach { case (mt, nb, nk, nl) =>
+      assert(!mt.contains("<") && !mt.contains(">"), s"markup leaked: '$mt'")
+      assert(nk + nl <= nb && nk >= 0 && nl >= 0 && nb >= 0)
+    }
+    // same plan through the interpreted expression path: any divergence
+    // between a regex/array expression's doGenCode and its eval on
+    // surrogate-bearing inputs fails here mechanically
+    val (ws, fm) = (spark.conf.get("spark.sql.codegen.wholeStage"),
+      spark.conf.get("spark.sql.codegen.factoryMode"))
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      assert(run() === viaCodegen, "codegen vs interpreted drift")
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", ws)
+      spark.conf.set("spark.sql.codegen.factoryMode", fm)
+    }
+  }
 }

@@ -65,4 +65,40 @@ class ContainersFuzzSpec extends AnyFunSuite {
     }
     assert(parsed === 0, s"$parsed random blobs parsed as audio")
   }
+
+  test("adversarial unicode byte sequences: total, deterministic, sane columns") {
+    // Real-world metadata blocks (ID3 text frames, MKV strings) carry
+    // encoded text; adversarial encodings must neither throw nor skew
+    // the derived numeric columns: UTF-8/UTF-16 BOMs, overlong
+    // encodings, lone-surrogate UTF-8 (CESU-style ED A0 80), NUL runs.
+    val unicodeSalts: Seq[Array[Byte]] = Seq(
+      Array(0xef, 0xbb, 0xbf).map(_.toByte),             // UTF-8 BOM
+      Array(0xfe, 0xff).map(_.toByte),                   // UTF-16 BE BOM
+      Array(0xff, 0xfe).map(_.toByte),                   // UTF-16 LE BOM
+      Array(0xc0, 0x80).map(_.toByte),                   // overlong NUL
+      Array(0xed, 0xa0, 0x80).map(_.toByte),             // lone surrogate
+      Array[Byte](0, 0, 0, 0),                           // NUL run
+      Array(0xf4, 0x90, 0x80, 0x80).map(_.toByte))       // > U+10FFFF
+    val rnd2 = new scala.util.Random(9876)
+    (0 until 120).foreach { i =>
+      val salt = unicodeSalts(i % unicodeSalts.length)
+      val body = {
+        val a = new Array[Byte](64 + rnd2.nextInt(128)); rnd2.nextBytes(a); a
+      }
+      // salt placed straight after each magic (where ID3 frame text /
+      // EBML doc-type strings live) and repeated through the body
+      magics.foreach { m =>
+        val blob = m ++ salt ++ body.grouped(16).flatMap(_ ++ salt).toArray
+        val first = (Containers.parseMp4(blob), Containers.parseMkv(blob),
+          Containers.parseMp3(blob), Containers.parseAacAdts(blob))
+        val second = (Containers.parseMp4(blob), Containers.parseMkv(blob),
+          Containers.parseMp3(blob), Containers.parseAacAdts(blob))
+        assert(first === second, "non-deterministic parse")
+        first._1.foreach(m4 => assert(m4.durationMs >= 0))
+        first._2.foreach(mk => assert(mk.durationMs >= 0))
+        first._3.foreach(m3 => assert(m3.durationMs >= 0 && m3.sampleRate > 0))
+        first._4.foreach(aa => assert(aa.durationMs >= 0 && aa.sampleRate > 0))
+      }
+    }
+  }
 }
