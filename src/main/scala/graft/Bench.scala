@@ -19,6 +19,43 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
         spark.catalog.clearCache()
       }
+    // Noise calibration (round-10 verdict ask): rounds 7-9 each burned a
+    // session separating host drift from code changes by hand. Before the
+    // timed pass, measure (a) a pure-compute probe with no I/O and no
+    // code under test — range → xxhash64 → sum, CPU/scheduler-bound —
+    // and (b) three sentinel queries whose code has been byte-stable
+    // since round 8 (the judge's own r9 noise probes). noise_factor =
+    // median ratio against REF values pinned from the round-10 box; a
+    // future round reading BENCH_r{N} divides its per-query deltas by
+    // this factor before calling anything a regression. The probe query
+    // uses its own literal range so a sentinel rename can't break it.
+    def timeMin(n: Int)(body: => Unit): Double =
+      (1 to n).map { _ =>
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }.min
+    val calibRef = Map( // seconds, round-10 box (idle), sf0.1, min of 3
+      "cpu" -> 0.134, "q10" -> 0.129, "q11" -> 0.123, "q15" -> 0.061)
+    val sentinels = Seq("q10", "q11", "q15")
+    val calib: Map[String, Double] = {
+      import org.apache.spark.sql.functions.{col, sum => fsum, xxhash64}
+      // double sum: an ANSI long sum of 4e8 full-range hashes overflows
+      val cpu = timeMin(3)(
+        spark.range(400000000L)
+          .select(fsum(xxhash64(col("id")).cast("double"))).collect())
+      val sq = sorted.filter(q => sentinels.contains(q._1.takeWhile(_ != '_')))
+        .map { case (name, fn) =>
+          val t = timeMin(3) { fn(spark, sfDir).count(); spark.catalog.clearCache() }
+          name.takeWhile(_ != '_') -> t
+        }
+      (("cpu" -> cpu) +: sq).toMap
+    }
+    val noiseFactor = {
+      val ratios = calib.collect {
+        case (k, v) if calibRef.contains(k) => v / calibRef(k)
+      }.toSeq.sorted
+      if (ratios.isEmpty) 1.0 else ratios(ratios.size / 2)
+    }
+    System.gc()
     // Two timed runs per query, min reported: single runs at local[32]
     // swing ±20% from GC/scheduler noise; the min is the steady-state
     // signal (standard bench practice, declared in the JSON as agg=min).
@@ -53,13 +90,15 @@ object Bench {
     val qsShort = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
     }.mkString("{", ",", "}")
+    val calibJson = calib.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":2,"agg":"min","queries":$qsShort,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":2,"agg":"min","noise_factor":${fmt(noiseFactor)},"queries":$qsShort,"sf":"$sfDir"}"""
     println(line)
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val lineFull =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"agg":"min","queries":$qsFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"agg":"min","noise_factor":$noiseFactor,"calib":$calibJson,"queries":$qsFull,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_SELF.json"), lineFull + "\n")
     catch { case _: Throwable => () }
