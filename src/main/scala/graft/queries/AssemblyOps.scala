@@ -1,0 +1,236 @@
+package graft.queries
+
+import graft.{Scalars, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators — the steps BETWEEN cleaning/dedup and the
+  * trainer that an actual pretraining data pipeline runs:
+  *
+  *  - q109: duplicate-cluster REPRESENTATIVE selection — q28/q40 find
+  *    near-dup pairs, q42 labels components; this picks which member of
+  *    each cluster survives (best quality, deterministic tie-break), the
+  *    "keep one per cluster" action every dedup paper specifies (e.g.
+  *    Lee et al. 2022 §3 keep-one; RefinedWeb §3.2).
+  *  - q110: token-budget selection — pretraining mixes are budgeted in
+  *    TOKENS, not documents; select docs per source in deterministic
+  *    md5-ticket order until the source's token budget fills (greedy
+  *    fill: the doc that crosses the boundary is kept).
+  *  - q111: fractional epoch upsampling — mixture weights prescribe
+  *    non-integer repetition counts (LLaMA's Wikipedia 2.45 epochs,
+  *    Touvron et al. 2023 Table 1); emit floor(r) full copies plus one
+  *    more for a deterministic md5-ticket fraction of docs.
+  *
+  * All three are oracled against the one-level/windowed DuckDB
+  * restatement, so hash equality proves the scale-shaped decompositions
+  * exact (the q92/q93 proof pattern).
+  */
+object AssemblyOps extends QueryModule {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  /** q109 — keep-best-per-duplicate-cluster.
+    *
+    * Quality proxy = n_chars (longest member wins, ties to the lowest
+    * doc_id); a production deployment swaps in a model score through the
+    * same aggregation. The winner is an AGGREGATION-based argmax —
+    * min(struct(-quality, doc_id)) per cluster — not a row_number window:
+    * hash aggregation with map-side partials, no per-cluster sort, and no
+    * corpus-proportional window partition anywhere.
+    *
+    * 100 TB shape: every per-cluster computation runs on the near-dup
+    * SUBGRAPH only (docs touched by a q27 edge — sparse by construction),
+    * reached from the corpus via a broadcast join; singletons never enter
+    * a shuffle at all. The corpus-side plan is scan → two broadcast hash
+    * joins → project; the only corpus-wide exchange is the deterministic
+    * output orderBy, which a real pipeline drops. */
+  private def q109(s: SparkSession, d: String): DataFrame = {
+    val labels = PipelineOps.clusterLabels(s, d) // edge-touched docs only
+    val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+    // Scores for clustered docs: corpus ⋈ broadcast(labels) — tiny result.
+    val scored = docs.join(broadcast(labels), Seq("doc_id"))
+    val winners = scored.groupBy(col("cluster_id"))
+      .agg(
+        min(struct((-col("n_chars")).as("negq"), col("doc_id").as("doc_id")))
+          .as("w"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("cluster_id"), col("w.doc_id").as("keep_doc"),
+        col("cluster_size"))
+    docs
+      .join(broadcast(labels), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        col("n_chars"))
+      .join(broadcast(winners), Seq("cluster_id"), "left")
+      .select(col("doc_id"), col("cluster_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        col("n_chars").as("quality"),
+        // Singletons (no winner row) are their own representative.
+        coalesce(col("doc_id") === col("keep_doc"), lit(true)).as("keep"))
+      .orderBy("doc_id")
+  }
+  private val q109Sql = PipelineOps.ccCte +
+    """,
+      |scored AS (
+      |  SELECT l.doc_id, l.cluster_id, d.n_chars
+      |  FROM labels l JOIN documents d ON l.doc_id = d.doc_id),
+      |winners AS (
+      |  SELECT cluster_id, doc_id AS keep_doc FROM (
+      |    SELECT cluster_id, doc_id,
+      |      ROW_NUMBER() OVER (PARTITION BY cluster_id
+      |        ORDER BY n_chars DESC, doc_id) AS rn
+      |    FROM scored) w WHERE rn = 1)
+      |SELECT s.doc_id, s.cluster_id, z.cluster_size, s.n_chars AS quality,
+      |  s.doc_id = w.keep_doc AS keep
+      |FROM scored s JOIN winners w ON s.cluster_id = w.cluster_id
+      |  JOIN sizes2 z ON s.cluster_id = z.cluster_id
+      |ORDER BY s.doc_id""".stripMargin
+
+  /** q110 — per-source token-budget selection (greedy ticket-order fill).
+    *
+    * Budget = 30% of each source's tokens, integer-exact ((3·total) div
+    * 10); selection order is the deterministic smallest-md5-ticket order
+    * (q53/q93 family — membership is a pure function of the data). A doc
+    * is kept iff its FIRST token lands inside the budget, so the
+    * boundary-crossing doc is kept (greedy fill) and the kept set is a
+    * prefix of the ticket order — exactly how a token-budgeted mix is
+    * cut in practice.
+    *
+    * Scale shape: the per-source running token sum is the q92/q93
+    * TWO-LEVEL decomposition — a window partitioned by raw `source`
+    * alone would sort corpus/|sources| rows in ONE task (source
+    * cardinality does not grow with the corpus). Tickets' leading k hex
+    * chars (ticketPrefixFor, 16^k ≈ √n uniform buckets) bucket the
+    * order-by key space; bucket-local cumsum windows see ~√n rows, the
+    * per-bucket summary window sees 16^k ≈ √n rows per source, and the
+    * composition is integer-exact. The oracle states the ONE-level
+    * running sum — hash equality proves the decomposition. */
+  private def q110(s: SparkSession, d: String): DataFrame = {
+    val k = PipelineOps.ticketPrefixFor(t(s, d, "documents").count())
+    // Referenced twice (bucket offsets + the probe): materialize per the
+    // QueryModule convention so text is tokenized and hashed once.
+    val tok = t(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tokens"),
+        md5(concat_ws("|", lit("budget"), col("doc_id"))).as("tkt"))
+      .withColumn("bucket", substring(col("tkt"), 1, k))
+      .localCheckpoint(true)
+    val budgets = tok.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("total_tokens"))
+      .select(col("source"), expr("(3 * total_tokens) div 10").as("budget"))
+    val wLocal = Window.partitionBy(col("source"), col("bucket"))
+      .orderBy(col("tkt"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBuckets = Window.partitionBy(col("source")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = tok.groupBy(col("source"), col("bucket"))
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+      .select(col("source"), col("bucket"),
+        coalesce(sum(col("bucket_tokens")).over(wBuckets), lit(0L))
+          .as("bucket_offset"))
+    tok
+      .withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
+      .join(offsets, Seq("source", "bucket"))
+      .withColumn("cum_tokens", col("bucket_offset") + col("local_cum"))
+      .join(broadcast(budgets), "source")
+      .filter(col("cum_tokens") - col("n_tokens") < col("budget"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"), col("budget"))
+      .orderBy("doc_id")
+  }
+  private val q110Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |    md5('budget|' || CAST(doc_id AS VARCHAR)) AS tkt
+      |  FROM documents),
+      |b AS (
+      |  SELECT source,
+      |    (3 * CAST(SUM(n_tokens) AS BIGINT)) // 10 AS budget
+      |  FROM tok GROUP BY source),
+      |cum AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY tkt, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_tokens
+      |  FROM tok)
+      |SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens, b.budget
+      |FROM cum c JOIN b USING (source)
+      |WHERE c.cum_tokens - c.n_tokens < b.budget
+      |ORDER BY c.doc_id""".stripMargin
+
+  /** q111 — fractional epoch upsampling toward source balance.
+    *
+    * Repetition factor r_s = min(4, √(max_docs / n_docs_s)) — the α=0.5
+    * temperature point of the p ∝ n^α family applied as EPOCH counts
+    * (√ because IEEE sqrt is correctly rounded in both engines, the q93
+    * precedent), capped so no source repeats more than 4×. Every doc
+    * emits floor(r_s) full copies; a deterministic md5-ticket fraction
+    * (r_s − floor(r_s)) of docs emits one more. The fractional test
+    * compares the ticket's first 7 hex chars against the threshold
+    * rendered as FIXED-WIDTH LOWERCASE HEX — fixed-length hex orders
+    * like its numeric value (the q100 idiom), so neither engine parses
+    * hex. r_s ≥ 1 by construction (max/n ≥ 1), so `sequence(1, n)` never
+    * sees an empty/reversed range (Spark would infer step −1, not empty).
+    *
+    * Scale shape: per-source stats are |sources| rows (broadcast);
+    * copy emission is a row-local explode — corpus-linear output, zero
+    * shuffles beyond the output orderBy. The 1-row global max attaches
+    * via Scalars.withScalar (enforced ≤1-row broadcast). */
+  private def q111(s: SparkSession, d: String): DataFrame = {
+    val stats = t(s, d, "documents").groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val m = stats.agg(max(col("n_docs")).as("m_docs"))
+    val plan = Scalars.withScalar(stats, m)
+      .withColumn("reps",
+        least(lit(4.0), sqrt(col("m_docs").cast("double") /
+          col("n_docs").cast("double"))))
+      .select(col("source"),
+        floor(col("reps")).cast("bigint").as("full_copies"),
+        lpad(lower(hex(
+          floor((col("reps") - floor(col("reps"))) * lit(268435456.0))
+            .cast("bigint"))), 7, "0").as("thresh_hex"))
+    t(s, d, "documents").select(col("doc_id"), col("source"))
+      .join(broadcast(plan), "source")
+      .withColumn("n_copies",
+        col("full_copies") +
+          when(substring(md5(concat_ws("|", lit("up"), col("doc_id"))), 1, 7)
+            < col("thresh_hex"), 1L).otherwise(0L))
+      .select(col("doc_id"), col("source"), col("n_copies"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"))
+      .orderBy("doc_id", "copy_idx")
+  }
+  private val q111Sql =
+    """WITH st AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY source),
+      |m AS (SELECT MAX(n_docs) AS m_docs FROM st),
+      |r AS (
+      |  SELECT st.source, st.n_docs,
+      |    LEAST(CAST(4.0 AS DOUBLE),
+      |      SQRT(CAST(m.m_docs AS DOUBLE) / CAST(st.n_docs AS DOUBLE))) AS reps
+      |  FROM st, m),
+      |p AS (
+      |  SELECT source,
+      |    CAST(FLOOR(reps) AS BIGINT) AS full_copies,
+      |    lpad(lower(hex(CAST(FLOOR((reps - FLOOR(reps)) *
+      |      CAST(268435456.0 AS DOUBLE)) AS BIGINT))), 7, '0') AS thresh_hex
+      |  FROM r),
+      |c AS (
+      |  SELECT d.doc_id, d.source,
+      |    p.full_copies + CASE
+      |      WHEN substr(md5('up|' || CAST(d.doc_id AS VARCHAR)), 1, 7)
+      |        < p.thresh_hex THEN 1 ELSE 0 END AS n_copies
+      |  FROM documents d JOIN p USING (source))
+      |SELECT * FROM (
+      |  SELECT doc_id, source, n_copies,
+      |    unnest(generate_series(1, n_copies)) AS copy_idx
+      |  FROM c) x
+      |ORDER BY doc_id, copy_idx""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q109_cluster_best", q109, Some(q109Sql)),
+    Q("q110_token_budget", q110, Some(q110Sql)),
+    Q("q111_epoch_upsample", q111, Some(q111Sql)))
+}

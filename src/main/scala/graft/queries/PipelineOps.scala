@@ -56,20 +56,7 @@ object PipelineOps extends QueryModule {
     *
     * Singletons are their own cluster. */
   private def q42(s: SparkSession, d: String): DataFrame = {
-    // The verified-pair artifact is memoized (and already materialized
-    // with lineage cut) inside DedupOps: when q27 ran earlier in the same
-    // JVM, the shingle join is not re-executed here — BENCH_r04's slowest
-    // query was q42 purely from that duplication.
-    val pairs = DedupOps.verifiedPairs(s, d).select(col("doc_a"), col("doc_b"))
-    // localCheckpoint, not cache, throughout: materialized with lineage
-    // CUT, so iterative plans stay constant-size and freeing an old round
-    // can never cascade into CacheManager recompiles (see QueryModule).
-    val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .distinct().localCheckpoint(true)
-    val labels =
-      if (edges.count() <= DriverCcMaxEdges) driverComponents(s, edges)
-      else distributedComponents(edges)
+    val labels = clusterLabels(s, d)
     // Singletons rejoin: label = own doc_id where no edge touched the doc,
     // size = 1 where no component size exists. Both joins have the small
     // label-side on the right (auto-broadcast), so the corpus is never
@@ -87,6 +74,27 @@ object PipelineOps extends QueryModule {
         coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
         (col("doc_id") === col("cluster_id")).as("is_canonical"))
       .orderBy("doc_id")
+  }
+
+  /** Connected-component labels (doc_id → cluster_id = component min)
+    * over the q27 near-dup pairs, covering ONLY edge-touched docs —
+    * singletons are the caller's coalesce. Shared by q42 (cluster
+    * assignment) and AssemblyOps.q109 (representative selection).
+    *
+    * The verified-pair artifact is memoized (and already materialized
+    * with lineage cut) inside DedupOps: when q27 ran earlier in the same
+    * JVM, the shingle join is not re-executed here — BENCH_r04's slowest
+    * query was q42 purely from that duplication. localCheckpoint, not
+    * cache, throughout: materialized with lineage CUT, so iterative plans
+    * stay constant-size and freeing an old round can never cascade into
+    * CacheManager recompiles (see QueryModule). */
+  private[queries] def clusterLabels(s: SparkSession, d: String): DataFrame = {
+    val pairs = DedupOps.verifiedPairs(s, d).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .distinct().localCheckpoint(true)
+    if (edges.count() <= DriverCcMaxEdges) driverComponents(s, edges)
+    else distributedComponents(edges)
   }
 
   /** Driver-side exact components for small edge sets: union-find with
@@ -164,7 +172,11 @@ object PipelineOps extends QueryModule {
     labels
   }
 
-  private val q42Sql =
+  /** DuckDB restatement of the near-dup → connected-components chain
+    * (everything up to `labels` = per-doc cluster_id over ALL docs,
+    * `sizes2` = per-cluster sizes). Shared prefix of the q42 and q109
+    * oracles so the CC spec is stated once. */
+  private[queries] val ccCte =
     """WITH RECURSIVE docs AS (
       |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
       |  WHERE len(string_split(text, ' ')) >= 3),
@@ -193,7 +205,10 @@ object PipelineOps extends QueryModule {
       |    least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id
       |  FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
       |  GROUP BY d.doc_id),
-      |sizes2 AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY cluster_id)
+      |sizes2 AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY cluster_id)""".stripMargin
+
+  private val q42Sql = ccCte +
+    """
       |SELECT doc_id, labels.cluster_id, cluster_size,
       |       doc_id = labels.cluster_id AS is_canonical
       |FROM labels JOIN sizes2 ON labels.cluster_id = sizes2.cluster_id
