@@ -515,6 +515,159 @@ object DedupOps extends QueryModule {
       |FROM islands GROUP BY doc_id, island
       |ORDER BY doc_id, span_start""".stripMargin
 
+  /** q112 — incremental dedup: screen a NEW BATCH against a PERSISTED
+    * index of the existing corpus. The production shape at 100 TB: the
+    * corpus is indexed once (exact-hash table + MinHash band table,
+    * written as parquet), and each incoming crawl probes the index —
+    * the full corpus text is never re-scanned, re-shingled, or
+    * re-sketched per batch.
+    *
+    * Batch split is deterministic (doc_id % 5 = 0 plays the new crawl,
+    * the rest the existing corpus) so the oracle reproduces it. Two
+    * probe paths, mirroring q26 and q28:
+    *  - exact: md5 of whitespace/case-normalized text against the
+    *    persisted (norm_key → min doc_id) table;
+    *  - near: the batch's 4×4 MinHash bands equi-join the persisted
+    *    band table; candidates verify with exact shingle Jaccard ≥ 0.5,
+    *    best match per batch doc by aggregation argmax (max jaccard,
+    *    ties to the lowest base doc_id — min(struct(-j, id)), q109's
+    *    no-window idiom).
+    * Verdict precedence: exact > near > novel. near_jaccard reports the
+    * best verified candidate whenever one exists (it can be non-NULL on
+    * an exact dup — the identical doc band-matches at J = 1).
+    *
+    * Scale: the index build is one corpus pass (amortized across every
+    * future batch); the probe side shuffles only batch-sized band/hash
+    * keys; shingle verification touches candidate docs only (semi-join
+    * before the shingle transform, q28's shape). At real scale the two
+    * index tables live partitioned/bucketed by their join key, so the
+    * probe is a co-located or broadcast join with no index-side
+    * re-shuffle; here they round-trip through scratch parquet to keep
+    * the persist → probe boundary honest. */
+  private def q112(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.Scratch.dir("dedupidx", s, d)
+    val alldocs = t(s, d, "documents")
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("norm_key"),
+        split(col("text"), " ").as("toks"))
+    val base = alldocs.filter(col("doc_id") % 5 =!= 0)
+    val batch = alldocs.filter(col("doc_id") % 5 === 0).localCheckpoint(true)
+    // Persist the index: exact-hash table + band table (the one-time
+    // corpus pass a production pipeline amortizes over every batch).
+    base.groupBy(col("norm_key")).agg(min(col("doc_id")).as("exact_doc"))
+      .write.mode("overwrite").parquet(s"$dir/exact")
+    val mhBands = (df: DataFrame) => df
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), expr("graft_minhash(toks, 3, 16)").as("mh"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, 3), b ->
+          |  struct(b AS band,
+          |         concat_ws(',', mh[b*4], mh[b*4+1], mh[b*4+2], mh[b*4+3]) AS sig))"""
+          .stripMargin)).as("bs"))
+      .select(col("doc_id"), col("bs.band"), col("bs.sig"))
+    mhBands(base).write.mode("overwrite").parquet(s"$dir/bands")
+    // Probe. Candidates: batch bands × persisted band index — the only
+    // index-sized join, keyed on (band, sig).
+    val bandIdx = s.read.parquet(s"$dir/bands")
+      .select(col("doc_id").as("base_doc"), col("band"), col("sig"))
+    val cand = mhBands(batch)
+      .join(bandIdx, Seq("band", "sig"))
+      .select(col("doc_id").as("batch_doc"), col("base_doc"))
+      .distinct()
+      .localCheckpoint(true)
+    // Verify candidates: shingle sets for CANDIDATE docs only (semi-join
+    // precedes the shingle transform — work ∝ candidates, not corpus).
+    val candDocs = cand.select(col("batch_doc").as("doc_id"))
+      .union(cand.select(col("base_doc").as("doc_id"))).distinct()
+    val candSets = alldocs.join(broadcast(candDocs), "doc_id")
+      .select(col("doc_id"),
+        array_distinct(expr(
+          "transform(sequence(1, size(toks) - 2), i -> array_join(slice(toks, i, 3), ' '))"))
+          .as("shs"))
+      .localCheckpoint(true)
+    val best = cand
+      .join(broadcast(candSets.select(col("doc_id").as("batch_doc"), col("shs").as("shs_a"))), "batch_doc")
+      .join(broadcast(candSets.select(col("doc_id").as("base_doc"), col("shs").as("shs_b"))), "base_doc")
+      .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("shs_a")) + size(col("shs_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .groupBy(col("batch_doc"))
+      .agg(min(struct((-col("jaccard")).as("nj"), col("base_doc").as("base_doc"))).as("w"))
+      .select(col("batch_doc").as("doc_id"), col("w.base_doc").as("near_doc"),
+        (-col("w.nj")).as("near_jaccard"))
+    batch.select(col("doc_id"), col("norm_key"))
+      .join(s.read.parquet(s"$dir/exact"), Seq("norm_key"), "left")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_doc").isNotNull, lit("exact"))
+          .when(col("near_doc").isNotNull, lit("near"))
+          .otherwise(lit("novel")).as("verdict"),
+        coalesce(col("exact_doc"), col("near_doc")).as("match_doc"),
+        col("near_jaccard"))
+      .orderBy("doc_id")
+  }
+  private val q112Sql =
+    """WITH alldocs AS (
+      |  SELECT doc_id,
+      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_key,
+      |    string_split(text, ' ') AS toks
+      |  FROM documents),
+      |exact_idx AS (
+      |  SELECT norm_key, MIN(doc_id) AS exact_doc FROM alldocs
+      |  WHERE doc_id % 5 <> 0 GROUP BY norm_key),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+      |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+      |        FROM alldocs WHERE len(toks) >= 3)),
+      |hv AS (
+      |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS hm
+      |  FROM sh),
+      |perms AS (
+      |  SELECT p, (1103515245 * (p + 1) + 12345) % 2147483647 AS a,
+      |         (69069 * (p + 1) + 1) % 2147483647 AS b
+      |  FROM (SELECT unnest(generate_series(0, 15)) AS p)),
+      |lanes AS (
+      |  SELECT doc_id, p, MIN((a * hm + b) % 2147483647) AS lane
+      |  FROM hv CROSS JOIN perms GROUP BY doc_id, p),
+      |bands AS (
+      |  SELECT doc_id, p // 4 AS band, string_agg(lane::VARCHAR, ',' ORDER BY p) AS sig
+      |  FROM lanes GROUP BY doc_id, p // 4),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS batch_doc, y.doc_id AS base_doc
+      |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig
+      |  WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |jac AS (
+      |  SELECT i.batch_doc, i.base_doc,
+      |    CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) AS jaccard
+      |  FROM (SELECT c.batch_doc, c.base_doc, COUNT(*) AS inter
+      |        FROM cand c JOIN sh a ON a.doc_id = c.batch_doc
+      |                    JOIN sh b ON b.doc_id = c.base_doc AND b.shingle = a.shingle
+      |        GROUP BY 1, 2) i
+      |  JOIN sizes sa ON i.batch_doc = sa.doc_id
+      |  JOIN sizes sb ON i.base_doc = sb.doc_id
+      |  WHERE CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= 0.5),
+      |best AS (
+      |  SELECT batch_doc, base_doc AS near_doc, jaccard AS near_jaccard
+      |  FROM (SELECT batch_doc, base_doc, jaccard,
+      |          ROW_NUMBER() OVER (PARTITION BY batch_doc
+      |            ORDER BY jaccard DESC, base_doc) AS rn
+      |        FROM jac)
+      |  WHERE rn = 1)
+      |SELECT d.doc_id,
+      |  CASE WHEN e.exact_doc IS NOT NULL THEN 'exact'
+      |       WHEN n.near_doc IS NOT NULL THEN 'near'
+      |       ELSE 'novel' END AS verdict,
+      |  COALESCE(e.exact_doc, n.near_doc) AS match_doc,
+      |  n.near_jaccard
+      |FROM alldocs d
+      |LEFT JOIN exact_idx e USING (norm_key)
+      |LEFT JOIN best n ON n.batch_doc = d.doc_id
+      |WHERE d.doc_id % 5 = 0
+      |ORDER BY d.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q26_dedup_exact", q26, Some(q26Sql)),
     Q("q27_dedup_ngram_jaccard", q27, Some(q27Sql)),
@@ -522,5 +675,6 @@ object DedupOps extends QueryModule {
     Q("q29_simhash_sketch", q29, Some(q29Sql)),
     Q("q30_simhash_pairs", q30, Some(q30Sql)),
     Q("q89_contamination", q89, Some(q89Sql)),
-    Q("q94_substring_dedup_spans", q94, Some(q94Sql)))
+    Q("q94_substring_dedup_spans", q94, Some(q94Sql)),
+    Q("q112_incremental_dedup", q112, Some(q112Sql)))
 }
