@@ -168,6 +168,162 @@ object LmOps extends QueryModule {
        |FROM pd2 ORDER BY doc_id""".stripMargin
   }
 
+  /** q113: multinomial Naive Bayes provenance/quality classifier — the
+    * model-based SUPERVISED gate beside q106's unsupervised LM (the
+    * fastText-classifier slot in the CCNet pipeline, Wenzek et al. 2020
+    * §4.4 / Joulin et al. 2017: production trains a linear classifier on
+    * labeled seed sets and scores the corpus; Naive Bayes is the
+    * closed-form member of that family, which is what makes an exact SQL
+    * oracle possible — training IS three hash aggregations).
+    *
+    * Train on docs with doc_id % 5 != 0 (label = `source`), score the
+    * held-out fifth: per (doc, class),
+    * `score = ln P(c) + Σ_i ln((c(w_i,c)+1)/(N_c+V))`, Laplace-smoothed.
+    * The unseen-word smoothing term is NOT a per-position join miss:
+    * `Σ_i ln(c+1) − n·ln(N_c+V)` splits the sum so unmatched positions
+    * contribute ln(0+1) = 0 EXACTLY — an inner token→counts join plus one
+    * integer-weighted subtraction replaces the dense doc×vocab probe.
+    * All ln arguments are integers → [[PortableLn]] keeps every score
+    * bit-identical in DuckDB; per-doc sums are position-ordered IEEE
+    * folds (the graft_dot discipline); argmax is the q109 aggregation
+    * idiom `min(struct(-score, class))` — no corpus window. The oracle
+    * restates the argmax as a per-doc ROW_NUMBER.
+    *
+    * Scale shape: the corpus-proportional passes are the (w, class)
+    * count aggregation (map-side combine absorbs the zipf head) and the
+    * test-token probe join, both hash-partitioned by token — never a
+    * window, never all-pairs. Everything else is vocabulary-sized
+    * (ln(c+1) is computed on the COUNT table, not per corpus token) or
+    * class-sized (the k-row stats table, broadcast); driver state is the
+    * enforced ≤1-row scalars (docs_total, V) and the k-element class
+    * array. */
+  private def q113(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "documents")
+      .filter(coalesce(trim(col("text")), lit("")) =!= "")
+      .select(col("doc_id"), col("source"),
+        split(trim(col("text")), "\\s+").as("toks"))
+      .localCheckpoint(true) // consumers: train stats ×3 + test probe + grid
+    val train = base.filter(col("doc_id") % 5 =!= 0)
+    val test = base.filter(col("doc_id") % 5 === 0)
+    val trainToks = train
+      .select(col("source").as("cls"), explode(col("toks")).as("w"))
+      .localCheckpoint(true) // consumers: (w, cls) counts + per-class mass
+    val wc = trainToks.groupBy(col("w"), col("cls"))
+      .agg(count(lit(1)).as("cnt"))
+    val cstats = train.groupBy(col("source").as("cls"))
+      .agg(count(lit(1)).as("docs_c"))
+    val ncs = trainToks.groupBy(col("cls")).agg(count(lit(1)).as("nc"))
+    val tot = train.agg(count(lit(1)).as("docs_total"))
+    val vv = wc.agg(count_distinct(col("w")).as("v"))
+    val clsLn = (PortableLn.steps("docs_c", "p", spark = true) ++
+      PortableLn.steps("docs_total", "t", spark = true) ++
+      PortableLn.steps("(nc + v)", "z", spark = true))
+      .foldLeft(graft.Scalars.withScalar(
+        graft.Scalars.withScalar(cstats.join(ncs, "cls"), tot), vv)) {
+        case (df, (n, e)) => df.withColumn(n, expr(e))
+      }
+      .select(col("cls"), col("lnp"), col("lnt"), col("lnz"))
+      .localCheckpoint(true) // k rows; consumers: class array + score join
+    val wcLn = PortableLn.steps("(cnt + 1)", "w", spark = true)
+      .foldLeft(wc) { case (df, (n, e)) => df.withColumn(n, expr(e)) }
+      .select(col("w"), col("cls"), col("lnw"))
+    val testToks = test.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("pos", "w")))
+    val matched = testToks.join(wcLn, Seq("w"))
+      .groupBy(col("doc_id"), col("cls"))
+      .agg(expr("aggregate(array_sort(collect_list(struct(pos, lnw)))," +
+        " cast(0 as double), (a, x) -> a + x.lnw)").as("msum"))
+    val classesArr = clsLn.agg(sort_array(collect_list(col("cls"))).as("classes"))
+    val grid = graft.Scalars.withScalar(
+      test.select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_toks")),
+      classesArr)
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        explode(col("classes")).as("cls"))
+    val scored = grid
+      .join(matched, Seq("doc_id", "cls"), "left")
+      .join(broadcast(clsLn), Seq("cls"))
+      .withColumn("score", expr(
+        "((lnp - lnt) + coalesce(msum, cast(0 as double)))" +
+          " - (cast(n_toks as double) * lnz)"))
+    scored.groupBy(col("doc_id"), col("source"))
+      .agg(min(struct((-col("score")).as("ns"), col("cls").as("cl"))).as("best"))
+      .select(col("doc_id"), col("source").as("actual_source"),
+        col("best.cl").as("predicted_source"),
+        (-col("best.ns")).as("nb_score"),
+        (col("best.cl") === col("source")).as("is_correct"))
+      .orderBy("doc_id")
+  }
+
+  /** Zipped staged-CTE emission for N [[PortableLn]] instances over one
+    * source relation: stage i of every instance lands in CTE `pfx{i+1}`,
+    * so each stage only references the previous CTE (the q106 pattern,
+    * generalized from 2 to N instances). Returns (last CTE name, CTEs). */
+  private def lnCtes(from: String, pfx: String,
+      insts: Seq[(String, String)]): (String, Seq[String]) = {
+    val stepss = insts.map { case (x, sfx) => PortableLn.steps(x, sfx, spark = false) }
+    val n = stepss.head.size
+    val ctes = (0 until n).map { i =>
+      val src = if (i == 0) from else s"$pfx$i"
+      val cols = stepss.map(st => s"${st(i)._2} AS ${st(i)._1}").mkString(", ")
+      s"$pfx${i + 1} AS (SELECT *, $cols FROM $src)"
+    }
+    (s"$pfx$n", ctes)
+  }
+
+  private def q113Sql: String = {
+    val (cLast, cCtes) = lnCtes("c0", "c",
+      Seq("docs_c" -> "p", "docs_total" -> "t", "(nc + v)" -> "z"))
+    val (wLast, wCtes) = lnCtes("w0", "wl", Seq("(cnt + 1)" -> "w"))
+    s"""WITH base AS (
+       |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |  WHERE COALESCE(trim(text), '') <> ''),
+       |train AS (SELECT * FROM base WHERE doc_id % 5 <> 0),
+       |test AS (SELECT * FROM base WHERE doc_id % 5 = 0),
+       |tt AS (SELECT source AS cls, unnest(toks) AS w FROM train),
+       |wc AS (SELECT w, cls, CAST(COUNT(*) AS BIGINT) AS cnt FROM tt GROUP BY w, cls),
+       |cs AS (SELECT source AS cls, CAST(COUNT(*) AS BIGINT) AS docs_c
+       |       FROM train GROUP BY source),
+       |ncs AS (SELECT cls, CAST(COUNT(*) AS BIGINT) AS nc FROM tt GROUP BY cls),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS docs_total FROM train),
+       |vv AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM wc),
+       |c0 AS (
+       |  SELECT cs.cls, docs_c, nc, (SELECT docs_total FROM tot) AS docs_total,
+       |    (SELECT v FROM vv) AS v
+       |  FROM cs JOIN ncs ON cs.cls = ncs.cls),
+       |${cCtes.mkString(",\n")},
+       |w0 AS (SELECT w, cls, cnt FROM wc),
+       |${wCtes.mkString(",\n")},
+       |ttk AS (
+       |  SELECT doc_id, i - 1 AS pos, toks[i] AS w
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+       |        FROM test)),
+       |mt AS (
+       |  SELECT t.doc_id, $wLast.cls,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(lnw ORDER BY pos)),
+       |      (a, x) -> a + x) AS msum
+       |  FROM ttk t JOIN $wLast ON t.w = $wLast.w
+       |  GROUP BY t.doc_id, $wLast.cls),
+       |grid AS (
+       |  SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_toks, c.cls
+       |  FROM test CROSS JOIN (SELECT cls FROM $cLast) c),
+       |sc AS (
+       |  SELECT g.doc_id, g.source, g.cls,
+       |    (((lnp - lnt) + COALESCE(msum, CAST(0 AS DOUBLE)))
+       |      - (CAST(n_toks AS DOUBLE) * lnz)) AS score
+       |  FROM grid g JOIN $cLast USING (cls)
+       |  LEFT JOIN mt ON mt.doc_id = g.doc_id AND mt.cls = g.cls),
+       |rk AS (
+       |  SELECT doc_id, source, cls, score,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+       |  FROM sc)
+       |SELECT doc_id, source AS actual_source, cls AS predicted_source,
+       |  score AS nb_score, (cls = source) AS is_correct
+       |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
-    Q("q106_lm_perplexity", q106, Some(q106Sql)))
+    Q("q106_lm_perplexity", q106, Some(q106Sql)),
+    Q("q113_nb_classifier", q113, Some(q113Sql)))
 }
