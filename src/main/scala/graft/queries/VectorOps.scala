@@ -613,8 +613,108 @@ object VectorOps extends QueryModule {
       |SELECT query_id, neighbor_id, ip, cos_approx, rnk FROM ranked WHERE rnk <= 3
       |ORDER BY query_id, rnk, neighbor_id""".stripMargin
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): semantic near-dup removal
+    * the paper's way — cluster the embedding space with the IVF coarse
+    * quantizer, compute pairwise cosine ONLY within each cluster, and in
+    * every ε-ball keep the member with the LOWEST cosine to its centroid
+    * (the paper's keep-cluster-outliers policy, their §3 best variant);
+    * a vector is removed when some same-cluster partner exceeds ε and
+    * out-ranks it (lower centroid-sim wins, vec_id breaks exact ties).
+    *
+    * ε is DERIVED from the corpus, not baked in: the 99.9th percentile of
+    * the within-cluster pair-cosine distribution (the q106
+    * percentile-threshold idiom) — the paper tunes ε per corpus/dedup
+    * budget, and a corpus-derived knob keeps the oracle exact at every
+    * scale (these synthetic embeddings never reach the 0.9 cosine a
+    * web-image corpus would, so a fixed ε would degenerate to a no-op).
+    *
+    * Scale shape: cluster assignment is row-local against the literal
+    * codebook (q52's machinery); the pairwise stage is an EQUI-join on
+    * the cell key — never all-pairs across the corpus — with expected
+    * cell size n/k ≈ √n (k ∝ √n via [[ivfKFor]]), i.e. the paper's own
+    * Σ|cell|² complexity, and the paper's answer at larger n is the same
+    * knob (they run k = 110 000 clusters on LAION); a skewed cell is an
+    * AQE skew-join split, not a plan change. The ε scalar and the victim
+    * set are the only non-linear artifacts: ε via the enforced ≤1-row
+    * [[graft.Scalars.withScalar]], victims a distinct-key left join.
+    * Exactness: cosines are graft_dot ordered folds (bit-equal to the
+    * oracle's list_reduce), and the removal verdict compares doubles the
+    * two engines computed identically. */
+  private def q114(s: SparkSession, d: String): DataFrame = {
+    val u = unitVectors(s, d)
+    val k = ivfKFor(u.count())
+    val sc = sortedCells(codebook(u, k), k)
+    val asg = u.select(col("vec_id"), col("ue"),
+        element_at(sc, 1)("cid").cast("bigint").as("cell"),
+        element_at(sc, 1)("cc").as("centroid_sim"))
+      .localCheckpoint(true) // consumers: both pair sides + final output
+    val a = asg.select(col("cell"), col("vec_id").as("va"),
+      col("ue").as("ua"), col("centroid_sim").as("ca"))
+    val b = asg.select(col("cell").as("cell_b"), col("vec_id").as("vb"),
+      col("ue").as("ub"), col("centroid_sim").as("cb"))
+    val pairs = a.join(b, col("cell") === col("cell_b") && col("va") < col("vb"))
+      .select(col("va"), col("vb"), col("ca"), col("cb"),
+        expr("graft_dot(ua, ub)").as("cos"))
+      .localCheckpoint(true) // consumers: ε scalar + victim filter
+    val tau = pairs.agg(expr("percentile(cos, 0.999)").as("tau"))
+    val victims = graft.Scalars.withScalar(pairs, tau)
+      .filter(col("cos") > col("tau"))
+      .select(when(col("ca") > col("cb"), col("va"))
+        .when(col("ca") < col("cb"), col("vb"))
+        .otherwise(greatest(col("va"), col("vb"))).as("vec_id"))
+      .distinct()
+      .withColumn("rm", lit(true))
+    graft.Scalars.withScalar(
+        asg.select(col("vec_id"), col("cell"), col("centroid_sim")), tau)
+      .join(victims, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("centroid_sim"), col("tau"),
+        coalesce(col("rm"), lit(false)).as("is_removed"))
+      .orderBy("vec_id")
+  }
+  private val q114Sql =
+    """WITH params AS (
+      |  SELECT GREATEST(16, 1 << (LENGTH(BIN(CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) - 1)) AS k
+      |  FROM embeddings),
+      |e AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) AS nrm
+      |  FROM embeddings),
+      |u AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS ue FROM e),
+      |cent AS (SELECT vec_id AS cid, ue AS cu FROM u WHERE vec_id < (SELECT k FROM params)),
+      |cc AS (
+      |  SELECT u.vec_id, cent.cid,
+      |    list_reduce(list_prepend(0.0, list_transform(list_zip(u.ue, cent.cu),
+      |      p -> p[1] * p[2])), (a, b) -> a + b) AS cc
+      |  FROM u CROSS JOIN cent),
+      |rc AS (
+      |  SELECT vec_id, cid, cc,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+      |  FROM cc),
+      |asg AS (
+      |  SELECT rc.vec_id, rc.cid AS cell, rc.cc AS centroid_sim, u.ue
+      |  FROM rc JOIN u ON rc.vec_id = u.vec_id WHERE rn = 1),
+      |pr AS (
+      |  SELECT a.vec_id AS va, b.vec_id AS vb,
+      |    a.centroid_sim AS ca, b.centroid_sim AS cb,
+      |    list_reduce(list_prepend(0.0, list_transform(list_zip(a.ue, b.ue),
+      |      p -> p[1] * p[2])), (x, y) -> x + y) AS cos
+      |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+      |tauv AS (SELECT quantile_cont(cos, 0.999) AS tau FROM pr),
+      |vict AS (
+      |  SELECT DISTINCT CASE WHEN ca > cb THEN va
+      |                       WHEN ca < cb THEN vb
+      |                       ELSE GREATEST(va, vb) END AS vec_id
+      |  FROM pr WHERE cos > (SELECT tau FROM tauv))
+      |SELECT a.vec_id, a.cell, a.centroid_sim, (SELECT tau FROM tauv) AS tau,
+      |  (v.vec_id IS NOT NULL) AS is_removed
+      |FROM asg a LEFT JOIN vict v ON a.vec_id = v.vec_id
+      |ORDER BY a.vec_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q31_embed_norms", q31, Some(q31Sql)),
+    Q("q114_semdedup", q114, Some(q114Sql)),
     Q("q75_embed_quantize", q75, Some(q75Sql)),
     Q("q85_ann_quantized", q85, Some(q85Sql)),
     Q("q32_ann_bruteforce", q32, Some(q32Sql)),
