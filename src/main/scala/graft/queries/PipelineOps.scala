@@ -631,8 +631,110 @@ object PipelineOps extends QueryModule {
       |  (r.rn - 1) % ((k.n + k.s - 1) // k.s) AS pos
       |FROM r, k ORDER BY r.doc_id""".stripMargin
 
+  /** End-to-end pretraining corpus assembly (q115): the full
+    * filter→tokenize→shuffle→pack pipeline a data team runs between a raw
+    * crawl and the trainer's dataloader, as ONE composed plan — the
+    * per-doc execution plan for every SURVIVING document:
+    *
+    *  1. gate: the five q95 quality gates (C4 lines, Gopher rules,
+    *     repetition, decontamination, exact dedup), conjoined;
+    *  2. tokenize: the trained-BPE symbol count per doc (q105's encode);
+    *  3. shuffle: the deterministic md5-ticket global order (q100's
+    *     idiom — a pure function of the data, reproducible anywhere);
+    *  4. pack: each doc's first-token (bin, offset) in 2048-symbol
+    *     context windows over that global order (q92's concat-and-chunk,
+    *     here corpus-GLOBAL rather than per-source).
+    *
+    * Like q95 this REUSES the sibling queries through the SparkEntry
+    * registry and embeds their published oracle SQL as CTEs — a
+    * composition test across seven independently hash-verified queries.
+    *
+    * Scale shape: the one new wide primitive is the corpus-global running
+    * sum of symbol counts in ticket order, which is exactly
+    * [[graft.operators.GlobalRank.withRank]]'s `prefixSum` — two-pass
+    * boundary buckets, per-bucket window, broadcast literal offsets —
+    * never `SUM() OVER (ORDER BY ...)` in a single partition. The
+    * composed input is localCheckpoint'ed first because withRank
+    * evaluates its input up to three times (its documented contract) and
+    * the upstream here is five joins plus the BPE encode. The oracle
+    * states the ONE-level window spec; hash equality proves the
+    * decomposition. */
+  private def q115(s: SparkSession, d: String): DataFrame = {
+    val q = graft.SparkEntry.queries
+    val binSize = 2048L
+    val surv = t(s, d, "documents").select(col("doc_id"))
+      .join(q("q97_c4_line_filter")(s, d)
+        .select(col("doc_id"), col("doc_pass")), Seq("doc_id"), "left")
+      .join(q("q88_gopher_quality")(s, d)
+        .select(col("doc_id"), col("passes_gopher")), Seq("doc_id"), "left")
+      .join(q("q91_gopher_repetition")(s, d)
+        .select(col("doc_id"), col("repetition_pass")), Seq("doc_id"), "left")
+      .join(q("q89_contamination")(s, d)
+        .select(col("doc_id"), col("contaminated")), Seq("doc_id"), "left")
+      .join(q("q26_dedup_exact")(s, d)
+        .select(col("doc_id"), col("is_dup")), Seq("doc_id"), "left")
+      .filter(coalesce(col("doc_pass"), lit(false)) &&
+        coalesce(col("passes_gopher"), lit(false)) &&
+        coalesce(col("repetition_pass"), lit(false)) &&
+        !coalesce(col("contaminated"), lit(false)) &&
+        !coalesce(col("is_dup"), lit(false)))
+      .select(col("doc_id"))
+    val pick = surv
+      .join(q("q105_bpe_encode")(s, d)
+        .select(col("doc_id"), col("n_symbols")), Seq("doc_id"))
+      .withColumn("tkt", md5(concat_ws("|", lit("pack"), col("doc_id"))))
+      .localCheckpoint(true) // withRank evaluates its input up to thrice
+    graft.operators.GlobalRank.withRank(pick,
+        expr("cast(conv(substring(tkt, 1, 15), 16, 10) as bigint)"),
+        descending = false,
+        tieBreakers = Seq(col("tkt"), col("doc_id")), rnName = "rn",
+        prefixSum = Some((col("n_symbols"), "cum_symbols")))
+      .select(col("doc_id"), col("tkt"), col("rn"), col("n_symbols"),
+        col("cum_symbols"),
+        expr(s"(cum_symbols - n_symbols) div $binSize").as("pack_bin"),
+        ((col("cum_symbols") - col("n_symbols")) % binSize).as("bin_offset"))
+      .orderBy("doc_id")
+  }
+  /** def, not val: reads the sibling modules' published oracle maps. */
+  private def q115Sql: String = {
+    val l = LineOps.oracleSql("q97_c4_line_filter")
+    val g = TextOps.oracleSql("q88_gopher_quality")
+    val r = TextOps.oracleSql("q91_gopher_repetition")
+    val c = DedupOps.oracleSql("q89_contamination")
+    val u = DedupOps.oracleSql("q26_dedup_exact")
+    val e = BpeOps.oracleSql("q105_bpe_encode")
+    s"""WITH lq AS ($l), gq AS ($g), rq AS ($r), cq AS ($c), uq AS ($u),
+       |eq AS ($e),
+       |surv AS (
+       |  SELECT d.doc_id
+       |  FROM documents d
+       |  LEFT JOIN lq USING (doc_id) LEFT JOIN gq USING (doc_id)
+       |  LEFT JOIN rq USING (doc_id) LEFT JOIN cq USING (doc_id)
+       |  LEFT JOIN uq USING (doc_id)
+       |  WHERE COALESCE(lq.doc_pass, false) AND COALESCE(gq.passes_gopher, false)
+       |    AND COALESCE(rq.repetition_pass, false)
+       |    AND NOT COALESCE(cq.contaminated, false)
+       |    AND NOT COALESCE(uq.is_dup, false)),
+       |pick AS (
+       |  SELECT s.doc_id, eq.n_symbols,
+       |    md5('pack|' || CAST(s.doc_id AS VARCHAR)) AS tkt
+       |  FROM surv s JOIN eq USING (doc_id)),
+       |cum AS (
+       |  SELECT doc_id, tkt, n_symbols,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY tkt, doc_id) AS BIGINT) AS rn,
+       |    SUM(n_symbols) OVER (ORDER BY tkt, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_symbols
+       |  FROM pick)
+       |SELECT doc_id, tkt, rn, n_symbols,
+       |  CAST(cum_symbols AS BIGINT) AS cum_symbols,
+       |  CAST((cum_symbols - n_symbols) // 2048 AS BIGINT) AS pack_bin,
+       |  CAST((cum_symbols - n_symbols) % 2048 AS BIGINT) AS bin_offset
+       |FROM cum ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q41_redaction", q41, Some(q41Sql)),
+    Q("q115_pretrain_pipeline", q115, Some(q115Sql)),
     Q("q42_dup_clusters", q42, Some(q42Sql)),
     Q("q43_correlated_max", q43, Some(q43Sql)),
     Q("q50_hash_split", q50, Some(q50Sql)),
