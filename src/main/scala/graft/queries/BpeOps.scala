@@ -188,7 +188,52 @@ object BpeOps extends QueryModule {
        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** q116: tokenizer fertility by language — the per-language
+    * symbols-per-word and chars-per-symbol rollup a tokenizer team
+    * reviews before freezing a vocabulary (fertility imbalance means the
+    * tokenizer taxes some languages with longer sequences; cf. the
+    * multilingual-tokenizer analyses around mBERT/XLM-R). Reuses q105's
+    * per-doc encode through the registry and rolls it up on the `lang`
+    * column; the oracle embeds q105's published SQL as a CTE — another
+    * cross-query composition proof.
+    *
+    * Scale shape: the encode is row-local (merge table compiled into the
+    * plan), the rollup one |langs|-row hash aggregation of exact BIGINT
+    * sums; the two fertility ratios are single double divisions of
+    * integer-exact sums, so the hash-compare holds bit-exactly. */
+  private def q116(s: SparkSession, d: String): DataFrame = {
+    val enc = graft.SparkEntry.queries("q105_bpe_encode")(s, d)
+      .select(col("doc_id"), col("n_tokens"), col("n_chars"), col("n_symbols"))
+    t(s, d, "documents").select(col("doc_id"), col("lang"))
+      .join(enc, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_words"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_symbols")).as("n_symbols"))
+      .withColumn("fertility",
+        col("n_symbols").cast("double") / nullif(col("n_words"), lit(0)).cast("double"))
+      .withColumn("chars_per_symbol",
+        col("n_chars").cast("double") / nullif(col("n_symbols"), lit(0)).cast("double"))
+      .orderBy("lang")
+  }
+  private def q116Sql: String =
+    s"""WITH eq AS (${q105Sql}),
+       |j AS (
+       |  SELECT d.lang, eq.n_tokens, eq.n_chars, eq.n_symbols
+       |  FROM documents d JOIN eq USING (doc_id))
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       |  CAST(SUM(n_symbols) AS BIGINT) AS n_symbols,
+       |  CAST(SUM(n_symbols) AS DOUBLE) / CAST(nullif(SUM(n_tokens), 0) AS DOUBLE)
+       |    AS fertility,
+       |  CAST(SUM(n_chars) AS DOUBLE) / CAST(nullif(SUM(n_symbols), 0) AS DOUBLE)
+       |    AS chars_per_symbol
+       |FROM j GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q104_bpe_train", q104, Some(q104Sql)),
-    Q("q105_bpe_encode", q105, Some(q105Sql)))
+    Q("q105_bpe_encode", q105, Some(q105Sql)),
+    Q("q116_tokenizer_fertility", q116, Some(q116Sql)))
 }
