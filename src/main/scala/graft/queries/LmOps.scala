@@ -205,9 +205,13 @@ object LmOps extends QueryModule {
       .localCheckpoint(true) // consumers: train stats ×3 + test probe + grid
     val train = base.filter(col("doc_id") % 5 =!= 0)
     val test = base.filter(col("doc_id") % 5 === 0)
+    // NOT checkpointed despite two consumers: both are aggregations that
+    // recompute a cheap explode off the checkpointed `base` — writing the
+    // corpus-token expansion to block storage costs more than the two
+    // rescans (measured; the q106 `trans` checkpoint differs because its
+    // recompute carries a transform+struct chain).
     val trainToks = train
       .select(col("source").as("cls"), explode(col("toks")).as("w"))
-      .localCheckpoint(true) // consumers: (w, cls) counts + per-class mass
     val wc = trainToks.groupBy(col("w"), col("cls"))
       .agg(count(lit(1)).as("cnt"))
     val cstats = train.groupBy(col("source").as("cls"))
@@ -323,7 +327,43 @@ object LmOps extends QueryModule {
        |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
   }
 
+  /** q117: model-based curriculum ordering — rank the corpus by the
+    * q106 LM difficulty signal (higher avg log-prob = easier) and cut it
+    * into 4 training phases, easy → hard (curriculum learning, Bengio et
+    * al. 2009; data-pipeline practice orders or re-weights pretraining
+    * batches by a model-based difficulty score — the same signal CCNet
+    * buckets its corpus by, head/middle/tail). Phases are standard SQL
+    * NTILE semantics computed ARITHMETICALLY from the scale-safe
+    * two-pass [[graft.operators.GlobalRank]] (the q46 discipline — never
+    * `NTILE() OVER (ORDER BY …)`'s single-partition sort); the oracle
+    * embeds q106's published SQL as a CTE and states the one-level
+    * NTILE window — another cross-query composition proof.
+    *
+    * Scale shape: q106's scoring is the corpus-proportional part
+    * (hash-agg + token-keyed joins, audited there); the ordering adds
+    * GlobalRank's two passes over a doc-sized table. The composed input
+    * is localCheckpoint'ed because withRank evaluates it up to three
+    * times and the upstream carries q106's joins. */
+  private def q117(s: SparkSession, d: String): DataFrame = {
+    val scored = graft.SparkEntry.queries("q106_lm_perplexity")(s, d)
+      .select(col("doc_id"), col("avg_logprob"))
+      .localCheckpoint(true) // withRank evaluates its input up to thrice
+    graft.operators.GlobalRank.withRank(scored, col("avg_logprob"),
+        descending = true, tieBreakers = Seq(col("doc_id")),
+        rnName = "rn", totalName = Some("n"))
+      .withColumn("phase", graft.operators.GlobalRank.ntileFromRank(4).cast("int"))
+      .select(col("doc_id"), col("avg_logprob"), col("rn"), col("phase"))
+      .orderBy("doc_id")
+  }
+  private def q117Sql: String =
+    s"""WITH pq AS ($q106Sql)
+       |SELECT doc_id, avg_logprob,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY avg_logprob DESC, doc_id) AS BIGINT) AS rn,
+       |  CAST(NTILE(4) OVER (ORDER BY avg_logprob DESC, doc_id) AS INTEGER) AS phase
+       |FROM pq ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q106_lm_perplexity", q106, Some(q106Sql)),
-    Q("q113_nb_classifier", q113, Some(q113Sql)))
+    Q("q113_nb_classifier", q113, Some(q113Sql)),
+    Q("q117_curriculum_phases", q117, Some(q117Sql)))
 }

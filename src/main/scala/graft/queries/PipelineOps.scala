@@ -492,29 +492,49 @@ object PipelineOps extends QueryModule {
     * gates, not contaminated, not duplicate.
     *
     * The implementation REUSES the sibling queries through the public
-    * SparkEntry registry rather than restating their logic, and the
+    * SparkEntry registry rather than restating their logic (via the
+    * shared [[gateFlags]] verdict table q115 also consumes), and the
     * DuckDB oracle embeds the siblings' published oracle SQL as CTEs —
     * so the funnel doubles as a composition test: five independently
     * hash-verified gates must still agree when joined. */
+  /** The five-gate verdict table (doc_id + one conservative-defaulted
+    * boolean per gate), ONE per (session, sf-dir): q95 aggregates it and
+    * q115 filters on it, and a production pipeline materializes gate
+    * verdicts as columns once rather than re-running every gate per
+    * consumer. Same cache discipline as [[BpeOps.trainedMerges]] /
+    * VectorOps.unitVectors (stopped-session pruning, get-then-putIfAbsent
+    * because building runs Spark jobs). */
+  private val gateCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private[queries] def gateFlags(s: SparkSession, d: String): DataFrame = {
+    gateCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val key = (s, d)
+    Option(gateCache.get(key)).getOrElse {
+      val q = graft.SparkEntry.queries
+      val built = t(s, d, "documents").select(col("doc_id"))
+        .join(q("q97_c4_line_filter")(s, d)
+          .select(col("doc_id"), col("doc_pass")), Seq("doc_id"), "left")
+        .join(q("q88_gopher_quality")(s, d)
+          .select(col("doc_id"), col("passes_gopher")), Seq("doc_id"), "left")
+        .join(q("q91_gopher_repetition")(s, d)
+          .select(col("doc_id"), col("repetition_pass")), Seq("doc_id"), "left")
+        .join(q("q89_contamination")(s, d)
+          .select(col("doc_id"), col("contaminated")), Seq("doc_id"), "left")
+        .join(q("q26_dedup_exact")(s, d)
+          .select(col("doc_id"), col("is_dup")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("doc_pass"), lit(false)).as("l"),
+          coalesce(col("passes_gopher"), lit(false)).as("g"),
+          coalesce(col("repetition_pass"), lit(false)).as("r"),
+          (!coalesce(col("contaminated"), lit(false))).as("c"),
+          (!coalesce(col("is_dup"), lit(false))).as("u"))
+        .localCheckpoint(true)
+      Option(gateCache.putIfAbsent(key, built)).getOrElse(built)
+    }
+  }
+
   private def q95(s: SparkSession, d: String): DataFrame = {
-    val q = graft.SparkEntry.queries
-    val flags = t(s, d, "documents").select(col("doc_id"))
-      .join(q("q97_c4_line_filter")(s, d)
-        .select(col("doc_id"), col("doc_pass")), Seq("doc_id"), "left")
-      .join(q("q88_gopher_quality")(s, d)
-        .select(col("doc_id"), col("passes_gopher")), Seq("doc_id"), "left")
-      .join(q("q91_gopher_repetition")(s, d)
-        .select(col("doc_id"), col("repetition_pass")), Seq("doc_id"), "left")
-      .join(q("q89_contamination")(s, d)
-        .select(col("doc_id"), col("contaminated")), Seq("doc_id"), "left")
-      .join(q("q26_dedup_exact")(s, d)
-        .select(col("doc_id"), col("is_dup")), Seq("doc_id"), "left")
-      .select(
-        coalesce(col("doc_pass"), lit(false)).as("l"),
-        coalesce(col("passes_gopher"), lit(false)).as("g"),
-        coalesce(col("repetition_pass"), lit(false)).as("r"),
-        (!coalesce(col("contaminated"), lit(false))).as("c"),
-        (!coalesce(col("is_dup"), lit(false))).as("u"))
+    val flags = gateFlags(s, d)
     val s0to5 = flags.agg(
       count(lit(1)).as("s0"),
       sum(when(col("l"), 1L).otherwise(0L)).as("s1"),
@@ -662,22 +682,8 @@ object PipelineOps extends QueryModule {
   private def q115(s: SparkSession, d: String): DataFrame = {
     val q = graft.SparkEntry.queries
     val binSize = 2048L
-    val surv = t(s, d, "documents").select(col("doc_id"))
-      .join(q("q97_c4_line_filter")(s, d)
-        .select(col("doc_id"), col("doc_pass")), Seq("doc_id"), "left")
-      .join(q("q88_gopher_quality")(s, d)
-        .select(col("doc_id"), col("passes_gopher")), Seq("doc_id"), "left")
-      .join(q("q91_gopher_repetition")(s, d)
-        .select(col("doc_id"), col("repetition_pass")), Seq("doc_id"), "left")
-      .join(q("q89_contamination")(s, d)
-        .select(col("doc_id"), col("contaminated")), Seq("doc_id"), "left")
-      .join(q("q26_dedup_exact")(s, d)
-        .select(col("doc_id"), col("is_dup")), Seq("doc_id"), "left")
-      .filter(coalesce(col("doc_pass"), lit(false)) &&
-        coalesce(col("passes_gopher"), lit(false)) &&
-        coalesce(col("repetition_pass"), lit(false)) &&
-        !coalesce(col("contaminated"), lit(false)) &&
-        !coalesce(col("is_dup"), lit(false)))
+    val surv = gateFlags(s, d)
+      .filter(col("l") && col("g") && col("r") && col("c") && col("u"))
       .select(col("doc_id"))
     val pick = surv
       .join(q("q105_bpe_encode")(s, d)

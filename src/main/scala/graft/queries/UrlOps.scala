@@ -122,7 +122,74 @@ object UrlOps extends QueryModule {
        |WHERE domain NOT IN (${Blocklist.map(b => s"'$b'").mkString(", ")})
        |GROUP BY domain ORDER BY n_docs DESC, domain""".stripMargin
 
+  /** q118: per-domain quality drilldown — the curation dashboard a crawl
+    * team reviews before adjusting its seed list (RefinedWeb's
+    * domain-level analyses; CommonCrawl curation reports the same cut):
+    * for every registrable domain, how many docs each quality gate
+    * passes and what fraction survives the full funnel. Composes q107's
+    * host/domain extraction with the shared five-gate verdict table
+    * ([[PipelineOps.gateFlags]] — built once per session/corpus); the
+    * oracle embeds q107's and all five gates' published SQL as CTEs.
+    *
+    * Scale shape: domain extraction is row-local; the verdict join is
+    * doc_id-keyed; the rollup is one hash aggregation keyed by domain
+    * (domains are zipf-headed — a hot domain is partial-aggregated
+    * map-side like any hash agg, no skew window anywhere). The one
+    * derived double (survival_rate) is a single division of exact
+    * BIGINT counts. */
+  private def q118(s: SparkSession, d: String): DataFrame = {
+    val dom = graft.SparkEntry.queries("q107_url_extract")(s, d)
+      .select(col("doc_id"), col("domain"))
+    dom.join(PipelineOps.gateFlags(s, d), Seq("doc_id"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("l"), 1L).otherwise(0L)).as("n_line_pass"),
+        sum(when(col("g"), 1L).otherwise(0L)).as("n_gopher_pass"),
+        sum(when(col("r"), 1L).otherwise(0L)).as("n_repetition_pass"),
+        sum(when(col("c"), 1L).otherwise(0L)).as("n_decontaminated"),
+        sum(when(col("u"), 1L).otherwise(0L)).as("n_nondup"),
+        sum(when(col("l") && col("g") && col("r") && col("c") && col("u"), 1L)
+          .otherwise(0L)).as("n_survivors"))
+      .withColumn("survival_rate",
+        col("n_survivors").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("n_docs").desc, col("domain"))
+  }
+  /** def, not val: reads the sibling modules' published oracle maps. */
+  private def q118Sql: String = {
+    val l = LineOps.oracleSql("q97_c4_line_filter")
+    val g = TextOps.oracleSql("q88_gopher_quality")
+    val r = TextOps.oracleSql("q91_gopher_repetition")
+    val c = DedupOps.oracleSql("q89_contamination")
+    val u = DedupOps.oracleSql("q26_dedup_exact")
+    s"""WITH lq AS ($l), gq AS ($g), rq AS ($r), cq AS ($c), uq AS ($u),
+       |dq AS ($q107Sql),
+       |f AS (
+       |  SELECT d.doc_id, dq.domain,
+       |    COALESCE(lq.doc_pass, false) AS l,
+       |    COALESCE(gq.passes_gopher, false) AS g,
+       |    COALESCE(rq.repetition_pass, false) AS r,
+       |    NOT COALESCE(cq.contaminated, false) AS c,
+       |    NOT COALESCE(uq.is_dup, false) AS u
+       |  FROM documents d
+       |  JOIN dq USING (doc_id)
+       |  LEFT JOIN lq USING (doc_id) LEFT JOIN gq USING (doc_id)
+       |  LEFT JOIN rq USING (doc_id)
+       |  LEFT JOIN cq USING (doc_id) LEFT JOIN uq USING (doc_id))
+       |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS n_line_pass,
+       |  CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_pass,
+       |  CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS n_repetition_pass,
+       |  CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS n_decontaminated,
+       |  CAST(SUM(CASE WHEN u THEN 1 ELSE 0 END) AS BIGINT) AS n_nondup,
+       |  CAST(SUM(CASE WHEN l AND g AND r AND c AND u THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_survivors,
+       |  CAST(SUM(CASE WHEN l AND g AND r AND c AND u THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS survival_rate
+       |FROM f GROUP BY domain ORDER BY n_docs DESC, domain""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q107_url_extract", q107, Some(q107Sql)),
-    Q("q108_domain_rollup", q108, Some(q108Sql)))
+    Q("q108_domain_rollup", q108, Some(q108Sql)),
+    Q("q118_domain_quality", q118, Some(q118Sql)))
 }
