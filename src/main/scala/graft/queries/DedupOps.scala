@@ -668,8 +668,117 @@ object DedupOps extends QueryModule {
       |WHERE d.doc_id % 5 = 0
       |ORDER BY d.doc_id""".stripMargin
 
+  /** q119: winnowing fingerprint selection (Schleimer, Wilkerson, Aiken
+    * 2003, "Winnowing: Local Algorithms for Document Fingerprinting" —
+    * the MOSS scheme): hash every token 4-gram (q25's portable
+    * polynomial hash), slide a w=4 window over the hash sequence, and
+    * select each window's minimum (rightmost on ties, the paper's robust
+    * rule); the selected set has guaranteed density ~2/(w+1) of the
+    * grams while still catching every shared substring of ≥ k+w−1
+    * tokens. Per doc: gram count, selected-fingerprint count, and how
+    * many OTHER docs share at least one fingerprint (the match signal).
+    *
+    * Scale contrast with q94's positional gram index — the reason this
+    * operator earns its slot: q94 shuffles EVERY gram occurrence; the
+    * winnowed index shuffles ~2/(w+1) of them with a detection
+    * guarantee, which is the sketch a 100 TB plagiarism/overlap pass
+    * actually ships. Per-doc selection is row-local lambda work bounded
+    * by doc length; the only corpus-wide stage is the fingerprint
+    * equi-join (shuffle keyed by hash — an inverted index, never
+    * all-pairs) plus doc-keyed count aggregations. Window minima of
+    * ADJACENT windows usually coincide, so winners are deduped
+    * per doc (DISTINCT on (doc, pos, h)) before the join. */
+  private def q119(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "documents")
+      .select(col("doc_id"),
+        split(trim(coalesce(col("text"), lit(""))), "\\s+").as("toks"))
+      // grams: (pos, h) for every token 4-gram; the filter-over-sequence
+      // guard sidesteps Spark's descending sequence(1, 0) surprise on
+      // short docs and keeps the empty array correctly struct-typed.
+      .withColumn("grams", expr(
+        """transform(
+          |  filter(sequence(1, greatest(size(toks) - 3, 1)),
+          |         i -> i <= size(toks) - 3),
+          |  i -> named_struct('pos', i, 'h',
+          |    aggregate(split(concat_ws(' ', slice(toks, i, 4)), ''),
+          |      0L, (a, c) -> (a * 31 + ascii(c)) % 2147483647)))""".stripMargin))
+      .withColumn("sel", expr(
+        """transform(
+          |  filter(sequence(1, greatest(size(grams) - 3, 1)),
+          |         j -> size(grams) > 0),
+          |  j -> aggregate(slice(grams, j + 1, 3), element_at(grams, j),
+          |    (a, x) -> CASE WHEN x.h < a.h OR (x.h = a.h AND x.pos > a.pos)
+          |              THEN x ELSE a END))""".stripMargin))
+      .select(col("doc_id"), size(col("grams")).cast("bigint").as("n_grams"),
+        col("sel"))
+      .localCheckpoint(true) // consumers: fingerprint table + per-doc stats
+    val fp = base.select(col("doc_id"), explode(col("sel")).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.h").as("h"))
+      .distinct()
+      .localCheckpoint(true) // consumers: per-doc count + both join sides
+    val nfp = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fingerprints"))
+    val hs = fp.select(col("doc_id"), col("h")).distinct()
+    val partners = hs.join(
+        hs.select(col("h"), col("doc_id").as("doc_b")), Seq("h"))
+      .filter(col("doc_id") =!= col("doc_b"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("doc_b")).as("n_partner_docs"))
+    base.select(col("doc_id"), col("n_grams"))
+      .join(nfp, Seq("doc_id"), "left")
+      .join(partners, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_fingerprints"), lit(0L)).as("n_fingerprints"),
+        coalesce(col("n_partner_docs"), lit(0L)).as("n_partner_docs"))
+      .orderBy("doc_id")
+  }
+  private val q119Sql =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(trim(COALESCE(text, '')), '\s+') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, toks,
+      |    list_transform(
+      |      list_filter(generate_series(1, GREATEST(len(toks) - 3, 1)),
+      |                  i -> i <= len(toks) - 3),
+      |      i -> {'pos': i, 'h': list_reduce(
+      |        list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(string_split(array_to_string(list_slice(toks, i, i + 3), ' '), ''),
+      |            c -> CAST(ascii(c) AS BIGINT))),
+      |        (a, b) -> (a * 31 + b) % 2147483647)}) AS grams
+      |  FROM base),
+      |w AS (
+      |  SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+      |    list_transform(
+      |      list_filter(generate_series(1, GREATEST(len(grams) - 3, 1)),
+      |                  j -> len(grams) > 0),
+      |      j -> list_reduce(list_prepend(grams[j], list_slice(grams, j + 1, j + 3)),
+      |        (a, x) -> CASE WHEN struct_extract(x, 'h') < struct_extract(a, 'h')
+      |                       OR (struct_extract(x, 'h') = struct_extract(a, 'h')
+      |                           AND struct_extract(x, 'pos') > struct_extract(a, 'pos'))
+      |                  THEN x ELSE a END)) AS sel
+      |  FROM g),
+      |fp AS (
+      |  SELECT DISTINCT doc_id, struct_extract(s, 'pos') AS pos,
+      |    struct_extract(s, 'h') AS h
+      |  FROM (SELECT doc_id, unnest(sel) AS s FROM w)),
+      |nfp AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fingerprints
+      |  FROM fp GROUP BY doc_id),
+      |hs AS (SELECT DISTINCT doc_id, h FROM fp),
+      |pt AS (
+      |  SELECT a.doc_id, CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_partner_docs
+      |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id <> b.doc_id
+      |  GROUP BY a.doc_id)
+      |SELECT w.doc_id, w.n_grams,
+      |  COALESCE(nfp.n_fingerprints, 0) AS n_fingerprints,
+      |  COALESCE(pt.n_partner_docs, 0) AS n_partner_docs
+      |FROM w LEFT JOIN nfp USING (doc_id) LEFT JOIN pt USING (doc_id)
+      |ORDER BY w.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q26_dedup_exact", q26, Some(q26Sql)),
+    Q("q119_winnowing", q119, Some(q119Sql)),
     Q("q27_dedup_ngram_jaccard", q27, Some(q27Sql)),
     Q("q28_dedup_minhash_lsh", q28, Some(q28Sql)),
     Q("q29_simhash_sketch", q29, Some(q29Sql)),
