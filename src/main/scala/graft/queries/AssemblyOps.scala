@@ -229,7 +229,77 @@ object AssemblyOps extends QueryModule {
       |  FROM c) x
       |ORDER BY doc_id, copy_idx""".stripMargin
 
+  /** q120 — the data-mixture report: the per-source table every
+    * pretraining paper publishes beside its corpus (LLaMA Table 1, The
+    * Pile §2, Dolma's mixture tables): document/token counts, raw
+    * shares, the α=0.5 temperature share (q93's family, over TOKENS),
+    * the q111 epoch factor, and the effective post-upsampling token
+    * mass. One |sources|-row result.
+    *
+    * Portability: shares are single divisions of exact BIGINT sums; the
+    * temperature normalizer Σ√tokens is an ORDERED fold over the
+    * source-sorted |sources|-element list (the graft_dot discipline —
+    * a hash-agg SUM of doubles would be partitioning/engine-order
+    * dependent), keyed on coalesce(source,'') in both engines so a NULL
+    * source cannot reorder the fold (Spark sorts nulls first, DuckDB
+    * last — the q93 lesson). Scale shape: one corpus pass (token-count
+    * hash agg by source), everything after runs on |sources| rows with
+    * three enforced ≤1-row scalar attaches. */
+  private def q120(s: SparkSession, d: String): DataFrame = {
+    val st = t(s, d, "documents")
+      .select(col("source"),
+        size(split(trim(coalesce(col("text"), lit(""))), "\\s+"))
+          .cast("bigint").as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val tots = st.agg(sum(col("n_docs")).as("td"), sum(col("n_tokens")).as("tt"))
+    val m = st.agg(max(col("n_docs")).as("m_docs"))
+    val ws = st.agg(expr(
+      "aggregate(array_sort(collect_list(struct(coalesce(source, '') as k," +
+        " sqrt(cast(n_tokens as double)) as w)))," +
+        " cast(0 as double), (a, x) -> a + x.w)").as("wsum"))
+    Scalars.withScalar(Scalars.withScalar(Scalars.withScalar(st, tots), m), ws)
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_docs").cast("double") / col("td").cast("double")).as("doc_share"),
+        (col("n_tokens").cast("double") / col("tt").cast("double")).as("token_share"),
+        (sqrt(col("n_tokens").cast("double")) / col("wsum")).as("temp_share"),
+        least(lit(4.0), sqrt(col("m_docs").cast("double") /
+          col("n_docs").cast("double"))).as("epochs"))
+      .withColumn("effective_tokens",
+        col("n_tokens").cast("double") * col("epochs"))
+      .orderBy("source")
+  }
+  private val q120Sql =
+    """WITH tok AS (
+      |  SELECT source,
+      |    CAST(len(regexp_split_to_array(trim(COALESCE(text, '')), '\s+')) AS BIGINT) AS nt
+      |  FROM documents),
+      |st AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(nt) AS BIGINT) AS n_tokens
+      |  FROM tok GROUP BY source),
+      |tots AS (
+      |  SELECT CAST(SUM(n_docs) AS BIGINT) AS td,
+      |    CAST(SUM(n_tokens) AS BIGINT) AS tt FROM st),
+      |m AS (SELECT MAX(n_docs) AS m_docs FROM st),
+      |ws AS (
+      |  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list(SQRT(CAST(n_tokens AS DOUBLE)) ORDER BY COALESCE(source, ''))),
+      |    (a, b) -> a + b) AS wsum
+      |  FROM st)
+      |SELECT st.source, st.n_docs, st.n_tokens,
+      |  CAST(st.n_docs AS DOUBLE) / CAST(tots.td AS DOUBLE) AS doc_share,
+      |  CAST(st.n_tokens AS DOUBLE) / CAST(tots.tt AS DOUBLE) AS token_share,
+      |  SQRT(CAST(st.n_tokens AS DOUBLE)) / ws.wsum AS temp_share,
+      |  LEAST(CAST(4.0 AS DOUBLE),
+      |    SQRT(CAST(m.m_docs AS DOUBLE) / CAST(st.n_docs AS DOUBLE))) AS epochs,
+      |  CAST(st.n_tokens AS DOUBLE) * LEAST(CAST(4.0 AS DOUBLE),
+      |    SQRT(CAST(m.m_docs AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))
+      |    AS effective_tokens
+      |FROM st, tots, m, ws ORDER BY st.source""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q120_mixture_report", q120, Some(q120Sql)),
     Q("q109_cluster_best", q109, Some(q109Sql)),
     Q("q110_token_budget", q110, Some(q110Sql)),
     Q("q111_epoch_upsample", q111, Some(q111Sql)))

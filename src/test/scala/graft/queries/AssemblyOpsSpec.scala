@@ -131,4 +131,23 @@ class AssemblyOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(out.toSeq === again.toSeq)
   }
+
+  test("q120: shares normalize, epochs bounded with the dominant source at 1") {
+    val dir = writeDocs()
+    val out = AssemblyOps.queries("q120_mixture_report")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(out.map(_._1).sorted.toSeq === out.map(_._1).toSeq, "ordered by source")
+    // Raw shares and temperature shares each sum to 1 (within fold ulps).
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-12)
+    assert(math.abs(out.map(_._5).sum - 1.0) < 1e-12)
+    assert(math.abs(out.map(_._6).sum - 1.0) < 1e-12)
+    // Temperature flattens: the dominant source's temp share sits strictly
+    // between the uniform share and its raw token share.
+    val dom = out.maxBy(_._3)
+    assert(dom._6 < dom._5 && dom._6 > 1.0 / out.length)
+    // Epochs ∈ [1,4]; the largest source never upsamples.
+    out.foreach(r => assert(r._7 >= 1.0 && r._7 <= 4.0))
+    assert(out.maxBy(_._2)._7 === 1.0)
+  }
 }
