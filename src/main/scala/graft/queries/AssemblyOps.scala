@@ -240,9 +240,12 @@ object AssemblyOps extends QueryModule {
     * temperature normalizer Σ√tokens is an ORDERED fold over the
     * source-sorted |sources|-element list (the graft_dot discipline —
     * a hash-agg SUM of doubles would be partitioning/engine-order
-    * dependent), keyed on coalesce(source,'') in both engines so a NULL
-    * source cannot reorder the fold (Spark sorts nulls first, DuckDB
-    * last — the q93 lesson). Scale shape: one corpus pass (token-count
+    * dependent), keyed on (coalesce(source,''), weight) in both engines
+    * so neither a NULL source (Spark sorts nulls first, DuckDB last —
+    * the q93 lesson) nor a NULL/''-source key collision can reorder the
+    * fold: Spark's array_sort tie-breaks structs by the weight field,
+    * so the oracle's list() states the same secondary key (equal
+    * (key, weight) elements are interchangeable under +). Scale shape: one corpus pass (token-count
     * hash agg by source), everything after runs on |sources| rows with
     * three enforced ≤1-row scalar attaches. */
   private def q120(s: SparkSession, d: String): DataFrame = {
@@ -284,7 +287,8 @@ object AssemblyOps extends QueryModule {
       |m AS (SELECT MAX(n_docs) AS m_docs FROM st),
       |ws AS (
       |  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
-      |    list(SQRT(CAST(n_tokens AS DOUBLE)) ORDER BY COALESCE(source, ''))),
+      |    list(SQRT(CAST(n_tokens AS DOUBLE))
+      |      ORDER BY COALESCE(source, ''), SQRT(CAST(n_tokens AS DOUBLE)))),
       |    (a, b) -> a + b) AS wsum
       |  FROM st)
       |SELECT st.source, st.n_docs, st.n_tokens,

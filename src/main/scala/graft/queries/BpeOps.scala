@@ -97,21 +97,12 @@ object BpeOps extends QueryModule {
     * fertility rollups, the q115 pipeline) reads the same frozen
     * artifact, so retraining identical merges per consuming query both
     * misrepresented that cost structure and paid the driver loop
-    * repeatedly. Same immutability assumption and stopped-session
-    * pruning as [[VectorOps.unitVectors]] / DedupOps.pairCache; the
-    * get-then-putIfAbsent (not computeIfAbsent) reasoning from those
-    * sites applies — training runs Spark jobs and must not hold the
-    * map's bin lock; a rare duplicate train is deterministic. */
-  private val mergeCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[BpeMerge]]
-  private[queries] def trainedMerges(s: SparkSession, d: String): Seq[BpeMerge] = {
-    mergeCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    val key = (s, d)
-    Option(mergeCache.get(key)).getOrElse {
-      val built = trainBpe(TextOps.bpeWordFreq(s, d), OracleMerges)
-      Option(mergeCache.putIfAbsent(key, built)).getOrElse(built)
-    }
-  }
+    * repeatedly. [[graft.SessionCache]] carries the memoization
+    * discipline (stopped-session pruning, benign deterministic
+    * duplicate builds). */
+  private val mergeCache = new graft.SessionCache[Seq[BpeMerge]]
+  private[queries] def trainedMerges(s: SparkSession, d: String): Seq[BpeMerge] =
+    mergeCache.getOrBuild(s, d)(trainBpe(TextOps.bpeWordFreq(s, d), OracleMerges))
 
   /** q104: the ordered merge table for [[OracleMerges]] merges —
     * (step, fully-expanded merged token, frequency-weighted pair count).

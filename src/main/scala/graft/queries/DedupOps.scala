@@ -79,26 +79,9 @@ object DedupOps extends QueryModule {
     * until the next q27 (producer) run refreshes it. Entries of stopped
     * sessions are pruned on every access so the map can't retain a dead
     * session (and its checkpointed-block metadata) for the JVM lifetime. */
-  private val pairCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
-  private def pruneStopped(): Unit = {
-    pairCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    (): Unit
-  }
-  private[queries] def verifiedPairs(s: SparkSession, d: String): DataFrame = {
-    pruneStopped()
-    // get-then-putIfAbsent, NOT computeIfAbsent: the build runs a full
-    // Spark job (minutes at scale) and computeIfAbsent would hold the
-    // map's bin lock for its whole duration, stalling unrelated keys that
-    // hash to the same bin. A rare concurrent duplicate build is harmless
-    // — the artifact is deterministic and the loser's checkpoint blocks
-    // are reclaimed by the ContextCleaner.
-    val key = (s, d)
-    Option(pairCache.get(key)).getOrElse {
-      val built = q27body(s, d).localCheckpoint(true)
-      Option(pairCache.putIfAbsent(key, built)).getOrElse(built)
-    }
-  }
+  private val pairCache = new graft.SessionCache[DataFrame]
+  private[queries] def verifiedPairs(s: SparkSession, d: String): DataFrame =
+    pairCache.getOrBuild(s, d)(q27body(s, d).localCheckpoint(true))
 
   /** n-gram Jaccard near-dup pairs (within-source blocking): 3-shingle
     * inverted-index self-join → intersection counts → |A∩B|/|A∪B| ≥ 0.5.
@@ -106,9 +89,8 @@ object DedupOps extends QueryModule {
     * materializes once with lineage cut, outside the CacheManager, and its
     * blocks are reclaimed by the ContextCleaner when the query is done. */
   private def q27(s: SparkSession, d: String): DataFrame = {
-    pruneStopped()
     val fresh = q27body(s, d).localCheckpoint(true)
-    pairCache.put((s, d), fresh)
+    pairCache.put(s, d, fresh)
     fresh.orderBy("doc_a", "doc_b")
   }
 

@@ -501,17 +501,14 @@ object PipelineOps extends QueryModule {
     * boolean per gate), ONE per (session, sf-dir): q95 aggregates it and
     * q115 filters on it, and a production pipeline materializes gate
     * verdicts as columns once rather than re-running every gate per
-    * consumer. Same cache discipline as [[BpeOps.trainedMerges]] /
-    * VectorOps.unitVectors (stopped-session pruning, get-then-putIfAbsent
-    * because building runs Spark jobs). */
-  private val gateCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
-  private[queries] def gateFlags(s: SparkSession, d: String): DataFrame = {
-    gateCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    val key = (s, d)
-    Option(gateCache.get(key)).getOrElse {
+    * consumer. [[graft.SessionCache]] carries the memoization
+    * discipline (stopped-session pruning, benign deterministic
+    * duplicate builds). */
+  private val gateCache = new graft.SessionCache[DataFrame]
+  private[queries] def gateFlags(s: SparkSession, d: String): DataFrame =
+    gateCache.getOrBuild(s, d) {
       val q = graft.SparkEntry.queries
-      val built = t(s, d, "documents").select(col("doc_id"))
+      t(s, d, "documents").select(col("doc_id"))
         .join(q("q97_c4_line_filter")(s, d)
           .select(col("doc_id"), col("doc_pass")), Seq("doc_id"), "left")
         .join(q("q88_gopher_quality")(s, d)
@@ -529,9 +526,7 @@ object PipelineOps extends QueryModule {
           (!coalesce(col("contaminated"), lit(false))).as("c"),
           (!coalesce(col("is_dup"), lit(false))).as("u"))
         .localCheckpoint(true)
-      Option(gateCache.putIfAbsent(key, built)).getOrElse(built)
     }
-  }
 
   private def q95(s: SparkSession, d: String): DataFrame = {
     val flags = gateFlags(s, d)
@@ -555,25 +550,45 @@ object PipelineOps extends QueryModule {
         col("x.docs_surviving").as("docs_surviving"))
       .orderBy("stage")
   }
-  /** def, not val: reads the sibling modules' published oracle maps. */
-  private def q95Sql: String = {
+  /** The five-gate oracle prologue, stated ONCE for every composition
+    * oracle (q95/q115/q118 — the SQL twin of [[gateFlags]]): the gate
+    * CTEs (each embedding the sibling's published oracle SQL), the
+    * conservative-defaulted flag expressions, and the doc_id joins. A
+    * gate's column name, default, or polarity now changes in one place
+    * on each side (Scala: gateFlags; SQL: here) or the composition
+    * oracles diverge — the defect class the round-10 review flagged.
+    * defs, not vals: they read the sibling modules' published maps. */
+  private[queries] def gateCtesSql: String = {
     val l = LineOps.oracleSql("q97_c4_line_filter")
     val g = TextOps.oracleSql("q88_gopher_quality")
     val r = TextOps.oracleSql("q91_gopher_repetition")
     val c = DedupOps.oracleSql("q89_contamination")
     val u = DedupOps.oracleSql("q26_dedup_exact")
-    s"""WITH lq AS ($l), gq AS ($g), rq AS ($r), cq AS ($c), uq AS ($u),
+    s"lq AS ($l), gq AS ($g), rq AS ($r), cq AS ($c), uq AS ($u)"
+  }
+  private[queries] val gateFlagExprsSql: String =
+    """COALESCE(lq.doc_pass, false) AS l,
+      |    COALESCE(gq.passes_gopher, false) AS g,
+      |    COALESCE(rq.repetition_pass, false) AS r,
+      |    NOT COALESCE(cq.contaminated, false) AS c,
+      |    NOT COALESCE(uq.is_dup, false) AS u""".stripMargin
+  private[queries] val gateJoinsSql: String =
+    """LEFT JOIN lq USING (doc_id) LEFT JOIN gq USING (doc_id)
+      |  LEFT JOIN rq USING (doc_id)
+      |  LEFT JOIN cq USING (doc_id) LEFT JOIN uq USING (doc_id)""".stripMargin
+  private[queries] val gateConjunctionSql: String =
+    """COALESCE(lq.doc_pass, false) AND COALESCE(gq.passes_gopher, false)
+      |    AND COALESCE(rq.repetition_pass, false)
+      |    AND NOT COALESCE(cq.contaminated, false)
+      |    AND NOT COALESCE(uq.is_dup, false)""".stripMargin
+
+  private def q95Sql: String = {
+    s"""WITH $gateCtesSql,
        |f AS (
        |  SELECT d.doc_id,
-       |    COALESCE(lq.doc_pass, false) AS l,
-       |    COALESCE(gq.passes_gopher, false) AS g,
-       |    COALESCE(rq.repetition_pass, false) AS r,
-       |    NOT COALESCE(cq.contaminated, false) AS c,
-       |    NOT COALESCE(uq.is_dup, false) AS u
+       |    $gateFlagExprsSql
        |  FROM documents d
-       |  LEFT JOIN lq USING (doc_id) LEFT JOIN gq USING (doc_id)
-       |  LEFT JOIN rq USING (doc_id)
-       |  LEFT JOIN cq USING (doc_id) LEFT JOIN uq USING (doc_id)),
+       |  $gateJoinsSql),
        |s AS (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS s0,
        |    CAST(SUM(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS s1,
@@ -701,26 +716,17 @@ object PipelineOps extends QueryModule {
         ((col("cum_symbols") - col("n_symbols")) % binSize).as("bin_offset"))
       .orderBy("doc_id")
   }
-  /** def, not val: reads the sibling modules' published oracle maps. */
+  /** def, not val: reads the sibling modules' published oracle maps
+    * (the five-gate prologue via [[gateCtesSql]]). */
   private def q115Sql: String = {
-    val l = LineOps.oracleSql("q97_c4_line_filter")
-    val g = TextOps.oracleSql("q88_gopher_quality")
-    val r = TextOps.oracleSql("q91_gopher_repetition")
-    val c = DedupOps.oracleSql("q89_contamination")
-    val u = DedupOps.oracleSql("q26_dedup_exact")
     val e = BpeOps.oracleSql("q105_bpe_encode")
-    s"""WITH lq AS ($l), gq AS ($g), rq AS ($r), cq AS ($c), uq AS ($u),
+    s"""WITH $gateCtesSql,
        |eq AS ($e),
        |surv AS (
        |  SELECT d.doc_id
        |  FROM documents d
-       |  LEFT JOIN lq USING (doc_id) LEFT JOIN gq USING (doc_id)
-       |  LEFT JOIN rq USING (doc_id) LEFT JOIN cq USING (doc_id)
-       |  LEFT JOIN uq USING (doc_id)
-       |  WHERE COALESCE(lq.doc_pass, false) AND COALESCE(gq.passes_gopher, false)
-       |    AND COALESCE(rq.repetition_pass, false)
-       |    AND NOT COALESCE(cq.contaminated, false)
-       |    AND NOT COALESCE(uq.is_dup, false)),
+       |  $gateJoinsSql
+       |  WHERE $gateConjunctionSql),
        |pick AS (
        |  SELECT s.doc_id, eq.n_symbols,
        |    md5('pack|' || CAST(s.doc_id AS VARCHAR)) AS tkt

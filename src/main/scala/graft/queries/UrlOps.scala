@@ -154,27 +154,17 @@ object UrlOps extends QueryModule {
         col("n_survivors").cast("double") / col("n_docs").cast("double"))
       .orderBy(col("n_docs").desc, col("domain"))
   }
-  /** def, not val: reads the sibling modules' published oracle maps. */
+  /** def, not val: reads the sibling modules' published oracle maps
+    * (the five-gate prologue via [[PipelineOps.gateCtesSql]]). */
   private def q118Sql: String = {
-    val l = LineOps.oracleSql("q97_c4_line_filter")
-    val g = TextOps.oracleSql("q88_gopher_quality")
-    val r = TextOps.oracleSql("q91_gopher_repetition")
-    val c = DedupOps.oracleSql("q89_contamination")
-    val u = DedupOps.oracleSql("q26_dedup_exact")
-    s"""WITH lq AS ($l), gq AS ($g), rq AS ($r), cq AS ($c), uq AS ($u),
+    s"""WITH ${PipelineOps.gateCtesSql},
        |dq AS ($q107Sql),
        |f AS (
        |  SELECT d.doc_id, dq.domain,
-       |    COALESCE(lq.doc_pass, false) AS l,
-       |    COALESCE(gq.passes_gopher, false) AS g,
-       |    COALESCE(rq.repetition_pass, false) AS r,
-       |    NOT COALESCE(cq.contaminated, false) AS c,
-       |    NOT COALESCE(uq.is_dup, false) AS u
+       |    ${PipelineOps.gateFlagExprsSql}
        |  FROM documents d
        |  JOIN dq USING (doc_id)
-       |  LEFT JOIN lq USING (doc_id) LEFT JOIN gq USING (doc_id)
-       |  LEFT JOIN rq USING (doc_id)
-       |  LEFT JOIN cq USING (doc_id) LEFT JOIN uq USING (doc_id))
+       |  ${PipelineOps.gateJoinsSql})
        |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  CAST(SUM(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS n_line_pass,
        |  CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_pass,

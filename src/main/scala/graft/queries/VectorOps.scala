@@ -92,24 +92,15 @@ object VectorOps extends QueryModule {
     * that cost structure and paid four redundant normalize+checkpoint
     * passes per bench run. Same immutability assumption and
     * stopped-session pruning as DedupOps.pairCache. */
-  private val uvCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
-  private def unitVectors(s: SparkSession, d: String): DataFrame = {
-    uvCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    val key = (s, d)
-    // get-then-putIfAbsent, not computeIfAbsent: the build runs a Spark job
-    // and must not hold the map's bin lock for its duration (same reasoning
-    // as DedupOps.verifiedPairs — a rare duplicate build is deterministic
-    // and its checkpoint blocks are reclaimed by the ContextCleaner).
-    Option(uvCache.get(key)).getOrElse {
-      val built = t(s, d, "embeddings")
+  private val uvCache = new graft.SessionCache[DataFrame]
+  private def unitVectors(s: SparkSession, d: String): DataFrame =
+    uvCache.getOrBuild(s, d) {
+      t(s, d, "embeddings")
         .withColumn("nrm", expr(s"graft_l2norm($asDouble)"))
         .select(col("vec_id"), col("label"), col("embedding"),
           expr("transform(embedding, x -> cast(x as double) / nrm)").as("ue"))
         .localCheckpoint(true)
-      Option(uvCache.putIfAbsent(key, built)).getOrElse(built)
     }
-  }
 
   private def q32(s: SparkSession, d: String): DataFrame = {
     val u = unitVectors(s, d)
