@@ -173,7 +173,47 @@ object LineOps extends QueryModule {
       |    AS clean_len
       |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q121: C4's document-level blocklist-word gate (Raffel et al. 2020
+    * §2.2 drop any page containing a word from the "List of Dirty,
+    * Naughty, Obscene..." blocklist — the PAGE is dropped on a single
+    * hit, unlike q97's per-line rules). The list here is a stand-in of
+    * corpus-plausible terms (the real deployment swaps the literal
+    * alternation for its published list — same plan); emitted per doc:
+    * hit count, hit fraction, and the C4 verdict.
+    *
+    * Scale shape: one regexp_count per row inside the scan's codegen
+    * span — no join, no shuffle, the cheapest gate in the funnel (which
+    * is why C4 runs it first). Word-boundary alternation keeps the match
+    * semantics identical in both engines (the q24 idiom). */
+  private def q121(s: SparkSession, d: String): DataFrame = {
+    val toks = split(trim(coalesce(col("text"), lit(""))), "\\s+")
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        size(toks).cast("bigint").as("n_tokens"),
+        regexp_count(coalesce(col("text"), lit("")),
+          lit("\\b(slow|broken|error)\\b")).cast("bigint").as("n_bad_hits"))
+      .withColumn("bad_fraction",
+        col("n_bad_hits").cast("double") /
+          nullif(col("n_tokens"), lit(0L)).cast("double"))
+      .withColumn("doc_blocked", col("n_bad_hits") > 0L)
+      .orderBy("doc_id")
+  }
+  private val q121Sql =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(trim(COALESCE(text, '')), '\s+')) AS BIGINT)
+      |      AS n_tokens,
+      |    CAST(len(regexp_extract_all(COALESCE(text, ''), '\b(slow|broken|error)\b'))
+      |      AS BIGINT) AS n_bad_hits
+      |  FROM documents)
+      |SELECT doc_id, n_tokens, n_bad_hits,
+      |  CAST(n_bad_hits AS DOUBLE) / CAST(nullif(n_tokens, 0) AS DOUBLE)
+      |    AS bad_fraction,
+      |  n_bad_hits > 0 AS doc_blocked
+      |FROM h ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q97_c4_line_filter", q97, Some(q97Sql)),
-    Q("q98_line_dedup", q98, Some(q98Sql)))
+    Q("q98_line_dedup", q98, Some(q98Sql)),
+    Q("q121_badword_filter", q121, Some(q121Sql)))
 }
