@@ -674,6 +674,16 @@ object DedupOps extends QueryModule {
     val base = t(s, d, "documents")
       .select(col("doc_id"),
         split(trim(coalesce(col("text"), lit(""))), "\\s+").as("toks"))
+      // Per-TOKEN polynomial hash first (O(text) total), then each gram
+      // hash combines its 4 token hashes — not a re-fold over the gram's
+      // characters, which costs O(text·k) and dominated the first cut
+      // (2.26 s → the per-token rewrite at sf0.1). The Horner chain stays
+      // below 2^46 before the single end-mod, so BIGINT arithmetic is
+      // exact and identical in both engines.
+      .withColumn("th", expr(
+        """transform(toks, t ->
+          |  aggregate(split(t, ''), 0L,
+          |    (a, c) -> (a * 31 + ascii(c)) % 2147483647))""".stripMargin))
       // grams: (pos, h) for every token 4-gram; the filter-over-sequence
       // guard sidesteps Spark's descending sequence(1, 0) surprise on
       // short docs and keeps the empty array correctly struct-typed.
@@ -682,8 +692,9 @@ object DedupOps extends QueryModule {
           |  filter(sequence(1, greatest(size(toks) - 3, 1)),
           |         i -> i <= size(toks) - 3),
           |  i -> named_struct('pos', i, 'h',
-          |    aggregate(split(concat_ws(' ', slice(toks, i, 4)), ''),
-          |      0L, (a, c) -> (a * 31 + ascii(c)) % 2147483647)))""".stripMargin))
+          |    (((element_at(th, i) * 31 + element_at(th, i + 1)) * 31
+          |      + element_at(th, i + 2)) * 31 + element_at(th, i + 3))
+          |      % 2147483647))""".stripMargin))
       .withColumn("sel", expr(
         """transform(
           |  filter(sequence(1, greatest(size(grams) - 3, 1)),
@@ -718,17 +729,22 @@ object DedupOps extends QueryModule {
       |  SELECT doc_id,
       |    regexp_split_to_array(trim(COALESCE(text, '')), '\s+') AS toks
       |  FROM documents),
+      |tkh AS (
+      |  SELECT doc_id, toks,
+      |    list_transform(toks, t -> list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 2147483647)) AS ths
+      |  FROM base),
       |g AS (
       |  SELECT doc_id, toks,
       |    list_transform(
       |      list_filter(generate_series(1, GREATEST(len(toks) - 3, 1)),
       |                  i -> i <= len(toks) - 3),
-      |      i -> {'pos': i, 'h': list_reduce(
-      |        list_prepend(CAST(0 AS BIGINT),
-      |          list_transform(string_split(array_to_string(list_slice(toks, i, i + 3), ' '), ''),
-      |            c -> CAST(ascii(c) AS BIGINT))),
-      |        (a, b) -> (a * 31 + b) % 2147483647)}) AS grams
-      |  FROM base),
+      |      i -> {'pos': i, 'h':
+      |        (((ths[i] * 31 + ths[i + 1]) * 31 + ths[i + 2]) * 31 + ths[i + 3])
+      |          % 2147483647}) AS grams
+      |  FROM tkh),
       |w AS (
       |  SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
       |    list_transform(
