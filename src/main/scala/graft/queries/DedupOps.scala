@@ -229,7 +229,10 @@ object DedupOps extends QueryModule {
   private def q29(s: SparkSession, d: String): DataFrame = {
     t(s, d, "documents")
       .select(col("doc_id"),
-        expr("graft_simhash(split(text, ' '))").as("simhash"))
+        // coalesce: a NULL doc must sketch as '' in both engines (the
+        // NULL token list vanishes from the oracle's unnest entirely —
+        // found by tools/fuzz_corpus.py).
+        expr("graft_simhash(split(coalesce(text, ''), ' '))").as("simhash"))
       .select(
         col("doc_id"), col("simhash"),
         expr("(simhash >> 0)  & 32767").as("band0"),
@@ -311,7 +314,7 @@ object DedupOps extends QueryModule {
 
   /** 60-bit SimHash in SQL: per-bit ±1 occurrence votes, sign → bit. */
   private val simhashCte =
-    """alldocs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    """alldocs AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks FROM documents),
       |tok AS (SELECT doc_id, unnest(toks) AS tk FROM alldocs),
       |th AS (
       |  SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS h FROM tok),

@@ -41,7 +41,10 @@ object MediaOps extends QueryModule {
     implicit val ss: SparkSession = s
     val media = t(s, d, "documents")
       .select(col("doc_id").as("media_id"), lit("binary").as("kind"),
-        encode(col("text"), "UTF-8").as("content"))
+        // coalesce: a NULL doc is the empty byte stream in both engines
+        // (decodeOne zero-handles null, the oracle's NULL blob did not —
+        // found by tools/fuzz_corpus.py).
+        encode(coalesce(col("text"), lit("")), "UTF-8").as("content"))
     // Real multimodal path: batched mapPartitions extraction → parquet
     // sink → re-read (the artifact a downstream training pipeline reads).
     val dir = featDir(s, d)
@@ -69,7 +72,8 @@ object MediaOps extends QueryModule {
     * BIT → per-byte reassembly from 8 get_bit calls, then the identical
     * integer bins and ordered norm fold. */
   private val q90Sql =
-    """WITH d AS (SELECT doc_id, encode(text) AS blob, md5(text) AS fp FROM documents),
+    """WITH d AS (SELECT doc_id, encode(COALESCE(text, '')) AS blob,
+      |  md5(COALESCE(text, '')) AS fp FROM documents),
       |bytes AS (
       |  SELECT doc_id, fp, CAST(octet_length(blob) AS INTEGER) AS n_bytes,
       |    list_transform(range(0, octet_length(blob)), i ->
@@ -78,7 +82,8 @@ object MediaOps extends QueryModule {
       |  FROM d),
       |agg AS (
       |  SELECT doc_id, fp, n_bytes,
-      |    CAST(list_sum(bs) AS DOUBLE) / n_bytes AS byte_mean,
+      |    CASE WHEN n_bytes = 0 THEN CAST(0 AS DOUBLE)
+      |         ELSE CAST(list_sum(bs) AS DOUBLE) / n_bytes END AS byte_mean,
       |    list_transform(range(0, 16), k ->
       |      list_sum(list_prepend(CAST(0 AS BIGINT),
       |        list_transform(range(k, CAST(len(bs) AS BIGINT), 16),

@@ -357,7 +357,11 @@ object PipelineOps extends QueryModule {
     // per the QueryModule convention so the corpus is tokenized once.
     val tok = t(s, d, "documents")
       .select(col("doc_id"), col("source"),
-        size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tokens"),
+        // coalesce: a NULL doc counts as the empty string's one token in
+        // both engines, not a NULL that each engine's window sum skips
+        // from a different row order (found by tools/fuzz_corpus.py).
+        size(split(trim(coalesce(col("text"), lit(""))), "\\s+"))
+          .cast("bigint").as("n_tokens"),
         expr(s"doc_id div $chunkW").as("chunk"))
       .localCheckpoint(true)
     val wLocal = Window.partitionBy(col("source"), col("chunk"))
@@ -381,7 +385,7 @@ object PipelineOps extends QueryModule {
   private val q92Sql =
     """WITH tok AS (
       |  SELECT doc_id, source,
-      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |    CAST(len(regexp_split_to_array(trim(COALESCE(text, '')), '\s+')) AS BIGINT) AS n_tokens
       |  FROM documents),
       |cum AS (
       |  SELECT doc_id, source, n_tokens,

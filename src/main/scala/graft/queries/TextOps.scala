@@ -160,10 +160,13 @@ object TextOps extends QueryModule {
     * over characters mod 2^31−1, full text + 64-char prefix variant.
     * Expressed as an ordered fold (`aggregate`) — codegen-friendly, no UDF. */
   private def q25(s: SparkSession, d: String): DataFrame = {
+    // coalesce(text, ''): a NULL doc must fingerprint as the empty string
+    // in BOTH engines (Spark's fold of a NULL array is NULL while DuckDB's
+    // list_prepend(0, NULL) folds to 0 — found by tools/fuzz_corpus.py).
     val fp = expr(
-      "aggregate(split(text, ''), 0L, (a, c) -> (a * 31 + ascii(c)) % 2147483647)")
+      "aggregate(split(coalesce(text, ''), ''), 0L, (a, c) -> (a * 31 + ascii(c)) % 2147483647)")
     val fpPrefix = expr(
-      "aggregate(split(substring(text, 1, 64), ''), 0L, (a, c) -> (a * 31 + ascii(c)) % 2147483647)")
+      "aggregate(split(substring(coalesce(text, ''), 1, 64), ''), 0L, (a, c) -> (a * 31 + ascii(c)) % 2147483647)")
     t(s, d, "documents")
       .select(col("doc_id"), fp.as("fp_full"), fpPrefix.as("fp_prefix"))
       .orderBy("doc_id")
@@ -171,10 +174,10 @@ object TextOps extends QueryModule {
   private val q25Sql =
     """SELECT doc_id,
       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |    list_transform(string_split(COALESCE(text, ''), ''), c -> CAST(ascii(c) AS BIGINT))),
       |    (a, b) -> (a * 31 + b) % 2147483647) AS fp_full,
       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |    list_transform(string_split(substring(text, 1, 64), ''), c -> CAST(ascii(c) AS BIGINT))),
+      |    list_transform(string_split(substring(COALESCE(text, ''), 1, 64), ''), c -> CAST(ascii(c) AS BIGINT))),
       |    (a, b) -> (a * 31 + b) % 2147483647) AS fp_prefix
       |FROM documents ORDER BY doc_id""".stripMargin
 
