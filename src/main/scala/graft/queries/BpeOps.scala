@@ -244,8 +244,139 @@ object BpeOps extends QueryModule {
        |    AS chars_per_symbol
        |FROM j GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q122: unigram-LM Viterbi segmentation — the E-step of the OTHER
+    * major subword tokenizer family (Kudo 2018, "Subword Regularization";
+    * the SentencePiece unigram model): score every vocabulary word's best
+    * segmentation under a unigram piece model whose seed vocabulary is
+    * all substrings of length ≤ [[MaxPiece]], with add-nothing ML piece
+    * probabilities c(p)/Σc. Emitted per word: the Viterbi log-probability
+    * and its piece count (what the trainer's prune step consumes).
+    *
+    * Bit-exact in DuckDB despite being a DP: piece log-probs are
+    * [[LmOps.PortableLn]] over INTEGER counts; the DP is unrolled to
+    * [[MaxWord]] chained column stages (CTEs in the oracle), each taking
+    * the max of ≤ MaxPiece candidate (score, −pieces) structs — struct
+    * comparison is lexicographic in both engines and every candidate
+    * score is the same fixed-order IEEE sum, so ties resolve identically.
+    *
+    * Scale shape: the only corpus-proportional pass is the word-frequency
+    * aggregation (shared [[TextOps.bpeWordFreq]]); substring counting,
+    * the logp join, and the DP all run on the DISTINCT-WORD table
+    * (vocabulary-sized), with the per-word piece-logp map carried as a
+    * ≤ MaxWord·MaxPiece-entry map column — no driver state at all, unlike
+    * the BPE trainer's argmax loop. Words longer than MaxWord chars are
+    * excluded (stated, not silent: production unigram trainers cap
+    * candidate length the same way). */
+  private[queries] val MaxWord = 12
+  private[queries] val MaxPiece = 4
+  private def q122(s: SparkSession, d: String): DataFrame = {
+    import LmOps.PortableLn
+    val wf = TextOps.bpeWordFreq(s, d)
+      .filter(length(col("word")) <= MaxWord)
+      .localCheckpoint(true) // consumers: substring counts + DP probe
+    // (word, j, l) occurrence rows: j 0-based start, l piece length.
+    val occ = wf.select(col("word"), col("freq"),
+      explode(expr(
+        s"""flatten(transform(sequence(0, length(word) - 1), j ->
+           |  transform(sequence(1, least($MaxPiece, length(word) - j)), l ->
+           |    named_struct('j', cast(j as bigint), 'l', cast(l as bigint)))))"""
+          .stripMargin)).as("x"))
+      .select(col("word"), col("freq"), col("x.j").as("j"), col("x.l").as("l"),
+        expr("substring(word, cast(x.j as int) + 1, cast(x.l as int))").as("piece"))
+      .localCheckpoint(true) // consumers: piece counts + per-word map
+    val pc = occ.groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+    val tot = pc.agg(sum(col("cnt")).as("tot"))
+    val pcLn = (PortableLn.steps("cnt", "c", spark = true) ++
+      PortableLn.steps("tot", "t", spark = true))
+      .foldLeft(graft.Scalars.withScalar(pc, tot)) {
+        case (df, (n, e)) => df.withColumn(n, expr(e))
+      }
+      .select(col("piece"), (col("lnc") - col("lnt")).as("lnp"))
+    val probe = occ.join(pcLn, Seq("piece"))
+      .groupBy(col("word"), col("freq"))
+      .agg(map_from_entries(collect_list(
+        struct((col("j") * 16L + col("l")).as("k"), col("lnp").as("v")))).as("m"))
+      .withColumn("len", length(col("word")))
+      .withColumn("dps", expr(
+        "array(named_struct('s', cast(0 as double), 'np', 0))"))
+    val stepped = (1 to MaxWord).foldLeft(probe) { (df, i) =>
+      df.withColumn("dps", expr(
+        s"""CASE WHEN $i <= len THEN array_append(dps,
+           |  array_max(transform(sequence(greatest($i - $MaxPiece, 0), $i - 1), j ->
+           |    named_struct(
+           |      's', element_at(dps, cast(j as int) + 1).s
+           |             + element_at(m, cast(j * 16 + ($i - j) as bigint)),
+           |      'np', element_at(dps, cast(j as int) + 1).np - 1))))
+           |ELSE dps END""".stripMargin))
+    }
+    stepped
+      .select(col("word"), col("freq"),
+        expr("element_at(dps, len + 1)").as("best"))
+      .select(col("word"), col("freq"),
+        col("best.s").as("viterbi_logprob"),
+        (-col("best.np")).as("n_pieces"),
+        (length(col("word")).cast("double") /
+          (-col("best.np")).cast("double")).as("chars_per_piece"))
+      .orderBy("word")
+  }
+  private def q122Sql: String = {
+    import LmOps.PortableLn
+    val lnStages = {
+      val a = PortableLn.steps("cnt", "c", spark = false)
+      val b = PortableLn.steps("tot", "t", spark = false)
+      a.zip(b).zipWithIndex.map { case (((na, ea), (nb, eb)), i) =>
+        val src = if (i == 0) "p0" else s"p$i"
+        s"p${i + 1} AS (SELECT *, $ea AS $na, $eb AS $nb FROM $src)"
+      }
+    }
+    val nStages = lnStages.size
+    val dpStages = (1 to MaxWord).map { i =>
+      val src = if (i == 1) "d0" else s"d${i - 1}"
+      s"""d$i AS (
+         |  SELECT word, freq, len, m,
+         |    CASE WHEN $i <= len THEN list_append(dps,
+         |      list_reduce(
+         |        list_transform(range(GREATEST($i - $MaxPiece, 0), $i), j ->
+         |          {'s': struct_extract(dps[CAST(j AS INTEGER) + 1], 's')
+         |                  + map_extract(m, j * 16 + ($i - j))[1],
+         |           'np': struct_extract(dps[CAST(j AS INTEGER) + 1], 'np') - 1}),
+         |        (a, x) -> CASE WHEN x > a THEN x ELSE a END))
+         |    ELSE dps END AS dps
+         |  FROM $src)""".stripMargin
+    }
+    s"""WITH wf AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+       |        FROM documents)
+       |  WHERE length(word) >= 2 AND length(word) <= $MaxWord
+       |  GROUP BY word),
+       |occ AS (
+       |  SELECT word, freq, CAST(j AS BIGINT) AS j, CAST(l AS BIGINT) AS l,
+       |    substr(word, CAST(j AS INTEGER) + 1, CAST(l AS INTEGER)) AS piece
+       |  FROM (SELECT word, freq, unnest(range(0, length(word))) AS j FROM wf),
+       |    LATERAL (SELECT unnest(range(1, LEAST($MaxPiece, length(word) - j) + 1)) AS l)),
+       |pc AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM occ GROUP BY piece),
+       |p0 AS (SELECT piece, cnt, (SELECT CAST(SUM(cnt) AS BIGINT) FROM pc) AS tot FROM pc),
+       |${lnStages.mkString(",\n")},
+       |pl AS (SELECT piece, (lnc - lnt) AS lnp FROM p$nStages),
+       |d0 AS (
+       |  SELECT o.word, o.freq, length(o.word) AS len,
+       |    map_from_entries(list({'k': o.j * 16 + o.l, 'v': pl.lnp})) AS m,
+       |    [{'s': CAST(0 AS DOUBLE), 'np': CAST(0 AS INTEGER)}] AS dps
+       |  FROM occ o JOIN pl USING (piece)
+       |  GROUP BY o.word, o.freq),
+       |${dpStages.mkString(",\n")}
+       |SELECT word, freq,
+       |  struct_extract(dps[len + 1], 's') AS viterbi_logprob,
+       |  CAST(-struct_extract(dps[len + 1], 'np') AS INTEGER) AS n_pieces,
+       |  CAST(length(word) AS DOUBLE)
+       |    / CAST(-struct_extract(dps[len + 1], 'np') AS DOUBLE) AS chars_per_piece
+       |FROM d$MaxWord ORDER BY word""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q104_bpe_train", q104, Some(q104Sql)),
     Q("q105_bpe_encode", q105, Some(q105Sql)),
-    Q("q116_tokenizer_fertility", q116, Some(q116Sql)))
+    Q("q116_tokenizer_fertility", q116, Some(q116Sql)),
+    Q("q122_unigram_viterbi", q122, Some(q122Sql)))
 }
