@@ -302,9 +302,90 @@ object AssemblyOps extends QueryModule {
       |    AS effective_tokens
       |FROM st, tots, m, ws ORDER BY st.source""".stripMargin
 
+  /** q125 — deterministic weighted sampling WITHOUT replacement, per
+    * source (Efraimidis & Spirakis 2006, "Weighted random sampling with
+    * a reservoir"): each doc draws u ∈ (0,1] and competes on key
+    * u^(1/w); the top-k keys ARE a weight-proportional sample without
+    * replacement. This is the principled member of the sampling family
+    * beside q53's uniform stratified sample and q110's greedy
+    * token-budget fill — the op a mixture executes when a source must
+    * contribute k docs chosen proportional-to-length.
+    *
+    * Determinism (the q53/q93 membership idiom): u comes from an md5
+    * ticket — u_int = first 60 ticket bits, u = (u_int+1)/2^60 — so
+    * membership is a pure function of the data, identical in both
+    * engines and across reruns. Comparing on ln-keys is order-isomorphic
+    * to u^(1/w): key = ln(u)/w = (PortableLn(u_int+1) − 60·ln2)/w, every
+    * step an IEEE correctly-rounded op both engines compute identically
+    * ([[LmOps.PortableLn]]; 60·ln2 is one double multiply of exact
+    * constants).
+    *
+    * Scale shape: per-source top-k runs as a TWO-STAGE tournament, the
+    * q93 bucket discipline — stage 1 ranks inside (source, ticket-prefix
+    * bucket) partitions (16^kb ≈ √n buckets of ~√n rows, balanced
+    * because md5 is uniform) and keeps each bucket's local top-k; stage
+    * 2 ranks the ≤ k·16^kb per-source survivors. Global top-k ⊆ union of
+    * bucket top-k, and every row outranking a survivor also survives
+    * stage 1, so survivor ranks ARE global ranks: the oracle's ONE-level
+    * per-source window proves the tournament exact by hash equality.
+    * Both stages are √n-bounded — no corpus-proportional window
+    * partition anywhere. */
+  private def q125(s: SparkSession, d: String): DataFrame = {
+    val k = 32
+    val kb = PipelineOps.ticketPrefixFor(t(s, d, "documents").count())
+    val keyed = t(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(trim(coalesce(col("text"), lit(""))), "\\s+"))
+          .cast("long").as("weight"),
+        md5(concat_ws("|", lit("es"), col("doc_id"))).as("tkt"))
+      .withColumn("ui", expr("cast(conv(substring(tkt, 1, 15), 16, 10) as bigint)"))
+      .withColumn("bucket", substring(col("tkt"), 1, kb))
+    val scored = LmOps.PortableLn.steps("(ui + 1)", "u", spark = true)
+      .foldLeft(keyed) { case (df, (n, e)) => df.withColumn(n, expr(e)) }
+      .withColumn("es_key", expr(
+        "(lnu - (6e1 * 6.931471805599453e-1)) / cast(weight as double)"))
+    val wLocal = Window.partitionBy(col("source"), col("bucket"))
+      .orderBy(col("es_key").desc, col("doc_id"))
+    val wSrc = Window.partitionBy(col("source"))
+      .orderBy(col("es_key").desc, col("doc_id"))
+    scored
+      .withColumn("lr", row_number().over(wLocal))
+      .filter(col("lr") <= k)
+      .withColumn("smp_rank", row_number().over(wSrc).cast("long"))
+      .filter(col("smp_rank") <= k)
+      .select(col("source"), col("smp_rank"), col("doc_id"), col("weight"),
+        col("es_key"))
+      .orderBy(col("source"), col("smp_rank"))
+  }
+  private def q125Sql: String = {
+    val (last, ctes) = LmOps.lnCtes("u0", "e", Seq("(ui + 1)" -> "u"))
+    s"""WITH docs AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(regexp_split_to_array(trim(COALESCE(text, '')), '\\s+'))
+       |      AS BIGINT) AS weight,
+       |    md5('es|' || CAST(doc_id AS VARCHAR)) AS tkt
+       |  FROM documents),
+       |u0 AS (
+       |  SELECT *, CAST('0x' || substr(tkt, 1, 15) AS BIGINT) AS ui FROM docs),
+       |${ctes.mkString(",\n")},
+       |scored AS (
+       |  SELECT source, doc_id, weight,
+       |    (lnu - (6e1 * 6.931471805599453e-1)) / CAST(weight AS DOUBLE)
+       |      AS es_key
+       |  FROM $last),
+       |rk AS (
+       |  SELECT source, doc_id, weight, es_key,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY es_key DESC, doc_id) AS BIGINT) AS smp_rank
+       |  FROM scored)
+       |SELECT source, smp_rank, doc_id, weight, es_key
+       |FROM rk WHERE smp_rank <= 32 ORDER BY source, smp_rank""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q120_mixture_report", q120, Some(q120Sql)),
     Q("q109_cluster_best", q109, Some(q109Sql)),
     Q("q110_token_budget", q110, Some(q110Sql)),
-    Q("q111_epoch_upsample", q111, Some(q111Sql)))
+    Q("q111_epoch_upsample", q111, Some(q111Sql)),
+    Q("q125_weighted_sample", q125, Some(q125Sql)))
 }

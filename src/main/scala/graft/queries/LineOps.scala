@@ -212,8 +212,64 @@ object LineOps extends QueryModule {
       |  n_bad_hits > 0 AS doc_blocked
       |FROM h ORDER BY doc_id""".stripMargin
 
+  /** q124: WITHIN-document duplicate-paragraph removal, keep-first — the
+    * repetition-REMOVAL companion to q91's Gopher repetition SIGNALS
+    * (Rae et al. 2021 measure dup-paragraph fractions to drop docs;
+    * RefinedWeb / Penedo et al. 2023 §3.3 instead REWRITE the doc,
+    * removing intra-document repeated spans, which is this op).
+    * Paragraphs = the q98 8-token windows; a paragraph is removed iff an
+    * identical paragraph occurred EARLIER IN THE SAME DOC.
+    *
+    * Scale shape — the point of the operator: where q98 (corpus-wide
+    * keep-first) necessarily shuffles every line by md5, the within-doc
+    * variant is a pure row-local projection — window synthesis, first-
+    * occurrence filter (`array_position(paras, p) = i + 1` over the
+    * row's own array), and reassembly all pipeline inside the scan's
+    * codegen span. Zero shuffles at ANY corpus size; the only exchange
+    * in the executed plan is the deterministic output ORDER BY (range
+    * partition), asserted in LineOpsSpec. The oracle restates keep-first
+    * as a (doc, para) ROW_NUMBER window — fine for DuckDB at sf, exactly
+    * the formulation the Spark side avoids. */
+  private def q124(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "documents")
+      .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("toks"))
+      .withColumn("paras", expr(
+        "transform(sequence(0, (size(toks) - 1) div 8)," +
+          " i -> array_join(slice(toks, i * 8 + 1, 8), ' '))"))
+      .withColumn("kept", expr(
+        "filter(paras, (p, i) -> array_position(paras, p) = i + 1)"))
+      .select(col("doc_id"),
+        size(col("paras")).cast("long").as("n_paras"),
+        (size(col("paras")) - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), "\n").as("clean_text"))
+      .withColumn("clean_len", length(col("clean_text")).cast("long"))
+      .orderBy("doc_id")
+  }
+  private val q124Sql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks
+      |  FROM documents),
+      |pr AS (
+      |  SELECT doc_id, idx,
+      |    array_to_string(toks[idx * 8 + 1 : idx * 8 + 8], ' ') AS para
+      |  FROM (SELECT doc_id, toks,
+      |          unnest(range(0, (len(toks) - 1) // 8 + 1)) AS idx
+      |        FROM t)),
+      |mk AS (
+      |  SELECT doc_id, idx, para,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id, para ORDER BY idx) AS rn
+      |  FROM pr)
+      |SELECT doc_id, COUNT(*) AS n_paras,
+      |  COUNT(*) FILTER (WHERE rn > 1) AS n_removed,
+      |  COALESCE(array_to_string(list(para ORDER BY idx)
+      |    FILTER (WHERE rn = 1), chr(10)), '') AS clean_text,
+      |  CAST(length(COALESCE(array_to_string(list(para ORDER BY idx)
+      |    FILTER (WHERE rn = 1), chr(10)), '')) AS BIGINT) AS clean_len
+      |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q97_c4_line_filter", q97, Some(q97Sql)),
     Q("q98_line_dedup", q98, Some(q98Sql)),
-    Q("q121_badword_filter", q121, Some(q121Sql)))
+    Q("q121_badword_filter", q121, Some(q121Sql)),
+    Q("q124_para_dedup", q124, Some(q124Sql)))
 }

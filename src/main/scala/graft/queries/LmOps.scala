@@ -263,7 +263,7 @@ object LmOps extends QueryModule {
     * source relation: stage i of every instance lands in CTE `pfx{i+1}`,
     * so each stage only references the previous CTE (the q106 pattern,
     * generalized from 2 to N instances). Returns (last CTE name, CTEs). */
-  private def lnCtes(from: String, pfx: String,
+  private[queries] def lnCtes(from: String, pfx: String,
       insts: Seq[(String, String)]): (String, Seq[String]) = {
     val stepss = insts.map { case (x, sfx) => PortableLn.steps(x, sfx, spark = false) }
     val n = stepss.head.size
@@ -362,8 +362,135 @@ object LmOps extends QueryModule {
        |  CAST(NTILE(4) OVER (ORDER BY avg_logprob DESC, doc_id) AS INTEGER) AS phase
        |FROM pq ORDER BY doc_id""".stripMargin
 
+  /** q123: interpolated Kneser–Ney bigram gate — the smoothing KenLM
+    * actually ships (Chen & Goodman 1999 §4; CCNet's production scorer is
+    * 5-gram modified-KN), beside q106's add-one member of the family.
+    * Add-one systematically over-taxes frequent prefixes; KN discounts
+    * each seen bigram by a fixed D and redistributes the withheld mass
+    * over the CONTINUATION distribution (how many distinct contexts a
+    * word completes, not how often it occurs):
+    *
+    *   p(cur|prev) = (c(prev,cur) − D)/c(prev)
+    *               + (D·N1p(prev)/c(prev)) · (N1c(cur)/Nbt)
+    *
+    * with N1p(prev) = distinct continuations of prev, N1c(cur) =
+    * distinct contexts completed by cur, Nbt = distinct bigram types.
+    * D = 3/4 (Chen & Goodman's benchmark value) is chosen deliberately:
+    * it is exact in binary, so multiplying through by 4·Nbt·c(prev)
+    * rationalizes p into a ratio of two BIGINTs —
+    *
+    *   A = (4·c − 3)·Nbt + 3·N1p·N1c,   B = 4·c(prev)·Nbt
+    *
+    * — and ln p = ln A − ln B goes through [[PortableLn]] bit-identically
+    * in both engines (scoring the training corpus itself, c ≥ 1, so A is
+    * always positive and the interpolation never needs a backoff-only
+    * branch). A and B stay under 2^63 while c(prev)·Nbt < 2.3e18; at
+    * 100 TB vocabulary scale promote both to DECIMAL(38,0) before the ln
+    * (Num.scala discipline) — the testdata corpus is ~9 orders below the
+    * cliff.
+    *
+    * Scale shape: ONE corpus-proportional aggregation (the bigram count;
+    * map-side combine absorbs the zipf head) — c(prev), N1p, N1c, and
+    * Nbt all derive from the vocabulary²-bounded `bc` table, not from
+    * corpus re-passes (q106 needs a separate unigram pass; KN's
+    * transition-denominator c(prev) = Σ_cur c(prev,cur) makes the bigram
+    * table self-sufficient). Scoring joins transitions back on (prev,
+    * cur) then broadcasts nothing wider than the enforced ≤1-row Nbt
+    * scalar; the per-doc sum is the position-ordered IEEE fold. */
+  private def q123(s: SparkSession, d: String): DataFrame = {
+    val trans = t(s, d, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1)," +
+          " i -> struct(i as pos, toks[i-1] as prev, toks[i] as cur))")).as("x"))
+      .select(col("doc_id"), col("x.pos").as("pos"),
+        col("x.prev").as("prev"), col("x.cur").as("cur"))
+      .localCheckpoint(true) // consumers: bigram counts + scored probe
+    val bc = trans.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("bcnt"))
+      .localCheckpoint(true) // consumers: prev stats + cur stats + Nbt + probe
+    val prevStats = bc.groupBy(col("prev"))
+      .agg(sum(col("bcnt")).as("cp"), count(lit(1)).as("n1p"))
+    val curStats = bc.groupBy(col("cur")).agg(count(lit(1)).as("n1c"))
+    val nbt = bc.agg(count(lit(1)).as("nbt"))
+    val joined = graft.Scalars.withScalar(
+      trans.join(bc, Seq("prev", "cur"))
+        .join(prevStats, Seq("prev"))
+        .join(curStats, Seq("cur")),
+      nbt)
+    val lnCols =
+      PortableLn.steps("((((4 * bcnt) - 3) * nbt) + ((3 * n1p) * n1c))",
+        "a", spark = true) ++
+        PortableLn.steps("((4 * cp) * nbt)", "b", spark = true)
+    val scored = lnCols.foldLeft(joined) { case (df, (name, e)) =>
+      df.withColumn(name, expr(e))
+    }
+    val perDoc = scored
+      .withColumn("lp", expr("lna - lnb"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_transitions"),
+        expr("aggregate(array_sort(collect_list(struct(pos, lp)))," +
+          " cast(0 as double), (a, x) -> a + x.lp)").as("lp_sum"))
+      .select(col("doc_id"), col("n_transitions"),
+        (col("lp_sum") / col("n_transitions").cast("double"))
+          .as("avg_kn_logprob"))
+      .localCheckpoint(true) // consumers: threshold + output
+    val thr = perDoc.agg(expr("percentile(avg_kn_logprob, 0.1)").as("kn_p10"))
+    graft.Scalars.withScalar(perDoc, thr)
+      .select(col("doc_id"), col("n_transitions"), col("avg_kn_logprob"),
+        col("kn_p10"),
+        (col("avg_kn_logprob") < col("kn_p10")).as("flagged_low_quality"))
+      .orderBy("doc_id")
+  }
+
+  private def q123Sql: String = {
+    val (lastStage, ctes) = lnCtes("j0", "l",
+      Seq("((((4 * bcnt) - 3) * nbt) + ((3 * n1p) * n1c))" -> "a",
+        "((4 * cp) * nbt)" -> "b"))
+    s"""WITH base AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 2),
+       |trans AS (
+       |  SELECT doc_id, i AS pos, toks[i] AS prev, toks[i + 1] AS cur
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+       |        FROM base)),
+       |bc AS (
+       |  SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS bcnt
+       |  FROM trans GROUP BY prev, cur),
+       |ps AS (
+       |  SELECT prev, CAST(SUM(bcnt) AS BIGINT) AS cp,
+       |    CAST(COUNT(*) AS BIGINT) AS n1p
+       |  FROM bc GROUP BY prev),
+       |cs AS (
+       |  SELECT cur, CAST(COUNT(*) AS BIGINT) AS n1c FROM bc GROUP BY cur),
+       |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbt FROM bc),
+       |j0 AS (
+       |  SELECT t.doc_id, t.pos, b.bcnt, p.cp, p.n1p, c.n1c,
+       |    (SELECT nbt FROM nb) AS nbt
+       |  FROM trans t JOIN bc b USING (prev, cur)
+       |  JOIN ps p ON p.prev = t.prev
+       |  JOIN cs c ON c.cur = t.cur),
+       |${ctes.mkString(",\n")},
+       |pd AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(lna - lnb ORDER BY pos)),
+       |      (a, x) -> a + x) AS lp_sum
+       |  FROM $lastStage GROUP BY doc_id),
+       |pd2 AS (
+       |  SELECT doc_id, n_transitions,
+       |    lp_sum / CAST(n_transitions AS DOUBLE) AS avg_kn_logprob
+       |  FROM pd),
+       |thr AS (SELECT quantile_cont(avg_kn_logprob, 0.1) AS kn_p10 FROM pd2)
+       |SELECT doc_id, n_transitions, avg_kn_logprob,
+       |  (SELECT kn_p10 FROM thr) AS kn_p10,
+       |  avg_kn_logprob < (SELECT kn_p10 FROM thr) AS flagged_low_quality
+       |FROM pd2 ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q106_lm_perplexity", q106, Some(q106Sql)),
     Q("q113_nb_classifier", q113, Some(q113Sql)),
-    Q("q117_curriculum_phases", q117, Some(q117Sql)))
+    Q("q117_curriculum_phases", q117, Some(q117Sql)),
+    Q("q123_kneser_ney", q123, Some(q123Sql)))
 }

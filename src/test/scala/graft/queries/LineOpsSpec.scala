@@ -76,4 +76,35 @@ class LineOpsSpec extends SparkSpec {
       LineOps.queries("q98_line_dedup")(spark, dir).collect().head
     assert(clean === ls.mkString("\n"))
   }
+
+  test("q124: within-doc keep-first removal; cross-doc dups untouched") {
+    val A = (1 to 8).map(i => s"a$i")
+    val B = (1 to 8).map(i => s"b$i")
+    val C = (1 to 8).map(i => s"c$i")
+    val dir = writeDocs(Seq(
+      30L -> (A ++ B ++ A ++ A ++ C).mkString(" "), // A repeats twice in-doc
+      31L -> (A ++ C).mkString(" "),                // cross-doc dup: kept
+      32L -> B.mkString(" ")))
+    val got = LineOps.queries("q124_para_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(30L) === ((5L, 2L,
+      Seq(A, B, C).map(_.mkString(" ")).mkString("\n"))))
+    // unlike q98, doc 31's copy of A survives — dedup scope is the doc
+    assert(got(31L) === ((2L, 0L, Seq(A, C).map(_.mkString(" ")).mkString("\n"))))
+    assert(got(32L) === ((1L, 0L, B.mkString(" "))))
+  }
+
+  test("q124 is row-local: no hash-partition exchange in the executed plan") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val dir = writeDocs(Seq(40L -> (1 to 24).map(i => s"w$i").mkString(" ")))
+    val df = LineOps.queries("q124_para_dedup")(spark, dir)
+    df.collect()
+    val hashEx = df.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    // the sole exchange allowed is the output ORDER BY's range partition
+    assert(hashEx.isEmpty, s"unexpected hash exchange:\n${df.queryExecution.executedPlan}")
+  }
 }

@@ -46,4 +46,76 @@ class LmOpsSpec extends SparkSpec {
     val flagged = run1.filter(_.getBoolean(4)).map(_.getLong(0))
     assert(flagged === Seq(3L))
   }
+
+  /** Brute-force interpolated-KN reference: counts in plain Scala maps,
+    * probabilities in plain doubles (Math.log, not the portable ln). */
+  private def knReference(texts: Seq[(Long, String)]): Map[Long, Double] = {
+    val toks = texts.map { case (id, tx) => id -> tx.trim.split("\\s+").toSeq }
+      .filter(_._2.size >= 2)
+    val bigrams = toks.flatMap { case (id, ts) =>
+      ts.sliding(2).map(p => (id, p(0), p(1))).toSeq
+    }
+    val bc = bigrams.groupBy(b => (b._2, b._3)).view.mapValues(_.size.toLong).toMap
+    val cp = bc.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1p = bc.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val n1c = bc.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val nbt = bc.size.toLong
+    def lnp(prev: String, cur: String): Double = {
+      val c = bc((prev, cur)); val d = 0.75
+      math.log((c - d) / cp(prev) +
+        d * n1p(prev) / cp(prev) * (n1c(cur).toDouble / nbt))
+    }
+    toks.map { case (id, ts) =>
+      val lps = ts.sliding(2).map(p => lnp(p(0), p(1))).toSeq
+      id -> lps.sum / lps.size
+    }.toMap
+  }
+
+  test("q123 Kneser-Ney matches a brute-force double reference and flags the tail") {
+    val dir = java.nio.file.Files.createTempDirectory("lmkn").toString
+    val texts = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the hat"),
+      (3L, "zq xv qj wk zz yy"),
+      (4L, "the the the the"),
+      (5L, "a cat on a mat sat still"),
+      (6L, "on the mat the cat sat"))
+    texts.map { case (id, tx) => (id, tx, "en", "s", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = LmOps.queries("q123_kneser_ney")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val ref = knReference(texts)
+    assert(got.keySet === ref.keySet)
+    // Rationalized-integer + portable-ln path vs naive double arithmetic:
+    // same value up to double rounding of the two formulations.
+    got.foreach { case (id, v) =>
+      assert(math.abs(v - ref(id)) < 1e-12, s"doc $id: $v vs ${ref(id)}")
+    }
+  }
+
+  test("q123 KN distribution sums to 1 over the vocabulary for every prefix") {
+    // The defining property of interpolated KN: the discounted mass D·N1p/cp
+    // exactly funds the continuation term summed over the whole vocabulary.
+    val texts = Seq((1L, "a b a c a b d e b c"), (2L, "b a a c d d e a b"))
+    val toks = texts.map(_._2.split(" ").toSeq)
+    val bc = toks.flatMap(_.sliding(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cp = bc.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1p = bc.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val n1c = bc.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val nbt = bc.size.toLong
+    val vocab = toks.flatten.distinct
+    val d = 0.75
+    cp.keys.foreach { prev =>
+      val total = vocab.map { cur =>
+        val disc = bc.get((prev, cur)).map(c => (c - d) / cp(prev)).getOrElse(0.0)
+        disc + d * n1p(prev) / cp(prev) *
+          (n1c.getOrElse(cur, 0L).toDouble / nbt)
+      }.sum
+      // continuation distribution is over words seen as continuations; on
+      // this fixture every vocab word is one, so the sum is exactly 1.
+      assert(math.abs(total - 1.0) < 1e-12, s"prefix $prev sums to $total")
+    }
+  }
 }
