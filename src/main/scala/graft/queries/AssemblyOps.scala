@@ -382,10 +382,118 @@ object AssemblyOps extends QueryModule {
        |FROM rk WHERE smp_rank <= 32 ORDER BY source, smp_rank""".stripMargin
   }
 
+  /** q126 — one DoReMi domain-reweighting step (Xie et al. 2023,
+    * "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    * Pretraining"): domains whose measured loss EXCEEDS the reference
+    * get their mixture weight multiplied up,
+    * `α'_d ∝ α_d · exp(η · excess_d)`, normalized, then smoothed with
+    * the uniform distribution — the Group-DRO update at the heart of the
+    * method, run for one step with the q106 bigram LM standing in for
+    * the proxy model (η = 1, smoothing c = 1/8, exact in binary).
+    * Composes three published pieces: q106's per-doc scores, q120's
+    * token-share initial mixture, and [[LmOps.PortableExp]] for the one
+    * transcendental the update needs — every arithmetic step IEEE
+    * bit-identical in both engines (excess is clamped ≥ 0, satisfying
+    * PortableExp's precondition; domain and baseline losses are
+    * doc_id-ordered IEEE folds, the graft_dot discipline; the
+    * normalizer is the q120 (key, weight)-sorted |sources|-row fold).
+    *
+    * Scale shape: q106's scoring is the corpus-proportional part
+    * (audited there); this adds one doc-keyed equi-join to attach
+    * sources, one hash aggregation to |sources| rows, and K-row
+    * arithmetic behind three enforced ≤1-row scalar attaches. The
+    * per-domain/baseline ordered folds collect one double per doc —
+    * q106's existing percentile-width driver note applies (at 100 TB,
+    * block-wise decimal partial sums replace the fold). */
+  private def q126(s: SparkSession, d: String): DataFrame = {
+    val pd = graft.SparkEntry.queries("q106_lm_perplexity")(s, d)
+      .select(col("doc_id"), col("avg_logprob"))
+    val src = t(s, d, "documents").select(col("doc_id"), col("source"),
+      size(split(trim(coalesce(col("text"), lit(""))), "\\s+"))
+        .cast("long").as("nt"))
+    val joined = pd.join(src, "doc_id")
+      .localCheckpoint(true) // consumers: per-source agg + corpus baseline
+    val fold = "aggregate(array_sort(collect_list(struct(doc_id, avg_logprob)))," +
+      " cast(0 as double), (a, x) -> a + x.avg_logprob)"
+    val per = joined.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        expr(fold).as("lp_sum"))
+      .withColumn("domain_loss", expr("-(lp_sum) / cast(n_docs as double)"))
+    val base = joined
+      .agg(count(lit(1)).as("bn"), expr(fold).as("blp"))
+      .select(expr("-(blp) / cast(bn as double)").as("baseline_loss"))
+    val tots = per.agg(sum(col("n_tokens")).as("tok_total"),
+      count(lit(1)).as("k_sources"))
+    val ex = Scalars.withScalar(Scalars.withScalar(per, base), tots)
+      .withColumn("excess_loss", expr("greatest(domain_loss - baseline_loss, 0e0)"))
+      .withColumn("alpha_init",
+        expr("cast(n_tokens as double) / cast(tok_total as double)"))
+    val scored = LmOps.PortableExp.steps("excess_loss", "f", spark = true)
+      .foldLeft(ex) { case (df, (n, e)) => df.withColumn(n, expr(e)) }
+      .withColumn("w_raw", expr("alpha_init * expf"))
+      .localCheckpoint(true) // K rows; consumers: normalizer + output
+    val norm = scored.agg(expr(
+      "aggregate(array_sort(collect_list(struct(coalesce(source, '') as k," +
+        " w_raw as w))), cast(0 as double), (a, x) -> a + x.w)").as("norm"))
+    Scalars.withScalar(scored, norm)
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("domain_loss"),
+        col("excess_loss"), col("alpha_init"), col("expf").as("update_factor"),
+        expr("((1e0 - 1.25e-1) * (w_raw / norm))" +
+          " + (1.25e-1 / cast(k_sources as double))").as("alpha_doremi"))
+      .orderBy("source")
+  }
+  private def q126Sql: String = {
+    val pq = LmOps.oracleSql("q106_lm_perplexity")
+    val (last, ctes) = LmOps.expCtes("e0", "e", Seq("excess_loss" -> "f"))
+    s"""WITH pq AS ($pq),
+       |tok AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(regexp_split_to_array(trim(COALESCE(text, '')), '\\s+'))
+       |      AS BIGINT) AS nt
+       |  FROM documents),
+       |j AS (
+       |  SELECT p.doc_id, p.avg_logprob, t.source, t.nt
+       |  FROM pq p JOIN tok t USING (doc_id)),
+       |per AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(avg_logprob ORDER BY doc_id)), (a, b) -> a + b) AS lp_sum
+       |  FROM j GROUP BY source),
+       |per2 AS (
+       |  SELECT *, -(lp_sum) / CAST(n_docs AS DOUBLE) AS domain_loss FROM per),
+       |base AS (
+       |  SELECT -(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(avg_logprob ORDER BY doc_id)), (a, b) -> a + b))
+       |    / CAST(COUNT(*) AS DOUBLE) AS baseline_loss
+       |  FROM j),
+       |tots AS (
+       |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tok_total,
+       |    CAST(COUNT(*) AS BIGINT) AS k_sources FROM per),
+       |e0 AS (
+       |  SELECT per2.*, base.baseline_loss, tots.tok_total, tots.k_sources,
+       |    GREATEST(domain_loss - base.baseline_loss, 0e0) AS excess_loss,
+       |    CAST(n_tokens AS DOUBLE) / CAST(tots.tok_total AS DOUBLE) AS alpha_init
+       |  FROM per2, base, tots),
+       |${ctes.mkString(",\n")},
+       |w0 AS (SELECT *, alpha_init * expf AS w_raw FROM $last),
+       |nrm AS (
+       |  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list(w_raw ORDER BY COALESCE(source, ''), w_raw)),
+       |    (a, b) -> a + b) AS norm
+       |  FROM w0)
+       |SELECT source, n_docs, n_tokens, domain_loss, excess_loss, alpha_init,
+       |  expf AS update_factor,
+       |  ((1e0 - 1.25e-1) * (w_raw / nrm.norm))
+       |    + (1.25e-1 / CAST(k_sources AS DOUBLE)) AS alpha_doremi
+       |FROM w0, nrm ORDER BY source""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q120_mixture_report", q120, Some(q120Sql)),
     Q("q109_cluster_best", q109, Some(q109Sql)),
     Q("q110_token_budget", q110, Some(q110Sql)),
     Q("q111_epoch_upsample", q111, Some(q111Sql)),
-    Q("q125_weighted_sample", q125, Some(q125Sql)))
+    Q("q125_weighted_sample", q125, Some(q125Sql)),
+    Q("q126_doremi_step", q126, Some(q126Sql)))
 }

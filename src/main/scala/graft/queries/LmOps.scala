@@ -75,6 +75,52 @@ object LmOps extends QueryModule {
     }
   }
 
+  /** Generated portable exp over a NON-NEGATIVE double expression — the
+    * e^x twin of [[PortableLn]], built for the same reason: JVM
+    * `Math.exp` and DuckDB's libm disagree in the last ulp, so both
+    * dialects get the identical correctly-rounded-op pipeline instead.
+    * Range-reduce by k = floor(x/ln2) (floor and the division are both
+    * correctly rounded → identical), r = x − k·ln2 ∈ [0, ln2) via the
+    * Cody–Waite split ln2 = hi + lo (hi carries 33 significant bits, so
+    * k·hi is EXACT for k < 2^20 — a single-constant reduction leaks
+    * k·ulp(ln2) into r, measured 8 ulps at x=20), then a fixed-order
+    * Taylor Horner to t^17 (remainder r^18/18! ≈ 2e-19, ~0.001 ulp),
+    * scaled by the exact power of two. Precondition x ≥ 0 (k must be a
+    * valid shift count); callers clamp, e.g. an excess-loss
+    * `greatest(…, 0e0)`. */
+  private[queries] object PortableExp {
+    private def horner(r: String): String = {
+      val inner = (17 to 2 by -1).foldLeft("1e0") { (acc, den) =>
+        s"(1e0 + (($r / ${den}e0) * $acc))"
+      }
+      s"(1e0 + ($r * $inner))"
+    }
+    def steps(x: String, sfx: String, spark: Boolean): Seq[(String, String)] = {
+      val pow2 =
+        if (spark) s"cast(shiftleft(cast(1 as bigint), k$sfx) as double)"
+        else s"CAST((CAST(1 AS BIGINT) << k$sfx) AS DOUBLE)"
+      Seq(
+        s"k$sfx" -> s"cast(floor(($x) / 6.931471805599453e-1) as bigint)",
+        s"r$sfx" -> (s"((($x) - (cast(k$sfx as double) * 6.93147180369123816e-1))" +
+          s" - (cast(k$sfx as double) * 1.90821492927058770e-10))"),
+        s"exp$sfx" -> s"($pow2 * ${horner(s"r$sfx")})")
+    }
+  }
+
+  /** Staged-CTE emission for N [[PortableExp]] instances — the exp twin
+    * of [[lnCtes]], same stage-per-CTE contract. */
+  private[queries] def expCtes(from: String, pfx: String,
+      insts: Seq[(String, String)]): (String, Seq[String]) = {
+    val stepss = insts.map { case (x, sfx) => PortableExp.steps(x, sfx, spark = false) }
+    val n = stepss.head.size
+    val ctes = (0 until n).map { i =>
+      val src = if (i == 0) from else s"$pfx$i"
+      val cols = stepss.map(st => s"${st(i)._2} AS ${st(i)._1}").mkString(", ")
+      s"$pfx${i + 1} AS (SELECT *, $cols FROM $src)"
+    }
+    (s"$pfx$n", ctes)
+  }
+
   /** q106: bigram-LM perplexity gate. add-one smoothing keeps every
     * probability strictly inside (0,1) so the score is total; the
     * numerator `bcnt+1` and denominator `ucnt+V` stay integers until the

@@ -150,4 +150,53 @@ class AssemblyOpsSpec extends SparkSpec {
     out.foreach(r => assert(r._7 >= 1.0 && r._7 <= 4.0))
     assert(out.maxBy(_._2)._7 === 1.0)
   }
+
+  test("q125: per-source E-S sample is deterministic and matches a brute-force rank") {
+    val dir = writeDocs()
+    val out = AssemblyOps.queries("q125_weighted_sample")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // k=32 exceeds every source size on this fixture: all 7 docs sampled,
+    // ranks dense per source.
+    assert(out.length === 7)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    // Ranks agree with a brute-force sort on the exact same key formula.
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val expected = rows.sortBy(r => (-r._5, r._3)).map(_._3).toSeq
+      assert(rows.sortBy(_._2).map(_._3).toSeq === expected)
+    }
+    // Keys are negative (ln u < 0, w > 0) and heavier docs are not
+    // systematically excluded — weight enters the key denominator.
+    out.foreach(r => assert(r._5 < 0.0))
+    val again = AssemblyOps.queries("q125_weighted_sample")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq === again.toSeq)
+  }
+
+  test("q126: DoReMi weights normalize, floor at c/K, boost only excess-loss domains") {
+    val dir = writeDocs()
+    val out = AssemblyOps.queries("q126_doremi_step")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    val k = out.length
+    // Final mixture is a distribution with the uniform-smoothing floor.
+    assert(math.abs(out.map(_._8).sum - 1.0) < 1e-12)
+    out.foreach(r => assert(r._8 >= 0.125 / k - 1e-15))
+    // excess = max(domain_loss - baseline, 0); factor = exp(excess) >= 1,
+    // and exactly 1 for domains at or below baseline.
+    out.foreach { r =>
+      assert(r._5 >= 0.0)
+      if (r._5 == 0.0) assert(r._7 === 1.0)
+      else assert(math.abs(r._7 - math.exp(r._5)) <= 4 * math.ulp(math.exp(r._5)))
+    }
+    // At least one domain sits at baseline-or-below (excess 0) and the
+    // update is non-trivial on this fixture (some domain above baseline).
+    assert(out.exists(_._5 == 0.0) && out.exists(_._5 > 0.0))
+    // Relative to the pure renormalized update, smoothing pulls toward
+    // uniform; the boosted domain still gains vs its initial share iff its
+    // factor beats the normalizer — sanity: alpha_init sums to 1 too.
+    assert(math.abs(out.map(_._6).sum - 1.0) < 1e-12)
+  }
 }

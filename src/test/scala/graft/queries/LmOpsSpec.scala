@@ -25,6 +25,22 @@ class LmOpsSpec extends SparkSpec {
     }
   }
 
+  test("portable exp tracks Math.exp within 4 ulps on [0, 40]") {
+    val xs = (Seq(0.0, 1e-300, 1e-9, 0.1, 0.5, 0.6931471805599453, 0.7, 1.0,
+      2.5, 6.93, 10.0, 20.0, 39.9) ++
+      (1 to 50).map(i => i * 0.7919 % 40.0)).toDF("x")
+    val steps = LmOps.PortableExp.steps("x", "p", spark = true)
+    val got = steps.foldLeft(xs)((df, s) => df.withColumn(s._1, expr(s._2)))
+      .select(col("x"), col("expp")).collect()
+    got.foreach { r =>
+      val x = r.getDouble(0); val approx = r.getDouble(1)
+      val exact = math.exp(x)
+      val ulp = math.ulp(exact)
+      assert(math.abs(approx - exact) <= 4 * ulp,
+        s"exp($x): portable=$approx jvm=$exact diff=${approx - exact}")
+    }
+  }
+
   test("q106 scores are identical under different shuffle partition counts") {
     val dir = java.nio.file.Files.createTempDirectory("lmops").toString
     val docs = Seq(
