@@ -495,5 +495,68 @@ object AssemblyOps extends QueryModule {
     Q("q110_token_budget", q110, Some(q110Sql)),
     Q("q111_epoch_upsample", q111, Some(q111Sql)),
     Q("q125_weighted_sample", q125, Some(q125Sql)),
-    Q("q126_doremi_step", q126, Some(q126Sql)))
+    Q("q126_doremi_step", q126, Some(q126Sql)),
+    Q("q128_sft_conversations", q128, Some(q128Sql)))
+
+  /** q128 — SFT conversation assembly: the post-training twin of the
+    * pretraining ops — turn an event log into chat-template training
+    * rows (every instruction-tuning pipeline renders conversations into
+    * a role-tagged template before tokenization; turn-count bounds are
+    * the standard validity gate). Per user: events in (time, event_id)
+    * order become alternating user/assistant turns rendered as
+    * `<|role|>content`, with turn counts, time span, and the 2–64-turn
+    * SFT validity flag.
+    *
+    * Engine-parity trap this op pins down: Spark reads the nanosecond
+    * parquet timestamps truncated to MICROS ([[graft.Tables]]), DuckDB
+    * reads full nanos — so both sides key turn ORDER on epoch
+    * microseconds (`unix_micros` / `epoch_us`, identical floor
+    * truncation), tie-broken by event_id; raw `ORDER BY ts` would let
+    * sub-microsecond differences reorder turns in one engine only.
+    * event_type coalesces to '' because Spark's array_join DROPS null
+    * elements while string_agg skips the whole NULL string — divergent
+    * transcripts the moment a type is NULL.
+    *
+    * Scale shape: one hash aggregation keyed by user; the per-user
+    * ordered render is a conversation-bounded collect (the q19
+    * sessionization boundedness argument — a conversation that doesn't
+    * fit one buffer isn't a training row). The oracle restates the
+    * position-parity roles with a per-user ROW_NUMBER window. */
+  private def q128(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "events")
+      // ts arrives TIMESTAMP_NTZ from the driver parquet (or TIMESTAMP
+      // from Tables' nanos conversion); session tz is UTC, so the cast
+      // is instant-preserving in both cases.
+      .select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("us"),
+        col("event_id"), coalesce(col("event_type"), lit("")).as("event_type"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        min(col("us")).as("first_us"), max(col("us")).as("last_us"),
+        expr("array_join(transform(" +
+          "array_sort(collect_list(struct(us, event_id, event_type)))," +
+          " (x, i) -> concat('<|', if(i % 2 = 0, 'user', 'assistant')," +
+          " '|>', x.event_type)), '')").as("transcript"))
+      .withColumn("n_transcript_chars", length(col("transcript")).cast("long"))
+      .withColumn("valid_sft", col("n_turns") >= 2 && col("n_turns") <= 64)
+      .orderBy("user_id")
+  }
+  /** def, not val: referenced by `all`, which is declared above. */
+  private def q128Sql =
+    """WITH e AS (
+      |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us, event_id,
+      |    COALESCE(event_type, '') AS event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS rn
+      |  FROM events)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+      |  CAST(MIN(us) AS BIGINT) AS first_us,
+      |  CAST(MAX(us) AS BIGINT) AS last_us,
+      |  string_agg('<|' || CASE WHEN rn % 2 = 1 THEN 'user' ELSE 'assistant'
+      |    END || '|>' || event_type, '' ORDER BY rn) AS transcript,
+      |  CAST(length(string_agg('<|' || CASE WHEN rn % 2 = 1 THEN 'user'
+      |    ELSE 'assistant' END || '|>' || event_type, '' ORDER BY rn))
+      |    AS BIGINT) AS n_transcript_chars,
+      |  (COUNT(*) >= 2 AND COUNT(*) <= 64) AS valid_sft
+      |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
 }

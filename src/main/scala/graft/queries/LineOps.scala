@@ -267,9 +267,57 @@ object LineOps extends QueryModule {
       |    FILTER (WHERE rn = 1), chr(10)), '')) AS BIGINT) AS clean_len
       |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q127: sliding-window chunking with overlap — the doc→context-window
+    * explode between a cleaned corpus and an embedding/RAG indexer or a
+    * fixed-context trainer (every RAG stack's text splitter; the
+    * overlapping-stride variant of q92's disjoint packing). Windows of
+    * W=64 tokens start every S=48 tokens (16-token overlap carries
+    * context across boundaries); a window exists for every start
+    * strictly inside the doc, so the tail window may be short — the
+    * published splitter semantics (start < n_tokens, length
+    * min(W, n − start)).
+    *
+    * Scale shape: pure row-local explode — window synthesis is
+    * `transform(sequence(…), slice(…))` inside the scan's codegen span,
+    * output rows ≈ corpus_tokens/S with zero shuffles beyond the
+    * deterministic output ORDER BY. The (doc_id, chunk_id) key is
+    * stable under any partitioning; no state, no window function. */
+  private def q127(s: SparkSession, d: String): DataFrame = {
+    val (w, st) = (64, 48)
+    t(s, d, "documents")
+      .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        posexplode(expr(
+          s"transform(sequence(0, (size(toks) - 1) div $st)," +
+            s" i -> array_join(slice(toks, i * $st + 1, $w), ' '))"))
+          .as(Seq("chunk_id", "chunk_text")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        (col("chunk_id") * st).cast("long").as("start_tok"),
+        least(lit(w.toLong), col("n_tokens") - col("chunk_id") * st)
+          .as("n_chunk_tokens"),
+        col("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+  private val q127Sql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, i AS chunk_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    array_to_string(toks[i * 48 + 1 : i * 48 + 64], ' ') AS chunk_text
+      |  FROM (SELECT doc_id, toks,
+      |          unnest(range(0, (len(toks) - 1) // 48 + 1)) AS i
+      |        FROM t))
+      |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+      |  CAST(chunk_id * 48 AS BIGINT) AS start_tok,
+      |  CAST(LEAST(64, n_tokens - chunk_id * 48) AS BIGINT) AS n_chunk_tokens,
+      |  chunk_text
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q97_c4_line_filter", q97, Some(q97Sql)),
     Q("q98_line_dedup", q98, Some(q98Sql)),
     Q("q121_badword_filter", q121, Some(q121Sql)),
-    Q("q124_para_dedup", q124, Some(q124Sql)))
+    Q("q124_para_dedup", q124, Some(q124Sql)),
+    Q("q127_chunk_windows", q127, Some(q127Sql)))
 }

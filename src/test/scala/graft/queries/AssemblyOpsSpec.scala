@@ -199,4 +199,30 @@ class AssemblyOpsSpec extends SparkSpec {
     // factor beats the normalizer — sanity: alpha_init sums to 1 too.
     assert(math.abs(out.map(_._6).sum - 1.0) < 1e-12)
   }
+
+  test("q128: turns render in time order with alternating roles; validity bounds") {
+    val dir = java.nio.file.Files.createTempDirectory("sft").toString
+    val base = 1_700_000_000_000_000L // epoch micros
+    val evs = Seq(
+      // user 1: 3 turns, deliberately written out of time order
+      (11L, base + 2_000_000L, 1L, "clarify", 0.0, "{}"),
+      (10L, base, 1L, "ask", 0.0, "{}"),
+      (12L, base + 3_000_000L, 1L, "answer", 0.0, "{}"),
+      // user 2: single turn -> invalid for SFT
+      (20L, base, 2L, "ping", 0.0, "{}"),
+      // user 3: same timestamp, event_id breaks the tie
+      (31L, base, 3L, "second", 0.0, "{}"),
+      (30L, base, 3L, "first", 0.0, "{}"))
+    evs.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = AssemblyOps.queries("q128_sft_conversations")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(4), r.getBoolean(6))).toMap
+    assert(got(1L) ===
+      ((3L, "<|user|>ask<|assistant|>clarify<|user|>answer", true)))
+    assert(got(2L) === ((1L, "<|user|>ping", false)))
+    assert(got(3L) === ((2L, "<|user|>first<|assistant|>second", true)))
+  }
 }

@@ -95,6 +95,22 @@ class LineOpsSpec extends SparkSpec {
     assert(got(32L) === ((1L, 0L, B.mkString(" "))))
   }
 
+  test("q127: window starts, overlap, and short tail") {
+    val toks = (1 to 100).map(i => s"w$i")
+    val dir = writeDocs(Seq(50L -> toks.mkString(" "), 51L -> "solo"))
+    val got = LineOps.queries("q127_chunk_windows")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    val d50 = got.filter(_._1 == 50L)
+    // starts at 0, 48, 96 — every start strictly inside the 100-token doc
+    assert(d50.map(c => (c._3, c._4)).toSeq === Seq((0L, 64L), (48L, 52L), (96L, 4L)))
+    // overlap: chunk 1 begins 16 tokens before chunk 0 ends
+    assert(d50(0)._5.split(" ").drop(48).toSeq === d50(1)._5.split(" ").take(16).toSeq)
+    assert(d50(1)._5.split(" ").head === "w49")
+    // a sub-window doc yields exactly one short chunk
+    assert(got.filter(_._1 == 51L).toSeq === Seq((51L, 0L, 0L, 1L, "solo")))
+  }
+
   test("q124 is row-local: no hash-partition exchange in the executed plan") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
