@@ -406,8 +406,7 @@ object AssemblyOps extends QueryModule {
     * q106's existing percentile-width driver note applies (at 100 TB,
     * block-wise decimal partial sums replace the fold). */
   private def q126(s: SparkSession, d: String): DataFrame = {
-    val pd = graft.SparkEntry.queries("q106_lm_perplexity")(s, d)
-      .select(col("doc_id"), col("avg_logprob"))
+    val pd = LmOps.lmScores(s, d).select(col("doc_id"), col("avg_logprob"))
     val src = t(s, d, "documents").select(col("doc_id"), col("source"),
       size(split(trim(coalesce(col("text"), lit(""))), "\\s+"))
         .cast("long").as("nt"))

@@ -125,7 +125,19 @@ object LmOps extends QueryModule {
     * probability strictly inside (0,1) so the score is total; the
     * numerator `bcnt+1` and denominator `ucnt+V` stay integers until the
     * portable-ln, and the per-doc mean divides once. */
-  private def q106(s: SparkSession, d: String): DataFrame = {
+  /** q106's per-doc score table (doc_id, n_transitions, avg_logprob),
+    * memoized per (session, corpus): THREE queries consume the identical
+    * artifact — q106 itself, q117's curriculum ordering, q126's DoReMi
+    * step — and the scoring passes (two corpus aggregations + the
+    * transition probe join) dominated all three before memoization
+    * (bench: q117 and q126 each re-paid ~1.7 s at sf0.1). The
+    * [[graft.SessionCache]] deterministic-build contract holds: every
+    * step is the bit-portable pipeline the oracle restates. */
+  private val scoreCache = new graft.SessionCache[DataFrame]
+  private[queries] def lmScores(s: SparkSession, d: String): DataFrame =
+    scoreCache.getOrBuild(s, d) { buildLmScores(s, d) }
+
+  private def buildLmScores(s: SparkSession, d: String): DataFrame = {
     val base = t(s, d, "documents")
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
       .filter(size(col("toks")) >= 2)
@@ -150,7 +162,7 @@ object LmOps extends QueryModule {
     val scored = lnCols.foldLeft(joined) { case (df, (name, e)) =>
       df.withColumn(name, expr(e))
     }
-    val perDoc = scored
+    scored
       .withColumn("lp", expr("lna - lnb"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_transitions"),
@@ -158,7 +170,11 @@ object LmOps extends QueryModule {
           " cast(0 as double), (a, x) -> a + x.lp)").as("lp_sum"))
       .select(col("doc_id"), col("n_transitions"),
         (col("lp_sum") / col("n_transitions").cast("double")).as("avg_logprob"))
-      .localCheckpoint(true) // two consumers: threshold + output
+      .localCheckpoint(true) // memoized artifact; consumers: q106/q117/q126
+  }
+
+  private def q106(s: SparkSession, d: String): DataFrame = {
+    val perDoc = lmScores(s, d)
     val thr = perDoc.agg(expr("percentile(avg_logprob, 0.1)").as("lp_p10"))
     graft.Scalars.withScalar(perDoc, thr)
       .select(col("doc_id"), col("n_transitions"), col("avg_logprob"),
@@ -391,9 +407,9 @@ object LmOps extends QueryModule {
     * is localCheckpoint'ed because withRank evaluates it up to three
     * times and the upstream carries q106's joins. */
   private def q117(s: SparkSession, d: String): DataFrame = {
-    val scored = graft.SparkEntry.queries("q106_lm_perplexity")(s, d)
-      .select(col("doc_id"), col("avg_logprob"))
-      .localCheckpoint(true) // withRank evaluates its input up to thrice
+    // the memoized artifact is already checkpointed, satisfying
+    // withRank's evaluate-up-to-thrice contract
+    val scored = lmScores(s, d).select(col("doc_id"), col("avg_logprob"))
     graft.operators.GlobalRank.withRank(scored, col("avg_logprob"),
         descending = true, tieBreakers = Seq(col("doc_id")),
         rnName = "rn", totalName = Some("n"))
