@@ -269,34 +269,50 @@ object BpeOps extends QueryModule {
     * candidate length the same way). */
   private[queries] val MaxWord = 12
   private[queries] val MaxPiece = 4
+
+  /** Seed artifacts shared by q122 (Viterbi E-step) and q129 (M-step),
+    * memoized per (session, corpus): `pcLn` = seed pieces with counts
+    * and PortableLn log-probs; `probe` = one row per vocabulary word
+    * carrying the (start,len)→lnp map the DP consumes. Both sit on the
+    * vocabulary-sized table; the word-frequency pass inside
+    * [[TextOps.bpeWordFreq]] is the only corpus-proportional stage. */
+  private val seedCache = new graft.SessionCache[(DataFrame, DataFrame)]
+  private def unigramSeed(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    seedCache.getOrBuild(s, d) {
+      import LmOps.PortableLn
+      val wf = TextOps.bpeWordFreq(s, d)
+        .filter(length(col("word")) <= MaxWord)
+        .localCheckpoint(true) // consumers: substring counts + DP probe
+      // (word, j, l) occurrence rows: j 0-based start, l piece length.
+      val occ = wf.select(col("word"), col("freq"),
+        explode(expr(
+          s"""flatten(transform(sequence(0, length(word) - 1), j ->
+             |  transform(sequence(1, least($MaxPiece, length(word) - j)), l ->
+             |    named_struct('j', cast(j as bigint), 'l', cast(l as bigint)))))"""
+            .stripMargin)).as("x"))
+        .select(col("word"), col("freq"), col("x.j").as("j"), col("x.l").as("l"),
+          expr("substring(word, cast(x.j as int) + 1, cast(x.l as int))").as("piece"))
+        .localCheckpoint(true) // consumers: piece counts + per-word map
+      val pc = occ.groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+      val tot = pc.agg(sum(col("cnt")).as("tot"))
+      val pcLn = (PortableLn.steps("cnt", "c", spark = true) ++
+        PortableLn.steps("tot", "t", spark = true))
+        .foldLeft(graft.Scalars.withScalar(pc, tot)) {
+          case (df, (n, e)) => df.withColumn(n, expr(e))
+        }
+        .select(col("piece"), col("cnt"), (col("lnc") - col("lnt")).as("lnp"))
+        .localCheckpoint(true) // consumers: probe join + q129 seed rollcall
+      val probe = occ.join(pcLn, Seq("piece"))
+        .groupBy(col("word"), col("freq"))
+        .agg(map_from_entries(collect_list(
+          struct((col("j") * 16L + col("l")).as("k"), col("lnp").as("v")))).as("m"))
+        .withColumn("len", length(col("word")))
+        .localCheckpoint(true) // consumers: q122 DP + q129 DP
+      (pcLn, probe)
+    }
+
   private def q122(s: SparkSession, d: String): DataFrame = {
-    import LmOps.PortableLn
-    val wf = TextOps.bpeWordFreq(s, d)
-      .filter(length(col("word")) <= MaxWord)
-      .localCheckpoint(true) // consumers: substring counts + DP probe
-    // (word, j, l) occurrence rows: j 0-based start, l piece length.
-    val occ = wf.select(col("word"), col("freq"),
-      explode(expr(
-        s"""flatten(transform(sequence(0, length(word) - 1), j ->
-           |  transform(sequence(1, least($MaxPiece, length(word) - j)), l ->
-           |    named_struct('j', cast(j as bigint), 'l', cast(l as bigint)))))"""
-          .stripMargin)).as("x"))
-      .select(col("word"), col("freq"), col("x.j").as("j"), col("x.l").as("l"),
-        expr("substring(word, cast(x.j as int) + 1, cast(x.l as int))").as("piece"))
-      .localCheckpoint(true) // consumers: piece counts + per-word map
-    val pc = occ.groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
-    val tot = pc.agg(sum(col("cnt")).as("tot"))
-    val pcLn = (PortableLn.steps("cnt", "c", spark = true) ++
-      PortableLn.steps("tot", "t", spark = true))
-      .foldLeft(graft.Scalars.withScalar(pc, tot)) {
-        case (df, (n, e)) => df.withColumn(n, expr(e))
-      }
-      .select(col("piece"), (col("lnc") - col("lnt")).as("lnp"))
-    val probe = occ.join(pcLn, Seq("piece"))
-      .groupBy(col("word"), col("freq"))
-      .agg(map_from_entries(collect_list(
-        struct((col("j") * 16L + col("l")).as("k"), col("lnp").as("v")))).as("m"))
-      .withColumn("len", length(col("word")))
+    val probe = unigramSeed(s, d)._2
       .withColumn("dps", expr(
         "array(named_struct('s', cast(0 as double), 'np', 0))"))
     val stepped = (1 to MaxWord).foldLeft(probe) { (df, i) =>
@@ -319,7 +335,11 @@ object BpeOps extends QueryModule {
           (-col("best.np")).cast("double")).as("chars_per_piece"))
       .orderBy("word")
   }
-  private def q122Sql: String = {
+  /** Shared oracle prologue for q122/q129: wf → occ → pc → PortableLn
+    * stages → `pl` (piece, cnt, lnp) and `d0` (per-word probe with the
+    * (start,len)→lnp map and the DP seed, with or without the path
+    * field). The SQL twin of [[unigramSeed]]. */
+  private def unigramSeedSql(withPath: Boolean): String = {
     import LmOps.PortableLn
     val lnStages = {
       val a = PortableLn.steps("cnt", "c", spark = false)
@@ -329,22 +349,10 @@ object BpeOps extends QueryModule {
         s"p${i + 1} AS (SELECT *, $ea AS $na, $eb AS $nb FROM $src)"
       }
     }
-    val nStages = lnStages.size
-    val dpStages = (1 to MaxWord).map { i =>
-      val src = if (i == 1) "d0" else s"d${i - 1}"
-      s"""d$i AS (
-         |  SELECT word, freq, len, m,
-         |    CASE WHEN $i <= len THEN list_append(dps,
-         |      list_reduce(
-         |        list_transform(range(GREATEST($i - $MaxPiece, 0), $i), j ->
-         |          {'s': struct_extract(dps[CAST(j AS INTEGER) + 1], 's')
-         |                  + map_extract(m, j * 16 + ($i - j))[1],
-         |           'np': struct_extract(dps[CAST(j AS INTEGER) + 1], 'np') - 1}),
-         |        (a, x) -> CASE WHEN x > a THEN x ELSE a END))
-         |    ELSE dps END AS dps
-         |  FROM $src)""".stripMargin
-    }
-    s"""WITH wf AS (
+    val seed =
+      if (withPath) "[{'s': CAST(0 AS DOUBLE), 'np': CAST(0 AS INTEGER), 'p': []::VARCHAR[]}]"
+      else "[{'s': CAST(0 AS DOUBLE), 'np': CAST(0 AS INTEGER)}]"
+    s"""wf AS (
        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
        |        FROM documents)
@@ -358,25 +366,135 @@ object BpeOps extends QueryModule {
        |pc AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM occ GROUP BY piece),
        |p0 AS (SELECT piece, cnt, (SELECT CAST(SUM(cnt) AS BIGINT) FROM pc) AS tot FROM pc),
        |${lnStages.mkString(",\n")},
-       |pl AS (SELECT piece, (lnc - lnt) AS lnp FROM p$nStages),
+       |pl AS (SELECT piece, cnt, (lnc - lnt) AS lnp FROM p${lnStages.size}),
        |d0 AS (
        |  SELECT o.word, o.freq, length(o.word) AS len,
        |    map_from_entries(list({'k': o.j * 16 + o.l, 'v': pl.lnp})) AS m,
-       |    [{'s': CAST(0 AS DOUBLE), 'np': CAST(0 AS INTEGER)}] AS dps
+       |    $seed AS dps
        |  FROM occ o JOIN pl USING (piece)
-       |  GROUP BY o.word, o.freq),
-       |${dpStages.mkString(",\n")}
+       |  GROUP BY o.word, o.freq)""".stripMargin
+  }
+
+  /** Unrolled DP stage CTEs; `withPath` threads the chosen piece list
+    * through the max — the comparison stays (s, np, path)-lexicographic,
+    * verified identical in both engines (lists compare element-wise then
+    * by length in each). */
+  private def dpStagesSql(withPath: Boolean): Seq[String] =
+    (1 to MaxWord).map { i =>
+      val src = if (i == 1) "d0" else s"d${i - 1}"
+      val path = if (withPath)
+        s""",
+           |           'p': list_append(struct_extract(dps[CAST(j AS INTEGER) + 1], 'p'),
+           |                  substr(word, CAST(j AS INTEGER) + 1, CAST($i - j AS INTEGER)))"""
+          .stripMargin
+      else ""
+      s"""d$i AS (
+         |  SELECT word, freq, len, m,
+         |    CASE WHEN $i <= len THEN list_append(dps,
+         |      list_reduce(
+         |        list_transform(range(GREATEST($i - $MaxPiece, 0), $i), j ->
+         |          {'s': struct_extract(dps[CAST(j AS INTEGER) + 1], 's')
+         |                  + map_extract(m, j * 16 + ($i - j))[1],
+         |           'np': struct_extract(dps[CAST(j AS INTEGER) + 1], 'np') - 1$path}),
+         |        (a, x) -> CASE WHEN x > a THEN x ELSE a END))
+         |    ELSE dps END AS dps
+         |  FROM $src)""".stripMargin
+    }
+
+  private def q122Sql: String =
+    s"""WITH ${unigramSeedSql(withPath = false)},
+       |${dpStagesSql(withPath = false).mkString(",\n")}
        |SELECT word, freq,
        |  struct_extract(dps[len + 1], 's') AS viterbi_logprob,
        |  CAST(-struct_extract(dps[len + 1], 'np') AS INTEGER) AS n_pieces,
        |  CAST(length(word) AS DOUBLE)
        |    / CAST(-struct_extract(dps[len + 1], 'np') AS DOUBLE) AS chars_per_piece
        |FROM d$MaxWord ORDER BY word""".stripMargin
+
+  /** q129: unigram-LM hard-EM M-step (Kudo 2018 §3.2's EM iteration, the
+    * step a SentencePiece trainer runs between q122's E-step and vocab
+    * pruning — here the Viterbi/hard-EM variant, whose expected counts
+    * are 0/1 on the best segmentation, making exact SQL both feasible
+    * and the published "Viterbi EM" member of the family): re-count
+    * every seed piece by its use in the best segmentations (weighted by
+    * word frequency), renormalize to new log-probs, and flag the pieces
+    * the step prunes (count 0 — exactly what the trainer drops).
+    *
+    * The DP carries the chosen piece PATH through the max; ties beyond
+    * q122's (score, −pieces) key resolve on the path itself —
+    * list-lexicographic comparison, probed identical in Spark and DuckDB
+    * — so the recount is fully deterministic, not just the score.
+    * lnp_new goes NULL for pruned pieces by NULL-propagation through
+    * PortableLn (both engines propagate through every stage).
+    *
+    * Scale shape: identical to q122 (the corpus touches only the shared
+    * word-frequency pass; everything else is vocabulary-sized) plus one
+    * vocabulary-sized explode of ≤ MaxWord-piece paths and a piece-keyed
+    * hash agg. The memoized [[unigramSeed]] means the seed statistics
+    * build once per corpus across both queries. */
+  private def q129(s: SparkSession, d: String): DataFrame = {
+    import LmOps.PortableLn
+    val (pcLn, probe0) = unigramSeed(s, d)
+    val probe = probe0.withColumn("dps", expr(
+      "array(named_struct('s', cast(0 as double), 'np', 0," +
+        " 'p', cast(array() as array<string>)))"))
+    val stepped = (1 to MaxWord).foldLeft(probe) { (df, i) =>
+      df.withColumn("dps", expr(
+        s"""CASE WHEN $i <= len THEN array_append(dps,
+           |  array_max(transform(sequence(greatest($i - $MaxPiece, 0), $i - 1), j ->
+           |    named_struct(
+           |      's', element_at(dps, cast(j as int) + 1).s
+           |             + element_at(m, cast(j * 16 + ($i - j) as bigint)),
+           |      'np', element_at(dps, cast(j as int) + 1).np - 1,
+           |      'p', array_append(element_at(dps, cast(j as int) + 1).p,
+           |             substring(word, cast(j as int) + 1, cast($i - j as int)))))))
+           |ELSE dps END""".stripMargin))
+    }
+    val nc = stepped
+      .select(col("freq"),
+        explode(expr("element_at(dps, len + 1).p")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt_em"))
+    val tot2 = nc.agg(sum(col("cnt_em")).as("tot2"))
+    val joined = graft.Scalars.withScalar(
+      pcLn.withColumnRenamed("cnt", "cnt_seed")
+        .withColumnRenamed("lnp", "lnp_old")
+        .join(nc, Seq("piece"), "left"),
+      tot2)
+    (PortableLn.steps("cnt_em", "a", spark = true) ++
+      PortableLn.steps("tot2", "b", spark = true))
+      .foldLeft(joined) { case (df, (n, e)) => df.withColumn(n, expr(e)) }
+      .select(col("piece"), col("cnt_seed"),
+        coalesce(col("cnt_em"), lit(0L)).as("cnt_em_out"),
+        col("lnp_old"), (col("lna") - col("lnb")).as("lnp_new"),
+        col("cnt_em").isNull.as("pruned"))
+      .withColumnRenamed("cnt_em_out", "cnt_em")
+      .orderBy("piece")
+  }
+  private def q129Sql: String = {
+    val (last, ctes) = LmOps.lnCtes("n0", "n",
+      Seq("cnt_em" -> "a", "tot2" -> "b"))
+    s"""WITH ${unigramSeedSql(withPath = true)},
+       |${dpStagesSql(withPath = true).mkString(",\n")},
+       |seg AS (
+       |  SELECT freq, unnest(struct_extract(dps[len + 1], 'p')) AS piece
+       |  FROM d$MaxWord),
+       |nc AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt_em
+       |       FROM seg GROUP BY piece),
+       |t2 AS (SELECT CAST(SUM(cnt_em) AS BIGINT) AS tot2 FROM nc),
+       |n0 AS (
+       |  SELECT pl.piece, pl.cnt AS cnt_seed, pl.lnp AS lnp_old, nc.cnt_em,
+       |    (SELECT tot2 FROM t2) AS tot2
+       |  FROM pl LEFT JOIN nc USING (piece)),
+       |${ctes.mkString(",\n")}
+       |SELECT piece, cnt_seed, COALESCE(cnt_em, CAST(0 AS BIGINT)) AS cnt_em,
+       |  lnp_old, (lna - lnb) AS lnp_new, (cnt_em IS NULL) AS pruned
+       |FROM $last ORDER BY piece""".stripMargin
   }
 
   val all: Seq[Q] = Seq(
     Q("q104_bpe_train", q104, Some(q104Sql)),
     Q("q105_bpe_encode", q105, Some(q105Sql)),
     Q("q116_tokenizer_fertility", q116, Some(q116Sql)),
-    Q("q122_unigram_viterbi", q122, Some(q122Sql)))
+    Q("q122_unigram_viterbi", q122, Some(q122Sql)),
+    Q("q129_unigram_em", q129, Some(q129Sql)))
 }

@@ -62,6 +62,54 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  /** Brute-force M-step reference: best segmentation by
+    * (score, −pieces, path) — the path tie-break q129 pins — then
+    * frequency-weighted piece recount. */
+  private def bruteEm(texts: Seq[String]): Map[String, Long] = {
+    val wf = texts.flatMap(_.trim.split("\\s+")).filter(w => w.length >= 2 && w.length <= 12)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val counts = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    wf.foreach { case (w, f) =>
+      for (j <- 0 until w.length; l <- 1 to math.min(4, w.length - j))
+        counts(w.substring(j, j + l)) += f
+    }
+    val tot = counts.values.sum
+    def lnp(p: String) = math.log(counts(p).toDouble) - math.log(tot.toDouble)
+    implicit val seqOrd: Ordering[Seq[String]] = Ordering.Implicits.seqOrdering
+    val em = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    wf.foreach { case (w, f) =>
+      val best = segmentations(w)
+        .map(seg => (seg.map(lnp).sum, -seg.size, seg))
+        .max(Ordering.Tuple3(Ordering.Double.TotalOrdering, Ordering.Int, seqOrd))
+      best._3.foreach(p => em(p) += f)
+    }
+    em.toMap
+  }
+
+  test("q129 EM recount matches brute force; totals reconcile with q122; pruning exact") {
+    val texts = Seq(
+      "abab abab abab cd cd efg",
+      "ababab xyzw xyzw ab ab ab",
+      "abcd dcba abcd longwordhere")
+    val dir = writeDocs(texts)
+    val got = BpeOps.queries("q129_unigram_em")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.isNullAt(4), r.getBoolean(5))).toMap
+    val em = bruteEm(texts)
+    // every seed piece appears exactly once; EM counts match brute force
+    got.foreach { case (p, (_, cntEm, lnpNewNull, pruned)) =>
+      assert(cntEm === em.getOrElse(p, 0L), s"EM count for '$p'")
+      assert(pruned === !em.contains(p), s"pruned flag for '$p'")
+      assert(lnpNewNull === pruned, s"lnp_new NULL iff pruned for '$p'")
+    }
+    assert(em.keySet.subsetOf(got.keySet))
+    // Σ_p cnt_em = Σ_w freq·n_pieces(q122): the piece mass balances the
+    // E-step's chosen segmentation lengths.
+    val viterbi = BpeOps.queries("q122_unigram_viterbi")(spark, dir).collect()
+      .map(r => r.getLong(1) * r.getInt(3)).sum
+    assert(got.values.map(_._2).sum === viterbi)
+  }
+
   test("q122 identical under a different shuffle partition count") {
     val dir = writeDocs(Seq("spark shuffle join spark", "join plan wide spark"))
     val run1 = BpeOps.queries("q122_unigram_viterbi")(spark, dir).collect().toSeq
