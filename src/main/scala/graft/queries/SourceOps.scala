@@ -177,9 +177,69 @@ object SourceOps extends QueryModule {
        |  MIN(p_name) AS first_name, MAX(p_name) AS last_name
        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  /** q130 — corpus snapshot diff: the versioned-release op (Dolma/Pile
+    * ship dated corpus versions; a curation team diffs consecutive
+    * snapshots to audit what a recrawl added/removed/changed before
+    * retraining). The "next crawl" v2 is DERIVED deterministically from
+    * v1 in-query (the q96/q107 shell idiom, restated verbatim in the
+    * oracle): an md5 nibble keyed 'v2|doc_id' removes ~1/16 of docs,
+    * rewrites ~1/16, and clones ~1/16 as new doc_ids; the diff itself —
+    * the operator under test — is a full-outer equi-join of content
+    * hashes with a 4-way status CASE.
+    *
+    * Scale shape: snapshot diff at 100 TB IS this one doc_id-keyed
+    * full-outer join (sort-merge after two hash-partitioned scans; with
+    * both snapshots bucketed by doc_id it collapses to a zero-shuffle
+    * zip). Content comparison rides on fixed-width md5 hashes computed
+    * in the scan span, never on text equality across the join. */
+  private def q130(s: SparkSession, d: String): DataFrame = {
+    val v1 = t(s, d, "documents")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .withColumn("nib",
+        substring(md5(concat(lit("v2|"), col("doc_id").cast("string"))), 1, 1))
+      .localCheckpoint(true) // consumers: v1 hashes + v2 survivors + v2 clones
+    val v2 = v1.filter(col("nib") =!= "0")
+      .select(col("doc_id"),
+        when(col("nib") === "1", concat(col("text"), lit(" updated")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(v1.filter(col("nib") === "2")
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(lit("new crawl "), col("text")).as("text")))
+    v1.select(col("doc_id"), md5(col("text")).as("h1"))
+      .join(v2.select(col("doc_id"), md5(col("text")).as("h2")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("h1"), col("h2"),
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") === col("h2"), "unchanged")
+          .otherwise("changed").as("status"))
+      .orderBy("doc_id")
+  }
+  private val q130Sql =
+    """WITH v1 AS (
+      |  SELECT doc_id, COALESCE(text, '') AS text,
+      |    substr(md5('v2|' || CAST(doc_id AS VARCHAR)), 1, 1) AS nib
+      |  FROM documents),
+      |v2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN nib = '1' THEN text || ' updated' ELSE text END AS text
+      |  FROM v1 WHERE nib <> '0'
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, 'new crawl ' || text FROM v1 WHERE nib = '2'),
+      |a AS (SELECT doc_id, md5(text) AS h1 FROM v1),
+      |b AS (SELECT doc_id, md5(text) AS h2 FROM v2)
+      |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, h1, h2,
+      |  CASE WHEN h1 IS NULL THEN 'added'
+      |       WHEN h2 IS NULL THEN 'removed'
+      |       WHEN h1 = h2 THEN 'unchanged'
+      |       ELSE 'changed' END AS status
+      |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q67_csv_roundtrip", q67, Some(q67Sql)),
     Q("q68_json_roundtrip", q68, Some(q68Sql)),
     Q("q69_scd2_intervals", q69, Some(q69Sql)),
-    Q("q99_orc_roundtrip", q99, Some(q99Sql)))
+    Q("q99_orc_roundtrip", q99, Some(q99Sql)),
+    Q("q130_snapshot_diff", q130, Some(q130Sql)))
 }
