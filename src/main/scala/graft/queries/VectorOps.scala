@@ -703,6 +703,84 @@ object VectorOps extends QueryModule {
       |FROM asg a LEFT JOIN vict v ON a.vec_id = v.vec_id
       |ORDER BY a.vec_id""".stripMargin
 
+  /** q131 — hard-negative mining: for EVERY anchor vector, the top-3
+    * most-similar vectors with a DIFFERENT label — the contrastive-
+    * training data op (dense-retrieval training mines hard negatives
+    * from an ANN index over the current embedding space, e.g. DPR /
+    * ANCE; "hardest" = highest cosine among wrong-label candidates).
+    * Mining runs for all anchors, so the exact all-pairs formulation is
+    * off the table; candidates come from the anchor's IVF cell (the
+    * q114 SemDeDup restriction — the ANN-index stand-in the production
+    * loop uses), labels must differ, exact cosine ranks within the
+    * survivors.
+    *
+    * Scale shape: cell assignment is row-local scoring against the
+    * broadcast literal codebook (k ∝ √n, no crossJoin — PlanHygieneSpec
+    * gates); the pair stage is ONE equi-join on the cell key with
+    * Σ|cell|² ≈ n·√n work (SemDeDup's own complexity); per-anchor top-3
+    * is a window over cell-bounded candidate lists, never the corpus.
+    * Anchors whose cell has no wrong-label mate emit nothing — exactly
+    * the production behavior (the miner widens nprobe, not the
+    * guarantee). */
+  private def q131(s: SparkSession, d: String): DataFrame = {
+    val u = unitVectors(s, d)
+    val k = ivfKFor(u.count())
+    val sc = sortedCells(codebook(u, k), k)
+    val assigned = u
+      .select(col("vec_id"), col("label"), col("ue"),
+        element_at(sc, 1)("cid").as("cell"))
+      .localCheckpoint(true) // consumers: both sides of the cell join
+    val pairs = assigned
+      .select(col("cell"), col("vec_id").as("anchor_id"),
+        col("label").as("anchor_label"), col("ue").as("au"))
+      .join(assigned.select(col("cell"), col("vec_id").as("neg_id"),
+        col("label").as("neg_label"), col("ue").as("nu")), Seq("cell"))
+      .filter(col("anchor_label") =!= col("neg_label"))
+      .select(col("anchor_id"), col("anchor_label"), col("neg_id"),
+        col("neg_label"), expr("graft_dot(au, nu)").as("cosine"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cosine").desc, col("neg_id"))
+    pairs.withColumn("rnk", rank().over(w)).filter(col("rnk") <= 3)
+      .orderBy("anchor_id", "rnk", "neg_id")
+  }
+  private val q131Sql =
+    """WITH params AS (
+      |  SELECT GREATEST(16, 1 << (LENGTH(BIN(CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) - 1)) AS k
+      |  FROM embeddings),
+      |e AS (
+      |  SELECT vec_id, label, embedding,
+      |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) AS nrm
+      |  FROM embeddings),
+      |u AS (SELECT vec_id, label,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS ue FROM e),
+      |cent AS (SELECT vec_id AS cid, ue AS cu FROM u WHERE vec_id < (SELECT k FROM params)),
+      |cc AS (
+      |  SELECT u.vec_id, cent.cid,
+      |    list_reduce(list_prepend(0.0, list_transform(list_zip(u.ue, cent.cu),
+      |      p -> p[1] * p[2])), (a, b) -> a + b) AS cc
+      |  FROM u CROSS JOIN cent),
+      |assign AS (
+      |  SELECT vec_id, cid AS cell FROM (
+      |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+      |    FROM cc) t WHERE rn = 1),
+      |au AS (
+      |  SELECT a.cell, u.vec_id, u.label, u.ue
+      |  FROM assign a JOIN u ON a.vec_id = u.vec_id),
+      |pairs AS (
+      |  SELECT x.vec_id AS anchor_id, x.label AS anchor_label,
+      |    y.vec_id AS neg_id, y.label AS neg_label,
+      |    list_reduce(list_prepend(0.0, list_transform(list_zip(x.ue, y.ue),
+      |      p -> p[1] * p[2])), (a, b) -> a + b) AS cosine
+      |  FROM au x JOIN au y ON x.cell = y.cell AND x.label <> y.label),
+      |ranked AS (
+      |  SELECT anchor_id, anchor_label, neg_id, neg_label, cosine,
+      |    CAST(RANK() OVER (PARTITION BY anchor_id ORDER BY cosine DESC, neg_id) AS INTEGER) AS rnk
+      |  FROM pairs)
+      |SELECT anchor_id, anchor_label, neg_id, neg_label, cosine, rnk
+      |FROM ranked WHERE rnk <= 3
+      |ORDER BY anchor_id, rnk, neg_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q31_embed_norms", q31, Some(q31Sql)),
     Q("q114_semdedup", q114, Some(q114Sql)),
@@ -711,5 +789,6 @@ object VectorOps extends QueryModule {
     Q("q32_ann_bruteforce", q32, Some(q32Sql)),
     Q("q33_ann_lsh", q33, Some(q33Sql)),
     Q("q40_embed_nn_dedup", q40, Some(q40Sql)),
-    Q("q52_ann_ivf", q52, Some(q52Sql)))
+    Q("q52_ann_ivf", q52, Some(q52Sql)),
+    Q("q131_hard_negatives", q131, Some(q131Sql)))
 }
