@@ -748,9 +748,64 @@ object PipelineOps extends QueryModule {
        |FROM cum ORDER BY doc_id""".stripMargin
   }
 
+  /** q132 — gate-overlap matrix: the curation diagnostic behind every
+    * "which filters are redundant" ablation (Gopher Table A1 / Dolma
+    * report per-filter removal rates and overlaps before fixing a
+    * pipeline order): for every pair of the five q95 gates, how many
+    * docs fail both, and the failure-set Jaccard. Diagonal rows carry
+    * the per-gate marginals.
+    *
+    * Scale shape: the gates themselves are the memoized [[gateFlags]]
+    * verdict table; the matrix is ONE corpus pass — a single hash
+    * aggregation computing all 5 marginal + 10 pairwise counters as
+    * separate sums — then a 15-row stack and row-local Jaccard
+    * arithmetic. No join, no window, no per-pair corpus pass. */
+  private val gateNames = Seq("c", "g", "l", "r", "u")
+  private def q132(s: SparkSession, d: String): DataFrame = {
+    val failCols = gateNames.map(g0 =>
+      sum(when(!col(g0), 1L).otherwise(0L)).as(s"f_$g0"))
+    val pairCols = for { a <- gateNames; b <- gateNames if a < b }
+      yield sum(when(!col(a) && !col(b), 1L).otherwise(0L)).as(s"fb_${a}_$b")
+    val allAgg = failCols ++ pairCols
+    val aggd = gateFlags(s, d).agg(allAgg.head, allAgg.tail: _*)
+    val stackArgs = (for { a <- gateNames; b <- gateNames if a <= b } yield {
+      val both = if (a == b) s"f_$a" else s"fb_${a}_$b"
+      Seq(s"'$a'", s"'$b'", s"f_$a", s"f_$b", both)
+    }).flatten
+    aggd.selectExpr(s"stack(15, ${stackArgs.mkString(", ")})" +
+        " as (gate_a, gate_b, fail_a, fail_b, fail_both)")
+      .withColumn("jaccard", col("fail_both").cast("double") /
+        nullif(col("fail_a") + col("fail_b") - col("fail_both"), lit(0L))
+          .cast("double"))
+      .orderBy("gate_a", "gate_b")
+  }
+  private def q132Sql: String = {
+    val marg = gateNames.map(g0 =>
+      s"CAST(SUM(CASE WHEN NOT $g0 THEN 1 ELSE 0 END) AS BIGINT) AS f_$g0")
+    val pair = for { a <- gateNames; b <- gateNames if a < b }
+      yield s"CAST(SUM(CASE WHEN NOT $a AND NOT $b THEN 1 ELSE 0 END) AS BIGINT) AS fb_${a}_$b"
+    val rows = for { a <- gateNames; b <- gateNames if a <= b } yield {
+      val both = if (a == b) s"f_$a" else s"fb_${a}_$b"
+      s"SELECT '$a' AS gate_a, '$b' AS gate_b, f_$a AS fail_a, f_$b AS fail_b, $both AS fail_both FROM s"
+    }
+    s"""WITH $gateCtesSql,
+       |f AS (
+       |  SELECT d.doc_id,
+       |    $gateFlagExprsSql
+       |  FROM documents d
+       |  $gateJoinsSql),
+       |s AS (SELECT ${(marg ++ pair).mkString(",\n    ")} FROM f),
+       |m AS (${rows.mkString("\n  UNION ALL ")})
+       |SELECT gate_a, gate_b, fail_a, fail_b, fail_both,
+       |  CAST(fail_both AS DOUBLE)
+       |    / CAST(NULLIF(fail_a + fail_b - fail_both, 0) AS DOUBLE) AS jaccard
+       |FROM m ORDER BY gate_a, gate_b""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q41_redaction", q41, Some(q41Sql)),
     Q("q115_pretrain_pipeline", q115, Some(q115Sql)),
+    Q("q132_gate_overlap", q132, Some(q132Sql)),
     Q("q42_dup_clusters", q42, Some(q42Sql)),
     Q("q43_correlated_max", q43, Some(q43Sql)),
     Q("q50_hash_split", q50, Some(q50Sql)),

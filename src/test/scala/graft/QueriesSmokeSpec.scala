@@ -24,6 +24,20 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("q132 overlap-matrix invariants: bounds, diagonal, marginal consistency") {
+    val rows = SparkEntry.queries("q132_gate_overlap")(spark, sfDir).collect()
+    assert(rows.length === 15)
+    val m = rows.map(r => (r.getString(0), r.getString(1)) ->
+      ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val marg = m.collect { case ((a, b), v) if a == b => a -> v._1 }
+    assert(marg.size === 5)
+    m.foreach { case ((a, b), (fa, fb, both)) =>
+      assert(both <= math.min(fa, fb), s"($a,$b) intersection bound")
+      assert(fa === marg(a) && fb === marg(b), s"($a,$b) marginals consistent")
+      if (a == b) assert(both === fa, s"($a,$b) diagonal")
+    }
+  }
+
   test("q56 approximate stats track the exact answers within sketch error") {
     val d = "/root/testdata/sf0.01"
     // The tolerance booleans ARE the sketch-vs-exact comparison (and what
