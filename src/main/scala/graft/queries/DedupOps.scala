@@ -777,8 +777,67 @@ object DedupOps extends QueryModule {
       |FROM w LEFT JOIN nfp USING (doc_id) LEFT JOIN pt USING (doc_id)
       |ORDER BY w.doc_id""".stripMargin
 
+  /** q134 — train/val split self-decontamination: the leakage audit a
+    * team runs AFTER q50's hash split and BEFORE publishing eval
+    * numbers — near-duplicate text straddling the split inflates held-out
+    * metrics exactly like external benchmark contamination (the q89
+    * check, turned inward; Lee et al. 2022 §6.2 measure this
+    * split-leakage effect directly). Every VAL doc is scored by the
+    * fraction of its distinct 3-gram shingles that occur anywhere in the
+    * TRAIN split, flagged at the q89 ≥0.25 threshold; the split
+    * membership is q50's md5-nibble rule verbatim.
+    *
+    * Scale shape: q89 broadcasts its (small, fixed) benchmark shingle
+    * set; here BOTH sides are corpus-scale, so the probe is a plain
+    * shuffle equi-join on the shingle key (the q27/q94 discipline —
+    * shuffle-by-shingle, never all-pairs, AQE free to pick the join
+    * strategy). One distinct-shingle pass per side, one doc-keyed
+    * rollup. */
+  private def q134(s: SparkSession, d: String): DataFrame = {
+    val sh = t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"),
+        substring(md5(col("doc_id").cast("string")), 1, 1).as("nib"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("nib"), explode(expr(
+        "array_distinct(transform(sequence(1, size(toks) - 2)," +
+          " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))")).as("sh"))
+      .localCheckpoint(true) // consumers: train index + val probe
+    val train = sh.filter(col("nib") <= "b").select(col("sh")).distinct()
+      .withColumn("hit", lit(1))
+    sh.filter(col("nib") > "b" && col("nib") <= "d")
+      .join(train, Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hits"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_shingles")).as("leak_frac"),
+        (col("n_hits") * 4 >= col("n_shingles")).as("leaked"))
+      .orderBy("doc_id")
+  }
+  private val q134Sql =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS nib
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, nib,
+      |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+      |  FROM (SELECT doc_id, nib, toks,
+      |          unnest(generate_series(1, len(toks) - 2)) AS i
+      |        FROM docs)),
+      |tr AS (SELECT DISTINCT sh FROM sh WHERE nib <= 'b')
+      |SELECT v.doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      |  CAST(COUNT(t.sh) AS BIGINT) AS n_hits,
+      |  CAST(COUNT(t.sh) AS DOUBLE) / COUNT(*) AS leak_frac,
+      |  COUNT(t.sh) * 4 >= COUNT(*) AS leaked
+      |FROM (SELECT * FROM sh WHERE nib > 'b' AND nib <= 'd') v
+      |LEFT JOIN tr t USING (sh)
+      |GROUP BY v.doc_id ORDER BY v.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q26_dedup_exact", q26, Some(q26Sql)),
+    Q("q134_split_decontam", q134, Some(q134Sql)),
     Q("q119_winnowing", q119, Some(q119Sql)),
     Q("q27_dedup_ngram_jaccard", q27, Some(q27Sql)),
     Q("q28_dedup_minhash_lsh", q28, Some(q28Sql)),

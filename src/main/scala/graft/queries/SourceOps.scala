@@ -241,5 +241,53 @@ object SourceOps extends QueryModule {
     Q("q68_json_roundtrip", q68, Some(q68Sql)),
     Q("q69_scd2_intervals", q69, Some(q69Sql)),
     Q("q99_orc_roundtrip", q99, Some(q99Sql)),
-    Q("q130_snapshot_diff", q130, Some(q130Sql)))
+    Q("q130_snapshot_diff", q130, Some(q130Sql)),
+    Q("q133_compaction_plan", q133, Some(q133Sql)))
+
+  /** q133 — output-file compaction plan: the small-files planner every
+    * petabyte writer runs before `repartition(n_files)` (the classic
+    * Spark/HDFS small-files problem: a 100 TB corpus written at default
+    * parallelism produces millions of KB-scale files; the fix is
+    * computing per-partition target file counts from byte stats FIRST).
+    * Per source: doc/byte totals, the file count hitting a target file
+    * size (content bytes as the proxy measure), rows per file, and the
+    * mean file size the plan yields. Target is 64 KiB — scaled to the
+    * testdata so the ceil arithmetic is load-bearing (multi-file sources
+    * AND a remainder file); a production run passes 512 MiB through the
+    * same integer formulas.
+    *
+    * Scale shape: one hash aggregation to |sources| rows, integer-only
+    * planning arithmetic after. The plan TABLE is what `repartitionByRange`
+    * consumes; assignment itself is q100's shard machinery. */
+  private def q133(s: SparkSession, d: String): DataFrame = {
+    val target = 65536L
+    t(s, d, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("n_chars"), lit(0L))).as("total_bytes"),
+        max(coalesce(col("n_chars"), lit(0L))).as("max_doc_bytes"))
+      .select(col("source"), col("n_docs"), col("total_bytes"),
+        col("max_doc_bytes"),
+        expr(s"greatest(cast(1 as bigint), (total_bytes + $target - 1) div $target)")
+          .as("n_files"))
+      .withColumn("rows_per_file", expr("(n_docs + n_files - 1) div n_files"))
+      .withColumn("avg_file_bytes",
+        col("total_bytes").cast("double") / col("n_files").cast("double"))
+      .orderBy("source")
+  }
+  /** def, not val: referenced by `all`, which is declared above. */
+  private def q133Sql =
+    """WITH s AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT) AS total_bytes,
+      |    CAST(MAX(COALESCE(n_chars, 0)) AS BIGINT) AS max_doc_bytes
+      |  FROM documents GROUP BY source),
+      |p AS (
+      |  SELECT *, GREATEST(CAST(1 AS BIGINT),
+      |    (total_bytes + 65536 - 1) // 65536) AS n_files
+      |  FROM s)
+      |SELECT source, n_docs, total_bytes, max_doc_bytes, n_files,
+      |  (n_docs + n_files - 1) // n_files AS rows_per_file,
+      |  CAST(total_bytes AS DOUBLE) / CAST(n_files AS DOUBLE) AS avg_file_bytes
+      |FROM p ORDER BY source""".stripMargin
 }

@@ -12,6 +12,15 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("no oracle SQL is null or empty (module registry val-ordering trap)") {
+    // A `val all` that references an oracle `val` declared BELOW it reads
+    // null at object init (bit q128 and q133); Some(null) survives the
+    // registry flatMap and NPEs only in Verify's JSON dump.
+    SparkEntry.oracleSql.foreach { case (k, v) =>
+      assert(v != null && v.trim.nonEmpty, s"null/empty oracle for $k")
+    }
+  }
+
   test("entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
