@@ -550,9 +550,148 @@ object LmOps extends QueryModule {
        |FROM pd2 ORDER BY doc_id""".stripMargin
   }
 
+  /** q135 — DSIR data selection via importance resampling (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling"): score every raw document by the log importance weight
+    * `log w(x) = Σ_f c_x(f) · (ln p_target(f) − ln p_raw(f))` over
+    * HASHED n-gram features — word unigrams + bigrams hashed into
+    * B = 1024 buckets, the paper's hashed n-gram generative model —
+    * where p_target / p_raw are add-one-smoothed bucket distributions
+    * estimated from a target slice (lang = 'en' stands in for the
+    * paper's Wikipedia+books formal-text target) and the raw corpus.
+    * Docs above the corpus 90th weight percentile are marked selected
+    * (the paper's top-k selection ablation; its Gumbel-resampling
+    * variant is exactly q125's A-ES machinery applied to exp(log w) —
+    * shift-by-min makes the exponent non-negative for [[PortableExp]]
+    * and A-ES keys are scale-invariant, so the composition is ready
+    * when a deployment wants the sampled variant).
+    *
+    * Bit-portability: every ln argument is an INTEGER (smoothed counts
+    * ct+1 / cr+1, totals T+B / R+B), so [[PortableLn]] applies directly
+    * and `ln p_t − ln p_r` decomposes as `(lnt − lnr)` per bucket plus a
+    * per-doc `− n_x · (ln(T+B) − ln(R+B))` scalar term — no double-ln
+    * anywhere. The per-doc sum is a bucket-ordered IEEE fold (the
+    * graft_dot discipline; buckets are unique per doc after the count
+    * aggregation, so the order is total).
+    *
+    * Scale shape: ONE corpus-proportional pass — the explode + the
+    * (doc, bucket) count aggregation (map-side combine collapses
+    * repeated grams). Everything downstream is B-bounded: bucket stats
+    * are a B-row aggregation OVER the per-doc counts, the delta table
+    * broadcasts (B = 1024 rows — feature hashing is exactly what makes
+    * the model state corpus-size-independent, the paper's own point),
+    * and the totals are two enforced ≤1-row scalars. The p90 threshold
+    * collects one double per doc (q106's percentile-width note: swap
+    * approx_percentile at 100 TB). No corpus window, no all-pairs. */
+  private def q135(s: SparkSession, d: String): DataFrame = {
+    val B = 1024
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), (col("lang") === "en").as("is_target"))
+    val toks = t(s, d, "documents")
+      .filter(trim(coalesce(col("text"), lit(""))) =!= "")
+      .select(col("doc_id"), (col("lang") === "en").as("tgt"),
+        split(trim(col("text")), "\\s+").as("toks"))
+    val grams = toks.select(col("doc_id"), col("tgt"),
+      explode(concat(col("toks"),
+        when(size(col("toks")) >= 2, expr(
+          "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"))
+          .otherwise(expr("cast(array() as array<string>)")))).as("gram"))
+    val dc = grams
+      .withColumn("bucket",
+        expr(s"cast(conv(substring(md5(gram), 1, 8), 16, 10) as bigint) % $B"))
+      .groupBy(col("doc_id"), col("tgt"), col("bucket"))
+      .agg(count(lit(1)).as("cx"))
+      .localCheckpoint(true) // consumers: bucket stats + per-doc fold
+    val bs = dc.groupBy(col("bucket"))
+      .agg(sum(col("cx")).as("cr"),
+        sum(when(col("tgt"), col("cx")).otherwise(lit(0L))).as("ct"))
+      .localCheckpoint(true) // B rows; consumers: delta table + totals
+    val bDelta = (PortableLn.steps("(ct + 1)", "t", spark = true) ++
+      PortableLn.steps("(cr + 1)", "r", spark = true))
+      .foldLeft(bs) { case (df, (n, e)) => df.withColumn(n, expr(e)) }
+      .select(col("bucket"), (col("lnt") - col("lnr")).as("delta"))
+    val tots = (PortableLn.steps(s"(ttot + $B)", "tb", spark = true) ++
+      PortableLn.steps(s"(rtot + $B)", "rb", spark = true))
+      .foldLeft(bs.agg(sum(col("cr")).as("rtot"), sum(col("ct")).as("ttot"))) {
+        case (df, (n, e)) => df.withColumn(n, expr(e))
+      }
+      .select(col("lntb"), col("lnrb"))
+    val per = dc.join(broadcast(bDelta), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cx")).as("n_feats"),
+        expr("aggregate(array_sort(collect_list(struct(bucket, cx, delta)))," +
+          " cast(0 as double), (a, x) -> a + (cast(x.cx as double) * x.delta))").as("dsum"))
+    val scored = graft.Scalars.withScalar(per, tots)
+      .select(col("doc_id"), col("n_feats"),
+        (col("dsum") - (col("n_feats").cast("double") *
+          (col("lntb") - col("lnrb")))).as("log_weight"))
+    val full = docs.join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_target"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("log_weight"), lit(0.0)).as("log_weight"))
+      .localCheckpoint(true) // consumers: p90 threshold + final select
+    val thr = full.agg(expr("percentile(log_weight, 0.9)").as("lw_p90"))
+    graft.Scalars.withScalar(full, thr)
+      .select(col("doc_id"), col("is_target"), col("n_feats"),
+        col("log_weight"), col("lw_p90"),
+        (col("log_weight") > col("lw_p90")).as("selected"))
+      .orderBy("doc_id")
+  }
+  private def q135Sql: String = {
+    val (bLast, bCtes) = lnCtes("b0", "g",
+      Seq("(ct + 1)" -> "t", "(cr + 1)" -> "r"))
+    val (sLast, sCtes) = lnCtes("s0", "h",
+      Seq("(ttot + 1024)" -> "tb", "(rtot + 1024)" -> "rb"))
+    s"""WITH docs AS (
+       |  SELECT doc_id, lang = 'en' AS is_target FROM documents),
+       |tk AS (
+       |  SELECT doc_id, lang = 'en' AS tgt,
+       |    regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents WHERE trim(COALESCE(text, '')) <> ''),
+       |grams AS (
+       |  SELECT doc_id, tgt, unnest(list_concat(toks,
+       |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]))) AS gram
+       |  FROM tk),
+       |dc AS (
+       |  SELECT doc_id, tgt,
+       |    CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT) % 1024 AS bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS cx
+       |  FROM grams GROUP BY 1, 2, 3),
+       |b0 AS (
+       |  SELECT bucket, CAST(SUM(cx) AS BIGINT) AS cr,
+       |    CAST(SUM(CASE WHEN tgt THEN cx ELSE 0 END) AS BIGINT) AS ct
+       |  FROM dc GROUP BY bucket),
+       |${bCtes.mkString(",\n")},
+       |bd AS (SELECT bucket, (lnt - lnr) AS delta FROM $bLast),
+       |s0 AS (SELECT CAST(SUM(cr) AS BIGINT) AS rtot,
+       |         CAST(SUM(ct) AS BIGINT) AS ttot FROM b0),
+       |${sCtes.mkString(",\n")},
+       |per AS (
+       |  SELECT doc_id, CAST(SUM(cx) AS BIGINT) AS n_feats,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(CAST(cx AS DOUBLE) * delta ORDER BY bucket)),
+       |      (a, x) -> a + x) AS dsum
+       |  FROM dc JOIN bd USING (bucket) GROUP BY doc_id),
+       |sc AS (
+       |  SELECT doc_id, n_feats,
+       |    dsum - (CAST(n_feats AS DOUBLE) *
+       |      ((SELECT lntb FROM $sLast) - (SELECT lnrb FROM $sLast))) AS log_weight
+       |  FROM per),
+       |full_t AS (
+       |  SELECT d.doc_id, d.is_target, COALESCE(s.n_feats, 0) AS n_feats,
+       |    COALESCE(s.log_weight, CAST(0 AS DOUBLE)) AS log_weight
+       |  FROM docs d LEFT JOIN sc s USING (doc_id)),
+       |thr AS (SELECT quantile_cont(log_weight, 0.9) AS lw_p90 FROM full_t)
+       |SELECT doc_id, is_target, n_feats, log_weight,
+       |  (SELECT lw_p90 FROM thr) AS lw_p90,
+       |  log_weight > (SELECT lw_p90 FROM thr) AS selected
+       |FROM full_t ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q106_lm_perplexity", q106, Some(q106Sql)),
     Q("q113_nb_classifier", q113, Some(q113Sql)),
     Q("q117_curriculum_phases", q117, Some(q117Sql)),
-    Q("q123_kneser_ney", q123, Some(q123Sql)))
+    Q("q123_kneser_ney", q123, Some(q123Sql)),
+    Q("q135_dsir_weights", q135, Some(q135Sql)))
 }

@@ -134,4 +134,78 @@ class LmOpsSpec extends SparkSpec {
       assert(math.abs(total - 1.0) < 1e-12, s"prefix $prev sums to $total")
     }
   }
+
+  /** Brute-force DSIR reference: hashed-bucket counts in Scala maps,
+    * direct `ln p_t(b) − ln p_r(b)` in Math.log doubles — the naive
+    * formulation of the identity q135's decomposed portable-ln path
+    * computes. */
+  private def dsirReference(docs: Seq[(Long, String, String)]): Map[Long, Double] = {
+    val B = 1024
+    def bucket(g: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 8), 16) % B
+    }
+    def feats(tx: String): Seq[Long] = {
+      val ts = tx.trim.split("\\s+").toSeq
+      (ts ++ ts.sliding(2).filter(_.size == 2).map(_.mkString(" "))).map(bucket)
+    }
+    val perDoc = docs.filter(_._2.trim.nonEmpty)
+      .map { case (id, tx, lang) => (id, feats(tx), lang == "en") }
+    val cr = perDoc.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ct = perDoc.filter(_._3).flatMap(_._2)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val r = cr.values.sum; val t = ct.values.sum
+    val scored = perDoc.map { case (id, fs, _) =>
+      id -> fs.map { b =>
+        math.log((ct.getOrElse(b, 0L) + 1).toDouble / (t + B)) -
+          math.log((cr(b) + 1).toDouble / (r + B))
+      }.sum
+    }.toMap
+    docs.map { case (id, _, _) => id -> scored.getOrElse(id, 0.0) }.toMap
+  }
+
+  test("q135 DSIR matches a brute-force double reference; target-style docs rank higher") {
+    val dir = java.nio.file.Files.createTempDirectory("lmdsir").toString
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta", "en"),
+      (2L, "alpha beta delta gamma beta", "en"),
+      (3L, "zorg blip zorg kwux blip", "zh"),
+      (4L, "alpha beta gamma delta beta", "zh"), // target-style text, off-target lang
+      (5L, "", "en"), // empty: n_feats = 0, log_weight = 0
+      (6L, "kwux zorg blip kwux", "zh"))
+    docs.map { case (id, tx, lang) => (id, tx, lang, "s", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = LmOps.queries("q135_dsir_weights")(spark, dir).collect()
+    val got = rows.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val ref = dsirReference(docs)
+    assert(got.keySet === ref.keySet)
+    got.foreach { case (id, v) =>
+      assert(math.abs(v - ref(id)) < 1e-12, s"doc $id: $v vs ${ref(id)}")
+    }
+    // the empty doc carries no evidence: weight exactly 0, 0 features
+    val empty = rows.find(_.getLong(0) == 5L).get
+    assert(empty.getLong(2) === 0L && empty.getDouble(3) === 0.0)
+    // importance weights pull toward the target DISTRIBUTION, not the
+    // label: doc 4 shares the en vocabulary and must outrank the
+    // zorg/blip docs despite lang = zh
+    assert(got(4L) > got(3L) && got(4L) > got(6L))
+    assert(Seq(1L, 2L).map(got).min > Seq(3L, 6L).map(got).max)
+  }
+
+  test("q135 is identical under different shuffle partition counts") {
+    val dir = java.nio.file.Files.createTempDirectory("lmdsir2").toString
+    (1 to 40).map(i => (i.toLong, s"w${i % 7} w${i % 3} w${i % 5} w${i % 11}",
+        if (i % 3 == 0) "en" else "fr", "s", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val run1 = LmOps.queries("q135_dsir_weights")(spark, dir).collect().toSeq
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val run2 = LmOps.queries("q135_dsir_weights")(spark, dir).collect().toSeq
+      assert(run1.map(_.toSeq) === run2.map(_.toSeq))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }
