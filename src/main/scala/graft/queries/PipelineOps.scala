@@ -802,6 +802,88 @@ object PipelineOps extends QueryModule {
        |FROM m ORDER BY gate_a, gate_b""".stripMargin
   }
 
+  /** q136 — fill-in-the-middle transform (Bavarian et al. 2022,
+    * "Efficient Training of Language Models to Fill in the Middle"):
+    * with FIM rate 0.5, split a document into (prefix, middle, suffix)
+    * at two uniform cut points and render the PSM ordering
+    * `<fim_prefix> P <fim_suffix> S <fim_middle> M` — the data-level
+    * augmentation that teaches infilling "for free"; unselected docs
+    * pass through verbatim (the paper's joint FIM+AR mixture).
+    *
+    * Determinism (the q50/q53 membership idiom): the apply decision and
+    * both cut points come from independent md5 tickets of doc_id, so
+    * the transform is a pure function of the data — identical across
+    * engines, reruns, and partitionings. Cuts are TOKEN-boundary
+    * (word-level FIM): character-level cuts would need byte-identical
+    * substring semantics on multi-byte text across engines, while
+    * word tokens pass through both engines' array slicing unchanged;
+    * cut ∈ [0, n] counts tokens in the prefix, so all three spans may
+    * be empty exactly as in the paper's uniform character splits.
+    *
+    * Scale shape: pure row-local projection — scan → project, zero
+    * shuffles beyond the output-determinism sort; at 100 TB this runs
+    * in the scan's codegen span at I/O speed. */
+  private def q136(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("n", size(col("toks")).cast("bigint"))
+      .withColumn("tr", expr(
+        "cast(conv(substring(md5(concat_ws('|', 'fimr', doc_id)), 1, 15), 16, 10) as bigint)"))
+      .withColumn("t1", expr(
+        "cast(conv(substring(md5(concat_ws('|', 'fim1', doc_id)), 1, 15), 16, 10) as bigint)"))
+      .withColumn("t2", expr(
+        "cast(conv(substring(md5(concat_ws('|', 'fim2', doc_id)), 1, 15), 16, 10) as bigint)"))
+      .withColumn("fim_applied", col("tr") % 2 === 0 && col("n") >= 2)
+      .withColumn("cut_a",
+        when(col("fim_applied"), least(col("t1") % (col("n") + 1), col("t2") % (col("n") + 1))))
+      .withColumn("cut_b",
+        when(col("fim_applied"), greatest(col("t1") % (col("n") + 1), col("t2") % (col("n") + 1))))
+    docs
+      .withColumn("fim_text", when(col("fim_applied"),
+        concat(lit("<fim_prefix>"),
+          expr("array_join(slice(toks, 1, cast(cut_a as int)), ' ')"),
+          lit("<fim_suffix>"),
+          expr("array_join(slice(toks, cast(cut_b as int) + 1, cast(n - cut_b as int)), ' ')"),
+          lit("<fim_middle>"),
+          expr("array_join(slice(toks, cast(cut_a as int) + 1, cast(cut_b - cut_a as int)), ' ')")))
+        .otherwise(col("text")))
+      .select(col("doc_id"), col("n").as("n_tokens"), col("fim_applied"),
+        col("cut_a"), col("cut_b"), col("fim_text"))
+      .orderBy("doc_id")
+  }
+  private val q136Sql =
+    """WITH base AS (
+      |  SELECT doc_id, COALESCE(text, '') AS text,
+      |    regexp_split_to_array(trim(COALESCE(text, '')), '\s+') AS toks
+      |  FROM documents),
+      |cuts AS (
+      |  SELECT doc_id, text, toks, CAST(len(toks) AS BIGINT) AS n,
+      |    CAST('0x' || substr(md5('fimr|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS tr,
+      |    CAST('0x' || substr(md5('fim1|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS t1,
+      |    CAST('0x' || substr(md5('fim2|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS t2
+      |  FROM base),
+      |flagged AS (
+      |  SELECT doc_id, text, toks, n,
+      |    (tr % 2 = 0 AND n >= 2) AS fim_applied,
+      |    CASE WHEN tr % 2 = 0 AND n >= 2
+      |      THEN LEAST(t1 % (n + 1), t2 % (n + 1)) END AS cut_a,
+      |    CASE WHEN tr % 2 = 0 AND n >= 2
+      |      THEN GREATEST(t1 % (n + 1), t2 % (n + 1)) END AS cut_b
+      |  FROM cuts)
+      |SELECT doc_id, n AS n_tokens, fim_applied, cut_a, cut_b,
+      |  CASE WHEN fim_applied THEN
+      |    -- zero-width slices are guarded: DuckDB's toks[1:0] is NULL,
+      |    -- not the empty list, and would null the whole concatenation
+      |    '<fim_prefix>' || CASE WHEN cut_a = 0 THEN ''
+      |      ELSE array_to_string(toks[1:CAST(cut_a AS INTEGER)], ' ') END ||
+      |    '<fim_suffix>' || CASE WHEN cut_b = n THEN ''
+      |      ELSE array_to_string(toks[CAST(cut_b AS INTEGER) + 1:CAST(n AS INTEGER)], ' ') END ||
+      |    '<fim_middle>' || CASE WHEN cut_b = cut_a THEN ''
+      |      ELSE array_to_string(toks[CAST(cut_a AS INTEGER) + 1:CAST(cut_b AS INTEGER)], ' ') END
+      |  ELSE text END AS fim_text
+      |FROM flagged ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q41_redaction", q41, Some(q41Sql)),
     Q("q115_pretrain_pipeline", q115, Some(q115Sql)),
@@ -814,5 +896,6 @@ object PipelineOps extends QueryModule {
     Q("q92_sequence_packing", q92, Some(q92Sql)),
     Q("q93_temperature_sample", q93, Some(q93Sql)),
     Q("q95_quality_funnel", q95, Some(q95Sql)),
-    Q("q100_training_shards", q100, Some(q100Sql)))
+    Q("q100_training_shards", q100, Some(q100Sql)),
+    Q("q136_fim_transform", q136, Some(q136Sql)))
 }
