@@ -884,6 +884,58 @@ object PipelineOps extends QueryModule {
       |  ELSE text END AS fim_text
       |FROM flagged ORDER BY doc_id""".stripMargin
 
+  /** q137 — EXACT corpus quantiles without a global sort: the Type-1
+    * (inverted-CDF) percentiles of the per-doc token-count distribution,
+    * `Q(p) = value at rank ⌈p·n⌉ ordering by (n_tokens, doc_id)` — the
+    * length profile every corpus card / packing planner reads (q54's
+    * profile reports moments; this is the exact-order-statistics member,
+    * and the exact twin of approx_percentile-based profiling).
+    *
+    * The naive plan is `ROW_NUMBER() OVER (ORDER BY n_tokens)` — a
+    * single-partition window, fatal at 100 TB. This runs through
+    * [[graft.operators.GlobalRank]]'s two-pass bucket construction
+    * instead: boundary sample → row-local bucket id → per-bucket
+    * B-bounded offsets → rank windows partitioned BY BUCKET. The five
+    * target ranks are pure integer arithmetic `(pct·n + 99) div 100`
+    * computed on a 5-row literal percentile table (n attached via the
+    * enforced ≤1-row scalar), and the probe is an EQUI-join of that
+    * broadcast 5-row table against the ranked corpus — no
+    * BroadcastNestedLoopJoin (PlanHygieneSpec's ban holds), no corpus
+    * window. The oracle states the same semantics with the one-level
+    * window, proving the tournament exact by hash equality. */
+  private def q137(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"),
+        size(split(trim(coalesce(col("text"), lit(""))), "\\s+"))
+          .cast("bigint").as("n_tokens"))
+    val ranked = graft.operators.GlobalRank
+      .withRank(docs, col("n_tokens"), descending = false,
+        tieBreakers = Seq(col("doc_id")), rnName = "rn")
+    val pcts = graft.Scalars.withScalar(
+      s.createDataFrame(Seq(25, 50, 75, 90, 99).map(Tuple1(_))).toDF("pct"),
+      docs.agg(count(lit(1)).as("n")))
+      .withColumn("target_rank", expr("(cast(pct as bigint) * n + 99) div 100"))
+    ranked.join(broadcast(pcts), col("rn") === col("target_rank"))
+      .select(col("pct"), col("target_rank"), col("n_tokens").as("value"), col("n"))
+      .orderBy("pct")
+  }
+  private val q137Sql =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(trim(COALESCE(text, '')), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |rk AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS rn
+      |  FROM docs),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM docs),
+      |p AS (
+      |  SELECT pct, (CAST(pct AS BIGINT) * n + 99) // 100 AS target_rank, n
+      |  FROM (SELECT unnest([25, 50, 75, 90, 99]) AS pct), nn)
+      |SELECT pct, target_rank, n_tokens AS value, n
+      |FROM p JOIN rk ON rk.rn = p.target_rank
+      |ORDER BY pct""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q41_redaction", q41, Some(q41Sql)),
     Q("q115_pretrain_pipeline", q115, Some(q115Sql)),
@@ -897,5 +949,6 @@ object PipelineOps extends QueryModule {
     Q("q93_temperature_sample", q93, Some(q93Sql)),
     Q("q95_quality_funnel", q95, Some(q95Sql)),
     Q("q100_training_shards", q100, Some(q100Sql)),
-    Q("q136_fim_transform", q136, Some(q136Sql)))
+    Q("q136_fim_transform", q136, Some(q136Sql)),
+    Q("q137_exact_quantiles", q137, Some(q137Sql)))
 }
