@@ -781,6 +781,76 @@ object VectorOps extends QueryModule {
       |FROM ranked WHERE rnk <= 3
       |ORDER BY anchor_id, rnk, neg_id""".stripMargin
 
+  /** q138 — SEMANTIC benchmark decontamination: flag corpus vectors whose
+    * max cosine against any benchmark-set vector clears a threshold — the
+    * embedding-level member of the decontamination family beside q89's
+    * lexical n-gram overlap (n-gram checks miss paraphrases; embedding
+    * similarity is the published countermeasure, e.g. the
+    * paraphrase-contamination analyses of Yang et al. 2023, "Rethinking
+    * Benchmark and Contamination with Rephrased Samples", which score
+    * train-test pairs by embedding cosine before an LLM verdict).
+    *
+    * Benchmark set: vec_id % 50 = 0 plays the eval suite (deterministic,
+    * so the oracle reproduces it). τ = 0.35 is calibrated to this
+    * synthetic corpus's cosine tail (p90 of best-cosine ≈ 0.30, max
+    * ≈ 0.45); a production deployment with a real encoder uses the
+    * familiar ≈ 0.9.
+    *
+    * Scale shape: the q52/q131 literal-codebook idiom — benchmark
+    * vectors are collected ONCE (bounded by construction: an eval suite
+    * is thousands of rows, not corpus-sized; here |corpus|/50, sorted by
+    * cid so the scoring fold's order is fixed) and shipped as a literal,
+    * making the scoring a pure row-local expression: one corpus scan, no
+    * join, no shuffle, no BNLJ node anywhere. Argmax over the literal is
+    * a first-wins ordered fold (strict >, ascending cid), so ties break
+    * to the lowest benchmark id — deterministic, restated by the
+    * oracle's ROW_NUMBER. At a benchmark too large for a literal, the
+    * same probe becomes q89's broadcast-join shape; the LSH/IVF
+    * bucketed variants (q33/q52) bound the candidate set when even that
+    * is too wide. */
+  private def q138(s: SparkSession, d: String): DataFrame = {
+    val u = unitVectors(s, d)
+    val bench: Seq[(Long, Seq[Double])] = u.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), col("ue"))
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    u.filter(col("vec_id") % 50 =!= 0)
+      .withColumn("bm", typedlit(bench))
+      .withColumn("best", expr(
+        "aggregate(transform(bm, b -> struct(graft_dot(ue, b._2) as c, b._1 as cid))," +
+          " struct(cast(-2e0 as double) as c, cast(-1 as bigint) as cid)," +
+          " (acc, x) -> IF(x.c > acc.c, x, acc))"))
+      .select(col("vec_id"), col("label"),
+        col("best.cid").as("best_bench_id"),
+        col("best.c").as("best_cosine"),
+        (col("best.c") >= lit(0.35)).as("contaminated"))
+      .orderBy("vec_id")
+  }
+  private val q138Sql =
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding,
+      |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) AS nrm
+      |  FROM embeddings),
+      |u AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS ue
+      |  FROM e),
+      |bm AS (SELECT vec_id AS cid, ue AS bu FROM u WHERE vec_id % 50 = 0),
+      |c AS (SELECT vec_id, label, ue FROM u WHERE vec_id % 50 <> 0),
+      |sims AS (
+      |  SELECT c.vec_id, c.label, bm.cid,
+      |    list_reduce(list_prepend(0.0, list_transform(list_zip(c.ue, bm.bu),
+      |      p -> p[1] * p[2])), (a, b) -> a + b) AS cos
+      |  FROM c, bm),
+      |best AS (
+      |  SELECT vec_id, label, cid, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+      |  FROM sims)
+      |SELECT vec_id, label, cid AS best_bench_id, cos AS best_cosine,
+      |  cos >= 0.35 AS contaminated
+      |FROM best WHERE rk = 1 ORDER BY vec_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q31_embed_norms", q31, Some(q31Sql)),
     Q("q114_semdedup", q114, Some(q114Sql)),
@@ -790,5 +860,6 @@ object VectorOps extends QueryModule {
     Q("q33_ann_lsh", q33, Some(q33Sql)),
     Q("q40_embed_nn_dedup", q40, Some(q40Sql)),
     Q("q52_ann_ivf", q52, Some(q52Sql)),
-    Q("q131_hard_negatives", q131, Some(q131Sql)))
+    Q("q131_hard_negatives", q131, Some(q131Sql)),
+    Q("q138_semantic_decontam", q138, Some(q138Sql)))
 }
