@@ -417,35 +417,45 @@ object DedupOps extends QueryModule {
     * as q27/q89 (never all-pairs); span merging is a doc-partitioned
     * window over only the DUPLICATED grams (a small fraction of the
     * corpus). Token positions are 1-based in both engines. */
+  /** Positional 8-gram index (doc_id, start, g) — memoized per
+    * (session, corpus) because TWO queries consume the identical
+    * artifact: q94's span merge and q139's memorization-risk score (the
+    * pairCache/uvCache convention; one corpus explode instead of two).
+    * References within each consumer are also multiple, hence the
+    * localCheckpoint. */
+  private val gramCache = new graft.SessionCache[DataFrame]
+  private def gramIndex8(s: SparkSession, d: String): DataFrame =
+    gramCache.getOrBuild(s, d) {
+      val n = 8
+      t(s, d, "documents")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+        .filter(size(col("toks")) >= n)
+        .select(col("doc_id"),
+          // The index key is xxhash64(gram), decided by a same-host
+          // interleaved A/B at sf0.1 (PLANS.md "q94 gram-key A/B", round
+          // 10): xxh64 med 1.27 s vs raw-gram 1.64 s vs md5 1.73 s vs a
+          // two-lane xxh64 struct 1.73 s — the 8-byte long key wins on
+          // BOTH hash CPU (md5's loss locally) and shuffle bytes (raw's
+          // loss at network scale). The key is internal to the group-by
+          // and self-join and never reaches the output, so the ORACLE
+          // keys on the raw gram text instead: results agree iff xxh64
+          // is injective on the corpus's distinct grams, and the driver's
+          // hash gate verifies exactly that. Collision math: ~5e5 grams
+          // at sf0.1 → P(any collision) ≈ 7e-9; at a 100 TB corpus
+          // (~1e13 grams) expected colliding PAIRS ≈ 2.7e6 (1e-7 of
+          // grams), each of which can only over-mark one extra 8-token
+          // span as duplicated — acceptable for a lossy cleaning pass;
+          // flip to md5() here for a 128-bit key if an exactness-critical
+          // deployment demands it (measured cost: +36% on this query).
+          explode(expr(s"transform(sequence(1, size(toks) - ${n - 1})," +
+            s" i -> struct(i as start, xxhash64(array_join(slice(toks, i, $n), ' ')) as g))")).as("x"))
+        .select(col("doc_id"), col("x.start").as("start"), col("x.g").as("g"))
+        .localCheckpoint(true)
+    }
+
   private def q94(s: SparkSession, d: String): DataFrame = {
     val n = 8
-    // Two references below (cross-doc filter + position join): materialize
-    // once with lineage cut (the QueryModule localCheckpoint convention)
-    // instead of re-splitting and re-exploding the corpus per reference.
-    val grams = t(s, d, "documents")
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col("doc_id"),
-        // The index key is xxhash64(gram), decided by a same-host
-        // interleaved A/B at sf0.1 (PLANS.md "q94 gram-key A/B", round
-        // 10): xxh64 med 1.27 s vs raw-gram 1.64 s vs md5 1.73 s vs a
-        // two-lane xxh64 struct 1.73 s — the 8-byte long key wins on
-        // BOTH hash CPU (md5's loss locally) and shuffle bytes (raw's
-        // loss at network scale). The key is internal to the group-by
-        // and self-join and never reaches the output, so the ORACLE
-        // keys on the raw gram text instead: results agree iff xxh64
-        // is injective on the corpus's distinct grams, and the driver's
-        // hash gate verifies exactly that. Collision math: ~5e5 grams
-        // at sf0.1 → P(any collision) ≈ 7e-9; at a 100 TB corpus
-        // (~1e13 grams) expected colliding PAIRS ≈ 2.7e6 (1e-7 of
-        // grams), each of which can only over-mark one extra 8-token
-        // span as duplicated — acceptable for a lossy cleaning pass;
-        // flip to md5() here for a 128-bit key if an exactness-critical
-        // deployment demands it (measured cost: +36% on this query).
-        explode(expr(s"transform(sequence(1, size(toks) - ${n - 1})," +
-          s" i -> struct(i as start, xxhash64(array_join(slice(toks, i, $n), ' ')) as g))")).as("x"))
-      .select(col("doc_id"), col("x.start").as("start"), col("x.g").as("g"))
-      .localCheckpoint(true)
+    val grams = gramIndex8(s, d)
     val crossDoc = grams.groupBy(col("g"))
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
       .filter(col("mn") =!= col("mx"))
@@ -835,6 +845,73 @@ object DedupOps extends QueryModule {
       |LEFT JOIN tr t USING (sh)
       |GROUP BY v.doc_id ORDER BY v.doc_id""".stripMargin
 
+  /** q139 — per-doc MEMORIZATION-RISK score: the fraction of a
+    * document's 8-grams that also occur in another document. Carlini et
+    * al. 2022 ("Quantifying Memorization Across Neural Language Models")
+    * measure extractable memorization scaling with sequence duplication,
+    * and Lee et al. 2022's headline result is that removing such
+    * duplication reduces it — q94 emits the SPANS a cleaner would cut;
+    * this emits the doc-level score a curation pipeline ranks and
+    * budgets by (e.g. "drop or downsample everything above 0.5").
+    *
+    * risk_flag threshold 0.5: more than half the doc's token windows are
+    * cross-doc duplicated — the doc is mostly boilerplate/template mass.
+    *
+    * Scale shape: REUSES the memoized q94 positional gram index (one
+    * corpus explode serves both queries); the cross-doc key set is the
+    * same min≠max aggregation; per-doc duplicated-gram counts come from
+    * the gram-keyed semi-join + a doc-keyed hash agg. Denominators are
+    * row-local (`size(toks) − 7`). Docs under 8 tokens have no windows:
+    * n_grams = 0, dup_fraction = 0 (total, like q135's empty-doc
+    * weight). No window over the corpus anywhere. */
+  private def q139(s: SparkSession, d: String): DataFrame = {
+    val n = 8
+    val grams = gramIndex8(s, d)
+    val crossDoc = grams.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("g"))
+    val nd = grams.join(crossDoc, "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    val base = t(s, d, "documents")
+      .select(col("doc_id"),
+        greatest(size(split(trim(coalesce(col("text"), lit(""))), "\\s+"))
+          .cast("bigint") - (n - 1), lit(0L)).as("n_grams"))
+    base.join(nd, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_grams"))
+      .withColumn("dup_fraction",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(col("n_dup_grams").cast("double") / col("n_grams").cast("double")))
+      .withColumn("risk_flag", col("dup_fraction") > 0.5)
+      .orderBy("doc_id")
+  }
+  private val q139Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      |grams AS (
+      |  SELECT doc_id, x.g FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 6),
+      |      i -> struct_pack(start := i, g := array_to_string(t[i:i + 7], ' ')))) AS x
+      |    FROM toks WHERE len(t) >= 8)),
+      |crossdoc AS (
+      |  SELECT g FROM grams GROUP BY g HAVING MIN(doc_id) <> MAX(doc_id)),
+      |nd AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+      |  FROM grams JOIN crossdoc USING (g) GROUP BY doc_id),
+      |base AS (
+      |  SELECT doc_id,
+      |    GREATEST(CAST(len(regexp_split_to_array(trim(COALESCE(text, '')), '\s+')) AS BIGINT) - 7,
+      |      0) AS n_grams
+      |  FROM documents)
+      |SELECT b.doc_id, b.n_grams, COALESCE(n.n_dup, 0) AS n_dup_grams,
+      |  CASE WHEN b.n_grams = 0 THEN CAST(0 AS DOUBLE)
+      |    ELSE CAST(COALESCE(n.n_dup, 0) AS DOUBLE) / CAST(b.n_grams AS DOUBLE) END AS dup_fraction,
+      |  CASE WHEN b.n_grams = 0 THEN FALSE
+      |    ELSE CAST(COALESCE(n.n_dup, 0) AS DOUBLE) / CAST(b.n_grams AS DOUBLE) > 0.5 END AS risk_flag
+      |FROM base b LEFT JOIN nd n USING (doc_id)
+      |ORDER BY b.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q26_dedup_exact", q26, Some(q26Sql)),
     Q("q134_split_decontam", q134, Some(q134Sql)),
@@ -845,5 +922,6 @@ object DedupOps extends QueryModule {
     Q("q30_simhash_pairs", q30, Some(q30Sql)),
     Q("q89_contamination", q89, Some(q89Sql)),
     Q("q94_substring_dedup_spans", q94, Some(q94Sql)),
-    Q("q112_incremental_dedup", q112, Some(q112Sql)))
+    Q("q112_incremental_dedup", q112, Some(q112Sql)),
+    Q("q139_memorization_risk", q139, Some(q139Sql)))
 }
