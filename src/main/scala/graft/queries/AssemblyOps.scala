@@ -488,6 +488,86 @@ object AssemblyOps extends QueryModule {
        |FROM w0, nrm ORDER BY source""".stripMargin
   }
 
+  /** q140 — length-MATCHED control sampling for data ablations: for the
+    * documents a gate rejects (treatment = fails the Gopher rule set,
+    * q88), draw an equal-count control sample from the KEPT pool inside
+    * every length stratum — the matched-covariate design a data-curation
+    * ablation needs before attributing a downstream metric to the gate
+    * itself rather than to the length shift it induces (matching on
+    * observables is the Rubin causal-design move; data-curation studies,
+    * e.g. Longpre et al. 2023's "Pretrainer's Guide", hold token counts
+    * fixed across compared corpora for exactly this reason).
+    *
+    * Strata are fixed-width token-count buckets (`n_tokens div 50` —
+    * row-local, no quantile pass); within a stratum the control draw is
+    * the deterministic md5-ticket rank (the q53/q125 membership idiom),
+    * capped at the stratum's treatment count k_b. Buckets with no
+    * treatment docs contribute no controls; buckets with fewer kept than
+    * treated docs are matched up to availability (the design's standard
+    * caveat, reported by the count asymmetry in the output).
+    *
+    * Scale shape: the per-stratum top-k_b runs as the q125 two-stage
+    * ticket-prefix tournament — stage 1 ranks inside (bucket, prefix)
+    * partitions (~√n rows each), stage 2 ranks the ≤ k_b·16^kb
+    * survivors per bucket; global top-k_b ⊆ union of prefix top-k_b for
+    * ANY k_b, so survivor ranks are exact and the oracle's one-level
+    * window proves it by hash equality. k_b attaches via a broadcast
+    * join on the bounded bucket table. The gate verdict reuses q88's
+    * published query (one corpus pass, hash aggregations only). */
+  private def q140(s: SparkSession, d: String): DataFrame = {
+    val kb = PipelineOps.ticketPrefixFor(t(s, d, "documents").count())
+    val gate = graft.SparkEntry.queries("q88_gopher_quality")(s, d)
+      .select(col("doc_id"), col("passes_gopher"))
+    val flagged = t(s, d, "documents")
+      .select(col("doc_id"),
+        size(split(trim(coalesce(col("text"), lit(""))), "\\s+"))
+          .cast("bigint").as("n_tokens"),
+        md5(concat_ws("|", lit("ctl"), col("doc_id"))).as("tkt"))
+      .join(gate, Seq("doc_id"), "left")
+      .withColumn("treated", !coalesce(col("passes_gopher"), lit(false)))
+      .withColumn("lbucket", expr("n_tokens div 50"))
+      .localCheckpoint(true) // consumers: k_b counts + controls + treatment rows
+    val kPer = flagged.filter(col("treated")).groupBy(col("lbucket"))
+      .agg(count(lit(1)).as("k_b"))
+    val kept = flagged.filter(!col("treated"))
+      .join(broadcast(kPer), Seq("lbucket"))
+      .withColumn("tpfx", substring(col("tkt"), 1, kb))
+    val w1 = Window.partitionBy(col("lbucket"), col("tpfx"))
+      .orderBy(col("tkt"), col("doc_id"))
+    val w2 = Window.partitionBy(col("lbucket")).orderBy(col("tkt"), col("doc_id"))
+    val controls = kept
+      .withColumn("lr", row_number().over(w1)).filter(col("lr") <= col("k_b"))
+      .withColumn("rk", row_number().over(w2)).filter(col("rk") <= col("k_b"))
+      .select(lit("control").as("grp"), col("lbucket"), col("doc_id"), col("n_tokens"))
+    val treats = flagged.filter(col("treated"))
+      .select(lit("treatment").as("grp"), col("lbucket"), col("doc_id"), col("n_tokens"))
+    treats.union(controls).orderBy("lbucket", "grp", "doc_id")
+  }
+  private def q140Sql: String = {
+    val g = TextOps.oracleSql("q88_gopher_quality")
+    s"""WITH gq AS ($g),
+       |docs AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(trim(COALESCE(text, '')), '\\s+')) AS BIGINT) AS n_tokens,
+       |    md5('ctl|' || CAST(doc_id AS VARCHAR)) AS tkt
+       |  FROM documents),
+       |f AS (
+       |  SELECT d.doc_id, d.n_tokens, d.tkt, d.n_tokens // 50 AS lbucket,
+       |    NOT COALESCE(gq.passes_gopher, false) AS treated
+       |  FROM docs d LEFT JOIN gq USING (doc_id)),
+       |kper AS (
+       |  SELECT lbucket, CAST(COUNT(*) AS BIGINT) AS k_b
+       |  FROM f WHERE treated GROUP BY lbucket),
+       |ctl AS (
+       |  SELECT f.doc_id, f.lbucket, f.n_tokens, k.k_b,
+       |    ROW_NUMBER() OVER (PARTITION BY f.lbucket ORDER BY f.tkt, f.doc_id) AS rk
+       |  FROM f JOIN kper k USING (lbucket) WHERE NOT treated)
+       |SELECT 'treatment' AS grp, lbucket, doc_id, n_tokens FROM f WHERE treated
+       |UNION ALL
+       |SELECT 'control' AS grp, lbucket, doc_id, n_tokens FROM ctl WHERE rk <= k_b
+       |ORDER BY lbucket, grp, doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q120_mixture_report", q120, Some(q120Sql)),
     Q("q109_cluster_best", q109, Some(q109Sql)),
@@ -495,7 +575,8 @@ object AssemblyOps extends QueryModule {
     Q("q111_epoch_upsample", q111, Some(q111Sql)),
     Q("q125_weighted_sample", q125, Some(q125Sql)),
     Q("q126_doremi_step", q126, Some(q126Sql)),
-    Q("q128_sft_conversations", q128, Some(q128Sql)))
+    Q("q128_sft_conversations", q128, Some(q128Sql)),
+    Q("q140_matched_controls", q140, Some(q140Sql)))
 
   /** q128 — SFT conversation assembly: the post-training twin of the
     * pretraining ops — turn an event log into chat-template training

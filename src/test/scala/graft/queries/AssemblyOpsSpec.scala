@@ -225,4 +225,26 @@ class AssemblyOpsSpec extends SparkSpec {
     assert(got(2L) === ((1L, "<|user|>ping", false)))
     assert(got(3L) === ((2L, "<|user|>first<|assistant|>second", true)))
   }
+
+  test("q140 controls are stratum-matched, disjoint from treatment, capped by availability") {
+    val rows = AssemblyOps.queries("q140_matched_controls")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val treat = rows.filter(_._1 == "treatment")
+    val ctl = rows.filter(_._1 == "control")
+    assert(treat.nonEmpty && ctl.nonEmpty)
+    // disjoint doc sets
+    assert(treat.map(_._3).toSet.intersect(ctl.map(_._3).toSet).isEmpty)
+    // per stratum: controls never exceed treatments, and only short
+    // supply of kept docs may leave a stratum under-matched
+    val tPer = treat.groupBy(_._2).view.mapValues(_.size).toMap
+    val cPer = ctl.groupBy(_._2).view.mapValues(_.size).toMap
+    cPer.foreach { case (b, c) =>
+      assert(c <= tPer.getOrElse(b, 0), s"bucket $b over-matched: $c controls")
+    }
+    // every control passes the gate the treatment failed
+    val pass = graft.SparkEntry.queries("q88_gopher_quality")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("passes_gopher"))).toMap
+    ctl.foreach { case (_, _, id) => assert(pass(id), s"control $id fails the gate") }
+    treat.foreach { case (_, _, id) => assert(!pass(id), s"treatment $id passes the gate") }
+  }
 }
