@@ -851,6 +851,69 @@ object VectorOps extends QueryModule {
       |  cos >= 0.35 AS contaminated
       |FROM best WHERE rk = 1 ORDER BY vec_id""".stripMargin
 
+  /** q141 — prototypicality pruning (Sorscher et al. 2022, "Beyond
+    * neural scaling laws: beating power law scaling via data pruning" —
+    * the SSL-prototypes metric; Tirumala et al. 2023's D4 composes it
+    * with SemDeDup, whose q114 shares this exact assignment): score
+    * every vector by cosine to its assigned cluster centroid and flag
+    * the MOST prototypical quarter of each cluster for pruning — under
+    * data abundance, easy/prototypical examples are the ones to drop.
+    *
+    * Per-cluster rank and count ride one cell-partitioned window pair
+    * (cells ∝ √n via [[ivfKFor]], so ~√n rows per partition — balanced
+    * by the same argument as q114/q131); the prune cut `rank ≤ n div 4`
+    * is integer arithmetic, exact in both engines. Assignment is
+    * row-local scoring against the literal seed codebook (the q52
+    * discipline; [[trainCodebook]] is the production trainer). No pair
+    * join at all — this is the cheapest member of the embedding-curation
+    * family: one scan + one bounded-partition window. */
+  private def q141(s: SparkSession, d: String): DataFrame = {
+    val u = unitVectors(s, d)
+    val k = ivfKFor(u.count())
+    val sc = sortedCells(codebook(u, k), k)
+    val asg = u.select(col("vec_id"),
+      element_at(sc, 1)("cid").cast("bigint").as("cell"),
+      element_at(sc, 1)("cc").as("proto_score"))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("proto_score").desc, col("vec_id"))
+    asg.withColumn("cell_rank", row_number().over(w).cast("bigint"))
+      .withColumn("cell_n", count(lit(1)).over(Window.partitionBy(col("cell"))))
+      .withColumn("pruned", col("cell_rank") <= expr("cell_n div 4"))
+      .orderBy("vec_id")
+  }
+  private val q141Sql =
+    """WITH params AS (
+      |  SELECT GREATEST(16, 1 << (LENGTH(BIN(CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) - 1)) AS k
+      |  FROM embeddings),
+      |e AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) AS nrm
+      |  FROM embeddings),
+      |u AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS ue FROM e),
+      |cent AS (SELECT vec_id AS cid, ue AS cu FROM u WHERE vec_id < (SELECT k FROM params)),
+      |cc AS (
+      |  SELECT u.vec_id, cent.cid,
+      |    list_reduce(list_prepend(0.0, list_transform(list_zip(u.ue, cent.cu),
+      |      p -> p[1] * p[2])), (a, b) -> a + b) AS cc
+      |  FROM u CROSS JOIN cent),
+      |rc AS (
+      |  SELECT vec_id, cid, cc,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+      |  FROM cc),
+      |asg AS (
+      |  SELECT vec_id, CAST(cid AS BIGINT) AS cell, cc AS proto_score
+      |  FROM rc WHERE rn = 1),
+      |rnk AS (
+      |  SELECT vec_id, cell, proto_score,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY cell
+      |      ORDER BY proto_score DESC, vec_id) AS BIGINT) AS cell_rank,
+      |    CAST(COUNT(*) OVER (PARTITION BY cell) AS BIGINT) AS cell_n
+      |  FROM asg)
+      |SELECT vec_id, cell, proto_score, cell_rank, cell_n,
+      |  cell_rank <= cell_n // 4 AS pruned
+      |FROM rnk ORDER BY vec_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q31_embed_norms", q31, Some(q31Sql)),
     Q("q114_semdedup", q114, Some(q114Sql)),
@@ -861,5 +924,6 @@ object VectorOps extends QueryModule {
     Q("q40_embed_nn_dedup", q40, Some(q40Sql)),
     Q("q52_ann_ivf", q52, Some(q52Sql)),
     Q("q131_hard_negatives", q131, Some(q131Sql)),
-    Q("q138_semantic_decontam", q138, Some(q138Sql)))
+    Q("q138_semantic_decontam", q138, Some(q138Sql)),
+    Q("q141_proto_pruning", q141, Some(q141Sql)))
 }

@@ -55,6 +55,27 @@ class SemDedupSpec extends SparkSpec {
     assert(!byId(0L)._3 && !byId(17L)._3)
   }
 
+  test("q141: exactly the top quarter of each cell is pruned, by score") {
+    val rows = VectorOps.queries("q141_proto_pruning")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cell, members) =>
+      val n = members.head._4
+      assert(members.length.toLong === n, s"cell $cell count mismatch")
+      val pruned = members.filter(_._5)
+      assert(pruned.length.toLong === n / 4, s"cell $cell prunes ${pruned.length} of $n")
+      // pruned members are exactly the rank prefix = the score-descending head
+      if (pruned.nonEmpty) {
+        val worstPruned = pruned.map(_._2).min
+        val bestKept = members.filterNot(_._5).map(_._2).max
+        assert(worstPruned >= bestKept ||
+          math.abs(worstPruned - bestKept) < 1e-15, // exact tie broken by vec_id
+          s"cell $cell: kept score $bestKept above pruned $worstPruned")
+      }
+    }
+  }
+
   test("q114: verdict identical under a different shuffle partition count") {
     val dir = writeEmb()
     val run1 = VectorOps.queries("q114_semdedup")(spark, dir).collect().toSeq
