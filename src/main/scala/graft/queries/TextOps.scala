@@ -682,6 +682,90 @@ object TextOps extends QueryModule {
       |  CAST(top_source_docs AS DOUBLE) / n_docs AS top_source_share
       |FROM base, v, src""".stripMargin
 
+  /** q142 — PMI collocation mining (Church & Hanks 1990, "Word
+    * Association Norms, Mutual Information, and Lexicography"): rank
+    * adjacent word pairs by pointwise mutual information
+    * `PMI(a,b) = ln P(a,b) − ln P(a) − ln P(b)` with the standard
+    * min-count ≥ 5 noise floor — the corpus-analysis op behind
+    * multi-word-expression vocabularies (collocations promoted to
+    * single tokens) and corpus-drift dashboards. Beside q84 (rare-bigram
+    * quality) and q101 (BPE pair frequency): same transition pass, a
+    * different published statistic.
+    *
+    * All ln arguments are integers (pair/unigram counts and the two
+    * totals), so [[LmOps.PortableLn]] keeps every PMI double
+    * bit-identical in DuckDB:
+    * `pmi = ln c(a,b) − ln c(a) − ln c(b) + (2·ln Nu − ln Nb)`.
+    *
+    * Scale shape: two corpus-proportional hash aggregations (unigram +
+    * bigram counts, zipf head absorbed map-side); the min-count filter
+    * lands BEFORE the count joins so the scored table is the filtered
+    * vocabulary²-bounded set; top-50 plans as TakeOrderedAndProject
+    * (partial per-partition top-k, no global sort, no window at all —
+    * the tie-broken total order (pmi desc, w1, w2) makes the selected
+    * set deterministic in both engines). */
+  private def q142(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "documents")
+      .select(col("doc_id"), split(trim(coalesce(col("text"), lit(""))), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .localCheckpoint(true) // consumers: transitions + unigrams
+    val trans = base.select(explode(expr(
+      "transform(sequence(1, size(toks) - 1)," +
+        " i -> struct(toks[i-1] as w1, toks[i] as w2))")).as("x"))
+      .select(col("x.w1").as("w1"), col("x.w2").as("w2"))
+    val uni = base.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("uc"))
+      .localCheckpoint(true) // consumers: two count joins + Nu scalar
+    val bc = trans.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("pair_count"))
+      .localCheckpoint(true) // consumers: Nb scalar + scored rows
+    val nu = uni.agg(sum(col("uc")).as("nu"))
+    val nb = bc.agg(sum(col("pair_count")).as("nb"))
+    val joined = graft.Scalars.withScalar(graft.Scalars.withScalar(
+      bc.filter(col("pair_count") >= 5)
+        .join(uni.select(col("w").as("w1"), col("uc").as("ca")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("uc").as("cb")), Seq("w2")),
+      nu), nb)
+    val lnCols = LmOps.PortableLn.steps("pair_count", "a", spark = true) ++
+      LmOps.PortableLn.steps("ca", "b", spark = true) ++
+      LmOps.PortableLn.steps("cb", "c", spark = true) ++
+      LmOps.PortableLn.steps("nu", "u", spark = true) ++
+      LmOps.PortableLn.steps("nb", "v", spark = true)
+    lnCols.foldLeft(joined) { case (df, (n, e)) => df.withColumn(n, expr(e)) }
+      .select(col("w1"), col("w2"), col("pair_count"),
+        expr("((lna - lnb) - lnc) + ((2e0 * lnu) - lnv)").as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+  private def q142Sql: String = {
+    val (last, ctes) = LmOps.lnCtes("j0", "l",
+      Seq("pair_count" -> "a", "ca" -> "b", "cb" -> "c", "nu" -> "u", "nb" -> "v"))
+    s"""WITH base AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(COALESCE(text, '')), '\\s+') AS toks
+       |  FROM documents
+       |  WHERE len(regexp_split_to_array(trim(COALESCE(text, '')), '\\s+')) >= 2),
+       |trans AS (
+       |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+       |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM base)),
+       |uni AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS uc
+       |  FROM (SELECT unnest(toks) AS w FROM base) GROUP BY w),
+       |bc AS (
+       |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_count
+       |  FROM trans GROUP BY w1, w2),
+       |nuv AS (SELECT CAST(SUM(uc) AS BIGINT) AS nu FROM uni),
+       |nbv AS (SELECT CAST(SUM(pair_count) AS BIGINT) AS nb FROM bc),
+       |j0 AS (
+       |  SELECT b.w1, b.w2, b.pair_count, ua.uc AS ca, ub.uc AS cb,
+       |    (SELECT nu FROM nuv) AS nu, (SELECT nb FROM nbv) AS nb
+       |  FROM bc b JOIN uni ua ON ua.w = b.w1 JOIN uni ub ON ub.w = b.w2
+       |  WHERE b.pair_count >= 5),
+       |${ctes.mkString(",\n")}
+       |SELECT w1, w2, pair_count,
+       |  ((lna - lnb) - lnc) + ((2e0 * lnu) - lnv) AS pmi
+       |FROM $last
+       |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q71_posexplode_ordinal", q71, Some(q71Sql)),
     Q("q73_heavy_hitters", q73, Some(q73Sql)),
@@ -697,5 +781,6 @@ object TextOps extends QueryModule {
     Q("q91_gopher_repetition", q91, Some(q91Sql)),
     Q("q101_bpe_pair_stats", q101, Some(q101Sql)),
     Q("q102_bpe_second_merge", q102, Some(q102Sql)),
-    Q("q103_corpus_card", q103, Some(q103Sql)))
+    Q("q103_corpus_card", q103, Some(q103Sql)),
+    Q("q142_pmi_collocations", q142, Some(q142Sql)))
 }
