@@ -1,0 +1,617 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-analysis / diagnostics operators — the statistics a data team
+  * computes ABOUT a training corpus (rather than transforms OF it):
+  *
+  *  - q143: Zipf-law exponent fit (OLS on log rank / log frequency) —
+  *    the standard first-order sanity check of a scraped corpus's token
+  *    distribution (Zipf 1949; a slope far from −1 flags boilerplate or
+  *    template contamination).
+  *  - q144: CCNet-style per-language perplexity buckets (Wenzek et al.
+  *    2020 §4.3 tags every doc head/middle/tail WITHIN its language by
+  *    LM perplexity terciles — the exact artifact this query emits).
+  *  - q145: RedPajama-V2 / Dolma-style per-document quality-signal table
+  *    (one row per doc, ~12 row-local signals; downstream filters consume
+  *    the signals, they don't recompute them).
+  *  - q146: TF-IDF keyword extraction (top-3 terms per doc) — corpus
+  *    indexing / topical-drift dashboards.
+  *  - q147: cross-source duplicate-overlap matrix (shared 8-token lines
+  *    per source pair + Jaccard) — the "how much does source A leak into
+  *    source B" contamination audit run before mixing weights are set.
+  *  - q148: Heaps'-law vocabulary-growth curve over a deterministic
+  *    corpus shuffle — vocabulary saturation tells you whether more of
+  *    the same source still adds new types.
+  *  - q149: gate-vs-perplexity calibration — per perplexity decile, the
+  *    pass rate of the five-gate funnel: the diagnostic that tells you
+  *    whether rule-based gates and the model-based score agree.
+  *  - q150: per-source dedup audit card — exact-dup docs and duplicate
+  *    line mass rolled up by source (the report a dedup run publishes).
+  *
+  * Portability discipline as fleet-wide: integer counts until the last
+  * step, [[LmOps.PortableLn]] for logs, single correctly-rounded double
+  * ops, ordered IEEE folds for double sums, e-notation double literals.
+  */
+object CorpusOps extends QueryModule {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  /** q143 — Zipf exponent via OLS over the top-100 words: regress
+    * y = ln(freq) on x = ln(rank); slope ≈ −1 for natural text. The
+    * rank assignment deliberately avoids a window: the top-100 rows
+    * (TakeOrderedAndProject — partial per-partition top-k, no global
+    * sort) collapse into ONE bounded array whose sorted position IS the
+    * rank (the q148 prefix idiom). All five OLS sums are rank-ordered IEEE
+    * folds, so every double is bit-reproducible in DuckDB.
+    *
+    * Scale shape: one corpus-proportional word-count hash aggregation
+    * (map-side combine absorbs the zipf head — the very head being
+    * measured); everything after operates on 100 rows. */
+  private def q143(s: SparkSession, d: String): DataFrame = {
+    val top = t(s, d, "documents")
+      .select(explode(split(trim(coalesce(col("text"), lit(""))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w")).limit(100)
+    val ranked = top
+      .agg(expr("array_sort(collect_list(struct(-freq as nf, w)))").as("arr"))
+      .select(posexplode(col("arr")).as(Seq("i", "x")))
+      .select((col("i") + 1).cast("long").as("rnk"), (-col("x.nf")).as("freq"))
+    val lnCols = LmOps.PortableLn.steps("rnk", "r", spark = true) ++
+      LmOps.PortableLn.steps("freq", "f", spark = true)
+    val xy = lnCols.foldLeft(ranked) { case (df, (n, e)) => df.withColumn(n, expr(e)) }
+      .select(col("rnk"), col("lnr").as("x"), col("lnf").as("y"),
+        expr("lnr * lnf").as("xy"), expr("lnr * lnr").as("x2"),
+        expr("lnf * lnf").as("y2"))
+    def fold(c: String) =
+      expr(s"aggregate(array_sort(collect_list(struct(rnk, $c)))," +
+        s" cast(0 as double), (a, t) -> a + t.$c)").as(s"s$c")
+    val sums = xy.agg(count(lit(1)).as("np"),
+      fold("x"), fold("y"), fold("xy"), fold("x2"), fold("y2"))
+    Seq(
+      "nn" -> "cast(np as double)",
+      "num" -> "(nn * sxy) - (sx * sy)",
+      "denx" -> "(nn * sx2) - (sx * sx)",
+      "deny" -> "(nn * sy2) - (sy * sy)",
+      "slope" -> "num / denx",
+      "intercept" -> "(sy - (slope * sx)) / nn",
+      "r2" -> "(num * num) / (denx * deny)")
+      .foldLeft(sums) { case (df, (n, e)) => df.withColumn(n, expr(e)) }
+      .select(col("np").as("n_points"), col("slope"), col("intercept"), col("r2"))
+  }
+  private def q143Sql: String = {
+    val (last, ctes) = LmOps.lnCtes("r", "l", Seq("rnk" -> "r", "freq" -> "f"))
+    def fold(c: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list($c ORDER BY rnk)), (a, b) -> a + b) AS s$c"
+    s"""WITH wt AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(regexp_split_to_array(trim(COALESCE(text, '')), '\\s+')) AS w
+       |        FROM documents)
+       |  WHERE w <> '' GROUP BY w),
+       |top AS (SELECT w, freq FROM wt ORDER BY freq DESC, w LIMIT 100),
+       |r AS (SELECT freq,
+       |        CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, w) AS BIGINT) AS rnk
+       |      FROM top),
+       |${ctes.mkString(",\n")},
+       |p AS (SELECT rnk, lnr AS x, lnf AS y, lnr * lnf AS xy,
+       |        lnr * lnr AS x2, lnf * lnf AS y2 FROM $last),
+       |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS np,
+       |        ${fold("x")}, ${fold("y")}, ${fold("xy")},
+       |        ${fold("x2")}, ${fold("y2")}
+       |      FROM p),
+       |c1 AS (SELECT *, CAST(np AS DOUBLE) AS nn FROM s),
+       |c2 AS (SELECT *, (nn * sxy) - (sx * sy) AS num,
+       |         (nn * sx2) - (sx * sx) AS denx,
+       |         (nn * sy2) - (sy * sy) AS deny FROM c1),
+       |c3 AS (SELECT *, num / denx AS slope FROM c2)
+       |SELECT np AS n_points, slope,
+       |  (sy - (slope * sx)) / nn AS intercept,
+       |  (num * num) / (denx * deny) AS r2
+       |FROM c3""".stripMargin
+  }
+
+  /** q144 — CCNet per-language perplexity buckets (Wenzek et al. 2020
+    * §4.3): within each language, rank docs by the q106 LM score
+    * (higher avg log-prob = lower perplexity = better) and cut exact
+    * terciles: head / middle / tail. Output is the per-doc tag table
+    * CCNet ships alongside the corpus.
+    *
+    * Scale shape — the per-language rank is TWO-LEVEL (the q93
+    * discipline): per-language boundary arrays (approx_percentile by
+    * lang, localCheckpoint'ed to |langs| rows so both consumers see ONE
+    * evaluation — exactness does not depend on the boundary values,
+    * only on both branches seeing the SAME values), row-local bucket
+    * assignment, a per-(lang, bucket) local row_number, and bucket
+    * offsets from a summary-level window over per-bucket counts. No
+    * window partition ever holds more than ~corpus/(|langs|·B) rows;
+    * the oracle states the one-level per-language ROW_NUMBER and hash
+    * equality proves the decomposition. Terciles are arithmetic NTILE
+    * ([[graft.operators.GlobalRank.ntileFromRank]]), not the window
+    * builtin. */
+  private def q144(s: SparkSession, d: String): DataFrame = {
+    val scoredLang = LmOps.lmScores(s, d).select(col("doc_id"), col("avg_logprob"))
+      .join(t(s, d, "documents").select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val B = 16
+    val fracs = (1 until B).map(i => s"${i.toDouble / B}").mkString(",")
+    val bstats = scoredLang.groupBy(col("lang"))
+      .agg(expr(s"approx_percentile(avg_logprob, array($fracs), 10000)").as("bs"))
+      .localCheckpoint(true) // |langs| rows; MUST be single-evaluation (see scaladoc)
+    val bucketed = scoredLang.join(broadcast(bstats), Seq("lang"))
+      .withColumn("bkt", expr(
+        "aggregate(bs, 0, (a, b) -> a + (CASE WHEN b > avg_logprob THEN 1 ELSE 0 END))"))
+      .drop("bs")
+    val offs = bucketed.groupBy(col("lang"), col("bkt")).agg(count(lit(1)).as("bc"))
+      .withColumn("off", coalesce(sum(col("bc")).over(
+        Window.partitionBy(col("lang")).orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("lang"), col("bkt"), col("off"))
+    val nl = bucketed.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val w = Window.partitionBy(col("lang"), col("bkt"))
+      .orderBy(col("avg_logprob").desc, col("doc_id"))
+    bucketed.join(broadcast(offs), Seq("lang", "bkt"))
+      .withColumn("lang_rank", col("off") + row_number().over(w))
+      .join(broadcast(nl), Seq("lang"))
+      .withColumn("tercile",
+        graft.operators.GlobalRank.ntileFromRank(3, "lang_rank", "n_lang").cast("int"))
+      .withColumn("ppl_bucket",
+        when(col("tercile") === 1, "head")
+          .when(col("tercile") === 2, "middle").otherwise("tail"))
+      .select(col("doc_id"), col("lang"), col("avg_logprob"),
+        col("lang_rank"), col("n_lang"), col("tercile"), col("ppl_bucket"))
+      .orderBy("doc_id")
+  }
+  private def q144Sql: String = {
+    val pq = LmOps.oracleSql("q106_lm_perplexity")
+    s"""WITH pq AS ($pq),
+       |sl AS (
+       |  SELECT pq.doc_id, pq.avg_logprob, d.lang
+       |  FROM pq JOIN documents d ON d.doc_id = pq.doc_id),
+       |r AS (
+       |  SELECT doc_id, lang, avg_logprob,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY avg_logprob DESC, doc_id) AS BIGINT) AS lang_rank,
+       |    CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+       |  FROM sl),
+       |tc AS (
+       |  SELECT *, CAST(
+       |    CASE WHEN lang_rank <= (n_lang // 3 + 1) * (n_lang % 3)
+       |         THEN (lang_rank - 1) // (n_lang // 3 + 1) + 1
+       |         ELSE n_lang % 3 + (lang_rank - (n_lang % 3) * (n_lang // 3 + 1) - 1)
+       |              // (n_lang // 3) + 1
+       |    END AS INTEGER) AS tercile
+       |  FROM r)
+       |SELECT doc_id, lang, avg_logprob, lang_rank, n_lang, tercile,
+       |  CASE WHEN tercile = 1 THEN 'head'
+       |       WHEN tercile = 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+       |FROM tc ORDER BY doc_id""".stripMargin
+  }
+
+  /** q145 — per-document quality-signal table (RedPajama-V2 / Dolma
+    * "signals" artifact): ~12 row-local signals computed in ONE
+    * projection and published beside the corpus, so every downstream
+    * filter reads signals instead of re-tokenizing text. Every signal
+    * is integer counting plus at most one double division.
+    *
+    * Scale shape: strictly row-local — the whole table pipelines inside
+    * the scan stage (the q96/q97 class); signal throughput scales with
+    * scan parallelism and nothing else. */
+  private def q145(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "documents")
+      .withColumn("txt", coalesce(col("text"), lit("")))
+      .withColumn("toks", split(trim(col("txt")), "\\s+"))
+      .withColumn("n_chars_text", length(col("txt")).cast("long"))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("word_chars",
+        expr("cast(length(regexp_replace(txt, '\\\\s+', '')) as bigint)"))
+      .withColumn("n_unique_words",
+        expr("cast(size(array_distinct(toks)) as bigint)"))
+      .withColumn("n_stop_words", expr(
+        "cast(size(filter(toks, x -> array_contains(" +
+          "array('the','a','is','and','of','to','in'), x))) as bigint)"))
+      .withColumn("n_digit_chars",
+        expr("cast(regexp_count(txt, '[0-9]') as bigint)"))
+      .withColumn("n_punct_chars",
+        expr("cast(regexp_count(txt, '[.,;:!?]') as bigint)"))
+      .withColumn("max_word_len",
+        expr("cast(aggregate(toks, 0, (a, x) -> greatest(a, length(x))) as bigint)"))
+      .select(col("doc_id"), col("n_chars_text"), col("n_words"),
+        col("word_chars"), col("n_unique_words"), col("n_stop_words"),
+        col("max_word_len"),
+        expr("cast(word_chars as double) / cast(n_words as double)").as("mean_word_len"),
+        expr("cast(n_unique_words as double) / cast(n_words as double)").as("frac_unique_words"),
+        expr("cast(n_stop_words as double) / cast(n_words as double)").as("frac_stop_words"),
+        expr("CASE WHEN n_chars_text > 0 THEN cast(n_digit_chars as double)" +
+          " / cast(n_chars_text as double) ELSE 0e0 END").as("frac_digit_chars"),
+        expr("CASE WHEN n_chars_text > 0 THEN cast(n_punct_chars as double)" +
+          " / cast(n_chars_text as double) ELSE 0e0 END").as("frac_punct_chars"),
+        expr("contains(txt, '{')").as("has_curly_brace"),
+        expr("contains(lower(txt), 'lorem ipsum')").as("has_lorem_ipsum"))
+      .orderBy("doc_id")
+  }
+  private val q145Sql =
+    """WITH b AS (
+      |  SELECT doc_id, COALESCE(text, '') AS txt,
+      |    regexp_split_to_array(trim(COALESCE(text, '')), '\s+') AS toks
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, txt, toks,
+      |    CAST(length(txt) AS BIGINT) AS n_chars_text,
+      |    CAST(len(toks) AS BIGINT) AS n_words,
+      |    CAST(length(regexp_replace(txt, '\s+', '', 'g')) AS BIGINT) AS word_chars,
+      |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_words,
+      |    CAST(len(list_filter(toks, x -> list_contains(
+      |      ['the','a','is','and','of','to','in'], x))) AS BIGINT) AS n_stop_words,
+      |    CAST(len(regexp_extract_all(txt, '[0-9]')) AS BIGINT) AS n_digit_chars,
+      |    CAST(len(regexp_extract_all(txt, '[.,;:!?]')) AS BIGINT) AS n_punct_chars,
+      |    CAST(list_reduce(list_prepend(0, list_transform(toks, x -> length(x))),
+      |      (a, b) -> greatest(a, b)) AS BIGINT) AS max_word_len
+      |  FROM b)
+      |SELECT doc_id, n_chars_text, n_words, word_chars, n_unique_words,
+      |  n_stop_words, max_word_len,
+      |  CAST(word_chars AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+      |  CAST(n_unique_words AS DOUBLE) / CAST(n_words AS DOUBLE) AS frac_unique_words,
+      |  CAST(n_stop_words AS DOUBLE) / CAST(n_words AS DOUBLE) AS frac_stop_words,
+      |  CASE WHEN n_chars_text > 0 THEN CAST(n_digit_chars AS DOUBLE)
+      |    / CAST(n_chars_text AS DOUBLE) ELSE 0e0 END AS frac_digit_chars,
+      |  CASE WHEN n_chars_text > 0 THEN CAST(n_punct_chars AS DOUBLE)
+      |    / CAST(n_chars_text AS DOUBLE) ELSE 0e0 END AS frac_punct_chars,
+      |  contains(txt, '{') AS has_curly_brace,
+      |  contains(lower(txt), 'lorem ipsum') AS has_lorem_ipsum
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  /** q146 — TF-IDF keyword extraction: top-3 terms per document by
+    * `tf · (ln N − ln df)`, ties broken lexically. Docs with no tokens
+    * have no keywords and are absent (consistent in both engines).
+    *
+    * Portability: tf/df/N stay integers; the two logs go through
+    * [[LmOps.PortableLn]]; the score is ONE double multiply of the
+    * integer tf against the log difference.
+    *
+    * Scale shape: the (doc, word) count is the one corpus-proportional
+    * aggregation (map-side combine); df derives from IT (vocabulary-
+    * sized), not from a second corpus pass — the table is
+    * localCheckpoint'ed for its two consumers. The top-3 window
+    * partitions by doc_id: per-task rows = per-doc vocabulary, bounded
+    * by doc length at any corpus size. */
+  private def q146(s: SparkSession, d: String): DataFrame = {
+    val tf = t(s, d, "documents")
+      .select(col("doc_id"),
+        explode(split(trim(coalesce(col("text"), lit(""))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // consumers: df aggregation + score join
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val nd = t(s, d, "documents").agg(count(lit(1)).as("nd"))
+    val lnCols = LmOps.PortableLn.steps("nd", "n", spark = true) ++
+      LmOps.PortableLn.steps("df", "d", spark = true)
+    val scored = lnCols.foldLeft(
+      graft.Scalars.withScalar(tf.join(dfreq, Seq("w")), nd)) {
+      case (df, (n, e)) => df.withColumn(n, expr(e))
+    }.withColumn("tfidf", expr("cast(tf as double) * (lnn - lnd)"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("w"))
+    scored.withColumn("kw_rank", row_number().over(w).cast("int"))
+      .filter(col("kw_rank") <= 3)
+      .select(col("doc_id"), col("w").as("keyword"), col("tf"),
+        col("df"), col("tfidf"), col("kw_rank"))
+      .orderBy(col("doc_id"), col("kw_rank"))
+  }
+  private def q146Sql: String = {
+    val (last, ctes) = LmOps.lnCtes("j0", "l", Seq("nd" -> "n", "df" -> "d"))
+    s"""WITH tf AS (
+       |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_split_to_array(trim(COALESCE(text, '')), '\\s+')) AS w
+       |        FROM documents)
+       |  WHERE w <> '' GROUP BY doc_id, w),
+       |dfq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+       |j0 AS (
+       |  SELECT tf.doc_id, tf.w, tf.tf, dfq.df,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS nd
+       |  FROM tf JOIN dfq USING (w)),
+       |${ctes.mkString(",\n")},
+       |sc AS (
+       |  SELECT doc_id, w, tf, df,
+       |    CAST(tf AS DOUBLE) * (lnn - lnd) AS tfidf
+       |  FROM $last),
+       |rk AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+       |    ORDER BY tfidf DESC, w) AS INTEGER) AS kw_rank
+       |  FROM sc)
+       |SELECT doc_id, w AS keyword, tf, df, tfidf, kw_rank
+       |FROM rk WHERE kw_rank <= 3
+       |ORDER BY doc_id, kw_rank""".stripMargin
+  }
+
+  /** q147 — cross-source duplicate-overlap matrix: for every source
+    * pair (a < b), the number of distinct 8-token lines (q98's line
+    * definition, so the three dedup views agree on what a "line" is)
+    * present in BOTH, plus per-source distinct-line counts and the
+    * Jaccard overlap. This is the contamination audit a data team runs
+    * BEFORE setting mixture weights — two sources sharing half their
+    * lines should not both be upsampled. Pairs with zero shared lines
+    * are absent (inner-join semantics, consistent in both engines).
+    *
+    * Scale shape: the corpus-proportional work is the distinct
+    * (source, md5-line) aggregation (map-side partial distinct; the
+    * 32-char digest bounds shuffle width — q94's index idiom). The
+    * pair join is keyed on the line hash; per-hash fan-out is bounded
+    * by |sources|², and the output aggregation is |sources|²-sized.
+    * Never all-pairs over docs or lines. */
+  private def q147(s: SparkSession, d: String): DataFrame = {
+    val sl = t(s, d, "documents")
+      .select(col("source"), split(coalesce(col("text"), lit("")), " ").as("toks"))
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, (size(toks) - 1) div 8)," +
+          " i -> array_join(slice(toks, i * 8 + 1, 8), ' '))")).as("line"))
+      .select(col("source"), md5(col("line")).as("h"))
+      .distinct()
+      .localCheckpoint(true) // consumers: per-source counts + both join sides
+    val perSrc = sl.groupBy(col("source")).agg(count(lit(1)).as("nl"))
+    val pairs = sl.select(col("source").as("s1"), col("h"))
+      .join(sl.select(col("source").as("s2"), col("h")), Seq("h"))
+      .filter(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("shared_lines"))
+    pairs
+      .join(broadcast(perSrc.select(col("source").as("s1"), col("nl").as("n_lines_a"))),
+        Seq("s1"))
+      .join(broadcast(perSrc.select(col("source").as("s2"), col("nl").as("n_lines_b"))),
+        Seq("s2"))
+      .select(col("s1"), col("s2"), col("shared_lines"),
+        col("n_lines_a"), col("n_lines_b"),
+        expr("cast(shared_lines as double)" +
+          " / cast((n_lines_a + n_lines_b) - shared_lines as double)").as("jaccard"))
+      .orderBy("s1", "s2")
+  }
+  private val q147Sql =
+    """WITH tk AS (
+      |  SELECT source, string_split(COALESCE(text, ''), ' ') AS toks
+      |  FROM documents),
+      |sl AS (
+      |  SELECT DISTINCT source, md5(line) AS h
+      |  FROM (SELECT source,
+      |          array_to_string(toks[idx * 8 + 1 : idx * 8 + 8], ' ') AS line
+      |        FROM (SELECT source, toks,
+      |                unnest(range(0, (len(toks) - 1) // 8 + 1)) AS idx
+      |              FROM tk))),
+      |ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nl FROM sl GROUP BY source),
+      |pr AS (
+      |  SELECT a.source AS s1, b.source AS s2, CAST(COUNT(*) AS BIGINT) AS shared_lines
+      |  FROM sl a JOIN sl b ON a.h = b.h AND a.source < b.source
+      |  GROUP BY a.source, b.source)
+      |SELECT s1, s2, shared_lines, pa.nl AS n_lines_a, pb.nl AS n_lines_b,
+      |  CAST(shared_lines AS DOUBLE)
+      |    / CAST((pa.nl + pb.nl) - shared_lines AS DOUBLE) AS jaccard
+      |FROM pr JOIN ps pa ON pa.source = pr.s1 JOIN ps pb ON pb.source = pr.s2
+      |ORDER BY s1, s2""".stripMargin
+
+  /** q148 — Heaps'-law vocabulary-growth curve: order the corpus by a
+    * deterministic md5 ticket (the q100 shuffle idiom — growth curves
+    * are only meaningful over a RANDOM order; insertion order confounds
+    * them with source grouping), cut it into 10 equal checkpoints, and
+    * report cumulative docs / tokens / distinct vocabulary at each. A
+    * flattening curve says more of the corpus adds few new types — the
+    * published decision signal for "collect more vs dedup harder"
+    * (Heaps 1978).
+    *
+    * Scale shape: the rank is [[graft.operators.GlobalRank]]'s two-pass
+    * bucket construction (no single-partition window); first occurrence
+    * per word is `min(rank)` in ONE hash aggregation (never a window
+    * over the corpus); checkpoints are integer arithmetic; the running
+    * totals fold over the 10-row checkpoint table inside a bounded
+    * array (no window at all — the oracle states SUM() OVER and hash
+    * equality proves the fold). The ranked table is localCheckpoint'ed:
+    * its two consumers would otherwise each re-run GlobalRank's
+    * bucket-window shuffle. */
+  private def q148(s: SparkSession, d: String): DataFrame = {
+    val t0 = t(s, d, "documents").select(col("doc_id"),
+      md5(concat_ws("|", lit("growth"), col("doc_id"))).as("tkt"),
+      split(trim(coalesce(col("text"), lit(""))), "\\s+").as("toks"))
+    val ranked = graft.operators.GlobalRank.withRank(t0,
+        expr("cast(conv(substring(tkt, 1, 15), 16, 10) as bigint)"),
+        descending = false, tieBreakers = Seq(col("tkt"), col("doc_id")),
+        rnName = "rnk", totalName = Some("n"))
+      .select(col("rnk"), col("n"), col("toks"),
+        size(col("toks")).cast("long").as("n_toks"))
+      .withColumn("cp", expr("((10 * rnk) + (n - 1)) div n"))
+      .localCheckpoint(true) // consumers: doc-level rollup + word explode
+    val docLevel = ranked.groupBy(col("cp")).agg(
+      count(lit(1)).as("docs_added"), sum(col("n_toks")).as("tokens_added"))
+    val words = ranked.select(col("rnk"), col("n"), explode(col("toks")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(min(col("rnk")).as("mr"), max(col("n")).as("nn"))
+      .select(expr("((10 * mr) + (nn - 1)) div nn").as("cp"))
+      .groupBy(col("cp")).agg(count(lit(1)).as("words_added"))
+    val joined = docLevel.join(words, Seq("cp"), "left")
+      .select(col("cp"), col("docs_added"), col("tokens_added"),
+        coalesce(col("words_added"), lit(0L)).as("words_added"))
+    joined
+      .agg(expr("array_sort(collect_list(" +
+        "struct(cp, docs_added, tokens_added, words_added)))").as("arr"))
+      .select(explode(expr(
+        "transform(arr, (x, i) -> struct(" +
+          " x.cp as checkpoint_decile," +
+          " aggregate(slice(arr, 1, i + 1), cast(0 as bigint)," +
+          "   (a, y) -> a + y.docs_added) as docs_seen," +
+          " aggregate(slice(arr, 1, i + 1), cast(0 as bigint)," +
+          "   (a, y) -> a + y.tokens_added) as tokens_seen," +
+          " aggregate(slice(arr, 1, i + 1), cast(0 as bigint)," +
+          "   (a, y) -> a + y.words_added) as vocab_size," +
+          " x.words_added as new_words))")).as("r"))
+      .select(col("r.checkpoint_decile").as("checkpoint_decile"),
+        col("r.docs_seen").as("docs_seen"),
+        col("r.tokens_seen").as("tokens_seen"),
+        col("r.vocab_size").as("vocab_size"),
+        col("r.new_words").as("new_words"))
+      .withColumn("heaps_ratio",
+        expr("cast(vocab_size as double) / cast(tokens_seen as double)"))
+      .orderBy("checkpoint_decile")
+  }
+  private val q148Sql =
+    """WITH t0 AS (
+      |  SELECT doc_id, md5('growth' || '|' || CAST(doc_id AS VARCHAR)) AS tkt,
+      |    regexp_split_to_array(trim(COALESCE(text, '')), '\s+') AS toks
+      |  FROM documents),
+      |r AS (
+      |  SELECT toks, CAST(len(toks) AS BIGINT) AS n_toks,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY tkt, doc_id) AS BIGINT) AS rnk,
+      |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+      |  FROM t0),
+      |rc AS (SELECT *, ((10 * rnk) + (n - 1)) // n AS cp FROM r),
+      |dl AS (
+      |  SELECT cp, CAST(COUNT(*) AS BIGINT) AS docs_added,
+      |    CAST(SUM(n_toks) AS BIGINT) AS tokens_added
+      |  FROM rc GROUP BY cp),
+      |wf AS (
+      |  SELECT w, MIN(rnk) AS mr, MAX(n) AS nn
+      |  FROM (SELECT rnk, n, unnest(toks) AS w FROM rc)
+      |  WHERE w <> '' GROUP BY w),
+      |wc AS (
+      |  SELECT cp, CAST(COUNT(*) AS BIGINT) AS words_added
+      |  FROM (SELECT ((10 * mr) + (nn - 1)) // nn AS cp FROM wf) GROUP BY cp),
+      |j AS (
+      |  SELECT dl.cp, dl.docs_added, dl.tokens_added,
+      |    COALESCE(wc.words_added, CAST(0 AS BIGINT)) AS words_added
+      |  FROM dl LEFT JOIN wc ON wc.cp = dl.cp),
+      |cum AS (
+      |  SELECT cp AS checkpoint_decile,
+      |    CAST(SUM(docs_added) OVER (ORDER BY cp) AS BIGINT) AS docs_seen,
+      |    CAST(SUM(tokens_added) OVER (ORDER BY cp) AS BIGINT) AS tokens_seen,
+      |    CAST(SUM(words_added) OVER (ORDER BY cp) AS BIGINT) AS vocab_size,
+      |    words_added AS new_words
+      |  FROM j)
+      |SELECT *, CAST(vocab_size AS DOUBLE) / CAST(tokens_seen AS DOUBLE)
+      |  AS heaps_ratio
+      |FROM cum ORDER BY checkpoint_decile""".stripMargin
+
+  /** q149 — gate-vs-perplexity calibration: cut the corpus into exact
+    * perplexity deciles (decile 1 = lowest avg log-prob = worst) and
+    * report the five-gate funnel's pass rate per decile. Rule gates and
+    * model scores measuring quality independently SHOULD correlate —
+    * this is the reliability diagram that says whether they do, and
+    * where to move thresholds (the CCNet paper's fig. 3 analysis).
+    * Composes two memoized artifacts: [[LmOps.lmScores]] and
+    * [[PipelineOps.gateFlags]] — the production cost structure (scores
+    * and verdicts are frozen tables, the calibration is one join).
+    *
+    * Scale shape: GlobalRank's two-pass decile (no single-partition
+    * window), one doc_id-keyed join, one 10-row aggregation; min/max
+    * of doubles are order-independent, so no fold discipline needed. */
+  private def q149(s: SparkSession, d: String): DataFrame = {
+    val scored = LmOps.lmScores(s, d).select(col("doc_id"), col("avg_logprob"))
+    val dec = graft.operators.GlobalRank.withRank(scored, col("avg_logprob"),
+        descending = false, tieBreakers = Seq(col("doc_id")),
+        rnName = "rnk", totalName = Some("n"))
+      .withColumn("ppl_decile",
+        graft.operators.GlobalRank.ntileFromRank(10, "rnk", "n").cast("int"))
+    dec.join(PipelineOps.gateFlags(s, d), Seq("doc_id"))
+      .groupBy(col("ppl_decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("l") && col("g") && col("r") && col("c") && col("u"), 1))
+          .as("n_pass_all"),
+        min(col("avg_logprob")).as("min_logprob"),
+        max(col("avg_logprob")).as("max_logprob"))
+      .withColumn("pass_rate",
+        expr("cast(n_pass_all as double) / cast(n_docs as double)"))
+      .orderBy("ppl_decile")
+  }
+  private def q149Sql: String = {
+    val pq = LmOps.oracleSql("q106_lm_perplexity")
+    s"""WITH pq AS ($pq),
+       |${PipelineOps.gateCtesSql},
+       |rr AS (
+       |  SELECT doc_id, avg_logprob,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY avg_logprob, doc_id) AS BIGINT) AS rnk,
+       |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+       |  FROM pq),
+       |dcl AS (
+       |  SELECT doc_id, avg_logprob, CAST(
+       |    CASE WHEN rnk <= (n // 10 + 1) * (n % 10)
+       |         THEN (rnk - 1) // (n // 10 + 1) + 1
+       |         ELSE n % 10 + (rnk - (n % 10) * (n // 10 + 1) - 1)
+       |              // (n // 10) + 1
+       |    END AS INTEGER) AS ppl_decile
+       |  FROM rr),
+       |fl AS (
+       |  SELECT d.doc_id,
+       |    (${PipelineOps.gateConjunctionSql}) AS pass
+       |  FROM documents d
+       |  ${PipelineOps.gateJoinsSql}),
+       |gg AS (
+       |  SELECT ppl_decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(COUNT(*) FILTER (WHERE pass) AS BIGINT) AS n_pass_all,
+       |    MIN(avg_logprob) AS min_logprob, MAX(avg_logprob) AS max_logprob
+       |  FROM dcl JOIN fl USING (doc_id) GROUP BY ppl_decile)
+       |SELECT ppl_decile, n_docs, n_pass_all, min_logprob, max_logprob,
+       |  CAST(n_pass_all AS DOUBLE) / CAST(n_docs AS DOUBLE) AS pass_rate
+       |FROM gg ORDER BY ppl_decile""".stripMargin
+  }
+
+  /** q150 — per-source dedup audit card: the report a dedup run
+    * publishes — per source, how many docs are exact duplicates
+    * (q26's keep-first semantics) and what fraction of its 8-token
+    * lines a corpus-wide line dedup (q98) removes. Sources with high
+    * shares are template-heavy; mixture weights get set AFTER this
+    * table, not before. The oracle embeds the siblings' published SQL
+    * as CTEs (the q95 composition-proof pattern).
+    *
+    * Scale shape: both inputs are already-audited corpus passes
+    * (q26's norm-keyed window, q98's md5-line aggregation); this adds
+    * two doc_id-keyed joins and one |sources|-row aggregation. */
+  private def q150(s: SparkSession, d: String): DataFrame = {
+    val q = graft.SparkEntry.queries
+    val exact = q("q26_dedup_exact")(s, d).select(col("doc_id"), col("is_dup"))
+    val lines = q("q98_line_dedup")(s, d)
+      .select(col("doc_id"), col("n_lines"), col("n_removed"))
+    t(s, d, "documents").select(col("doc_id"), col("source"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(lines, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(coalesce(col("is_dup"), lit(false)), 1)).as("exact_dup_docs"),
+        sum(coalesce(col("n_lines"), lit(0L))).as("total_lines"),
+        sum(coalesce(col("n_removed"), lit(0L))).as("dup_lines_removed"))
+      .withColumn("exact_dup_share",
+        expr("cast(exact_dup_docs as double) / cast(n_docs as double)"))
+      .withColumn("line_dup_share", expr(
+        "CASE WHEN total_lines > 0 THEN cast(dup_lines_removed as double)" +
+          " / cast(total_lines as double) ELSE 0e0 END"))
+      .orderBy("source")
+  }
+  private def q150Sql: String = {
+    val eq = DedupOps.oracleSql("q26_dedup_exact")
+    val lq = LineOps.oracleSql("q98_line_dedup")
+    s"""WITH eq AS ($eq), lnq AS ($lq),
+       |b AS (
+       |  SELECT d.source, eq.is_dup, lnq.n_lines, lnq.n_removed
+       |  FROM documents d
+       |  LEFT JOIN eq ON eq.doc_id = d.doc_id
+       |  LEFT JOIN lnq ON lnq.doc_id = d.doc_id),
+       |g AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(COUNT(*) FILTER (WHERE COALESCE(is_dup, false)) AS BIGINT)
+       |      AS exact_dup_docs,
+       |    CAST(SUM(COALESCE(n_lines, 0)) AS BIGINT) AS total_lines,
+       |    CAST(SUM(COALESCE(n_removed, 0)) AS BIGINT) AS dup_lines_removed
+       |  FROM b GROUP BY source)
+       |SELECT source, n_docs, exact_dup_docs, total_lines, dup_lines_removed,
+       |  CAST(exact_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS exact_dup_share,
+       |  CASE WHEN total_lines > 0 THEN CAST(dup_lines_removed AS DOUBLE)
+       |    / CAST(total_lines AS DOUBLE) ELSE 0e0 END AS line_dup_share
+       |FROM g ORDER BY source""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q143_zipf_fit", q143, Some(q143Sql)),
+    Q("q144_ccnet_buckets", q144, Some(q144Sql)),
+    Q("q145_quality_signals", q145, Some(q145Sql)),
+    Q("q146_tfidf_keywords", q146, Some(q146Sql)),
+    Q("q147_source_overlap", q147, Some(q147Sql)),
+    Q("q148_vocab_growth", q148, Some(q148Sql)),
+    Q("q149_gate_calibration", q149, Some(q149Sql)),
+    Q("q150_dedup_audit", q150, Some(q150Sql)))
+}
