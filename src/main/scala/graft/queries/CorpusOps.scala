@@ -605,6 +605,268 @@ object CorpusOps extends QueryModule {
        |FROM g ORDER BY source""".stripMargin
   }
 
+  /** q151 — PII span scan over document text (the Dolma/Presidio-style
+    * detect-and-redact pass, beside q41's events-payload scrubbing):
+    * per-doc counts of four pattern families (emails, IPv4, phone-like
+    * digit runs, ≥9-digit identifiers) plus the redacted text with
+    * typed placeholders. Replacement ORDER is fixed (email → ip →
+    * phone → long-id) and identical in both engines, so overlapping
+    * matches resolve identically.
+    *
+    * The patterns use only the regex subset Java and RE2 agree on
+    * (explicit classes, `\d`, `\b`, bounded quantifiers — no lookaround,
+    * no backreferences). Scale shape: strictly row-local, the q96/q145
+    * class — zero shuffles beyond the output sort. */
+  private def q151(s: SparkSession, d: String): DataFrame = {
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phone = "\\+?\\d[\\d -]{7,}\\d"
+    val longId = "\\b\\d{9,}\\b"
+    t(s, d, "documents")
+      .withColumn("txt", coalesce(col("text"), lit("")))
+      .select(col("doc_id"),
+        regexp_count(col("txt"), lit(email)).cast("long").as("n_emails"),
+        regexp_count(col("txt"), lit(ipv4)).cast("long").as("n_ipv4"),
+        regexp_count(col("txt"), lit(phone)).cast("long").as("n_phones"),
+        regexp_count(col("txt"), lit(longId)).cast("long").as("n_long_ids"),
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(col("txt"),
+          email, "<EMAIL>"), ipv4, "<IP>"), phone, "<PHONE>"), longId, "<ID>")
+          .as("text_redacted"))
+      .withColumn("pii_total",
+        expr("((n_emails + n_ipv4) + n_phones) + n_long_ids"))
+      .orderBy("doc_id")
+  }
+  private val q151Sql =
+    """WITH b AS (SELECT doc_id, COALESCE(text, '') AS txt FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(txt,
+      |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(txt,
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+      |  CAST(len(regexp_extract_all(txt, '\+?\d[\d -]{7,}\d')) AS BIGINT) AS n_phones,
+      |  CAST(len(regexp_extract_all(txt, '\b\d{9,}\b')) AS BIGINT) AS n_long_ids,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(txt,
+      |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |    '\+?\d[\d -]{7,}\d', '<PHONE>', 'g'),
+      |    '\b\d{9,}\b', '<ID>', 'g') AS text_redacted,
+      |  CAST(((len(regexp_extract_all(txt,
+      |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+      |    + len(regexp_extract_all(txt, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')))
+      |    + len(regexp_extract_all(txt, '\+?\d[\d -]{7,}\d')))
+      |    + len(regexp_extract_all(txt, '\b\d{9,}\b')) AS BIGINT) AS pii_total
+      |FROM b ORDER BY doc_id""".stripMargin
+
+  /** q152 — encoding-health signals (the mojibake/corruption gate a web
+    * pipeline runs before any text analysis — Dolma drops docs with
+    * replacement characters; CCNet's cleaning assumes valid UTF-8):
+    * per-doc counts of U+FFFD replacement chars, C0/C1-range control
+    * chars, the printable-ASCII fraction, non-ASCII count, and a BOM
+    * flag. Character classes use explicit hex ranges (the Java/RE2
+    * common subset); counts are UTF-16-unit vs codepoint identical
+    * because the corpus (and the fuzz gate) stays inside the BMP.
+    *
+    * Scale shape: strictly row-local, zero shuffles. */
+  private def q152(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "documents")
+      .withColumn("txt", coalesce(col("text"), lit("")))
+      .withColumn("n_chars_text", length(col("txt")).cast("long"))
+      .select(col("doc_id"), col("n_chars_text"),
+        regexp_count(col("txt"), lit("�")).cast("long").as("n_replacement"),
+        regexp_count(col("txt"), lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"))
+          .cast("long").as("n_control"),
+        regexp_count(col("txt"), lit("[^\\x00-\\x7F]")).cast("long").as("n_non_ascii"),
+        regexp_count(col("txt"), lit("[ -~]")).cast("long").as("n_printable_ascii"),
+        expr("startswith(txt, '﻿')").as("has_bom"))
+      .withColumn("frac_printable_ascii", expr(
+        "CASE WHEN n_chars_text > 0 THEN cast(n_printable_ascii as double)" +
+          " / cast(n_chars_text as double) ELSE 1e0 END"))
+      .withColumn("is_clean", expr(
+        "n_replacement = 0 AND n_control = 0 AND NOT has_bom"))
+      .orderBy("doc_id")
+  }
+  private val q152Sql =
+    s"""WITH b AS (SELECT doc_id, COALESCE(text, '') AS txt FROM documents),
+       |c AS (
+       |  SELECT doc_id, CAST(length(txt) AS BIGINT) AS n_chars_text,
+       |    CAST(len(regexp_extract_all(txt, '�')) AS BIGINT) AS n_replacement,
+       |    CAST(len(regexp_extract_all(txt,
+       |      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]')) AS BIGINT) AS n_control,
+       |    CAST(len(regexp_extract_all(txt, '[^\\x00-\\x7F]')) AS BIGINT) AS n_non_ascii,
+       |    CAST(len(regexp_extract_all(txt, '[ -~]')) AS BIGINT) AS n_printable_ascii,
+       |    starts_with(txt, '﻿') AS has_bom
+       |  FROM b)
+       |SELECT doc_id, n_chars_text, n_replacement, n_control, n_non_ascii,
+       |  n_printable_ascii, has_bom,
+       |  CASE WHEN n_chars_text > 0 THEN CAST(n_printable_ascii AS DOUBLE)
+       |    / CAST(n_chars_text AS DOUBLE) ELSE 1e0 END AS frac_printable_ascii,
+       |  n_replacement = 0 AND n_control = 0 AND NOT has_bom AS is_clean
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** q153 — per-source KL divergence from the corpus word distribution:
+    * `D(src ‖ corpus) = Σ_{w∈src} (c_sw/c_s)·(ln c_sw − ln c_s − ln c_w
+    * + ln c)` over the source's own vocabulary (p and q are both
+    * positive there, so no smoothing is needed and Σp = 1 exactly).
+    * This is the domain-distinctiveness diagnostic mixture designers
+    * read next to q120's share report and q147's overlap matrix: a
+    * source with near-zero KL is "more of the same corpus"; a high-KL
+    * source carries distribution mass the mixture doesn't have yet
+    * (DoReMi and the Pile report exactly this per-domain divergence).
+    *
+    * Portability: all four ln arguments are integer counts
+    * ([[LmOps.PortableLn]]); each term is one division and one multiply;
+    * the per-source sum is a w-ordered IEEE fold.
+    *
+    * Scale shape: ONE corpus-proportional (source, word) hash
+    * aggregation (checkpointed for its three consumers); source totals
+    * and corpus word counts aggregate over IT (vocabulary-sized). The
+    * fold buffers one term per source-vocabulary entry — the documented
+    * wide-buffer boundary (q103's percentile class); swap in a two-level
+    * chunked fold if source vocabularies outgrow an aggregation buffer
+    * at 100 TB. */
+  private def q153(s: SparkSession, d: String): DataFrame = {
+    val wc = t(s, d, "documents")
+      .select(col("source"),
+        explode(split(trim(coalesce(col("text"), lit(""))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // consumers: source totals + corpus word counts + terms
+    val srcTot = wc.groupBy(col("source")).agg(sum(col("cnt")).as("st"),
+      count(lit(1)).as("src_vocab"))
+    val corpusW = wc.groupBy(col("w")).agg(sum(col("cnt")).as("cw"))
+    val corpusTot = wc.agg(sum(col("cnt")).as("ct"))
+    val joined = graft.Scalars.withScalar(
+      wc.join(srcTot, Seq("source")).join(corpusW, Seq("w")), corpusTot)
+    val lnCols = LmOps.PortableLn.steps("cnt", "a", spark = true) ++
+      LmOps.PortableLn.steps("st", "b", spark = true) ++
+      LmOps.PortableLn.steps("cw", "c", spark = true) ++
+      LmOps.PortableLn.steps("ct", "d", spark = true)
+    lnCols.foldLeft(joined) { case (df, (n, e)) => df.withColumn(n, expr(e)) }
+      .withColumn("term", expr(
+        "(cast(cnt as double) / cast(st as double))" +
+          " * (((lna - lnb) - lnc) + lnd)"))
+      .groupBy(col("source"))
+      .agg(max(col("st")).as("n_words"), max(col("src_vocab")).as("src_vocab"),
+        expr("aggregate(array_sort(collect_list(struct(w, term)))," +
+          " cast(0 as double), (a, x) -> a + x.term)").as("kl_from_corpus"))
+      .orderBy("source")
+  }
+  private def q153Sql: String = {
+    val (last, ctes) = LmOps.lnCtes("j0", "l",
+      Seq("cnt" -> "a", "st" -> "b", "cw" -> "c", "ct" -> "d"))
+    s"""WITH wc AS (
+       |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM (SELECT source,
+       |          unnest(regexp_split_to_array(trim(COALESCE(text, '')), '\\s+')) AS w
+       |        FROM documents)
+       |  WHERE w <> '' GROUP BY source, w),
+       |stt AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS st,
+       |          CAST(COUNT(*) AS BIGINT) AS src_vocab
+       |        FROM wc GROUP BY source),
+       |cwt AS (SELECT w, CAST(SUM(cnt) AS BIGINT) AS cw FROM wc GROUP BY w),
+       |ctt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS ct FROM wc),
+       |j0 AS (
+       |  SELECT wc.source, wc.w, wc.cnt, stt.st, stt.src_vocab, cwt.cw,
+       |    (SELECT ct FROM ctt) AS ct
+       |  FROM wc JOIN stt USING (source) JOIN cwt USING (w)),
+       |${ctes.mkString(",\n")},
+       |tm AS (
+       |  SELECT source, w, st, src_vocab,
+       |    (CAST(cnt AS DOUBLE) / CAST(st AS DOUBLE))
+       |      * (((lna - lnb) - lnc) + lnd) AS term
+       |  FROM $last)
+       |SELECT source, CAST(MAX(st) AS BIGINT) AS n_words,
+       |  CAST(MAX(src_vocab) AS BIGINT) AS src_vocab,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list(term ORDER BY w)),
+       |    (a, b) -> a + b) AS kl_from_corpus
+       |FROM tm GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** q154 — exact correlation matrix over the INTEGER quality signals
+    * (six pairs from q145's count columns): Pearson r from integer
+    * second moments — Σx, Σy, Σxy, Σx², Σy² accumulate as BIGINTs, so
+    * they are EXACT and order-independent (no fold discipline needed;
+    * the q79 decimal-moments move, integer edition), and the final
+    * r = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) is four
+    * correctly-rounded double ops + two IEEE sqrts, bit-identical in
+    * both engines. Highly-correlated signal pairs are redundant gates —
+    * this is q132's overlap diagnostic at the signal level.
+    *
+    * Scale shape: ONE row-local projection + ONE groupless aggregation
+    * (30 integer sums); the 6-row matrix is built by exploding a
+    * literal-bounded array. Moment magnitude: Σx² ≤ n·max², ~1e13 at
+    * sf0.1 — promote to DECIMAL(38,0) (Num.scala) at trillion-doc
+    * scale. */
+  private def q154(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "documents")
+      .withColumn("txt", coalesce(col("text"), lit("")))
+      .withColumn("toks", split(trim(col("txt")), "\\s+"))
+      .select(
+        length(col("txt")).cast("long").as("n_chars"),
+        size(col("toks")).cast("long").as("n_words"),
+        expr("cast(size(array_distinct(toks)) as bigint)").as("n_unique"),
+        expr("cast(size(filter(toks, x -> array_contains(" +
+          "array('the','a','is','and','of','to','in'), x))) as bigint)").as("n_stop"))
+    val pairs = Seq(("n_words", "n_unique"), ("n_words", "n_stop"),
+      ("n_words", "n_chars"), ("n_unique", "n_stop"),
+      ("n_unique", "n_chars"), ("n_stop", "n_chars"))
+    val moments = base.agg(count(lit(1)).as("n"),
+      pairs.zipWithIndex.flatMap { case ((x, y), i) =>
+        Seq(sum(col(x)).as(s"sx$i"), sum(col(y)).as(s"sy$i"),
+          sum(col(x) * col(y)).as(s"sxy$i"),
+          sum(col(x) * col(x)).as(s"sx2$i"),
+          sum(col(y) * col(y)).as(s"sy2$i"))
+      }: _*)
+    val rows = pairs.zipWithIndex.map { case ((x, y), i) =>
+      s"struct('$x' as sig_a, '$y' as sig_b, n as n_docs," +
+        s" (cast(n as double) * cast(sxy$i as double)" +
+        s"   - (cast(sx$i as double) * cast(sy$i as double)))" +
+        s" / (sqrt(cast(n as double) * cast(sx2$i as double)" +
+        s"      - (cast(sx$i as double) * cast(sx$i as double)))" +
+        s"    * sqrt(cast(n as double) * cast(sy2$i as double)" +
+        s"      - (cast(sy$i as double) * cast(sy$i as double)))) as pearson_r)"
+    }.mkString(", ")
+    moments.select(explode(expr(s"array($rows)")).as("r"))
+      .select(col("r.sig_a"), col("r.sig_b"), col("r.n_docs"), col("r.pearson_r"))
+      .orderBy("sig_a", "sig_b")
+  }
+  private def q154Sql: String = {
+    val pairs = Seq(("n_words", "n_unique"), ("n_words", "n_stop"),
+      ("n_words", "n_chars"), ("n_unique", "n_stop"),
+      ("n_unique", "n_chars"), ("n_stop", "n_chars"))
+    val moments = pairs.zipWithIndex.map { case ((x, y), i) =>
+      s"CAST(SUM($x) AS BIGINT) AS sx$i, CAST(SUM($y) AS BIGINT) AS sy$i," +
+        s" CAST(SUM($x * $y) AS BIGINT) AS sxy$i," +
+        s" CAST(SUM($x * $x) AS BIGINT) AS sx2$i," +
+        s" CAST(SUM($y * $y) AS BIGINT) AS sy2$i"
+    }.mkString(",\n    ")
+    val rows = pairs.zipWithIndex.map { case ((x, y), i) =>
+      s"""SELECT '$x' AS sig_a, '$y' AS sig_b, n AS n_docs,
+         |  (CAST(n AS DOUBLE) * CAST(sxy$i AS DOUBLE)
+         |    - (CAST(sx$i AS DOUBLE) * CAST(sy$i AS DOUBLE)))
+         |  / (sqrt(CAST(n AS DOUBLE) * CAST(sx2$i AS DOUBLE)
+         |      - (CAST(sx$i AS DOUBLE) * CAST(sx$i AS DOUBLE)))
+         |    * sqrt(CAST(n AS DOUBLE) * CAST(sy2$i AS DOUBLE)
+         |      - (CAST(sy$i AS DOUBLE) * CAST(sy$i AS DOUBLE)))) AS pearson_r
+         |FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH b AS (
+       |  SELECT CAST(length(COALESCE(text, '')) AS BIGINT) AS n_chars,
+       |    CAST(len(regexp_split_to_array(trim(COALESCE(text, '')), '\\s+'))
+       |      AS BIGINT) AS n_words,
+       |    CAST(len(list_distinct(regexp_split_to_array(trim(COALESCE(text, '')),
+       |      '\\s+'))) AS BIGINT) AS n_unique,
+       |    CAST(len(list_filter(regexp_split_to_array(trim(COALESCE(text, '')),
+       |      '\\s+'), x -> list_contains(['the','a','is','and','of','to','in'], x)))
+       |      AS BIGINT) AS n_stop
+       |  FROM documents),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    $moments
+       |  FROM b)
+       |SELECT * FROM ($rows) ORDER BY sig_a, sig_b""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q143_zipf_fit", q143, Some(q143Sql)),
     Q("q144_ccnet_buckets", q144, Some(q144Sql)),
@@ -613,5 +875,9 @@ object CorpusOps extends QueryModule {
     Q("q147_source_overlap", q147, Some(q147Sql)),
     Q("q148_vocab_growth", q148, Some(q148Sql)),
     Q("q149_gate_calibration", q149, Some(q149Sql)),
-    Q("q150_dedup_audit", q150, Some(q150Sql)))
+    Q("q150_dedup_audit", q150, Some(q150Sql)),
+    Q("q151_pii_scan", q151, Some(q151Sql)),
+    Q("q152_encoding_health", q152, Some(q152Sql)),
+    Q("q153_source_kl", q153, Some(q153Sql)),
+    Q("q154_signal_corr", q154, Some(q154Sql)))
 }

@@ -185,6 +185,100 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q151 PII scan finds planted entities and redacts in order") {
+    val dir = java.nio.file.Files.createTempDirectory("pii").toString
+    writeDocs(dir, Seq(
+      (1L, "contact bob@example.com or admin@test.org today"),
+      (2L, "server at 192.168.1.1 and 10.0.0.255 up"),
+      (3L, "call +1 555 123 4567 now"),
+      (4L, "account 123456789012 flagged"),
+      (5L, "plain text with no pii at all")))
+    val got = CorpusOps.queries("q151_pii_scan")(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getString(5), r.getLong(6)))).toMap
+    assert(got(1L)._1 === 2 && got(1L)._5 === "contact <EMAIL> or <EMAIL> today")
+    assert(got(2L)._2 === 2 && got(2L)._5 === "server at <IP> and <IP> up")
+    assert(got(3L)._3 === 1 && got(3L)._5 === "call <PHONE> now")
+    // the 12-digit account number matches BOTH the phone family (digit
+    // run) and the long-id family; replacement order makes phone win
+    assert(got(4L)._4 === 1 && got(4L)._5 === "account <PHONE> flagged")
+    assert(got(5L) === ((0L, 0L, 0L, 0L, "plain text with no pii at all", 0L)))
+    got.foreach { case (_, (e, i, p, l, _, tot)) => assert(tot === e + i + p + l) }
+  }
+
+  test("q152 encoding health flags planted corruption") {
+    val dir = java.nio.file.Files.createTempDirectory("enc").toString
+    writeDocs(dir, Seq(
+      (1L, "clean ascii text"),
+      (2L, "bad � char � twice"),
+      (3L, "ctrlandbells"),
+      (4L, "﻿bom prefixed"),
+      (5L, "café naïve")))
+    val got = CorpusOps.queries("q152_encoding_health")(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(6),
+          r.getBoolean(8)))).toMap
+    assert(got(1L) === ((0L, 0L, 0L, false, true)))
+    assert(got(2L)._1 === 2 && !got(2L)._5)
+    assert(got(3L)._2 === 2 && !got(3L)._5)
+    assert(got(4L)._4 === true && !got(4L)._5)
+    assert(got(5L) === ((0L, 0L, 2L, false, true))) // accents: non-ascii but clean
+  }
+
+  test("q153 KL matches a brute-force Math.log computation and is non-negative-ish") {
+    val got = CorpusOps.queries("q153_source_kl")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), coalesce(col("text"), lit("")).as("t"))
+      .as[(String, String)].collect()
+    val bySrc = docs.groupBy(_._1).view.mapValues(
+      _.flatMap(_._2.trim.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap).toMap
+    val corpus = bySrc.values.flatten.groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val ct = corpus.values.sum.toDouble
+    assert(got.keySet === bySrc.keySet)
+    bySrc.foreach { case (src, wc) =>
+      val st = wc.values.sum.toDouble
+      val ref = wc.map { case (w, c) =>
+        (c / st) * math.log((c / st) / (corpus(w) / ct))
+      }.sum
+      val (gn, gv, gkl) = got(src)
+      assert(gn === st.toLong && gv === wc.size)
+      assert(math.abs(gkl - ref) < 1e-10, s"$src: $gkl vs $ref")
+      // KL ≥ 0 up to float round-off (Gibbs)
+      assert(gkl > -1e-12)
+    }
+  }
+
+  test("q154 Pearson matrix matches a brute-force reference") {
+    val got = CorpusOps.queries("q154_signal_corr")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.size === 6)
+    val sig = spark.read.parquet(s"$sf/documents.parquet")
+      .select(coalesce(col("text"), lit("")).as("t")).as[String].collect()
+      .map { t =>
+        val toks = t.trim.split("\\s+").toSeq
+        Map("n_chars" -> t.length.toLong, "n_words" -> toks.size.toLong,
+          "n_unique" -> toks.distinct.size.toLong,
+          "n_stop" -> toks.count(Set("the", "a", "is", "and", "of", "to", "in")).toLong)
+      }
+    def corr(x: String, y: String): Double = {
+      val n = sig.length.toDouble
+      val xs = sig.map(_(x).toDouble); val ys = sig.map(_(y).toDouble)
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sx2 = xs.map(a => a * a).sum; val sy2 = ys.map(a => a * a).sum
+      (n * sxy - sx * sy) / (math.sqrt(n * sx2 - sx * sx) * math.sqrt(n * sy2 - sy * sy))
+    }
+    got.foreach { case ((a, b), (nd, r)) =>
+      assert(nd === sig.length)
+      assert(math.abs(r - corr(a, b)) < 1e-10, s"($a,$b): $r vs ${corr(a, b)}")
+      assert(r >= -1.0 - 1e-12 && r <= 1.0 + 1e-12)
+    }
+  }
+
   test("q150 audit card conserves q26/q98 totals per source") {
     val rows = CorpusOps.queries("q150_dedup_audit")(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
