@@ -867,6 +867,193 @@ object CorpusOps extends QueryModule {
        |SELECT * FROM ($rows) ORDER BY sig_a, sig_b""".stripMargin
   }
 
+  /** q155 — contrastive view generation (Contriever / SimCSE-style
+    * independent cropping, Izacard et al. 2022 §3.1: two random crops
+    * of the same document form a positive pair for contrastive
+    * embedding pretraining). Crop length L = ⌈n/2⌉; each view's start
+    * comes from an independent md5 ticket mod (n − L + 1) — the q136
+    * deterministic-augmentation idiom, so both engines and every rerun
+    * produce identical pairs. `overlap_tokens` (intersection of the two
+    * crop ranges) rides along: curricula sort pairs by overlap
+    * (low-overlap pairs are the hard positives). Docs with < 2 tokens
+    * are passed over (no pair exists).
+    *
+    * Scale shape: strictly row-local — ticket arithmetic + two slices
+    * per row, zero shuffles. */
+  private def q155(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "documents")
+      .select(col("doc_id"), split(trim(coalesce(col("text"), lit(""))), "\\s+").as("toks"))
+      .withColumn("n", size(col("toks")).cast("bigint"))
+      .filter(col("n") >= 2)
+      .withColumn("len_crop", expr("(n + 1) div 2"))
+      .withColumn("t1", expr(
+        "cast(conv(substring(md5(concat_ws('|', 'view1', doc_id)), 1, 15), 16, 10) as bigint)"))
+      .withColumn("t2", expr(
+        "cast(conv(substring(md5(concat_ws('|', 'view2', doc_id)), 1, 15), 16, 10) as bigint)"))
+      .withColumn("start_a", expr("t1 % ((n - len_crop) + 1)"))
+      .withColumn("start_b", expr("t2 % ((n - len_crop) + 1)"))
+      .select(col("doc_id"), col("n").as("n_tokens"), col("len_crop"),
+        col("start_a"), col("start_b"),
+        expr("array_join(slice(toks, cast(start_a as int) + 1, cast(len_crop as int)), ' ')")
+          .as("view_a"),
+        expr("array_join(slice(toks, cast(start_b as int) + 1, cast(len_crop as int)), ' ')")
+          .as("view_b"),
+        expr("greatest(cast(0 as bigint)," +
+          " (least(start_a, start_b) + len_crop) - greatest(start_a, start_b))")
+          .as("overlap_tokens"))
+      .orderBy("doc_id")
+  }
+  private val q155Sql =
+    """WITH b AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(COALESCE(text, '')), '\s+') AS toks,
+      |    CAST(len(regexp_split_to_array(trim(COALESCE(text, '')), '\s+')) AS BIGINT) AS n
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, toks, n, (n + 1) // 2 AS len_crop,
+      |    CAST('0x' || substr(md5('view1|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS t1,
+      |    CAST('0x' || substr(md5('view2|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS t2
+      |  FROM b WHERE n >= 2),
+      |e AS (
+      |  SELECT doc_id, toks, n, len_crop,
+      |    t1 % ((n - len_crop) + 1) AS start_a,
+      |    t2 % ((n - len_crop) + 1) AS start_b
+      |  FROM c)
+      |SELECT doc_id, n AS n_tokens, len_crop, start_a, start_b,
+      |  array_to_string(toks[CAST(start_a AS BIGINT) + 1
+      |    : CAST(start_a + len_crop AS BIGINT)], ' ') AS view_a,
+      |  array_to_string(toks[CAST(start_b AS BIGINT) + 1
+      |    : CAST(start_b + len_crop AS BIGINT)], ' ') AS view_b,
+      |  greatest(CAST(0 AS BIGINT),
+      |    (least(start_a, start_b) + len_crop) - greatest(start_a, start_b)) AS overlap_tokens
+      |FROM e ORDER BY doc_id""".stripMargin
+
+  /** q156 — memorization extraction probes: turn q94's duplicated spans
+    * into the (prompt, continuation) eval pairs of the Carlini et al.
+    * 2021/2022 extraction attack — duplicated sequences are the ones
+    * models memorize, so the probe set is exactly "prefix of a
+    * duplicated span → does the model complete it verbatim". Spans of
+    * ≥ 16 tokens split at the midpoint (mid = span_tokens div 2).
+    * Composes q94's published span output (shared xxhash64 gram index);
+    * the oracle embeds q94's SQL as a CTE — the q95/q150 composition
+    * proof.
+    *
+    * Scale shape: q94's audited plan + one doc_id-keyed join back to
+    * the token arrays + row-local slicing. Probe volume ∝ duplicated
+    * spans, not the corpus. */
+  private def q156(s: SparkSession, d: String): DataFrame = {
+    val spans = graft.SparkEntry.queries("q94_substring_dedup_spans")(s, d)
+      .filter(col("span_tokens") >= 16)
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+    spans.join(toks, Seq("doc_id"))
+      .withColumn("mid", expr("span_tokens div 2"))
+      .select(col("doc_id"), col("span_start"), col("span_tokens"), col("mid"),
+        expr("array_join(slice(toks, cast(span_start as int), cast(mid as int)), ' ')")
+          .as("prompt"),
+        expr("array_join(slice(toks, cast(span_start + mid as int)," +
+          " cast(span_tokens - mid as int)), ' ')").as("continuation"))
+      .orderBy("doc_id", "span_start")
+  }
+  private def q156Sql: String = {
+    val sp = DedupOps.oracleSql("q94_substring_dedup_spans")
+    s"""WITH sp AS ($sp),
+       |tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |       FROM documents),
+       |j AS (
+       |  SELECT sp.doc_id, sp.span_start, sp.span_tokens,
+       |    sp.span_tokens // 2 AS mid, tk.toks
+       |  FROM sp JOIN tk ON tk.doc_id = sp.doc_id
+       |  WHERE sp.span_tokens >= 16)
+       |SELECT doc_id, span_start, span_tokens, mid,
+       |  array_to_string(toks[CAST(span_start AS BIGINT)
+       |    : CAST(span_start + mid - 1 AS BIGINT)], ' ') AS prompt,
+       |  array_to_string(toks[CAST(span_start + mid AS BIGINT)
+       |    : CAST(span_start + span_tokens - 1 AS BIGINT)], ' ') AS continuation
+       |FROM j ORDER BY doc_id, span_start""".stripMargin
+  }
+
+  /** q157 — MinHash-LSH S-curve: the detection-probability table
+    * `P(candidate | s) = 1 − (1 − s^r)^b` for the fleet's band config
+    * (q28: b = 4 bands × r = 4 rows) over s ∈ {0.05 … 0.95} — the
+    * published diagnostic (Leskovec/Rajaraman/Ullman ch. 3) a pipeline
+    * stamps next to its near-dup pass so consumers know what "caught"
+    * means (s where P crosses ½ sits near (1/b)^(1/r) ≈ 0.71 here).
+    * Powers expand to repeated multiplies — every double op is one
+    * correctly-rounded step, identical in both engines.
+    *
+    * Scale shape: 19 literal rows; data-independent. */
+  private def q157(s: SparkSession, d: String): DataFrame = {
+    // data-independent, but read through the registry contract anyway
+    // (the table parameterizes the q28 pass over THIS corpus's config)
+    t(s, d, "documents").limit(0) // touch the dir so a bad path still fails fast
+    s.range(1, 20).toDF("i")
+      .withColumn("s", expr("cast(i as double) * 5e-2"))
+      .withColumn("s4", expr("(s * s) * (s * s)"))
+      .withColumn("q1", expr("1e0 - s4"))
+      .withColumn("p_candidate", expr("1e0 - ((q1 * q1) * (q1 * q1))"))
+      .select(col("i"), col("s"), col("p_candidate"))
+      .orderBy("i")
+  }
+  private val q157Sql =
+    """WITH g AS (SELECT unnest(range(1, 20)) AS i),
+      |c AS (SELECT i, CAST(i AS DOUBLE) * 5e-2 AS s FROM g),
+      |p AS (SELECT i, s, (s * s) * (s * s) AS s4 FROM c),
+      |q AS (SELECT i, s, 1e0 - s4 AS q1 FROM p)
+      |SELECT i, s, 1e0 - ((q1 * q1) * (q1 * q1)) AS p_candidate
+      |FROM q ORDER BY i""".stripMargin
+
+  /** q158 — phrase-blocklist statistics: per phrase, how many docs hit
+    * and how many total occurrences — the tuning table a team reads
+    * BEFORE enabling a blocklist gate (q121 applies one; this measures
+    * each phrase's blast radius first, the C4 §2.2 "curly brace /
+    * lorem ipsum / blocklist" accounting). Occurrences are counted by
+    * literal substring arithmetic `(len(txt) − len(replace(txt, p)))
+    * / len(p)` — no regex, so phrases need no escaping and both
+    * engines agree by construction.
+    *
+    * Scale shape: the phrase list is a plan-time literal exploded per
+    * row (|phrases|·n row-local work, one |phrases|-row aggregate);
+    * a million-phrase list would flip to the q108 broadcast-join
+    * shape. */
+  private def q158(s: SparkSession, d: String): DataFrame = {
+    val phrases = Seq("slow", "big", "lorem ipsum", "click here",
+      "subscribe now", "all rights reserved", "terms of service", "drop")
+    val arr = phrases.map(p => s"'${p}'").mkString(", ")
+    t(s, d, "documents")
+      .withColumn("txt", coalesce(col("text"), lit("")))
+      .select(col("doc_id"), col("txt"), explode(expr(s"array($arr)")).as("phrase"))
+      .withColumn("occ", expr(
+        "(length(txt) - length(replace(txt, phrase, ''))) div length(phrase)"))
+      .groupBy(col("phrase"))
+      .agg(count(when(col("occ") > 0, 1)).as("docs_hit"),
+        sum(col("occ")).cast("long").as("total_hits"),
+        count(lit(1)).as("n_docs"))
+      .withColumn("doc_hit_rate",
+        expr("cast(docs_hit as double) / cast(n_docs as double)"))
+      .orderBy("phrase")
+  }
+  private def q158Sql: String = {
+    val phrases = Seq("slow", "big", "lorem ipsum", "click here",
+      "subscribe now", "all rights reserved", "terms of service", "drop")
+    val arr = phrases.map(p => s"'${p}'").mkString(", ")
+    s"""WITH b AS (SELECT doc_id, COALESCE(text, '') AS txt FROM documents),
+       |e AS (
+       |  SELECT doc_id, txt, unnest([$arr]) AS phrase FROM b),
+       |o AS (
+       |  SELECT doc_id, phrase,
+       |    (length(txt) - length(replace(txt, phrase, ''))) // length(phrase) AS occ
+       |  FROM e),
+       |g AS (
+       |  SELECT phrase,
+       |    CAST(COUNT(*) FILTER (WHERE occ > 0) AS BIGINT) AS docs_hit,
+       |    CAST(SUM(occ) AS BIGINT) AS total_hits,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM o GROUP BY phrase)
+       |SELECT phrase, docs_hit, total_hits, n_docs,
+       |  CAST(docs_hit AS DOUBLE) / CAST(n_docs AS DOUBLE) AS doc_hit_rate
+       |FROM g ORDER BY phrase""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q143_zipf_fit", q143, Some(q143Sql)),
     Q("q144_ccnet_buckets", q144, Some(q144Sql)),
@@ -879,5 +1066,9 @@ object CorpusOps extends QueryModule {
     Q("q151_pii_scan", q151, Some(q151Sql)),
     Q("q152_encoding_health", q152, Some(q152Sql)),
     Q("q153_source_kl", q153, Some(q153Sql)),
-    Q("q154_signal_corr", q154, Some(q154Sql)))
+    Q("q154_signal_corr", q154, Some(q154Sql)),
+    Q("q155_contrastive_views", q155, Some(q155Sql)),
+    Q("q156_extraction_probes", q156, Some(q156Sql)),
+    Q("q157_lsh_s_curve", q157, Some(q157Sql)),
+    Q("q158_blocklist_stats", q158, Some(q158Sql)))
 }

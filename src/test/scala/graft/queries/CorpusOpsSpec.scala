@@ -279,6 +279,86 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q155 contrastive views: crops in bounds, verbatim slices, overlap exact") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      .as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.trim.split("\\s+").toSeq }.toMap
+    val rows = CorpusOps.queries("q155_contrastive_views")(spark, sf).collect()
+    assert(rows.length === docs.count(_._2.size >= 2))
+    rows.foreach { r =>
+      val (id, n, lc, sa, sb, va, vb, ov) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5), r.getString(6), r.getLong(7))
+      val toks = docs(id)
+      assert(n === toks.size && lc === (n + 1) / 2)
+      assert(sa >= 0 && sa + lc <= n && sb >= 0 && sb + lc <= n)
+      assert(va === toks.slice(sa.toInt, (sa + lc).toInt).mkString(" "))
+      assert(vb === toks.slice(sb.toInt, (sb + lc).toInt).mkString(" "))
+      val expOv = math.max(0L, (math.min(sa, sb) + lc) - math.max(sa, sb))
+      assert(ov === expOv)
+      // for odd n, 2·⌈n/2⌉ > n forces overlap; even n can tile exactly
+      if (n % 2 == 1) assert(ov >= 1)
+    }
+  }
+
+  test("q156 extraction probes reassemble to the exact duplicated span") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.trim.split("\\s+").toSeq }.toMap
+    val spans = DedupOps.queries("q94_substring_dedup_spans")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val rows = CorpusOps.queries("q156_extraction_probes")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // exactly the ≥16-token spans become probes
+    assert(rows.length === spans.count(_._2 >= 16))
+    rows.foreach { r =>
+      val (id, st, len, mid, p, c) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5))
+      assert(spans((id, st)) === len && len >= 16 && mid === len / 2)
+      val span = docs(id).slice(st.toInt - 1, (st + len - 1).toInt) // 1-based starts
+      assert(s"$p $c" === span.mkString(" "), s"doc $id span $st")
+      assert(p.split(" ").length === mid.toInt)
+    }
+  }
+
+  test("q157 S-curve matches Math.pow and brackets the (1/b)^(1/r) threshold") {
+    val rows = CorpusOps.queries("q157_lsh_s_curve")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.length === 19)
+    rows.foreach { case (i, s, p) =>
+      assert(math.abs(s - i * 0.05) < 1e-15)
+      assert(math.abs(p - (1 - math.pow(1 - math.pow(s, 4), 4))) < 1e-12)
+    }
+    val ps = rows.map(_._3)
+    assert(ps.zip(ps.tail).forall { case (a, b) => b >= a }, "monotone")
+    // the half-detection point sits near (1/4)^(1/4) ≈ 0.707
+    val cross = rows.find(_._3 >= 0.5).get._2
+    assert(cross >= 0.65 && cross <= 0.75)
+  }
+
+  test("q158 blocklist stats match brute-force substring counting") {
+    val dir = java.nio.file.Files.createTempDirectory("bl").toString
+    writeDocs(dir, Seq(
+      (1L, "this is slow and slow and big"),
+      (2L, "lorem ipsum lorem ipsum text"),
+      (3L, "click here to subscribe now"),
+      (4L, "nothing objectionable"),
+      (5L, "drop drop drop")))
+    val got = CorpusOps.queries("q158_blocklist_stats")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size === 8)
+    def occ(txt: String, p: String): Long =
+      ((txt.length - txt.replace(p, "").length) / p.length).toLong
+    val texts = Seq("this is slow and slow and big", "lorem ipsum lorem ipsum text",
+      "click here to subscribe now", "nothing objectionable", "drop drop drop")
+    got.foreach { case (p, (dh, th, nd)) =>
+      assert(nd === 5)
+      assert(dh === texts.count(occ(_, p) > 0), s"docs_hit($p)")
+      assert(th === texts.map(occ(_, p)).sum, s"total_hits($p)")
+    }
+    assert(got("slow")._2 === 2 && got("lorem ipsum")._2 === 2 && got("drop")._2 === 3)
+  }
+
   test("q150 audit card conserves q26/q98 totals per source") {
     val rows = CorpusOps.queries("q150_dedup_audit")(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
