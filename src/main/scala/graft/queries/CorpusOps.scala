@@ -1054,6 +1054,241 @@ object CorpusOps extends QueryModule {
        |FROM g ORDER BY phrase""".stripMargin
   }
 
+  /** q159 — SFT loss-mask spans: for each q128-style conversation, the
+    * character offsets of every turn segment in the rendered transcript
+    * and whether training loss applies there (assistant turns only —
+    * the prompt-masking convention of instruction tuning: user turns
+    * are context, not targets). A trainer consumes exactly this table
+    * to build its attention/loss masks without re-parsing the
+    * transcript. Offsets are 1-based and `seg_start + seg_len` of turn
+    * k equals `seg_start` of turn k+1 — the spans tile the transcript
+    * exactly (spec-pinned).
+    *
+    * Scale shape: one user-keyed window pair (row_number + running
+    * char-length sum) — per-partition rows = conversation length, the
+    * q128 boundedness argument; timestamps compare on epoch-µs (q128's
+    * nanos-truncation parity note). */
+  private def q159(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    t(s, d, "events")
+      .select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("us"),
+        col("event_id"), coalesce(col("event_type"), lit("")).as("event_type"))
+      .withColumn("turn_idx", row_number().over(w).cast("long"))
+      .withColumn("role",
+        when((col("turn_idx") % 2) === 1, "user").otherwise("assistant"))
+      .withColumn("seg",
+        concat(lit("<|"), col("role"), lit("|>"), col("event_type")))
+      .withColumn("seg_len", length(col("seg")).cast("long"))
+      .withColumn("seg_start",
+        lit(1L) + coalesce(sum(col("seg_len")).over(wPrev), lit(0L)))
+      .withColumn("loss_applied", col("role") === "assistant")
+      .select(col("user_id"), col("turn_idx"), col("role"),
+        col("seg_start"), col("seg_len"), col("loss_applied"))
+      .orderBy("user_id", "turn_idx")
+  }
+  private val q159Sql =
+    """WITH e AS (
+      |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us, event_id,
+      |    COALESCE(event_type, '') AS event_type,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS BIGINT) AS turn_idx
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, turn_idx,
+      |    CASE WHEN turn_idx % 2 = 1 THEN 'user' ELSE 'assistant' END AS role,
+      |    '<|' || CASE WHEN turn_idx % 2 = 1 THEN 'user' ELSE 'assistant' END
+      |      || '|>' || event_type AS seg
+      |  FROM e),
+      |o AS (
+      |  SELECT user_id, turn_idx, role,
+      |    CAST(length(seg) AS BIGINT) AS seg_len,
+      |    1 + COALESCE(SUM(CAST(length(seg) AS BIGINT)) OVER (
+      |      PARTITION BY user_id ORDER BY turn_idx
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg_start
+      |  FROM r)
+      |SELECT user_id, turn_idx, role, CAST(seg_start AS BIGINT) AS seg_start,
+      |  seg_len, role = 'assistant' AS loss_applied
+      |FROM o ORDER BY user_id, turn_idx""".stripMargin
+
+  /** q160 — sequence-packing utilization report: per source, how well
+    * q92's greedy 2048-token bins fill — bin count, mean fill, and the
+    * under/overflow split (a doc starting in a bin can straddle past
+    * it). The packing-efficiency number every pretraining-data report
+    * quotes ("x% of context window wasted"); composes q92's published
+    * output, and the oracle embeds q92's SQL as a CTE (the q95/q156
+    * composition proof).
+    *
+    * Scale shape: q92's audited two-level plan + one (source, bin)
+    * aggregate + one |sources|-row rollup. */
+  private def q160(s: SparkSession, d: String): DataFrame = {
+    val binSize = 2048L
+    val bins = graft.SparkEntry.queries("q92_sequence_packing")(s, d)
+      .groupBy(col("source"), col("pack_bin"))
+      .agg(count(lit(1)).as("docs_in_bin"), sum(col("n_tokens")).as("bin_tokens"))
+    bins.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("bin_tokens")).cast("long").as("total_tokens"),
+        count(when(col("bin_tokens") < binSize, 1)).as("n_underfull"),
+        count(when(col("bin_tokens") > binSize, 1)).as("n_overflow"),
+        max(col("docs_in_bin")).as("max_docs_per_bin"))
+      .withColumn("mean_fill", expr(
+        s"cast(total_tokens as double) / (cast(n_bins as double) * ${binSize}e0)"))
+      .orderBy("source")
+  }
+  private def q160Sql: String = {
+    val pk = PipelineOps.oracleSql("q92_sequence_packing")
+    s"""WITH pk AS ($pk),
+       |b AS (
+       |  SELECT source, pack_bin, CAST(COUNT(*) AS BIGINT) AS docs_in_bin,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+       |  FROM pk GROUP BY source, pack_bin),
+       |g AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bins,
+       |    CAST(SUM(bin_tokens) AS BIGINT) AS total_tokens,
+       |    CAST(COUNT(*) FILTER (WHERE bin_tokens < 2048) AS BIGINT) AS n_underfull,
+       |    CAST(COUNT(*) FILTER (WHERE bin_tokens > 2048) AS BIGINT) AS n_overflow,
+       |    CAST(MAX(docs_in_bin) AS BIGINT) AS max_docs_per_bin
+       |  FROM b GROUP BY source)
+       |SELECT source, n_bins, total_tokens, n_underfull, n_overflow,
+       |  max_docs_per_bin,
+       |  CAST(total_tokens AS DOUBLE) / (CAST(n_bins AS DOUBLE) * 2048e0)
+       |    AS mean_fill
+       |FROM g ORDER BY source""".stripMargin
+  }
+
+  /** q161 — directional copy matrix ("who copies whom"): for every
+    * duplicated 8-token line occurrence that is NOT the first
+    * occurrence (q98's keep-first order: min (doc_id, idx) per line
+    * hash), attribute it source-of-first → source-of-copy and count per
+    * directed pair. q147 says two sources overlap; this says which way
+    * the text flowed (doc_id standing in for crawl time — with real
+    * timestamps the order key swaps in directly). Self-pairs (a→a) are
+    * within-source duplication, reported too — the q150 per-source
+    * number, directionalized.
+    *
+    * Scale shape: the q98 shuffle (one md5-line-keyed aggregation +
+    * same-key join back) plus two broadcast-sized source lookups and a
+    * ≤|sources|²-row aggregate. */
+  private def q161(s: SparkSession, d: String): DataFrame = {
+    val lines = t(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        split(coalesce(col("text"), lit("")), " ").as("toks"))
+      .select(col("doc_id"), col("source"), posexplode(expr(
+        "transform(sequence(0, (size(toks) - 1) div 8)," +
+          " i -> array_join(slice(toks, i * 8 + 1, 8), ' '))"))
+        .as(Seq("idx", "line")))
+      .select(col("doc_id"), col("source"), col("idx").cast("long").as("idx"),
+        md5(col("line")).as("h"))
+      .localCheckpoint(true) // consumers: first-occurrence agg + probe
+    val firsts = lines.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("idx"))).as("first"))
+      .filter(col("cnt") > 1)
+    val firstSrc = lines
+      .join(firsts, Seq("h"))
+      .filter(col("doc_id") === col("first.doc_id") && col("idx") === col("first.idx"))
+      .select(col("h"), col("source").as("src_from"))
+    lines.join(firsts, Seq("h"))
+      .filter(!(col("doc_id") === col("first.doc_id") && col("idx") === col("first.idx")))
+      .join(firstSrc, Seq("h"))
+      .groupBy(col("src_from"), col("source").as("src_to"))
+      .agg(count(lit(1)).as("copied_lines"),
+        countDistinct(col("h")).as("distinct_lines"))
+      .orderBy("src_from", "src_to")
+  }
+  private val q161Sql =
+    """WITH tk AS (
+      |  SELECT doc_id, source, string_split(COALESCE(text, ''), ' ') AS toks
+      |  FROM documents),
+      |ln AS (
+      |  SELECT doc_id, source, idx, md5(
+      |    array_to_string(toks[idx * 8 + 1 : idx * 8 + 8], ' ')) AS h
+      |  FROM (SELECT doc_id, source, toks,
+      |          unnest(range(0, (len(toks) - 1) // 8 + 1)) AS idx
+      |        FROM tk)),
+      |mk AS (
+      |  SELECT doc_id, source, idx, h,
+      |    COUNT(*) OVER (PARTITION BY h) AS cnt,
+      |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn
+      |  FROM ln),
+      |fs AS (SELECT h, source AS src_from FROM mk WHERE cnt > 1 AND rn = 1)
+      |SELECT fs.src_from, mk.source AS src_to,
+      |  CAST(COUNT(*) AS BIGINT) AS copied_lines,
+      |  CAST(COUNT(DISTINCT mk.h) AS BIGINT) AS distinct_lines
+      |FROM mk JOIN fs ON fs.h = mk.h
+      |WHERE mk.cnt > 1 AND mk.rn > 1
+      |GROUP BY fs.src_from, mk.source
+      |ORDER BY src_from, src_to""".stripMargin
+
+  /** q162 — repeated-data value accounting (Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models": the value of repeated
+    * tokens decays exponentially with epoch count, R* ≈ 15.39 fitted):
+    * per source, unique tokens U, the q111 repetition factor
+    * r = min(4, √(max_docs/n_docs)), total trained tokens r·U, and
+    * effective tokens `U·(1 + R*·(1 − e^(−R/R*)))` with R = r − 1
+    * extra epochs — the number that says whether another epoch of a
+    * small source still buys anything. e^(−x) is computed as
+    * 1/e^x through [[LmOps.PortableExp]] (x ≥ 0 by construction), so
+    * every double matches DuckDB bit-for-bit; √ is a correctly-rounded
+    * IEEE op in both engines.
+    *
+    * Scale shape: one corpus-proportional per-source token-count hash
+    * agg; everything else is |sources|-row arithmetic behind the
+    * enforced ≤1-row max-docs scalar. */
+  private def q162(s: SparkSession, d: String): DataFrame = {
+    val rstar = "1.539e1"
+    val stats = t(s, d, "documents").groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(trim(coalesce(col("text"), lit(""))), "\\s+")).cast("long"))
+          .as("unique_tokens"))
+    val m = stats.agg(max(col("n_docs")).as("m_docs"))
+    val base = graft.Scalars.withScalar(stats, m)
+      .withColumn("rep_factor", least(lit(4.0),
+        sqrt(col("m_docs").cast("double") / col("n_docs").cast("double"))))
+      .withColumn("x", expr(s"(rep_factor - 1e0) / $rstar"))
+    LmOps.PortableExp.steps("x", "v", spark = true)
+      .foldLeft(base) { case (df, (n, e)) => df.withColumn(n, expr(e)) }
+      .withColumn("effective_tokens", expr(
+        s"cast(unique_tokens as double)" +
+          s" * (1e0 + ($rstar * (1e0 - (1e0 / expv))))"))
+      .select(col("source"), col("n_docs"), col("unique_tokens"),
+        col("rep_factor"),
+        expr("rep_factor * cast(unique_tokens as double)").as("trained_tokens"),
+        col("effective_tokens"),
+        expr("effective_tokens / (rep_factor * cast(unique_tokens as double))")
+          .as("efficiency"))
+      .orderBy("source")
+  }
+  private def q162Sql: String = {
+    val (last, ctes) = LmOps.expCtes("b2", "x", Seq("x" -> "v"))
+    s"""WITH st AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(len(regexp_split_to_array(trim(COALESCE(text, '')), '\\s+')))
+       |      AS BIGINT) AS unique_tokens
+       |  FROM documents GROUP BY source),
+       |mx AS (SELECT CAST(MAX(n_docs) AS BIGINT) AS m_docs FROM st),
+       |b1 AS (
+       |  SELECT st.*, least(CAST(4.0 AS DOUBLE),
+       |    sqrt(CAST(m_docs AS DOUBLE) / CAST(n_docs AS DOUBLE))) AS rep_factor
+       |  FROM st, mx),
+       |b2 AS (SELECT *, (rep_factor - 1e0) / 1.539e1 AS x FROM b1),
+       |${ctes.mkString(",\n")},
+       |f AS (
+       |  SELECT source, n_docs, unique_tokens, rep_factor,
+       |    CAST(unique_tokens AS DOUBLE)
+       |      * (1e0 + (1.539e1 * (1e0 - (1e0 / expv)))) AS effective_tokens
+       |  FROM $last)
+       |SELECT source, n_docs, unique_tokens, rep_factor,
+       |  rep_factor * CAST(unique_tokens AS DOUBLE) AS trained_tokens,
+       |  effective_tokens,
+       |  effective_tokens / (rep_factor * CAST(unique_tokens AS DOUBLE))
+       |    AS efficiency
+       |FROM f ORDER BY source""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q143_zipf_fit", q143, Some(q143Sql)),
     Q("q144_ccnet_buckets", q144, Some(q144Sql)),
@@ -1070,5 +1305,9 @@ object CorpusOps extends QueryModule {
     Q("q155_contrastive_views", q155, Some(q155Sql)),
     Q("q156_extraction_probes", q156, Some(q156Sql)),
     Q("q157_lsh_s_curve", q157, Some(q157Sql)),
-    Q("q158_blocklist_stats", q158, Some(q158Sql)))
+    Q("q158_blocklist_stats", q158, Some(q158Sql)),
+    Q("q159_sft_loss_mask", q159, Some(q159Sql)),
+    Q("q160_packing_stats", q160, Some(q160Sql)),
+    Q("q161_copy_direction", q161, Some(q161Sql)),
+    Q("q162_data_value", q162, Some(q162Sql)))
 }

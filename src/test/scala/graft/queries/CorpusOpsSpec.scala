@@ -359,6 +359,88 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got("slow")._2 === 2 && got("lorem ipsum")._2 === 2 && got("drop")._2 === 3)
   }
 
+  test("q159 loss-mask spans tile the q128 transcript exactly") {
+    val spans = CorpusOps.queries("q159_sft_loss_mask")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+      .groupBy(_._1)
+    val transcripts = AssemblyOps.queries("q128_sft_conversations")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(spans.keySet === transcripts.keySet)
+    spans.foreach { case (uid, turns) =>
+      val ordered = turns.sortBy(_._2)
+      assert(ordered.head._4 === 1L, "first span starts at offset 1")
+      ordered.sliding(2).foreach { pair =>
+        if (pair.length == 2) {
+          val (_, _, _, s1, l1, _) = pair(0)
+          val (_, _, _, s2, _, _) = pair(1)
+          assert(s2 === s1 + l1, s"$uid: spans must tile")
+        }
+      }
+      val last = ordered.last
+      assert(last._4 + last._5 - 1 === transcripts(uid).length.toLong,
+        s"$uid: spans must cover the transcript")
+      ordered.foreach { case (_, idx, role, _, _, loss) =>
+        assert(role === (if (idx % 2 == 1) "user" else "assistant"))
+        assert(loss === (role == "assistant"))
+      }
+    }
+  }
+
+  test("q160 packing stats conserve q92 token totals per source") {
+    val got = CorpusOps.queries("q160_packing_stats")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(6)))).toMap
+    val bins = PipelineOps.queries("q92_sequence_packing")(spark, sf)
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("tt"),
+        countDistinct(col("pack_bin")).as("nb"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(1)))).toMap
+    assert(got.keySet === bins.keySet)
+    got.foreach { case (src, (nb, tt, fill)) =>
+      assert((nb, tt) === bins(src), s"$src")
+      assert(math.abs(fill - tt.toDouble / (nb * 2048.0)) < 1e-15)
+    }
+  }
+
+  test("q161 directional copies sum to q98's removed-line count") {
+    val rows = CorpusOps.queries("q161_copy_direction")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val removed = LineOps.queries("q98_line_dedup")(spark, sf)
+      .agg(sum(col("n_removed"))).collect()(0).getLong(0)
+    assert(rows.map(_._3).sum === removed,
+      "every non-first duplicate occurrence is attributed to exactly one origin")
+    rows.foreach { case (_, _, copied, distinct) =>
+      assert(distinct <= copied, "each distinct line copied at least once")
+      assert(distinct >= 1)
+    }
+  }
+
+  test("q162 data-value accounting matches the closed-form Math reference") {
+    val got = CorpusOps.queries("q162_data_value")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(5), r.getDouble(6)))).toMap
+    val stats = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), coalesce(col("text"), lit("")).as("t"))
+      .as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues { ds =>
+        (ds.length.toLong, ds.map(_._2.trim.split("\\s+").length.toLong).sum)
+      }.toMap
+    val mDocs = stats.values.map(_._1).max.toDouble
+    assert(got.keySet === stats.keySet)
+    val rstar = 15.39
+    stats.foreach { case (src, (nd, ut)) =>
+      val (gnd, gut, gr, geff, geffic) = got(src)
+      assert((gnd, gut) === ((nd, ut)))
+      val r = math.min(4.0, math.sqrt(mDocs / nd))
+      assert(math.abs(gr - r) < 1e-12)
+      val eff = ut * (1 + rstar * (1 - math.exp(-(r - 1) / rstar)))
+      assert(math.abs(geff - eff) < math.abs(eff) * 1e-9, s"$src: $geff vs $eff")
+      assert(geffic <= 1.0 + 1e-12, "repetition never beats unique data")
+      if (nd.toDouble == mDocs) assert(math.abs(geffic - 1.0) < 1e-12,
+        "the largest source is not repeated, efficiency 1")
+    }
+  }
+
   test("q150 audit card conserves q26/q98 totals per source") {
     val rows = CorpusOps.queries("q150_dedup_audit")(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
