@@ -1289,6 +1289,234 @@ object CorpusOps extends QueryModule {
        |FROM f ORDER BY source""".stripMargin
   }
 
+  /** q163 — character-level near-dup verification (RETSim/edit-distance
+    * family): re-score q28's MinHash-verified pairs with normalized
+    * Levenshtein similarity `1 − lev/max(|a|,|b|)` and flag pairs over
+    * 0.8 — the second opinion a dedup pipeline takes before destructive
+    * removal (shingle Jaccard is word-order-blind; edit distance is
+    * not). Texts are ASCII-folded first (`[^\x00-\x7F] → '_'`, one
+    * codepoint each in both engines) because Spark's levenshtein counts
+    * codepoints while DuckDB's counts BYTES — folding makes
+    * byte = codepoint and the integer distances identical.
+    *
+    * Scale shape: q28's audited band plan + two doc_id-keyed text
+    * fetches + one row-local levenshtein per CANDIDATE PAIR (never
+    * all-pairs); lev cost is |a|·|b| per pair — the documented price of
+    * exact character verification, paid only on sketch survivors. */
+  private def q163(s: SparkSession, d: String): DataFrame = {
+    val pairs = graft.SparkEntry.queries("q28_dedup_minhash_lsh")(s, d)
+    val txt = t(s, d, "documents").select(col("doc_id"),
+      expr("regexp_replace(coalesce(text, ''), '[^\\x00-\\x7F]', '_')").as("ftxt"))
+    pairs
+      .join(txt.select(col("doc_id").as("doc_a"), col("ftxt").as("ta")), Seq("doc_a"))
+      .join(txt.select(col("doc_id").as("doc_b"), col("ftxt").as("tb")), Seq("doc_b"))
+      .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
+      .withColumn("max_len",
+        greatest(length(col("ta")), length(col("tb"))).cast("long"))
+      .withColumn("char_sim", expr(
+        "1e0 - (cast(lev as double) / cast(max_len as double))"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("lev"),
+        col("max_len"), col("char_sim"),
+        (col("char_sim") >= 0.8).as("char_near_dup"))
+      .orderBy("doc_a", "doc_b")
+  }
+  private def q163Sql: String = {
+    val mh = DedupOps.oracleSql("q28_dedup_minhash_lsh")
+    s"""WITH mh AS ($mh),
+       |tx AS (SELECT doc_id,
+       |         regexp_replace(COALESCE(text, ''), '[^\\x00-\\x7F]', '_', 'g') AS ftxt
+       |       FROM documents),
+       |j AS (
+       |  SELECT mh.doc_a, mh.doc_b, mh.jaccard,
+       |    CAST(levenshtein(ta.ftxt, tb.ftxt) AS BIGINT) AS lev,
+       |    CAST(greatest(length(ta.ftxt), length(tb.ftxt)) AS BIGINT) AS max_len
+       |  FROM mh JOIN tx ta ON ta.doc_id = mh.doc_a
+       |        JOIN tx tb ON tb.doc_id = mh.doc_b)
+       |SELECT doc_a, doc_b, jaccard, lev, max_len,
+       |  1e0 - (CAST(lev AS DOUBLE) / CAST(max_len AS DOUBLE)) AS char_sim,
+       |  (1e0 - (CAST(lev AS DOUBLE) / CAST(max_len AS DOUBLE))) >= 0.8
+       |    AS char_near_dup
+       |FROM j ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** q164 — URL canonicalization + canonical dedup: the Common-Crawl
+    * pre-dedup normalization pass (lowercase host, strip the default
+    * :443 port, drop tracking parameters (utm_ prefix, fbclid, ref),
+    * collapse separator debris, strip the trailing slash) then q26-style
+    * keep-first over the canonical form. The synthesized URL shell (the
+    * q107 idiom, noised further with case, default ports, tracking
+    * params and trailing slashes by doc_id residues) exercises every
+    * rule; dedup groups are the doc_id%100 path collisions the shell
+    * plants. Canonicalization is a fixed regexp_replace chain in the
+    * Java∩RE2 subset, applied in the same order in both engines.
+    *
+    * Scale shape: canonicalization row-local in the scan span; the
+    * keep-first window partitions by canonical URL (group size =
+    * collision count, bounded). */
+  private def q164(s: SparkSession, d: String): DataFrame = {
+    val raw =
+      "concat('https://'," +
+        " CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'www.' END, source," +
+        " CASE CAST((doc_id div 20) % 2 AS INT) WHEN 0 THEN '.com' ELSE '.org' END," +
+        " CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END," +
+        " '/p/', CAST(doc_id % 100 AS STRING)," +
+        " CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END," +
+        " CASE WHEN doc_id % 5 = 0 THEN concat('?utm_source=news&id=', CAST(doc_id % 10 AS STRING))" +
+        "      WHEN doc_id % 3 = 0 THEN '?fbclid=xyz' ELSE '' END)"
+    val w = Window.partitionBy(col("url_canonical"))
+    t(s, d, "documents").select(col("doc_id"), col("source"))
+      .withColumn("url_raw", expr(raw))
+      .withColumn("c1", expr("regexp_replace(url_raw, '://WWW\\\\.', '://www.')"))
+      .withColumn("c2", expr("regexp_replace(c1, ':443/', '/')"))
+      .withColumn("c3", expr(
+        "regexp_replace(c2, '(utm_[a-z]+|fbclid|ref)=[^&]*&?', '')"))
+      .withColumn("c4", expr("regexp_replace(c3, '[?&]+$', '')"))
+      .withColumn("c5", expr("regexp_replace(c4, '\\\\?&', '?')"))
+      .withColumn("url_canonical", expr("regexp_replace(c5, '/$', '')"))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .select(col("doc_id"), col("url_raw"), col("url_canonical"),
+        (col("url_raw") =!= col("url_canonical")).as("canon_changed"),
+        col("canonical_id"), col("group_size"),
+        (col("doc_id") =!= col("canonical_id")).as("is_url_dup"))
+      .orderBy("doc_id")
+  }
+  private val q164Sql =
+    """WITH u AS (
+      |  SELECT doc_id, 'https://'
+      |    || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'www.' END || source
+      |    || CASE CAST((doc_id // 20) % 2 AS INTEGER) WHEN 0 THEN '.com' ELSE '.org' END
+      |    || CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END
+      |    || '/p/' || CAST(doc_id % 100 AS VARCHAR)
+      |    || CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END
+      |    || CASE WHEN doc_id % 5 = 0 THEN '?utm_source=news&id=' || CAST(doc_id % 10 AS VARCHAR)
+      |            WHEN doc_id % 3 = 0 THEN '?fbclid=xyz' ELSE '' END AS url_raw
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, url_raw,
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      url_raw, '://WWW\.', '://www.', 'g'), ':443/', '/', 'g'),
+      |      '(utm_[a-z]+|fbclid|ref)=[^&]*&?', '', 'g'), '[?&]+$', '', 'g'),
+      |      '\?&', '?', 'g') AS c5
+      |  FROM u),
+      |k AS (
+      |  SELECT doc_id, url_raw,
+      |    regexp_replace(c5, '/$', '', 'g') AS url_canonical
+      |  FROM c)
+      |SELECT doc_id, url_raw, url_canonical,
+      |  url_raw <> url_canonical AS canon_changed,
+      |  MIN(doc_id) OVER w AS canonical_id,
+      |  COUNT(*) OVER w AS group_size,
+      |  doc_id <> MIN(doc_id) OVER w AS is_url_dup
+      |FROM k
+      |WINDOW w AS (PARTITION BY url_canonical)
+      |ORDER BY doc_id""".stripMargin
+
+  /** q165 — label-centroid embedding pooling: element-wise mean of all
+    * vectors per label — the mean-pooling every chunk→document /
+    * cluster→centroid embedding step performs (and the statistic
+    * SemDeDup/q114-style codebooks are built from). Floats widen to
+    * double EXACTLY; per-(label, position) sums are vec_id-ordered IEEE
+    * folds, so every mean is bit-identical in DuckDB. Output is
+    * (label, pos, mean) rows, not arrays — position-keyed rows are the
+    * shuffle-friendly layout at scale anyway.
+    *
+    * Scale shape: one posexplode (corpus × dim rows) into a
+    * (label, pos)-keyed aggregation — the fold buffers one value per
+    * group member (vectors per label), the documented wide-buffer
+    * boundary; two-level chunked folds are the swap-in at 100 TB. */
+  private def q165(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("label"), col("pos").cast("long").as("pos"),
+        col("vec_id"), col("v").cast("double").as("v"))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n_vectors"),
+        expr("aggregate(array_sort(collect_list(struct(vec_id, v)))," +
+          " cast(0 as double), (a, x) -> a + x.v)").as("vsum"))
+      .withColumn("mean_v", expr("vsum / cast(n_vectors as double)"))
+      .select(col("label"), col("pos"), col("n_vectors"), col("mean_v"))
+      .orderBy("label", "pos")
+  }
+  private val q165Sql =
+    """WITH e AS (
+      |  SELECT vec_id, label, pos, CAST(v AS DOUBLE) AS v
+      |  FROM (SELECT vec_id, label,
+      |          unnest(range(len(embedding))) AS pos,
+      |          unnest(embedding) AS v
+      |        FROM embeddings)),
+      |g AS (
+      |  SELECT label, CAST(pos AS BIGINT) AS pos,
+      |    CAST(COUNT(*) AS BIGINT) AS n_vectors,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(v ORDER BY vec_id)),
+      |      (a, b) -> a + b) AS vsum
+      |  FROM e GROUP BY label, pos)
+      |SELECT label, pos, n_vectors, vsum / CAST(n_vectors AS DOUBLE) AS mean_v
+      |FROM g ORDER BY label, pos""".stripMargin
+
+  /** q166 — per-source perplexity outliers: z-score each doc's q106 LM
+    * score against ITS SOURCE's mean/σ and flag |z| > 2 — the
+    * per-domain normalization CCNet applies per language, done per
+    * source: a "bad" score in a noisy source is normal, the same score
+    * in a clean source is an outlier. Mean and variance come from
+    * doc_id-ordered folds of v and v² (σ² = Σv²/n − mean², staged
+    * identically in both engines); z is three correctly-rounded ops.
+    *
+    * Scale shape: the memoized lmScores artifact + ONE per-source
+    * fold aggregation (wide-buffer boundary, q153's class) broadcast
+    * back over a source-keyed join; flag output ∝ outliers. */
+  private def q166(s: SparkSession, d: String): DataFrame = {
+    val scored = LmOps.lmScores(s, d).select(col("doc_id"), col("avg_logprob"))
+      .join(t(s, d, "documents").select(col("doc_id"), col("source")), Seq("doc_id"))
+      .localCheckpoint(true) // consumers: per-source stats + z-score join
+    val stats = scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("aggregate(array_sort(collect_list(struct(doc_id, avg_logprob)))," +
+          " cast(0 as double), (a, x) -> a + x.avg_logprob)").as("s1"),
+        expr("aggregate(array_sort(collect_list(struct(doc_id," +
+          " avg_logprob * avg_logprob as v2))), cast(0 as double)," +
+          " (a, x) -> a + x.v2)").as("s2"))
+      .withColumn("src_mean", expr("s1 / cast(n_docs as double)"))
+      .withColumn("src_std", expr(
+        "sqrt((s2 / cast(n_docs as double)) - (src_mean * src_mean))"))
+      .select(col("source"), col("src_mean"), col("src_std"))
+    scored.join(broadcast(stats), Seq("source"))
+      .withColumn("z", expr("(avg_logprob - src_mean) / src_std"))
+      .filter(expr("abs(z) > 2e0"))
+      .select(col("doc_id"), col("source"), col("avg_logprob"),
+        col("src_mean"), col("src_std"), col("z"))
+      .orderBy("doc_id")
+  }
+  private def q166Sql: String = {
+    val pq = LmOps.oracleSql("q106_lm_perplexity")
+    s"""WITH pq AS ($pq),
+       |sl AS (
+       |  SELECT pq.doc_id, pq.avg_logprob, d.source
+       |  FROM pq JOIN documents d ON d.doc_id = pq.doc_id),
+       |st AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(avg_logprob ORDER BY doc_id)), (a, b) -> a + b) AS s1,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(avg_logprob * avg_logprob ORDER BY doc_id)), (a, b) -> a + b) AS s2
+       |  FROM sl GROUP BY source),
+       |ms AS (
+       |  SELECT source, s1 / CAST(n_docs AS DOUBLE) AS src_mean,
+       |    s2, n_docs
+       |  FROM st),
+       |sd AS (
+       |  SELECT source, src_mean,
+       |    sqrt((s2 / CAST(n_docs AS DOUBLE)) - (src_mean * src_mean)) AS src_std
+       |  FROM ms),
+       |z AS (
+       |  SELECT sl.doc_id, sl.source, sl.avg_logprob, sd.src_mean, sd.src_std,
+       |    (sl.avg_logprob - sd.src_mean) / sd.src_std AS z
+       |  FROM sl JOIN sd USING (source))
+       |SELECT doc_id, source, avg_logprob, src_mean, src_std, z
+       |FROM z WHERE abs(z) > 2e0 ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q143_zipf_fit", q143, Some(q143Sql)),
     Q("q144_ccnet_buckets", q144, Some(q144Sql)),
@@ -1309,5 +1537,9 @@ object CorpusOps extends QueryModule {
     Q("q159_sft_loss_mask", q159, Some(q159Sql)),
     Q("q160_packing_stats", q160, Some(q160Sql)),
     Q("q161_copy_direction", q161, Some(q161Sql)),
-    Q("q162_data_value", q162, Some(q162Sql)))
+    Q("q162_data_value", q162, Some(q162Sql)),
+    Q("q163_edit_distance_verify", q163, Some(q163Sql)),
+    Q("q164_url_canonicalize", q164, Some(q164Sql)),
+    Q("q165_embedding_pool", q165, Some(q165Sql)),
+    Q("q166_ppl_outliers", q166, Some(q166Sql)))
 }

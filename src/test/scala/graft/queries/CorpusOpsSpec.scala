@@ -441,6 +441,94 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q163 edit distances match a Scala Wagner-Fischer reference") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val t = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      dp(b.length)
+    }
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), expr(
+        "regexp_replace(coalesce(text, ''), '[^\\x00-\\x7F]', '_')").as("t"))
+      .as[(Long, String)].collect().toMap
+    val rows = CorpusOps.queries("q163_edit_distance_verify")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, lv, ml, sim, flag) = (r.getLong(0), r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getBoolean(6))
+      assert(lv === lev(texts(a), texts(b)).toLong, s"($a,$b)")
+      assert(ml === math.max(texts(a).length, texts(b).length).toLong)
+      assert(math.abs(sim - (1.0 - lv.toDouble / ml)) < 1e-15)
+      assert(flag === (sim >= 0.8))
+    }
+  }
+
+  test("q164 canonical URLs satisfy every normalization rule") {
+    val rows = CorpusOps.queries("q164_url_canonicalize")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getBoolean(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(rows.length === 500)
+    rows.foreach { case (id, raw, canon, changed, cid, _, dup) =>
+      assert(!canon.contains("WWW."), s"$id: host not lowercased")
+      assert(!canon.contains(":443"), s"$id: default port kept")
+      assert(!canon.contains("utm_") && !canon.contains("fbclid"), s"$id: tracking kept")
+      assert(!canon.endsWith("/") && !canon.endsWith("?") && !canon.endsWith("&"))
+      assert(changed === (raw != canon))
+      assert(dup === (id != cid))
+      assert(cid <= id, "keep-first canonical id")
+    }
+    // groups are consistent: same canonical ⇔ same canonical_id
+    rows.groupBy(_._3).foreach { case (_, g) =>
+      assert(g.map(_._5).distinct.length === 1)
+      assert(g.map(_._5).head === g.map(_._1).min)
+      assert(g.forall(_._6 === g.length.toLong))
+    }
+    assert(rows.exists(_._7), "the %100 path collisions must produce dup groups")
+  }
+
+  test("q165 centroids match a brute-force per-(label,pos) mean") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble)))
+    val got = CorpusOps.queries("q165_embedding_pool")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.size === vecs.map(_._2).distinct.length * 64)
+    vecs.groupBy(_._2).foreach { case (label, vs) =>
+      (0 until 64).foreach { pos =>
+        val (n, mean) = got((label, pos.toLong))
+        assert(n === vs.length.toLong)
+        val ref = vs.sortBy(_._1).map(_._3(pos)).sum / vs.length
+        assert(math.abs(mean - ref) < 1e-12, s"label $label pos $pos")
+      }
+    }
+  }
+
+  test("q166 flags exactly the |z| > 2 docs of a brute-force reference") {
+    val scored = LmOps.lmScores(spark, sf)
+      .join(spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "source"), "doc_id")
+      .select(col("doc_id"), col("source"), col("avg_logprob"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val expected = scored.groupBy(_._2).flatMap { case (src, ds) =>
+      val n = ds.length.toDouble
+      val sorted = ds.sortBy(_._1)
+      val mean = sorted.map(_._3).sum / n
+      val std = math.sqrt(sorted.map(x => x._3 * x._3).sum / n - mean * mean)
+      ds.filter(x => math.abs((x._3 - mean) / std) > 2.0).map(x => x._1 -> src).toSeq
+    }.toMap
+    val got = CorpusOps.queries("q166_ppl_outliers")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === expected)
+  }
+
   test("q150 audit card conserves q26/q98 totals per source") {
     val rows = CorpusOps.queries("q150_dedup_audit")(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
