@@ -1517,6 +1517,293 @@ object CorpusOps extends QueryModule {
        |FROM z WHERE abs(z) > 2e0 ORDER BY doc_id""".stripMargin
   }
 
+  /** q167 — ingest drift detection: per UTC day, the χ² statistic of
+    * the day's event-type distribution against the whole stream's — the
+    * monitoring gate a data-ingest pipeline alarms on (a feed that
+    * suddenly ships 80% errors drifts long before volume moves). Days
+    * come from integer epoch-µs arithmetic (`div 86400000000` — no
+    * timezone semantics to disagree on); the day×type grid is an
+    * explicit constant-key join of two SMALL aggregates (days × 5
+    * types) so zero-observed cells still contribute their expectation;
+    * the per-day χ² sum is a type-ordered fold. Flag at the 95% χ²
+    * quantile for df = |types|−1 = 4 (9.488).
+    *
+    * Scale shape: one corpus-proportional (day, type) count hash agg;
+    * everything after is |days|·|types|-sized. */
+  private def q167(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select(expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"),
+        coalesce(col("event_type"), lit("")).as("event_type"))
+      .localCheckpoint(true) // consumers: day×type counts, day totals, type totals
+    val dt = ev.groupBy(col("day"), col("event_type")).agg(count(lit(1)).as("o"))
+    val dayTot = ev.groupBy(col("day")).agg(count(lit(1)).as("day_total"))
+    // the day×type grid: the |types|-row side rides in as ONE array
+    // scalar (groupless agg → the enforced ≤1-row withScalar shape) and
+    // explodes per day — a constant-key equi-join of the two aggregates
+    // plans as a BNLJ over data-proportional sides, which the
+    // PlanHygieneSpec loop-join gate rightly rejects
+    val typeArr = ev.groupBy(col("event_type")).agg(count(lit(1)).as("type_total"))
+      .agg(expr("array_sort(collect_list(struct(event_type, type_total)))").as("tt"))
+    val total = ev.agg(count(lit(1)).as("total"))
+    val grid = graft.Scalars.withScalar(dayTot, typeArr)
+      .select(col("day"), col("day_total"), explode(col("tt")).as("x"))
+      .select(col("day"), col("day_total"),
+        col("x.event_type").as("event_type"), col("x.type_total").as("type_total"))
+    graft.Scalars.withScalar(
+      grid.join(dt, Seq("day", "event_type"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L))), total)
+      .withColumn("e", expr(
+        "(cast(day_total as double) * cast(type_total as double)) / cast(total as double)"))
+      .withColumn("term", expr("((cast(o as double) - e) * (cast(o as double) - e)) / e"))
+      .groupBy(col("day"))
+      .agg(max(col("day_total")).as("n_events"),
+        expr("aggregate(array_sort(collect_list(struct(event_type, term)))," +
+          " cast(0 as double), (a, x) -> a + x.term)").as("chi2"))
+      .withColumn("drift_flag", expr("chi2 > 9.488e0"))
+      .orderBy("day")
+  }
+  private val q167Sql =
+    """WITH ev AS (
+      |  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+      |    COALESCE(event_type, '') AS event_type
+      |  FROM events),
+      |dt AS (SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS o
+      |       FROM ev GROUP BY day, event_type),
+      |dd AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS day_total FROM ev GROUP BY day),
+      |tt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS type_total
+      |       FROM ev GROUP BY event_type),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM ev),
+      |g AS (
+      |  SELECT dd.day, dd.day_total, tt.event_type, tt.type_total,
+      |    COALESCE(dt.o, CAST(0 AS BIGINT)) AS o, (SELECT total FROM tot) AS total
+      |  FROM dd CROSS JOIN tt
+      |  LEFT JOIN dt ON dt.day = dd.day AND dt.event_type = tt.event_type),
+      |x AS (
+      |  SELECT day, day_total, event_type,
+      |    (CAST(day_total AS DOUBLE) * CAST(type_total AS DOUBLE))
+      |      / CAST(total AS DOUBLE) AS e, o
+      |  FROM g),
+      |c AS (
+      |  SELECT day, CAST(MAX(day_total) AS BIGINT) AS n_events,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list(((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)) / e
+      |           ORDER BY event_type)), (a, b) -> a + b) AS chi2
+      |  FROM x GROUP BY day)
+      |SELECT day, n_events, chi2, chi2 > 9.488e0 AS drift_flag
+      |FROM c ORDER BY day""".stripMargin
+
+  /** q168 — Jelinek–Mercer interpolation-weight search (deleted
+    * interpolation, Jelinek & Mercer 1980; the λ grid is how n-gram LM
+    * toolkits actually tune the bigram/unigram mix): train counts on
+    * doc_id % 5 ≠ 0, score the held-out fifth under
+    * `p = λ·p_bi + (1−λ)·p_uni` for λ ∈ {0.1 … 0.9}, report each λ's
+    * total held-out log-likelihood and mark the argmax. With λ = l/10
+    * the mixture rationalizes to a BIGINT ratio —
+    * `A = l·c_bi·N + (10−l)·c_u(cur)·c_prev`, `B = 10·c_prev·N` — so
+    * [[LmOps.PortableLn]] keeps every score bit-identical (the q123
+    * rationalization move; A,B < 1e14 here, DECIMAL(38,0) at the
+    * documented cliff). Held-out transitions whose prev or cur is
+    * unseen in training are excluded (inner joins) — the λ choice is a
+    * diagnostic over the shared-support set, stated in `n_scored`.
+    *
+    * Scale shape: the q106/q123 aggregation family (train bigram/
+    * unigram hash aggs); the held-out probe join explodes ×9 λ rows
+    * (bounded multiplier); the per-λ sum is a two-level fold: per
+    * (λ, doc) position-ordered, then per λ doc_id-ordered — the q153
+    * wide-buffer class. */
+  private def q168(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "documents")
+      .select(col("doc_id"), split(trim(coalesce(col("text"), lit(""))), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .localCheckpoint(true)
+    val trans = base.select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(toks) - 1)," +
+        " i -> struct(i as pos, toks[i-1] as prev, toks[i] as cur))")).as("x"))
+      .select(col("doc_id"), col("x.pos").as("pos"),
+        col("x.prev").as("prev"), col("x.cur").as("cur"))
+    val train = trans.filter(col("doc_id") % 5 =!= 0)
+    val held = trans.filter(col("doc_id") % 5 === 0)
+    val bc = train.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cbi"))
+      .localCheckpoint(true) // consumers: prev totals + probe
+    val prevTot = bc.groupBy(col("prev")).agg(sum(col("cbi")).as("cprev"))
+    val uni = train.select(col("cur").as("w"))
+      .union(train.filter(col("pos") === 1).select(col("prev").as("w")))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+      .localCheckpoint(true) // consumers: N scalar + probe
+    val nTok = uni.agg(sum(col("cu")).as("ntok"))
+    val probe = graft.Scalars.withScalar(
+      held.join(bc, Seq("prev", "cur"))
+        .join(prevTot, Seq("prev"))
+        .join(uni.withColumnRenamed("w", "cur"), Seq("cur")),
+      nTok)
+      .select(col("doc_id"), col("pos"), col("cbi"), col("cprev"),
+        col("cu"), col("ntok"), explode(expr("sequence(1, 9)")).as("l"))
+    val lnCols = LmOps.PortableLn.steps(
+      "((l * cbi) * ntok) + (((10 - l) * cu) * cprev)", "a", spark = true) ++
+      LmOps.PortableLn.steps("(10 * cprev) * ntok", "b", spark = true)
+    val scored = lnCols.foldLeft(probe) { case (df, (n, e)) => df.withColumn(n, expr(e)) }
+      .withColumn("lp", expr("lna - lnb"))
+    val perDoc = scored.groupBy(col("l"), col("doc_id"))
+      .agg(count(lit(1)).as("n_tr"),
+        expr("aggregate(array_sort(collect_list(struct(pos, lp)))," +
+          " cast(0 as double), (a, x) -> a + x.lp)").as("doc_lp"))
+    val perLam = perDoc.groupBy(col("l"))
+      .agg(sum(col("n_tr")).cast("long").as("n_scored"),
+        expr("aggregate(array_sort(collect_list(struct(doc_id, doc_lp)))," +
+          " cast(0 as double), (a, x) -> a + x.doc_lp)").as("total_logprob"))
+    val best = perLam.agg(max(col("total_logprob")).as("best_lp"))
+    graft.Scalars.withScalar(perLam, best)
+      .select((col("l").cast("double") * lit(0.1)).as("lam"),
+        col("n_scored"), col("total_logprob"),
+        (col("total_logprob") === col("best_lp")).as("is_best"))
+      .orderBy("lam")
+  }
+  private def q168Sql: String = {
+    val (last, ctes) = LmOps.lnCtes("p0", "s", Seq(
+      "((l * cbi) * ntok) + (((10 - l) * cu) * cprev)" -> "a",
+      "(10 * cprev) * ntok" -> "b"))
+    s"""WITH base AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(COALESCE(text, '')), '\\s+') AS toks
+       |  FROM documents
+       |  WHERE len(regexp_split_to_array(trim(COALESCE(text, '')), '\\s+')) >= 2),
+       |tr AS (
+       |  SELECT doc_id, i AS pos, toks[i] AS prev, toks[i + 1] AS cur
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+       |        FROM base)),
+       |train AS (SELECT * FROM tr WHERE doc_id % 5 <> 0),
+       |held AS (SELECT * FROM tr WHERE doc_id % 5 = 0),
+       |bc AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS cbi
+       |       FROM train GROUP BY prev, cur),
+       |pt AS (SELECT prev, CAST(SUM(cbi) AS BIGINT) AS cprev FROM bc GROUP BY prev),
+       |uni AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cu
+       |  FROM (SELECT cur AS w FROM train
+       |        UNION ALL SELECT prev AS w FROM train WHERE pos = 1)
+       |  GROUP BY w),
+       |nt AS (SELECT CAST(SUM(cu) AS BIGINT) AS ntok FROM uni),
+       |p0 AS (
+       |  SELECT h.doc_id, h.pos, bc.cbi, pt.cprev, u.cu,
+       |    (SELECT ntok FROM nt) AS ntok, l
+       |  FROM held h
+       |  JOIN bc USING (prev, cur) JOIN pt USING (prev)
+       |  JOIN uni u ON u.w = h.cur
+       |  CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS l)),
+       |${ctes.mkString(",\n")},
+       |sc AS (SELECT doc_id, pos, l, lna - lnb AS lp FROM $last),
+       |pd AS (
+       |  SELECT l, doc_id, CAST(COUNT(*) AS BIGINT) AS n_tr,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(lp ORDER BY pos)),
+       |      (a, b) -> a + b) AS doc_lp
+       |  FROM sc GROUP BY l, doc_id),
+       |pl AS (
+       |  SELECT l, CAST(SUM(n_tr) AS BIGINT) AS n_scored,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(doc_lp ORDER BY doc_id)),
+       |      (a, b) -> a + b) AS total_logprob
+       |  FROM pd GROUP BY l),
+       |bst AS (SELECT MAX(total_logprob) AS best_lp FROM pl)
+       |SELECT CAST(l AS DOUBLE) * 0.1 AS lam, n_scored, total_logprob,
+       |  total_logprob = (SELECT best_lp FROM bst) AS is_best
+       |FROM pl ORDER BY lam""".stripMargin
+  }
+
+  /** q169 — contamination report card: the one-table summary of all
+    * three decontamination modalities the engine runs — lexical n-gram
+    * overlap (q89), embedding-cosine paraphrase (q138), and train/val
+    * split leakage (q134) — with checked/flagged counts and rates per
+    * method. The audit artifact an eval-integrity review reads first;
+    * each method's oracle SQL is embedded as a CTE (the q95/q150
+    * composition proof, now across three modules).
+    *
+    * Scale shape: three already-audited sibling passes + three ≤1-row
+    * aggregates unioned into a 3-row card. */
+  private def q169(s: SparkSession, d: String): DataFrame = {
+    val q = graft.SparkEntry.queries
+    def card(method: String, df: DataFrame, flag: String) =
+      df.agg(count(lit(1)).as("n_checked"),
+        count(when(col(flag), 1)).as("n_flagged"))
+        .select(lit(method).as("method"), col("n_checked"), col("n_flagged"))
+    card("lexical_ngram", q("q89_contamination")(s, d), "contaminated")
+      .unionAll(card("semantic_cosine", q("q138_semantic_decontam")(s, d), "contaminated"))
+      .unionAll(card("split_leakage", q("q134_split_decontam")(s, d), "leaked"))
+      .withColumn("flag_rate",
+        expr("cast(n_flagged as double) / cast(n_checked as double)"))
+      .orderBy("method")
+  }
+  private def q169Sql: String = {
+    val lex = DedupOps.oracleSql("q89_contamination")
+    val sem = VectorOps.oracleSql("q138_semantic_decontam")
+    val spl = DedupOps.oracleSql("q134_split_decontam")
+    s"""WITH lex AS ($lex), sem AS ($sem), spl AS ($spl),
+       |u AS (
+       |  SELECT 'lexical_ngram' AS method, CAST(COUNT(*) AS BIGINT) AS n_checked,
+       |    CAST(COUNT(*) FILTER (WHERE contaminated) AS BIGINT) AS n_flagged FROM lex
+       |  UNION ALL
+       |  SELECT 'semantic_cosine', CAST(COUNT(*) AS BIGINT),
+       |    CAST(COUNT(*) FILTER (WHERE contaminated) AS BIGINT) FROM sem
+       |  UNION ALL
+       |  SELECT 'split_leakage', CAST(COUNT(*) AS BIGINT),
+       |    CAST(COUNT(*) FILTER (WHERE leaked) AS BIGINT) FROM spl)
+       |SELECT method, n_checked, n_flagged,
+       |  CAST(n_flagged AS DOUBLE) / CAST(n_checked AS DOUBLE) AS flag_rate
+       |FROM u ORDER BY method""".stripMargin
+  }
+
+  /** q170 — containment similarity (Broder 1997's second resemblance
+    * measure): for q28's near-dup pairs, `|A∩B|/|A|` and `|A∩B|/|B|`
+    * over the 3-gram shingle sets — the ASYMMETRIC signal Jaccard
+    * hides: a short doc quoted wholesale inside a long one has low
+    * Jaccard but containment ≈ 1, and dedup policy treats
+    * quote-inclusion differently from mutual near-duplication. Flags
+    * `near_subset` when either direction ≥ 0.9.
+    *
+    * Scale shape: q28's audited plan + two doc_id-keyed shingle-set
+    * fetches + row-local intersections on candidate pairs only. */
+  private def q170(s: SparkSession, d: String): DataFrame = {
+    val pairs = graft.SparkEntry.queries("q28_dedup_minhash_lsh")(s, d)
+    // CASE guard: sequence(1, n) DESCENDS for n < 1 (sequence(1,-1) =
+    // [1,0,-1] → slice(toks, 0, 3) throws), so sub-3-token docs get the
+    // empty set explicitly — found by tools/fuzz_corpus.py
+    val sets = t(s, d, "documents")
+      .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("toks"))
+      .select(col("doc_id"), array_distinct(expr(
+        "CASE WHEN size(toks) >= 3 THEN transform(sequence(1, size(toks) - 2)," +
+          " i -> array_join(slice(toks, i, 3), ' '))" +
+          " ELSE array() END")).as("shs"))
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb")), Seq("doc_b"))
+      .withColumn("inter", expr("size(array_intersect(sa, sb))").cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("inter"),
+        expr("size(sa)").cast("long").as("n_a"),
+        expr("size(sb)").cast("long").as("n_b"),
+        expr("cast(inter as double) / cast(size(sa) as double)").as("containment_a"),
+        expr("cast(inter as double) / cast(size(sb) as double)").as("containment_b"))
+      .withColumn("near_subset",
+        expr("greatest(containment_a, containment_b) >= 9e-1"))
+      .orderBy("doc_a", "doc_b")
+  }
+  private def q170Sql: String = {
+    val mh = DedupOps.oracleSql("q28_dedup_minhash_lsh")
+    s"""WITH mh AS ($mh),
+       |st AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, len(string_split(COALESCE(text, ''), ' ')) - 2),
+       |    i -> array_to_string((string_split(COALESCE(text, ''), ' '))[i:i + 2], ' '))) AS shs
+       |  FROM documents),
+       |j AS (
+       |  SELECT mh.doc_a, mh.doc_b, mh.jaccard,
+       |    CAST(len(list_intersect(sa.shs, sb.shs)) AS BIGINT) AS inter,
+       |    CAST(len(sa.shs) AS BIGINT) AS n_a, CAST(len(sb.shs) AS BIGINT) AS n_b
+       |  FROM mh JOIN st sa ON sa.doc_id = mh.doc_a
+       |        JOIN st sb ON sb.doc_id = mh.doc_b)
+       |SELECT doc_a, doc_b, jaccard, inter, n_a, n_b,
+       |  CAST(inter AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment_a,
+       |  CAST(inter AS DOUBLE) / CAST(n_b AS DOUBLE) AS containment_b,
+       |  greatest(CAST(inter AS DOUBLE) / CAST(n_a AS DOUBLE),
+       |    CAST(inter AS DOUBLE) / CAST(n_b AS DOUBLE)) >= 9e-1 AS near_subset
+       |FROM j ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q143_zipf_fit", q143, Some(q143Sql)),
     Q("q144_ccnet_buckets", q144, Some(q144Sql)),
@@ -1541,5 +1828,9 @@ object CorpusOps extends QueryModule {
     Q("q163_edit_distance_verify", q163, Some(q163Sql)),
     Q("q164_url_canonicalize", q164, Some(q164Sql)),
     Q("q165_embedding_pool", q165, Some(q165Sql)),
-    Q("q166_ppl_outliers", q166, Some(q166Sql)))
+    Q("q166_ppl_outliers", q166, Some(q166Sql)),
+    Q("q167_event_drift", q167, Some(q167Sql)),
+    Q("q168_jm_interpolation", q168, Some(q168Sql)),
+    Q("q169_contamination_card", q169, Some(q169Sql)),
+    Q("q170_containment", q170, Some(q170Sql)))
 }

@@ -529,6 +529,105 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("q167 chi-square drift matches a brute-force reference") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"),
+        coalesce(col("event_type"), lit("")).as("t"))
+      .as[(Long, String)].collect()
+    val types = ev.map(_._2).distinct.sorted
+    val total = ev.length.toDouble
+    val typeTot = ev.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    val got = CorpusOps.queries("q167_event_drift")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    val byDay = ev.groupBy(_._1)
+    assert(got.keySet === byDay.keySet)
+    byDay.foreach { case (day, des) =>
+      val dayTotal = des.length.toDouble
+      val obs = des.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+      val ref = types.map { t =>
+        val e = dayTotal * typeTot(t) / total
+        val o = obs.getOrElse(t, 0.0)
+        (o - e) * (o - e) / e
+      }.sum
+      val (n, chi2, flag) = got(day)
+      assert(n === des.length.toLong)
+      assert(math.abs(chi2 - ref) < 1e-9, s"day $day: $chi2 vs $ref")
+      assert(flag === (chi2 > 9.488))
+    }
+  }
+
+  test("q168 lambda search matches a brute-force Jelinek-Mercer reference") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      .as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.trim.split("\\s+").toSeq }
+      .filter(_._2.size >= 2)
+    val train = docs.filter(_._1 % 5 != 0)
+    val held = docs.filter(_._1 % 5 == 0)
+    def trans(ds: Array[(Long, Seq[String])]) =
+      ds.flatMap { case (id, ts) => ts.sliding(2).map(p => (id, p(0), p(1))) }
+    val bc = trans(train).groupBy(x => (x._2, x._3)).view.mapValues(_.length.toLong).toMap
+    val cprev = bc.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val cu = train.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = cu.values.sum.toDouble
+    val scored = trans(held).filter { case (_, p, c) =>
+      bc.contains((p, c)) && cprev.contains(p) && cu.contains(c)
+    }
+    val got = CorpusOps.queries("q168_jm_interpolation")(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(got.length === 9)
+    val refs = (1 to 9).map { l =>
+      val lam = l / 10.0
+      l -> scored.map { case (_, p, c) =>
+        math.log(lam * bc((p, c)) / cprev(p) + (1 - lam) * cu(c) / n)
+      }.sum
+    }.toMap
+    got.foreach { case (lam, ns, lp, _) =>
+      assert(ns === scored.length.toLong)
+      val ref = refs(math.round(lam * 10).toInt)
+      assert(math.abs(lp - ref) < math.abs(ref) * 1e-9, s"λ=$lam: $lp vs $ref")
+    }
+    val bestLam = got.maxBy(_._3)._1
+    got.foreach { case (lam, _, _, best) => assert(best === (lam == bestLam)) }
+  }
+
+  test("q169 card counts equal the siblings' own flag counts") {
+    val got = CorpusOps.queries("q169_contamination_card")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet === Set("lexical_ngram", "semantic_cosine", "split_leakage"))
+    val lex = DedupOps.queries("q89_contamination")(spark, sf)
+    assert(got("lexical_ngram") ===
+      ((lex.count(), lex.filter(col("contaminated")).count())))
+    val sem = VectorOps.queries("q138_semantic_decontam")(spark, sf)
+    assert(got("semantic_cosine") ===
+      ((sem.count(), sem.filter(col("contaminated")).count())))
+    val spl = DedupOps.queries("q134_split_decontam")(spark, sf)
+    assert(got("split_leakage") ===
+      ((spl.count(), spl.filter(col("leaked")).count())))
+  }
+
+  test("q170 containment matches brute-force sets and dominates Jaccard") {
+    val sets = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, t) =>
+        id -> t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      }.toMap
+    val rows = CorpusOps.queries("q170_containment")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, j, inter, na, nb, ca, cb, sub) = (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getDouble(6), r.getDouble(7), r.getBoolean(8))
+      val (sa, sb) = (sets(a), sets(b))
+      assert(inter === (sa & sb).size.toLong)
+      assert(na === sa.size.toLong && nb === sb.size.toLong)
+      assert(math.abs(ca - inter.toDouble / na) < 1e-15)
+      assert(math.abs(cb - inter.toDouble / nb) < 1e-15)
+      assert(ca >= j - 1e-12 && cb >= j - 1e-12, "containment dominates Jaccard")
+      assert(sub === (math.max(ca, cb) >= 0.9))
+    }
+  }
+
   test("q150 audit card conserves q26/q98 totals per source") {
     val rows = CorpusOps.queries("q150_dedup_audit")(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
