@@ -13,7 +13,7 @@ object SparkEntry {
   private def modules: Seq[QueryModule] =
     Seq(Relational, RelationalExt, TextOps, DedupOps, VectorOps, PipelineOps,
       SourceOps, MediaOps, HtmlOps, LineOps, BpeOps, LmOps, UrlOps,
-      AssemblyOps, CorpusOps)
+      AssemblyOps, CorpusOps, CurationOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Star join + broadcast dims + hash aggregate (SURVEY §7.2 slice). */

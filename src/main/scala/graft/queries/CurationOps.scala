@@ -1,0 +1,342 @@
+package graft.queries
+
+import graft.{Scalars, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation planning operators — the decisions a pretraining run
+  * makes AFTER the per-doc gates and dedup passes have produced their
+  * verdicts: how many epochs of each source to take (q171), what a fixed
+  * context length wastes (q172), what each near-dup threshold would
+  * actually remove (q173), and which documents mix languages (q174).
+  *
+  * Shared scale discipline: every query here touches the corpus at most
+  * once (a hash aggregation or a row-local projection); all planning
+  * arithmetic runs on |sources|-, |thresholds|- or pairs-sized tables
+  * behind the enforced ≤1-row scalar attach where a global count is
+  * needed.
+  */
+object CurationOps extends QueryModule {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  private def wsTokens = size(split(coalesce(col("text"), lit("")), " ")).cast("long")
+
+  // ---------------------------------------------------------------------
+  // q171 — UniMax sampling allocation (Chung et al. 2023, "UniMax: Fairer
+  // and More Effective Language Sampling for Large-Scale Multilingual
+  // Pretraining"): given a token budget B and a per-source epoch cap E,
+  // walk sources in ascending order of supply (= cap_tokens · E) and give
+  // each min(supply, remaining_budget div remaining_sources) — small
+  // sources get their full E epochs, large ones split the leftover budget
+  // evenly ("waterfilling" with integer floors).
+  //
+  // The fold is SEQUENTIAL by definition (each allocation changes the
+  // water level for the rest), so it runs where sequential state belongs:
+  // inside one row. The corpus contributes exactly ONE hash aggregation
+  // (per-source token counts); the waterfill is an `aggregate` fold over
+  // a |sources|-row sorted array in a groupless aggregate — bounded by
+  // source cardinality, not corpus size, the same boundedness argument as
+  // q120's mixture fold. Integer arithmetic throughout (floor division),
+  // so the oracle — which must state the same sequential recurrence via
+  // WITH RECURSIVE, DuckDB's only sequential-fold shape with an
+  // accumulator — agrees bit-for-bit; the single double division
+  // (epochs = alloc/cap) happens identically in both engines.
+  // ---------------------------------------------------------------------
+  private val EpochCap = 4L
+
+  private def q171(s: SparkSession, d: String): DataFrame = {
+    // |sources| rows; referenced twice (fold input + final join) —
+    // materialize per the QueryModule convention so the corpus token
+    // aggregation runs once.
+    val caps = t(s, d, "documents")
+      .select(col("source"), wsTokens.as("tok"))
+      .groupBy(col("source")).agg(sum(col("tok")).as("cap_tokens"))
+      .withColumn("supply_tokens", col("cap_tokens") * EpochCap)
+      .localCheckpoint(true)
+    val folded = caps
+      .agg(
+        sort_array(collect_list(struct(col("supply_tokens").as("supply"), col("source"))))
+          .as("xs"),
+        (sum(col("cap_tokens")) * 2).as("b"),
+        count(lit(1)).as("n"))
+      .select(expr(
+        """aggregate(xs,
+          |  named_struct('r', b, 'k', n,
+          |    'allocs', CAST(array() AS array<struct<source:string,alloc:bigint>>)),
+          |  (acc, x) -> named_struct(
+          |    'r', acc.r - least(x.supply, acc.r div acc.k),
+          |    'k', acc.k - 1,
+          |    'allocs', array_append(acc.allocs,
+          |      named_struct('source', x.source,
+          |        'alloc', least(x.supply, acc.r div acc.k))))).allocs""".stripMargin)
+        .as("allocs"))
+      .select(explode(col("allocs")).as("a"))
+      .select(col("a.source").as("source"), col("a.alloc").as("alloc_tokens"))
+    caps.join(folded, "source")
+      .withColumn("epochs_used",
+        when(col("cap_tokens") > 0,
+          col("alloc_tokens").cast("double") / col("cap_tokens").cast("double"))
+          .otherwise(lit(0.0)))
+      .select(col("source"), col("cap_tokens"), col("supply_tokens"),
+        col("alloc_tokens"), col("epochs_used"))
+      .orderBy("source")
+  }
+  private val q171Sql =
+    s"""WITH RECURSIVE caps AS (
+       |  SELECT source,
+       |    CAST(SUM(len(string_split(COALESCE(text, ''), ' '))) AS BIGINT) AS cap_tokens
+       |  FROM documents GROUP BY source),
+       |tot AS (
+       |  SELECT CAST(SUM(cap_tokens) * 2 AS BIGINT) AS b,
+       |    CAST(COUNT(*) AS BIGINT) AS n FROM caps),
+       |ord AS (
+       |  SELECT source, cap_tokens, cap_tokens * $EpochCap AS supply_tokens,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY cap_tokens * $EpochCap, source) AS BIGINT) AS i
+       |  FROM caps),
+       |step AS (
+       |  SELECT CAST(0 AS BIGINT) AS i, b AS r,
+       |    CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BIGINT) AS alloc
+       |  FROM tot
+       |  UNION ALL
+       |  SELECT o.i, s.r - LEAST(o.supply_tokens, s.r // (tot.n - o.i + 1)),
+       |    o.source, LEAST(o.supply_tokens, s.r // (tot.n - o.i + 1))
+       |  FROM step s JOIN ord o ON o.i = s.i + 1 CROSS JOIN tot)
+       |SELECT o.source, o.cap_tokens, o.supply_tokens, st.alloc AS alloc_tokens,
+       |  CASE WHEN o.cap_tokens > 0
+       |    THEN CAST(st.alloc AS DOUBLE) / CAST(o.cap_tokens AS DOUBLE)
+       |    ELSE 0e0 END AS epochs_used
+       |FROM ord o JOIN step st ON st.i = o.i
+       |ORDER BY o.source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q172 — context-length truncation waste: for each candidate training
+  // context length L, how many documents overflow and what fraction of
+  // corpus tokens a truncate-at-L policy discards (the number packing —
+  // q92 — exists to drive toward zero). One corpus pass; the literal
+  // context-length explode multiplies rows by |Ls| BEFORE a hash
+  // aggregation absorbs them map-side, so nothing corpus-proportional
+  // ever shuffles. Integer-exact except the final division.
+  // ---------------------------------------------------------------------
+  private def q172(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "documents")
+      .select(wsTokens.as("n_tokens"))
+      .select(col("n_tokens"), explode(expr("array(128L, 512L, 2048L)")).as("ctx_len"))
+      .groupBy(col("ctx_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("n_tokens") > col("ctx_len"), 1)).as("n_truncated"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(greatest(col("n_tokens") - col("ctx_len"), lit(0L))).as("tokens_lost"))
+      .withColumn("loss_frac",
+        when(col("total_tokens") > 0,
+          col("tokens_lost").cast("double") / col("total_tokens").cast("double"))
+          .otherwise(lit(0.0)))
+      .orderBy("ctx_len")
+  }
+  private val q172Sql =
+    """WITH d AS (
+      |  SELECT CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |x AS (
+      |  SELECT n_tokens, ctx_len
+      |  FROM d CROSS JOIN (SELECT CAST(unnest([128, 512, 2048]) AS BIGINT) AS ctx_len) c),
+      |g AS (
+      |  SELECT ctx_len, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(COUNT(*) FILTER (WHERE n_tokens > ctx_len) AS BIGINT) AS n_truncated,
+      |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |    CAST(SUM(GREATEST(n_tokens - ctx_len, 0)) AS BIGINT) AS tokens_lost
+      |  FROM x GROUP BY ctx_len)
+      |SELECT ctx_len, n_docs, n_truncated, total_tokens, tokens_lost,
+      |  CASE WHEN total_tokens > 0
+      |    THEN CAST(tokens_lost AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+      |    ELSE 0e0 END AS loss_frac
+      |FROM g ORDER BY ctx_len""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q173 — near-dup threshold sweep: the ROI curve a dedup run consults
+  // before committing to a Jaccard cutoff — per candidate threshold, how
+  // many verified pairs fire and how many documents / tokens / chars the
+  // keep-lower-doc_id policy would remove. Consumes q27's memoized
+  // verified-pairs artifact (the q42 consumer pattern), so the corpus
+  // cost was already paid; everything here is pairs-×-|thresholds|-sized.
+  // The victim token lookup joins the (small) victim set against the
+  // corpus doc_id-keyed — broadcast at test scale, keyed shuffle at
+  // corpus scale. Thresholds compare against the pair jaccard, itself
+  // bit-identical in both engines (same integer inputs, one division).
+  // The oracle embeds q27's published SQL as a CTE (the q95/q150
+  // composition pattern), so this is also a composition proof.
+  // ---------------------------------------------------------------------
+  private def q173(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // Pairs × thresholds survivors; two consumers (pair count + victim
+    // set) — pairs-sized, materialize once.
+    val f = DedupOps.verifiedPairs(s, d)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        explode(expr("array(0.5D, 0.6D, 0.7D, 0.8D, 0.9D)")).as("threshold"))
+      .filter(col("jaccard") >= col("threshold"))
+      .localCheckpoint(true)
+    val th = Seq(0.5, 0.6, 0.7, 0.8, 0.9).toDF("threshold")
+    val pc = f.groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs"))
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("n_chars"), wsTokens.as("tok"))
+    val vs = f.select(col("threshold"), col("doc_b")).distinct()
+      .join(docs, col("doc_b") === col("doc_id"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_victims"), sum(col("tok")).as("tokens_removed"),
+        sum(col("n_chars")).as("chars_removed"))
+    val nd = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+    Scalars.withScalar(
+        th.join(pc, Seq("threshold"), "left").join(vs, Seq("threshold"), "left"), nd)
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_victims"), lit(0L)).as("n_victims"),
+        coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"),
+        coalesce(col("chars_removed"), lit(0L)).as("chars_removed"),
+        (coalesce(col("n_victims"), lit(0L)).cast("double")
+          / col("n_docs").cast("double")).as("docs_removed_frac"))
+      .orderBy("threshold")
+  }
+  private def q173Sql: String = {
+    val pr = DedupOps.oracleSql("q27_dedup_ngram_jaccard")
+    s"""WITH pr AS ($pr),
+       |th AS (SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS threshold),
+       |f AS (
+       |  SELECT threshold, doc_a, doc_b
+       |  FROM pr, th WHERE pr.jaccard >= th.threshold),
+       |pc AS (SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM f GROUP BY 1),
+       |v AS (SELECT DISTINCT threshold, doc_b FROM f),
+       |vs AS (
+       |  SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_victims,
+       |    CAST(SUM(len(string_split(COALESCE(d.text, ''), ' '))) AS BIGINT) AS tokens_removed,
+       |    CAST(SUM(d.n_chars) AS BIGINT) AS chars_removed
+       |  FROM v JOIN documents d ON d.doc_id = v.doc_b GROUP BY 1),
+       |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+       |SELECT th.threshold,
+       |  CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
+       |  CAST(COALESCE(n_victims, 0) AS BIGINT) AS n_victims,
+       |  CAST(COALESCE(tokens_removed, 0) AS BIGINT) AS tokens_removed,
+       |  CAST(COALESCE(chars_removed, 0) AS BIGINT) AS chars_removed,
+       |  CAST(COALESCE(n_victims, 0) AS DOUBLE) / CAST(n_docs AS DOUBLE)
+       |    AS docs_removed_frac
+       |FROM th LEFT JOIN pc USING (threshold) LEFT JOIN vs USING (threshold)
+       |CROSS JOIN nd
+       |ORDER BY threshold""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q174 — intra-document code-switch detection: per-line language ID
+  // (q22's n-gram-hit families applied to each 8-token line — the q98
+  // line convention) rolled up to a per-doc mixing profile: dominant
+  // language, its share, adjacent-line switch count, and a mixed flag.
+  // Multilingual cleaning pipelines route mixed docs to different
+  // tokenizer/filter paths than monolingual ones (CCNet keeps per-lang
+  // shards; a doc whose lines disagree belongs to neither shard).
+  //
+  // Strictly ROW-LOCAL (the q96/q97/q145 class): line synthesis, per-line
+  // regex scoring and the adjacency scan are higher-order-function
+  // lambdas over one row; the only exchange is the output sort. The
+  // dominant-language argmax is a fixed priority ladder (en, fr, de,
+  // unknown on >=) restated identically in the oracle, so ties are
+  // engine-deterministic. Adjacent-switch counting differs in FORM
+  // (Spark: zip_with over two slices — sequence() auto-reverses when
+  // start > stop so it can't express an empty 2..n range; DuckDB:
+  // generate_series indexing, which can) but both state "count i where
+  // lang[i] != lang[i-1]"; hash equality at three scales is the proof.
+  // ---------------------------------------------------------------------
+  private def q174(s: SparkSession, d: String): DataFrame = {
+    val en = "\\\\b(the|a|is|and|of)\\\\b"
+    val fr = "\\\\b(le|la|les|et|est|une)\\\\b"
+    val de = "\\\\b(der|die|das|und|ist)\\\\b"
+    t(s, d, "documents")
+      .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("toks"))
+      .withColumn("lines", expr(
+        "transform(sequence(0, (size(toks) - 1) div 8)," +
+          " i -> array_join(slice(toks, i * 8 + 1, 8), ' '))"))
+      .withColumn("langs", expr(
+        s"""transform(lines, l ->
+           |  CASE WHEN regexp_count(l, '$fr') > regexp_count(l, '$en')
+           |         AND regexp_count(l, '$fr') > regexp_count(l, '$de') THEN 'fr'
+           |    WHEN regexp_count(l, '$de') > regexp_count(l, '$en') THEN 'de'
+           |    WHEN regexp_count(l, '$en') > 0 THEN 'en'
+           |    ELSE 'unknown' END)""".stripMargin))
+      .withColumn("n_lines", size(col("langs")).cast("long"))
+      .withColumn("en_lines", expr("size(filter(langs, x -> x = 'en'))").cast("long"))
+      .withColumn("fr_lines", expr("size(filter(langs, x -> x = 'fr'))").cast("long"))
+      .withColumn("de_lines", expr("size(filter(langs, x -> x = 'de'))").cast("long"))
+      .withColumn("unk_lines", expr("size(filter(langs, x -> x = 'unknown'))").cast("long"))
+      .withColumn("dom_lang", expr(
+        """CASE WHEN en_lines >= fr_lines AND en_lines >= de_lines
+          |       AND en_lines >= unk_lines THEN 'en'
+          |  WHEN fr_lines >= de_lines AND fr_lines >= unk_lines THEN 'fr'
+          |  WHEN de_lines >= unk_lines THEN 'de'
+          |  ELSE 'unknown' END""".stripMargin))
+      .withColumn("dom_share", expr(
+        """CAST(CASE dom_lang WHEN 'en' THEN en_lines WHEN 'fr' THEN fr_lines
+          |  WHEN 'de' THEN de_lines ELSE unk_lines END AS DOUBLE)
+          |  / CAST(n_lines AS DOUBLE)""".stripMargin))
+      .withColumn("n_switches", expr(
+        """CAST(size(filter(zip_with(
+          |  slice(langs, 1, size(langs) - 1), slice(langs, 2, size(langs) - 1),
+          |  (a, b) -> a <> b), x -> x)) AS BIGINT)""".stripMargin))
+      .withColumn("is_mixed", expr(
+        "(CASE WHEN en_lines > 0 THEN 1 ELSE 0 END + CASE WHEN fr_lines > 0 THEN 1 ELSE 0 END" +
+          " + CASE WHEN de_lines > 0 THEN 1 ELSE 0 END) >= 2"))
+      .select(col("doc_id"), col("n_lines"), col("en_lines"), col("fr_lines"),
+        col("de_lines"), col("unk_lines"), col("dom_lang"), col("dom_share"),
+        col("n_switches"), col("is_mixed"))
+      .orderBy("doc_id")
+  }
+  private val q174Sql = {
+    val en = "\\b(the|a|is|and|of)\\b"
+    val fr = "\\b(le|la|les|et|est|une)\\b"
+    val de = "\\b(der|die|das|und|ist)\\b"
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks
+       |  FROM documents),
+       |ln AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, (len(toks) - 1) // 8 + 1),
+       |      i -> array_to_string(toks[i * 8 + 1 : i * 8 + 8], ' ')) AS lines
+       |  FROM t),
+       |lg AS (
+       |  SELECT doc_id,
+       |    list_transform(lines, l ->
+       |      CASE WHEN len(regexp_extract_all(l, '$fr')) > len(regexp_extract_all(l, '$en'))
+       |             AND len(regexp_extract_all(l, '$fr')) > len(regexp_extract_all(l, '$de')) THEN 'fr'
+       |        WHEN len(regexp_extract_all(l, '$de')) > len(regexp_extract_all(l, '$en')) THEN 'de'
+       |        WHEN len(regexp_extract_all(l, '$en')) > 0 THEN 'en'
+       |        ELSE 'unknown' END) AS langs
+       |  FROM ln),
+       |c AS (
+       |  SELECT doc_id, langs,
+       |    CAST(len(langs) AS BIGINT) AS n_lines,
+       |    CAST(len(list_filter(langs, x -> x = 'en')) AS BIGINT) AS en_lines,
+       |    CAST(len(list_filter(langs, x -> x = 'fr')) AS BIGINT) AS fr_lines,
+       |    CAST(len(list_filter(langs, x -> x = 'de')) AS BIGINT) AS de_lines,
+       |    CAST(len(list_filter(langs, x -> x = 'unknown')) AS BIGINT) AS unk_lines
+       |  FROM lg),
+       |dl AS (
+       |  SELECT *, CASE WHEN en_lines >= fr_lines AND en_lines >= de_lines
+       |        AND en_lines >= unk_lines THEN 'en'
+       |      WHEN fr_lines >= de_lines AND fr_lines >= unk_lines THEN 'fr'
+       |      WHEN de_lines >= unk_lines THEN 'de'
+       |      ELSE 'unknown' END AS dom_lang
+       |  FROM c)
+       |SELECT doc_id, n_lines, en_lines, fr_lines, de_lines, unk_lines, dom_lang,
+       |  CAST(CASE dom_lang WHEN 'en' THEN en_lines WHEN 'fr' THEN fr_lines
+       |    WHEN 'de' THEN de_lines ELSE unk_lines END AS DOUBLE)
+       |    / CAST(n_lines AS DOUBLE) AS dom_share,
+       |  CAST(len(list_filter(generate_series(2, CAST(len(langs) AS INTEGER)),
+       |    i -> langs[i] <> langs[i - 1])) AS BIGINT) AS n_switches,
+       |  (CASE WHEN en_lines > 0 THEN 1 ELSE 0 END
+       |    + CASE WHEN fr_lines > 0 THEN 1 ELSE 0 END
+       |    + CASE WHEN de_lines > 0 THEN 1 ELSE 0 END) >= 2 AS is_mixed
+       |FROM dl ORDER BY doc_id""".stripMargin
+  }
+
+  override def all: Seq[Q] = Seq(
+    Q("q171_unimax_alloc", q171, Some(q171Sql)),
+    Q("q172_truncation_waste", q172, Some(q172Sql)),
+    Q("q173_dedup_sweep", q173, Some(q173Sql)),
+    Q("q174_code_switch", q174, Some(q174Sql)))
+}

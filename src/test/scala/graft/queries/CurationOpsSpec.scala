@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Hand-computed fixtures for the curation planners (q171-q174): the
+  * corpus-wide oracle proves engine parity; these pin the ALGORITHMS to
+  * known-by-hand answers — the waterfill's floor redistribution, the
+  * truncation ledger, the sweep's threshold boundary, and the per-line
+  * language profile's tie/adjacency rules.
+  */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeDocs(rows: Seq[(Long, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("curation").toString
+    rows.map { case (id, tx, src) => (id, tx, "en", src, tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+  private def toks(n: Int): String = (1 to n).map(i => s"t$i").mkString(" ")
+
+  test("q171: waterfill caps small sources and splits the rest with integer floors") {
+    // caps a=10, b=100, c=40 → supplies (E=4): a=40, b=400, c=160;
+    // B = 2·150 = 300. Ascending fold: a gets min(40, 300/3)=40 (full 4
+    // epochs); c gets min(160, 260/2)=130; b gets min(400, 130/1)=130.
+    val dir = writeDocs(Seq(
+      (1L, toks(10), "a"), (2L, toks(60), "b"), (3L, toks(40), "b"), (4L, toks(40), "c")))
+    val got = CurationOps.queries("q171_unimax_alloc")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got("a") === ((10L, 40L, 40L)))
+    assert(got("b") === ((100L, 400L, 130L)))
+    assert(got("c") === ((40L, 160L, 130L)))
+    val epochsA = CurationOps.queries("q171_unimax_alloc")(spark, dir)
+      .filter("source = 'a'").select("epochs_used").as[Double].head()
+    assert(epochsA === 4.0)
+  }
+
+  test("q171: leftover-budget floors redistribute to later sources") {
+    // caps 5/5/5 → supplies 20 each, B=30: share 10 < 20 for all three —
+    // alloc 10, then (30-10)/2 = 10, then 10 — exact division here, so
+    // also check a non-divisible budget via caps 4/4/4: B=24, supplies 16;
+    // 24/3=8, 16/2=8, 8/1=8.
+    val dir = writeDocs(Seq(
+      (1L, toks(4), "x"), (2L, toks(4), "y"), (3L, toks(4), "z")))
+    val got = CurationOps.queries("q171_unimax_alloc")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got === Map("x" -> 8L, "y" -> 8L, "z" -> 8L))
+  }
+
+  test("q172: truncation ledger at each context length") {
+    val dir = writeDocs(Seq((1L, toks(100), "s"), (2L, toks(600), "s")))
+    val got = CurationOps.queries("q172_truncation_waste")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(128L) === ((2L, 1L, 700L, 472L)))
+    assert(got(512L) === ((2L, 1L, 700L, 88L)))
+    assert(got(2048L) === ((2L, 0L, 700L, 0L)))
+  }
+
+  test("q173: a J=0.6 pair fires thresholds 0.5/0.6 and not 0.7+") {
+    // 3-shingle sets: A={abc,bcd,cde,def}, B={abc,bcd,cde,dex} →
+    // inter 3, union 5, J = 0.6. Victim is doc_b = 2.
+    val dir = writeDocs(Seq(
+      (1L, "a b c d e f", "s"), (2L, "a b c d e x", "s")))
+    val got = CurationOps.queries("q173_dedup_sweep")(spark, dir)
+      .collect().map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0.5) === ((1L, 1L, 6L)))
+    assert(got(0.6) === ((1L, 1L, 6L)))
+    assert(got(0.7) === ((0L, 0L, 0L)))
+    assert(got(0.9) === ((0L, 0L, 0L)))
+  }
+
+  test("q174: per-line language profile, switches, and the en-first tie") {
+    val en8 = "the cat is on a mat and of"
+    val fr8 = "le chat est une chose et la les"
+    val dir = writeDocs(Seq(
+      (1L, s"$en8 $fr8", "s"),       // [en, fr]: tie → dom en, 1 switch, mixed
+      (2L, "x y z", "s"),            // [unknown]: no switch, not mixed
+      (3L, s"$en8 $en8 $fr8", "s"))) // [en, en, fr]: dom en 2/3, 1 switch
+    val got = CurationOps.queries("q174_code_switch")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(6), r.getDouble(7), r.getLong(8), r.getBoolean(9))))
+      .toMap
+    assert(got(1L) === ((2L, "en", 0.5, 1L, true)))
+    assert(got(2L) === ((1L, "unknown", 1.0, 0L, false)))
+    assert(got(3L) === ((3L, "en", 2.0 / 3.0, 1L, true)))
+  }
+}
