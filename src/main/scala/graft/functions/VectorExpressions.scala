@@ -264,6 +264,10 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LshBits].getName, "graft_lsh8"),
       (exprs: Seq[Expression]) => LshBits(exprs.head, Literal(8))))
     ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
+    ext.injectFunction((
       FunctionIdentifier("graft_zorder"),
       new ExpressionInfo(classOf[ZOrderExpr].getName, "graft_zorder"),
       (exprs: Seq[Expression]) => ZOrderExpr(exprs(0), exprs(1))))

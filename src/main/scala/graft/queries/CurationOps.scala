@@ -334,9 +334,276 @@ object CurationOps extends QueryModule {
        |FROM dl ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q175 — Unicode-normalized exact dedup: q26's keep-first semantics with
+  // NFC canonical composition (the native `graft_nfc` expression) applied
+  // BEFORE the lower/trim/whitespace-collapse chain, so byte-different but
+  // Unicode-equal texts (decomposed e+U+0301 vs precomposed é) land in the
+  // same duplicate group — the normalize-before-hash step every real
+  // cleaning pipeline runs (raw web text mixes normalization forms
+  // freely; byte-keyed dedup silently misses those duplicates).
+  //
+  // Deliberately the SCALE formulation, not q26's window-by-norm: groups
+  // key on md5 of the normalized text, so the one corpus-wide shuffle
+  // moves a fixed-width 32-char digest (q98's idiom), never full document
+  // text; canonical member and group size come from a hash aggregation
+  // (map-side partials absorb the duplicate mass) joined back on the same
+  // key. `was_renormalized` reports whether NFC changed anything —
+  // identically false on an all-ASCII corpus (the oracle still pins the
+  // plumbing; the adversarial-corpus fuzz gate exercises the unicode
+  // path, and the unit spec pins composed/decomposed collision).
+  // ---------------------------------------------------------------------
+  private def q175(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "documents")
+      .withColumn("nfc_text", expr("graft_nfc(coalesce(text, ''))"))
+      .withColumn("h", md5(regexp_replace(lower(trim(col("nfc_text"))), "\\s+", " ")))
+      .select(col("doc_id"), col("h"),
+        (col("nfc_text") =!= coalesce(col("text"), lit(""))).as("was_renormalized"))
+    val groups = base.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("group_size"))
+    base.join(groups, "h")
+      .select(col("doc_id"), col("canonical_id"), col("group_size"),
+        (col("doc_id") =!= col("canonical_id")).as("is_dup"), col("was_renormalized"))
+      .orderBy("doc_id")
+  }
+  private val q175Sql =
+    """WITH n AS (
+      |  SELECT doc_id, nfc_normalize(COALESCE(text, '')) AS nfc_text,
+      |    COALESCE(text, '') AS raw
+      |  FROM documents),
+      |k AS (
+      |  SELECT doc_id,
+      |    md5(regexp_replace(lower(trim(nfc_text)), '\s+', ' ', 'g')) AS h,
+      |    nfc_text <> raw AS was_renormalized
+      |  FROM n)
+      |SELECT doc_id,
+      |  MIN(doc_id) OVER w AS canonical_id,
+      |  COUNT(*) OVER w AS group_size,
+      |  doc_id <> MIN(doc_id) OVER w AS is_dup,
+      |  was_renormalized
+      |FROM k
+      |WINDOW w AS (PARTITION BY h)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q176 — per-source boilerplate-line removal (the RefinedWeb/CCNet
+  // line-frequency filter): a line occurring in ≥ 3 documents AND ≥ 5% of
+  // its source's documents is template boilerplate (navigation chrome,
+  // cookie banners) and is struck from EVERY doc — unlike q98's
+  // keep-first, which preserves one copy. Thresholds are evaluated in
+  // INTEGER arithmetic (df·20 ≥ n_src_docs), so the verdict is
+  // engine-exact with no double comparison.
+  //
+  // Scale shape (the q98 family): one line explode, an md5-keyed
+  // (source, h, doc_id) DISTINCT aggregation — duplicate mass absorbed
+  // map-side, 32-char digest bounds shuffle width — then the verdict
+  // joins back on (source, h) and a doc_id rollup reassembles. The
+  // |sources|-row doc-count table broadcasts.
+  // ---------------------------------------------------------------------
+  private def q176(s: SparkSession, d: String): DataFrame = {
+    // Exploded once, consumed by the doc-frequency aggregate AND the
+    // verdict join: materialize per the QueryModule convention.
+    val lines = t(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        split(coalesce(col("text"), lit("")), " ").as("toks"))
+      .select(col("doc_id"), col("source"), posexplode(expr(
+        "transform(sequence(0, (size(toks) - 1) div 8)," +
+          " i -> array_join(slice(toks, i * 8 + 1, 8), ' '))"))
+        .as(Seq("idx", "line")))
+      .select(col("doc_id"), col("source"), col("idx").cast("long").as("idx"),
+        col("line"), md5(col("line")).as("h"))
+      .localCheckpoint(true)
+    val srcDocs = t(s, d, "documents").groupBy(col("source"))
+      .agg(count(lit(1)).as("n_src_docs"))
+    val df = lines.select(col("source"), col("h"), col("doc_id")).distinct()
+      .groupBy(col("source"), col("h")).agg(count(lit(1)).as("line_df"))
+      .join(broadcast(srcDocs), "source")
+      .select(col("source"), col("h"),
+        (col("line_df") >= 3 && col("line_df") * 20 >= col("n_src_docs"))
+          .as("is_boiler"))
+    lines.join(df, Seq("source", "h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(col("is_boiler"), 1)).as("n_boiler_lines"),
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN NOT is_boiler" +
+            " THEN struct(idx, line) END)), x -> x.line)"), "\n")
+          .as("clean_text"))
+      .withColumn("boiler_frac",
+        col("n_boiler_lines").cast("double") / col("n_lines").cast("double"))
+      .select(col("doc_id"), col("n_lines"), col("n_boiler_lines"),
+        col("boiler_frac"), col("clean_text"))
+      .orderBy("doc_id")
+  }
+  private val q176Sql =
+    """WITH t AS (
+      |  SELECT doc_id, source, string_split(COALESCE(text, ''), ' ') AS toks
+      |  FROM documents),
+      |ln AS (
+      |  SELECT doc_id, source, idx,
+      |    array_to_string(toks[idx * 8 + 1 : idx * 8 + 8], ' ') AS line
+      |  FROM (SELECT doc_id, source, toks,
+      |          unnest(range(0, (len(toks) - 1) // 8 + 1)) AS idx
+      |        FROM t)),
+      |sd AS (SELECT source, COUNT(*) AS n_src_docs FROM documents GROUP BY source),
+      |df AS (
+      |  SELECT source, md5(line) AS h, COUNT(DISTINCT doc_id) AS line_df
+      |  FROM ln GROUP BY source, md5(line)),
+      |verdict AS (
+      |  SELECT df.source, df.h,
+      |    (df.line_df >= 3 AND df.line_df * 20 >= sd.n_src_docs) AS is_boiler
+      |  FROM df JOIN sd USING (source))
+      |SELECT ln.doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |  CAST(COUNT(*) FILTER (WHERE is_boiler) AS BIGINT) AS n_boiler_lines,
+      |  CAST(COUNT(*) FILTER (WHERE is_boiler) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS boiler_frac,
+      |  COALESCE(array_to_string(list(line ORDER BY idx)
+      |    FILTER (WHERE NOT is_boiler), chr(10)), '') AS clean_text
+      |FROM ln JOIN verdict ON ln.source = verdict.source AND md5(ln.line) = verdict.h
+      |GROUP BY ln.doc_id
+      |ORDER BY ln.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q177 — source-interleaved shard assignment: the dataloader layout
+  // that guarantees every shard sees every source in corpus proportion
+  // (pure ticket-shuffle — q100 — only guarantees it in expectation;
+  // curriculum mixing and distributed data-parallel training both want
+  // the per-shard mix EXACT). Round-robin by per-source rank: doc with
+  // per-source ticket rank r lands in shard r mod S, so per-(source,
+  // shard) counts differ by at most one BY CONSTRUCTION — the balance
+  // matrix this query emits is the proof artifact.
+  //
+  // Scale shape: the per-source rank is q93's two-level exact rank
+  // (ticket-prefix buckets, both levels √n-bounded — never a
+  // corpus/|sources| single-task window); S is corpus-derived (≈√n,
+  // power of two, the q52/q100 knob idiom) with the identical integer
+  // derivation in the oracle; the output is the (shard × source) count
+  // matrix, S·|sources| rows. Oracle states the one-level per-source
+  // ROW_NUMBER — hash equality proves the bucket decomposition.
+  // ---------------------------------------------------------------------
+  private[queries] def shardsFor(n: Long): Int =
+    java.lang.Long.highestOneBit(math.max(4L, math.sqrt(n.toDouble).toLong)).toInt
+
+  private def q177(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = t(s, d, "documents").count()
+    val kPfx = PipelineOps.ticketPrefixFor(n)
+    val nShards = shardsFor(n)
+    val tickets = t(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        md5(concat_ws("|", coalesce(col("source"), lit("")), col("doc_id"))).as("tkt"))
+      .withColumn("bucket", substring(col("tkt"), 1, kPfx))
+      .localCheckpoint(true)
+    val wLocal = Window.partitionBy(col("source"), col("bucket"))
+      .orderBy(col("tkt"), col("doc_id"))
+    val wBuckets = Window.partitionBy(col("source")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = tickets.groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_docs"))
+      .select(col("source"), col("bucket"),
+        coalesce(sum(col("bucket_docs")).over(wBuckets), lit(0L)).as("bucket_offset"))
+    tickets
+      .withColumn("local_rnk", row_number().over(wLocal).cast("bigint"))
+      .join(offsets, Seq("source", "bucket"))
+      .withColumn("shard", (col("bucket_offset") + col("local_rnk") - 1) % nShards)
+      .groupBy(col("shard"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("shard", "source")
+  }
+  private val q177Sql =
+    """WITH params AS (
+      |  SELECT GREATEST(4, 1 << (LENGTH(BIN(CAST(FLOOR(SQRT(CAST(
+      |    GREATEST(COUNT(*), 4) AS DOUBLE))) AS BIGINT))) - 1)) AS s
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, source,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY md5(COALESCE(source, '') || '|' || CAST(doc_id AS VARCHAR)),
+      |        doc_id) AS rnk
+      |  FROM documents)
+      |SELECT (rnk - 1) % (SELECT s FROM params) AS shard, source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs
+      |FROM r GROUP BY 1, 2
+      |ORDER BY shard, source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q178 — IVF cluster-quality card: per cell of the ANN family's seed
+  // codebook (q52's corpus-derived k), how many vectors it holds, how
+  // tight it is (mean/min cosine to its own centroid) and how well
+  // separated (mean margin over the second-best centroid). Low-margin
+  // cells are where IVF recall dies and where SemDeDup (q114)
+  // over-merges — this is the diagnostic read before trusting either.
+  //
+  // Scale shape: cell assignment + both cosines are ROW-LOCAL scoring
+  // against the broadcast literal codebook (k ∝ √n — q131's argument);
+  // the only shuffle is the cell-keyed aggregation. Per-cell mean
+  // cosines are vec_id-ordered IEEE folds (the q165 discipline — the
+  // fold buffers one double per cell member, the documented wide-buffer
+  // boundary); min is order-free.
+  // ---------------------------------------------------------------------
+  private def q178(s: SparkSession, d: String): DataFrame = {
+    val u = VectorOps.unitVectors(s, d)
+    val k = VectorOps.ivfKFor(u.count())
+    val sc = VectorOps.sortedCells(VectorOps.codebook(u, k), k)
+    u.select(col("vec_id"),
+        element_at(sc, 1)("cid").as("cell"),
+        element_at(sc, 1)("cc").as("own_cos"),
+        (element_at(sc, 1)("cc") - element_at(sc, 2)("cc")).as("margin"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("aggregate(array_sort(collect_list(struct(vec_id, own_cos)))," +
+          " cast(0 as double), (a, x) -> a + x.own_cos)").as("cos_sum"),
+        min(col("own_cos")).as("min_cos"),
+        expr("aggregate(array_sort(collect_list(struct(vec_id, margin)))," +
+          " cast(0 as double), (a, x) -> a + x.margin)").as("margin_sum"))
+      .select(col("cell"), col("n_vecs"),
+        (col("cos_sum") / col("n_vecs").cast("double")).as("mean_cos"),
+        col("min_cos"),
+        (col("margin_sum") / col("n_vecs").cast("double")).as("mean_margin"))
+      .orderBy("cell")
+  }
+  private val q178Sql =
+    """WITH params AS (
+      |  SELECT GREATEST(16, 1 << (LENGTH(BIN(CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) - 1)) AS k
+      |  FROM embeddings),
+      |e AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) AS nrm
+      |  FROM embeddings),
+      |u AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS ue FROM e),
+      |cent AS (SELECT vec_id AS cid, ue AS cu FROM u WHERE vec_id < (SELECT k FROM params)),
+      |cc AS (
+      |  SELECT u.vec_id, cent.cid,
+      |    list_reduce(list_prepend(0.0, list_transform(list_zip(u.ue, cent.cu),
+      |      p -> p[1] * p[2])), (a, b) -> a + b) AS cc
+      |  FROM u CROSS JOIN cent),
+      |ranked AS (
+      |  SELECT vec_id, cid, cc,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+      |  FROM cc),
+      |a AS (
+      |  SELECT vec_id,
+      |    CAST(MAX(CASE WHEN rn = 1 THEN cid END) AS INTEGER) AS cell,
+      |    MAX(CASE WHEN rn = 1 THEN cc END) AS own_cos,
+      |    MAX(CASE WHEN rn = 1 THEN cc END) - MAX(CASE WHEN rn = 2 THEN cc END) AS margin
+      |  FROM ranked WHERE rn <= 2 GROUP BY vec_id)
+      |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  list_reduce(list_prepend(0.0, list(own_cos ORDER BY vec_id)), (x, y) -> x + y)
+      |    / CAST(COUNT(*) AS DOUBLE) AS mean_cos,
+      |  MIN(own_cos) AS min_cos,
+      |  list_reduce(list_prepend(0.0, list(margin ORDER BY vec_id)), (x, y) -> x + y)
+      |    / CAST(COUNT(*) AS DOUBLE) AS mean_margin
+      |FROM a GROUP BY cell
+      |ORDER BY cell""".stripMargin
+
   override def all: Seq[Q] = Seq(
     Q("q171_unimax_alloc", q171, Some(q171Sql)),
     Q("q172_truncation_waste", q172, Some(q172Sql)),
     Q("q173_dedup_sweep", q173, Some(q173Sql)),
-    Q("q174_code_switch", q174, Some(q174Sql)))
+    Q("q174_code_switch", q174, Some(q174Sql)),
+    Q("q175_nfc_dedup", q175, Some(q175Sql)),
+    Q("q176_boilerplate_lines", q176, Some(q176Sql)),
+    Q("q177_interleaved_shards", q177, Some(q177Sql)),
+    Q("q178_cluster_quality", q178, Some(q178Sql)))
 }

@@ -93,7 +93,7 @@ object VectorOps extends QueryModule {
     * passes per bench run. Same immutability assumption and
     * stopped-session pruning as DedupOps.pairCache. */
   private val uvCache = new graft.SessionCache[DataFrame]
-  private def unitVectors(s: SparkSession, d: String): DataFrame =
+  private[queries] def unitVectors(s: SparkSession, d: String): DataFrame =
     uvCache.getOrBuild(s, d) {
       t(s, d, "embeddings")
         .withColumn("nrm", expr(s"graft_l2norm($asDouble)"))
@@ -166,7 +166,7 @@ object VectorOps extends QueryModule {
     * crossJoin, hence no BroadcastNestedLoopJoin node anywhere in the
     * consuming plans (PlanHygieneSpec bans those fleet-wide). Every plan
     * shape here is k-independent. */
-  private def codebook(u: DataFrame, k: Int): Column = {
+  private[queries] def codebook(u: DataFrame, k: Int): Column = {
     val rows: Seq[Seq[Double]] = u.filter(col("vec_id") < k)
       .select(col("vec_id"), col("ue"))
       .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1)).toSeq
@@ -221,7 +221,7 @@ object VectorOps extends QueryModule {
     * is the assigned cell, element 2 the second probe. The dot product is
     * the same ordered zip_with/aggregate fold as the oracle's list_reduce,
     * so assignments and probes are bit-identical in DuckDB. */
-  private def sortedCells(cb: Column, k: Int): Column = {
+  private[queries] def sortedCells(cb: Column, k: Int): Column = {
     val scores = transform(sequence(lit(0), lit(k - 1)), c =>
       struct(
         call_function("graft_dot", col("ue"), element_at(cb, c + 1)).as("cc"),

@@ -88,4 +88,87 @@ class CurationOpsSpec extends SparkSpec {
     assert(got(2L) === ((1L, "unknown", 1.0, 0L, false)))
     assert(got(3L) === ((3L, "en", 2.0 / 3.0, 1L, true)))
   }
+
+  test("q175: NFC folds decomposed and precomposed text into one dup group") {
+    val dir = writeDocs(Seq(
+      (1L, "café terrace", "s"),  // decomposed e + U+0301
+      (2L, "café terrace", "s"),   // precomposed é
+      (3L, "plain ascii", "s")))
+    val got = CurationOps.queries("q175_nfc_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+    assert(got(1L) === ((1L, 2L, false, true)))  // canonical, renormalized
+    assert(got(2L) === ((1L, 2L, true, false)))  // dup of 1, already NFC
+    assert(got(3L) === ((3L, 1L, false, false)))
+  }
+
+  test("graft_nfc: idempotent, null-safe, ascii identity") {
+    val df = Seq(("a", "café"), ("b", "café"), ("c", "ascii"), ("d", null))
+      .toDF("k", "v")
+      .selectExpr("k", "graft_nfc(v) AS n")
+    val got = df.collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got("a") === Some("café"))
+    assert(got("b") === Some("café"))
+    assert(got("c") === Some("ascii"))
+    assert(got("d") === None)
+  }
+
+  test("q176: source-frequent lines are struck from every doc") {
+    // One 8-token boilerplate line shared by 3 of 5 docs in source s
+    // (df=3 >= 3 and 3*20 >= 5): struck everywhere. A line shared by
+    // only 2 docs stays.
+    val boiler = "c1 c2 c3 c4 c5 c6 c7 c8"
+    val pair = "p1 p2 p3 p4 p5 p6 p7 p8"
+    val dir = writeDocs(Seq(
+      (1L, s"$boiler u1 u2 u3 u4 u5 u6 u7 u8", "s"),
+      (2L, s"$boiler v1 v2 v3 v4 v5 v6 v7 v8", "s"),
+      (3L, s"$boiler $pair", "s"),
+      (4L, pair, "s"),
+      (5L, "w1 w2 w3 w4 w5 w6 w7 w8", "s")))
+    val got = CurationOps.queries("q176_boilerplate_lines")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(4)))).toMap
+    assert(got(1L)._1 === 2L); assert(got(1L)._2 === 1L)
+    assert(!got(1L)._3.contains("c1") && got(1L)._3.contains("u1"))
+    assert(got(3L) === ((2L, 1L, pair)))   // boiler struck, pair line kept
+    assert(got(4L) === ((1L, 0L, pair)))
+    assert(got(5L)._2 === 0L)
+  }
+
+  test("q177: round-robin shards are per-source balanced within one doc") {
+    // 20 docs, 2 sources × 10 → S = shardsFor(20) = 4; every source's
+    // per-shard counts must differ by at most 1 and sum to 10.
+    val dir = writeDocs((1L to 20L).map(i =>
+      (i, s"doc $i tokens here", if (i <= 10) "a" else "b")))
+    assert(CurationOps.shardsFor(20) === 4)
+    val rows = CurationOps.queries("q177_interleaved_shards")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    for (src <- Seq("a", "b")) {
+      val counts = rows.filter(_._2 == src).map(_._3)
+      assert(counts.sum === 10L)
+      assert(counts.max - counts.min <= 1L)
+    }
+  }
+
+  test("q178: seed cells are tight around their own centroid") {
+    val dim = 4
+    // 16 seed directions (unit-ish axes + mixtures) + 8 followers near
+    // seed (id % 4): followers must land in a cell with positive margin.
+    val vecs = (0 until 24).map { i =>
+      val base = Array.fill(dim)(0.05f * ((i * 7 + 3) % 5))
+      base(i % dim) = 1.0f + 0.01f * i
+      (i.toLong, base.toSeq, i % 3)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("clusterq").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = CurationOps.queries("q178_cluster_quality")(spark, dir).collect()
+    assert(rows.map(_.getLong(1)).sum === 24L)
+    rows.foreach { r =>
+      val (meanCos, minCos, meanMargin) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(meanCos >= minCos - 1e-12)
+      assert(meanMargin >= 0.0)
+      assert(meanCos <= 1.0 + 1e-12)
+    }
+  }
 }
