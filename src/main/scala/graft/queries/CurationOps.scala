@@ -597,6 +597,227 @@ object CurationOps extends QueryModule {
       |FROM a GROUP BY cell
       |ORDER BY cell""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q179 — dual-LM importance scoring (the CCNet/DSIR data-selection
+  // shape, Wenzek et al. 2020 / Xie et al. 2023: score each document by
+  // ln p_target(x) − ln p_raw(x) where the TARGET LM is trained on
+  // high-quality data and the RAW LM on the whole corpus, then keep the
+  // top tail). Here both are the engine's bigram add-one LM: the raw
+  // side is the memoized q106 artifact; the target side trains on the
+  // five-gate survivors (the memoized gateFlags verdict — "clean" is the
+  // pipeline's own definition, as in production where the target set is
+  // a curated corpus). Unseen-by-the-target transitions smooth to
+  // ln(1) − ln(0 + V) through LEFT-join COALESCE — the q113 missing-key
+  // discipline, no dense probe. All ln arguments are integers →
+  // PortableLn keeps every score bit-identical in DuckDB; per-doc sums
+  // are pos-ordered IEEE folds; the selection threshold is an exact
+  // interpolated percentile attached through the enforced ≤1-row scalar.
+  //
+  // Degenerate precondition: an empty gate-survivor set drives V to 0
+  // and the smoothing ln to a nonsense-but-deterministic value computed
+  // IDENTICALLY by both engines (PortableLn is total); real corpora
+  // always pass docs, so no guard — parity, not validity, is the
+  // contract there.
+  //
+  // Scale shape: two corpus-proportional passes (the target-count
+  // aggregations and the transition probe join), both token-keyed hash
+  // work — the q106/q113 family; everything else is vocabulary-sized or
+  // the two ≤1-row scalars. The probe LEFT-joins the corpus transitions
+  // against vocabulary-sized count tables on the keys those counts were
+  // aggregated by.
+  // ---------------------------------------------------------------------
+  private def q179(s: SparkSession, d: String): DataFrame = {
+    val raw = LmOps.lmScores(s, d)
+    // Same base/transition derivation as lmScores (kept cheap per the
+    // q113 lesson: a bare explode off a checkpointed base beats
+    // checkpointing the exploded table).
+    val base = t(s, d, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .localCheckpoint(true) // consumers: probe transitions + train subset
+    val trans = base
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1)," +
+          " i -> struct(i as pos, toks[i-1] as prev, toks[i] as cur))")).as("x"))
+      .select(col("doc_id"), col("x.pos").as("pos"),
+        col("x.prev").as("prev"), col("x.cur").as("cur"))
+    val pass = PipelineOps.gateFlags(s, d)
+      .filter(col("l") && col("g") && col("r") && col("c") && col("u"))
+      .select(col("doc_id"))
+    val trainBase = base.join(pass, "doc_id").localCheckpoint(true)
+    val uniT = trainBase.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("ucnt"))
+    val vT = uniT.agg(count(lit(1)).as("v"))
+    val bcT = trainBase
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1)," +
+          " i -> struct(toks[i-1] as prev, toks[i] as cur))")).as("x"))
+      .select(col("x.prev").as("prev"), col("x.cur").as("cur"))
+      .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("bcnt"))
+    val joined = Scalars.withScalar(
+      trans.join(bcT, Seq("prev", "cur"), "left")
+        .join(uniT.withColumnRenamed("w", "prev"), Seq("prev"), "left"),
+      vT)
+    val lnCols =
+      LmOps.PortableLn.steps("(coalesce(bcnt, cast(0 as bigint)) + 1)", "a", spark = true) ++
+        LmOps.PortableLn.steps("(coalesce(ucnt, cast(0 as bigint)) + v)", "b", spark = true)
+    val scored = lnCols.foldLeft(joined) { case (df, (name, e)) =>
+      df.withColumn(name, expr(e))
+    }
+    val tgt = scored
+      .withColumn("lp", expr("lna - lnb"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nt"),
+        expr("aggregate(array_sort(collect_list(struct(pos, lp)))," +
+          " cast(0 as double), (a, x) -> a + x.lp)").as("lp_sum"))
+      .select(col("doc_id"), (col("lp_sum") / col("nt").cast("double")).as("avg_lp_target"))
+    // Two consumers (percentile + flag): materialize the scored table.
+    val both = raw
+      .select(col("doc_id"), col("n_transitions"), col("avg_logprob").as("avg_lp_raw"))
+      .join(tgt, "doc_id")
+      .withColumn("importance", col("avg_lp_target") - col("avg_lp_raw"))
+      .localCheckpoint(true)
+    val thr = both.agg(expr("percentile(importance, 0.75)").as("imp_p75"))
+    Scalars.withScalar(both, thr)
+      .select(col("doc_id"), col("n_transitions"), col("avg_lp_raw"),
+        col("avg_lp_target"), col("importance"), col("imp_p75"),
+        (col("importance") >= col("imp_p75")).as("selected"))
+      .orderBy("doc_id")
+  }
+  private def q179Sql: String = {
+    val (rawLast, rawCtes) = LmOps.lnCtes("j0", "l",
+      Seq("(bcnt + 1)" -> "a", "(ucnt + v)" -> "b"))
+    val (tgtLast, tgtCtes) = LmOps.lnCtes("k0", "m",
+      Seq("(COALESCE(bcnt_t, 0) + 1)" -> "a", "(COALESCE(ucnt_t, 0) + vt)" -> "b"))
+    s"""WITH ${PipelineOps.gateCtesSql},
+       |base AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 2),
+       |trans AS (
+       |  SELECT doc_id, i AS pos, toks[i] AS prev, toks[i + 1] AS cur
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+       |        FROM base)),
+       |uni AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS ucnt
+       |  FROM (SELECT unnest(toks) AS w FROM base) GROUP BY w),
+       |vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+       |bc AS (
+       |  SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS bcnt
+       |  FROM trans GROUP BY prev, cur),
+       |j0 AS (
+       |  SELECT t.doc_id, t.pos, b.bcnt, u.ucnt, (SELECT v FROM vv) AS v
+       |  FROM trans t JOIN bc b USING (prev, cur) JOIN uni u ON u.w = t.prev),
+       |${rawCtes.mkString(",\n")},
+       |pd_raw AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(lna - lnb ORDER BY pos)),
+       |      (a, x) -> a + x) AS lp_sum
+       |  FROM $rawLast GROUP BY doc_id),
+       |gate_pass AS (
+       |  SELECT doc_id FROM documents
+       |  ${PipelineOps.gateJoinsSql}
+       |  WHERE ${PipelineOps.gateConjunctionSql}),
+       |base_t AS (SELECT base.* FROM base JOIN gate_pass USING (doc_id)),
+       |uni_t AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS ucnt_t
+       |  FROM (SELECT unnest(toks) AS w FROM base_t) GROUP BY w),
+       |vv_t AS (SELECT CAST(COUNT(*) AS BIGINT) AS vt FROM uni_t),
+       |bc_t AS (
+       |  SELECT toks[i] AS prev, toks[i + 1] AS cur, CAST(COUNT(*) AS BIGINT) AS bcnt_t
+       |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+       |        FROM base_t)
+       |  GROUP BY 1, 2),
+       |k0 AS (
+       |  SELECT t.doc_id, t.pos, bt.bcnt_t, ut.ucnt_t, (SELECT vt FROM vv_t) AS vt
+       |  FROM trans t
+       |  LEFT JOIN bc_t bt USING (prev, cur)
+       |  LEFT JOIN uni_t ut ON ut.w = t.prev),
+       |${tgtCtes.mkString(",\n")},
+       |pd_t AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(lna - lnb ORDER BY pos)),
+       |      (a, x) -> a + x) / CAST(COUNT(*) AS DOUBLE) AS avg_lp_target
+       |  FROM $tgtLast GROUP BY doc_id),
+       |sel AS (
+       |  SELECT r.doc_id, r.n_transitions,
+       |    r.lp_sum / CAST(r.n_transitions AS DOUBLE) AS avg_lp_raw,
+       |    t.avg_lp_target,
+       |    t.avg_lp_target - r.lp_sum / CAST(r.n_transitions AS DOUBLE) AS importance
+       |  FROM pd_raw r JOIN pd_t t USING (doc_id)),
+       |thr AS (SELECT quantile_cont(importance, 0.75) AS imp_p75 FROM sel)
+       |SELECT doc_id, n_transitions, avg_lp_raw, avg_lp_target, importance,
+       |  (SELECT imp_p75 FROM thr) AS imp_p75,
+       |  importance >= (SELECT imp_p75 FROM thr) AS selected
+       |FROM sel ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q180 — cell-quota balanced sampling (topic/cluster-balanced corpus
+  // selection): cap every IVF cell of the seed codebook at the fair
+  // share ceil(n/k), selecting within each cell by deterministic md5
+  // ticket rank — the embedding-space twin of q93's per-source
+  // temperature sampling (DoReMi/cluster-balanced data mixes cap
+  // over-represented semantic clusters, not just over-represented
+  // sources). Selection is a pure function of the data: stable across
+  // engines, partitionings, reruns.
+  //
+  // Scale shape: assignment is row-local scoring against the broadcast
+  // literal codebook; the one wide stage is the per-cell rank window —
+  // per-task rows ≈ n/k ≈ √n because k ∝ √n (q144's partition-class
+  // argument; a pathologically skewed cell degrades toward n, and the
+  // q93 ticket-prefix two-level decomposition is the documented swap-in
+  // — q178 is the diagnostic that would trigger it). The fair-share cap
+  // is integer arithmetic from the two ≤1-row scalars.
+  // ---------------------------------------------------------------------
+  private def q180(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = VectorOps.unitVectors(s, d)
+    val n = u.count()
+    val k = VectorOps.ivfKFor(n)
+    val sc = VectorOps.sortedCells(VectorOps.codebook(u, k), k)
+    val qcap = (n + k - 1) / k
+    val w = Window.partitionBy(col("cell")).orderBy(col("tkt"), col("vec_id"))
+    u.select(col("vec_id"),
+        element_at(sc, 1)("cid").as("cell"),
+        md5(concat_ws("|", lit("v"), col("vec_id"))).as("tkt"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .withColumn("quota", lit(qcap))
+      .withColumn("selected", col("rnk") <= col("quota"))
+      .select(col("vec_id"), col("cell"), col("rnk"), col("quota"), col("selected"))
+      .orderBy("vec_id")
+  }
+  private val q180Sql =
+    """WITH params AS (
+      |  SELECT GREATEST(16, 1 << (LENGTH(BIN(CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) - 1)) AS k,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM embeddings),
+      |e AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) AS nrm
+      |  FROM embeddings),
+      |u AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS ue FROM e),
+      |cent AS (SELECT vec_id AS cid, ue AS cu FROM u WHERE vec_id < (SELECT k FROM params)),
+      |cc AS (
+      |  SELECT u.vec_id, cent.cid,
+      |    list_reduce(list_prepend(0.0, list_transform(list_zip(u.ue, cent.cu),
+      |      p -> p[1] * p[2])), (a, b) -> a + b) AS cc
+      |  FROM u CROSS JOIN cent),
+      |assign AS (
+      |  SELECT vec_id, CAST(cid AS INTEGER) AS cell FROM (
+      |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+      |    FROM cc) t WHERE rn = 1),
+      |r AS (
+      |  SELECT vec_id, cell,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY cell
+      |      ORDER BY md5('v|' || CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rnk
+      |  FROM assign)
+      |SELECT vec_id, cell, rnk,
+      |  (SELECT (n + k - 1) // k FROM params) AS quota,
+      |  rnk <= (SELECT (n + k - 1) // k FROM params) AS selected
+      |FROM r ORDER BY vec_id""".stripMargin
+
   override def all: Seq[Q] = Seq(
     Q("q171_unimax_alloc", q171, Some(q171Sql)),
     Q("q172_truncation_waste", q172, Some(q172Sql)),
@@ -605,5 +826,7 @@ object CurationOps extends QueryModule {
     Q("q175_nfc_dedup", q175, Some(q175Sql)),
     Q("q176_boilerplate_lines", q176, Some(q176Sql)),
     Q("q177_interleaved_shards", q177, Some(q177Sql)),
-    Q("q178_cluster_quality", q178, Some(q178Sql)))
+    Q("q178_cluster_quality", q178, Some(q178Sql)),
+    Q("q179_importance_ratio", q179, Some(q179Sql)),
+    Q("q180_cell_quota_sample", q180, Some(q180Sql)))
 }

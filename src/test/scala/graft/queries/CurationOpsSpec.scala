@@ -171,4 +171,33 @@ class CurationOpsSpec extends SparkSpec {
       assert(meanCos <= 1.0 + 1e-12)
     }
   }
+
+  test("q179: importance is the score delta and selection is the top quartile") {
+    val df = CurationOps.queries("q179_importance_ratio")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(df.nonEmpty)
+    df.foreach { r =>
+      val (raw, tgt, imp, p75, sel) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6))
+      assert(imp === tgt - raw)
+      assert(sel === (imp >= p75))
+    }
+    // exact interpolated p75 → at least a quarter selected (ties only add)
+    val selN = df.count(_.getBoolean(6))
+    assert(selN * 4 >= df.length)
+  }
+
+  test("q180: every cell respects the fair-share quota and ranks are dense") {
+    val rows = CurationOps.queries("q180_cell_quota_sample")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    val n = rows.length.toLong
+    val quota = rows.head._4
+    assert(rows.count(_._5).toLong <= quota * rows.map(_._2).distinct.length)
+    rows.groupBy(_._2).foreach { case (_, cell) =>
+      val rnks = cell.map(_._3).sorted
+      assert(rnks === (1L to cell.length.toLong))       // dense per-cell ranks
+      assert(cell.count(_._5).toLong === math.min(quota, cell.length.toLong))
+    }
+    assert(rows.map(_._3).max <= n)
+  }
 }
