@@ -818,6 +818,299 @@ object CurationOps extends QueryModule {
       |  rnk <= (SELECT (n + k - 1) // k FROM params) AS selected
       |FROM r ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q181 — license classification + per-source license mix (The Stack /
+  // StarCoder curation: code corpora keep only permissively-licensed
+  // documents, and the license-mix table per source is the report that
+  // decision reads). The synthetic corpus carries no license text, so —
+  // the UrlOps shell idiom — a deterministic header is synthesized per
+  // doc_id residue with the IDENTICAL arithmetic restated in the oracle:
+  // the gate then checks the first-match priority classification and the
+  // rollup, not the wrapping. Detection is substring containment (the
+  // portable subset — no regex needed), first-match priority fixed
+  // apache > mit > gpl > cc, so overlapping notices resolve identically
+  // in both engines.
+  //
+  // Scale shape: classification is strictly row-local in the scan span;
+  // the one shuffle is the (source, license) hash aggregation; the
+  // per-source share divides by a broadcast per-source total.
+  // ---------------------------------------------------------------------
+  private def q181(s: SparkSession, d: String): DataFrame = {
+    val header =
+      "CASE CAST(doc_id % 7 AS INT)" +
+        " WHEN 0 THEN 'licensed under the apache license, version 2.0. '" +
+        " WHEN 1 THEN 'permission is hereby granted (mit license). '" +
+        " WHEN 2 THEN 'this program is free software: gnu general public license. '" +
+        " WHEN 3 THEN 'licensed under a creative commons attribution 4.0 license. '" +
+        " ELSE '' END"
+    val classified = t(s, d, "documents")
+      .withColumn("full", expr(s"concat($header, coalesce(text, ''))"))
+      .withColumn("license", expr(
+        """CASE WHEN instr(full, 'apache license') > 0 THEN 'apache-2.0'
+          |  WHEN instr(full, 'mit license') > 0 THEN 'mit'
+          |  WHEN instr(full, 'gnu general public license') > 0 THEN 'gpl'
+          |  WHEN instr(full, 'creative commons') > 0 THEN 'cc-by'
+          |  ELSE 'unknown' END""".stripMargin))
+    val srcTotals = classified.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_src_docs"))
+    classified.groupBy(col("source"), col("license"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(srcTotals), "source")
+      .select(col("source"), col("license"), col("n_docs"),
+        (col("n_docs").cast("double") / col("n_src_docs").cast("double")).as("share"),
+        col("license").isin("apache-2.0", "mit", "cc-by").as("is_permissive"))
+      .orderBy("source", "license")
+  }
+  private val q181Sql =
+    """WITH c AS (
+      |  SELECT source,
+      |    CASE CAST(doc_id % 7 AS INTEGER)
+      |      WHEN 0 THEN 'licensed under the apache license, version 2.0. '
+      |      WHEN 1 THEN 'permission is hereby granted (mit license). '
+      |      WHEN 2 THEN 'this program is free software: gnu general public license. '
+      |      WHEN 3 THEN 'licensed under a creative commons attribution 4.0 license. '
+      |      ELSE '' END || COALESCE(text, '') AS ftxt
+      |  FROM documents),
+      |lic AS (
+      |  SELECT source,
+      |    CASE WHEN contains(ftxt, 'apache license') THEN 'apache-2.0'
+      |      WHEN contains(ftxt, 'mit license') THEN 'mit'
+      |      WHEN contains(ftxt, 'gnu general public license') THEN 'gpl'
+      |      WHEN contains(ftxt, 'creative commons') THEN 'cc-by'
+      |      ELSE 'unknown' END AS license
+      |  FROM c),
+      |st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src_docs FROM lic GROUP BY source)
+      |SELECT lic.source, license, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) AS DOUBLE) / CAST(st.n_src_docs AS DOUBLE) AS share,
+      |  license IN ('apache-2.0', 'mit', 'cc-by') AS is_permissive
+      |FROM lic JOIN st ON lic.source = st.source
+      |GROUP BY lic.source, license, st.n_src_docs
+      |ORDER BY lic.source, license""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q182 — vocabulary min-count pruning impact: replace every token whose
+  // corpus frequency is below MinCount with <unk> (the unigram-LM /
+  // word2vec preprocessing step) and report the per-doc OOV rate plus the
+  // global vocabulary reduction. The decision this feeds: how much of the
+  // long tail a count threshold actually deletes, per document — a doc
+  // whose OOV rate explodes under pruning is exactly the rare-token text
+  // (names, code, noise) the LM will model worst.
+  //
+  // Scale shape (the q106/q113 probe family): ONE corpus token
+  // aggregation builds the count table; the verdict join probes tokens
+  // against it on the key it was aggregated by; vocabulary sizes attach
+  // through the enforced ≤1-row scalar. Integer-exact except the final
+  // rate division.
+  // ---------------------------------------------------------------------
+  private val MinCount = 5L
+
+  private def q182(s: SparkSession, d: String): DataFrame = {
+    // Exploded once, consumed by the count aggregation AND the probe.
+    val words = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
+      .localCheckpoint(true)
+    val wc = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val vocabStats = wc.agg(
+      count(lit(1)).as("vocab_full"),
+      count(when(col("cnt") >= MinCount, 1)).as("vocab_kept"))
+    Scalars.withScalar(
+        words.join(wc, "w")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            count(when(col("cnt") < MinCount, 1)).as("n_oov")),
+        vocabStats)
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double")).as("oov_rate"),
+        col("vocab_full"), col("vocab_kept"))
+      .orderBy("doc_id")
+  }
+  private val q182Sql =
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS w
+       |  FROM documents),
+       |wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY w),
+       |vs AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS vocab_full,
+       |    CAST(COUNT(*) FILTER (WHERE cnt >= $MinCount) AS BIGINT) AS vocab_kept
+       |  FROM wc),
+       |pd AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |    CAST(COUNT(*) FILTER (WHERE cnt < $MinCount) AS BIGINT) AS n_oov
+       |  FROM w JOIN wc USING (w) GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, n_oov,
+       |  CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate,
+       |  (SELECT vocab_full FROM vs) AS vocab_full,
+       |  (SELECT vocab_kept FROM vs) AS vocab_kept
+       |FROM pd ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q183 — duplicate-cluster size distribution: the histogram a dedup run
+  // publishes (SemDeDup/Lee et al. report exactly this curve) — for each
+  // cluster size, how many clusters, how many documents they hold, and
+  // how many docs keep-one-per-cluster deletes. Consumes q42's connected
+  // components through the public registry; the oracle embeds q42's
+  // published SQL (the q95/q150 composition-proof pattern). Everything
+  // past q42 is one canonical-row filter + a |distinct sizes|-row
+  // aggregation.
+  // ---------------------------------------------------------------------
+  private def q183(s: SparkSession, d: String): DataFrame = {
+    graft.SparkEntry.queries("q42_dup_clusters")(s, d)
+      .filter(col("is_canonical"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("docs_removed"))
+      .orderBy("cluster_size")
+  }
+  private def q183Sql: String = {
+    val c = PipelineOps.oracleSql("q42_dup_clusters")
+    s"""WITH c AS ($c)
+       |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |  cluster_size * CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  (cluster_size - 1) * CAST(COUNT(*) AS BIGINT) AS docs_removed
+       |FROM c WHERE is_canonical
+       |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q184 — Otsu auto-threshold over the LM quality score: pick the
+  // avg_logprob cutoff that maximizes between-class variance over a
+  // 32-bin histogram (Otsu 1979 — the parameter-free alternative to
+  // q106's fixed bottom-decile; gate calibration without choosing a
+  // percentile). Classic Otsu runs on the HISTOGRAM with bin midpoints
+  // as class values, which is exactly what makes it exact-at-scale: the
+  // corpus contributes one integer bin-count aggregation, and every
+  // double operation afterwards runs over the 32-row bin table inside
+  // ONE row (the q143 bounded-fold class — collect, fold in bin order,
+  // argmax by struct ordering with the smaller split winning ties).
+  // Degenerate corpus (all scores equal) yields bin 0 for every doc,
+  // every split scores -1, and the threshold collapses to lo —
+  // deterministically, in both engines.
+  // ---------------------------------------------------------------------
+  private def q184(s: SparkSession, d: String): DataFrame = {
+    val scores = LmOps.lmScores(s, d).select(col("doc_id"), col("avg_logprob"))
+    val stats = scores.agg(
+      min(col("avg_logprob")).as("lo"), max(col("avg_logprob")).as("hi"),
+      count(lit(1)).as("n"))
+    val binned = Scalars.withScalar(scores, stats)
+      .withColumn("bin", expr(
+        "CASE WHEN hi > lo THEN least(31, cast(floor((avg_logprob - lo)" +
+          " / (hi - lo) * 32e0) as int)) ELSE 0 END"))
+    val binCounts = binned.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+    Scalars.withScalar(
+        binCounts.agg(collect_list(struct(col("bin"), col("cnt"))).as("raw")), stats)
+      .withColumn("cnts", expr(
+        "transform(sequence(0, 31), i -> coalesce(element_at(" +
+          "map_from_entries(raw), i), cast(0 as bigint)))"))
+      .withColumn("mids", expr(
+        "transform(sequence(0, 31), i -> lo + (hi - lo)" +
+          " * ((cast(i as double) + 5e-1) / 32e0))"))
+      .withColumn("wtotal", expr(
+        "aggregate(sequence(1, 32), cast(0 as double)," +
+          " (a, i) -> a + cast(element_at(cnts, i) as double) * element_at(mids, i))"))
+      .withColumn("cand0", expr(
+        """transform(sequence(1, 31), k -> named_struct(
+          |  'k', k,
+          |  'w0', aggregate(slice(cnts, 1, k), cast(0 as bigint), (a, x) -> a + x),
+          |  's0', aggregate(sequence(1, k), cast(0 as double),
+          |    (a, i) -> a + cast(element_at(cnts, i) as double) * element_at(mids, i))))"""
+          .stripMargin))
+      .withColumn("cand", expr(
+        """transform(cand0, c -> named_struct(
+          |  'nv', CASE WHEN c.w0 > 0 AND c.w0 < n THEN
+          |      -(((cast(c.w0 as double) / cast(n as double))
+          |        * (cast(n - c.w0 as double) / cast(n as double)))
+          |        * ((c.s0 / cast(c.w0 as double) - (wtotal - c.s0) / cast(n - c.w0 as double))
+          |          * (c.s0 / cast(c.w0 as double) - (wtotal - c.s0) / cast(n - c.w0 as double))))
+          |    ELSE 1e0 END,
+          |  'k', c.k))""".stripMargin))
+      .withColumn("best", array_min(col("cand")))
+      .select(col("n").as("n_docs"), col("lo"), col("hi"),
+        col("best.k").as("best_k"),
+        expr("lo + (hi - lo) * (cast(best.k as double) / 32e0)").as("threshold"),
+        expr("-best.nv").as("between_var"))
+  }
+  private def q184Sql: String = {
+    val (lastStage, lnCtes) = LmOps.lnCtes("j0", "l",
+      Seq("(bcnt + 1)" -> "a", "(ucnt + v)" -> "b"))
+    s"""WITH base AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 2),
+       |trans AS (
+       |  SELECT doc_id, i AS pos, toks[i] AS prev, toks[i + 1] AS cur
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+       |        FROM base)),
+       |uni AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS ucnt
+       |  FROM (SELECT unnest(toks) AS w FROM base) GROUP BY w),
+       |vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+       |bc AS (
+       |  SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS bcnt
+       |  FROM trans GROUP BY prev, cur),
+       |j0 AS (
+       |  SELECT t.doc_id, t.pos, b.bcnt, u.ucnt, (SELECT v FROM vv) AS v
+       |  FROM trans t JOIN bc b USING (prev, cur) JOIN uni u ON u.w = t.prev),
+       |${lnCtes.mkString(",\n")},
+       |sc AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(lna - lnb ORDER BY pos)),
+       |      (a, x) -> a + x) / CAST(COUNT(*) AS DOUBLE) AS avg_logprob
+       |  FROM $lastStage GROUP BY doc_id),
+       |st AS (
+       |  SELECT MIN(avg_logprob) AS lo, MAX(avg_logprob) AS hi,
+       |    CAST(COUNT(*) AS BIGINT) AS n FROM sc),
+       |binned AS (
+       |  SELECT CASE WHEN st.hi > st.lo
+       |      THEN LEAST(31, CAST(FLOOR((avg_logprob - st.lo) / (st.hi - st.lo) * 32e0) AS INTEGER))
+       |      ELSE 0 END AS bin
+       |  FROM sc CROSS JOIN st),
+       |bcnt AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM binned GROUP BY bin),
+       |dense AS (
+       |  SELECT CAST(r.i AS INTEGER) AS bin, COALESCE(bcnt.cnt, 0) AS cnt
+       |  FROM range(0, 32) r(i) LEFT JOIN bcnt ON bcnt.bin = r.i),
+       |cl AS (SELECT list(cnt ORDER BY bin) AS cnts FROM dense),
+       |arrs AS (
+       |  SELECT st.lo, st.hi, st.n, cl.cnts,
+       |    list_transform(range(0, 32),
+       |      i -> st.lo + (st.hi - st.lo)
+       |        * ((CAST(i AS DOUBLE) + 5e-1) / 32e0)) AS mids
+       |  FROM cl CROSS JOIN st),
+       |wt AS (
+       |  SELECT *, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, 33),
+       |        i -> CAST(cnts[i] AS DOUBLE) * mids[i])), (a, b) -> a + b) AS wtotal
+       |  FROM arrs),
+       |cand0 AS (
+       |  SELECT *, list_transform(range(1, 32), k -> struct_pack(
+       |      k := k,
+       |      w0 := list_reduce(list_prepend(CAST(0 AS BIGINT), cnts[1:k]),
+       |        (a, x) -> a + x),
+       |      s0 := list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |        list_transform(range(1, k + 1),
+       |          i -> CAST(cnts[i] AS DOUBLE) * mids[i])), (a, b) -> a + b))) AS c0
+       |  FROM wt),
+       |cand AS (
+       |  SELECT *, list_transform(c0, c -> struct_pack(
+       |      nv := CASE WHEN c.w0 > 0 AND c.w0 < n THEN
+       |          -(((CAST(c.w0 AS DOUBLE) / CAST(n AS DOUBLE))
+       |            * (CAST(n - c.w0 AS DOUBLE) / CAST(n AS DOUBLE)))
+       |            * ((c.s0 / CAST(c.w0 AS DOUBLE) - (wtotal - c.s0) / CAST(n - c.w0 AS DOUBLE))
+       |              * (c.s0 / CAST(c.w0 AS DOUBLE) - (wtotal - c.s0) / CAST(n - c.w0 AS DOUBLE))))
+       |        ELSE 1e0 END,
+       |      k := c.k)) AS cands
+       |  FROM cand0),
+       |best AS (
+       |  SELECT *, list_reduce(cands,
+       |      (a, b) -> CASE WHEN b < a THEN b ELSE a END) AS bst
+       |  FROM cand)
+       |SELECT n AS n_docs, lo, hi, CAST(bst.k AS INTEGER) AS best_k,
+       |  lo + (hi - lo) * (CAST(bst.k AS DOUBLE) / 32e0) AS threshold,
+       |  -bst.nv AS between_var
+       |FROM best""".stripMargin
+  }
+
   override def all: Seq[Q] = Seq(
     Q("q171_unimax_alloc", q171, Some(q171Sql)),
     Q("q172_truncation_waste", q172, Some(q172Sql)),
@@ -828,5 +1121,9 @@ object CurationOps extends QueryModule {
     Q("q177_interleaved_shards", q177, Some(q177Sql)),
     Q("q178_cluster_quality", q178, Some(q178Sql)),
     Q("q179_importance_ratio", q179, Some(q179Sql)),
-    Q("q180_cell_quota_sample", q180, Some(q180Sql)))
+    Q("q180_cell_quota_sample", q180, Some(q180Sql)),
+    Q("q181_license_mix", q181, Some(q181Sql)),
+    Q("q182_vocab_prune", q182, Some(q182Sql)),
+    Q("q183_cluster_size_hist", q183, Some(q183Sql)),
+    Q("q184_otsu_threshold", q184, Some(q184Sql)))
 }

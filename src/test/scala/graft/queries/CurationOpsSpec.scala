@@ -200,4 +200,74 @@ class CurationOpsSpec extends SparkSpec {
     }
     assert(rows.map(_._3).max <= n)
   }
+
+  test("q181: first-match priority classification and per-source shares") {
+    // doc_id % 7 ∈ {0..6} → apache, mit, gpl, cc-by, unknown ×3
+    val dir = writeDocs((0L to 6L).map(i => (i, "plain body text", "s")))
+    val got = CurationOps.queries("q181_license_mix")(spark, dir)
+      .collect().map(r => r.getString(1) -> ((r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(got("apache-2.0") === ((1L, 1.0 / 7.0, true)))
+    assert(got("mit") === ((1L, 1.0 / 7.0, true)))
+    assert(got("gpl") === ((1L, 1.0 / 7.0, false)))
+    assert(got("cc-by") === ((1L, 1.0 / 7.0, true)))
+    assert(got("unknown") === ((3L, 3.0 / 7.0, false)))
+  }
+
+  test("q182: tokens under the count floor are OOV; vocab sizes attach") {
+    // "a" appears 6x (kept, MinCount=5), "b" 4x (pruned), "c" 1x (pruned)
+    val dir = writeDocs(Seq(
+      (1L, "a a a b b c", "s"),
+      (2L, "a a a b b", "s")))
+    val got = CurationOps.queries("q182_vocab_prune")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(1L) === ((6L, 3L, 3L, 1L)))  // b,b,c OOV; vocab 3, kept 1
+    assert(got(2L) === ((5L, 2L, 3L, 1L)))
+  }
+
+  test("q183: histogram over q42 clusters counts singletons and pairs") {
+    val dir = writeDocs(Seq(
+      (1L, "a b c d e f", "s"), (2L, "a b c d e x", "s"),  // J=0.6 cluster
+      (3L, "totally different words here now", "s")))
+    val got = CurationOps.queries("q183_cluster_size_hist")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(2L) === ((1L, 2L, 1L)))   // one 2-cluster, removes 1 doc
+    assert(got(1L)._1 === 1L)            // doc 3 is a singleton cluster
+    assert(got(1L)._3 === 0L)
+  }
+
+  test("q184: engine Otsu threshold matches a plain-Scala recomputation") {
+    val sf = "/root/testdata/sf0.001"
+    val row = CurationOps.queries("q184_otsu_threshold")(spark, sf).collect().head
+    val (n, lo, hi, bestK, threshold, betweenVar) =
+      (row.getLong(0), row.getDouble(1), row.getDouble(2), row.getInt(3),
+        row.getDouble(4), row.getDouble(5))
+    val scores = LmOps.lmScores(spark, sf).select("avg_logprob")
+      .collect().map(_.getDouble(0))
+    assert(n === scores.length.toLong)
+    assert(lo === scores.min); assert(hi === scores.max)
+    val cnts = Array.fill(32)(0L)
+    scores.foreach { x =>
+      val b = if (hi > lo) math.min(31, math.floor((x - lo) / (hi - lo) * 32.0).toInt) else 0
+      cnts(b) += 1
+    }
+    val mids = Array.tabulate(32)(i => lo + (hi - lo) * ((i + 0.5) / 32.0))
+    val wtotal = (0 until 32).map(i => cnts(i).toDouble * mids(i)).sum
+    val cands = (1 to 31).map { k =>
+      val w0 = (0 until k).map(cnts).sum
+      val s0 = (0 until k).map(i => cnts(i).toDouble * mids(i)).sum
+      val v = if (w0 > 0 && w0 < n) {
+        val d = s0 / w0 - (wtotal - s0) / (n - w0)
+        (w0.toDouble / n) * ((n - w0).toDouble / n) * d * d
+      } else -1.0
+      (v, k)
+    }
+    val (bv, bk) = cands.maxBy { case (v, k) => (v, -k) }
+    assert(bestK === bk)
+    assert(math.abs(betweenVar - bv) < 1e-12)
+    assert(threshold === lo + (hi - lo) * (bk.toDouble / 32.0))
+    assert(threshold >= lo && threshold <= hi)
+  }
 }
