@@ -1111,6 +1111,185 @@ object CurationOps extends QueryModule {
        |FROM best""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q186 — content-defined chunking (the Rabin/FastCDC family storage
+  // dedup runs, at token granularity): a token CLOSES a chunk when its
+  // portable hash ≡ 0 mod 16 (expected chunk ≈ 16 tokens), so chunk
+  // boundaries depend only on CONTENT — an insertion early in a document
+  // shifts fixed-size blocks but leaves every later CDC chunk identical,
+  // which is exactly why dedup systems use it. Chunks are then hashed and
+  // deduplicated corpus-wide; per doc, how many of its chunks exist
+  // elsewhere (the shareable fraction).
+  //
+  // The boundary hash is the repo's portable h60 idiom (first 15 md5
+  // nibbles as BIGINT — q28/q100's engine-exact hash). Scale shape: one
+  // posexplode; the chunk-id prefix sum is a doc_id-keyed window
+  // (per-task rows = document length — the q128/q159 boundedness class,
+  // NOT corpus-proportional); chunk texts aggregate by (doc, chunk) and
+  // dedup by chunk-hash — both keyed hash aggs, md5 digests bound the
+  // shuffle width (q98's idiom).
+  // ---------------------------------------------------------------------
+  private def q186(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), posexplode(split(coalesce(col("text"), lit("")), " "))
+        .as(Seq("pos", "tok")))
+      .withColumn("brk",
+        when(expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint) % 16 = 0"), 1L)
+          .otherwise(0L))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = toks
+      .withColumn("chunk", coalesce(sum(col("brk")).over(w), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk"))
+      .agg(count(lit(1)).as("chunk_toks"),
+        md5(array_join(expr("transform(array_sort(collect_list(struct(pos, tok)))," +
+          " x -> x.tok)"), " ")).as("h"))
+      .localCheckpoint(true) // consumers: global chunk census + doc rollup
+    val census = chunks.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+    chunks.join(census, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("cnt") > 1, 1)).as("n_shared_chunks"),
+        sum(col("chunk_toks")).as("n_tokens"))
+      .select(col("doc_id"), col("n_chunks"), col("n_shared_chunks"),
+        (col("n_shared_chunks").cast("double") / col("n_chunks").cast("double"))
+          .as("shared_frac"),
+        (col("n_tokens").cast("double") / col("n_chunks").cast("double"))
+          .as("avg_chunk_tokens"))
+      .orderBy("doc_id")
+  }
+  private val q186Sql =
+    """WITH tk AS (
+      |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS tok
+      |  FROM (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks,
+      |          unnest(generate_series(1, len(string_split(COALESCE(text, ''), ' ')))) AS i
+      |        FROM documents)),
+      |b AS (
+      |  SELECT doc_id, pos, tok,
+      |    CASE WHEN ('0x' || substr(md5(tok), 1, 15))::BIGINT % 16 = 0
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM tk),
+      |cid AS (
+      |  SELECT doc_id, pos, tok,
+      |    CAST(COALESCE(SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk
+      |  FROM b),
+      |ch AS (
+      |  SELECT doc_id, chunk, CAST(COUNT(*) AS BIGINT) AS chunk_toks,
+      |    md5(array_to_string(list(tok ORDER BY pos), ' ')) AS h
+      |  FROM cid GROUP BY doc_id, chunk),
+      |census AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS cnt FROM ch GROUP BY h)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      |  CAST(COUNT(*) FILTER (WHERE cnt > 1) AS BIGINT) AS n_shared_chunks,
+      |  CAST(COUNT(*) FILTER (WHERE cnt > 1) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |    AS shared_frac,
+      |  CAST(SUM(chunk_toks) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |    AS avg_chunk_tokens
+      |FROM ch JOIN census USING (h)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q187 — near-dup graph degree distribution: per node degree in q27's
+  // verified-pair graph, how many documents — including the degree-0 mass
+  // the pair table can't see (a LEFT join from the corpus restores it).
+  // The shape of this histogram is the dedup-health read: a heavy tail
+  // means template clusters (q42 will produce giant components); all mass
+  // at 0-1 means near-dup removal is surgical. Everything past the
+  // memoized pairs artifact is pairs-sized + one |degrees|-row aggregate;
+  // the oracle embeds q27's SQL (composition proof).
+  // ---------------------------------------------------------------------
+  private def q187(s: SparkSession, d: String): DataFrame = {
+    val pairs = DedupOps.verifiedPairs(s, d)
+    val deg = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    t(s, d, "documents").select(col("doc_id"))
+      .join(deg, Seq("doc_id"), "left")
+      .select(coalesce(col("degree"), lit(0L)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+      .orderBy("degree")
+  }
+  private def q187Sql: String = {
+    val pr = DedupOps.oracleSql("q27_dedup_ngram_jaccard")
+    s"""WITH pr AS ($pr),
+       |deg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+       |  FROM (SELECT doc_a AS doc_id FROM pr UNION ALL SELECT doc_b FROM pr)
+       |  GROUP BY doc_id)
+       |SELECT COALESCE(deg.degree, 0) AS degree, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM documents LEFT JOIN deg USING (doc_id)
+       |GROUP BY 1 ORDER BY degree""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q188 — character-entropy quality signal (the Dolma/Gopher "gibberish"
+  // gate): Shannon entropy of the per-doc character distribution,
+  // H = ln n − (Σ c·ln c)/n over character counts — near-zero for
+  // degenerate repetition ("aaaa…"), high for natural text. Both ln
+  // instances take INTEGER arguments, so PortableLn keeps every H
+  // bit-identical in DuckDB; the per-doc Σ c·ln c is a character-ordered
+  // IEEE fold (alphabet-bounded buffer).
+  //
+  // Scale shape: one char explode into a (doc_id, ch) hash aggregation
+  // (map-side combine absorbs the per-doc repetition), one doc_id-keyed
+  // rollup, a LEFT join back to the corpus so zero-char docs surface with
+  // H = 0 rather than vanishing (the q97/q98 row-per-doc discipline —
+  // empty-string char splits differ between engines, so char rows are
+  // filtered to non-empty on BOTH sides and the join restores the docs).
+  // ---------------------------------------------------------------------
+  private def q188(s: SparkSession, d: String): DataFrame = {
+    val counts = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(coalesce(col("text"), lit("")), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+    val lnc = LmOps.PortableLn.steps("c", "c", spark = true)
+      .foldLeft(counts) { case (df, (name, e)) => df.withColumn(name, expr(e)) }
+    val perDoc = lnc.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"),
+        count(lit(1)).as("n_distinct_chars"),
+        expr("aggregate(array_sort(collect_list(struct(ch, c, lnc)))," +
+          " cast(0 as double), (a, x) -> a + cast(x.c as double) * x.lnc)").as("clnc"))
+    val lnn = LmOps.PortableLn.steps("n", "n", spark = true)
+      .foldLeft(perDoc) { case (df, (name, e)) => df.withColumn(name, expr(e)) }
+      .withColumn("entropy", expr("lnn - clnc / cast(n as double)"))
+    t(s, d, "documents").select(col("doc_id"))
+      .join(lnn.select(col("doc_id"), col("n"), col("n_distinct_chars"), col("entropy")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).as("n_chars_counted"),
+        coalesce(col("n_distinct_chars"), lit(0L)).as("n_distinct_chars"),
+        coalesce(col("entropy"), lit(0.0)).as("entropy"))
+      .withColumn("low_entropy", col("entropy") < 1.5)
+      .orderBy("doc_id")
+  }
+  private def q188Sql: String = {
+    val (cLast, cCtes) = LmOps.lnCtes("cc0", "ce", Seq("c" -> "c"))
+    val (nLast, nCtes) = LmOps.lnCtes("pd0", "ne", Seq("n" -> "n"))
+    s"""WITH cc0 AS (
+       |  SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT doc_id, unnest(string_split(COALESCE(text, ''), '')) AS ch
+       |        FROM documents)
+       |  WHERE ch <> '' GROUP BY doc_id, ch),
+       |${cCtes.mkString(",\n")},
+       |pd0 AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+       |    CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(CAST(c AS DOUBLE) * lnc ORDER BY ch)), (a, x) -> a + x) AS clnc
+       |  FROM $cLast GROUP BY doc_id),
+       |${nCtes.mkString(",\n")},
+       |pd AS (SELECT doc_id, n, n_distinct_chars, lnn - clnc / CAST(n AS DOUBLE) AS entropy
+       |       FROM $nLast)
+       |SELECT d.doc_id,
+       |  COALESCE(pd.n, 0) AS n_chars_counted,
+       |  COALESCE(pd.n_distinct_chars, 0) AS n_distinct_chars,
+       |  COALESCE(pd.entropy, 0e0) AS entropy,
+       |  COALESCE(pd.entropy, 0e0) < 1.5 AS low_entropy
+       |FROM documents d LEFT JOIN pd USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   override def all: Seq[Q] = Seq(
     Q("q171_unimax_alloc", q171, Some(q171Sql)),
     Q("q172_truncation_waste", q172, Some(q172Sql)),
@@ -1125,5 +1304,8 @@ object CurationOps extends QueryModule {
     Q("q181_license_mix", q181, Some(q181Sql)),
     Q("q182_vocab_prune", q182, Some(q182Sql)),
     Q("q183_cluster_size_hist", q183, Some(q183Sql)),
-    Q("q184_otsu_threshold", q184, Some(q184Sql)))
+    Q("q184_otsu_threshold", q184, Some(q184Sql)),
+    Q("q186_cdc_chunking", q186, Some(q186Sql)),
+    Q("q187_dup_graph_degree", q187, Some(q187Sql)),
+    Q("q188_char_entropy", q188, Some(q188Sql)))
 }

@@ -242,7 +242,41 @@ object SourceOps extends QueryModule {
     Q("q69_scd2_intervals", q69, Some(q69Sql)),
     Q("q99_orc_roundtrip", q99, Some(q99Sql)),
     Q("q130_snapshot_diff", q130, Some(q130Sql)),
-    Q("q133_compaction_plan", q133, Some(q133Sql)))
+    Q("q133_compaction_plan", q133, Some(q133Sql)),
+    Q("q185_partitioned_layout", q185, Some(q185Sql)))
+
+  /** q185 — hive-partitioned parquet layout round-trip: write the corpus
+    * `partitionBy(lang)`, read it back with a lang predicate, aggregate.
+    * THE storage decision at 100 TB — a lang/date-partitioned lake means
+    * a per-language consumer (CCNet shards, per-lang tokenizers) reads
+    * 1/|langs| of the bytes, enforced by the planner, not by discipline.
+    * The oracle checks content equivalence against the unpartitioned
+    * table; the PLAN property (PartitionFilters prune directories and
+    * `lang` leaves the data schema) is asserted in SourceOpsSpec — the
+    * q02 pushed-filters discipline applied to the directory axis.
+    *
+    * Scale shape: the write shuffles nothing (partitionBy fans out at the
+    * writer); the filtered read lists only lang=en directories; the one
+    * exchange is the |sources|-row aggregate. */
+  private def q185(s: SparkSession, d: String): DataFrame = {
+    val dir = rtDir("pparq", s, d)
+    t(s, d, "documents")
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    s.read.parquet(dir)
+      .filter(col("lang") === "en")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("n_chars"), lit(0L))).as("total_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy("source")
+  }
+  /** def, not val: referenced by `all`, which is declared above. */
+  private def q185Sql =
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT) AS total_chars,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM documents WHERE lang = 'en'
+      |GROUP BY source ORDER BY source""".stripMargin
 
   /** q133 — output-file compaction plan: the small-files planner every
     * petabyte writer runs before `repartition(n_files)` (the classic

@@ -270,4 +270,54 @@ class CurationOpsSpec extends SparkSpec {
     assert(threshold === lo + (hi - lo) * (bk.toDouble / 32.0))
     assert(threshold >= lo && threshold <= hi)
   }
+
+  private def h60Mod16IsZero(tok: String): Boolean = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(tok.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(h.substring(0, 15), 16) % 16 == 0
+  }
+
+  test("q186: chunk count matches a Scala CDC reference; prefix insertion preserves later chunks") {
+    val toks = (1 to 64).map(i => s"w$i")
+    val dirA = writeDocs(Seq(
+      (1L, toks.mkString(" "), "s"),
+      (2L, ("zzz" +: toks).mkString(" "), "s")))   // one-token prefix shift
+    val got = CurationOps.queries("q186_cdc_chunking")(spark, dirA)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // reference: chunk count = boundaries-before-last + 1
+    def nChunks(ts: Seq[String]): Long =
+      1L + ts.dropRight(1).count(h60Mod16IsZero)
+    assert(got(1L)._1 === nChunks(toks))
+    assert(got(2L)._1 === nChunks("zzz" +: toks))
+    // content-defined property: if any boundary exists in the shared
+    // suffix, the chunks after it are identical across the two docs
+    if (toks.exists(h60Mod16IsZero)) {
+      assert(got(1L)._2 > 0L)
+      assert(got(2L)._2 > 0L)
+    }
+  }
+
+  test("q187: degree histogram includes the degree-0 corpus mass") {
+    val dir = writeDocs(Seq(
+      (1L, "a b c d e f", "s"), (2L, "a b c d e x", "s"),  // one J=0.6 edge
+      (3L, "totally different words here now", "s")))
+    val got = CurationOps.queries("q187_dup_graph_degree")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 1L, 1L -> 2L))
+  }
+
+  test("q188: entropy is 0 for degenerate text, ln 2 for a two-char alternation") {
+    val dir = writeDocs(Seq(
+      (1L, "aaaaaaaa", "s"),
+      (2L, "abababab", "s"),
+      (3L, "", "s")))
+    val got = CurationOps.queries("q188_char_entropy")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got(1L)._1 === 8L)
+    assert(math.abs(got(1L)._3) < 1e-12); assert(got(1L)._4)
+    assert(got(2L)._2 === 2L)
+    assert(math.abs(got(2L)._3 - math.log(2.0)) < 1e-9)
+    assert(got(3L) === ((0L, 0L, 0.0, true)))   // empty doc surfaces, H = 0
+  }
 }

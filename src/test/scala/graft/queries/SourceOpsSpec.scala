@@ -69,4 +69,24 @@ class SourceOpsSpec extends SparkSpec {
 
   private def SparkEntry_q69(dir: String) =
     graft.SparkEntry.queries("q69_scd2_intervals")(spark, dir)
+
+  test("q185: lang predicate becomes a PARTITION filter — pruned at listing, not scan") {
+    // Write the partitioned layout via the query itself, then inspect the
+    // filtered read's executed plan: the lang predicate must appear as a
+    // PartitionFilter (directory pruning) and the data ReadSchema must
+    // NOT carry lang (it lives in the directory key).
+    graft.SparkEntry.queries("q185_partitioned_layout")(spark, d).collect()
+    val dir = graft.Scratch.dir("pparq", spark, d)
+    val plan = spark.read.parquet(dir).filter(col("lang") === "en")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"lang must prune partitions:\n$plan")
+    val scanLine = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!scanLine.substring(scanLine.indexOf("ReadSchema")).contains("lang"),
+      s"lang must not be read from data files:\n$scanLine")
+    // and the partition column round-trips as a real column
+    val langs = spark.read.parquet(dir).select("lang").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(langs.nonEmpty)
+  }
 }
