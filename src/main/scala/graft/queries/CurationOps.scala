@@ -1290,6 +1290,187 @@ object CurationOps extends QueryModule {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q189 — T5-style span corruption (Raffel et al. 2020 §3.1.4; the
+  // denoising-objective twin of q136's FIM): replace deterministic token
+  // spans with <extra_id_k> sentinels, emit (input, target) training
+  // pairs. Span starts and lengths come from the portable md5 ticket of
+  // (doc_id, pos) — h % 20 == 0 starts a span (≈5% of positions), length
+  // h % 3 + 2 — so corruption is a pure function of the data (the q93
+  // membership discipline): stable across engines, partitionings, reruns.
+  //
+  // Masking is SEQUENTIAL within a document (a span consumes the next
+  // tokens; spans cannot overlap), so it runs as a position-ordered
+  // `aggregate` fold INSIDE the row — row-local, doc-length-bounded, zero
+  // shuffle beyond the output sort (the q96/q97 class). The oracle states
+  // the same recurrence as WITH RECURSIVE over positions — see the
+  // q189Sql scaladoc for why not list_reduce.
+  // ---------------------------------------------------------------------
+  private def q189(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "documents")
+      .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("toks"))
+      .withColumn("hs", expr(
+        "transform(sequence(0, size(toks) - 1), p -> cast(conv(substring(" +
+          "md5(concat(cast(doc_id as string), '|', cast(p as string))), 1, 15)," +
+          " 16, 10) as bigint))"))
+      .withColumn("acc", expr(
+        """aggregate(
+          |  zip_with(toks, hs, (t, h) -> named_struct('t', t, 'h', h)),
+          |  named_struct('out', cast('' as string), 'tgt', cast('' as string),
+          |    'rem', cast(0 as bigint), 'k', cast(0 as bigint),
+          |    'masked', cast(0 as bigint)),
+          |  (a, x) -> CASE
+          |    WHEN a.rem > 0 THEN named_struct(
+          |      'out', a.out,
+          |      'tgt', concat(a.tgt, ' ', x.t),
+          |      'rem', a.rem - 1, 'k', a.k, 'masked', a.masked + 1)
+          |    WHEN x.h % 20 = 0 THEN named_struct(
+          |      'out', concat(a.out, ' <extra_id_', cast(a.k as string), '>'),
+          |      'tgt', concat(a.tgt, ' <extra_id_', cast(a.k as string), '> ', x.t),
+          |      'rem', x.h % 3 + 1, 'k', a.k + 1, 'masked', a.masked + 1)
+          |    ELSE named_struct(
+          |      'out', concat(a.out, ' ', x.t),
+          |      'tgt', a.tgt, 'rem', a.rem, 'k', a.k, 'masked', a.masked)
+          |  END)""".stripMargin))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        col("acc.masked").as("n_masked"),
+        col("acc.k").as("n_spans"),
+        expr("trim(acc.out)").as("input_text"),
+        expr("trim(acc.tgt)").as("target_text"))
+      .orderBy("doc_id")
+  }
+  /** Oracle note: the natural DuckDB statement of this fold —
+    * `list_reduce` over a per-doc struct list — returned the RIGHT values
+    * per row in isolation but PERMUTED across rows in full-corpus runs on
+    * this DuckDB build (observed at sf0.01: doc A's doc_id/n_tokens next
+    * to doc B's fold result; not reproducible on synthetic minimal
+    * cases). The oracle therefore states the recurrence as WITH RECURSIVE
+    * over positions — one state row per (doc, step), plainly keyed by
+    * doc_id at every step, immune to lambda vectorization alignment. */
+  private val q189Sql =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks
+      |  FROM documents),
+      |tk AS (
+      |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS tok
+      |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t)),
+      |hr AS (
+      |  SELECT doc_id, pos, tok,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'
+      |      || CAST(pos AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM tk),
+      |nd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM hr GROUP BY doc_id),
+      |st AS (
+      |  SELECT doc_id, CAST(-1 AS BIGINT) AS pos, '' AS ot, '' AS tgt,
+      |    CAST(0 AS BIGINT) AS rem, CAST(0 AS BIGINT) AS k,
+      |    CAST(0 AS BIGINT) AS masked
+      |  FROM nd
+      |  UNION ALL
+      |  SELECT s.doc_id, x.pos,
+      |    CASE WHEN s.rem > 0 THEN s.ot
+      |         WHEN x.h % 20 = 0 THEN s.ot || ' <extra_id_' || CAST(s.k AS VARCHAR) || '>'
+      |         ELSE s.ot || ' ' || x.tok END,
+      |    CASE WHEN s.rem > 0 THEN s.tgt || ' ' || x.tok
+      |         WHEN x.h % 20 = 0 THEN s.tgt || ' <extra_id_' || CAST(s.k AS VARCHAR) || '> ' || x.tok
+      |         ELSE s.tgt END,
+      |    CASE WHEN s.rem > 0 THEN s.rem - 1
+      |         WHEN x.h % 20 = 0 THEN x.h % 3 + 1 ELSE s.rem END,
+      |    CASE WHEN s.rem > 0 THEN s.k
+      |         WHEN x.h % 20 = 0 THEN s.k + 1 ELSE s.k END,
+      |    CASE WHEN s.rem > 0 OR x.h % 20 = 0 THEN s.masked + 1 ELSE s.masked END
+      |  FROM st s JOIN hr x ON x.doc_id = s.doc_id AND x.pos = s.pos + 1)
+      |SELECT s.doc_id, nd.n_tokens, s.masked AS n_masked, s.k AS n_spans,
+      |  trim(s.ot) AS input_text, trim(s.tgt) AS target_text
+      |FROM st s JOIN nd ON nd.doc_id = s.doc_id AND s.pos = nd.n_tokens - 1
+      |ORDER BY s.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q190 — hashed-feature collision audit for q135's DSIR buckets: how
+  // many DISTINCT n-grams each of the B = 1024 buckets absorbs, and the
+  // occupancy skew. Hashed features trade collisions for fixed width;
+  // this is the table that says whether B was big enough (mean ≈
+  // vocab/B, a heavy max means a hot bucket is conflating many grams).
+  // One vocabulary-sized DISTINCT aggregation after the gram explode —
+  // the gram census is the only corpus-proportional pass; bucket stats
+  // are B-row arithmetic.
+  // ---------------------------------------------------------------------
+  private def q190(s: SparkSession, d: String): DataFrame = {
+    val B = 1024
+    val toks = t(s, d, "documents")
+      .filter(trim(coalesce(col("text"), lit(""))) =!= "")
+      .select(split(trim(col("text")), "\\s+").as("toks"))
+    val grams = toks.select(
+      explode(concat(col("toks"),
+        when(size(col("toks")) >= 2, expr(
+          "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"))
+          .otherwise(expr("cast(array() as array<string>)")))).as("gram"))
+    grams
+      .groupBy(col("gram")).agg(count(lit(1)).as("occ"))
+      .withColumn("bucket",
+        expr(s"cast(conv(substring(md5(gram), 1, 8), 16, 10) as bigint) % $B"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_distinct_grams"),
+        sum(col("occ")).as("n_occurrences"))
+      .orderBy("bucket")
+  }
+  private val q190Sql =
+    """WITH t AS (
+      |  SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents WHERE trim(COALESCE(text, '')) <> ''),
+      |g AS (
+      |  SELECT unnest(toks) AS gram FROM t
+      |  UNION ALL
+      |  SELECT toks[i] || ' ' || toks[i + 1] AS gram
+      |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      |        FROM t WHERE len(toks) >= 2)),
+      |gc AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS occ FROM g GROUP BY gram)
+      |SELECT ('0x' || substr(md5(gram), 1, 8))::BIGINT % 1024 AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+      |  CAST(SUM(occ) AS BIGINT) AS n_occurrences
+      |FROM gc GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q191 — per-source document-length quantiles (p10/p50/p90 token
+  // counts + exact mean): the per-source length profile a mixture
+  // designer reads next to q120/q171 — a source whose p90 dwarfs its p50
+  // packs badly (q92) and truncates expensively (q172). Exact
+  // interpolated percentiles per source (the q106 percentile/
+  // quantile_cont parity); the mean divides an exact integer sum once.
+  //
+  // Scale note: the grouped percentile buffers one value per group
+  // member — the documented wide-buffer boundary (q103's percentile
+  // class); approx_percentile (q56's tolerance-oracle pattern) is the
+  // swap-in when a single source outgrows an executor.
+  // ---------------------------------------------------------------------
+  private def q191(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "documents")
+      .select(col("source"), wsTokens.as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        expr("percentile(n_tokens, array(0.1D, 0.5D, 0.9D))").as("ps"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        (col("total_tokens").cast("double") / col("n_docs").cast("double")).as("mean_tokens"),
+        expr("element_at(ps, 1)").as("p10"),
+        expr("element_at(ps, 2)").as("p50"),
+        expr("element_at(ps, 3)").as("p90"))
+      .orderBy("source")
+  }
+  private val q191Sql =
+    """WITH d AS (
+      |  SELECT source, CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |g AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |    quantile_cont(n_tokens, [0.1, 0.5, 0.9]) AS ps
+      |  FROM d GROUP BY source)
+      |SELECT source, n_docs, total_tokens,
+      |  CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_tokens,
+      |  ps[1] AS p10, ps[2] AS p50, ps[3] AS p90
+      |FROM g ORDER BY source""".stripMargin
+
   override def all: Seq[Q] = Seq(
     Q("q171_unimax_alloc", q171, Some(q171Sql)),
     Q("q172_truncation_waste", q172, Some(q172Sql)),
@@ -1307,5 +1488,8 @@ object CurationOps extends QueryModule {
     Q("q184_otsu_threshold", q184, Some(q184Sql)),
     Q("q186_cdc_chunking", q186, Some(q186Sql)),
     Q("q187_dup_graph_degree", q187, Some(q187Sql)),
-    Q("q188_char_entropy", q188, Some(q188Sql)))
+    Q("q188_char_entropy", q188, Some(q188Sql)),
+    Q("q189_span_corruption", q189, Some(q189Sql)),
+    Q("q190_bucket_collisions", q190, Some(q190Sql)),
+    Q("q191_source_length_quantiles", q191, Some(q191Sql)))
 }

@@ -320,4 +320,60 @@ class CurationOpsSpec extends SparkSpec {
     assert(math.abs(got(2L)._3 - math.log(2.0)) < 1e-9)
     assert(got(3L) === ((0L, 0L, 0.0, true)))   // empty doc surfaces, H = 0
   }
+
+  test("q189: engine span corruption matches a Scala sequential reference") {
+    val dir = writeDocs((1L to 8L).map(i =>
+      (i, (1 to 40).map(j => s"t${i}_$j").mkString(" "), "s")))
+    def h(doc: Long, p: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$doc|$p".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def ref(doc: Long, toks: Seq[String]): (Long, Long, String, String) = {
+      var (rem, k, masked) = (0L, 0L, 0L)
+      val out = new StringBuilder; val tgt = new StringBuilder
+      toks.zipWithIndex.foreach { case (t, p) =>
+        val hv = h(doc, p)
+        if (rem > 0) { tgt.append(" ").append(t); rem -= 1; masked += 1 }
+        else if (hv % 20 == 0) {
+          out.append(s" <extra_id_$k>"); tgt.append(s" <extra_id_$k> ").append(t)
+          rem = hv % 3 + 1; k += 1; masked += 1
+        } else out.append(" ").append(t)
+      }
+      (masked, k, out.toString.trim, tgt.toString.trim)
+    }
+    val got = CurationOps.queries("q189_span_corruption")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    (1L to 8L).foreach { i =>
+      val toks = (1 to 40).map(j => s"t${i}_$j")
+      assert(got(i) === ref(i, toks), s"doc $i")
+    }
+  }
+
+  test("q190: bucket stats conserve the distinct-gram census") {
+    val dir = writeDocs(Seq(
+      (1L, "a b c a b", "s"), (2L, "c d", "s")))
+    // distinct grams: unigrams {a,b,c,d} + bigrams {"a b","b c","c a","c d"} = 8
+    val rows = CurationOps.queries("q190_bucket_collisions")(spark, dir).collect()
+    assert(rows.map(_.getLong(1)).sum === 8L)
+    // occurrences: 7 unigram tokens + 4+1 bigrams = 12
+    assert(rows.map(_.getLong(2)).sum === 12L)
+    rows.foreach(r => assert(r.getLong(0) >= 0L && r.getLong(0) < 1024L))
+  }
+
+  test("q191: per-source quantiles on a hand-computed distribution") {
+    val dir = writeDocs(Seq(
+      (1L, toks(10), "s"), (2L, toks(20), "s"), (3L, toks(30), "s"),
+      (4L, toks(40), "s"), (5L, toks(50), "s")))
+    val r = CurationOps.queries("q191_source_length_quantiles")(spark, dir)
+      .collect().head
+    assert(r.getLong(1) === 5L)          // n_docs
+    assert(r.getLong(2) === 150L)        // total tokens
+    assert(r.getDouble(3) === 30.0)      // mean
+    assert(r.getDouble(5) === 30.0)      // p50 exact middle
+    // p10 of [10,20,30,40,50]: interpolated at rank 0.4 → 14.0
+    assert(r.getDouble(4) === 14.0)
+    assert(r.getDouble(6) === 46.0)      // p90 → 46.0
+  }
 }
