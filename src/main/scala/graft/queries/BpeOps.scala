@@ -123,31 +123,45 @@ object BpeOps extends QueryModule {
     * earlier steps' expansions), and the rewritten vocabulary CTE. A
     * corpus with fewer than V learnable merges yields NULL trailing
     * rows, filtered to match the trainer's early stop. */
-  private def trainCtes: Seq[String] = {
+  private def trainCtes: Seq[String] = trainCtes("", "TRUE")
+
+  /** Parameterized unrolled-training CTE chain: `pfx` namespaces every
+    * CTE (so two chains can coexist in one oracle — q192), `where`
+    * restricts the training corpus. */
+  private def trainCtes(pfx: String, where: String): Seq[String] = {
     val head = Seq(
-      """w AS (
-        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
-        |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
-        |        FROM documents)
-        |  WHERE length(word) >= 2 GROUP BY word)""".stripMargin,
-      "m0 AS (SELECT word, freq FROM w)")
+      s"""${pfx}w AS (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+         |        FROM documents WHERE $where)
+         |  WHERE length(word) >= 2 GROUP BY word)""".stripMargin,
+      s"${pfx}m0 AS (SELECT word, freq FROM ${pfx}w)")
     val steps = (0 until OracleMerges).flatMap { i =>
       val expand = (0 until i).foldLeft("pair") { (acc, j) =>
-        s"replace($acc, chr(${SymBase + j}), (SELECT exp FROM e$j))"
+        s"replace($acc, chr(${SymBase + j}), (SELECT exp FROM ${pfx}e$j))"
       }
       Seq(
-        s"""p$i AS (
+        s"""${pfx}p$i AS (
            |  SELECT substr(word, j, 2) AS pair, freq
            |  FROM (SELECT word, freq, unnest(generate_series(1, length(word) - 1)) AS j
-           |        FROM m$i WHERE length(word) >= 2))""".stripMargin,
-        s"""t$i AS (
-           |  SELECT pair, CAST(SUM(freq) AS BIGINT) AS pc FROM p$i GROUP BY pair
+           |        FROM ${pfx}m$i WHERE length(word) >= 2))""".stripMargin,
+        s"""${pfx}t$i AS (
+           |  SELECT pair, CAST(SUM(freq) AS BIGINT) AS pc FROM ${pfx}p$i GROUP BY pair
            |  ORDER BY SUM(freq) DESC, pair LIMIT 1)""".stripMargin,
-        s"e$i AS (SELECT $expand AS exp FROM t$i)",
-        s"m${i + 1} AS (SELECT replace(word, (SELECT pair FROM t$i), " +
-          s"chr(${SymBase + i})) AS word, freq FROM m$i)")
+        s"${pfx}e$i AS (SELECT $expand AS exp FROM ${pfx}t$i)",
+        s"${pfx}m${i + 1} AS (SELECT replace(word, (SELECT pair FROM ${pfx}t$i), " +
+          s"chr(${SymBase + i})) AS word, freq FROM ${pfx}m$i)")
     }
     head ++ steps
+  }
+
+  /** The per-chain merged-list SELECT (q104's final shape, namespaced). */
+  private def mergeListSql(pfx: String): String = {
+    val union = (0 until OracleMerges).map { i =>
+      s"SELECT $i AS step, (SELECT exp FROM ${pfx}e$i) AS merged, " +
+        s"(SELECT pc FROM ${pfx}t$i) AS pair_count"
+    }.mkString(" UNION ALL ")
+    s"SELECT * FROM ($union) WHERE pair_count IS NOT NULL"
   }
   private def q104Sql: String = {
     val union = (0 until OracleMerges).map { i =>
@@ -491,10 +505,62 @@ object BpeOps extends QueryModule {
        |FROM $last ORDER BY piece""".stripMargin
   }
 
+  /** q192: cross-subset tokenizer agreement — train the SAME BPE
+    * procedure on two disjoint language subsets (en vs fr documents) and
+    * measure merge-table agreement: common merged tokens, Jaccard, and
+    * same-merge-at-same-rank count. The "can these corpora share a
+    * tokenizer" diagnostic (Rust et al. 2021 ask exactly this of
+    * multilingual vocabularies); low overlap means a shared vocab spends
+    * its budget twice. Training is the driver-looped [[trainBpe]] (the
+    * q104 convention — V iterations of vocabulary-sized work; the corpus
+    * contributes one word-frequency pass PER SUBSET); the oracle unrolls
+    * BOTH chains with namespaced CTEs and restates the set arithmetic.
+    * Spark-side set ops run on two V-element driver lists — bounded by
+    * the merge budget, not the corpus. */
+  private def q192(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def wf(lang: String) = Tables(s, d, "documents")
+      .filter(col("lang") === lang)
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val a = trainBpe(wf("en"), OracleMerges).map(_.merged)
+    val b = trainBpe(wf("fr"), OracleMerges).map(_.merged)
+    val common = a.toSet.intersect(b.toSet).size.toLong
+    val union = a.toSet.union(b.toSet).size.toLong
+    val sameRank = a.zip(b).count { case (x, y) => x == y }.toLong
+    Seq((OracleMerges.toLong, a.size.toLong, b.size.toLong, common,
+        if (union > 0) common.toDouble / union.toDouble else 0.0, sameRank))
+      .toDF("v", "n_merges_a", "n_merges_b", "n_common", "jaccard", "n_same_rank")
+  }
+  private def q192Sql: String = {
+    val chainA = trainCtes("a", "lang = 'en'")
+    val chainB = trainCtes("b", "lang = 'fr'")
+    s"""WITH ${(chainA ++ chainB).mkString(",\n")},
+       |la AS (${mergeListSql("a")}),
+       |lb AS (${mergeListSql("b")}),
+       |st AS (
+       |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM la) AS n_merges_a,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lb) AS n_merges_b,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM
+       |       (SELECT merged FROM la INTERSECT SELECT merged FROM lb)) AS n_common,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM
+       |       (SELECT merged FROM la UNION SELECT merged FROM lb)) AS n_union,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM la JOIN lb USING (step)
+       |       WHERE la.merged = lb.merged) AS n_same_rank)
+       |SELECT CAST($OracleMerges AS BIGINT) AS v, n_merges_a, n_merges_b, n_common,
+       |  CASE WHEN n_union > 0
+       |    THEN CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) ELSE 0e0 END AS jaccard,
+       |  n_same_rank
+       |FROM st""".stripMargin
+  }
+
+
   val all: Seq[Q] = Seq(
     Q("q104_bpe_train", q104, Some(q104Sql)),
     Q("q105_bpe_encode", q105, Some(q105Sql)),
     Q("q116_tokenizer_fertility", q116, Some(q116Sql)),
     Q("q122_unigram_viterbi", q122, Some(q122Sql)),
-    Q("q129_unigram_em", q129, Some(q129Sql)))
+    Q("q129_unigram_em", q129, Some(q129Sql)),
+    Q("q192_tokenizer_transfer", q192, Some(q192Sql)))
 }

@@ -1471,6 +1471,128 @@ object CurationOps extends QueryModule {
       |  ps[1] AS p10, ps[2] AS p50, ps[3] AS p90
       |FROM g ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q193 — dedup-strategy cost estimator: the planner table that says, at
+  // THIS corpus's measured stats, how many rows and bytes each dedup
+  // pass's one corpus-wide shuffle moves and how many corpus passes it
+  // costs. The row/byte formulas restate the engine's own audited plan
+  // shapes (q26's md5 doc keys, q98's md5 line keys, q28's 4 band rows
+  // per doc, q94's xxh64 8-gram index) — the 100 TB cost model made
+  // explicit and queryable instead of living in scaladoc. One corpus
+  // aggregation to three scalars; the strategy table is a 4-row literal
+  // explode over arithmetic on those scalars.
+  // ---------------------------------------------------------------------
+  private def q193(s: SparkSession, d: String): DataFrame = {
+    val stats = t(s, d, "documents")
+      .select(wsTokens.as("tk"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("total_tokens"),
+        sum(expr("(tk + 7) div 8")).as("total_lines"),
+        sum(greatest(col("tk") - 7, lit(0L))).as("total_grams"))
+    stats.select(explode(expr(
+        """array(
+          |  named_struct('strategy', 'exact_doc_md5',
+          |    'shuffle_rows', n_docs, 'key_bytes', 32L, 'corpus_passes', 1L),
+          |  named_struct('strategy', 'line_dedup_md5',
+          |    'shuffle_rows', total_lines, 'key_bytes', 32L, 'corpus_passes', 1L),
+          |  named_struct('strategy', 'minhash_lsh_bands',
+          |    'shuffle_rows', n_docs * 4, 'key_bytes', 40L, 'corpus_passes', 1L),
+          |  named_struct('strategy', 'substring_gram_xxh64',
+          |    'shuffle_rows', total_grams, 'key_bytes', 8L, 'corpus_passes', 2L))"""
+          .stripMargin)).as("x"))
+      .select(col("x.strategy").as("strategy"),
+        col("x.shuffle_rows").as("shuffle_rows"),
+        col("x.key_bytes").as("key_bytes"),
+        (col("x.shuffle_rows").cast("double") * col("x.key_bytes").cast("double")
+          / lit(1048576.0)).as("est_shuffle_mb"),
+        col("x.corpus_passes").as("corpus_passes"))
+      .orderBy("strategy")
+  }
+  private val q193Sql =
+    """WITH st AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(tk) AS BIGINT) AS total_tokens,
+      |    CAST(SUM((tk + 7) // 8) AS BIGINT) AS total_lines,
+      |    CAST(SUM(GREATEST(tk - 7, 0)) AS BIGINT) AS total_grams
+      |  FROM (SELECT CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS tk
+      |        FROM documents)),
+      |rows_ AS (
+      |  SELECT 'exact_doc_md5' AS strategy, n_docs AS shuffle_rows,
+      |    CAST(32 AS BIGINT) AS key_bytes, CAST(1 AS BIGINT) AS corpus_passes FROM st
+      |  UNION ALL
+      |  SELECT 'line_dedup_md5', total_lines, 32, 1 FROM st
+      |  UNION ALL
+      |  SELECT 'minhash_lsh_bands', n_docs * 4, 40, 1 FROM st
+      |  UNION ALL
+      |  SELECT 'substring_gram_xxh64', total_grams, 8, 2 FROM st)
+      |SELECT strategy, shuffle_rows, key_bytes,
+      |  CAST(shuffle_rows AS DOUBLE) * CAST(key_bytes AS DOUBLE) / 1048576e0
+      |    AS est_shuffle_mb,
+      |  corpus_passes
+      |FROM rows_ ORDER BY strategy""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q194 — word2vec negative-sampling table (Mikolov et al. 2013 §2.2:
+  // sample negatives ∝ count^0.75): the top-100 words by frequency with
+  // their damped weights and renormalized probabilities — the serving
+  // table a skip-gram trainer draws from (truncated to top-K, the common
+  // serving approximation; renormalization is over the emitted table).
+  // count^0.75 = exp(0.75·ln count) through the PortableLn → PortableExp
+  // pipeline, so every weight is bit-identical in DuckDB (a naive
+  // pow(x, 0.75) is not). The probability normalizer is a rank-ordered
+  // fold over the 100-row table (q143's bounded-fold class); rank itself
+  // is sorted-array position — no window anywhere.
+  //
+  // Scale shape: ONE corpus word count (map-side absorbed) →
+  // TakeOrderedAndProject(100) → 100-row arithmetic.
+  // ---------------------------------------------------------------------
+  private def q194(s: SparkSession, d: String): DataFrame = {
+    val top = t(s, d, "documents")
+      .select(explode(split(coalesce(col("text"), lit("")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(100)
+    val ranked = top
+      .agg(expr("array_sort(collect_list(struct(-cnt as nc, word, cnt)))").as("xs"))
+      .select(posexplode(col("xs")).as(Seq("i", "x")))
+      .select((col("i") + 1).cast("long").as("rank"),
+        col("x.word").as("word"), col("x.cnt").as("cnt"))
+    val staged = (LmOps.PortableLn.steps("cnt", "w", spark = true) ++
+      LmOps.PortableExp.steps("(75e-2 * lnw)", "ng", spark = true))
+      .foldLeft(ranked) { case (df, (n, e)) => df.withColumn(n, expr(e)) }
+      .withColumn("weight", col("expng"))
+      .localCheckpoint(true) // consumers: normalizer fold + final select
+    val tot = staged.agg(
+      expr("aggregate(array_sort(collect_list(struct(rank, weight)))," +
+        " cast(0 as double), (a, x) -> a + x.weight)").as("total_w"))
+    Scalars.withScalar(staged, tot)
+      .select(col("rank"), col("word"), col("cnt"), col("weight"),
+        (col("weight") / col("total_w")).as("prob"))
+      .orderBy("rank")
+  }
+  private def q194Sql: String = {
+    val (lnLast, lnC) = LmOps.lnCtes("r0", "nl", Seq("cnt" -> "w"))
+    val (expLast, expC) = LmOps.expCtes(lnLast, "xp", Seq("(75e-2 * lnw)" -> "ng"))
+    s"""WITH wc AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(string_split(COALESCE(text, ''), ' ')) AS word
+       |        FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |r0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS rank,
+       |    word, cnt
+       |  FROM (SELECT word, cnt FROM wc ORDER BY cnt DESC, word LIMIT 100)),
+       |${lnC.mkString(",\n")},
+       |${expC.mkString(",\n")},
+       |w AS (SELECT rank, word, cnt, expng AS weight FROM $expLast),
+       |tw AS (
+       |  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE), list(weight ORDER BY rank)),
+       |    (a, x) -> a + x) AS total_w
+       |  FROM w)
+       |SELECT rank, word, cnt, weight,
+       |  weight / (SELECT total_w FROM tw) AS prob
+       |FROM w ORDER BY rank""".stripMargin
+  }
+
   override def all: Seq[Q] = Seq(
     Q("q171_unimax_alloc", q171, Some(q171Sql)),
     Q("q172_truncation_waste", q172, Some(q172Sql)),
@@ -1491,5 +1613,7 @@ object CurationOps extends QueryModule {
     Q("q188_char_entropy", q188, Some(q188Sql)),
     Q("q189_span_corruption", q189, Some(q189Sql)),
     Q("q190_bucket_collisions", q190, Some(q190Sql)),
-    Q("q191_source_length_quantiles", q191, Some(q191Sql)))
+    Q("q191_source_length_quantiles", q191, Some(q191Sql)),
+    Q("q193_dedup_cost_model", q193, Some(q193Sql)),
+    Q("q194_negative_sampling", q194, Some(q194Sql)))
 }

@@ -376,4 +376,41 @@ class CurationOpsSpec extends SparkSpec {
     assert(r.getDouble(4) === 14.0)
     assert(r.getDouble(6) === 46.0)      // p90 → 46.0
   }
+
+  test("q192: BPE merge-table agreement across language subsets") {
+    val dir = java.nio.file.Files.createTempDirectory("bpexfer").toString
+    Seq((1L, "ab ab ab", "en", "s"), (2L, "ab cd", "fr", "s"))
+      .map { case (id, tx, lg, src) => (id, tx, lg, src, tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // en learns [ab]; fr learns [ab, cd] → common 1, union 2, same-rank 1
+    val r = BpeOps.queries("q192_tokenizer_transfer")(spark, dir).collect().head
+    assert(r.getLong(1) === 1L)          // n_merges_a
+    assert(r.getLong(2) === 2L)          // n_merges_b
+    assert(r.getLong(3) === 1L)          // n_common
+    assert(r.getDouble(4) === 0.5)       // jaccard
+    assert(r.getLong(5) === 1L)          // same merge at same rank
+  }
+
+  test("q193: cost model restates the corpus stats exactly") {
+    val dir = writeDocs(Seq((1L, toks(10), "s"), (2L, toks(20), "s")))
+    val got = CurationOps.queries("q193_dedup_cost_model")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4))))
+      .toMap
+    assert(got("exact_doc_md5") === ((2L, 32L, 1L)))
+    assert(got("line_dedup_md5") === ((5L, 32L, 1L)))      // ceil(10/8)+ceil(20/8)
+    assert(got("minhash_lsh_bands") === ((8L, 40L, 1L)))   // 2 docs × 4 bands
+    assert(got("substring_gram_xxh64") === ((16L, 8L, 2L))) // 3 + 13 grams
+  }
+
+  test("q194: damped weights follow count^0.75 and probabilities normalize") {
+    val dir = writeDocs(Seq((1L, "a a a a a a a a b b b c", "s")))
+    val rows = CurationOps.queries("q194_negative_sampling")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._2).toSeq === Seq("a", "b", "c"))    // rank by cnt desc
+    rows.foreach { case (_, _, cnt, w, _) =>
+      assert(math.abs(w - math.pow(cnt.toDouble, 0.75)) < 1e-9) }
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-12)
+  }
 }
