@@ -1593,6 +1593,121 @@ object CurationOps extends QueryModule {
        |FROM w ORDER BY rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q195 — repetition-loop detection: the degenerate-generation signal
+  // (model-written spam loops "a b a b a b…"; OpenWebMath/RefinedWeb both
+  // strip it) — smallest full-sequence token period p ≤ 16, plus the
+  // longest same-token run (q91 counts n-gram mass; this detects exact
+  // PERIODICITY, which mass stats miss at low duplication). Strictly
+  // row-local HOF work (O(16·len) period probe + one change-point scan);
+  // the only exchange is the output sort. Spark's sequence(1, 0) DESCENDS
+  // — both short-doc branches are CASE-guarded identically in the oracle
+  // even where DuckDB's generate_series would degrade gracefully.
+  // ---------------------------------------------------------------------
+  private def q195(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "documents")
+      .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("period", expr(
+        """CASE WHEN n < 2 THEN 0L ELSE coalesce(array_min(filter(
+          |  sequence(1, cast(least(16L, n - 1) as int)),
+          |  p -> size(filter(sequence(p, cast(n as int) - 1),
+          |    i -> element_at(toks, i + 1) <> element_at(toks, i - p + 1))) = 0)),
+          |  0) END""".stripMargin).cast("long"))
+      .withColumn("cps", expr(
+        """concat(array(0),
+          |  CASE WHEN n >= 2 THEN filter(sequence(1, cast(n as int) - 1),
+          |    i -> element_at(toks, i + 1) <> element_at(toks, i))
+          |  ELSE cast(array() as array<int>) END,
+          |  array(cast(n as int)))""".stripMargin))
+      .withColumn("longest_run", expr(
+        """array_max(zip_with(slice(cps, 2, size(cps) - 1),
+          |  slice(cps, 1, size(cps) - 1), (a, b) -> a - b))""".stripMargin)
+        .cast("long"))
+      .select(col("doc_id"), col("n").as("n_tokens"), col("period"),
+        col("longest_run"),
+        (col("period") > 0 || col("longest_run") >= 8).as("is_loopy"))
+      .orderBy("doc_id")
+  }
+  private val q195Sql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks,
+      |    CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS n
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, n,
+      |    CASE WHEN n < 2 THEN 0 ELSE COALESCE(list_min(list_filter(
+      |      range(1, CAST(LEAST(16, n - 1) AS INTEGER) + 1),
+      |      p -> len(list_filter(range(p, CAST(n AS INTEGER)),
+      |        i -> toks[i + 1] <> toks[i - p + 1])) = 0)), 0) END AS period,
+      |    list_concat(list_concat([0],
+      |      CASE WHEN n >= 2 THEN list_filter(range(1, CAST(n AS INTEGER)),
+      |        i -> toks[i + 1] <> toks[i]) ELSE [] END),
+      |      [CAST(n AS INTEGER)]) AS cps
+      |  FROM t)
+      |SELECT doc_id, n AS n_tokens, CAST(period AS BIGINT) AS period,
+      |  CAST(list_max(list_transform(range(2, len(cps) + 1),
+      |    j -> cps[j] - cps[j - 1])) AS BIGINT) AS longest_run,
+      |  (period > 0 OR list_max(list_transform(range(2, len(cps) + 1),
+      |    j -> cps[j] - cps[j - 1])) >= 8) AS is_loopy
+      |FROM p ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q196 — dedup-aware cross-validation folds: k-fold assignment keyed on
+  // the near-dup CLUSTER's md5 ticket, not the document's — every doc in
+  // a connected near-dup component lands in the SAME fold, so no
+  // validation fold ever scores a near-copy of a training doc (the
+  // canonical eval-leakage mistake; Lee et al. 2022 §6 measure exactly
+  // this inflation). `cross_fold_edges` is the PROOF column: verified
+  // near-dup edges crossing folds — zero by construction, recomputed, not
+  // assumed. Composition over q42's components and q27's pairs; oracle
+  // embeds both siblings' SQL.
+  //
+  // Scale shape: fold id is row-local ticket arithmetic on the cluster
+  // key; the audit join is pairs-sized; the fold rollup is a K-row
+  // aggregate behind the enforced ≤1-row scalar attach.
+  // ---------------------------------------------------------------------
+  private def q196(s: SparkSession, d: String): DataFrame = {
+    val K = 5
+    // Consumers: fold rollup + two sides of the edge audit.
+    val folds = graft.SparkEntry.queries("q42_dup_clusters")(s, d)
+      .select(col("doc_id"), col("cluster_id"))
+      .withColumn("fold", expr(
+        s"cast(conv(substring(md5(concat('f|', cast(cluster_id as string)))," +
+          s" 1, 15), 16, 10) as bigint) % $K"))
+      .localCheckpoint(true)
+    val pairs = DedupOps.verifiedPairs(s, d).select(col("doc_a"), col("doc_b"))
+    val crossEdges = pairs
+      .join(folds.select(col("doc_id").as("doc_a"), col("fold").as("fa")), "doc_a")
+      .join(folds.select(col("doc_id").as("doc_b"), col("fold").as("fb")), "doc_b")
+      .agg(count(when(col("fa") =!= col("fb"), 1)).as("cross_fold_edges"))
+    Scalars.withScalar(
+        folds.groupBy(col("fold"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("cluster_id")).as("n_clusters")),
+        crossEdges)
+      .orderBy("fold")
+  }
+  private def q196Sql: String = {
+    val c = PipelineOps.oracleSql("q42_dup_clusters")
+    val pr = DedupOps.oracleSql("q27_dedup_ngram_jaccard")
+    s"""WITH c AS ($c), pr AS ($pr),
+       |f AS (
+       |  SELECT doc_id, cluster_id,
+       |    ('0x' || substr(md5('f|' || CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT % 5
+       |      AS fold
+       |  FROM c),
+       |x AS (
+       |  SELECT CAST(COUNT(*) FILTER (WHERE fa.fold <> fb.fold) AS BIGINT)
+       |    AS cross_fold_edges
+       |  FROM pr JOIN f fa ON fa.doc_id = pr.doc_a
+       |          JOIN f fb ON fb.doc_id = pr.doc_b)
+       |SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       |  (SELECT cross_fold_edges FROM x) AS cross_fold_edges
+       |FROM f GROUP BY fold ORDER BY fold""".stripMargin
+  }
+
   override def all: Seq[Q] = Seq(
     Q("q171_unimax_alloc", q171, Some(q171Sql)),
     Q("q172_truncation_waste", q172, Some(q172Sql)),
@@ -1615,5 +1730,7 @@ object CurationOps extends QueryModule {
     Q("q190_bucket_collisions", q190, Some(q190Sql)),
     Q("q191_source_length_quantiles", q191, Some(q191Sql)),
     Q("q193_dedup_cost_model", q193, Some(q193Sql)),
-    Q("q194_negative_sampling", q194, Some(q194Sql)))
+    Q("q194_negative_sampling", q194, Some(q194Sql)),
+    Q("q195_repetition_loops", q195, Some(q195Sql)),
+    Q("q196_dedup_aware_folds", q196, Some(q196Sql)))
 }

@@ -413,4 +413,33 @@ class CurationOpsSpec extends SparkSpec {
       assert(math.abs(w - math.pow(cnt.toDouble, 0.75)) < 1e-9) }
     assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-12)
   }
+
+  test("q195: periods, runs, and the single-token degenerate") {
+    val dir = writeDocs(Seq(
+      (1L, "a b a b a b a b", "s"),             // period 2, run 1
+      (2L, "x x x x x x x x x", "s"),           // period 1, run 9
+      (3L, "a b c d e f g h i", "s"),           // aperiodic, run 1
+      (4L, "solo", "s"),                        // n=1: no period
+      (5L, "a a a b a a a b", "s")))            // period 4, run 3
+    val got = CurationOps.queries("q195_repetition_loops")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(1L) === ((8L, 2L, 1L, true)))
+    assert(got(2L) === ((9L, 1L, 9L, true)))
+    assert(got(3L) === ((9L, 0L, 1L, false)))
+    assert(got(4L) === ((1L, 0L, 1L, false)))
+    assert(got(5L) === ((8L, 4L, 3L, true)))
+  }
+
+  test("q196: near-dup cluster members share a fold; zero cross-fold edges") {
+    val dir = writeDocs(Seq(
+      (1L, "a b c d e f", "s"), (2L, "a b c d e x", "s"),  // one J=0.6 edge
+      (3L, "totally different words here now", "s"),
+      (4L, "another unrelated document text body", "s")))
+    val rows = CurationOps.queries("q196_dedup_aware_folds")(spark, dir).collect()
+    assert(rows.map(_.getLong(1)).sum === 4L)              // all docs assigned
+    rows.foreach(r => assert(r.getLong(3) === 0L))         // proof column
+    // docs 1 and 2 share cluster → same fold: clusters counted once
+    assert(rows.map(_.getLong(2)).sum === 3L)              // 3 distinct clusters
+  }
 }
