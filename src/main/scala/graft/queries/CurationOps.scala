@@ -484,7 +484,9 @@ object CurationOps extends QueryModule {
   private[queries] def shardsFor(n: Long): Int =
     java.lang.Long.highestOneBit(math.max(4L, math.sqrt(n.toDouble).toLong)).toInt
 
-  private def q177(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, source, shard) via the q93-class two-level rank — shared by
+    * q177 (balance matrix) and q199 (shard manifest). */
+  private def shardAssignments(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = t(s, d, "documents").count()
     val kPfx = PipelineOps.ticketPrefixFor(n)
@@ -505,7 +507,12 @@ object CurationOps extends QueryModule {
     tickets
       .withColumn("local_rnk", row_number().over(wLocal).cast("bigint"))
       .join(offsets, Seq("source", "bucket"))
-      .withColumn("shard", (col("bucket_offset") + col("local_rnk") - 1) % nShards)
+      .select(col("doc_id"), col("source"),
+        ((col("bucket_offset") + col("local_rnk") - 1) % nShards).as("shard"))
+  }
+
+  private def q177(s: SparkSession, d: String): DataFrame = {
+    shardAssignments(s, d)
       .groupBy(col("shard"), col("source"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("shard", "source")
@@ -1708,6 +1715,164 @@ object CurationOps extends QueryModule {
        |FROM f GROUP BY fold ORDER BY fold""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q197 — LLM-watermark detection (Kirchenbauer et al. 2023: a
+  // watermarking sampler boosts a context-seeded "green list"; the
+  // detector z-tests the green fraction against the p = 1/2 null). Green
+  // membership here is the portable h60 parity of the (prev|cur) bigram
+  // — the same context-seeded-hash construction, engine-exact — so
+  // z = (2g − n)/√n is bit-identical in DuckDB (one correctly-rounded
+  // sqrt + one division). Training corpora now screen for watermarked
+  // model output; human text sits at |z| ≈ O(1), watermarked text at
+  // z ≫ 4. Strictly row-local (the q96/q145 class); docs with < 2 tokens
+  // surface with n = 0, z = 0.
+  // ---------------------------------------------------------------------
+  private def q197(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "documents")
+      .select(col("doc_id"), split(trim(coalesce(col("text"), lit(""))), "\\s+").as("toks"))
+      .withColumn("n", greatest(size(col("toks")) - 1, lit(0)).cast("long"))
+      .withColumn("g", expr(
+        """CASE WHEN size(toks) >= 2 THEN size(filter(sequence(1, size(toks) - 1),
+          |  i -> cast(conv(substring(md5(concat(element_at(toks, i), '|',
+          |    element_at(toks, i + 1))), 1, 15), 16, 10) as bigint) % 2 = 0))
+          |ELSE 0 END""".stripMargin).cast("long"))
+      .withColumn("green_frac", when(col("n") > 0,
+        col("g").cast("double") / col("n").cast("double")).otherwise(lit(0.0)))
+      .withColumn("z", when(col("n") > 0,
+        (col("g") * 2 - col("n")).cast("double") / sqrt(col("n").cast("double")))
+        .otherwise(lit(0.0)))
+      .select(col("doc_id"), col("n").as("n_transitions"), col("g").as("n_green"),
+        col("green_frac"), col("z"), (col("z") >= 4.0).as("watermark_flag"))
+      .orderBy("doc_id")
+  }
+  private val q197Sql =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(COALESCE(text, '')), '\s+') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    CAST(GREATEST(len(toks) - 1, 0) AS BIGINT) AS n,
+      |    CAST(CASE WHEN len(toks) >= 2 THEN len(list_filter(range(1, len(toks)),
+      |      i -> ('0x' || substr(md5(toks[i] || '|' || toks[i + 1]), 1, 15))::BIGINT % 2 = 0))
+      |    ELSE 0 END AS BIGINT) AS g
+      |  FROM t)
+      |SELECT doc_id, n AS n_transitions, g AS n_green,
+      |  CASE WHEN n > 0 THEN CAST(g AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0e0 END
+      |    AS green_frac,
+      |  CASE WHEN n > 0 THEN CAST(g * 2 - n AS DOUBLE) / sqrt(CAST(n AS DOUBLE))
+      |    ELSE 0e0 END AS z,
+      |  (CASE WHEN n > 0 THEN CAST(g * 2 - n AS DOUBLE) / sqrt(CAST(n AS DOUBLE))
+      |    ELSE 0e0 END) >= 4e0 AS watermark_flag
+      |FROM g ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q198 — per-source common-prefix boilerplate probe: the longest prefix
+  // shared by EVERY document of a source (scraper headers, injected
+  // banners). Computed exactly in ONE aggregation pass via the
+  // lexicographic min/max trick: the common prefix of all strings in a
+  // set equals the common prefix of its lexicographic min and max — so
+  // the corpus contributes min/max/count per source and the O(len) prefix
+  // scan runs on |sources| rows. Both engines compare strings bytewise,
+  // the q99 min/max parity.
+  // ---------------------------------------------------------------------
+  private def q198(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "documents")
+      .select(col("source"), coalesce(col("text"), lit("")).as("txt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), min(col("txt")).as("lo"), max(col("txt")).as("hi"))
+      .withColumn("m", least(length(col("lo")), length(col("hi"))))
+      .withColumn("lcp_len", expr(
+        """CASE WHEN m < 1 THEN 0L ELSE cast(coalesce(array_min(filter(
+          |  sequence(1, m), i -> substring(lo, i, 1) <> substring(hi, i, 1))),
+          |  m + 1) - 1 as bigint) END""".stripMargin))
+      .select(col("source"), col("n_docs"), col("lcp_len"),
+        expr("substring(lo, 1, cast(lcp_len as int))").as("lcp_text"))
+      .orderBy("source")
+  }
+  private val q198Sql =
+    """WITH g AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    MIN(COALESCE(text, '')) AS lo, MAX(COALESCE(text, '')) AS hi
+      |  FROM documents GROUP BY source),
+      |m AS (SELECT *, LEAST(length(lo), length(hi)) AS m FROM g),
+      |l AS (
+      |  SELECT *, CASE WHEN m < 1 THEN 0 ELSE COALESCE(list_min(list_filter(
+      |    range(1, CAST(m AS INTEGER) + 1),
+      |    i -> substr(lo, i, 1) <> substr(hi, i, 1))), m + 1) - 1 END AS lcp_len
+      |  FROM m)
+      |SELECT source, n_docs, CAST(lcp_len AS BIGINT) AS lcp_len,
+      |  substr(lo, 1, CAST(lcp_len AS INTEGER)) AS lcp_text
+      |FROM l ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q199 — training-shard manifest: per interleaved shard (q177's
+  // assignment, shared via [[shardAssignments]]), the doc/token totals,
+  // source count, and the source-mix entropy H = ln T − (Σ c·ln c)/T over
+  // per-source doc counts — the manifest a dataloader publishes so every
+  // rank can assert it reads the same mix (near-equal entropy across
+  // shards IS the interleaving guarantee, stated as data). Both ln
+  // instances take integers → PortableLn bit-parity; the per-shard fold
+  // is source-ordered and |sources|-bounded. Oracle states the one-level
+  // per-source rank (hash equality again proving the two-level
+  // decomposition) plus the same staged-ln arithmetic.
+  // ---------------------------------------------------------------------
+  private def q199(s: SparkSession, d: String): DataFrame = {
+    val docTok = t(s, d, "documents").select(col("doc_id"), wsTokens.as("tok"))
+    val bySrc = shardAssignments(s, d)
+      .join(docTok, "doc_id")
+      .groupBy(col("shard"), col("source"))
+      .agg(count(lit(1)).as("c"), sum(col("tok")).as("src_tokens"))
+    val lnc = LmOps.PortableLn.steps("c", "m", spark = true)
+      .foldLeft(bySrc) { case (df, (n, e)) => df.withColumn(n, expr(e)) }
+    val perShard = lnc.groupBy(col("shard"))
+      .agg(sum(col("c")).as("t"),
+        sum(col("src_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_sources"),
+        expr("aggregate(array_sort(collect_list(struct(source, c, lnm)))," +
+          " cast(0 as double), (a, x) -> a + cast(x.c as double) * x.lnm)").as("clnc"))
+    LmOps.PortableLn.steps("t", "t", spark = true)
+      .foldLeft(perShard) { case (df, (n, e)) => df.withColumn(n, expr(e)) }
+      .select(col("shard"), col("t").as("n_docs"), col("n_tokens"), col("n_sources"),
+        expr("lnt - clnc / cast(t as double)").as("mix_entropy"))
+      .orderBy("shard")
+  }
+  private def q199Sql: String = {
+    val (cLast, cCtes) = LmOps.lnCtes("bs", "sm", Seq("c" -> "m"))
+    val (tLast, tCtes) = LmOps.lnCtes("ps", "nt", Seq("t" -> "t"))
+    s"""WITH params AS (
+       |  SELECT GREATEST(4, 1 << (LENGTH(BIN(CAST(FLOOR(SQRT(CAST(
+       |    GREATEST(COUNT(*), 4) AS DOUBLE))) AS BIGINT))) - 1)) AS s
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, source,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY md5(COALESCE(source, '') || '|' || CAST(doc_id AS VARCHAR)),
+       |        doc_id) AS rnk
+       |  FROM documents),
+       |a AS (
+       |  SELECT r.doc_id, r.source, (rnk - 1) % (SELECT s FROM params) AS shard
+       |  FROM r),
+       |dt AS (
+       |  SELECT doc_id, CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS tok
+       |  FROM documents),
+       |bs AS (
+       |  SELECT shard, a.source, CAST(COUNT(*) AS BIGINT) AS c,
+       |    CAST(SUM(tok) AS BIGINT) AS src_tokens
+       |  FROM a JOIN dt USING (doc_id) GROUP BY shard, a.source),
+       |${cCtes.mkString(",\n")},
+       |ps AS (
+       |  SELECT shard, CAST(SUM(c) AS BIGINT) AS t,
+       |    CAST(SUM(src_tokens) AS BIGINT) AS n_tokens,
+       |    CAST(COUNT(*) AS BIGINT) AS n_sources,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(CAST(c AS DOUBLE) * lnm ORDER BY source)), (a, x) -> a + x) AS clnc
+       |  FROM $cLast GROUP BY shard),
+       |${tCtes.mkString(",\n")}
+       |SELECT shard, t AS n_docs, n_tokens, n_sources,
+       |  lnt - clnc / CAST(t AS DOUBLE) AS mix_entropy
+       |FROM $tLast ORDER BY shard""".stripMargin
+  }
+
   override def all: Seq[Q] = Seq(
     Q("q171_unimax_alloc", q171, Some(q171Sql)),
     Q("q172_truncation_waste", q172, Some(q172Sql)),
@@ -1732,5 +1897,8 @@ object CurationOps extends QueryModule {
     Q("q193_dedup_cost_model", q193, Some(q193Sql)),
     Q("q194_negative_sampling", q194, Some(q194Sql)),
     Q("q195_repetition_loops", q195, Some(q195Sql)),
-    Q("q196_dedup_aware_folds", q196, Some(q196Sql)))
+    Q("q196_dedup_aware_folds", q196, Some(q196Sql)),
+    Q("q197_watermark_detect", q197, Some(q197Sql)),
+    Q("q198_source_prefix", q198, Some(q198Sql)),
+    Q("q199_shard_manifest", q199, Some(q199Sql)))
 }

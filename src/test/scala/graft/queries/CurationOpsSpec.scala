@@ -442,4 +442,50 @@ class CurationOpsSpec extends SparkSpec {
     // docs 1 and 2 share cluster → same fold: clusters counted once
     assert(rows.map(_.getLong(2)).sum === 3L)              // 3 distinct clusters
   }
+
+  test("q197: z-score matches hand arithmetic; short docs are null-safe") {
+    val dir = writeDocs(Seq((1L, "a b c d e", "s"), (2L, "solo", "s")))
+    def green(a: String, b: String): Boolean = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$a|$b".getBytes("UTF-8")).map(x => f"$x%02x").mkString
+      java.lang.Long.parseLong(h.substring(0, 15), 16) % 2 == 0
+    }
+    val toks = Seq("a", "b", "c", "d", "e")
+    val g = toks.sliding(2).count(p => green(p(0), p(1))).toLong
+    val got = CurationOps.queries("q197_watermark_detect")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(4)))).toMap
+    assert(got(1L)._1 === 4L)
+    assert(got(1L)._2 === g)
+    assert(got(1L)._3 === (2 * g - 4).toDouble / math.sqrt(4.0))
+    assert(got(2L) === ((0L, 0L, 0.0)))
+  }
+
+  test("q198: min/max trick recovers the exact common prefix") {
+    val dir = writeDocs(Seq(
+      (1L, "HEADER v1 alpha content", "s"),
+      (2L, "HEADER v1 beta content", "s"),
+      (3L, "HEADER v1 alpha again", "s"),
+      (4L, "no shared prefix here", "t"),
+      (5L, "zero overlap with that", "t")))
+    val got = CurationOps.queries("q198_source_prefix")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(got("s") === ((10L, "HEADER v1 ")))
+    assert(got("t")._1 === 0L)
+  }
+
+  test("q199: manifest conserves totals and entropy is bounded by ln(sources)") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = CurationOps.queries("q199_shard_manifest")(spark, sf).collect()
+    val totalDocs = rows.map(_.getLong(1)).sum
+    assert(totalDocs === 500L)
+    rows.foreach { r =>
+      val (nSrc, h) = (r.getLong(3), r.getDouble(4))
+      assert(h >= -1e-12)
+      assert(h <= math.log(nSrc.toDouble) + 1e-9)
+    }
+    // interleaving guarantee: every shard sees every source (500 docs,
+    // 20 sources, 16 shards → 25 docs/source round-robin covers all)
+    assert(rows.map(_.getLong(3)).distinct.toSeq === Seq(20L))
+  }
 }
