@@ -1873,6 +1873,107 @@ object CurationOps extends QueryModule {
        |FROM $tLast ORDER BY shard""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q200 — release datasheet: the "datasheet for the dataset" (Gebru et
+  // al. 2021) a corpus release ships — one (section, metric, value)
+  // table spanning scale (corpus totals), the quality funnel (q95),
+  // dedup audit (q150), all three contamination modalities (q169),
+  // watermark screening (q197) and the license mix (q181). Every number
+  // is a reshaped read of an independently hash-verified sibling through
+  // the public registry, and the oracle embeds those siblings' published
+  // SQL — the repo's largest composition proof: six modules must agree
+  // after reshaping, or the hash breaks.
+  //
+  // Scale shape: nothing new — each section is its sibling's audited
+  // plan plus a ≤6-row reshape; the memoized artifacts (gateFlags,
+  // verifiedPairs) mean the expensive passes are shared, not repeated.
+  // ---------------------------------------------------------------------
+  private def q200(s: SparkSession, d: String): DataFrame = {
+    val q = graft.SparkEntry.queries
+    val corpus = t(s, d, "documents")
+      .agg(count(lit(1)).cast("double").as("nd"),
+        sum(wsTokens).cast("double").as("nt"),
+        countDistinct(col("source")).cast("double").as("ns"))
+      .select(explode(expr(
+        "array(named_struct('section', 'corpus', 'metric', 'n_docs', 'value', nd)," +
+          " named_struct('section', 'corpus', 'metric', 'n_tokens', 'value', nt)," +
+          " named_struct('section', 'corpus', 'metric', 'n_sources', 'value', ns))"))
+        .as("x"))
+      .select(col("x.section").as("section"), col("x.metric").as("metric"),
+        col("x.value").as("value"))
+    val funnel = q("q95_quality_funnel")(s, d)
+      .select(lit("quality_funnel").as("section"),
+        concat(lit("s"), col("stage").cast("string"), lit("_"), col("stage_name"))
+          .as("metric"),
+        col("docs_surviving").cast("double").as("value"))
+    val dedup = q("q150_dedup_audit")(s, d)
+      .agg(sum(col("exact_dup_docs")).cast("double").as("ed"),
+        sum(col("dup_lines_removed")).cast("double").as("dl"),
+        sum(col("total_lines")).cast("double").as("tl"))
+      .select(explode(expr(
+        "array(named_struct('section', 'dedup', 'metric', 'exact_dup_docs', 'value', ed)," +
+          " named_struct('section', 'dedup', 'metric', 'dup_lines_removed', 'value', dl)," +
+          " named_struct('section', 'dedup', 'metric', 'total_lines', 'value', tl))"))
+        .as("x"))
+      .select(col("x.section").as("section"), col("x.metric").as("metric"),
+        col("x.value").as("value"))
+    val contam = q("q169_contamination_card")(s, d)
+      .select(lit("contamination").as("section"),
+        concat(col("method"), lit("_rate")).as("metric"),
+        col("flag_rate").as("value"))
+    val wm = q("q197_watermark_detect")(s, d)
+      .agg(count(when(col("watermark_flag"), 1)).cast("double").as("v"))
+      .select(lit("watermark").as("section"), lit("flagged_docs").as("metric"),
+        col("v").as("value"))
+    val lic = q("q181_license_mix")(s, d)
+      .agg((sum(when(col("is_permissive"), col("n_docs")).otherwise(0L)).cast("double")
+        / sum(col("n_docs")).cast("double")).as("v"))
+      .select(lit("license").as("section"), lit("permissive_share").as("metric"),
+        col("v").as("value"))
+    corpus.unionAll(funnel).unionAll(dedup).unionAll(contam).unionAll(wm).unionAll(lic)
+      .orderBy("section", "metric")
+  }
+  private def q200Sql: String = {
+    val f = PipelineOps.oracleSql("q95_quality_funnel")
+    val dd = CorpusOps.oracleSql("q150_dedup_audit")
+    val cc = CorpusOps.oracleSql("q169_contamination_card")
+    // Direct vals, not this.oracleSql(...): the map materializes `all`,
+    // whose q200 entry evaluates this method — infinite recursion.
+    val wm = q197Sql
+    val lm = q181Sql
+    s"""WITH f AS ($f), dd AS ($dd), cc AS ($cc), wmq AS ($wm), lmq AS ($lm)
+       |SELECT * FROM (
+       |  SELECT 'corpus' AS section, 'n_docs' AS metric,
+       |    CAST(COUNT(*) AS DOUBLE) AS value FROM documents
+       |  UNION ALL
+       |  SELECT 'corpus', 'n_tokens',
+       |    CAST(SUM(len(string_split(COALESCE(text, ''), ' '))) AS DOUBLE)
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT 'corpus', 'n_sources', CAST(COUNT(DISTINCT source) AS DOUBLE)
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT 'quality_funnel',
+       |    's' || CAST(stage AS VARCHAR) || '_' || stage_name,
+       |    CAST(docs_surviving AS DOUBLE) FROM f
+       |  UNION ALL
+       |  SELECT 'dedup', 'exact_dup_docs', CAST(SUM(exact_dup_docs) AS DOUBLE) FROM dd
+       |  UNION ALL
+       |  SELECT 'dedup', 'dup_lines_removed', CAST(SUM(dup_lines_removed) AS DOUBLE) FROM dd
+       |  UNION ALL
+       |  SELECT 'dedup', 'total_lines', CAST(SUM(total_lines) AS DOUBLE) FROM dd
+       |  UNION ALL
+       |  SELECT 'contamination', method || '_rate', flag_rate FROM cc
+       |  UNION ALL
+       |  SELECT 'watermark', 'flagged_docs',
+       |    CAST(COUNT(*) FILTER (WHERE watermark_flag) AS DOUBLE) FROM wmq
+       |  UNION ALL
+       |  SELECT 'license', 'permissive_share',
+       |    CAST(SUM(CASE WHEN is_permissive THEN n_docs ELSE 0 END) AS DOUBLE)
+       |      / CAST(SUM(n_docs) AS DOUBLE) FROM lmq)
+       |ORDER BY section, metric""".stripMargin
+  }
+
   override def all: Seq[Q] = Seq(
     Q("q171_unimax_alloc", q171, Some(q171Sql)),
     Q("q172_truncation_waste", q172, Some(q172Sql)),
@@ -1900,5 +2001,6 @@ object CurationOps extends QueryModule {
     Q("q196_dedup_aware_folds", q196, Some(q196Sql)),
     Q("q197_watermark_detect", q197, Some(q197Sql)),
     Q("q198_source_prefix", q198, Some(q198Sql)),
-    Q("q199_shard_manifest", q199, Some(q199Sql)))
+    Q("q199_shard_manifest", q199, Some(q199Sql)),
+    Q("q200_release_datasheet", q200, Some(q200Sql)))
 }

@@ -488,4 +488,23 @@ class CurationOpsSpec extends SparkSpec {
     // 20 sources, 16 shards → 25 docs/source round-robin covers all)
     assert(rows.map(_.getLong(3)).distinct.toSeq === Seq(20L))
   }
+
+  test("q200: datasheet sections agree with the siblings they reshape") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = CurationOps.queries("q200_release_datasheet")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(rows(("corpus", "n_docs")) === 500.0)
+    // funnel monotone: each stage survives at most the previous
+    val f = (0 to 5).map(i => rows.find { case ((s2, m), _) =>
+      s2 == "quality_funnel" && m.startsWith(s"s${i}_") }.get._2)
+    assert(f === f.sortBy(-_))
+    assert(f.head === 500.0)
+    // contamination rates in [0, 1]; three modalities present
+    val cr = rows.filter(_._1._1 == "contamination").values
+    assert(cr.size === 3)
+    cr.foreach(v => assert(v >= 0.0 && v <= 1.0))
+    assert(rows(("license", "permissive_share")) >= 0.0)
+    assert(rows.contains(("watermark", "flagged_docs")))
+    assert(rows(("dedup", "total_lines")) > 0.0)
+  }
 }
