@@ -94,4 +94,28 @@ class ExprParityFuzzSpec extends SparkSpec {
           s"minhash drift on $t")
     }
   }
+
+  test("graft_nfc: eval == codegen on adversarial unicode; idempotent; JDK reference") {
+    val pieces = Seq("café", "café", "Ä́", "ascii", "",
+      "東京", "x̖̀y", "ḍ̇", "ḍ̇", "ẛ̣",
+      "a'b\"c\\d", "tab\tnl\n")
+    val cases = (1 to 40).map { _ =>
+      Seq.fill(1 + rnd.nextInt(4))(pieces(rnd.nextInt(pieces.size))).mkString(" ")
+    } ++ pieces
+    val df = cases.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+      .select(col("id"), expr("graft_nfc(v)").as("n"),
+        expr("graft_nfc(graft_nfc(v))").as("nn"))
+      .collect().sortBy(_.getLong(0))
+    cases.zipWithIndex.foreach { case (v, i) =>
+      val row = df(i)
+      val viaEval = NfcNormalize(Literal(UTF8String.fromString(v), StringType))
+        .eval(null).asInstanceOf[UTF8String].toString
+      assert(row.getString(1) === viaEval, s"nfc eval/codegen drift on '$v'")
+      assert(row.getString(1) === row.getString(2), s"nfc not idempotent on '$v'")
+      assert(row.getString(1) ===
+        java.text.Normalizer.normalize(v, java.text.Normalizer.Form.NFC),
+        s"nfc differs from JDK reference on '$v'")
+    }
+  }
 }
