@@ -163,13 +163,8 @@ object BpeOps extends QueryModule {
     }.mkString(" UNION ALL ")
     s"SELECT * FROM ($union) WHERE pair_count IS NOT NULL"
   }
-  private def q104Sql: String = {
-    val union = (0 until OracleMerges).map { i =>
-      s"SELECT $i AS step, (SELECT exp FROM e$i) AS merged, (SELECT pc FROM t$i) AS pair_count"
-    }.mkString(" UNION ALL ")
-    s"WITH ${trainCtes.mkString(",\n")}\n" +
-      s"SELECT * FROM ($union) WHERE pair_count IS NOT NULL ORDER BY step"
-  }
+  private def q104Sql: String =
+    s"WITH ${trainCtes.mkString(",\n")}\n${mergeListSql("")} ORDER BY step"
 
   /** q105: encode the corpus with the trained merge table — per doc, the
     * original whitespace-token count, char mass, post-BPE symbol count,

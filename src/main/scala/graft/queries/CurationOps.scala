@@ -1153,11 +1153,15 @@ object CurationOps extends QueryModule {
         md5(array_join(expr("transform(array_sort(collect_list(struct(pos, tok)))," +
           " x -> x.tok)"), " ")).as("h"))
       .localCheckpoint(true) // consumers: global chunk census + doc rollup
-    val census = chunks.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+    // "shared" means exists in ANOTHER document: distinct-doc count per
+    // chunk hash, so intra-doc repetition of a chunk doesn't inflate the
+    // cross-document dedup-potential number.
+    val census = chunks.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
     chunks.join(census, "h")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
-        count(when(col("cnt") > 1, 1)).as("n_shared_chunks"),
+        count(when(col("ndocs") > 1, 1)).as("n_shared_chunks"),
         sum(col("chunk_toks")).as("n_tokens"))
       .select(col("doc_id"), col("n_chunks"), col("n_shared_chunks"),
         (col("n_shared_chunks").cast("double") / col("n_chunks").cast("double"))
@@ -1186,10 +1190,11 @@ object CurationOps extends QueryModule {
       |  SELECT doc_id, chunk, CAST(COUNT(*) AS BIGINT) AS chunk_toks,
       |    md5(array_to_string(list(tok ORDER BY pos), ' ')) AS h
       |  FROM cid GROUP BY doc_id, chunk),
-      |census AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS cnt FROM ch GROUP BY h)
+      |census AS (SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS ndocs
+      |           FROM ch GROUP BY h)
       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
-      |  CAST(COUNT(*) FILTER (WHERE cnt > 1) AS BIGINT) AS n_shared_chunks,
-      |  CAST(COUNT(*) FILTER (WHERE cnt > 1) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |  CAST(COUNT(*) FILTER (WHERE ndocs > 1) AS BIGINT) AS n_shared_chunks,
+      |  CAST(COUNT(*) FILTER (WHERE ndocs > 1) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
       |    AS shared_frac,
       |  CAST(SUM(chunk_toks) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
       |    AS avg_chunk_tokens

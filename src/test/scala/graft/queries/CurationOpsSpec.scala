@@ -297,6 +297,18 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("q186: intra-document chunk repeats are NOT counted as shared") {
+    // find a token that closes a chunk, build a doc repeating the same
+    // chunk twice: both chunks identical, but only ONE doc holds them
+    val b = (1 to 500).map(i => s"w$i").find(h60Mod16IsZero).get
+    val filler = (1 to 7).map(i => s"f$i")
+    val doc = (filler :+ b) ++ (filler :+ b)
+    val dir = writeDocs(Seq((1L, doc.mkString(" "), "s")))
+    val r = CurationOps.queries("q186_cdc_chunking")(spark, dir).collect().head
+    assert(r.getLong(1) >= 2L)      // the repeated chunk appears twice
+    assert(r.getLong(2) === 0L)     // but nothing is cross-document shared
+  }
+
   test("q187: degree histogram includes the degree-0 corpus mass") {
     val dir = writeDocs(Seq(
       (1L, "a b c d e f", "s"), (2L, "a b c d e x", "s"),  // one J=0.6 edge
