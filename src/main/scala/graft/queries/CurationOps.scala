@@ -2072,6 +2072,54 @@ object CurationOps extends QueryModule {
        |FROM terms ORDER BY bin""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q202 — source-imbalance Gini coefficient: the single-number summary
+  // of how concentrated the corpus is across sources (0 = perfectly
+  // even, → 1 = one source dominates), computed over per-source token
+  // masses with the sorted-rank formula G = Σ (2i − n − 1)·x_i / (n·Σx).
+  // The mixture planners (q120/q171) reweight; this is the before/after
+  // number their reports quote. One corpus hash agg to |sources| rows;
+  // the rank-weighted sum is an ordered fold over the sorted
+  // (mass, source) array inside one row (the q171 boundedness argument);
+  // numerator/denominator stay INTEGERS until one final division.
+  // ---------------------------------------------------------------------
+  private def q202(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "documents")
+      .select(col("source"), wsTokens.as("tok"))
+      .groupBy(col("source")).agg(sum(col("tok")).as("mass"))
+      .agg(sort_array(collect_list(struct(col("mass"), col("source")))).as("xs"),
+        count(lit(1)).as("n"), sum(col("mass")).as("total"))
+      .select(col("n").as("n_sources"), col("total").as("total_tokens"),
+        expr(
+          """aggregate(xs, named_struct('i', 0L, 'num', 0L),
+            |  (a, x) -> named_struct('i', a.i + 1,
+            |    'num', a.num + (2 * (a.i + 1) - n - 1) * x.mass)).num""".stripMargin)
+          .as("gini_num"))
+      .select(col("n_sources"), col("total_tokens"),
+        when(col("total_tokens") > 0,
+          col("gini_num").cast("double")
+            / (col("n_sources") * col("total_tokens")).cast("double"))
+          .otherwise(lit(0.0)).as("gini"))
+  }
+  private val q202Sql =
+    """WITH m AS (
+      |  SELECT source, CAST(SUM(len(string_split(COALESCE(text, ''), ' '))) AS BIGINT)
+      |    AS mass
+      |  FROM documents GROUP BY source),
+      |r AS (
+      |  SELECT mass, CAST(ROW_NUMBER() OVER (ORDER BY mass, source) AS BIGINT) AS i
+      |  FROM m),
+      |st AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+      |    CAST(SUM(mass) AS BIGINT) AS total_tokens,
+      |    CAST(SUM((2 * i - (SELECT COUNT(*) FROM m) - 1) * mass) AS BIGINT) AS gnum
+      |  FROM r)
+      |SELECT n_sources, total_tokens,
+      |  CASE WHEN total_tokens > 0
+      |    THEN CAST(gnum AS DOUBLE) / CAST(n_sources * total_tokens AS DOUBLE)
+      |    ELSE 0e0 END AS gini
+      |FROM st""".stripMargin
+
   override def all: Seq[Q] = Seq(
     Q("q171_unimax_alloc", q171, Some(q171Sql)),
     Q("q172_truncation_waste", q172, Some(q172Sql)),
@@ -2101,5 +2149,6 @@ object CurationOps extends QueryModule {
     Q("q198_source_prefix", q198, Some(q198Sql)),
     Q("q199_shard_manifest", q199, Some(q199Sql)),
     Q("q200_release_datasheet", q200, Some(q200Sql)),
-    Q("q201_psi_drift", q201, Some(q201Sql)))
+    Q("q201_psi_drift", q201, Some(q201Sql)),
+    Q("q202_source_gini", q202, Some(q202Sql)))
 }

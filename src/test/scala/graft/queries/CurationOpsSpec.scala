@@ -535,4 +535,15 @@ class CurationOpsSpec extends SparkSpec {
       assert(term >= -1e-15, s"PSI terms are nonnegative by construction ($c1, $c2)")
     }
   }
+
+  test("q202: Gini is 0 for equal sources and matches hand arithmetic when skewed") {
+    val even = writeDocs(Seq((1L, toks(10), "a"), (2L, toks(10), "b")))
+    val r1 = CurationOps.queries("q202_source_gini")(spark, even).collect().head
+    assert(r1.getDouble(2) === 0.0)
+    // masses 10 and 30 sorted: G = (2·1−2−1)·10 + (2·2−2−1)·30 = −10+30 = 20
+    // over n·Σ = 2·40 → 0.25
+    val skew = writeDocs(Seq((1L, toks(10), "a"), (2L, toks(30), "b")))
+    val r2 = CurationOps.queries("q202_source_gini")(spark, skew).collect().head
+    assert(r2.getDouble(2) === 0.25)
+  }
 }
