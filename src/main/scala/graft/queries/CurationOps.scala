@@ -2120,6 +2120,218 @@ object CurationOps extends QueryModule {
       |    ELSE 0e0 END AS gini
       |FROM st""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q203 — BM25 ranked retrieval (Robertson/Spärck Jones; k1 = 1.2,
+  // b = 0.75, Lucene's non-negative idf): top-10 documents per query for
+  // a fixed literal query set — the retrieval baseline every
+  // RAG/dedup-by-retrieval pipeline starts from. The idf keeps bit
+  // parity by rationalizing to integers: ln((N + 1)/(df + 0.5)) =
+  // ln(2N + 2) − ln(2df + 1), both PortableLn on positive BIGINTs; the
+  // tf saturation term divides the same operands in the same order in
+  // both engines.
+  //
+  // Scale shape: query terms are a broadcast literal; the corpus
+  // contributes the (doc, term) count probe (token-keyed, semi-joined to
+  // the 9-term set BEFORE aggregation) and the per-doc length table; df
+  // aggregates over the probe output. The per-query top-10 is a rank
+  // window partitioned by query_id — Spark 4 plants WindowGroupLimit on
+  // both sides of its shuffle (the audited q07 plan), so the exchange
+  // carries O(10·queries·partitions) rows, never the corpus.
+  // ---------------------------------------------------------------------
+  private val Bm25Queries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("fast", "scan"),
+    2L -> Seq("hash", "join", "merge"),
+    3L -> Seq("window", "agg"),
+    4L -> Seq("slow", "stream"))
+
+  private def q203Scored(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val qt = Bm25Queries.flatMap { case (q, ts) => ts.map(q -> _) }
+      .toDF("query_id", "term")
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(coalesce(col("text"), lit("")), " "))
+        .as("term"))
+    val dl = t(s, d, "documents")
+      .select(col("doc_id"), wsTokens.as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total_dl"))
+    // (doc, term) tf over query terms only — the semi-join prunes before
+    // the aggregation so the probe is 9-term-bounded, not vocabulary-wide.
+    val tf = toks.join(broadcast(qt.select(col("term")).distinct()), "term")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // consumers: df aggregation + scoring join
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scoredTerms = (
+      LmOps.PortableLn.steps("(2 * n + 2)", "bn", spark = true) ++
+        LmOps.PortableLn.steps("(2 * df + 1)", "bd", spark = true))
+      .foldLeft(
+        Scalars.withScalar(
+          broadcast(qt).join(tf, "term").join(broadcast(df), "term")
+            .join(dl, "doc_id"),
+          stats)) { case (acc, (nm, e)) => acc.withColumn(nm, expr(e)) }
+      .withColumn("idf", expr("lnbn - lnbd"))
+      .withColumn("tfterm", expr(
+        "cast(tf as double) * (1.2e0 + 1e0) / (cast(tf as double)" +
+          " + 1.2e0 * ((1e0 - 75e-2) + 75e-2 * (cast(dl as double)" +
+          " * cast(n as double) / cast(total_dl as double))))"))
+      .withColumn("tscore", expr("idf * tfterm"))
+    val scored = scoredTerms
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        expr("aggregate(array_sort(collect_list(struct(term, tscore)))," +
+          " cast(0 as double), (a, x) -> a + x.tscore)").as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", rank().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+  }
+
+  private def q203(s: SparkSession, d: String): DataFrame =
+    q203Scored(s, d)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("n_terms_hit"),
+        col("score"))
+      .orderBy("query_id", "rank", "doc_id")
+
+  private def bm25Ctes: String = {
+    val qvals = Bm25Queries.flatMap { case (q, ts) =>
+      ts.map(t0 => s"($q, '$t0')")
+    }.mkString(", ")
+    val (nLast, nC) = LmOps.lnCtes("sj", "bn", Seq("(2 * n + 2)" -> "bn"))
+    val (dLast, dC) = LmOps.lnCtes(nLast, "bd", Seq("(2 * df + 1)" -> "bd"))
+    s"""qt AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
+       |       FROM (VALUES $qvals) v(query_id, term)),
+       |tk AS (
+       |  SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS term
+       |  FROM documents),
+       |dl AS (
+       |  SELECT doc_id, CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS dl
+       |  FROM documents),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS total_dl
+       |       FROM dl),
+       |tf AS (
+       |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM tk WHERE term IN (SELECT DISTINCT term FROM qt)
+       |  GROUP BY doc_id, term),
+       |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |sj AS (
+       |  SELECT qt.query_id, tf.doc_id, qt.term, tf.tf, dfq.df, dl.dl,
+       |    st.n, st.total_dl
+       |  FROM qt JOIN tf USING (term) JOIN dfq USING (term)
+       |    JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st),
+       |${nC.mkString(",\n")},
+       |${dC.mkString(",\n")},
+       |ts AS (
+       |  SELECT query_id, doc_id, term,
+       |    (lnbn - lnbd) * (CAST(tf AS DOUBLE) * (1.2e0 + 1e0) / (CAST(tf AS DOUBLE)
+       |      + 1.2e0 * ((1e0 - 75e-2) + 75e-2 * (CAST(dl AS DOUBLE)
+       |      * CAST(n AS DOUBLE) / CAST(total_dl AS DOUBLE))))) AS tscore
+       |  FROM $dLast),
+       |sc AS (
+       |  SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(tscore ORDER BY term)),
+       |      (a, x) -> a + x) AS score
+       |  FROM ts GROUP BY query_id, doc_id),
+       |rk AS (
+       |  SELECT query_id, doc_id, n_terms_hit, score,
+       |    CAST(RANK() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id)
+       |      AS BIGINT) AS rank
+       |  FROM sc)""".stripMargin
+  }
+  private def q203Sql: String =
+    s"""WITH $bm25Ctes
+       |SELECT query_id, rank, doc_id, n_terms_hit, score
+       |FROM rk WHERE rank <= 10
+       |ORDER BY query_id, rank, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q204 — NDCG@10 over the q203 ranking: graded relevance is the
+  // deterministic ticket rel = h60(query|doc) % 4 (the q93 membership
+  // discipline — an eval harness would join real labels through the same
+  // doc_id-keyed shape), gain 2^rel − 1, discount log2(i + 1) =
+  // ln(i + 1)/ln 2 with ln on integers via PortableLn. IDCG re-ranks the
+  // SAME retrieved set by relevance (standard retrieved-set NDCG), so
+  // everything after q203's ranking is a ≤10-row-per-query fold. The
+  // oracle re-states the whole chain — q203's CTEs plus the metric.
+  // ---------------------------------------------------------------------
+  private def q204(s: SparkSession, d: String): DataFrame = {
+    val ln2 = 6.931471805599453e-1
+    val ranked = q203Scored(s, d)
+      .withColumn("rel", expr(
+        "cast(conv(substring(md5(concat(cast(query_id as string), '|'," +
+          " cast(doc_id as string))), 1, 15), 16, 10) as bigint) % 4"))
+      .withColumn("gain", expr("cast(shiftleft(cast(1 as bigint), cast(rel as int)) - 1 as double)"))
+    val perQuery = ranked.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_retrieved"),
+        sort_array(collect_list(struct(col("rank"), col("doc_id"), col("gain"))))
+          .as("byRank"),
+        sort_array(collect_list(struct((-col("gain")).as("ng"), col("doc_id"))))
+          .as("byRel"))
+    val discounted = perQuery
+      .select(col("query_id"), col("n_retrieved"),
+        posexplode(col("byRank")).as(Seq("i0", "x")),
+        col("byRel"))
+      .withColumn("pos", col("i0").cast("long") + 1)
+      .withColumn("gain_at_rank", col("x.gain"))
+      .withColumn("ideal_gain", expr("-element_at(byRel, cast(i0 as int) + 1).ng"))
+    val lnStaged = LmOps.PortableLn.steps("(pos + 1)", "dg", spark = true)
+      .foldLeft(discounted) { case (acc2, (nm, e)) => acc2.withColumn(nm, expr(e)) }
+      .withColumn("discount", expr(s"lndg / ${ln2}"))
+      .withColumn("dterm", expr("gain_at_rank / discount"))
+      .withColumn("iterm", expr("ideal_gain / discount"))
+    lnStaged.groupBy(col("query_id"), col("n_retrieved"))
+      .agg(
+        expr("aggregate(array_sort(collect_list(struct(pos, dterm)))," +
+          " cast(0 as double), (a, x) -> a + x.dterm)").as("dcg"),
+        expr("aggregate(array_sort(collect_list(struct(pos, iterm)))," +
+          " cast(0 as double), (a, x) -> a + x.iterm)").as("idcg"))
+      .select(col("query_id"), col("n_retrieved"), col("dcg"), col("idcg"),
+        when(col("idcg") > 0, col("dcg") / col("idcg")).otherwise(lit(0.0))
+          .as("ndcg"))
+      .orderBy("query_id")
+  }
+  private def q204Sql: String = {
+    val (dgLast, dgC) = LmOps.lnCtes("ex", "dg", Seq("(pos + 1)" -> "dg"))
+    s"""WITH $bm25Ctes,
+       |top AS (
+       |  SELECT query_id, doc_id, rank,
+       |    ('0x' || substr(md5(CAST(query_id AS VARCHAR) || '|'
+       |      || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 4 AS rel
+       |  FROM rk WHERE rank <= 10),
+       |g AS (
+       |  SELECT query_id, doc_id, rank,
+       |    CAST((CAST(1 AS BIGINT) << CAST(rel AS INTEGER)) - 1 AS DOUBLE) AS gain
+       |  FROM top),
+       |byq AS (
+       |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_retrieved,
+       |    list(gain ORDER BY rank, doc_id) AS by_rank,
+       |    list(gain ORDER BY gain DESC, doc_id) AS by_rel
+       |  FROM g GROUP BY query_id),
+       |ex AS (
+       |  SELECT query_id, n_retrieved, CAST(i AS BIGINT) AS pos,
+       |    by_rank[i] AS gain_at_rank, by_rel[i] AS ideal_gain
+       |  FROM byq, unnest(generate_series(1, len(by_rank))) t(i)),
+       |${dgC.mkString(",\n")},
+       |terms AS (
+       |  SELECT query_id, n_retrieved, pos,
+       |    gain_at_rank / (lndg / 6.931471805599453e-1) AS dterm,
+       |    ideal_gain / (lndg / 6.931471805599453e-1) AS iterm
+       |  FROM $dgLast)
+       |SELECT query_id, n_retrieved,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list(dterm ORDER BY pos)),
+       |    (a, x) -> a + x) AS dcg,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list(iterm ORDER BY pos)),
+       |    (a, x) -> a + x) AS idcg,
+       |  CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list(iterm ORDER BY pos)),
+       |      (a, x) -> a + x) > 0
+       |    THEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list(dterm ORDER BY pos)),
+       |        (a, x) -> a + x)
+       |      / list_reduce(list_prepend(CAST(0 AS DOUBLE), list(iterm ORDER BY pos)),
+       |        (a, x) -> a + x)
+       |    ELSE 0e0 END AS ndcg
+       |FROM terms GROUP BY query_id, n_retrieved
+       |ORDER BY query_id""".stripMargin
+  }
+
   override def all: Seq[Q] = Seq(
     Q("q171_unimax_alloc", q171, Some(q171Sql)),
     Q("q172_truncation_waste", q172, Some(q172Sql)),
@@ -2150,5 +2362,7 @@ object CurationOps extends QueryModule {
     Q("q199_shard_manifest", q199, Some(q199Sql)),
     Q("q200_release_datasheet", q200, Some(q200Sql)),
     Q("q201_psi_drift", q201, Some(q201Sql)),
-    Q("q202_source_gini", q202, Some(q202Sql)))
+    Q("q202_source_gini", q202, Some(q202Sql)),
+    Q("q203_bm25_retrieval", q203, Some(q203Sql)),
+    Q("q204_ndcg_eval", q204, Some(q204Sql)))
 }

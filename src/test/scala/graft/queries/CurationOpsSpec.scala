@@ -546,4 +546,53 @@ class CurationOpsSpec extends SparkSpec {
     val r2 = CurationOps.queries("q202_source_gini")(spark, skew).collect().head
     assert(r2.getDouble(2) === 0.25)
   }
+
+  test("q203: BM25 ranking matches a plain-Scala reference on a hand corpus") {
+    // query 1 = {fast, scan}: doc 1 has both terms, doc 2 one, doc 3 none
+    val dir = writeDocs(Seq(
+      (1L, "fast scan fast table", "s"),
+      (2L, "scan merge table base", "s"),
+      (3L, "hash join merge sort", "s")))
+    val got = CurationOps.queries("q203_bm25_retrieval")(spark, dir)
+      .filter("query_id = 1").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(got.map(_._2).toSeq === Seq(1L, 2L))   // doc 3 never retrieved
+    val (n, avgdl) = (3.0, 12.0 / 3.0)
+    def idf(df: Long): Double = math.log((n + 1.0) / (df + 0.5))
+    def tfTerm(tf: Long, dl: Long): Double =
+      tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    val d1 = idf(2) * tfTerm(1, 4) + idf(1) * tfTerm(2, 4)  // scan + fast
+    val d2 = idf(2) * tfTerm(1, 4)
+    assert(math.abs(got(0)._3 - d1) < 1e-9)
+    assert(math.abs(got(1)._3 - d2) < 1e-9)
+    assert(got(0)._3 > got(1)._3)
+  }
+
+  test("q204: NDCG matches a Scala recomputation from the q203 ranking") {
+    val sf = "/root/testdata/sf0.001"
+    val ranking = CurationOps.queries("q203_bm25_retrieval")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def rel(q: Long, doc: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$q|$doc".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(h.substring(0, 15), 16) % 4
+    }
+    val expect = ranking.groupBy(_._1).map { case (q, rows) =>
+      val gains = rows.sortBy(r => (r._2, r._3)).map(r => (math.pow(2, rel(q, r._3)) - 1))
+      val ideal = gains.sorted.reverse
+      def dcg(gs: Seq[Double]) = gs.zipWithIndex
+        .map { case (g, i) => g / (math.log(i + 2.0) / math.log(2.0)) }.sum
+      q -> (dcg(gains.toSeq), dcg(ideal.toSeq))
+    }
+    val got = CurationOps.queries("q204_ndcg_eval")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    expect.foreach { case (q, (dcg, idcg)) =>
+      val (gd, gi, gn) = got(q)
+      assert(math.abs(gd - dcg) < 1e-9, s"dcg q$q")
+      assert(math.abs(gi - idcg) < 1e-9, s"idcg q$q")
+      assert(gn >= 0.0 && gn <= 1.0 + 1e-12)
+      assert(gi >= gd - 1e-12)
+    }
+  }
 }
