@@ -13,7 +13,19 @@ object TextUtil {
   /** Unicode NFC via the JDK's Normalizer (ICU-grade, Unicode-standard
     * canonical composition — the same algorithm DuckDB's utf8proc
     * `nfc_normalize` implements, so oracle parity holds for assigned
-    * codepoints). Already-normalized strings — the overwhelmingly common
+    * codepoints).
+    *
+    * PARITY BOUNDARY (attributable by design): the JDK and utf8proc track
+    * DIFFERENT Unicode versions, so a codepoint assigned combining
+    * properties in one table but not the other normalizes differently —
+    * an engine-version gap, not an operator bug. The fuzz corpus
+    * (tools/fuzz_corpus.py) therefore pins its alphabet to Unicode-1.x-era
+    * codepoints assigned in both tables; a q175 oracle-hash mismatch on
+    * OTHER input should be triaged against this note first (compare
+    * `java.text.Normalizer` vs `nfc_normalize` on the offending string
+    * before suspecting the expression).
+    *
+    * Already-normalized strings — the overwhelmingly common
     * case; all of ASCII trivially — return the INPUT UTF8String: the
     * `isNormalized` quick-check touches no allocation on that path. */
   def nfc(s: UTF8String): UTF8String = {

@@ -56,7 +56,10 @@ object CurationOps extends QueryModule {
       .localCheckpoint(true)
     val folded = caps
       .agg(
-        sort_array(collect_list(struct(col("supply_tokens").as("supply"), col("source"))))
+        // coalesce: NULL source would sort FIRST in sort_array but LAST in
+        // the oracle's ORDER BY, silently permuting the sequential fold.
+        sort_array(collect_list(struct(col("supply_tokens").as("supply"),
+            coalesce(col("source"), lit("")).as("source"))))
           .as("xs"),
         (sum(col("cap_tokens")) * 2).as("b"),
         count(lit(1)).as("n"))
@@ -92,7 +95,8 @@ object CurationOps extends QueryModule {
        |    CAST(COUNT(*) AS BIGINT) AS n FROM caps),
        |ord AS (
        |  SELECT source, cap_tokens, cap_tokens * $EpochCap AS supply_tokens,
-       |    CAST(ROW_NUMBER() OVER (ORDER BY cap_tokens * $EpochCap, source) AS BIGINT) AS i
+       |    CAST(ROW_NUMBER() OVER (ORDER BY cap_tokens * $EpochCap, COALESCE(source, ''))
+       |      AS BIGINT) AS i
        |  FROM caps),
        |step AS (
        |  SELECT CAST(0 AS BIGINT) AS i, b AS r,
@@ -486,7 +490,15 @@ object CurationOps extends QueryModule {
 
   /** (doc_id, source, shard) via the q93-class two-level rank — shared by
     * q177 (balance matrix) and q199 (shard manifest). */
-  private def shardAssignments(s: SparkSession, d: String): DataFrame = {
+  // Memoized per (session, corpus): two consumers (q177, q199) would
+  // otherwise each pay the corpus count + two-level rank from scratch —
+  // the uvCache/verifiedPairs artifact-sharing convention.
+  private val shardCache = new graft.SessionCache[DataFrame]
+
+  private def shardAssignments(s: SparkSession, d: String): DataFrame =
+    shardCache.getOrBuild(s, d) { buildShardAssignments(s, d).localCheckpoint(true) }
+
+  private def buildShardAssignments(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = t(s, d, "documents").count()
     val kPfx = PipelineOps.ticketPrefixFor(n)
@@ -2087,7 +2099,8 @@ object CurationOps extends QueryModule {
     t(s, d, "documents")
       .select(col("source"), wsTokens.as("tok"))
       .groupBy(col("source")).agg(sum(col("tok")).as("mass"))
-      .agg(sort_array(collect_list(struct(col("mass"), col("source")))).as("xs"),
+      .agg(sort_array(collect_list(struct(col("mass"),
+          coalesce(col("source"), lit("")).as("source")))).as("xs"),
         count(lit(1)).as("n"), sum(col("mass")).as("total"))
       .select(col("n").as("n_sources"), col("total").as("total_tokens"),
         expr(
@@ -2107,7 +2120,7 @@ object CurationOps extends QueryModule {
       |    AS mass
       |  FROM documents GROUP BY source),
       |r AS (
-      |  SELECT mass, CAST(ROW_NUMBER() OVER (ORDER BY mass, source) AS BIGINT) AS i
+      |  SELECT mass, CAST(ROW_NUMBER() OVER (ORDER BY mass, COALESCE(source, '')) AS BIGINT) AS i
       |  FROM m),
       |st AS (
       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,

@@ -534,55 +534,81 @@ object DedupOps extends QueryModule {
     * Scale: the index build is one corpus pass (amortized across every
     * future batch); the probe side shuffles only batch-sized band/hash
     * keys; shingle verification touches candidate docs only (semi-join
-    * before the shingle transform, q28's shape). At real scale the two
-    * index tables live partitioned/bucketed by their join key, so the
-    * probe is a co-located or broadcast join with no index-side
-    * re-shuffle; here they round-trip through scratch parquet to keep
-    * the persist → probe boundary honest. */
-  private def q112(s: SparkSession, d: String): DataFrame = {
-    val dir = graft.Scratch.dir("dedupidx", s, d)
-    val alldocs = t(s, d, "documents")
-      .select(col("doc_id"),
-        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("norm_key"),
-        split(col("text"), " ").as("toks"))
-    val base = alldocs.filter(col("doc_id") % 5 =!= 0)
-    val batch = alldocs.filter(col("doc_id") % 5 === 0).localCheckpoint(true)
-    // Persist the index: exact-hash table + band table (the one-time
-    // corpus pass a production pipeline amortizes over every batch).
-    base.groupBy(col("norm_key")).agg(min(col("doc_id")).as("exact_doc"))
+    * before the verify join, q28's shape) and reads them from the
+    * persisted shingle doc-store — the probe NEVER rescans the corpus
+    * table. At real scale the three index tables live
+    * partitioned/bucketed by their join key ((norm_key), (band, sig),
+    * (doc_id)), so the probe is a co-located or broadcast join with no
+    * index-side re-shuffle; here they round-trip through scratch
+    * parquet to keep the persist → probe boundary honest.
+    *
+    * Build and probe are shared verbatim with the STREAMING arm
+    * (graft.streaming.DedupStream probes each micro-batch through
+    * [[probeDedupIndex]]), so stream ≡ batch verdicts hold by
+    * construction — the DocStream/EventStream discipline. */
+  private[graft] def normDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("norm_key"),
+      split(col("text"), " ").as("toks"))
+
+  private def mhBandsOf(df: DataFrame): DataFrame = df
+    .filter(size(col("toks")) >= 3)
+    .select(col("doc_id"), expr("graft_minhash(toks, 3, 16)").as("mh"))
+    .select(col("doc_id"), explode(expr(
+      """transform(sequence(0, 3), b ->
+        |  struct(b AS band,
+        |         concat_ws(',', mh[b*4], mh[b*4+1], mh[b*4+2], mh[b*4+3]) AS sig))"""
+        .stripMargin)).as("bs"))
+    .select(col("doc_id"), col("bs.band"), col("bs.sig"))
+
+  // Only ≥3-token docs can band-match, so the doc-store skips the rest.
+  private def shingleSetOf(df: DataFrame): DataFrame = df
+    .filter(size(col("toks")) >= 3)
+    .select(col("doc_id"),
+      array_distinct(expr(
+        "transform(sequence(1, size(toks) - 2), i -> array_join(slice(toks, i, 3), ' '))"))
+        .as("shs"))
+
+  /** One-time corpus pass: persist the three probe tables — exact-hash
+    * (norm_key → min doc_id), MinHash bands, and the per-doc shingle
+    * doc-store used for candidate verification (the storage the index
+    * pays so that probes are corpus-independent). */
+  private[graft] def buildDedupIndex(base: DataFrame, dir: String): Unit = {
+    val nb = normDocs(base)
+    nb.groupBy(col("norm_key")).agg(min(col("doc_id")).as("exact_doc"))
       .write.mode("overwrite").parquet(s"$dir/exact")
-    val mhBands = (df: DataFrame) => df
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), expr("graft_minhash(toks, 3, 16)").as("mh"))
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(0, 3), b ->
-          |  struct(b AS band,
-          |         concat_ws(',', mh[b*4], mh[b*4+1], mh[b*4+2], mh[b*4+3]) AS sig))"""
-          .stripMargin)).as("bs"))
-      .select(col("doc_id"), col("bs.band"), col("bs.sig"))
-    mhBands(base).write.mode("overwrite").parquet(s"$dir/bands")
-    // Probe. Candidates: batch bands × persisted band index — the only
+    mhBandsOf(nb).write.mode("overwrite").parquet(s"$dir/bands")
+    shingleSetOf(nb).write.mode("overwrite").parquet(s"$dir/shingles")
+  }
+
+  /** Probe a batch of (doc_id, text) against a persisted index: verdict
+    * per batch doc (exact > near > novel), unordered. Work ∝ batch and
+    * its candidates — the corpus appears only through the index files. */
+  private[graft] def probeDedupIndex(s: SparkSession, batch: DataFrame,
+      dir: String): DataFrame = {
+    val nb = normDocs(batch).localCheckpoint(true)
+    // Candidates: batch bands × persisted band index — the only
     // index-sized join, keyed on (band, sig).
     val bandIdx = s.read.parquet(s"$dir/bands")
       .select(col("doc_id").as("base_doc"), col("band"), col("sig"))
-    val cand = mhBands(batch)
+    val cand = mhBandsOf(nb)
       .join(bandIdx, Seq("band", "sig"))
       .select(col("doc_id").as("batch_doc"), col("base_doc"))
       .distinct()
       .localCheckpoint(true)
-    // Verify candidates: shingle sets for CANDIDATE docs only (semi-join
-    // precedes the shingle transform — work ∝ candidates, not corpus).
-    val candDocs = cand.select(col("batch_doc").as("doc_id"))
-      .union(cand.select(col("base_doc").as("doc_id"))).distinct()
-    val candSets = alldocs.join(broadcast(candDocs), "doc_id")
-      .select(col("doc_id"),
-        array_distinct(expr(
-          "transform(sequence(1, size(toks) - 2), i -> array_join(slice(toks, i, 3), ' '))"))
-          .as("shs"))
+    // Verify candidates: batch shingles computed for candidate batch
+    // docs only; base shingles READ from the doc-store, semi-joined to
+    // the candidate set before the verify join.
+    val batchSets = shingleSetOf(
+        nb.join(broadcast(cand.select(col("batch_doc").as("doc_id")).distinct()),
+          "doc_id"))
       .localCheckpoint(true)
+    val baseSets = s.read.parquet(s"$dir/shingles")
+      .join(broadcast(cand.select(col("base_doc").as("doc_id")).distinct()),
+        "doc_id")
     val best = cand
-      .join(broadcast(candSets.select(col("doc_id").as("batch_doc"), col("shs").as("shs_a"))), "batch_doc")
-      .join(broadcast(candSets.select(col("doc_id").as("base_doc"), col("shs").as("shs_b"))), "base_doc")
+      .join(broadcast(batchSets.select(col("doc_id").as("batch_doc"), col("shs").as("shs_a"))), "batch_doc")
+      .join(baseSets.select(col("doc_id").as("base_doc"), col("shs").as("shs_b")), "base_doc")
       .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))))
       .withColumn("jaccard",
         col("inter").cast("double") /
@@ -592,7 +618,7 @@ object DedupOps extends QueryModule {
       .agg(min(struct((-col("jaccard")).as("nj"), col("base_doc").as("base_doc"))).as("w"))
       .select(col("batch_doc").as("doc_id"), col("w.base_doc").as("near_doc"),
         (-col("w.nj")).as("near_jaccard"))
-    batch.select(col("doc_id"), col("norm_key"))
+    nb.select(col("doc_id"), col("norm_key"))
       .join(s.read.parquet(s"$dir/exact"), Seq("norm_key"), "left")
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -601,6 +627,13 @@ object DedupOps extends QueryModule {
           .otherwise(lit("novel")).as("verdict"),
         coalesce(col("exact_doc"), col("near_doc")).as("match_doc"),
         col("near_jaccard"))
+  }
+
+  private def q112(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.Scratch.dir("dedupidx", s, d)
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    buildDedupIndex(docs.filter(col("doc_id") % 5 =!= 0), dir)
+    probeDedupIndex(s, docs.filter(col("doc_id") % 5 === 0), dir)
       .orderBy("doc_id")
   }
   private val q112Sql =

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.queries.DedupOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Streaming incremental dedup — the ingest-side twin of batch q112: as
+  * crawl documents arrive, each micro-batch probes the PERSISTED dedup
+  * index (exact-hash + MinHash band + shingle doc-store, built once by
+  * `DedupOps.buildDedupIndex`) and emits the same
+  * (doc_id, verdict, match_doc, near_jaccard) verdict schema q112
+  * produces. The probe is `DedupOps.probeDedupIndex` — the SAME function
+  * the batch query calls, so stream ≡ batch verdicts hold by
+  * construction (the DocStream/EventStream shared-projection discipline).
+  *
+  * In-stream duplicates (a crawler delivering the same doc_id twice
+  * within the watermark horizon) are dropped BEFORE the probe with
+  * `dropDuplicatesWithinWatermark` — state is bounded by the watermark
+  * delay, not the stream's lifetime, which is what makes the operator
+  * viable on an unbounded 100 TB/day ingest. Cross-batch novel-vs-novel
+  * near-dups are by design the INDEX's job, not stream state: a
+  * production loop folds each batch's novel docs into the next index
+  * rebuild (the q112 amortization), keeping streaming state
+  * watermark-bounded.
+  *
+  * Sink discipline: foreachBatch writes each micro-batch's verdicts to
+  * `out/batch=<id>` with overwrite — a retried batch id clobbers its own
+  * partial output instead of appending duplicates, the standard
+  * idempotent-foreachBatch pattern (exactly-once results over
+  * at-least-once batch delivery; EventStream.goldIncrementalMerge makes
+  * the same argument with a commit protocol — here directory-per-batch
+  * overwrite is the whole protocol).
+  *
+  * Scale shape per micro-batch: band probe is a batch-bands × index
+  * equi-join on (band, sig); shingle verification touches candidate
+  * docs only and reads base shingles from the doc-store; nothing
+  * corpus-proportional lives in executor state. At real scale the index
+  * tables are bucketed by their join keys so each probe is co-located —
+  * the stream adds zero index-side shuffles.
+  */
+object DedupStream {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("ts", TimestampType)))
+
+  /** File-source stream of crawl docs (doc_id, text, ts).
+    * `maxFilesPerTrigger` bounds micro-batch size (and in tests forces a
+    * genuinely multi-batch run). */
+  def read(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(docSchema)
+    maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n.toLong))
+      .parquet(dir)
+  }
+
+  /** Probe stream: watermark + in-stream id dedup, then per-micro-batch
+    * index probe appended (idempotently) under `outDir`. Runs to
+    * completion of available input (AvailableNow). */
+  def runProbe(spark: SparkSession, streamDir: String, indexDir: String,
+      outDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val q = read(spark, streamDir, maxFilesPerTrigger)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("doc_id")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        DedupOps.probeDedupIndex(spark, batch.select("doc_id", "text"), indexDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        (): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** All verdicts emitted so far (the `batch` partition column is
+    * implementation detail — dropped). */
+  def readVerdicts(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(outDir)
+      .select(col("doc_id"), col("verdict"), col("match_doc"), col("near_jaccard"))
+}

@@ -34,10 +34,17 @@ object DocStream {
   def withEventTime(docs: DataFrame): DataFrame =
     docs.withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
 
-  /** The row-local screen columns — identical on stream and batch. */
+  /** The row-local screen columns — identical on stream and batch. Each
+    * screen uses the SAME tokenizer as the batch query that defines it:
+    * `toks` (trim + '\s+') is q197's watermark convention; `ltoks`
+    * (single-space split, no trim) is q195's loop convention — the two
+    * differ on consecutive/leading whitespace, so sharing one tokenizer
+    * would make the spec's stream≡batch assertions hold only on
+    * single-spaced fixtures. */
   def gateProjection(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", split(trim(coalesce(col("text"), lit(""))), "\\s+"))
+      .withColumn("ltoks", split(coalesce(col("text"), lit("")), " "))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("n_trans", greatest(size(col("toks")) - 1, lit(0)).cast("long"))
       .withColumn("n_green", expr(
@@ -50,15 +57,15 @@ object DocStream {
           / sqrt(col("n_trans").cast("double")) >= 4.0)
       .withColumn("cps", expr(
         """concat(array(0),
-          |  CASE WHEN size(toks) >= 2 THEN filter(sequence(1, size(toks) - 1),
-          |    i -> element_at(toks, i + 1) <> element_at(toks, i))
+          |  CASE WHEN size(ltoks) >= 2 THEN filter(sequence(1, size(ltoks) - 1),
+          |    i -> element_at(ltoks, i + 1) <> element_at(ltoks, i))
           |  ELSE cast(array() as array<int>) END,
-          |  array(size(toks)))""".stripMargin))
+          |  array(size(ltoks)))""".stripMargin))
       .withColumn("loopy", expr(
         """array_max(zip_with(slice(cps, 2, size(cps) - 1),
           |  slice(cps, 1, size(cps) - 1), (a, b) -> a - b)) >= 8""".stripMargin))
       .withColumn("too_short", col("n_tokens") < 5)
-      .drop("toks", "cps")
+      .drop("toks", "ltoks", "cps")
 
   /** Windowed per-source screen counters (1-hour tumbling windows,
     * 2-hour watermark). */

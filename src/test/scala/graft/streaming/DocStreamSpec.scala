@@ -57,4 +57,26 @@ class DocStreamSpec extends SparkSpec {
       assert(lp === q195(id), s"loop drift doc $id")
     }
   }
+
+  test("loopy screen uses q195's tokenizer, not the watermark's, on multi-space text") {
+    // Double-spaced repetition: q195's split(text, ' ') interleaves empty
+    // tokens (longest run 1 → NOT loopy); the watermark's trim+'\s+'
+    // convention would see a run of 9 and flag it. The two screens must
+    // each track their defining batch query — this fixture is the exact
+    // divergence a single shared tokenizer hid.
+    import spark.implicits._
+    val rows = Seq(
+      (1L, ("x " * 9).trim.replace(" ", "  ")),      // "x  x  ..." double-spaced
+      (2L, ("x " * 9).trim),                          // single-spaced: genuinely loopy
+      (3L, "  lead trail  "))                         // trim-sensitive edges
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = DocStream.gateProjection(DocStream.withEventTime(rows))
+      .select("doc_id", "loopy")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got(1L) === false, "double-spaced run must follow q195 (empty tokens break runs)")
+    assert(got(2L) === true, "single-spaced run of 9 is loopy")
+    assert(got(3L) === false)
+  }
 }

@@ -14,6 +14,12 @@ DuckDB's `string_split(text, '')` walks codepoints, so non-BMP input
 (q25/q119) — an engine-representation boundary, not an operator bug.
 U+E000..U+F8FF stays out too: BpeOps.trainBpe REQUIREs a PUA-free corpus
 (its merge placeholders live there), so PUA input fails fast by design.
+The alphabet is also PINNED to Unicode-1.x-era codepoints (Latin-1,
+Greek, CJK, kana) assigned in BOTH the JDK Normalizer's and DuckDB
+utf8proc's Unicode tables: graft_nfc (q175) is oracle-checked against
+nfc_normalize, and the two engines track different Unicode versions, so
+recently-assigned codepoints would turn a version gap into a fake
+operator failure (see TextUtil.nfc's parity-boundary note).
 
 Usage: tools/fuzz_corpus.py [seed] [outdir]
 """
