@@ -86,6 +86,74 @@ object BpeOps extends QueryModule {
     out.toSeq
   }
 
+  /** Batched BPE trainer — the standard practical optimization for real
+    * vocabulary sizes (V = 32k–256k): per round, ONE pair census, then
+    * up to `k` merges accepted greedily in exact-argmax order
+    * (count DESC, pair ASC), SKIPPING any pair that shares a symbol with
+    * a pair already accepted this round. Driver jobs per vocab point
+    * drop from ~2/merge to ~2/k·merge — the difference between 2·V and
+    * 2·V/k Spark jobs at real V (PLANS.md carries the measured A/B).
+    *
+    * Exactness contract:
+    *  - k = 1 reduces EXACTLY to [[trainBpe]] (the top pair is always
+    *    accepted; one rewrite, re-census) — spec-pinned;
+    *  - within a round, every accepted pair's recorded count is EXACT:
+    *    accepted pairs have pairwise-disjoint symbols and rewrite
+    *    targets are fresh PUA chars, so applying one accepted merge can
+    *    neither create nor destroy occurrences of another;
+    *  - across the round boundary the SELECTION can deviate from k = 1
+    *    BPE: a pair CREATED by an accepted merge (or a skipped
+    *    interacting pair, re-censused) may outrank the round's later
+    *    picks — the documented approximation every batched trainer
+    *    makes (spec demonstrates the deviation on a fixture rather
+    *    than hiding it).
+    *
+    * The candidate window is 4·k pairs — bounded driver state; a round
+    * accepts ≥ 1 merge whenever any pair remains, so progress is
+    * guaranteed and early-stop matches [[trainBpe]]. */
+  def trainBpeBatched(wordFreq: DataFrame, merges: Int, k: Int): Seq[BpeMerge] = {
+    require(k >= 1, "trainBpeBatched: k must be >= 1")
+    val puaPattern = "[" + 0xE000.toChar + "-" + 0xF8FF.toChar + "]"
+    require(wordFreq.filter(col("word").rlike(puaPattern)).limit(1).count() == 0L,
+      "trainBpeBatched: corpus words must not use U+E000..U+F8FF (reserved for merge placeholders)")
+    var vocab = wordFreq.localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    val expansion = scala.collection.mutable.Map.empty[Char, String]
+    var exhausted = false
+    while (out.size < merges && !exhausted) {
+      val want = math.min(k, merges - out.size)
+      val top = TextOps.bpePairCounts(vocab)
+        .orderBy(col("pair_count").desc, col("pair")).limit(4 * want).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.Set.empty[Char]
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        val it = top.iterator
+        while (accepted.size < want && it.hasNext) {
+          val r = it.next(); val p = r.getString(0)
+          if (!p.exists(used.contains)) { accepted += ((p, r.getLong(1))); used ++= p }
+        }
+        val start = out.size
+        val ms = accepted.toSeq.zipWithIndex.map { case ((pair, cnt), j) =>
+          val sym = (SymBase + start + j).toChar
+          val merged = pair.map(c => expansion.getOrElse(c, c.toString)).mkString
+          expansion(sym) = merged
+          BpeMerge(start + j, pair, sym, merged, cnt)
+        }
+        out ++= ms
+        // All of the round's merges land in ONE projection (rank order —
+        // commutative here by disjointness, but order keeps the rewrite
+        // bit-identical to applying them one at a time).
+        vocab = vocab
+          .select(ms.foldLeft(col("word"))((a, m) =>
+              replace(a, lit(m.pair), lit(m.sym.toString))).as("word"),
+            col("freq"))
+          .localCheckpoint(true)
+      }
+    }
+    out.toSeq
+  }
+
   /** The encode side: fold the ordered merge list into V nested
     * `replace`s over one token. Training order is load-bearing — later
     * pairs reference earlier placeholder symbols. */

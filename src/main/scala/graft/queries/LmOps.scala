@@ -688,10 +688,161 @@ object LmOps extends QueryModule {
        |FROM full_t ORDER BY doc_id""".stripMargin
   }
 
+  /** q205: interpolated Kneser–Ney TRIGRAM gate — q123's order-2 model
+    * generalized to order 3 (Chen & Goodman 1999 §4's full recursion;
+    * KenLM ships order 5 of exactly this shape), closing the
+    * order-n story: highest order discounts raw trigram counts, the
+    * middle order runs on CONTINUATION counts (distinct left-contexts,
+    * the KN signature), the lowest order is the continuation-unigram
+    * distribution:
+    *
+    *   p(w3|w1w2) = (c123 − D)/c12 + (D·N1p12/c12) · p2(w3|w2)
+    *   p2(w3|w2)  = (t23 − D)/t2   + (D·N1p2/t2)   · t3/T
+    *
+    * with c123 = trigram count, c12 = Σ_w3 c123, N1p12 = distinct w3
+    * after (w1,w2); t23 = N1+(·w2w3) = distinct w1 before (w2,w3),
+    * t2 = Σ_w3 t23, N1p2 = distinct w3 after w2 in the continuation
+    * table, t3 = N1+(·w3) = distinct w2 before w3, T = |bigram types|.
+    * Scoring the training corpus itself keeps every scored trigram at
+    * c123 ≥ 1 and t23 ≥ 1, so no backoff-only branch exists (q123's
+    * argument, one order up).
+    *
+    * D = 3/4 at BOTH orders is exact in binary, so multiplying through
+    * by the common denominator 16·c12·t2·T rationalizes p to a ratio of
+    * two BIGINTs:
+    *
+    *   A = (4·c123 − 3)·4·t2·T + 3·N1p12·((4·t23 − 3)·T + 3·N1p2·t3)
+    *   B = 16·c12·t2·T
+    *
+    * and ln p = ln A − ln B through [[PortableLn]] is bit-identical in
+    * both engines. Magnitude: A ≲ 16·c123·t2·T — ~5e13 at sf0.1, nine
+    * orders under 2^63; at 100 TB vocabulary scale promote A/B to
+    * DECIMAL(38,0) before the ln (the q123 cliff note, one factor of T
+    * wider).
+    *
+    * Scale shape: ONE corpus-proportional aggregation (the trigram
+    * count; map-side combine absorbs the zipf head) — every other
+    * statistic (prefix, continuation, unigram-continuation, T) derives
+    * from the trigram/continuation TYPE tables, which are
+    * vocabulary-bounded, not corpus-bounded. Scoring joins transitions
+    * back on their own aggregation keys; the per-doc sum is the
+    * position-ordered IEEE fold; the only scalars are the enforced
+    * ≤1-row T and p10 attaches. */
+  private def q205(s: SparkSession, d: String): DataFrame = {
+    val tri = t(s, d, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(2, size(toks) - 1)," +
+          " i -> struct(i as pos, toks[i-2] as w1, toks[i-1] as w2, toks[i] as w3))")).as("x"))
+      .select(col("doc_id"), col("x.pos").as("pos"),
+        col("x.w1").as("w1"), col("x.w2").as("w2"), col("x.w3").as("w3"))
+      .localCheckpoint(true) // consumers: trigram counts + scored probe
+    val tc = tri.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c123"))
+      .localCheckpoint(true) // consumers: prefix stats, continuation table, probe
+    val pfx = tc.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c123")).as("c12"), count(lit(1)).as("n1p12"))
+    // Continuation table: one row per (w2, w3) with its distinct-w1
+    // count — COUNT(*) over the trigram TYPE table is exactly N1+(·w2w3).
+    val cont = tc.groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("t23"))
+      .localCheckpoint(true) // consumers: mid stats, unigram continuation, T, probe
+    val mid = cont.groupBy(col("w2"))
+      .agg(sum(col("t23")).as("t2"), count(lit(1)).as("n1p2"))
+    val uniC = cont.groupBy(col("w3")).agg(count(lit(1)).as("t3"))
+    val tt = cont.agg(count(lit(1)).as("tbt"))
+    val joined = graft.Scalars.withScalar(
+      tri.join(tc, Seq("w1", "w2", "w3"))
+        .join(pfx, Seq("w1", "w2"))
+        .join(cont, Seq("w2", "w3"))
+        .join(mid, Seq("w2"))
+        .join(uniC, Seq("w3")),
+      tt)
+    val aExpr = "((((4 * c123) - 3) * ((4 * t2) * tbt))" +
+      " + ((3 * n1p12) * ((((4 * t23) - 3) * tbt) + ((3 * n1p2) * t3))))"
+    val bExpr = "(((16 * c12) * t2) * tbt)"
+    val lnCols = PortableLn.steps(aExpr, "a", spark = true) ++
+      PortableLn.steps(bExpr, "b", spark = true)
+    val scored = lnCols.foldLeft(joined) { case (df, (name, e)) =>
+      df.withColumn(name, expr(e))
+    }
+    val perDoc = scored
+      .withColumn("lp", expr("lna - lnb"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        expr("aggregate(array_sort(collect_list(struct(pos, lp)))," +
+          " cast(0 as double), (a, x) -> a + x.lp)").as("lp_sum"))
+      .select(col("doc_id"), col("n_trigrams"),
+        (col("lp_sum") / col("n_trigrams").cast("double"))
+          .as("avg_kn3_logprob"))
+      .localCheckpoint(true) // consumers: threshold + output
+    val thr = perDoc.agg(expr("percentile(avg_kn3_logprob, 0.1)").as("kn3_p10"))
+    graft.Scalars.withScalar(perDoc, thr)
+      .select(col("doc_id"), col("n_trigrams"), col("avg_kn3_logprob"),
+        col("kn3_p10"),
+        (col("avg_kn3_logprob") < col("kn3_p10")).as("flagged_low_quality"))
+      .orderBy("doc_id")
+  }
+  private def q205Sql: String = {
+    val aExpr = "((((4 * c123) - 3) * ((4 * t2) * tbt))" +
+      " + ((3 * n1p12) * ((((4 * t23) - 3) * tbt) + ((3 * n1p2) * t3))))"
+    val bExpr = "(((16 * c12) * t2) * tbt)"
+    val (lastStage, ctes) = lnCtes("j0", "l", Seq(aExpr -> "a", bExpr -> "b"))
+    s"""WITH base AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3),
+       |tri AS (
+       |  SELECT doc_id, i AS pos, toks[i - 1] AS w1, toks[i] AS w2,
+       |    toks[i + 1] AS w3
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(2, len(toks) - 1)) AS i
+       |        FROM base)),
+       |tc AS (
+       |  SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c123
+       |  FROM tri GROUP BY w1, w2, w3),
+       |pfx AS (
+       |  SELECT w1, w2, CAST(SUM(c123) AS BIGINT) AS c12,
+       |    CAST(COUNT(*) AS BIGINT) AS n1p12
+       |  FROM tc GROUP BY w1, w2),
+       |cont AS (
+       |  SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS t23 FROM tc GROUP BY w2, w3),
+       |mid AS (
+       |  SELECT w2, CAST(SUM(t23) AS BIGINT) AS t2,
+       |    CAST(COUNT(*) AS BIGINT) AS n1p2
+       |  FROM cont GROUP BY w2),
+       |unic AS (
+       |  SELECT w3, CAST(COUNT(*) AS BIGINT) AS t3 FROM cont GROUP BY w3),
+       |tb AS (SELECT CAST(COUNT(*) AS BIGINT) AS tbt FROM cont),
+       |j0 AS (
+       |  SELECT t.doc_id, t.pos, c.c123, p.c12, p.n1p12, n.t23, m.t2, m.n1p2,
+       |    u.t3, (SELECT tbt FROM tb) AS tbt
+       |  FROM tri t JOIN tc c USING (w1, w2, w3)
+       |  JOIN pfx p ON p.w1 = t.w1 AND p.w2 = t.w2
+       |  JOIN cont n ON n.w2 = t.w2 AND n.w3 = t.w3
+       |  JOIN mid m ON m.w2 = t.w2
+       |  JOIN unic u ON u.w3 = t.w3),
+       |${ctes.mkString(",\n")},
+       |pd AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(lna - lnb ORDER BY pos)),
+       |      (a, x) -> a + x) AS lp_sum
+       |  FROM $lastStage GROUP BY doc_id),
+       |pd2 AS (
+       |  SELECT doc_id, n_trigrams,
+       |    lp_sum / CAST(n_trigrams AS DOUBLE) AS avg_kn3_logprob
+       |  FROM pd),
+       |thr AS (SELECT quantile_cont(avg_kn3_logprob, 0.1) AS kn3_p10 FROM pd2)
+       |SELECT doc_id, n_trigrams, avg_kn3_logprob,
+       |  (SELECT kn3_p10 FROM thr) AS kn3_p10,
+       |  avg_kn3_logprob < (SELECT kn3_p10 FROM thr) AS flagged_low_quality
+       |FROM pd2 ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q106_lm_perplexity", q106, Some(q106Sql)),
     Q("q113_nb_classifier", q113, Some(q113Sql)),
     Q("q117_curriculum_phases", q117, Some(q117Sql)),
     Q("q123_kneser_ney", q123, Some(q123Sql)),
-    Q("q135_dsir_weights", q135, Some(q135Sql)))
+    Q("q135_dsir_weights", q135, Some(q135Sql)),
+    Q("q205_kn_trigram", q205, Some(q205Sql)))
 }
