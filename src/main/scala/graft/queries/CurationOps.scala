@@ -696,7 +696,8 @@ object CurationOps extends QueryModule {
       .join(tgt, "doc_id")
       .withColumn("importance", col("avg_lp_target") - col("avg_lp_raw"))
       .localCheckpoint(true)
-    val thr = both.agg(expr("percentile(importance, 0.75)").as("imp_p75"))
+    val thr = PctGate.thresholdDf(both, both.count(),
+      "importance", "0.75", "q179p75", "imp_p75")
     Scalars.withScalar(both, thr)
       .select(col("doc_id"), col("n_transitions"), col("avg_lp_raw"),
         col("avg_lp_target"), col("importance"), col("imp_p75"),
@@ -764,7 +765,7 @@ object CurationOps extends QueryModule {
        |    t.avg_lp_target,
        |    t.avg_lp_target - r.lp_sum / CAST(r.n_transitions AS DOUBLE) AS importance
        |  FROM pd_raw r JOIN pd_t t USING (doc_id)),
-       |thr AS (SELECT quantile_cont(importance, 0.75) AS imp_p75 FROM sel)
+       |thr AS (${PctGate.thresholdSql("sel", "importance", "0.75", "q179p75", "imp_p75")})
        |SELECT doc_id, n_transitions, avg_lp_raw, avg_lp_target, importance,
        |  (SELECT imp_p75 FROM thr) AS imp_p75,
        |  importance >= (SELECT imp_p75 FROM thr) AS selected

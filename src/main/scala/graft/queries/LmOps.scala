@@ -36,9 +36,10 @@ import org.apache.spark.sql.functions._
   * transition position, so the IEEE sum is partitioning-invariant). The
   * only driver-adjacent state is two 1-row scalars (vocabulary size,
   * p10 threshold) attached via the enforced ≤1-row
-  * [[graft.Scalars.withScalar]]. Exact `percentile` holds one value per
-  * doc; at 100 TB swap approx_percentile (q56's tolerance-oracle
-  * pattern) if that collection is too wide.
+  * [[graft.Scalars.withScalar]]. The p10/p90 thresholds go through
+  * [[PctGate]]: exact `percentile` below 2^23 rows, the deterministic
+  * ticket-sampled exact percentile above it — an executed, oracle-
+  * mirrored branch, not a documentation note.
   */
 object LmOps extends QueryModule {
 
@@ -175,7 +176,8 @@ object LmOps extends QueryModule {
 
   private def q106(s: SparkSession, d: String): DataFrame = {
     val perDoc = lmScores(s, d)
-    val thr = perDoc.agg(expr("percentile(avg_logprob, 0.1)").as("lp_p10"))
+    val thr = PctGate.thresholdDf(perDoc, perDoc.count(),
+      "avg_logprob", "0.1", "q106p10", "lp_p10")
     graft.Scalars.withScalar(perDoc, thr)
       .select(col("doc_id"), col("n_transitions"), col("avg_logprob"),
         col("lp_p10"), (col("avg_logprob") < col("lp_p10")).as("flagged_low_quality"))
@@ -223,7 +225,7 @@ object LmOps extends QueryModule {
        |  SELECT doc_id, n_transitions,
        |    lp_sum / CAST(n_transitions AS DOUBLE) AS avg_logprob
        |  FROM pd),
-       |thr AS (SELECT quantile_cont(avg_logprob, 0.1) AS lp_p10 FROM pd2)
+       |thr AS (${PctGate.thresholdSql("pd2", "avg_logprob", "0.1", "q106p10", "lp_p10")})
        |SELECT doc_id, n_transitions, avg_logprob,
        |  (SELECT lp_p10 FROM thr) AS lp_p10,
        |  avg_logprob < (SELECT lp_p10 FROM thr) AS flagged_low_quality
@@ -497,7 +499,8 @@ object LmOps extends QueryModule {
         (col("lp_sum") / col("n_transitions").cast("double"))
           .as("avg_kn_logprob"))
       .localCheckpoint(true) // consumers: threshold + output
-    val thr = perDoc.agg(expr("percentile(avg_kn_logprob, 0.1)").as("kn_p10"))
+    val thr = PctGate.thresholdDf(perDoc, perDoc.count(),
+      "avg_kn_logprob", "0.1", "q123p10", "kn_p10")
     graft.Scalars.withScalar(perDoc, thr)
       .select(col("doc_id"), col("n_transitions"), col("avg_kn_logprob"),
         col("kn_p10"),
@@ -543,7 +546,7 @@ object LmOps extends QueryModule {
        |  SELECT doc_id, n_transitions,
        |    lp_sum / CAST(n_transitions AS DOUBLE) AS avg_kn_logprob
        |  FROM pd),
-       |thr AS (SELECT quantile_cont(avg_kn_logprob, 0.1) AS kn_p10 FROM pd2)
+       |thr AS (${PctGate.thresholdSql("pd2", "avg_kn_logprob", "0.1", "q123p10", "kn_p10")})
        |SELECT doc_id, n_transitions, avg_kn_logprob,
        |  (SELECT kn_p10 FROM thr) AS kn_p10,
        |  avg_kn_logprob < (SELECT kn_p10 FROM thr) AS flagged_low_quality
@@ -630,7 +633,8 @@ object LmOps extends QueryModule {
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
         coalesce(col("log_weight"), lit(0.0)).as("log_weight"))
       .localCheckpoint(true) // consumers: p90 threshold + final select
-    val thr = full.agg(expr("percentile(log_weight, 0.9)").as("lw_p90"))
+    val thr = PctGate.thresholdDf(full, full.count(),
+      "log_weight", "0.9", "q135p90", "lw_p90")
     graft.Scalars.withScalar(full, thr)
       .select(col("doc_id"), col("is_target"), col("n_feats"),
         col("log_weight"), col("lw_p90"),
@@ -681,7 +685,7 @@ object LmOps extends QueryModule {
        |  SELECT d.doc_id, d.is_target, COALESCE(s.n_feats, 0) AS n_feats,
        |    COALESCE(s.log_weight, CAST(0 AS DOUBLE)) AS log_weight
        |  FROM docs d LEFT JOIN sc s USING (doc_id)),
-       |thr AS (SELECT quantile_cont(log_weight, 0.9) AS lw_p90 FROM full_t)
+       |thr AS (${PctGate.thresholdSql("full_t", "log_weight", "0.9", "q135p90", "lw_p90")})
        |SELECT doc_id, is_target, n_feats, log_weight,
        |  (SELECT lw_p90 FROM thr) AS lw_p90,
        |  log_weight > (SELECT lw_p90 FROM thr) AS selected
@@ -776,7 +780,8 @@ object LmOps extends QueryModule {
         (col("lp_sum") / col("n_trigrams").cast("double"))
           .as("avg_kn3_logprob"))
       .localCheckpoint(true) // consumers: threshold + output
-    val thr = perDoc.agg(expr("percentile(avg_kn3_logprob, 0.1)").as("kn3_p10"))
+    val thr = PctGate.thresholdDf(perDoc, perDoc.count(),
+      "avg_kn3_logprob", "0.1", "q205p10", "kn3_p10")
     graft.Scalars.withScalar(perDoc, thr)
       .select(col("doc_id"), col("n_trigrams"), col("avg_kn3_logprob"),
         col("kn3_p10"),
@@ -831,7 +836,7 @@ object LmOps extends QueryModule {
        |  SELECT doc_id, n_trigrams,
        |    lp_sum / CAST(n_trigrams AS DOUBLE) AS avg_kn3_logprob
        |  FROM pd),
-       |thr AS (SELECT quantile_cont(avg_kn3_logprob, 0.1) AS kn3_p10 FROM pd2)
+       |thr AS (${PctGate.thresholdSql("pd2", "avg_kn3_logprob", "0.1", "q205p10", "kn3_p10")})
        |SELECT doc_id, n_trigrams, avg_kn3_logprob,
        |  (SELECT kn3_p10 FROM thr) AS kn3_p10,
        |  avg_kn3_logprob < (SELECT kn3_p10 FROM thr) AS flagged_low_quality
