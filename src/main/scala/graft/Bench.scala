@@ -39,6 +39,7 @@ object Bench {
     val calib: Map[String, Double] = {
       import org.apache.spark.sql.functions.{col, sum => fsum, xxhash64}
       // double sum: an ANSI long sum of 4e8 full-range hashes overflows
+      // collect-bound: groupless aggregate, exactly 1 row
       val cpu = timeMin(3)(
         spark.range(400000000L)
           .select(fsum(xxhash64(col("id")).cast("double"))).collect())

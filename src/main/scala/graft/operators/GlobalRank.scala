@@ -138,6 +138,7 @@ object GlobalRank {
     val perAggs = count(lit(1)).as("__cnt") +:
       prefixSum.map { case (c, _) => sum(c).as("__ps") }.toSeq
     val per = withB.groupBy("__gb").agg(perAggs.head, perAggs.tail: _*)
+    // collect-bound: grouped by bucket id — B rows, B plan-time-fixed
     val perRows = per.collect().sortBy(_.getInt(0))
     var cumCnt = 0L
     var cumPs: Any = null

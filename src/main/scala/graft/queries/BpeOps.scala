@@ -65,6 +65,7 @@ object BpeOps extends QueryModule {
     var i = 0
     var exhausted = false
     while (i < merges && !exhausted) {
+      // collect-bound: limit(1) argmax — one row per training round
       val top = TextOps.bpePairCounts(vocab)
         .orderBy(col("pair_count").desc, col("pair")).limit(1).collect()
       if (top.isEmpty) exhausted = true
@@ -122,6 +123,7 @@ object BpeOps extends QueryModule {
     var exhausted = false
     while (out.size < merges && !exhausted) {
       val want = math.min(k, merges - out.size)
+      // collect-bound: limit(4k) candidate window, ≤ 4·merges rows
       val top = TextOps.bpePairCounts(vocab)
         .orderBy(col("pair_count").desc, col("pair")).limit(4 * want).collect()
       if (top.isEmpty) exhausted = true

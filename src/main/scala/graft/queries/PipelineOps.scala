@@ -103,6 +103,8 @@ object PipelineOps extends QueryModule {
     * converges to). One collect of the (already tiny) edge list. */
   private[queries] def driverComponents(s: SparkSession,
       edges: DataFrame): DataFrame = {
+    // collect-bound: caller enforces count ≤ DriverCcMaxEdges before
+    // dispatching here; larger edge sets take distributedComponents
     val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {

@@ -167,6 +167,7 @@ object VectorOps extends QueryModule {
     * consuming plans (PlanHygieneSpec bans those fleet-wide). Every plan
     * shape here is k-independent. */
   private[queries] def codebook(u: DataFrame, k: Int): Column = {
+    // collect-bound: vec_id < k filter — ≤ k rows, k ∝ √n via ivfKFor
     val rows: Seq[Seq[Double]] = u.filter(col("vec_id") < k)
       .select(col("vec_id"), col("ue"))
       .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1)).toSeq
@@ -192,6 +193,7 @@ object VectorOps extends QueryModule {
     * assignment quality vs the seed, unit-norm output. */
   def trainCodebook(s: SparkSession, d: String, k: Int, iters: Int): Seq[Seq[Double]] = {
     val u = unitVectors(s, d)
+    // collect-bound: vec_id < k seed filter — ≤ k rows
     var cb: Seq[Seq[Double]] = u.filter(col("vec_id") < k)
       .select(col("vec_id"), col("ue"))
       .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1)).toSeq
@@ -206,6 +208,7 @@ object VectorOps extends QueryModule {
         .groupBy(col("cell"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           x => x("m")).as("mean"))
+        // collect-bound: grouped by cell id < k — ≤ k rows per iteration
         .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
       cb = cb.indices.map { c =>
         means.get(c).fold(cb(c)) { m =>
@@ -810,6 +813,9 @@ object VectorOps extends QueryModule {
     * is too wide. */
   private def q138(s: SparkSession, d: String): DataFrame = {
     val u = unitVectors(s, d)
+    // collect-bound: benchmark-set-sized (the % 50 slice plays a fixed
+    // external benchmark); documented swap to q89's broadcast join when
+    // the benchmark outgrows a literal
     val bench: Seq[(Long, Seq[Double])] = u.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id"), col("ue"))
       .collect().sortBy(_.getLong(0))

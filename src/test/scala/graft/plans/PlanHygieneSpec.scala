@@ -61,6 +61,28 @@ object PlanHygiene {
     case _ => false
   }
 
+  /** [[isScalarSubtree]] generalized for COLLECT sites: the root provably
+    * emits ≤ maxRows at plan-build time — same structural rules, limits
+    * admitted up to maxRows instead of 1. This is the plan-shape
+    * contract behind every `collect-bound:` audit whose bound is a
+    * literal limit (BoundedCollectSpec drives it on the audited shapes
+    * and on offenders). */
+  def isCollectBounded(df: org.apache.spark.sql.DataFrame, maxRows: Long): Boolean =
+    collectBounded(df.queryExecution.executedPlan, maxRows)
+  private def collectBounded(p: SparkPlan, maxRows: Long): Boolean = p match {
+    case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+    case _: LocalTableScanExec => true
+    case g: GlobalLimitExec => g.limit >= 0 && g.limit <= maxRows
+    case t: TakeOrderedAndProjectExec => t.limit >= 0 && t.limit <= maxRows
+    case c: CollectLimitExec => c.limit >= 0 && c.limit <= maxRows
+    case a: AdaptiveSparkPlanExec => collectBounded(a.executedPlan, maxRows)
+    case q: QueryStageExec => collectBounded(q.plan, maxRows)
+    case r: ReusedExchangeExec => collectBounded(r.child, maxRows)
+    case _: GenerateExec | _: ExpandExec => false
+    case _ if p.children.nonEmpty => p.children.forall(collectBounded(_, maxRows))
+    case _ => false
+  }
+
   /** Windows over RAW (non-aggregated) rows carrying fewer than two
     * partition expressions — the q92/q93 hazard class: partitioned by a
     * fixed-cardinality column alone, one task sorts corpus/|key| rows at
