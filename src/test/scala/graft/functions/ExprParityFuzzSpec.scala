@@ -118,4 +118,50 @@ class ExprParityFuzzSpec extends SparkSpec {
         s"nfc differs from JDK reference on '$v'")
     }
   }
+
+  test("graft_nfc property fuzz: randomized combining-mark strings (both-table alphabet)") {
+    // Bases and marks are all Unicode-1.x/2.0-era codepoints assigned in
+    // BOTH the JDK's and utf8proc's tables (the TextUtil.nfc parity
+    // boundary): Latin/Greek/Cyrillic bases with precomposed forms,
+    // combining marks U+0300..U+0328, and conjoining Hangul jamo (LVT
+    // composition — the other NFC algorithm arm, absent from the fixed
+    // fixture list above). 300 random strings of 1-8 clusters, each
+    // base + 0-3 marks; asserts eval==codegen, idempotence, and JDK
+    // agreement — the reference implementation both engines claim.
+    val bases = "aeiouncsz" + "αεηιουω" + "аеиоу" + "AEIOU"
+    val marks = Seq(0x0300, 0x0301, 0x0302, 0x0303, 0x0304, 0x0306,
+      0x0308, 0x030A, 0x030C, 0x0323, 0x0327, 0x0328).map(_.toChar)
+    val jamoL = Seq(0x1100, 0x1102, 0x1109).map(_.toChar)
+    val jamoV = Seq(0x1161, 0x1165, 0x1169).map(_.toChar)
+    val jamoT = Seq(0x11A8, 0x11AB, 0x11BC).map(_.toChar)
+    def cluster(): String =
+      if (rnd.nextInt(5) == 0) {
+        val t = if (rnd.nextBoolean()) jamoT(rnd.nextInt(3)).toString else ""
+        s"${jamoL(rnd.nextInt(3))}${jamoV(rnd.nextInt(3))}$t"
+      } else {
+        val b = bases(rnd.nextInt(bases.length)).toString
+        b + Seq.fill(rnd.nextInt(4))(marks(rnd.nextInt(marks.size))).mkString
+      }
+    val cases = (1 to 300).map(_ =>
+      Seq.fill(1 + rnd.nextInt(8))(cluster()).mkString(" "))
+    val df = cases.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+      .select(col("id"), expr("graft_nfc(v)").as("n"),
+        expr("graft_nfc(graft_nfc(v))").as("nn"))
+      .collect().sortBy(_.getLong(0))
+    var composedSome = false
+    cases.zipWithIndex.foreach { case (v, i) =>
+      val row = df(i)
+      val viaEval = NfcNormalize(Literal(UTF8String.fromString(v), StringType))
+        .eval(null).asInstanceOf[UTF8String].toString
+      assert(row.getString(1) === viaEval, s"nfc eval/codegen drift on '$v'")
+      assert(row.getString(1) === row.getString(2), s"nfc not idempotent on '$v'")
+      assert(row.getString(1) ===
+        java.text.Normalizer.normalize(v, java.text.Normalizer.Form.NFC),
+        s"nfc differs from JDK reference on '$v'")
+      if (row.getString(1).length < v.length) composedSome = true
+    }
+    assert(composedSome,
+      "fuzz self-check: some string must actually compose (else the alphabet is vacuous)")
+  }
 }
