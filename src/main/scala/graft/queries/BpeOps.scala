@@ -621,11 +621,99 @@ object BpeOps extends QueryModule {
   }
 
 
+  /** q206: sample-trained tokenizer vs full-trained — the OTHER half of
+    * the real-V cost model beside [[trainBpeBatched]]: production
+    * tokenizers train on a deterministic corpus SAMPLE (GPT-2/Llama
+    * train on a slice, never the full crawl) and encode everything,
+    * because training cost is per-round-trip while encode is row-local.
+    * The doc_id % 4 = 0 slice (deterministic, oracle-reproducible)
+    * trains its own merge table; BOTH tokenizers encode the FULL corpus;
+    * the emitted row quantifies what the 4× training-cost cut paid:
+    * chars-per-symbol for each, plus merge-set agreement (q192's
+    * common / same-rank stats).
+    *
+    * Scale shape: sample training shrinks the word-frequency pass to the
+    * slice (the corpus-proportional part of training) and keeps the
+    * vocabulary-sized iteration loop; both encodes ride ONE row-local
+    * projection over the corpus (two replace chains in the same plan, no
+    * second scan); the rollup is a groupless aggregate of exact BIGINT
+    * sums, so the single cps divisions hash-match. Merge-agreement
+    * scalars are V-element driver lists (the trainBpe bounded-collect
+    * discipline), literal-embedded like q192. */
+  private def q206(s: SparkSession, d: String): DataFrame = {
+    val full = trainedMerges(s, d)
+    val sampleWf = t(s, d, "documents").filter(col("doc_id") % 4 === 0)
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val samp = trainBpe(sampleWf, OracleMerges)
+    val toks = split(trim(coalesce(col("text"), lit(""))), "\\s+")
+    def sumOver(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      aggregate(toks, lit(0L), (acc, x) => acc + f(x).cast("long"))
+    val common = full.map(_.merged).toSet.intersect(samp.map(_.merged).toSet).size.toLong
+    val sameRank = full.map(_.merged).zip(samp.map(_.merged))
+      .count { case (x, y) => x == y }.toLong
+    t(s, d, "documents")
+      .select(
+        sumOver(x => length(x)).as("nc"),
+        sumOver(x => length(bpeEncodeExpr(x, full))).as("nf"),
+        sumOver(x => length(bpeEncodeExpr(x, samp))).as("ns"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("n_chars"),
+        sum(col("nf")).as("n_symbols_full"), sum(col("ns")).as("n_symbols_sample"))
+      .select(lit(OracleMerges.toLong).as("v"),
+        lit(samp.size.toLong).as("n_merges_sample"),
+        col("n_docs"), col("n_chars"),
+        col("n_symbols_full"), col("n_symbols_sample"),
+        (col("n_chars").cast("double") /
+          nullif(col("n_symbols_full"), lit(0)).cast("double")).as("cps_full"),
+        (col("n_chars").cast("double") /
+          nullif(col("n_symbols_sample"), lit(0)).cast("double")).as("cps_sample"),
+        lit(common).as("n_common_merges"), lit(sameRank).as("n_same_rank"))
+  }
+  private def q206Sql: String = {
+    val chainF = trainCtes("", "TRUE")
+    val chainS = trainCtes("s", "doc_id % 4 = 0")
+    def encChain(pfx: String): String =
+      (0 until OracleMerges).foldLeft("tk") { (acc, i) =>
+        s"replace($acc, COALESCE((SELECT pair FROM ${pfx}t$i), chr(${SymBase + 256 + i})), chr(${SymBase + i}))"
+      }
+    s"""WITH ${(chainF ++ chainS).mkString(",\n")},
+       |la AS (${mergeListSql("")}),
+       |lb AS (${mergeListSql("s")}),
+       |tok AS (
+       |  SELECT unnest(regexp_split_to_array(trim(COALESCE(text, '')), '\\s+')) AS tk
+       |  FROM documents),
+       |enc AS (
+       |  SELECT length(tk) AS lc, length(${encChain("")}) AS lf,
+       |    length(${encChain("s")}) AS ls
+       |  FROM tok),
+       |agg AS (
+       |  SELECT CAST(SUM(lc) AS BIGINT) AS n_chars,
+       |    CAST(SUM(lf) AS BIGINT) AS n_symbols_full,
+       |    CAST(SUM(ls) AS BIGINT) AS n_symbols_sample
+       |  FROM enc),
+       |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+       |SELECT CAST($OracleMerges AS BIGINT) AS v,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lb) AS n_merges_sample,
+       |  (SELECT n_docs FROM nd) AS n_docs,
+       |  agg.n_chars, agg.n_symbols_full, agg.n_symbols_sample,
+       |  CAST(agg.n_chars AS DOUBLE) / CAST(nullif(agg.n_symbols_full, 0) AS DOUBLE)
+       |    AS cps_full,
+       |  CAST(agg.n_chars AS DOUBLE) / CAST(nullif(agg.n_symbols_sample, 0) AS DOUBLE)
+       |    AS cps_sample,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+       |     (SELECT merged FROM la INTERSECT SELECT merged FROM lb)) AS n_common_merges,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM la JOIN lb USING (step)
+       |     WHERE la.merged = lb.merged) AS n_same_rank
+       |FROM agg""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q104_bpe_train", q104, Some(q104Sql)),
     Q("q105_bpe_encode", q105, Some(q105Sql)),
     Q("q116_tokenizer_fertility", q116, Some(q116Sql)),
     Q("q122_unigram_viterbi", q122, Some(q122Sql)),
     Q("q129_unigram_em", q129, Some(q129Sql)),
-    Q("q192_tokenizer_transfer", q192, Some(q192Sql)))
+    Q("q192_tokenizer_transfer", q192, Some(q192Sql)),
+    Q("q206_sample_train_encode", q206, Some(q206Sql)))
 }

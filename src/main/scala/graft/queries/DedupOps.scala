@@ -581,6 +581,25 @@ object DedupOps extends QueryModule {
     shingleSetOf(nb).write.mode("overwrite").parquet(s"$dir/shingles")
   }
 
+  /** Fold a batch's NOVEL docs into the persisted index — the refresh arm
+    * of the production loop the streaming probe names: batch N's novel
+    * docs become findable by batch N+1 without any corpus re-pass.
+    * APPEND-ONLY (new parquet files under each table, never a rewrite),
+    * so a norm_key may accumulate one row per generation; the probe
+    * collapses multi-generation exact matches with a batch-side min
+    * aggregate (work ∝ matches, not index), so correctness never waits
+    * on compaction. Re-appending the same docs (an at-least-once retry)
+    * is harmless for the same reason: duplicate band/shingle rows wash
+    * out in the probe's DISTINCT/argmax, duplicate exact rows in the
+    * min. */
+  private[graft] def appendToDedupIndex(novel: DataFrame, dir: String): Unit = {
+    val nb = normDocs(novel)
+    nb.groupBy(col("norm_key")).agg(min(col("doc_id")).as("exact_doc"))
+      .write.mode("append").parquet(s"$dir/exact")
+    mhBandsOf(nb).write.mode("append").parquet(s"$dir/bands")
+    shingleSetOf(nb).write.mode("append").parquet(s"$dir/shingles")
+  }
+
   /** Probe a batch of (doc_id, text) against a persisted index: verdict
     * per batch doc (exact > near > novel), unordered. Work ∝ batch and
     * its candidates — the corpus appears only through the index files. */
@@ -618,8 +637,13 @@ object DedupOps extends QueryModule {
       .agg(min(struct((-col("jaccard")).as("nj"), col("base_doc").as("base_doc"))).as("w"))
       .select(col("batch_doc").as("doc_id"), col("w.base_doc").as("near_doc"),
         (-col("w.nj")).as("near_jaccard"))
+    // Batch-side min collapses multi-generation exact rows (an appended
+    // index can hold one row per generation for the same norm_key); a
+    // single-generation index reduces this to a no-op aggregate over one
+    // match, so q112's oracle parity is untouched.
     nb.select(col("doc_id"), col("norm_key"))
       .join(s.read.parquet(s"$dir/exact"), Seq("norm_key"), "left")
+      .groupBy(col("doc_id")).agg(min(col("exact_doc")).as("exact_doc"))
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("exact_doc").isNotNull, lit("exact"))

@@ -77,6 +77,39 @@ object DedupStream {
     q.awaitTermination()
   }
 
+  /** The probe WITH the index-refresh loop closed: after each
+    * micro-batch's verdicts land, that batch's NOVEL docs are appended
+    * to the persisted index (`DedupOps.appendToDedupIndex`), so batch
+    * N+1 detects exact/near duplicates of anything batch N admitted —
+    * cross-batch dedup with ZERO corpus re-passes and zero streaming
+    * state beyond the watermark dedup (the index IS the state, exactly
+    * as in the batch world). Retried batches re-append the same rows;
+    * the probe's min/DISTINCT collapse makes that harmless, and the
+    * verdict sink stays overwrite-per-batch idempotent. */
+  def runProbeWithRefresh(spark: SparkSession, streamDir: String,
+      indexDir: String, outDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val q = read(spark, streamDir, maxFilesPerTrigger)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("doc_id")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val docs = batch.select("doc_id", "text").localCheckpoint(true)
+        val verdicts = DedupOps.probeDedupIndex(spark, docs, indexDir)
+          .localCheckpoint(true) // two consumers: sink + novel filter
+        verdicts.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        DedupOps.appendToDedupIndex(
+          docs.join(verdicts.filter(col("verdict") === "novel")
+            .select("doc_id"), "doc_id"),
+          indexDir)
+        (): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** All verdicts emitted so far (the `batch` partition column is
     * implementation detail — dropped). */
   def readVerdicts(spark: SparkSession, outDir: String): DataFrame =

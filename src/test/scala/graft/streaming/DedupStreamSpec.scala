@@ -53,4 +53,47 @@ class DedupStreamSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(again === expected)
   }
+
+  test("refresh loop: a batch's novel docs are findable by later batches") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_dref").toString
+    def docsDf(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+
+    // Base corpus: unrelated text; the interesting docs arrive in-stream.
+    DedupOps.buildDedupIndex(
+      docsDf(1L -> "the quick brown fox jumps over the lazy dog",
+             2L -> "pack my box with five dozen liquor jugs").drop("ts"),
+      s"$root/index")
+
+    // Wave 1: doc 100 is NOVEL (nothing like it in the base index).
+    // 30 tokens: long enough that the one-token edit below still shares
+    // 3 of 4 MinHash bands (verified against the q112 oracle's SQL
+    // replica of graft_minhash — banding is deterministic per text, so
+    // this fixture can't flake).
+    val novelText = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val nearText = (1 to 29).map(i => s"tok$i").mkString(" ") + " zzz"
+    docsDf(100L -> novelText)
+      .coalesce(1).write.parquet(s"$root/in")
+    DedupStream.runProbeWithRefresh(spark, s"$root/in", s"$root/index",
+      s"$root/out", s"$root/ckpt")
+    val w1 = DedupStream.readVerdicts(spark, s"$root/out")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(w1(100L) === "novel")
+
+    // Wave 2 (same checkpoint — continues the stream): doc 200 is an
+    // exact copy of 100, doc 201 a near-copy. Without the refresh both
+    // would read novel; with it the index already holds doc 100.
+    docsDf(200L -> novelText, 201L -> nearText)
+      .coalesce(1).write.mode("append").parquet(s"$root/in")
+    DedupStream.runProbeWithRefresh(spark, s"$root/in", s"$root/index",
+      s"$root/out", s"$root/ckpt")
+    val w2 = DedupStream.readVerdicts(spark, s"$root/out")
+      .collect().map(r => (r.getLong(0), (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))))
+      .toMap
+    assert(w2(200L) === (("exact", 100L)), s"exact dup of a refreshed doc: ${w2(200L)}")
+    assert(w2(201L)._1 === "near" && w2(201L)._2 === 100L,
+      s"near dup of a refreshed doc: ${w2(201L)}")
+    assert(w2(100L) === (("novel", -1L)), "wave-1 verdicts must be untouched")
+  }
 }
