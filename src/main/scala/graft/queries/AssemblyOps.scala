@@ -568,9 +568,71 @@ object AssemblyOps extends QueryModule {
        |ORDER BY lbucket, grp, doc_id""".stripMargin
   }
 
+  /** q207 — dedup-survivor reweighting: the step that makes keep-one
+    * dedup DISTRIBUTION-PRESERVING. Dropping near-duplicates (q109)
+    * changes the corpus distribution — a document that appeared 40×
+    * carried 40× the sampling mass, and deleting 39 copies silently
+    * down-weights whatever that document represents (the bias Lee et
+    * al. 2022 §5 measure; CCNet keeps counts for exactly this reason).
+    * The fix every count-preserving pipeline ships: the KEEPER inherits
+    * its cluster's full token mass as a sampling weight —
+    * weight = cluster_tokens / keeper_tokens (≥ 1; dropped docs 0) —
+    * so downstream samplers draw the deduped corpus AS IF the
+    * duplicates were still there, without storing them.
+    *
+    * Composition over q109 through the registry (the q196/q200
+    * convention); the oracle embeds q109's published SQL. Exact BIGINT
+    * token sums with ONE final division per row, so the hash gate holds
+    * bit-exactly.
+    *
+    * Scale shape: q109's output joins the row-local token count on
+    * doc_id (same key its own plan already carries); the cluster mass
+    * is ONE hash aggregation keyed by cluster_id (near-dup subgraph +
+    * singletons — no new corpus-wide structure); the weight is
+    * row-local. No window, no driver state. */
+  private def q207(s: SparkSession, d: String): DataFrame = {
+    val rep = graft.SparkEntry.queries("q109_cluster_best")(s, d)
+      .select(col("doc_id"), col("cluster_id"), col("keep"))
+    val tok = t(s, d, "documents")
+      .select(col("doc_id"),
+        size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("n_tokens"))
+    val j = rep.join(tok, Seq("doc_id")).localCheckpoint(true) // consumers: mass + output
+    val cm = j.groupBy(col("cluster_id"))
+      .agg(sum(col("n_tokens")).as("cluster_tokens"))
+    j.join(cm, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("keep"), col("n_tokens"),
+        col("cluster_tokens"),
+        when(col("keep") && col("n_tokens") > 0,
+          col("cluster_tokens").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("weight"))
+      .orderBy("doc_id")
+  }
+  // q109Sql referenced directly, not via oracleSql(...): the registry map
+  // derives from `all`, whose initializer evaluates this oracle — the
+  // indirection would deadlock object init.
+  private def q207Sql: String =
+    s"""WITH r AS ($q109Sql),
+       |tok AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |j AS (
+       |  SELECT r.doc_id, r.cluster_id, r.keep, tok.n_tokens
+       |  FROM r JOIN tok USING (doc_id)),
+       |cm AS (
+       |  SELECT cluster_id, CAST(SUM(n_tokens) AS BIGINT) AS cluster_tokens
+       |  FROM j GROUP BY cluster_id)
+       |SELECT j.doc_id, j.cluster_id, j.keep, j.n_tokens, cm.cluster_tokens,
+       |  CASE WHEN j.keep AND j.n_tokens > 0
+       |    THEN CAST(cm.cluster_tokens AS DOUBLE) / CAST(j.n_tokens AS DOUBLE)
+       |    ELSE 0e0 END AS weight
+       |FROM j JOIN cm USING (cluster_id)
+       |ORDER BY j.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q120_mixture_report", q120, Some(q120Sql)),
     Q("q109_cluster_best", q109, Some(q109Sql)),
+    Q("q207_dedup_reweighting", q207, Some(q207Sql)),
     Q("q110_token_budget", q110, Some(q110Sql)),
     Q("q111_epoch_upsample", q111, Some(q111Sql)),
     Q("q125_weighted_sample", q125, Some(q125Sql)),

@@ -247,4 +247,25 @@ class AssemblyOpsSpec extends SparkSpec {
     ctl.foreach { case (_, _, id) => assert(pass(id), s"control $id fails the gate") }
     treat.foreach { case (_, _, id) => assert(!pass(id), s"treatment $id passes the gate") }
   }
+
+  test("q207: reweighting conserves token mass and weights are sane") {
+    val rows = graft.SparkEntry.queries("q207_dedup_reweighting")(
+        spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getBoolean(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // Conservation: Σ keeper weight·n_tokens = Σ all n_tokens — the whole
+    // point of count-preserving dedup. weight·n_tokens = cluster_tokens
+    // exactly (the division inverts), so the check is integer-exact.
+    val total = rows.map(_._2).sum
+    val effective = rows.collect { case (true, _, ct, _) => ct }.sum
+    assert(effective === total, "keeper cluster masses must partition the corpus")
+    rows.foreach { case (keep, nt, ct, w) =>
+      if (keep && nt > 0) {
+        assert(w >= 1.0, s"keeper weight $w < 1 (cluster can't be lighter than keeper)")
+        assert(w === ct.toDouble / nt.toDouble)
+      } else assert(w === 0.0, "dropped docs carry zero weight")
+    }
+    assert(rows.exists { case (keep, _, _, w) => keep && w > 1.0 },
+      "fixture self-check: some cluster must actually reweight")
+  }
 }
