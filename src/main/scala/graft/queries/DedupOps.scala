@@ -660,6 +660,79 @@ object DedupOps extends QueryModule {
     probeDedupIndex(s, docs.filter(col("doc_id") % 5 === 0), dir)
       .orderBy("doc_id")
   }
+
+  /** q208 — dedup-index health card: the operational metrics a 100 TB
+    * deployment watches over the q112 index, computed FROM the persisted
+    * tables themselves (the card audits what is actually on disk, not a
+    * recomputation). The load-bearing number is band-bucket skew:
+    * probe cost per batch doc is proportional to its buckets' sizes, and
+    * one degenerate band signature (boilerplate corpora produce them)
+    * turns the candidate join quadratic — `max_bucket_docs` and the
+    * Σ n·(n−1)/2 self-join budget are the alarms that fire BEFORE that
+    * happens. Everything is an aggregation over index-sized tables;
+    * exact integers plus one final division. */
+  private def q208(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.Scratch.dir("dedupidxcard", s, d)
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    buildDedupIndex(docs.filter(col("doc_id") % 5 =!= 0), dir)
+    val bstats = s.read.parquet(s"$dir/bands")
+      .groupBy(col("band"), col("sig")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("band_rows"),
+        count(lit(1)).as("band_buckets"),
+        max(col("n")).as("max_bucket_docs"),
+        expr("sum(n * (n - 1)) div 2").as("cand_pairs_budget"))
+    val estats = s.read.parquet(s"$dir/exact").agg(count(lit(1)).as("exact_keys"))
+    val sstats = s.read.parquet(s"$dir/shingles")
+      .agg(count(lit(1)).as("shingle_docs"), sum(size(col("shs"))).as("shingle_mass"))
+    graft.Scalars.withScalar(graft.Scalars.withScalar(bstats, estats), sstats)
+      .select(col("exact_keys"), col("band_rows"), col("band_buckets"),
+        col("max_bucket_docs"), col("cand_pairs_budget"),
+        col("shingle_docs"), col("shingle_mass"),
+        (col("shingle_mass").cast("double") /
+          nullif(col("shingle_docs"), lit(0)).cast("double")).as("avg_shingles_per_doc"))
+  }
+  private val q208Sql =
+    """WITH alldocs AS (
+      |  SELECT doc_id,
+      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_key,
+      |    string_split(text, ' ') AS toks
+      |  FROM documents WHERE doc_id % 5 <> 0),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+      |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+      |        FROM alldocs WHERE len(toks) >= 3)),
+      |hv AS (
+      |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS hm
+      |  FROM sh),
+      |perms AS (
+      |  SELECT p, (1103515245 * (p + 1) + 12345) % 2147483647 AS a,
+      |         (69069 * (p + 1) + 1) % 2147483647 AS b
+      |  FROM (SELECT unnest(generate_series(0, 15)) AS p)),
+      |lanes AS (
+      |  SELECT doc_id, p, MIN((a * hm + b) % 2147483647) AS lane
+      |  FROM hv CROSS JOIN perms GROUP BY doc_id, p),
+      |bands AS (
+      |  SELECT doc_id, p // 4 AS band, string_agg(lane::VARCHAR, ',' ORDER BY p) AS sig
+      |  FROM lanes GROUP BY doc_id, p // 4),
+      |bb AS (SELECT band, sig, CAST(COUNT(*) AS BIGINT) AS n FROM bands GROUP BY band, sig),
+      |bstats AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS band_rows,
+      |    CAST(COUNT(*) AS BIGINT) AS band_buckets,
+      |    CAST(MAX(n) AS BIGINT) AS max_bucket_docs,
+      |    CAST(SUM(n * (n - 1)) // 2 AS BIGINT) AS cand_pairs_budget
+      |  FROM bb),
+      |estats AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS exact_keys
+      |  FROM (SELECT norm_key FROM alldocs GROUP BY norm_key)),
+      |sstats AS (
+      |  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS shingle_docs,
+      |    CAST(COUNT(*) AS BIGINT) AS shingle_mass
+      |  FROM sh)
+      |SELECT e.exact_keys, b.band_rows, b.band_buckets, b.max_bucket_docs,
+      |  b.cand_pairs_budget, s.shingle_docs, s.shingle_mass,
+      |  CAST(s.shingle_mass AS DOUBLE) / CAST(nullif(s.shingle_docs, 0) AS DOUBLE)
+      |    AS avg_shingles_per_doc
+      |FROM bstats b, estats e, sstats s""".stripMargin
   private val q112Sql =
     """WITH alldocs AS (
       |  SELECT doc_id,
@@ -980,5 +1053,6 @@ object DedupOps extends QueryModule {
     Q("q89_contamination", q89, Some(q89Sql)),
     Q("q94_substring_dedup_spans", q94, Some(q94Sql)),
     Q("q112_incremental_dedup", q112, Some(q112Sql)),
-    Q("q139_memorization_risk", q139, Some(q139Sql)))
+    Q("q139_memorization_risk", q139, Some(q139Sql)),
+    Q("q208_dedup_index_card", q208, Some(q208Sql)))
 }
