@@ -95,5 +95,27 @@ class DedupStreamSpec extends SparkSpec {
     assert(w2(201L)._1 === "near" && w2(201L)._2 === 100L,
       s"near dup of a refreshed doc: ${w2(201L)}")
     assert(w2(100L) === (("novel", -1L)), "wave-1 verdicts must be untouched")
+
+    // Wave 3 edge: wave 1/2 never cross-checked INTRA-batch exact dups
+    // (both would read novel and BOTH refresh into the index, sharing a
+    // norm_key — the multi-generation case the probe's min collapse
+    // exists for). Deliver two identical novel docs in one batch, then
+    // a third copy in the next: its match must be the MINIMUM doc_id of
+    // the generations, and exactly one verdict row must come back.
+    val dupText = "one two three four five six seven eight nine ten"
+    docsDf(300L -> dupText, 301L -> dupText)
+      .coalesce(1).write.mode("append").parquet(s"$root/in")
+    DedupStream.runProbeWithRefresh(spark, s"$root/in", s"$root/index",
+      s"$root/out", s"$root/ckpt")
+    docsDf(302L -> dupText)
+      .coalesce(1).write.mode("append").parquet(s"$root/in")
+    DedupStream.runProbeWithRefresh(spark, s"$root/in", s"$root/index",
+      s"$root/out", s"$root/ckpt")
+    val w3 = DedupStream.readVerdicts(spark, s"$root/out")
+    assert(w3.filter(col("doc_id") === 302L).count() === 1L,
+      "multi-generation key must not duplicate the verdict row")
+    val r302 = w3.filter(col("doc_id") === 302L).head()
+    assert(r302.getString(1) === "exact" && r302.getLong(2) === 300L,
+      s"third copy must match the min generation: $r302")
   }
 }
