@@ -162,6 +162,18 @@ object BpeOps extends QueryModule {
   def bpeEncodeExpr(tok: Column, ms: Seq[BpeMerge]): Column =
     ms.foldLeft(tok)((acc, m) => replace(acc, lit(m.pair), lit(m.sym.toString)))
 
+  /** The decode side — encode's EXACT inverse on any PUA-free input (the
+    * alphabet the trainer REQUIREs): undo each merge in REVERSE training
+    * order (a later merge's pair may contain an earlier placeholder, so
+    * expansions must peel newest-first). Each step inverts its encode
+    * twin exactly: the sym char appears only where its replace put it,
+    * so replace(sym → pair) restores the pre-step string verbatim.
+    * Row-local like encode — the merge table is compiled into the plan.
+    * BpeTrainSpec pins decode ∘ encode = id on corpus and adversarial
+    * vocabularies. */
+  def bpeDecodeExpr(tok: Column, ms: Seq[BpeMerge]): Column =
+    ms.reverse.foldLeft(tok)((acc, m) => replace(acc, lit(m.sym.toString), lit(m.pair)))
+
   /** The trained merge table, ONE per (session, sf-dir) — a production
     * tokenizer is trained once per corpus and every consumer (encode,
     * fertility rollups, the q115 pipeline) reads the same frozen

@@ -71,4 +71,30 @@ class BpeTrainSpec extends SparkSpec {
       .collect().map(_.getInt(0)).toSeq
     assert(got === Seq(1, 1, 2, 2))
   }
+
+  test("decode is encode's exact inverse on PUA-free input") {
+    // Real corpus: every whitespace token of the sf0.001 documents table
+    // must round-trip through the trained merge table (including merges
+    // whose pair contains an earlier placeholder). Also the adversarial
+    // vocabulary: tokens that LOOK like merge inputs but aren't, quotes,
+    // backslashes, unicode.
+    val ms = BpeOps.trainedMerges(spark, "/root/testdata/sf0.001")
+    assert(ms.nonEmpty)
+    val bad = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(explode(split(trim(coalesce(col("text"), lit(""))), "\\s+")).as("tok"))
+      .union(Seq("ab", "a'b\"c\\d", "café", "東京", "", "aabbab").toDF("tok"))
+      .select(col("tok"),
+        BpeOps.bpeDecodeExpr(BpeOps.bpeEncodeExpr(col("tok"), ms), ms).as("rt"))
+      .filter(col("rt") =!= col("tok"))
+      .count()
+    assert(bad === 0L, "decode(encode(tok)) must equal tok for every corpus token")
+    // And batched-trainer tables round-trip the same way.
+    val msB = BpeOps.trainBpeBatched(
+      TextOps.bpeWordFreq(spark, "/root/testdata/sf0.001"), 8, 4)
+    val badB = Seq("ab", "abc", "aab", "xy", "aabbab").toDF("tok")
+      .select(col("tok"),
+        BpeOps.bpeDecodeExpr(BpeOps.bpeEncodeExpr(col("tok"), msB), msB).as("rt"))
+      .filter(col("rt") =!= col("tok")).count()
+    assert(badB === 0L)
+  }
 }
