@@ -81,4 +81,20 @@ object DocStream {
           .as("n_clean"))
       .select(col("w.start").as("hour_start"), col("source"), col("n_docs"),
         col("n_watermarked"), col("n_loopy"), col("n_too_short"), col("n_clean"))
+
+  /** The alarm the monitor exists to raise: windows where a source's
+    * clean rate fell below `minCleanRate` with at least `minDocs`
+    * support (the support floor keeps a 2-doc hour from paging anyone).
+    * A row-local filter over the windowed counters, so it composes on
+    * the STREAM (append past the watermark) and on the batch twin
+    * identically — the spec poisons one (hour, source) cell and asserts
+    * both paths raise exactly that alert. */
+  def alerts(counters: DataFrame, minCleanRate: Double = 0.5,
+      minDocs: Long = 20L): DataFrame =
+    counters
+      .filter(col("n_docs") >= minDocs &&
+        col("n_clean").cast("double") <
+          col("n_docs").cast("double") * minCleanRate)
+      .withColumn("clean_rate",
+        col("n_clean").cast("double") / col("n_docs").cast("double"))
 }

@@ -79,4 +79,39 @@ class DocStreamSpec extends SparkSpec {
     assert(got(2L) === true, "single-spaced run of 9 is loopy")
     assert(got(3L) === false)
   }
+
+  test("alerts fire for the poisoned (hour, source) cell on stream and batch alike") {
+    import spark.implicits._
+    // Hour 0: srcA floods with loopy spam (30 docs of "x x x …"),
+    // srcB stays clean (30 normal docs). Hour 1: srcA recovers.
+    def doc(id: Long, text: String, src: String) =
+      (id, text, "en", src, text.length.toLong)
+    val spam = ("x " * 20).trim
+    val clean = (1 to 12).map(i => s"w$i").mkString(" ")
+    val rows = ((0L until 30L).map(i => doc(i, spam, "srcA")) ++
+      (100L until 130L).map(i => doc(i, clean, "srcB")) ++
+      (3600L until 3630L).map(i => doc(i, clean, "srcA")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_alerts").toString
+    DocStream.withEventTime(rows).write.mode("overwrite").parquet(dir)
+    val streamed = EventStream.runAvailableNow(spark,
+      DocStream.monitor(DocStream.read(spark, dir)), "doc_alerts")
+    val fromStream = DocStream.alerts(streamed)
+      .select("source", "n_docs").collect().map(_.toSeq)
+    val fromBatch = DocStream.alerts(
+        DocStream.gateProjection(spark.read.parquet(dir))
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("watermark_flag"), 1)).as("n_watermarked"),
+            count(when(col("loopy"), 1)).as("n_loopy"),
+            count(when(col("too_short"), 1)).as("n_too_short"),
+            count(when(!col("watermark_flag") && !col("loopy") && !col("too_short"), 1))
+              .as("n_clean"))
+          .select(col("w.start").as("hour_start"), col("source"), col("n_docs"),
+            col("n_watermarked"), col("n_loopy"), col("n_too_short"), col("n_clean")))
+      .select("source", "n_docs").collect().map(_.toSeq)
+    assert(fromStream.toSeq === Seq(Seq("srcA", 30L)),
+      s"exactly the poisoned cell must alert: ${fromStream.toSeq}")
+    assert(fromBatch.toSeq === fromStream.toSeq, "stream and batch alerts must agree")
+  }
 }
