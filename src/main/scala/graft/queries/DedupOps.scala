@@ -1042,6 +1042,49 @@ object DedupOps extends QueryModule {
       |FROM base b LEFT JOIN nd n USING (doc_id)
       |ORDER BY b.doc_id""".stripMargin
 
+  /** q209 — LSH detection-probability curve: the published recall SLA of
+    * the MinHash index (q28/q112/DedupStream all band 16 lanes). For a
+    * banding of b bands × r rows, a pair at Jaccard J collides in at
+    * least one band with p = 1 − (1 − J^r)^b — the S-curve whose knee
+    * placement IS the b/r design decision. The card tabulates p over
+    * J = 0.05..0.95 for every 16-lane scheme (16×1, 8×2, 4×4, 2×8,
+    * 1×16), making the shipped 4×4 choice auditable: ~23% single-probe
+    * recall at the J = 0.5 verify threshold, 88% at J = 0.8, >99.9%
+    * at exact-dup J ≈ 1 — the standard near-dup trade (exact dups are
+    * caught by the hash table anyway; banding exists for the high-J
+    * tail, and the curve is the honest statement of what the index
+    * misses). q208's bucket-skew card and this curve are the index's
+    * observability pair: one audits cost, the other recall.
+    *
+    * Bit-portable by construction: J = i/20 is one exact-int double
+    * division, and every power is UNROLLED repeated multiplication —
+    * fixed-order IEEE ops, no pow() (whose libm results differ across
+    * engines). Pure literal grid: the plan is a LocalTableScan, zero
+    * corpus I/O. */
+  private val LshSchemes = Seq((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+  private def powExpr(base: String, n: Int): String =
+    Seq.fill(n)(base).mkString("(", " * ", ")")
+
+  private def q209(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = (1L to 19L).toDF("i")
+      .withColumn("j", col("i").cast("double") / lit(20.0))
+    LshSchemes.foldLeft(base) { case (df, (b, r)) =>
+      df.withColumn(s"p_b${b}r$r",
+        expr(s"1e0 - ${powExpr(s"(1e0 - ${powExpr("j", r)})", b)}"))
+    }.orderBy("i")
+  }
+  private def q209Sql: String = {
+    val cols = LshSchemes.map { case (b, r) =>
+      s"1e0 - ${powExpr(s"(1e0 - ${powExpr("j", r)})", b)} AS p_b${b}r$r"
+    }.mkString(",\n  ")
+    s"""WITH g AS (SELECT unnest(generate_series(1, 19)) AS i),
+       |b AS (SELECT CAST(i AS BIGINT) AS i, CAST(i AS DOUBLE) / 2e1 AS j FROM g)
+       |SELECT i, j,
+       |  $cols
+       |FROM b ORDER BY i""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q26_dedup_exact", q26, Some(q26Sql)),
     Q("q134_split_decontam", q134, Some(q134Sql)),
@@ -1054,5 +1097,6 @@ object DedupOps extends QueryModule {
     Q("q94_substring_dedup_spans", q94, Some(q94Sql)),
     Q("q112_incremental_dedup", q112, Some(q112Sql)),
     Q("q139_memorization_risk", q139, Some(q139Sql)),
-    Q("q208_dedup_index_card", q208, Some(q208Sql)))
+    Q("q208_dedup_index_card", q208, Some(q208Sql)),
+    Q("q209_lsh_curve", q209, Some(q209Sql)))
 }
