@@ -48,7 +48,7 @@ WORDS = ["key", "agg", "row", "scan", "slow", "fast", "table", "value",
 
 
 def rand_text(i):
-    kind = i % 10
+    kind = i % 12
     if kind == 0:
         return None
     if kind == 1:
@@ -61,6 +61,15 @@ def rand_text(i):
         return " ".join(["dup"] * rnd.randint(5, 60))  # pure repetition
     if kind == 5:
         return " ".join(rnd.choice(WORDS) for _ in range(rnd.randint(300, 600)))
+    if kind == 6:
+        # EXACTLY 2 tokens: below the 3-shingle/MinHash floor and the
+        # trigram floor, at the bigram-LM boundary (q106/q123 score it,
+        # q205 must exclude it).
+        return " ".join(rnd.choice(WORDS) for _ in range(2))
+    if kind == 7:
+        # EXACTLY 3 tokens: one shingle, one trigram — the smallest doc
+        # every sketch/LM path must carry without degenerating.
+        return " ".join(rnd.choice(WORDS) for _ in range(3))
     return " ".join(rnd.choice(WORDS) for _ in range(rnd.randint(2, 40)))
 
 
