@@ -817,14 +817,18 @@ object CorpusOps extends QueryModule {
           sum(col(x) * col(x)).as(s"sx2$i"),
           sum(col(y) * col(y)).as(s"sy2$i"))
       }: _*)
+    // nullif guard: a zero-variance signal (possible on degenerate
+    // corpora — every doc identical) makes Pearson r 0/0; it is
+    // UNDEFINED there, so both engines emit NULL instead of ANSI-erroring
+    // (Spark) vs inf-ing (DuckDB). Tiny-corpus gate regression.
     val rows = pairs.zipWithIndex.map { case ((x, y), i) =>
       s"struct('$x' as sig_a, '$y' as sig_b, n as n_docs," +
         s" (cast(n as double) * cast(sxy$i as double)" +
         s"   - (cast(sx$i as double) * cast(sy$i as double)))" +
-        s" / (sqrt(cast(n as double) * cast(sx2$i as double)" +
+        s" / nullif(sqrt(cast(n as double) * cast(sx2$i as double)" +
         s"      - (cast(sx$i as double) * cast(sx$i as double)))" +
         s"    * sqrt(cast(n as double) * cast(sy2$i as double)" +
-        s"      - (cast(sy$i as double) * cast(sy$i as double)))) as pearson_r)"
+        s"      - (cast(sy$i as double) * cast(sy$i as double))), 0e0) as pearson_r)"
     }.mkString(", ")
     moments.select(explode(expr(s"array($rows)")).as("r"))
       .select(col("r.sig_a"), col("r.sig_b"), col("r.n_docs"), col("r.pearson_r"))
@@ -844,10 +848,10 @@ object CorpusOps extends QueryModule {
       s"""SELECT '$x' AS sig_a, '$y' AS sig_b, n AS n_docs,
          |  (CAST(n AS DOUBLE) * CAST(sxy$i AS DOUBLE)
          |    - (CAST(sx$i AS DOUBLE) * CAST(sy$i AS DOUBLE)))
-         |  / (sqrt(CAST(n AS DOUBLE) * CAST(sx2$i AS DOUBLE)
+         |  / nullif(sqrt(CAST(n AS DOUBLE) * CAST(sx2$i AS DOUBLE)
          |      - (CAST(sx$i AS DOUBLE) * CAST(sx$i AS DOUBLE)))
          |    * sqrt(CAST(n AS DOUBLE) * CAST(sy2$i AS DOUBLE)
-         |      - (CAST(sy$i AS DOUBLE) * CAST(sy$i AS DOUBLE)))) AS pearson_r
+         |      - (CAST(sy$i AS DOUBLE) * CAST(sy$i AS DOUBLE))), 0e0) AS pearson_r
          |FROM m""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH b AS (
@@ -1726,7 +1730,10 @@ object CorpusOps extends QueryModule {
       .unionAll(card("semantic_cosine", q("q138_semantic_decontam")(s, d), "contaminated"))
       .unionAll(card("split_leakage", q("q134_split_decontam")(s, d), "leaked"))
       .withColumn("flag_rate",
-        expr("cast(n_flagged as double) / cast(n_checked as double)"))
+        // nullif: a modality can have ZERO checked rows on a degenerate
+        // corpus (no candidates survive its probe) — rate is undefined,
+        // not an ANSI error. Tiny-corpus gate regression.
+        expr("cast(n_flagged as double) / cast(nullif(n_checked, 0) as double)"))
       .orderBy("method")
   }
   private def q169Sql: String = {
@@ -1744,7 +1751,7 @@ object CorpusOps extends QueryModule {
        |  SELECT 'split_leakage', CAST(COUNT(*) AS BIGINT),
        |    CAST(COUNT(*) FILTER (WHERE leaked) AS BIGINT) FROM spl)
        |SELECT method, n_checked, n_flagged,
-       |  CAST(n_flagged AS DOUBLE) / CAST(n_checked AS DOUBLE) AS flag_rate
+       |  CAST(n_flagged AS DOUBLE) / CAST(nullif(n_checked, 0) AS DOUBLE) AS flag_rate
        |FROM u ORDER BY method""".stripMargin
   }
 

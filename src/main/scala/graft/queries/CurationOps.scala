@@ -1945,7 +1945,7 @@ object CurationOps extends QueryModule {
         col("v").as("value"))
     val lic = q("q181_license_mix")(s, d)
       .agg((sum(when(col("is_permissive"), col("n_docs")).otherwise(0L)).cast("double")
-        / sum(col("n_docs")).cast("double")).as("v"))
+        / nullif(sum(col("n_docs")), lit(0)).cast("double")).as("v"))
       .select(lit("license").as("section"), lit("permissive_share").as("metric"),
         col("v").as("value"))
     corpus.unionAll(funnel).unionAll(dedup).unionAll(contam).unionAll(wm).unionAll(lic)
@@ -1988,7 +1988,7 @@ object CurationOps extends QueryModule {
        |  UNION ALL
        |  SELECT 'license', 'permissive_share',
        |    CAST(SUM(CASE WHEN is_permissive THEN n_docs ELSE 0 END) AS DOUBLE)
-       |      / CAST(SUM(n_docs) AS DOUBLE) FROM lmq)
+       |      / CAST(nullif(SUM(n_docs), 0) AS DOUBLE) FROM lmq)
        |ORDER BY section, metric""".stripMargin
   }
 
