@@ -1486,7 +1486,10 @@ object CorpusOps extends QueryModule {
         "sqrt((s2 / cast(n_docs as double)) - (src_mean * src_mean))"))
       .select(col("source"), col("src_mean"), col("src_std"))
     scored.join(broadcast(stats), Seq("source"))
-      .withColumn("z", expr("(avg_logprob - src_mean) / src_std"))
+      // nullif: a single-doc (or constant-score) source has zero std —
+      // z is undefined there and the NULL falls out of the |z| filter in
+      // both engines. Tiny-corpus gate regression.
+      .withColumn("z", expr("(avg_logprob - src_mean) / nullif(src_std, 0e0)"))
       .filter(expr("abs(z) > 2e0"))
       .select(col("doc_id"), col("source"), col("avg_logprob"),
         col("src_mean"), col("src_std"), col("z"))
@@ -1515,7 +1518,7 @@ object CorpusOps extends QueryModule {
        |  FROM ms),
        |z AS (
        |  SELECT sl.doc_id, sl.source, sl.avg_logprob, sd.src_mean, sd.src_std,
-       |    (sl.avg_logprob - sd.src_mean) / sd.src_std AS z
+       |    (sl.avg_logprob - sd.src_mean) / nullif(sd.src_std, 0e0) AS z
        |  FROM sl JOIN sd USING (source))
        |SELECT doc_id, source, avg_logprob, src_mean, src_std, z
        |FROM z WHERE abs(z) > 2e0 ORDER BY doc_id""".stripMargin
