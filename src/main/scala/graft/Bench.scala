@@ -80,10 +80,13 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // The caller parses the last stdout line as JSON from a bounded tail
-    // capture (observed: 2000 chars). Full query names at full precision
-    // are ~3.9 KB and get truncated (BENCH_r01..r03 all parsed:null), so
-    // stdout uses the short qNN keys and 0.1 ms precision (~1 KB); the
-    // full-name full-precision line goes to BENCH_SELF.json.
+    // capture (observed: ~2000 chars). At 209 queries even the short-key
+    // qNN map is ~3.4 KB and overflowed it (BENCH_r11 parsed:null), so
+    // stdout now carries ONLY the summary — total, calibration, count —
+    // and points at BENCH_LINE.json, which keeps the full per-query map
+    // (short keys, 0.1 ms precision); BENCH_SELF.json keeps full names,
+    // full precision, and the calibration block. Both files are committed
+    // per round, so the record survives any capture truncation.
     val shortKeys = results.map(_._1.takeWhile(_ != '_'))
     require(shortKeys.distinct.size == shortKeys.size,
       "duplicate short bench keys (qNN prefixes must stay unique): " +
@@ -93,6 +96,10 @@ object Bench {
     }.mkString("{", ",", "}")
     val calibJson = calib.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val stdoutLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":2,"agg":"min","noise_factor":${fmt(noiseFactor)},"n_queries":${results.size},"sf":"$sfDir","queries_file":"BENCH_LINE.json"}"""
+    require(stdoutLine.length <= 1900,
+      s"stdout bench line must stay under the driver's tail capture (${stdoutLine.length} chars)")
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":2,"agg":"min","noise_factor":${fmt(noiseFactor)},"queries":$qsShort,"sf":"$sfDir"}"""
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -116,6 +123,6 @@ object Bench {
     // log line instead (root logger is at WARN, but the order makes the
     // contract hold regardless of logging config).
     spark.stop()
-    println(line)
+    println(stdoutLine)
   }
 }

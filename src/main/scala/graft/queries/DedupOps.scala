@@ -600,9 +600,87 @@ object DedupOps extends QueryModule {
     shingleSetOf(nb).write.mode("append").parquet(s"$dir/shingles")
   }
 
+  private val IndexTables = Seq("exact", "bands", "shingles")
+
+  /** Parquet data files currently backing the three index tables — the
+    * operational signal the compaction threshold reads. Append-only
+    * refresh adds one file-set per micro-batch per table, and probe scan
+    * cost grows with file count (open/footer overhead per file — the
+    * classic streaming small-files problem), so this number is what a
+    * deployment alarms on. */
+  private[graft] def indexFileCount(s: SparkSession, dir: String): Long = {
+    val conf = s.sparkContext.hadoopConfiguration
+    IndexTables.map { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$t")
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).count(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet")).toLong
+    }.sum
+  }
+
+  /** Compact the persisted dedup index IN PLACE: each table is rewritten
+    * to a sibling `<table>__compact` directory sized by bytes (128 MB
+    * target files), then swapped in. Compaction is SEMANTIC, not just a
+    * file merge — multi-generation rows accumulated by append-only
+    * refresh collapse to the canonical form the probe's min/DISTINCT
+    * would have computed anyway:
+    *  - exact:    one row per norm_key, min doc_id (the probe's own min);
+    *  - bands:    DISTINCT (doc_id, band, sig) — retries append verbatim
+    *              duplicates;
+    *  - shingles: one row per doc_id (rows for a doc_id are identical by
+    *              construction — shingles are a pure function of text).
+    * Probe verdicts are therefore invariant under compaction by
+    * construction, and DedupCompactionSpec pins that bit-for-bit across a
+    * multi-batch [[graft.streaming.DedupStream.runProbeWithRefresh]] run.
+    *
+    * The delete-then-rename swap has a crash window on a raw filesystem;
+    * a production deployment swaps a metastore/table-format pointer
+    * (Hive partition relocation, Iceberg/Delta commit) instead — the
+    * rewrite job itself is identical. Scale shape: one shuffle per table,
+    * each keyed by the table's own probe key, work ∝ index size — run it
+    * from the maintenance arm (file-count threshold), never inline with a
+    * probe. */
+  private[graft] def compactDedupIndex(s: SparkSession, dir: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    def swap(table: String)(compact: DataFrame => DataFrame): Unit = {
+      val cur = new org.apache.hadoop.fs.Path(s"$dir/$table")
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/${table}__compact")
+      val fs = cur.getFileSystem(conf)
+      val bytes = fs.getContentSummary(cur).getLength
+      val nFiles = math.max(1L, (bytes + (128L << 20) - 1) / (128L << 20)).toInt
+      compact(s.read.parquet(cur.toString))
+        .coalesce(nFiles)
+        .write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(cur, true)
+      require(fs.rename(tmp, cur), s"compaction swap failed for $cur")
+    }
+    swap("exact")(_.groupBy(col("norm_key"))
+      .agg(min(col("exact_doc")).as("exact_doc")))
+    swap("bands")(_.distinct())
+    swap("shingles")(_.dropDuplicates("doc_id"))
+  }
+
   /** Probe a batch of (doc_id, text) against a persisted index: verdict
     * per batch doc (exact > near > novel), unordered. Work ∝ batch and
-    * its candidates — the corpus appears only through the index files. */
+    * its candidates — the corpus appears only through the index files.
+    *
+    * SELF-MATCHES ARE IGNORED (exact rows whose indexed doc_id equals
+    * the probing doc_id, band candidates pairing a doc with itself).
+    * This is what makes the streaming refresh loop retry-safe: the three
+    * [[appendToDedupIndex]] parquet appends are not atomic, so a crash
+    * mid-append followed by an at-least-once foreachBatch retry re-probes
+    * an index already containing SOME of the batch's own rows. Without
+    * the filter those docs would come back verdict='exact' against
+    * themselves, fail the novel filter, and never get their missing
+    * bands/shingles rows appended — silently degrading future near-dup
+    * recall. With it, a partially-appended doc re-probes as novel and is
+    * re-appended in full; the duplicate rows wash out in the min/DISTINCT
+    * collapse below. Batch q112's splits are disjoint from the index, so
+    * there the filter is a no-op and oracle parity is untouched. (A
+    * re-crawl delivering an ALREADY-INDEXED doc_id beyond the watermark
+    * horizon is likewise treated as a re-assertion of that doc, not a
+    * duplicate of itself.) */
   private[graft] def probeDedupIndex(s: SparkSession, batch: DataFrame,
       dir: String): DataFrame = {
     val nb = normDocs(batch).localCheckpoint(true)
@@ -613,6 +691,7 @@ object DedupOps extends QueryModule {
     val cand = mhBandsOf(nb)
       .join(bandIdx, Seq("band", "sig"))
       .select(col("doc_id").as("batch_doc"), col("base_doc"))
+      .filter(col("batch_doc") =!= col("base_doc")) // retry self-pair guard
       .distinct()
       .localCheckpoint(true)
     // Verify candidates: batch shingles computed for candidate batch
@@ -640,10 +719,14 @@ object DedupOps extends QueryModule {
     // Batch-side min collapses multi-generation exact rows (an appended
     // index can hold one row per generation for the same norm_key); a
     // single-generation index reduces this to a no-op aggregate over one
-    // match, so q112's oracle parity is untouched.
+    // match, so q112's oracle parity is untouched. Self-rows (a retry
+    // probing its own partial append) are nulled before the min, which
+    // ignores them.
     nb.select(col("doc_id"), col("norm_key"))
       .join(s.read.parquet(s"$dir/exact"), Seq("norm_key"), "left")
-      .groupBy(col("doc_id")).agg(min(col("exact_doc")).as("exact_doc"))
+      .groupBy(col("doc_id"))
+      .agg(min(when(col("exact_doc") =!= col("doc_id"), col("exact_doc")))
+        .as("exact_doc"))
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("exact_doc").isNotNull, lit("exact"))
@@ -653,10 +736,24 @@ object DedupOps extends QueryModule {
         col("near_jaccard"))
   }
 
+  /** The q112 base-corpus index (doc_id % 5 ≠ 0 split), built ONCE per
+    * (session, corpus) and shared by every consumer — q112's probe and
+    * q208's health card read the same on-disk artifact instead of paying
+    * two complete normalize+minhash+shingle corpus passes (the
+    * uvCache/verifiedPairs discipline applied to the index build). */
+  private val idxCache = new graft.SessionCache[String]
+  private def builtBaseIndex(s: SparkSession, d: String): String =
+    idxCache.getOrBuild(s, d) {
+      val dir = graft.Scratch.dir("dedupidx", s, d)
+      buildDedupIndex(
+        t(s, d, "documents").select(col("doc_id"), col("text"))
+          .filter(col("doc_id") % 5 =!= 0), dir)
+      dir
+    }
+
   private def q112(s: SparkSession, d: String): DataFrame = {
-    val dir = graft.Scratch.dir("dedupidx", s, d)
+    val dir = builtBaseIndex(s, d)
     val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-    buildDedupIndex(docs.filter(col("doc_id") % 5 =!= 0), dir)
     probeDedupIndex(s, docs.filter(col("doc_id") % 5 === 0), dir)
       .orderBy("doc_id")
   }
@@ -672,9 +769,7 @@ object DedupOps extends QueryModule {
     * happens. Everything is an aggregation over index-sized tables;
     * exact integers plus one final division. */
   private def q208(s: SparkSession, d: String): DataFrame = {
-    val dir = graft.Scratch.dir("dedupidxcard", s, d)
-    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-    buildDedupIndex(docs.filter(col("doc_id") % 5 =!= 0), dir)
+    val dir = builtBaseIndex(s, d) // shared with q112 — one build per corpus
     val bstats = s.read.parquet(s"$dir/bands")
       .groupBy(col("band"), col("sig")).agg(count(lit(1)).as("n"))
       .agg(sum(col("n")).as("band_rows"),

@@ -58,12 +58,22 @@ object DedupStream {
 
   /** Probe stream: watermark + in-stream id dedup, then per-micro-batch
     * index probe appended (idempotently) under `outDir`. Runs to
-    * completion of available input (AvailableNow). */
+    * completion of available input (AvailableNow).
+    *
+    * LATE-DATA CONTRACT: `dropDuplicatesWithinWatermark` bounds its state
+    * by DROPPING any row whose event time is more than `watermarkDelay`
+    * behind the observed max — a doc arriving later than that gets NO
+    * verdict at all, not a duplicate verdict. The "loses and invents
+    * nothing" guarantee therefore holds only WITHIN the watermark
+    * horizon; `watermarkDelay` is a parameter precisely so operators of
+    * out-of-order crawl feeds can widen it (state grows linearly with
+    * the horizon — the standard trade). */
   def runProbe(spark: SparkSession, streamDir: String, indexDir: String,
       outDir: String, checkpointDir: String,
-      maxFilesPerTrigger: Option[Int] = None): Unit = {
+      maxFilesPerTrigger: Option[Int] = None,
+      watermarkDelay: String = "2 hours"): Unit = {
     val q = read(spark, streamDir, maxFilesPerTrigger)
-      .withWatermark("ts", "2 hours")
+      .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("doc_id")
       .writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -83,14 +93,34 @@ object DedupStream {
     * N+1 detects exact/near duplicates of anything batch N admitted —
     * cross-batch dedup with ZERO corpus re-passes and zero streaming
     * state beyond the watermark dedup (the index IS the state, exactly
-    * as in the batch world). Retried batches re-append the same rows;
-    * the probe's min/DISTINCT collapse makes that harmless, and the
-    * verdict sink stays overwrite-per-batch idempotent. */
+    * as in the batch world).
+    *
+    * Retry safety: the verdict sink is overwrite-per-batch idempotent,
+    * and the probe IGNORES SELF-MATCHES (see `probeDedupIndex`), so an
+    * at-least-once replay — including a crash BETWEEN the three
+    * non-atomic index appends — re-classifies the batch's own docs as
+    * novel and re-appends them in full; duplicate index rows wash out in
+    * the probe's min/DISTINCT collapse and are physically merged by the
+    * next compaction.
+    *
+    * Compaction arm: append-only refresh adds one parquet file-set per
+    * table per micro-batch, and probe cost degrades with file count (the
+    * streaming small-files problem). When the index's total data-file
+    * count exceeds `compactAboveFiles`, the three tables are rewritten
+    * to their canonical collapsed form (`DedupOps.compactDedupIndex`) —
+    * verdicts are invariant by construction since compaction applies the
+    * probe's own min/DISTINCT semantics, pinned by DedupCompactionSpec.
+    * Compaction runs BETWEEN batches inside foreachBatch here; a real
+    * deployment runs it as an async maintenance job with a table-format
+    * pointer swap — same rewrite, different commit. Same
+    * `watermarkDelay` late-data contract as [[runProbe]]. */
   def runProbeWithRefresh(spark: SparkSession, streamDir: String,
       indexDir: String, outDir: String, checkpointDir: String,
-      maxFilesPerTrigger: Option[Int] = None): Unit = {
+      maxFilesPerTrigger: Option[Int] = None,
+      watermarkDelay: String = "2 hours",
+      compactAboveFiles: Option[Long] = None): Unit = {
     val q = read(spark, streamDir, maxFilesPerTrigger)
-      .withWatermark("ts", "2 hours")
+      .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("doc_id")
       .writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -102,6 +132,10 @@ object DedupStream {
           docs.join(verdicts.filter(col("verdict") === "novel")
             .select("doc_id"), "doc_id"),
           indexDir)
+        compactAboveFiles.foreach { thr =>
+          if (DedupOps.indexFileCount(spark, indexDir) > thr)
+            DedupOps.compactDedupIndex(spark, indexDir)
+        }
         (): Unit
       }
       .option("checkpointLocation", checkpointDir)
