@@ -52,7 +52,7 @@ object LmOps extends QueryModule {
     * diverge from the double path. */
   private[queries] object PortableLn {
     /** 1 + t2*(1/3 + t2*(1/5 + ... + t2*(1/35))) — fixed-order Horner. */
-    private def horner(t2: String): String = {
+    private[queries] def horner(t2: String): String = {
       val inner = (33 to 3 by -2).foldLeft("(1e0/35e0)") { (acc, den) =>
         s"((1e0/${den}e0) + ($t2 * $acc))"
       }
@@ -73,6 +73,43 @@ object LmOps extends QueryModule {
         s"t2$sfx" -> s"(t$sfx * t$sfx)",
         s"ln$sfx" ->
           s"((2e0 * (t$sfx * ${horner(s"t2$sfx")})) + (cast(k$sfx as double) * 6.931471805599453e-1))")
+    }
+  }
+
+  /** [[PortableLn]] generalized to a positive DOUBLE argument — needed by
+    * q210, whose modified-KN probability is an interpolated SUM of ratios
+    * (not a single integer ratio, so the rationalize-then-integer-ln
+    * trick of q123/q205 cannot apply; across five orders the common
+    * denominator would overflow even DECIMAL(38)). The double argument is
+    * itself bit-portable — q210 computes it from integer statistics
+    * through TEXTUALLY IDENTICAL fully-parenthesized expressions in both
+    * dialects, and +,−,×,÷ on binary64 are correctly rounded in both
+    * engines — so the only new problem is extracting the binary exponent
+    * of a double portably. Solution: clamp x into [2^-60, 2−2^-52]
+    * (both bounds exact doubles, clamp identical in both engines — the
+    * floor is hit only by degenerate corpora where EVERY interpolation
+    * path is discount-starved, and then identically in both engines),
+    * scale by the exact power 2^62, floor to a BIGINT (the scale and
+    * floor are exact, the result < 2^63), and take its bit length L:
+    * x ∈ [2^(L−63), 2^(L−62)) exactly, so m = x·2^(63−L) ∈ [1, 2) by an
+    * exact power-of-two multiply. From there it is [[PortableLn]]'s
+    * atanh Horner with k = L − 63. Only the shift spelling differs per
+    * dialect. */
+  private[queries] object PortableLnPos {
+    def steps(x: String, sfx: String, spark: Boolean): Seq[(String, String)] = {
+      val shift =
+        if (spark) s"cast(shiftleft(cast(1 as bigint), (63 - L$sfx)) as double)"
+        else s"CAST((CAST(1 AS BIGINT) << (63 - L$sfx)) AS DOUBLE)"
+      Seq(
+        s"xc$sfx" -> s"LEAST(GREATEST(($x), 8.673617379884035e-19), 1.9999999999999998e0)",
+        s"ix$sfx" -> s"CAST(FLOOR(xc$sfx * 4.611686018427387904e18) AS BIGINT)",
+        s"L$sfx" -> s"LENGTH(BIN(ix$sfx))",
+        s"m$sfx" -> s"(xc$sfx * $shift)",
+        s"t$sfx" -> s"((m$sfx - 1e0) / (m$sfx + 1e0))",
+        s"t2$sfx" -> s"(t$sfx * t$sfx)",
+        s"ln$sfx" ->
+          (s"((2e0 * (t$sfx * ${PortableLn.horner(s"t2$sfx")})) + " +
+            s"(CAST((L$sfx - 63) AS DOUBLE) * 6.931471805599453e-1))"))
     }
   }
 
@@ -843,11 +880,265 @@ object LmOps extends QueryModule {
        |FROM pd2 ORDER BY doc_id""".stripMargin
   }
 
+  /** q210: order-5 MODIFIED Kneser–Ney gate — the production KenLM/CCNet
+    * model shape (Chen & Goodman 1999 §5: three discounts per order
+    * derived from that order's count-of-counts, not one fixed D), closing
+    * the n-gram family at the order real crawl gates run.
+    *
+    * Recursion (scored on the training corpus itself, so every count on
+    * the highest-order path is ≥ 1 and no backoff-only branch exists —
+    * q123/q205's argument, three orders up):
+    *
+    *   p5(w5|w1..w4) = (c5 − D5(c5))/c4p + γ5(w1..w4)·p4(w5|w2w3w4)
+    *   pn(w|h)       = (tn − Dn(tn))/sn  + γn(h)·p_{n−1}  (n = 4,3,2)
+    *   p1(w)         = u(w)/T
+    *
+    * where the order-n tables for n < 5 are CONTINUATION counts (the KN
+    * signature: tn = distinct left-contexts, i.e. COUNT(*) over the
+    * order-(n+1) TYPE table), u(w) = N1+(·w), T = |continuation-bigram
+    * types|, and γn(h) = (D1·N1(h·) + D2·N2(h·) + D3+·N3+(h·))/den(h).
+    * Discounts per order from that order's count-of-counts n1..n4
+    * (Y = n1/(n1+2n2); D1 = Y exactly — algebra of 1 − 2Y·n2/n1;
+    * D2 = 2 − 3Y·n3/n2; D3+ = 3 − 4Y·n4/n3), guarded for degenerate
+    * corpora (NULLIF/COALESCE zero-denominator fallback, clamp into
+    * [0, i] — a discount is only ever APPLIED to counts where its
+    * selecting count-class is non-empty, so the fallbacks are inert
+    * except under tiny_corpus-style collapse, where both engines take
+    * them identically).
+    *
+    * Bit-parity strategy — and why it DIFFERS from q123/q205: modified
+    * KN's p is an interpolated SUM of ratios whose per-order rational
+    * form has denominator (n1+2n2)·n2·n3·den per order; across five
+    * orders the common denominator overflows DECIMAL(38) by dozens of
+    * digits, so the rationalize-to-integers trick cannot apply. Instead
+    * ALL double arithmetic — discounts, γ, the interpolation chain — is
+    * emitted from ONE generator ([[Kn5]]) as fully-parenthesized
+    * expression text that is byte-identical in both dialects; every op
+    * is an IEEE-754 correctly-rounded binary64 +,−,×,÷ (or an exact
+    * CAST/LEAST/GREATEST/CASE), so both engines compute bit-identical
+    * doubles, and the final ln goes through [[PortableLnPos]]. The
+    * integer statistics feeding it are exact in any engine.
+    *
+    * Scale shape: ONE corpus-proportional aggregation (the 5-gram
+    * count — map-side combine absorbs the zipf head) plus one
+    * corpus-proportional join (positions → scored types, on the same
+    * 5-gram key the count aggregated by); everything else — the
+    * continuation tables, prefix stats, count-of-counts — is
+    * type-table-bounded (vocabulary, not corpus). The nine stat joins
+    * all key on their own aggregation keys; the five 1-row
+    * count-of-count scalars attach via the enforced ≤1-row
+    * [[graft.Scalars.withScalar]]; the per-doc sum is the
+    * position-ordered IEEE fold; the p10 gate goes through [[PctGate]].
+    * At real vocabulary the 5-gram string key would hash to a 64-bit
+    * join key (q94's measured xxhash64 trade); kept as strings here so
+    * the oracle keys on the same values. */
+  private object Kn5 {
+    private val orders = Seq(5, 4, 3, 2)
+    /** Staged (name, expr) column definitions over the joined type table
+      * carrying, per order o: cnt{o} (order-o count), den{o} (prefix
+      * sum), pa/pb/pc{o} (prefix types with count 1/2/≥3), na..nd{o}
+      * (global count-of-counts 1..4), plus ucnt/bigt (continuation
+      * unigram count and total). Emitted IDENTICALLY for both dialects
+      * except the final ln's shift spelling. */
+    def stages(spark: Boolean): Seq[Seq[(String, String)]] = {
+      val y = orders.map { o =>
+        s"y$o" -> (s"COALESCE(CAST(na$o AS DOUBLE) / " +
+          s"NULLIF(CAST((na$o + (2 * nb$o)) AS DOUBLE), 0e0), 0e0)")
+      }
+      val d = orders.flatMap { o =>
+        Seq(
+          s"da$o" -> s"LEAST(1e0, GREATEST(0e0, y$o))",
+          s"db$o" -> (s"LEAST(2e0, GREATEST(0e0, COALESCE(2e0 - ((3e0 * y$o) * " +
+            s"(CAST(nc$o AS DOUBLE) / NULLIF(CAST(nb$o AS DOUBLE), 0e0))), 0e0)))"),
+          s"dc$o" -> (s"LEAST(3e0, GREATEST(0e0, COALESCE(3e0 - ((4e0 * y$o) * " +
+            s"(CAST(nd$o AS DOUBLE) / NULLIF(CAST(nc$o AS DOUBLE), 0e0))), 0e0)))"))
+      }
+      val dg = orders.flatMap { o =>
+        Seq(
+          s"dsc$o" -> (s"(CASE WHEN cnt$o = 1 THEN da$o " +
+            s"WHEN cnt$o = 2 THEN db$o ELSE dc$o END)"),
+          s"gam$o" -> (s"((((da$o * CAST(pa$o AS DOUBLE)) + (db$o * CAST(pb$o AS DOUBLE))) + " +
+            s"(dc$o * CAST(pc$o AS DOUBLE))) / CAST(den$o AS DOUBLE))"))
+      } :+ ("p1" -> "(CAST(ucnt AS DOUBLE) / CAST(bigt AS DOUBLE))")
+      def pLevel(o: Int, lower: String) =
+        s"p$o" -> (s"(((CAST(cnt$o AS DOUBLE) - dsc$o) / CAST(den$o AS DOUBLE)) + " +
+          s"(gam$o * $lower))")
+      val ps = Seq(pLevel(2, "p1"), pLevel(3, "p2"), pLevel(4, "p3"), pLevel(5, "p4"))
+        .map(Seq(_))
+      Seq(y, d, dg) ++ ps ++ PortableLnPos.steps("p5", "p", spark).map(Seq(_))
+    }
+  }
+
+  private def q210(s: SparkSession, d: String): DataFrame = {
+    def one = count(lit(1))
+    def typesEq(c: String, v: Int) =
+      sum(when(col(c) === v, 1L).otherwise(0L))
+    def typesGe(c: String, v: Int) =
+      sum(when(col(c) >= v, 1L).otherwise(0L))
+    val g5 = t(s, d, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(4, size(toks) - 1), i -> struct(i as pos," +
+          " toks[i-4] as w1, toks[i-3] as w2, toks[i-2] as w3," +
+          " toks[i-1] as w4, toks[i] as w5))")).as("x"))
+      .select(col("doc_id"), col("x.pos").as("pos"), col("x.w1").as("w1"),
+        col("x.w2").as("w2"), col("x.w3").as("w3"), col("x.w4").as("w4"),
+        col("x.w5").as("w5"))
+      .localCheckpoint(true) // consumers: 5-gram counts + scored-position join
+    val t5 = g5.groupBy("w1", "w2", "w3", "w4", "w5").agg(one.as("cnt5"))
+      .localCheckpoint(true) // consumers: pfx5, cc5, t4, the stats join
+    val pfx5 = t5.groupBy("w1", "w2", "w3", "w4").agg(
+      sum(col("cnt5")).as("den5"), typesEq("cnt5", 1).as("pa5"),
+      typesEq("cnt5", 2).as("pb5"), typesGe("cnt5", 3).as("pc5"))
+    val t4 = t5.groupBy("w2", "w3", "w4", "w5").agg(one.as("cnt4"))
+      .localCheckpoint(true) // consumers: pfx4, cc4, t3, the stats join
+    val pfx4 = t4.groupBy("w2", "w3", "w4").agg(
+      sum(col("cnt4")).as("den4"), typesEq("cnt4", 1).as("pa4"),
+      typesEq("cnt4", 2).as("pb4"), typesGe("cnt4", 3).as("pc4"))
+    val t3 = t4.groupBy("w3", "w4", "w5").agg(one.as("cnt3"))
+      .localCheckpoint(true) // consumers: pfx3, cc3, t2, the stats join
+    val pfx3 = t3.groupBy("w3", "w4").agg(
+      sum(col("cnt3")).as("den3"), typesEq("cnt3", 1).as("pa3"),
+      typesEq("cnt3", 2).as("pb3"), typesGe("cnt3", 3).as("pc3"))
+    val t2 = t3.groupBy("w4", "w5").agg(one.as("cnt2"))
+      .localCheckpoint(true) // consumers: pfx2, cc2, t1, T, the stats join
+    val pfx2 = t2.groupBy("w4").agg(
+      sum(col("cnt2")).as("den2"), typesEq("cnt2", 1).as("pa2"),
+      typesEq("cnt2", 2).as("pb2"), typesGe("cnt2", 3).as("pc2"))
+    val t1 = t2.groupBy("w5").agg(one.as("ucnt"))
+    val tbt = t2.agg(one.as("bigt"))
+    def ccOf(tbl: DataFrame, c: String, o: Int) = tbl.agg(
+      typesEq(c, 1).as(s"na$o"), typesEq(c, 2).as(s"nb$o"),
+      typesEq(c, 3).as(s"nc$o"), typesEq(c, 4).as(s"nd$o"))
+    val joined0 = t5
+      .join(pfx5, Seq("w1", "w2", "w3", "w4"))
+      .join(t4, Seq("w2", "w3", "w4", "w5"))
+      .join(pfx4, Seq("w2", "w3", "w4"))
+      .join(t3, Seq("w3", "w4", "w5"))
+      .join(pfx3, Seq("w3", "w4"))
+      .join(t2, Seq("w4", "w5"))
+      .join(pfx2, Seq("w4"))
+      .join(t1, Seq("w5"))
+    val withScalars = Seq(ccOf(t5, "cnt5", 5), ccOf(t4, "cnt4", 4),
+      ccOf(t3, "cnt3", 3), ccOf(t2, "cnt2", 2), tbt)
+      .foldLeft(joined0)(graft.Scalars.withScalar)
+    val scoredTypes = Kn5.stages(spark = true).flatten
+      .foldLeft(withScalars) { case (df, (n, e)) => df.withColumn(n, expr(e)) }
+      .select(col("w1"), col("w2"), col("w3"), col("w4"), col("w5"),
+        col("lnp").as("lp"))
+    val perDoc = g5.join(scoredTypes, Seq("w1", "w2", "w3", "w4", "w5"))
+      .groupBy(col("doc_id"))
+      .agg(one.as("n_5grams"),
+        expr("aggregate(array_sort(collect_list(struct(pos, lp)))," +
+          " cast(0 as double), (a, x) -> a + x.lp)").as("lp_sum"))
+      .select(col("doc_id"), col("n_5grams"),
+        (col("lp_sum") / col("n_5grams").cast("double")).as("avg_kn5_logprob"))
+      .localCheckpoint(true) // consumers: threshold + output
+    val thr = PctGate.thresholdDf(perDoc, perDoc.count(),
+      "avg_kn5_logprob", "0.1", "q210p10", "kn5_p10")
+    graft.Scalars.withScalar(perDoc, thr)
+      .select(col("doc_id"), col("n_5grams"), col("avg_kn5_logprob"),
+        col("kn5_p10"),
+        (col("avg_kn5_logprob") < col("kn5_p10")).as("flagged_low_quality"))
+      .orderBy("doc_id")
+  }
+  private def q210Sql: String = {
+    def cc(tbl: String, c: String, o: Int) =
+      s"""cc$o AS (
+         |  SELECT CAST(SUM(CASE WHEN $c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS na$o,
+         |    CAST(SUM(CASE WHEN $c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS nb$o,
+         |    CAST(SUM(CASE WHEN $c = 3 THEN 1 ELSE 0 END) AS BIGINT) AS nc$o,
+         |    CAST(SUM(CASE WHEN $c = 4 THEN 1 ELSE 0 END) AS BIGINT) AS nd$o
+         |  FROM $tbl)""".stripMargin
+    def pfx(o: Int, tbl: String, c: String, keys: Seq[String]) =
+      s"""pfx$o AS (
+         |  SELECT ${keys.mkString(", ")}, CAST(SUM($c) AS BIGINT) AS den$o,
+         |    CAST(SUM(CASE WHEN $c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pa$o,
+         |    CAST(SUM(CASE WHEN $c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS pb$o,
+         |    CAST(SUM(CASE WHEN $c >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS pc$o
+         |  FROM $tbl GROUP BY ${keys.mkString(", ")})""".stripMargin
+    val stages = Kn5.stages(spark = false)
+    val stageCtes = stages.zipWithIndex.map { case (st, i) =>
+      val src = if (i == 0) "j0" else s"k$i"
+      val cols = st.map { case (n, e) => s"$e AS $n" }.mkString(",\n    ")
+      s"k${i + 1} AS (SELECT *,\n    $cols\n  FROM $src)"
+    }
+    val kLast = s"k${stages.size}"
+    s"""WITH base AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 5),
+       |g5 AS (
+       |  SELECT doc_id, i AS pos, toks[i - 3] AS w1, toks[i - 2] AS w2,
+       |    toks[i - 1] AS w3, toks[i] AS w4, toks[i + 1] AS w5
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(4, len(toks) - 1)) AS i
+       |        FROM base)),
+       |t5 AS (
+       |  SELECT w1, w2, w3, w4, w5, CAST(COUNT(*) AS BIGINT) AS cnt5
+       |  FROM g5 GROUP BY w1, w2, w3, w4, w5),
+       |${pfx(5, "t5", "cnt5", Seq("w1", "w2", "w3", "w4"))},
+       |${cc("t5", "cnt5", 5)},
+       |t4 AS (
+       |  SELECT w2, w3, w4, w5, CAST(COUNT(*) AS BIGINT) AS cnt4
+       |  FROM t5 GROUP BY w2, w3, w4, w5),
+       |${pfx(4, "t4", "cnt4", Seq("w2", "w3", "w4"))},
+       |${cc("t4", "cnt4", 4)},
+       |t3 AS (
+       |  SELECT w3, w4, w5, CAST(COUNT(*) AS BIGINT) AS cnt3
+       |  FROM t4 GROUP BY w3, w4, w5),
+       |${pfx(3, "t3", "cnt3", Seq("w3", "w4"))},
+       |${cc("t3", "cnt3", 3)},
+       |t2 AS (
+       |  SELECT w4, w5, CAST(COUNT(*) AS BIGINT) AS cnt2
+       |  FROM t3 GROUP BY w4, w5),
+       |${pfx(2, "t2", "cnt2", Seq("w4"))},
+       |${cc("t2", "cnt2", 2)},
+       |t1 AS (SELECT w5, CAST(COUNT(*) AS BIGINT) AS ucnt FROM t2 GROUP BY w5),
+       |tbt AS (SELECT CAST(COUNT(*) AS BIGINT) AS bigt FROM t2),
+       |j0 AS (
+       |  SELECT t.*, p5.den5, p5.pa5, p5.pb5, p5.pc5,
+       |    f4.cnt4, p4.den4, p4.pa4, p4.pb4, p4.pc4,
+       |    f3.cnt3, p3.den3, p3.pa3, p3.pb3, p3.pc3,
+       |    f2.cnt2, p2.den2, p2.pa2, p2.pb2, p2.pc2,
+       |    u.ucnt, cc5.*, cc4.*, cc3.*, cc2.*, tbt.bigt
+       |  FROM t5 t
+       |  JOIN pfx5 p5 ON p5.w1 = t.w1 AND p5.w2 = t.w2 AND p5.w3 = t.w3 AND p5.w4 = t.w4
+       |  JOIN t4 f4 ON f4.w2 = t.w2 AND f4.w3 = t.w3 AND f4.w4 = t.w4 AND f4.w5 = t.w5
+       |  JOIN pfx4 p4 ON p4.w2 = t.w2 AND p4.w3 = t.w3 AND p4.w4 = t.w4
+       |  JOIN t3 f3 ON f3.w3 = t.w3 AND f3.w4 = t.w4 AND f3.w5 = t.w5
+       |  JOIN pfx3 p3 ON p3.w3 = t.w3 AND p3.w4 = t.w4
+       |  JOIN t2 f2 ON f2.w4 = t.w4 AND f2.w5 = t.w5
+       |  JOIN pfx2 p2 ON p2.w4 = t.w4
+       |  JOIN t1 u ON u.w5 = t.w5
+       |  CROSS JOIN cc5 CROSS JOIN cc4 CROSS JOIN cc3 CROSS JOIN cc2 CROSS JOIN tbt),
+       |${stageCtes.mkString(",\n")},
+       |scored AS (SELECT w1, w2, w3, w4, w5, lnp AS lp FROM $kLast),
+       |pos AS (
+       |  SELECT g.doc_id, g.pos, s.lp
+       |  FROM g5 g JOIN scored s USING (w1, w2, w3, w4, w5)),
+       |pd AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_5grams,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(lp ORDER BY pos)),
+       |      (a, x) -> a + x) AS lp_sum
+       |  FROM pos GROUP BY doc_id),
+       |pd2 AS (
+       |  SELECT doc_id, n_5grams,
+       |    lp_sum / CAST(n_5grams AS DOUBLE) AS avg_kn5_logprob
+       |  FROM pd),
+       |thr AS (${PctGate.thresholdSql("pd2", "avg_kn5_logprob", "0.1", "q210p10", "kn5_p10")})
+       |SELECT doc_id, n_5grams, avg_kn5_logprob,
+       |  (SELECT kn5_p10 FROM thr) AS kn5_p10,
+       |  avg_kn5_logprob < (SELECT kn5_p10 FROM thr) AS flagged_low_quality
+       |FROM pd2 ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q106_lm_perplexity", q106, Some(q106Sql)),
     Q("q113_nb_classifier", q113, Some(q113Sql)),
     Q("q117_curriculum_phases", q117, Some(q117Sql)),
     Q("q123_kneser_ney", q123, Some(q123Sql)),
     Q("q135_dsir_weights", q135, Some(q135Sql)),
-    Q("q205_kn_trigram", q205, Some(q205Sql)))
+    Q("q205_kn_trigram", q205, Some(q205Sql)),
+    Q("q210_kn5_modified", q210, Some(q210Sql)))
 }

@@ -48,7 +48,7 @@ WORDS = ["key", "agg", "row", "scan", "slow", "fast", "table", "value",
 
 
 def rand_text(i):
-    kind = i % 12
+    kind = i % 14
     if kind == 0:
         return None
     if kind == 1:
@@ -70,6 +70,14 @@ def rand_text(i):
         # EXACTLY 3 tokens: one shingle, one trigram — the smallest doc
         # every sketch/LM path must carry without degenerating.
         return " ".join(rnd.choice(WORDS) for _ in range(3))
+    if kind == 8:
+        # EXACTLY 4 tokens: the 5-gram exclusion boundary (q210 must
+        # drop it; every 4-gram-and-below path must still carry it).
+        return " ".join(rnd.choice(WORDS) for _ in range(4))
+    if kind == 9:
+        # EXACTLY 5 tokens: exactly one 5-gram — the smallest doc the
+        # order-5 KN gate scores.
+        return " ".join(rnd.choice(WORDS) for _ in range(5))
     return " ".join(rnd.choice(WORDS) for _ in range(rnd.randint(2, 40)))
 
 
