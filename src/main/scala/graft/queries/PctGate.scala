@@ -59,29 +59,67 @@ object PctGate {
     * engines compute the identical cut. */
   def cutFor(n: Long): Long = (SampleRows << 32) / math.max(n, 1L)
 
-  private def ticketSpark(tag: String): String =
-    s"cast(conv(substring(md5(concat('$tag|', cast(doc_id as string))), 1, 8), 16, 10) as bigint)"
+  private def ticketSpark(tag: String, keyExpr: String): String =
+    s"cast(conv(substring(md5(concat('$tag|', cast(($keyExpr) as string))), 1, 8), 16, 10) as bigint)"
 
-  /** The 1-row threshold aggregate over `df` (must carry doc_id), branch
-    * derived from `n` = df's row count. */
+  /** The 1-row threshold aggregate over `df`, branch derived from `n` =
+    * df's row count. `keyExpr` is the deterministic per-row BIGINT the
+    * sample ticket hashes — doc_id for per-doc gates; pair-keyed inputs
+    * (q114/q211's within-cell cosine calibrators) pass a collision-free
+    * pair encoding instead. */
   def thresholdDf(df: DataFrame, n: Long, valueCol: String, frac: String,
-      tag: String, outName: String): DataFrame = {
+      tag: String, outName: String, keyExpr: String = "doc_id"): DataFrame = {
     val in =
       if (n <= exactMaxRows) df
-      else df.filter(expr(ticketSpark(tag)) < lit(cutFor(n)))
+      else df.filter(expr(ticketSpark(tag, keyExpr)) < lit(cutFor(n)))
     in.agg(expr(s"percentile($valueCol, $frac)").as(outName))
   }
 
-  /** Oracle twin: the body of a 1-row thr CTE reading from CTE `from`
-    * (keyed by doc_id), deriving branch and cut from the same integers. */
-  def thresholdSql(from: String, valueCol: String, frac: String,
-      tag: String, outName: String): String = {
+  /** Multi-fraction variant of [[thresholdDf]]: ONE pass over `df` (one
+    * percentile buffer holding the sample once, not once per fraction)
+    * emitting a 1-row frame with one column per (frac, outName). The
+    * multi-stat shape q103's datasheet percentiles need — two corpus
+    * passes for two fractions would double the gate's scan cost at
+    * 100 TB. */
+  def thresholdsDf(df: DataFrame, n: Long, valueCol: String,
+      fracs: Seq[String], outNames: Seq[String], tag: String,
+      keyExpr: String = "doc_id"): DataFrame = {
+    require(fracs.nonEmpty && fracs.size == outNames.size)
+    val in =
+      if (n <= exactMaxRows) df
+      else df.filter(expr(ticketSpark(tag, keyExpr)) < lit(cutFor(n)))
+    in.agg(expr(s"percentile($valueCol, array(${fracs.mkString(", ")}))").as("__ps"))
+      .select(outNames.zipWithIndex.map { case (o, i) =>
+        expr(s"element_at(__ps, ${i + 1})").as(o)
+      }: _*)
+  }
+
+  private def caseSql(from: String, valueCol: String, frac: String,
+      tag: String, outName: String, keyExpr: String): String = {
     val cut =
       s"((CAST($SampleRows AS BIGINT) << 32) / GREATEST((SELECT COUNT(*) FROM $from), 1))"
-    val tkt = s"(('0x' || substr(md5('$tag|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)"
-    s"SELECT CASE WHEN (SELECT COUNT(*) FROM $from) <= $exactMaxRows\n" +
+    val tkt = s"(('0x' || substr(md5('$tag|' || CAST(($keyExpr) AS VARCHAR)), 1, 8))::BIGINT)"
+    s"CASE WHEN (SELECT COUNT(*) FROM $from) <= $exactMaxRows\n" +
       s"    THEN (SELECT quantile_cont($valueCol, $frac) FROM $from)\n" +
       s"    ELSE (SELECT quantile_cont($valueCol, $frac) FROM $from WHERE $tkt < $cut)\n" +
       s"    END AS $outName"
+  }
+
+  /** Oracle twin: the body of a 1-row thr CTE reading from CTE `from`
+    * (carrying `keyExpr`'s columns), deriving branch and cut from the
+    * same integers. */
+  def thresholdSql(from: String, valueCol: String, frac: String,
+      tag: String, outName: String, keyExpr: String = "doc_id"): String =
+    "SELECT " + caseSql(from, valueCol, frac, tag, outName, keyExpr)
+
+  /** Oracle twin of [[thresholdsDf]] — one CASE column per fraction,
+    * each deriving the identical branch and cut. */
+  def thresholdsSql(from: String, valueCol: String, fracs: Seq[String],
+      outNames: Seq[String], tag: String,
+      keyExpr: String = "doc_id"): String = {
+    require(fracs.nonEmpty && fracs.size == outNames.size)
+    "SELECT " + fracs.zip(outNames).map { case (f, o) =>
+      caseSql(from, valueCol, f, tag, o, keyExpr)
+    }.mkString(",\n  ")
   }
 }

@@ -651,7 +651,11 @@ object VectorOps extends QueryModule {
       .select(col("va"), col("vb"), col("ca"), col("cb"),
         expr("graft_dot(ua, ub)").as("cos"))
       .localCheckpoint(true) // consumers: ε scalar + victim filter
-    val tau = pairs.agg(expr("percentile(cos, 0.999)").as("tau"))
+    // ε through PctGate (pair-encoded ticket): the within-cell pair set
+    // is Σ|cell|² ≈ n·√n — corpus-proportional, so the exact-percentile
+    // buffer needs the same scale knob as the per-doc LM gates.
+    val tau = PctGate.thresholdDf(pairs, pairs.count(), "cos", "0.999",
+      "q114tau", "tau", keyExpr = "((va * 4194304) + vb)")
     val victims = graft.Scalars.withScalar(pairs, tau)
       .filter(col("cos") > col("tau"))
       .select(when(col("ca") > col("cb"), col("va"))
@@ -666,8 +670,8 @@ object VectorOps extends QueryModule {
         coalesce(col("rm"), lit(false)).as("is_removed"))
       .orderBy("vec_id")
   }
-  private val q114Sql =
-    """WITH params AS (
+  private def q114Sql: String =
+    s"""WITH params AS (
       |  SELECT GREATEST(16, 1 << (LENGTH(BIN(CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) - 1)) AS k
       |  FROM embeddings),
       |e AS (
@@ -695,7 +699,7 @@ object VectorOps extends QueryModule {
       |    list_reduce(list_prepend(0.0, list_transform(list_zip(a.ue, b.ue),
       |      p -> p[1] * p[2])), (x, y) -> x + y) AS cos
       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id),
-      |tauv AS (SELECT quantile_cont(cos, 0.999) AS tau FROM pr),
+      |tauv AS (${PctGate.thresholdSql("pr", "cos", "0.999", "q114tau", "tau", keyExpr = "((va * 4194304) + vb)")}),
       |vict AS (
       |  SELECT DISTINCT CASE WHEN ca > cb THEN va
       |                       WHEN ca < cb THEN vb
@@ -920,9 +924,204 @@ object VectorOps extends QueryModule {
       |  cell_rank <= cell_n // 4 AS pruned
       |FROM rnk ORDER BY vec_id""".stripMargin
 
+  /** q211 — incremental SEMANTIC dedup: q112's persisted-index pattern
+    * one modality over. The base corpus's embeddings are indexed ONCE —
+    * an IVF coarse quantizer (rank-ordered seed codebook, the q52
+    * discipline), per-vector cell assignments with unit vectors (the
+    * doc-store the cosine verify reads), and a THRESHOLD CALIBRATED AT
+    * BUILD TIME (the 99.9th percentile of within-cell base-pair cosines,
+    * q114's ε computed on the index side and persisted WITH the index —
+    * production calibrates offline and ships τ as index metadata, so
+    * probes never re-derive it). Each incoming batch then probes: assign
+    * to a cell (row-local scoring against the ≤k-row centroid table),
+    * cosine against that cell's base vectors only (equi-join on the cell
+    * key — never all-pairs), argmax per probe (max cosine, ties to the
+    * lowest base vec_id — the q109 min-struct idiom), verdict 'dup' iff
+    * best cosine clears τ.
+    *
+    * Self-matches are EXCLUDED (base vec_id ≠ probe vec_id) for the same
+    * retry-safety reason as probeDedupIndex — a replayed micro-batch
+    * must re-admit its own partially-appended vectors. Batch q211's
+    * splits are disjoint, so the filter is a no-op there.
+    *
+    * τ goes through [[PctGate]] with a pair-encoded ticket key (va·2²²+vb
+    * is collision-free while vec_id < 2²², which the oracle scales
+    * satisfy; a real deployment hashes the pair), so the calibration
+    * survives a 10¹⁰-pair index without a corpus-sized percentile
+    * buffer, branch-identically in both engines.
+    *
+    * Scale shape: index build is one row-local assignment pass + one
+    * Σ|cell|² calibration join (SemDeDup's own complexity, paid once);
+    * the probe shuffles only batch-sized keys; the centroid collect is
+    * ≤ k rows (k ∝ √n). Shared verbatim with the STREAMING arm
+    * (graft.streaming.SemStream probes micro-batches through
+    * [[probeSemIndex]]), so stream ≡ batch verdicts hold by construction
+    * — the DedupStream discipline. */
+  private[graft] def unitize(df: DataFrame): DataFrame =
+    df.withColumn("nrm", expr(s"graft_l2norm($asDouble)"))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double) / nrm)").as("ue"))
+
+  /** One-time base pass: persist centroids (rank-ordered first-k unit
+    * vectors, cid = rank), cell assignments with unit vectors, and the
+    * calibrated within-cell cosine threshold. */
+  private[graft] def buildSemIndex(s: SparkSession, base: DataFrame,
+      dir: String): Unit = {
+    val u = unitize(base).localCheckpoint(true)
+    val k = ivfKFor(u.count())
+    // collect-bound: orderBy(vec_id).limit(k) — ≤ k rows, k ∝ √n via ivfKFor
+    val rows: Seq[Seq[Double]] = u.select(col("vec_id"), col("ue"))
+      .orderBy(col("vec_id")).limit(k)
+      .collect().map(_.getSeq[Double](1)).toSeq
+    import s.implicits._
+    rows.zipWithIndex.map { case (v, i) => (i, v) }.toDF("cid", "cu")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    val sc = sortedCells(typedlit(rows), rows.size)
+    val asg = u.select(col("vec_id"), col("ue"),
+        element_at(sc, 1)("cid").cast("bigint").as("cell"))
+      .localCheckpoint(true) // consumers: vector store sink + τ pairs
+    asg.write.mode("overwrite").parquet(s"$dir/vectors")
+    val a = asg.select(col("cell"), col("vec_id").as("va"), col("ue").as("ua"))
+    val b = asg.select(col("cell").as("cell_b"), col("vec_id").as("vb"),
+      col("ue").as("ub"))
+    val pairs = a.join(b, col("cell") === col("cell_b") && col("va") < col("vb"))
+      .select(col("va"), col("vb"), expr("graft_dot(ua, ub)").as("cos"))
+      .localCheckpoint(true) // consumers: count + threshold
+    PctGate.thresholdDf(pairs, pairs.count(), "cos", "0.999", "q211tau",
+        "tau", keyExpr = "((va * 4194304) + vb)")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/tau")
+  }
+
+  /** Probe a batch of (vec_id, embedding) against a persisted semantic
+    * index: (vec_id, cell, verdict, match_vec, best_cos, tau) per batch
+    * vector, unordered. Work ∝ batch × its cells' occupancy. */
+  private[graft] def probeSemIndex(s: SparkSession, batch: DataFrame,
+      dir: String): DataFrame = {
+    // collect-bound: centroid table — ≤ k rows, k ∝ √n via ivfKFor
+    val rows: Seq[Seq[Double]] = s.read.parquet(s"$dir/centroids")
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1)).toSeq
+    val sc = sortedCells(typedlit(rows), rows.size)
+    val assigned = unitize(batch)
+      .select(col("vec_id"), col("ue").as("pu"),
+        element_at(sc, 1)("cid").cast("bigint").as("cell"))
+      .localCheckpoint(true) // consumers: pair join + output spine
+    val idx = s.read.parquet(s"$dir/vectors")
+      .select(col("cell"), col("vec_id").as("base_vec"), col("ue").as("bu"))
+    val best = assigned.join(idx, Seq("cell"))
+      .filter(col("base_vec") =!= col("vec_id")) // retry self-pair guard
+      .select(col("vec_id"), col("base_vec"),
+        expr("graft_dot(pu, bu)").as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-col("cos")).as("nc"), col("base_vec").as("base_vec"))).as("w"))
+      .select(col("vec_id"), col("w.base_vec").as("match_vec"),
+        (-col("w.nc")).as("best_cos"))
+    // limit(1) makes the 1-row τ artifact's bound part of the PLAN
+    // (GlobalLimit-1), so withScalar admits it statically and the
+    // loop-join hygiene gate sees a provably-scalar side.
+    graft.Scalars.withScalar(
+        assigned.select(col("vec_id"), col("cell")),
+        s.read.parquet(s"$dir/tau").limit(1))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("best_cos") > col("tau"), lit("dup"))
+          .otherwise(lit("novel")).as("verdict"),
+        when(col("best_cos") > col("tau"), col("match_vec")).as("match_vec"),
+        col("best_cos"), col("tau"))
+  }
+
+  /** Fold a batch's NOVEL vectors into the vector store (append-only;
+    * centroids and τ are index metadata, recalibrated offline — exactly
+    * how production IVF indexes age). Duplicate rows from at-least-once
+    * replays wash out in the probe's argmax. */
+  private[graft] def appendToSemIndex(s: SparkSession, novel: DataFrame,
+      dir: String): Unit = {
+    // collect-bound: centroid table — ≤ k rows, k ∝ √n via ivfKFor
+    val rows: Seq[Seq[Double]] = s.read.parquet(s"$dir/centroids")
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1)).toSeq
+    val sc = sortedCells(typedlit(rows), rows.size)
+    unitize(novel)
+      .select(col("vec_id"), col("ue"),
+        element_at(sc, 1)("cid").cast("bigint").as("cell"))
+      .write.mode("append").parquet(s"$dir/vectors")
+  }
+
+  private def q211(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.Scratch.dir("semidx", s, d)
+    val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    buildSemIndex(s, e.filter(col("vec_id") % 5 =!= 0), dir)
+    probeSemIndex(s, e.filter(col("vec_id") % 5 === 0), dir)
+      .orderBy("vec_id")
+  }
+  private def q211Sql: String = {
+    val thr = PctGate.thresholdSql("pairs", "cos", "0.999", "q211tau",
+      "tau", keyExpr = "((va * 4194304) + vb)")
+    s"""WITH params AS (
+       |  SELECT GREATEST(16, 1 << (LENGTH(BIN(CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) - 1)) AS k
+       |  FROM embeddings WHERE vec_id % 5 <> 0),
+       |e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) AS nrm
+       |  FROM embeddings),
+       |u AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS ue FROM e),
+       |buni AS (SELECT vec_id, ue FROM u WHERE vec_id % 5 <> 0),
+       |cent AS (
+       |  SELECT cid, cu FROM (
+       |    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, ue AS cu
+       |    FROM buni) t WHERE cid < (SELECT k FROM params)),
+       |bcc AS (
+       |  SELECT b.vec_id, cent.cid,
+       |    list_reduce(list_prepend(0.0, list_transform(list_zip(b.ue, cent.cu),
+       |      p -> p[1] * p[2])), (a, x) -> a + x) AS cc
+       |  FROM buni b CROSS JOIN cent),
+       |bassign AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+       |    FROM bcc) t WHERE rn = 1),
+       |pairs AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb,
+       |    list_reduce(list_prepend(0.0, list_transform(list_zip(ua.ue, ub.ue),
+       |      p -> p[1] * p[2])), (x, y) -> x + y) AS cos
+       |  FROM bassign a JOIN bassign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN buni ua ON ua.vec_id = a.vec_id
+       |  JOIN buni ub ON ub.vec_id = b.vec_id),
+       |tauv AS ($thr),
+       |puni AS (SELECT vec_id, ue FROM u WHERE vec_id % 5 = 0),
+       |pcc AS (
+       |  SELECT p.vec_id, cent.cid,
+       |    list_reduce(list_prepend(0.0, list_transform(list_zip(p.ue, cent.cu),
+       |      q -> q[1] * q[2])), (a, x) -> a + x) AS cc
+       |  FROM puni p CROSS JOIN cent),
+       |passign AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+       |    FROM pcc) t WHERE rn = 1),
+       |scored AS (
+       |  SELECT p.vec_id, b.vec_id AS base_vec,
+       |    list_reduce(list_prepend(0.0, list_transform(list_zip(pu.ue, bu.ue),
+       |      q -> q[1] * q[2])), (a, x) -> a + x) AS cos
+       |  FROM passign p JOIN bassign b ON b.cell = p.cell AND b.vec_id <> p.vec_id
+       |  JOIN puni pu ON pu.vec_id = p.vec_id
+       |  JOIN buni bu ON bu.vec_id = b.vec_id),
+       |best AS (
+       |  SELECT vec_id, base_vec AS match_vec, cos AS best_cos FROM (
+       |    SELECT vec_id, base_vec, cos,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, base_vec) AS rn
+       |    FROM scored) t WHERE rn = 1)
+       |SELECT p.vec_id, CAST(p.cell AS BIGINT) AS cell,
+       |  CASE WHEN b.best_cos > (SELECT tau FROM tauv) THEN 'dup'
+       |       ELSE 'novel' END AS verdict,
+       |  CASE WHEN b.best_cos > (SELECT tau FROM tauv) THEN b.match_vec
+       |       END AS match_vec,
+       |  b.best_cos, (SELECT tau FROM tauv) AS tau
+       |FROM passign p LEFT JOIN best b USING (vec_id)
+       |ORDER BY p.vec_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q31_embed_norms", q31, Some(q31Sql)),
     Q("q114_semdedup", q114, Some(q114Sql)),
+    Q("q211_incremental_semdedup", q211, Some(q211Sql)),
     Q("q75_embed_quantize", q75, Some(q75Sql)),
     Q("q85_ann_quantized", q85, Some(q85Sql)),
     Q("q32_ann_bruteforce", q32, Some(q32Sql)),

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import graft.queries.VectorOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Streaming incremental SEMANTIC dedup — [[DedupStream]]'s pattern one
+  * modality over, closing the q211 loop on the ingest side: as embedded
+  * documents arrive, each micro-batch probes the PERSISTED IVF index
+  * (centroids + cell-assigned unit vectors + build-time-calibrated τ,
+  * written once by `VectorOps.buildSemIndex`) and emits q211's
+  * (vec_id, cell, verdict, match_vec, best_cos, tau) verdict schema.
+  * The probe is `VectorOps.probeSemIndex` — the SAME function the batch
+  * query calls, so stream ≡ batch verdicts hold by construction.
+  *
+  * The same contracts as DedupStream, restated because they carry over
+  * verbatim:
+  *  - in-stream id duplicates are absorbed by
+  *    `dropDuplicatesWithinWatermark` (state bounded by the watermark
+  *    horizon; rows later than `watermarkDelay` behind the observed max
+  *    are DROPPED, not mis-verdicted — widen the delay for out-of-order
+  *    feeds);
+  *  - the verdict sink is overwrite-per-batch idempotent;
+  *  - the probe ignores self-matches, so an at-least-once replay of a
+  *    partially-appended batch re-admits its own vectors (retry safety);
+  *  - the refresh arm appends each batch's NOVEL vectors to the vector
+  *    store — centroids and τ are index metadata, aged offline, exactly
+  *    how production IVF indexes are operated (a drifting corpus gets a
+  *    recalibration job, not a per-batch re-train).
+  *
+  * Scale shape per micro-batch: cell assignment is row-local scoring
+  * against the ≤k-row centroid table (k ∝ √n); the candidate join
+  * touches only the batch's cells' occupants, keyed on the cell id the
+  * index is partitioned by at scale. Nothing corpus-proportional lives
+  * in executor state — the index IS the state. */
+object SemStream {
+
+  private val vecSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(DoubleType)),
+    StructField("ts", TimestampType)))
+
+  /** File-source stream of embedded docs (vec_id, embedding, ts). */
+  def read(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(vecSchema)
+    maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n.toLong))
+      .parquet(dir)
+  }
+
+  /** Probe-only stream: per-micro-batch index probe written idempotently
+    * under `outDir/batch=<id>`. */
+  def runProbe(spark: SparkSession, streamDir: String, indexDir: String,
+      outDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      watermarkDelay: String = "2 hours"): Unit = {
+    val q = read(spark, streamDir, maxFilesPerTrigger)
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("vec_id")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        VectorOps.probeSemIndex(spark, batch.select("vec_id", "embedding"), indexDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        (): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The probe WITH the refresh loop closed: each batch's novel vectors
+    * join the vector store, so batch N+1 detects semantic duplicates of
+    * anything batch N admitted — zero corpus re-passes. */
+  def runProbeWithRefresh(spark: SparkSession, streamDir: String,
+      indexDir: String, outDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      watermarkDelay: String = "2 hours"): Unit = {
+    val q = read(spark, streamDir, maxFilesPerTrigger)
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("vec_id")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val vecs = batch.select("vec_id", "embedding").localCheckpoint(true)
+        val verdicts = VectorOps.probeSemIndex(spark, vecs, indexDir)
+          .localCheckpoint(true) // two consumers: sink + novel filter
+        verdicts.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        VectorOps.appendToSemIndex(spark,
+          vecs.join(verdicts.filter(col("verdict") === "novel")
+            .select("vec_id"), "vec_id"),
+          indexDir)
+        (): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** All verdicts emitted so far (the batch partition column dropped). */
+  def readVerdicts(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(outDir)
+      .select(col("vec_id"), col("cell"), col("verdict"), col("match_vec"),
+        col("best_cos"), col("tau"))
+}
