@@ -1474,6 +1474,9 @@ object CurationOps extends QueryModule {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
+        // pct-bound: grouped per source — the documented wide-buffer
+        // boundary (scale note above); approx_percentile is the swap-in
+        // when a single source outgrows an executor.
         expr("percentile(n_tokens, array(0.1D, 0.5D, 0.9D))").as("ps"))
       .select(col("source"), col("n_docs"), col("total_tokens"),
         (col("total_tokens").cast("double") / col("n_docs").cast("double")).as("mean_tokens"),

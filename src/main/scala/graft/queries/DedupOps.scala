@@ -153,7 +153,9 @@ object DedupOps extends QueryModule {
     * per document by the native graft_minhash expression (one pass over the
     * token array inside the scan's codegen span — ZERO corpus-wide shuffle,
     * vs the explode-shingles→groupBy formulation that moved every shingle
-    * row through a shuffle); 4 bands × 4 rows; band-bucket equi-join yields
+    * row through a shuffle); banding per [[LshConfig]] (default 4 bands ×
+    * 4 rows — the recall point q209 publishes; session conf can pin
+    * another scheme or state a recall SLA); band-bucket equi-join yields
     * candidates; exact Jaccard over string shingles verifies.
     *
     * The sketch hashing is the engine-portable MD5-lane family
@@ -169,16 +171,11 @@ object DedupOps extends QueryModule {
     val docs = t(s, d, "documents")
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
-    val sketches = docs.select(col("doc_id"),
-      expr("graft_minhash(toks, 3, 16)").as("mh"))
-    val bands = sketches.select(
-      col("doc_id"),
-      explode(expr(
-        """transform(sequence(0, 3), b ->
-          |  struct(b AS band,
-          |         concat_ws(',', mh[b*4], mh[b*4+1], mh[b*4+2], mh[b*4+3]) AS sig))"""
-          .stripMargin)).as("bs"))
-      .select(col("doc_id"), col("bs.band"), col("bs.sig"))
+    // Banding shared with the q112 index (one implementation, one knob);
+    // the scheme is session-configurable (LshConfig.fromConf), default
+    // 4×4 — the oracle SQL below encodes the default.
+    val bands = mhBandsOf(docs.select(col("doc_id"), col("toks")),
+      LshConfig.fromConf(s))
     // Candidate pairs materialize once, lineage cut (referenced three times
     // below); tiny — only band-colliding pairs survive.
     val cand = bands.as("x").join(bands.as("y"),
@@ -522,8 +519,10 @@ object DedupOps extends QueryModule {
     * probe paths, mirroring q26 and q28:
     *  - exact: md5 of whitespace/case-normalized text against the
     *    persisted (norm_key → min doc_id) table;
-    *  - near: the batch's 4×4 MinHash bands equi-join the persisted
-    *    band table; candidates verify with exact shingle Jaccard ≥ 0.5,
+    *  - near: the batch's MinHash bands (scheme read from the index's
+    *    own metadata — [[LshConfig]], default 4×4) equi-join the
+    *    persisted band table; candidates verify with exact shingle
+    *    Jaccard ≥ 0.5,
     *    best match per batch doc by aggregation argmax (max jaccard,
     *    ties to the lowest base doc_id — min(struct(-j, id)), q109's
     *    no-window idiom).
@@ -551,13 +550,22 @@ object DedupOps extends QueryModule {
       md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("norm_key"),
       split(col("text"), " ").as("toks"))
 
-  private def mhBandsOf(df: DataFrame): DataFrame = df
+  /** MinHash band rows for `df` (doc_id, toks) under `scheme` — the ONE
+    * banding implementation q28, the q112 index, and the streaming probe
+    * all share, so a scheme change cannot desynchronize them. Sig strings
+    * are the comma-joined lane values (cast-to-string ≡ the oracle's
+    * `lane::VARCHAR`), byte-identical to the pre-knob 4×4 output at
+    * [[LshConfig.Default]]. */
+  private[graft] def mhBandsOf(df: DataFrame,
+      scheme: LshConfig.Scheme = LshConfig.Default): DataFrame = df
     .filter(size(col("toks")) >= 3)
-    .select(col("doc_id"), expr("graft_minhash(toks, 3, 16)").as("mh"))
+    .select(col("doc_id"),
+      expr(s"graft_minhash(toks, 3, ${scheme.lanes})").as("mh"))
     .select(col("doc_id"), explode(expr(
-      """transform(sequence(0, 3), b ->
-        |  struct(b AS band,
-        |         concat_ws(',', mh[b*4], mh[b*4+1], mh[b*4+2], mh[b*4+3]) AS sig))"""
+      s"""transform(sequence(0, ${scheme.bands - 1}), b ->
+         |  struct(b AS band,
+         |         array_join(transform(slice(mh, b * ${scheme.rows} + 1, ${scheme.rows}),
+         |                              x -> cast(x AS string)), ',') AS sig))"""
         .stripMargin)).as("bs"))
     .select(col("doc_id"), col("bs.band"), col("bs.sig"))
 
@@ -572,13 +580,32 @@ object DedupOps extends QueryModule {
   /** One-time corpus pass: persist the three probe tables — exact-hash
     * (norm_key → min doc_id), MinHash bands, and the per-doc shingle
     * doc-store used for candidate verification (the storage the index
-    * pays so that probes are corpus-independent). */
+    * pays so that probes are corpus-independent) — plus the banding
+    * scheme as index metadata, so every later probe/append bands the way
+    * the index was built regardless of the probing session's conf. */
   private[graft] def buildDedupIndex(base: DataFrame, dir: String): Unit = {
+    val s = base.sparkSession
+    val scheme = LshConfig.fromConf(s)
     val nb = normDocs(base)
     nb.groupBy(col("norm_key")).agg(min(col("doc_id")).as("exact_doc"))
       .write.mode("overwrite").parquet(s"$dir/exact")
-    mhBandsOf(nb).write.mode("overwrite").parquet(s"$dir/bands")
+    mhBandsOf(nb, scheme).write.mode("overwrite").parquet(s"$dir/bands")
     shingleSetOf(nb).write.mode("overwrite").parquet(s"$dir/shingles")
+    import s.implicits._
+    Seq((scheme.bands, scheme.rows)).toDF("bands", "rows")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/scheme")
+  }
+
+  /** The banding scheme a persisted index was built with (1-row metadata
+    * table; pre-knob indexes without one are [[LshConfig.Default]]). */
+  private[graft] def indexScheme(s: SparkSession, dir: String): LshConfig.Scheme = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/scheme")
+    if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
+      LshConfig.Default
+    else {
+      val r = s.read.parquet(p.toString).head()
+      LshConfig.Scheme(r.getInt(0), r.getInt(1))
+    }
   }
 
   /** Fold a batch's NOVEL docs into the persisted index — the refresh arm
@@ -596,7 +623,8 @@ object DedupOps extends QueryModule {
     val nb = normDocs(novel)
     nb.groupBy(col("norm_key")).agg(min(col("doc_id")).as("exact_doc"))
       .write.mode("append").parquet(s"$dir/exact")
-    mhBandsOf(nb).write.mode("append").parquet(s"$dir/bands")
+    mhBandsOf(nb, indexScheme(novel.sparkSession, dir))
+      .write.mode("append").parquet(s"$dir/bands")
     shingleSetOf(nb).write.mode("append").parquet(s"$dir/shingles")
   }
 
@@ -688,7 +716,7 @@ object DedupOps extends QueryModule {
     // index-sized join, keyed on (band, sig).
     val bandIdx = s.read.parquet(s"$dir/bands")
       .select(col("doc_id").as("base_doc"), col("band"), col("sig"))
-    val cand = mhBandsOf(nb)
+    val cand = mhBandsOf(nb, indexScheme(s, dir))
       .join(bandIdx, Seq("band", "sig"))
       .select(col("doc_id").as("batch_doc"), col("base_doc"))
       .filter(col("batch_doc") =!= col("base_doc")) // retry self-pair guard

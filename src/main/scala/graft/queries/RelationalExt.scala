@@ -135,6 +135,10 @@ object RelationalExt extends QueryModule {
         max(col("v")).as("max_value"),
         approx_count_distinct(col("user_id")).as("cd_approx"),
         expr("approx_percentile(v, array(0.25, 0.5, 0.75), 10000)").as("pcts"),
+        // pct-bound: per-event-type tolerance band for the sketch under
+        // test — this query's POINT is exact-vs-approx comparison, so the
+        // exact side cannot itself be sampled; grouped buffer is the
+        // documented q44 wide-buffer class.
         expr("percentile(v, array(0.45, 0.55))").as("band"))
       .select(col("event_type"), col("n_events"), col("n_users"),
         col("min_value"), col("max_value"),
@@ -678,6 +682,10 @@ object RelationalExt extends QueryModule {
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
+        // pct-bound: grouped by event_type (small enum); the per-group
+        // buffer is the documented wide-buffer boundary — approx_percentile
+        // (q56's tolerance-oracle pattern) is the swap-in when one group
+        // outgrows an executor.
         expr("percentile(v, 0.25)").as("p25"),
         expr("percentile(v, 0.5)").as("p50"),
         expr("percentile(v, 0.75)").as("p75"))

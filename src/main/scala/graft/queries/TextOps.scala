@@ -615,18 +615,19 @@ object TextOps extends QueryModule {
     * DuckDB `quantile_cont` (the q44-proven pairing).
     *
     * Scale shape: three independent aggregation branches — doc-level
-    * stats + percentiles, exact distinct-vocabulary count (shuffled by
-    * word with map-side partial distinct), per-source counts → max —
-    * each a narrow scan into a partial+final agg, composed via the
-    * enforced ≤1-row [[graft.Scalars.withScalar]] broadcasts; the
-    * doc-level projection is checkpointed once for its two consumers.
-    * Exact percentiles hold the whole value SET per group in the
-    * aggregation buffer — fine for doc-length distributions (one value
-    * per document); at 100 TB swap in approx_percentile (q56's
-    * tolerance-oracle pattern) if even that collection is too wide. */
+    * stats, exact distinct-vocabulary count (shuffled by word with
+    * map-side partial distinct), per-source counts → max — each a narrow
+    * scan into a partial+final agg, composed via the enforced ≤1-row
+    * [[graft.Scalars.withScalar]] broadcasts; the doc-level projection
+    * is checkpointed once for its consumers. The doc-length percentiles
+    * go through [[PctGate]] (one multi-fraction pass): exact to 2^23
+    * docs, the deterministic md5-ticket sample above — the same branch
+    * derived in the oracle, so the card stays bit-green at every
+    * scale instead of documenting an approx_percentile swap it never
+    * executes. */
   private def q103(s: SparkSession, d: String): DataFrame = {
     val dt = t(s, d, "documents")
-      .select(col("source"),
+      .select(col("doc_id"), col("source"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
         length(col("text")).cast("long").as("n_chars"))
       .localCheckpoint(true)
@@ -634,15 +635,15 @@ object TextOps extends QueryModule {
       count(lit(1)).as("n_docs"),
       countDistinct(col("source")).as("n_sources"),
       sum(col("n_tokens")).as("total_tokens"),
-      sum(col("n_chars")).as("total_chars"),
-      expr("percentile(n_tokens, 0.5)").as("p50_doc_tokens"),
-      expr("percentile(n_tokens, 0.9)").as("p90_doc_tokens"))
+      sum(col("n_chars")).as("total_chars"))
+    val pct = PctGate.thresholdsDf(dt, dt.count(), "n_tokens",
+      Seq("0.5", "0.9"), Seq("p50_doc_tokens", "p90_doc_tokens"), "q103pct")
     val vocab = t(s, d, "documents")
       .select(explode(split(trim(col("text")), "\\s+")).as("w"))
       .agg(countDistinct(col("w")).as("vocab_size"))
     val topSrc = dt.groupBy(col("source")).agg(count(lit(1)).as("c"))
       .agg(max(col("c")).as("top_source_docs"))
-    graft.Scalars.withScalar(graft.Scalars.withScalar(base, vocab), topSrc)
+    Seq(pct, vocab, topSrc).foldLeft(base)(graft.Scalars.withScalar)
       .select(col("n_docs"), col("n_sources"), col("total_tokens"),
         col("total_chars"), col("vocab_size"),
         (col("vocab_size").cast("double") / col("total_tokens"))
@@ -653,10 +654,10 @@ object TextOps extends QueryModule {
         (col("top_source_docs").cast("double") / col("n_docs"))
           .as("top_source_share"))
   }
-  private val q103Sql =
-    """WITH dt AS (
-      |  SELECT source,
-      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+  private def q103Sql =
+    s"""WITH dt AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
       |      AS n_tokens,
       |    CAST(length(text) AS BIGINT) AS n_chars
       |  FROM documents),
@@ -664,13 +665,13 @@ object TextOps extends QueryModule {
       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
       |    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
       |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-      |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-      |    quantile_cont(CAST(n_tokens AS DOUBLE), 0.5) AS p50_doc_tokens,
-      |    quantile_cont(CAST(n_tokens AS DOUBLE), 0.9) AS p90_doc_tokens
+      |    CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |  FROM dt),
+      |thr AS (${PctGate.thresholdsSql("dt", "CAST(n_tokens AS DOUBLE)",
+           Seq("0.5", "0.9"), Seq("p50_doc_tokens", "p90_doc_tokens"), "q103pct")}),
       |v AS (
       |  SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS vocab_size
-      |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
       |        FROM documents)),
       |src AS (
       |  SELECT CAST(MAX(c) AS BIGINT) AS top_source_docs
@@ -680,7 +681,7 @@ object TextOps extends QueryModule {
       |  CAST(total_tokens AS DOUBLE) / n_docs AS mean_doc_tokens,
       |  p50_doc_tokens, p90_doc_tokens,
       |  CAST(top_source_docs AS DOUBLE) / n_docs AS top_source_share
-      |FROM base, v, src""".stripMargin
+      |FROM base, thr, v, src""".stripMargin
 
   /** q142 — PMI collocation mining (Church & Hanks 1990, "Word
     * Association Norms, Mutual Information, and Lexicography"): rank

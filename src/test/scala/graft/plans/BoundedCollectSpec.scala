@@ -16,6 +16,31 @@ import org.apache.spark.sql.functions._
 object BoundedCollect {
   val Marker = "collect-bound:"
 
+  /** Repo root resolved by walking up from CWD to the dir holding
+    * build.sbt — source-scanning gates must not silently cover zero
+    * files when the test JVM is forked with a different working
+    * directory. */
+  def repoRoot: java.nio.file.Path = {
+    var d = java.nio.file.Paths.get("").toAbsolutePath
+    while (d != null && !java.nio.file.Files.exists(d.resolve("build.sbt")))
+      d = d.getParent
+    require(d != null,
+      s"no build.sbt above ${java.nio.file.Paths.get("").toAbsolutePath}")
+    d
+  }
+
+  /** All main .scala sources as (path, content) — the corpus every
+    * static audit gate walks. */
+  def mainSources: Seq[(String, String)] = {
+    val root = repoRoot.resolve("src/main/scala")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    java.nio.file.Files.walk(root).iterator().forEachRemaining { p =>
+      if (p.toString.endsWith(".scala"))
+        out += ((p.toString, new String(java.nio.file.Files.readAllBytes(p), "UTF-8")))
+    }
+    out.toSeq
+  }
+
   /** 1-based line numbers of `.collect()` occurrences lacking a Marker
     * within the same or `window` preceding lines. */
   def violations(src: String, window: Int = 8): Seq[Int] = {
@@ -32,16 +57,11 @@ class BoundedCollectSpec extends SparkSpec {
   import spark.implicits._
 
   test("every .collect() in main sources carries a collect-bound: audit") {
-    val root = java.nio.file.Paths.get("src/main/scala")
-    val files = java.nio.file.Files.walk(root).iterator()
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
     var total = 0
-    files.forEachRemaining { p =>
-      if (p.toString.endsWith(".scala")) {
-        val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        total += src.split("\n", -1).count(_.contains(".collect()"))
-        BoundedCollect.violations(src).foreach(ln => bad += s"$p:$ln")
-      }
+    BoundedCollect.mainSources.foreach { case (path, src) =>
+      total += src.split("\n", -1).count(_.contains(".collect()"))
+      BoundedCollect.violations(src).foreach(ln => bad += s"$path:$ln")
     }
     assert(bad.isEmpty,
       s"unaudited .collect() sites (add a '${BoundedCollect.Marker} <why bounded>' " +
