@@ -1045,17 +1045,69 @@ object VectorOps extends QueryModule {
       .write.mode("append").parquet(s"$dir/vectors")
   }
 
+  /** Parquet data files backing the semantic index's vector store — the
+    * signal the compaction threshold reads. Centroids and τ are 1-file
+    * metadata written once; only `vectors` accretes a file-set per
+    * micro-batch under the streaming refresh. */
+  private[graft] def semIndexFileCount(s: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/vectors")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).count(f =>
+      f.isFile && f.getPath.getName.endsWith(".parquet")).toLong
+  }
+
+  /** Compact the vector store IN PLACE: rewrite to one-row-per-vec_id
+    * (rows for a vec_id are identical by construction — ue is a pure
+    * function of the embedding and cell a pure function of ue + the
+    * frozen centroid table, so at-least-once replays append verbatim
+    * duplicates), sized at 128 MB target files, then swapped in. Probe
+    * verdicts are invariant: the probe's per-probe argmax already
+    * collapses duplicate index rows, compaction just materializes that
+    * collapse (SemCompactionSpec pins it bit-for-bit). Same crash-window
+    * caveat as [[DedupOps.compactDedupIndex]] — production swaps a
+    * table-format pointer instead of a rename. */
+  private[graft] def compactSemIndex(s: SparkSession, dir: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val cur = new org.apache.hadoop.fs.Path(s"$dir/vectors")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/vectors__compact")
+    val fs = cur.getFileSystem(conf)
+    val bytes = fs.getContentSummary(cur).getLength
+    val nFiles = math.max(1L, (bytes + (128L << 20) - 1) / (128L << 20)).toInt
+    s.read.parquet(cur.toString)
+      .dropDuplicates("vec_id")
+      .coalesce(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(cur, true)
+    require(fs.rename(tmp, cur), s"compaction swap failed for $cur")
+  }
+
+  /** The q211 base-corpus semantic index (vec_id % 5 ≠ 0 split), built
+    * ONCE per (session, corpus) and shared by every consumer — q211's
+    * probe and q212's health card read the same on-disk artifact
+    * (the q112/q208 builtBaseIndex discipline). */
+  private val semIdxCache = new graft.SessionCache[String]
+  private def builtSemIndex(s: SparkSession, d: String): String =
+    semIdxCache.getOrBuild(s, d) {
+      val dir = graft.Scratch.dir("semidx", s, d)
+      buildSemIndex(s,
+        t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+          .filter(col("vec_id") % 5 =!= 0), dir)
+      dir
+    }
+
   private def q211(s: SparkSession, d: String): DataFrame = {
-    val dir = graft.Scratch.dir("semidx", s, d)
+    val dir = builtSemIndex(s, d)
     val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-    buildSemIndex(s, e.filter(col("vec_id") % 5 =!= 0), dir)
     probeSemIndex(s, e.filter(col("vec_id") % 5 === 0), dir)
       .orderBy("vec_id")
   }
-  private def q211Sql: String = {
+  /** The base-index CTE chain shared by the q211 probe oracle and the
+    * q212 health-card oracle — the SQL restatement of buildSemIndex. */
+  private def semIndexCtes: String = {
     val thr = PctGate.thresholdSql("pairs", "cos", "0.999", "q211tau",
       "tau", keyExpr = "((va * 4194304) + vb)")
-    s"""WITH params AS (
+    s"""params AS (
        |  SELECT GREATEST(16, 1 << (LENGTH(BIN(CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) - 1)) AS k
        |  FROM embeddings WHERE vec_id % 5 <> 0),
        |e AS (
@@ -1085,7 +1137,11 @@ object VectorOps extends QueryModule {
        |  FROM bassign a JOIN bassign b ON a.cell = b.cell AND a.vec_id < b.vec_id
        |  JOIN buni ua ON ua.vec_id = a.vec_id
        |  JOIN buni ub ON ub.vec_id = b.vec_id),
-       |tauv AS ($thr),
+       |tauv AS ($thr)""".stripMargin
+  }
+
+  private def q211Sql: String = {
+    s"""WITH $semIndexCtes,
        |puni AS (SELECT vec_id, ue FROM u WHERE vec_id % 5 = 0),
        |pcc AS (
        |  SELECT p.vec_id, cent.cid,
@@ -1118,10 +1174,57 @@ object VectorOps extends QueryModule {
        |ORDER BY p.vec_id""".stripMargin
   }
 
+  /** q212 — semantic-index health card (q208's analog for the q211 IVF
+    * index): operational metrics computed FROM the persisted artifact —
+    * vector-store size, centroid count, occupied cells, the max cell
+    * occupancy, and the Σ n·(n−1)/2 within-cell pair budget that prices
+    * BOTH the ε recalibration join and the worst-case probe fan-in. One
+    * hot cell (embedding-space boilerplate: near-zero vectors, template
+    * pages) is the semantic index's quadratic failure mode exactly as a
+    * degenerate band signature is the lexical one — `max_cell_share` is
+    * the alarm that fires before it. Aggregations over index-sized
+    * tables; exact integers + one division + the persisted τ. */
+  private def q212(s: SparkSession, d: String): DataFrame = {
+    val dir = builtSemIndex(s, d) // shared with q211 — one build per corpus
+    val occ = s.read.parquet(s"$dir/vectors")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val card = occ.agg(
+      sum(col("n")).as("n_vectors"),
+      count(lit(1)).as("n_cells_used"),
+      max(col("n")).as("max_cell_vectors"),
+      expr("sum(n * (n - 1)) div 2").as("cell_pair_budget"))
+    val kv = s.read.parquet(s"$dir/centroids")
+      .agg(count(lit(1)).as("k"))
+    val tau = s.read.parquet(s"$dir/tau").limit(1)
+    Seq(kv, tau).foldLeft(card)(graft.Scalars.withScalar)
+      .select(col("n_vectors"), col("k"), col("n_cells_used"),
+        col("max_cell_vectors"), col("cell_pair_budget"),
+        (col("max_cell_vectors").cast("double") /
+          nullif(col("n_vectors"), lit(0)).cast("double")).as("max_cell_share"),
+        col("tau"))
+  }
+  private def q212Sql: String =
+    s"""WITH $semIndexCtes,
+       |occ AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM bassign GROUP BY cell),
+       |card AS (
+       |  SELECT CAST(SUM(n) AS BIGINT) AS n_vectors,
+       |    CAST(COUNT(*) AS BIGINT) AS n_cells_used,
+       |    CAST(MAX(n) AS BIGINT) AS max_cell_vectors,
+       |    CAST(SUM(n * (n - 1)) // 2 AS BIGINT) AS cell_pair_budget
+       |  FROM occ),
+       |kv AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM cent)
+       |SELECT c.n_vectors, kv.k, c.n_cells_used, c.max_cell_vectors,
+       |  c.cell_pair_budget,
+       |  CAST(c.max_cell_vectors AS DOUBLE) / CAST(nullif(c.n_vectors, 0) AS DOUBLE)
+       |    AS max_cell_share,
+       |  (SELECT tau FROM tauv) AS tau
+       |FROM card c, kv""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q31_embed_norms", q31, Some(q31Sql)),
     Q("q114_semdedup", q114, Some(q114Sql)),
     Q("q211_incremental_semdedup", q211, Some(q211Sql)),
+    Q("q212_sem_index_card", q212, Some(q212Sql)),
     Q("q75_embed_quantize", q75, Some(q75Sql)),
     Q("q85_ann_quantized", q85, Some(q85Sql)),
     Q("q32_ann_bruteforce", q32, Some(q32Sql)),

@@ -73,11 +73,19 @@ object SemStream {
 
   /** The probe WITH the refresh loop closed: each batch's novel vectors
     * join the vector store, so batch N+1 detects semantic duplicates of
-    * anything batch N admitted — zero corpus re-passes. */
+    * anything batch N admitted — zero corpus re-passes.
+    *
+    * Compaction arm (the DedupStream discipline): append-only refresh
+    * adds one parquet file-set to `vectors` per micro-batch; when its
+    * data-file count exceeds `compactAboveFiles`, the store is rewritten
+    * to one row per vec_id (`VectorOps.compactSemIndex`) — verdicts are
+    * invariant since the probe's argmax already collapses duplicate
+    * rows, pinned by SemCompactionSpec. */
   def runProbeWithRefresh(spark: SparkSession, streamDir: String,
       indexDir: String, outDir: String, checkpointDir: String,
       maxFilesPerTrigger: Option[Int] = None,
-      watermarkDelay: String = "2 hours"): Unit = {
+      watermarkDelay: String = "2 hours",
+      compactAboveFiles: Option[Long] = None): Unit = {
     val q = read(spark, streamDir, maxFilesPerTrigger)
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("vec_id")
@@ -91,6 +99,10 @@ object SemStream {
           vecs.join(verdicts.filter(col("verdict") === "novel")
             .select("vec_id"), "vec_id"),
           indexDir)
+        compactAboveFiles.foreach { thr =>
+          if (VectorOps.semIndexFileCount(spark, indexDir) > thr)
+            VectorOps.compactSemIndex(spark, indexDir)
+        }
         (): Unit
       }
       .option("checkpointLocation", checkpointDir)
