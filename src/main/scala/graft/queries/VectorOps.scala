@@ -994,20 +994,34 @@ object VectorOps extends QueryModule {
 
   /** Probe a batch of (vec_id, embedding) against a persisted semantic
     * index: (vec_id, cell, verdict, match_vec, best_cos, tau) per batch
-    * vector, unordered. Work ∝ batch × its cells' occupancy. */
+    * vector, unordered. Work ∝ batch × its probed cells' occupancy.
+    *
+    * `nprobe` is the standard IVF recall lever: a single-cell probe
+    * misses a duplicate whose copy sits across a Voronoi boundary
+    * (quantizer assigns the probe to cell A, its near-copy lives in
+    * adjacent cell B). Probing the top-nprobe cells by centroid
+    * similarity multiplies candidate work ~nprobe× and recovers exactly
+    * those boundary pairs — q213 publishes the trade. The reported
+    * `cell` stays the PRIMARY (rank-1) assignment at every nprobe, so
+    * nprobe = 1 output is byte-identical to the pre-knob shape. */
   private[graft] def probeSemIndex(s: SparkSession, batch: DataFrame,
-      dir: String): DataFrame = {
+      dir: String, nprobe: Int = 1): DataFrame = {
     // collect-bound: centroid table — ≤ k rows, k ∝ √n via ivfKFor
     val rows: Seq[Seq[Double]] = s.read.parquet(s"$dir/centroids")
       .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1)).toSeq
     val sc = sortedCells(typedlit(rows), rows.size)
     val assigned = unitize(batch)
-      .select(col("vec_id"), col("ue").as("pu"),
-        element_at(sc, 1)("cid").cast("bigint").as("cell"))
+      .select(col("vec_id"), col("ue").as("pu"), sc.as("cells"))
+      .select(col("vec_id"), col("pu"),
+        element_at(col("cells"), 1)("cid").cast("bigint").as("cell"),
+        expr(s"transform(slice(cells, 1, $nprobe), c -> cast(c.cid as bigint))")
+          .as("probe_cells"))
       .localCheckpoint(true) // consumers: pair join + output spine
     val idx = s.read.parquet(s"$dir/vectors")
       .select(col("cell"), col("vec_id").as("base_vec"), col("ue").as("bu"))
-    val best = assigned.join(idx, Seq("cell"))
+    val best = assigned
+      .select(col("vec_id"), col("pu"), explode(col("probe_cells")).as("cell"))
+      .join(idx, Seq("cell"))
       .filter(col("base_vec") =!= col("vec_id")) // retry self-pair guard
       .select(col("vec_id"), col("base_vec"),
         expr("graft_dot(pu, bu)").as("cos"))
@@ -1220,11 +1234,98 @@ object VectorOps extends QueryModule {
        |  (SELECT tau FROM tauv) AS tau
        |FROM card c, kv""".stripMargin
 
+  /** q213 — nprobe boundary-recall card: the IVF recall lever priced on
+    * this corpus. A single-cell probe misses duplicates whose copies sit
+    * across a Voronoi boundary; probing the top-2 cells recovers them at
+    * ~2× candidate work. The card runs q211's probe split at nprobe = 1
+    * and nprobe = 2 against the shared index and publishes both dup
+    * counts, the boundary dups only nprobe = 2 finds, and the EXACT
+    * scored-pair work of each setting (probe-cell occupancy sums — the
+    * number the capacity plan multiplies by batch rate). q209 is this
+    * card's lexical twin: both turn a recall/cost knob into an audited
+    * number instead of a default.
+    *
+    * Scale shape: two probes (each batch-sized work, candidate join on
+    * the cell key) + one occupancy aggregation over the index —
+    * everything else is ≤2-row reshapes. */
+  private def q213(s: SparkSession, d: String): DataFrame = {
+    val dir = builtSemIndex(s, d)
+    val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") % 5 === 0)
+    def dups(nprobe: Int, name: String): DataFrame =
+      probeSemIndex(s, e, dir, nprobe)
+        .agg(count(when(col("verdict") === "dup", 1)).as(name))
+    // Scored-pair work: per probe vector, the occupancy of its rank-1
+    // (and rank-2) cells — the candidate-join cardinality each setting
+    // pays. Self-pairs are absent by split disjointness.
+    // collect-bound: centroid table — ≤ k rows, k ∝ √n via ivfKFor
+    val rows: Seq[Seq[Double]] = s.read.parquet(s"$dir/centroids")
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1)).toSeq
+    val sc = sortedCells(typedlit(rows), rows.size)
+    val probed = unitize(e)
+      .select(col("vec_id"),
+        posexplode(transform(slice(sc, 1, 2), c => c("cid").cast("bigint"))))
+      .select(col("vec_id"), col("pos").as("rank"), col("col").as("cell"))
+    val occ = s.read.parquet(s"$dir/vectors")
+      .groupBy(col("cell")).agg(count(lit(1)).as("occ_n"))
+    val work = probed.join(occ, Seq("cell"), "left")
+      .agg(sum(when(col("rank") === 0, coalesce(col("occ_n"), lit(0L))))
+          .as("scored_pairs_n1"),
+        sum(coalesce(col("occ_n"), lit(0L))).as("scored_pairs_n2"))
+    val tau = s.read.parquet(s"$dir/tau").limit(1)
+    Seq(dups(2, "dup_n2"), work, tau).foldLeft(dups(1, "dup_n1"))(graft.Scalars.withScalar)
+      .select(col("dup_n1"), col("dup_n2"),
+        (col("dup_n2") - col("dup_n1")).as("boundary_dups"),
+        col("scored_pairs_n1"), col("scored_pairs_n2"),
+        (col("scored_pairs_n2").cast("double") /
+          nullif(col("scored_pairs_n1"), lit(0L)).cast("double")).as("cost_ratio"),
+        col("tau"))
+  }
+  private def q213Sql: String =
+    s"""WITH $semIndexCtes,
+       |puni AS (SELECT vec_id, ue FROM u WHERE vec_id % 5 = 0),
+       |pcc AS (
+       |  SELECT p.vec_id, cent.cid,
+       |    list_reduce(list_prepend(0.0, list_transform(list_zip(p.ue, cent.cu),
+       |      q -> q[1] * q[2])), (a, x) -> a + x) AS cc
+       |  FROM puni p CROSS JOIN cent),
+       |pranked AS (
+       |  SELECT vec_id, cid AS cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+       |  FROM pcc),
+       |occ AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS occ_n FROM bassign GROUP BY cell),
+       |work AS (
+       |  SELECT CAST(SUM(CASE WHEN p.rn = 1 THEN COALESCE(o.occ_n, 0) ELSE 0 END) AS BIGINT) AS scored_pairs_n1,
+       |    CAST(SUM(COALESCE(o.occ_n, 0)) AS BIGINT) AS scored_pairs_n2
+       |  FROM pranked p LEFT JOIN occ o USING (cell) WHERE p.rn <= 2),
+       |scored AS (
+       |  SELECT p.vec_id, p.rn,
+       |    list_reduce(list_prepend(0.0, list_transform(list_zip(pu.ue, bu.ue),
+       |      q -> q[1] * q[2])), (a, x) -> a + x) AS cos
+       |  FROM pranked p JOIN bassign b ON b.cell = p.cell AND b.vec_id <> p.vec_id
+       |  JOIN puni pu ON pu.vec_id = p.vec_id
+       |  JOIN buni bu ON bu.vec_id = b.vec_id
+       |  WHERE p.rn <= 2),
+       |d1 AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS dup_n1 FROM (
+       |    SELECT vec_id FROM scored WHERE rn = 1 GROUP BY vec_id
+       |    HAVING MAX(cos) > (SELECT tau FROM tauv))),
+       |d2 AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS dup_n2 FROM (
+       |    SELECT vec_id FROM scored GROUP BY vec_id
+       |    HAVING MAX(cos) > (SELECT tau FROM tauv)))
+       |SELECT d1.dup_n1, d2.dup_n2, d2.dup_n2 - d1.dup_n1 AS boundary_dups,
+       |  w.scored_pairs_n1, w.scored_pairs_n2,
+       |  CAST(w.scored_pairs_n2 AS DOUBLE) / CAST(nullif(w.scored_pairs_n1, 0) AS DOUBLE)
+       |    AS cost_ratio,
+       |  (SELECT tau FROM tauv) AS tau
+       |FROM d1, d2, work w""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q31_embed_norms", q31, Some(q31Sql)),
     Q("q114_semdedup", q114, Some(q114Sql)),
     Q("q211_incremental_semdedup", q211, Some(q211Sql)),
     Q("q212_sem_index_card", q212, Some(q212Sql)),
+    Q("q213_nprobe_recall_card", q213, Some(q213Sql)),
     Q("q75_embed_quantize", q75, Some(q75Sql)),
     Q("q85_ann_quantized", q85, Some(q85Sql)),
     Q("q32_ann_bruteforce", q32, Some(q32Sql)),
