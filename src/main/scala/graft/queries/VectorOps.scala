@@ -1320,12 +1320,56 @@ object VectorOps extends QueryModule {
        |  (SELECT tau FROM tauv) AS tau
        |FROM d1, d2, work w""".stripMargin
 
+  /** q214 — dedup modality-agreement matrix: q112's lexical verdicts
+    * joined to q211's semantic verdicts on the SAME probe split (item
+    * ids align across the documents/embeddings tables; probe docs
+    * without an embedding land in a 'no_embedding' bucket rather than
+    * silently dropping). The matrix is the PARAPHRASE AUDIT a curation
+    * team reads before trusting either index alone: the (novel, dup)
+    * cell is the semantic-only mass — near-meaning rewrites MinHash
+    * banding cannot see; (exact/near, novel) is the lexical-only mass —
+    * templated shells whose embeddings spread. Reuses both siblings
+    * through the SparkEntry registry (their index builds are already
+    * SessionCache-memoized), so the card is a composition test of two
+    * independently hash-verified chains — the q95 discipline. Matrix is
+    * ≤ 9 rows; one broadcast-scalar division for shares. */
+  private def q214(s: SparkSession, d: String): DataFrame = {
+    val lex = graft.SparkEntry.queries("q112_incremental_dedup")(s, d)
+      .select(col("doc_id"), col("verdict").as("lex_verdict"))
+    val sem = graft.SparkEntry.queries("q211_incremental_semdedup")(s, d)
+      .select(col("vec_id").as("doc_id"), col("verdict").as("sem_verdict"))
+    val m = lex.join(sem, Seq("doc_id"), "left")
+      .groupBy(col("lex_verdict"),
+        coalesce(col("sem_verdict"), lit("no_embedding")).as("sem_verdict"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // consumers: matrix rows + total scalar
+    graft.Scalars.withScalar(m, m.agg(sum(col("n")).as("total")))
+      .select(col("lex_verdict"), col("sem_verdict"), col("n"),
+        (col("n").cast("double") / col("total").cast("double")).as("share"))
+      .orderBy("lex_verdict", "sem_verdict")
+  }
+  private def q214Sql: String = {
+    val lexSql = DedupOps.oracleSql("q112_incremental_dedup")
+    s"""WITH lex AS ($lexSql),
+       |sem AS ($q211Sql),
+       |m AS (
+       |  SELECT l.verdict AS lex_verdict,
+       |    COALESCE(s.verdict, 'no_embedding') AS sem_verdict,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM lex l LEFT JOIN sem s ON s.vec_id = l.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT lex_verdict, sem_verdict, n,
+       |  CAST(n AS DOUBLE) / CAST((SELECT SUM(n) FROM m) AS DOUBLE) AS share
+       |FROM m ORDER BY lex_verdict, sem_verdict""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q31_embed_norms", q31, Some(q31Sql)),
     Q("q114_semdedup", q114, Some(q114Sql)),
     Q("q211_incremental_semdedup", q211, Some(q211Sql)),
     Q("q212_sem_index_card", q212, Some(q212Sql)),
     Q("q213_nprobe_recall_card", q213, Some(q213Sql)),
+    Q("q214_dedup_modality_matrix", q214, Some(q214Sql)),
     Q("q75_embed_quantize", q75, Some(q75Sql)),
     Q("q85_ann_quantized", q85, Some(q85Sql)),
     Q("q32_ann_bruteforce", q32, Some(q32Sql)),

@@ -51,17 +51,20 @@ object SemStream {
   }
 
   /** Probe-only stream: per-micro-batch index probe written idempotently
-    * under `outDir/batch=<id>`. */
+    * under `outDir/batch=<id>`. `nprobe` is the IVF recall lever
+    * (q213's subject) — a streaming deployment that saw boundary misses
+    * in q213's card raises it here without touching the index. */
   def runProbe(spark: SparkSession, streamDir: String, indexDir: String,
       outDir: String, checkpointDir: String,
       maxFilesPerTrigger: Option[Int] = None,
-      watermarkDelay: String = "2 hours"): Unit = {
+      watermarkDelay: String = "2 hours", nprobe: Int = 1): Unit = {
     val q = read(spark, streamDir, maxFilesPerTrigger)
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("vec_id")
       .writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        VectorOps.probeSemIndex(spark, batch.select("vec_id", "embedding"), indexDir)
+        VectorOps.probeSemIndex(spark, batch.select("vec_id", "embedding"),
+            indexDir, nprobe)
           .write.mode("overwrite").parquet(s"$outDir/batch=$id")
         (): Unit
       }
@@ -85,14 +88,14 @@ object SemStream {
       indexDir: String, outDir: String, checkpointDir: String,
       maxFilesPerTrigger: Option[Int] = None,
       watermarkDelay: String = "2 hours",
-      compactAboveFiles: Option[Long] = None): Unit = {
+      compactAboveFiles: Option[Long] = None, nprobe: Int = 1): Unit = {
     val q = read(spark, streamDir, maxFilesPerTrigger)
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("vec_id")
       .writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val vecs = batch.select("vec_id", "embedding").localCheckpoint(true)
-        val verdicts = VectorOps.probeSemIndex(spark, vecs, indexDir)
+        val verdicts = VectorOps.probeSemIndex(spark, vecs, indexDir, nprobe)
           .localCheckpoint(true) // two consumers: sink + novel filter
         verdicts.write.mode("overwrite").parquet(s"$outDir/batch=$id")
         VectorOps.appendToSemIndex(spark,
