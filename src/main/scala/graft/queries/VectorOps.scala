@@ -182,15 +182,26 @@ object VectorOps extends QueryModule {
     * centroid as the per-dimension mean, re-normalize to unit length.
     *
     * DETERMINISTIC by construction, which a naive implementation is not:
-    * per-cell means accumulate in DecimalType(38,18) (exact, commutative —
-    * the Num.dsum argument), so the result is bit-identical under ANY
-    * partitioning, AQE re-plan, or rerun; seeding is the first k unit
-    * vectors (q52's seed codebook); iteration count is fixed. Empty cells
-    * keep their previous centroid. Driver state is k×dim doubles per
-    * iteration — independent of corpus size; the per-iteration work is
-    * one row-local assignment + one (cell, dim)-keyed hash aggregation,
-    * both linear. Spec: determinism across repartitionings, monotone
-    * assignment quality vs the seed, unit-norm output. */
+    * per-cell means accumulate as DYADIC FIXED-POINT integers —
+    * floor(v · 2^26) is EXACT IEEE arithmetic (a power-of-two scale only
+    * shifts the exponent; floor is exact), sums as an overflow-safe
+    * exact BIGINT (|v| ≤ 1 ⇒ |term| ≤ 2^26, safe to 2^37 members per
+    * cell), and the closing CAST/×/÷ are correctly-rounded IEEE ops —
+    * so the result is bit-identical under ANY partitioning, AQE re-plan,
+    * rerun, or ENGINE (a double→DECIMAL cast is not: Spark rounds the
+    * exact binary expansion, DuckDB scales through float — they disagree
+    * in the last ulp on full-precision doubles, observed at sf0.1 on
+    * this very mean). The 2^-26 quantization (~1.5e-8) is far below any
+    * distance a coarse quantizer resolves. Seeding is the first k unit
+    * vectors (q52's seed codebook); iteration count is fixed. Empty
+    * cells keep their previous centroid. Driver state is k×dim doubles
+    * per iteration — independent of corpus size; the per-iteration work
+    * is one row-local assignment + one (cell, dim)-keyed hash
+    * aggregation, both linear. Spec: determinism across repartitionings,
+    * monotone assignment quality vs the seed, unit-norm output; q215
+    * oracles the whole recursion. */
+  val MeanScale: Double = 67108864e0 // 2^26
+
   def trainCodebook(s: SparkSession, d: String, k: Int, iters: Int): Seq[Seq[Double]] = {
     val u = unitVectors(s, d)
     // collect-bound: vec_id < k seed filter — ≤ k rows
@@ -203,8 +214,8 @@ object VectorOps extends QueryModule {
       val means = assigned
         .select(col("cell"), posexplode(col("ue")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
-        .agg((Num.d2d(sum(col("v").cast(org.apache.spark.sql.types.DecimalType(38, 18))))
-          / count(lit(1))).as("m"))
+        .agg((sum(floor(col("v") * lit(MeanScale)).cast("long")).cast("double")
+          / (lit(MeanScale) * count(lit(1)).cast("double"))).as("m"))
         .groupBy(col("cell"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           x => x("m")).as("mean"))
@@ -1363,6 +1374,116 @@ object VectorOps extends QueryModule {
        |FROM m ORDER BY lex_verdict, sem_verdict""".stripMargin
   }
 
+  /** q215 — Lloyd-refined codebook quality card: the ORACLED proof that
+    * [[trainCodebook]] (decimal-exact spherical k-means, spec-validated
+    * since its round) actually improves the quantizer the ANN family
+    * ships. One row per iteration (0 = the q52 first-k seed codebook,
+    * then each Lloyd round): occupied cells, max cell occupancy, and the
+    * corpus-mean cosine-to-own-centroid — the number k-means maximizes.
+    * Production trains the IVF coarse quantizer exactly this way; the
+    * card is what a data team reads to pick the iteration budget.
+    *
+    * Bit-parity: assignment cosines are the q178 fold; per-(cell, dim)
+    * means accumulate as exact dyadic fixed-point BIGINTs (see
+    * [[trainCodebook]] — order-independent, partitioning-proof AND
+    * engine-proof, the reason the oracle can restate the whole
+    * recursion); normalization is an element-ordered fold; the
+    * corpus-mean cosine is a TWO-LEVEL ordered fold (per-cell by vec_id,
+    * then across ≤k cell sums by cell — the q92 decomposition, so no
+    * corpus-sized collect_list buffer exists at any scale).
+    *
+    * Scale shape: per iteration one row-local assignment pass + one
+    * (cell, dim)-keyed hash agg + a k·dim driver collect (k ∝ √n); the
+    * card re-runs lower iteration counts rather than snapshotting
+    * intermediate codebooks — 0+1+2 = 3 assignment passes total, the
+    * price of reusing the production trainer verbatim. */
+  private def q215(s: SparkSession, d: String): DataFrame = {
+    val u = unitVectors(s, d)
+    val k = ivfKFor(u.count())
+    val cards = (0 to 2).map { it =>
+      val sc = sortedCells(typedlit(trainCodebook(s, d, k, it)), k)
+      u.select(col("vec_id"),
+          element_at(sc, 1)("cid").cast("int").as("cell"),
+          element_at(sc, 1)("cc").as("own_cos"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"),
+          expr("aggregate(array_sort(collect_list(struct(vec_id, own_cos)))," +
+            " cast(0 as double), (acc, x) -> acc + x.own_cos)").as("cell_sum"))
+        .agg(count(lit(1)).as("n_cells_used"),
+          max(col("n")).as("max_cell_vectors"),
+          sum(col("n")).as("n_total"),
+          expr("aggregate(array_sort(collect_list(struct(cell, cell_sum)))," +
+            " cast(0 as double), (acc, x) -> acc + x.cell_sum)").as("total_sum"))
+        .select(lit(it).as("iter"), col("n_cells_used"), col("max_cell_vectors"),
+          (col("total_sum") / col("n_total").cast("double")).as("mean_own_cos"))
+    }
+    cards.reduce(_.unionAll(_)).orderBy("iter")
+  }
+  private def q215Sql: String = {
+    // One Lloyd round in SQL: assignment against cent$i, decimal-exact
+    // per-(cell, dim) means, element-ordered normalization, empty/zero
+    // cells inheriting the previous centroid — cent${i+1}.
+    def dot(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), p -> p[1] * p[2])), (x, y) -> x + y)"
+    def assign(i: Int) =
+      s"""sc$i AS (
+         |  SELECT u.vec_id, c.cid, ${dot("u.ue", "c.cu")} AS cc
+         |  FROM u CROSS JOIN cent$i c),
+         |a$i AS (
+         |  SELECT vec_id, cid AS cell, cc AS own_cos FROM (
+         |    SELECT vec_id, cid, cc,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+         |    FROM sc$i) WHERE rn = 1)""".stripMargin
+    def refine(i: Int) =
+      s"""m$i AS (
+         |  SELECT cell, i AS pos,
+         |    CAST(SUM(CAST(FLOOR(ue[i] * 67108864e0) AS BIGINT)) AS DOUBLE)
+         |      / (67108864e0 * CAST(COUNT(*) AS DOUBLE)) AS m
+         |  FROM (SELECT a.cell, u.ue, unnest(generate_series(1, len(u.ue))) AS i
+         |        FROM a$i a JOIN u ON u.vec_id = a.vec_id)
+         |  GROUP BY cell, i),
+         |mn$i AS (
+         |  SELECT cell, mean,
+         |    sqrt(list_reduce(list_prepend(0.0, list_transform(mean, x -> x * x)), (x, y) -> x + y)) AS nrm
+         |  FROM (SELECT cell, list(m ORDER BY pos) AS mean FROM m$i GROUP BY cell)),
+         |cent${i + 1} AS (
+         |  SELECT c.cid,
+         |    CASE WHEN mn.nrm IS NOT NULL AND mn.nrm <> 0
+         |         THEN list_transform(mn.mean, x -> x / mn.nrm) ELSE c.cu END AS cu
+         |  FROM cent$i c LEFT JOIN mn$i mn ON mn.cell = c.cid)""".stripMargin
+    def stats(i: Int) =
+      s"""st$i AS (
+         |  SELECT CAST($i AS INTEGER) AS iter,
+         |    CAST(COUNT(*) AS BIGINT) AS n_cells_used,
+         |    CAST(MAX(n) AS BIGINT) AS max_cell_vectors,
+         |    list_reduce(list_prepend(0.0, list(cell_sum ORDER BY cell)), (x, y) -> x + y)
+         |      / CAST(SUM(n) AS DOUBLE) AS mean_own_cos
+         |  FROM (
+         |    SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
+         |      list_reduce(list_prepend(0.0, list(own_cos ORDER BY vec_id)), (x, y) -> x + y) AS cell_sum
+         |    FROM a$i GROUP BY cell))""".stripMargin
+    s"""WITH params AS (
+       |  SELECT GREATEST(16, 1 << (LENGTH(BIN(CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) - 1)) AS k
+       |  FROM embeddings),
+       |e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) AS nrm
+       |  FROM embeddings),
+       |u AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS ue FROM e),
+       |cent0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, ue AS cu FROM u WHERE vec_id < (SELECT k FROM params)),
+       |${assign(0)},
+       |${refine(0)},
+       |${assign(1)},
+       |${refine(1)},
+       |${assign(2)},
+       |${stats(0)},
+       |${stats(1)},
+       |${stats(2)}
+       |SELECT * FROM st0 UNION ALL SELECT * FROM st1 UNION ALL SELECT * FROM st2
+       |ORDER BY iter""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q31_embed_norms", q31, Some(q31Sql)),
     Q("q114_semdedup", q114, Some(q114Sql)),
@@ -1370,6 +1491,7 @@ object VectorOps extends QueryModule {
     Q("q212_sem_index_card", q212, Some(q212Sql)),
     Q("q213_nprobe_recall_card", q213, Some(q213Sql)),
     Q("q214_dedup_modality_matrix", q214, Some(q214Sql)),
+    Q("q215_kmeans_refine_card", q215, Some(q215Sql)),
     Q("q75_embed_quantize", q75, Some(q75Sql)),
     Q("q85_ann_quantized", q85, Some(q85Sql)),
     Q("q32_ann_bruteforce", q32, Some(q32Sql)),
