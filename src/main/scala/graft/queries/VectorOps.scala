@@ -202,12 +202,13 @@ object VectorOps extends QueryModule {
     * oracles the whole recursion. */
   val MeanScale: Double = 67108864e0 // 2^26
 
-  def trainCodebook(s: SparkSession, d: String, k: Int, iters: Int): Seq[Seq[Double]] = {
-    val u = unitVectors(s, d)
-    // collect-bound: vec_id < k seed filter — ≤ k rows
-    var cb: Seq[Seq[Double]] = u.filter(col("vec_id") < k)
-      .select(col("vec_id"), col("ue"))
-      .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1)).toSeq
+  /** Lloyd refinement over an arbitrary (…, ue) unit-vector frame —
+    * the engine [[trainCodebook]] wraps for the corpus table and
+    * [[buildSemIndex]] uses when asked to train its quantizer. */
+  private[graft] def lloydRefine(u: DataFrame, seed: Seq[Seq[Double]],
+      iters: Int): Seq[Seq[Double]] = {
+    var cb = seed
+    val k = seed.size
     for (_ <- 1 to iters) {
       val assigned = u.select(col("ue"),
         element_at(sortedCells(typedlit(cb), k), 1)("cid").as("cell"))
@@ -229,6 +230,15 @@ object VectorOps extends QueryModule {
       }
     }
     cb
+  }
+
+  def trainCodebook(s: SparkSession, d: String, k: Int, iters: Int): Seq[Seq[Double]] = {
+    val u = unitVectors(s, d)
+    // collect-bound: vec_id < k seed filter — ≤ k rows
+    val seed: Seq[Seq[Double]] = u.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("ue"))
+      .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1)).toSeq
+    lloydRefine(u, seed, iters)
   }
 
   /** Per-row centroid scores {cc, cid} sorted (cc DESC, cid ASC): element 1
@@ -973,17 +983,22 @@ object VectorOps extends QueryModule {
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double) / nrm)").as("ue"))
 
-  /** One-time base pass: persist centroids (rank-ordered first-k unit
-    * vectors, cid = rank), cell assignments with unit vectors, and the
-    * calibrated within-cell cosine threshold. */
+  /** One-time base pass: persist centroids (first-k unit-vector seeds,
+    * optionally Lloyd-refined — production trains the coarse quantizer;
+    * `lloydIters = 0` keeps the q211-oracle seed codebook), cell
+    * assignments with unit vectors, and the calibrated within-cell
+    * cosine threshold. Probes read the PERSISTED centroid table, so a
+    * refined index is probe-compatible by construction — the quantizer
+    * choice is index metadata like the scheme and τ. */
   private[graft] def buildSemIndex(s: SparkSession, base: DataFrame,
-      dir: String): Unit = {
+      dir: String, lloydIters: Int = 0): Unit = {
     val u = unitize(base).localCheckpoint(true)
     val k = ivfKFor(u.count())
     // collect-bound: orderBy(vec_id).limit(k) — ≤ k rows, k ∝ √n via ivfKFor
-    val rows: Seq[Seq[Double]] = u.select(col("vec_id"), col("ue"))
+    val seed: Seq[Seq[Double]] = u.select(col("vec_id"), col("ue"))
       .orderBy(col("vec_id")).limit(k)
       .collect().map(_.getSeq[Double](1)).toSeq
+    val rows = lloydRefine(u, seed, lloydIters)
     import s.implicits._
     rows.zipWithIndex.map { case (v, i) => (i, v) }.toDF("cid", "cu")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")

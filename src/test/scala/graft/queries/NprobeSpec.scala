@@ -53,4 +53,32 @@ class NprobeSpec extends SparkSpec {
       "the reported cell stays the primary assignment at every nprobe")
     assert(v2.getDouble(4) > tau && v2.getDouble(4) > 0.999)
   }
+
+  test("Lloyd-refined index build: trained centroids persist and probes just work") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_lloydidx").toString
+    // Two tight clusters + 14 spread seeds. With the seed codebook the
+    // cluster members ARE centroids; after refinement centroid 0 moves
+    // to its cluster's mean direction — the probe reads whatever the
+    // index persisted, so nothing downstream changes.
+    val base = ((0 until 16).map(i => (i.toLong, basis(i))) ++
+      (16 until 20).map(m => (m.toLong, basis(0, 1.0, 1, 0.15 * (m - 15)))))
+      .toDF("vec_id", "embedding")
+    VectorOps.buildSemIndex(spark, base, s"$root/index", lloydIters = 2)
+
+    val seedHead = basis(0) // centroid 0's seed value (e0 exactly)
+    val trained = spark.read.parquet(s"$root/index/centroids")
+      .filter(col("cid") === 0).head().getSeq[Double](1)
+    assert(trained !== seedHead,
+      "two Lloyd rounds over a loaded cell must move its centroid off the seed")
+    assert(math.abs(trained.map(x => x * x).sum - 1.0) < 1e-12, "unit norm")
+
+    // An exact copy of a base vector still probes dup against the
+    // refined index — centroids are metadata, verdicts need no code path
+    // to know how the quantizer was trained.
+    val probe = Seq((200L, basis(0, 1.0, 1, 0.30))).toDF("vec_id", "embedding")
+    val v = VectorOps.probeSemIndex(spark, probe, s"$root/index").head()
+    assert(v.getString(2) === "dup" && v.getLong(3) === 17L,
+      s"exact copy of vec 17 must verdict dup against the refined index: $v")
+  }
 }
