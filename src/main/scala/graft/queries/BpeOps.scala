@@ -720,6 +720,135 @@ object BpeOps extends QueryModule {
        |FROM agg""".stripMargin
   }
 
+  /** WordPiece merge: [[BpeMerge]] plus the likelihood score that chose
+    * it. */
+  final case class WpMerge(step: Int, pair: String, sym: Char, merged: String,
+    count: Long, score: Double)
+
+  /** Driver-looped WORDPIECE trainer — the BERT-family member of the
+    * merge-trainer triad (BPE = q104, Unigram = q122/q129). Identical
+    * loop shape to [[trainBpe]]; the ONE difference is the selection
+    * statistic: WordPiece maximizes the pairing LIKELIHOOD
+    * score(a·b) = count(a·b) / (count(a) · count(b)) (Schuster &
+    * Nakajima 2012 / the BERT tokenizer's documented criterion) instead
+    * of raw pair frequency — a frequent pair of already-frequent symbols
+    * loses to a rarer pair whose parts occur almost nowhere else.
+    *
+    * Bit-portable selection: pair and symbol counts are exact integers
+    * from hash aggregations; the score is CAST(pc)/(CAST(ca)·CAST(cb)) —
+    * two exact casts, one correctly-rounded multiply, one
+    * correctly-rounded divide, so both engines order the identical
+    * doubles; ties break on pair ASC (total order). Symbol counts are
+    * frequency-weighted occurrences within the SAME (word, freq)
+    * vocabulary table the pair census reads, so numerator and
+    * denominator move together as merges rewrite the vocabulary.
+    *
+    * Scale shape: per round one pair census + one symbol census (both
+    * hash aggs over the vocabulary table, map-side combined) + a
+    * broadcast-sized join of pair rows to the symbol table; driver
+    * state is the limit(1) argmax row. The batched-round optimization
+    * (trainBpeBatched) applies unchanged if ever needed at real V. */
+  def trainWordPiece(wordFreq: DataFrame, merges: Int): Seq[WpMerge] = {
+    val puaPattern = "[" + 0xE000.toChar + "-" + 0xF8FF.toChar + "]"
+    require(wordFreq.filter(col("word").rlike(puaPattern)).limit(1).count() == 0L,
+      "trainWordPiece: corpus words must not use U+E000..U+F8FF (reserved for merge placeholders)")
+    var vocab = wordFreq.localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[WpMerge]
+    val expansion = scala.collection.mutable.Map.empty[Char, String]
+    var i = 0
+    var exhausted = false
+    while (i < merges && !exhausted) {
+      val syms = vocab
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, length(word)), i -> substr(word, i, 1))")).as("sym"))
+        .groupBy(col("sym")).agg(sum(col("freq")).as("sc"))
+      val scored = TextOps.bpePairCounts(vocab)
+        .join(syms.select(col("sym").as("a"), col("sc").as("ca")),
+          expr("substring(pair, 1, 1) = a"))
+        .join(syms.select(col("sym").as("b"), col("sc").as("cb")),
+          expr("substring(pair, 2, 1) = b"))
+        .select(col("pair"), col("pair_count"),
+          (col("pair_count").cast("double") /
+            (col("ca").cast("double") * col("cb").cast("double"))).as("score"))
+      // collect-bound: limit(1) argmax — one row per training round
+      val top = scored.orderBy(col("score").desc, col("pair")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        val sym = (SymBase + i).toChar
+        val merged = pair.map(c => expansion.getOrElse(c, c.toString)).mkString
+        expansion(sym) = merged
+        out += WpMerge(i, pair, sym, merged, top(0).getLong(1), top(0).getDouble(2))
+        vocab = vocab
+          .select(replace(col("word"), lit(pair), lit(sym.toString)).as("word"),
+            col("freq"))
+          .localCheckpoint(true)
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** q216 — WordPiece training (merge list + the likelihood score that
+    * chose each merge), completing the tokenizer-trainer triad. The
+    * oracle replays the loop unrolled exactly like q104's, with the
+    * score-ranked argmax: per step a pair census, a symbol census, the
+    * scored LIMIT-1 argmax, the expansion, and the rewritten
+    * vocabulary. */
+  private def q216(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    trainWordPiece(TextOps.bpeWordFreq(s, d), OracleMerges)
+      .map(m => (m.step, m.merged, m.count, m.score))
+      .toDF("step", "merged", "pair_count", "score")
+      .orderBy("step")
+  }
+  private def q216Sql: String = {
+    // AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs at every
+    // reference, and this chain references wm$i three times per level
+    // (pair census, symbol census, rewrite) — un-materialized it
+    // re-evaluates the base ~3^V times (observed minutes at sf0.001 vs
+    // sub-second materialized). q104's 2-reference chain tolerates
+    // inlining; this one must pin evaluation to once per step, which is
+    // also what the Spark side's per-round localCheckpoint does.
+    val steps = (0 until OracleMerges).flatMap { i =>
+      val expand = (0 until i).foldLeft("pair") { (acc, j) =>
+        s"replace($acc, chr(${SymBase + j}), (SELECT exp FROM we$j))"
+      }
+      Seq(
+        s"""ws$i AS MATERIALIZED (
+           |  SELECT substr(word, j, 1) AS sym, CAST(SUM(freq) AS BIGINT) AS sc
+           |  FROM (SELECT word, freq, unnest(generate_series(1, length(word))) AS j
+           |        FROM wm$i)
+           |  GROUP BY sym)""".stripMargin,
+        s"""wt$i AS MATERIALIZED (
+           |  SELECT pair, pc,
+           |    (CAST(pc AS DOUBLE) / (CAST(sa.sc AS DOUBLE) * CAST(sb.sc AS DOUBLE))) AS score
+           |  FROM (
+           |    SELECT substr(word, j, 2) AS pair, CAST(SUM(freq) AS BIGINT) AS pc
+           |    FROM (SELECT word, freq, unnest(generate_series(1, length(word) - 1)) AS j
+           |          FROM wm$i WHERE length(word) >= 2)
+           |    GROUP BY pair) p
+           |  JOIN ws$i sa ON sa.sym = substr(p.pair, 1, 1)
+           |  JOIN ws$i sb ON sb.sym = substr(p.pair, 2, 1)
+           |  ORDER BY score DESC, pair LIMIT 1)""".stripMargin,
+        s"we$i AS MATERIALIZED (SELECT $expand AS exp FROM wt$i)",
+        s"wm${i + 1} AS MATERIALIZED (SELECT replace(word, (SELECT pair FROM wt$i), " +
+          s"chr(${SymBase + i})) AS word, freq FROM wm$i)")
+    }
+    val union = (0 until OracleMerges).map { i =>
+      s"SELECT $i AS step, (SELECT exp FROM we$i) AS merged, " +
+        s"(SELECT pc FROM wt$i) AS pair_count, (SELECT score FROM wt$i) AS score"
+    }.mkString(" UNION ALL ")
+    s"""WITH ww AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+       |        FROM documents)
+       |  WHERE length(word) >= 2 GROUP BY word),
+       |wm0 AS MATERIALIZED (SELECT word, freq FROM ww),
+       |${steps.mkString(",\n")}
+       |SELECT * FROM ($union) WHERE pair_count IS NOT NULL ORDER BY step""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q104_bpe_train", q104, Some(q104Sql)),
     Q("q105_bpe_encode", q105, Some(q105Sql)),
@@ -727,5 +856,6 @@ object BpeOps extends QueryModule {
     Q("q122_unigram_viterbi", q122, Some(q122Sql)),
     Q("q129_unigram_em", q129, Some(q129Sql)),
     Q("q192_tokenizer_transfer", q192, Some(q192Sql)),
-    Q("q206_sample_train_encode", q206, Some(q206Sql)))
+    Q("q206_sample_train_encode", q206, Some(q206Sql)),
+    Q("q216_wordpiece_train", q216, Some(q216Sql)))
 }
