@@ -789,6 +789,13 @@ object BpeOps extends QueryModule {
     out.toSeq
   }
 
+  /** The trained WordPiece merge table, ONE per (session, sf-dir) —
+    * the [[trainedMerges]] memoization discipline for the second
+    * trainer (q216 emits it, q217 encodes with it). */
+  private val wpMergeCache = new graft.SessionCache[Seq[WpMerge]]
+  private[queries] def trainedWpMerges(s: SparkSession, d: String): Seq[WpMerge] =
+    wpMergeCache.getOrBuild(s, d)(trainWordPiece(TextOps.bpeWordFreq(s, d), OracleMerges))
+
   /** q216 — WordPiece training (merge list + the likelihood score that
     * chose each merge), completing the tokenizer-trainer triad. The
     * oracle replays the loop unrolled exactly like q104's, with the
@@ -797,19 +804,19 @@ object BpeOps extends QueryModule {
     * vocabulary. */
   private def q216(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    trainWordPiece(TextOps.bpeWordFreq(s, d), OracleMerges)
+    trainedWpMerges(s, d)
       .map(m => (m.step, m.merged, m.count, m.score))
       .toDF("step", "merged", "pair_count", "score")
       .orderBy("step")
   }
-  private def q216Sql: String = {
-    // AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs at every
-    // reference, and this chain references wm$i three times per level
-    // (pair census, symbol census, rewrite) — un-materialized it
-    // re-evaluates the base ~3^V times (observed minutes at sf0.001 vs
-    // sub-second materialized). q104's 2-reference chain tolerates
-    // inlining; this one must pin evaluation to once per step, which is
-    // also what the Spark side's per-round localCheckpoint does.
+  // AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs at every
+  // reference, and this chain references wm$i three times per level
+  // (pair census, symbol census, rewrite) — un-materialized it
+  // re-evaluates the base ~3^V times (observed minutes at sf0.001 vs
+  // sub-second materialized). q104's 2-reference chain tolerates
+  // inlining; this one must pin evaluation to once per step, which is
+  // also what the Spark side's per-round localCheckpoint does.
+  private def wpTrainCtes: Seq[String] = {
     val steps = (0 until OracleMerges).flatMap { i =>
       val expand = (0 until i).foldLeft("pair") { (acc, j) =>
         s"replace($acc, chr(${SymBase + j}), (SELECT exp FROM we$j))"
@@ -835,18 +842,77 @@ object BpeOps extends QueryModule {
         s"wm${i + 1} AS MATERIALIZED (SELECT replace(word, (SELECT pair FROM wt$i), " +
           s"chr(${SymBase + i})) AS word, freq FROM wm$i)")
     }
+    Seq(
+      s"""ww AS (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+         |        FROM documents)
+         |  WHERE length(word) >= 2 GROUP BY word)""".stripMargin,
+      "wm0 AS MATERIALIZED (SELECT word, freq FROM ww)") ++ steps
+  }
+
+  private def q216Sql: String = {
     val union = (0 until OracleMerges).map { i =>
       s"SELECT $i AS step, (SELECT exp FROM we$i) AS merged, " +
         s"(SELECT pc FROM wt$i) AS pair_count, (SELECT score FROM wt$i) AS score"
     }.mkString(" UNION ALL ")
-    s"""WITH ww AS (
-       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
-       |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
-       |        FROM documents)
-       |  WHERE length(word) >= 2 GROUP BY word),
-       |wm0 AS MATERIALIZED (SELECT word, freq FROM ww),
-       |${steps.mkString(",\n")}
+    s"""WITH ${wpTrainCtes.mkString(",\n")}
        |SELECT * FROM ($union) WHERE pair_count IS NOT NULL ORDER BY step""".stripMargin
+  }
+
+  /** q217 — tokenizer criterion A/B at equal merge budget: encode the
+    * corpus with the BPE chain AND the WordPiece chain (both V =
+    * OracleMerges, both memoized artifacts) in ONE row-local projection
+    * (the q206 discipline — two replace-chain expressions over a single
+    * scan, no second pass), emitting per-doc symbol counts and
+    * chars-per-symbol under each criterion. The number a tokenizer team
+    * reads before picking the merge rule: frequency optimizes
+    * compression directly, likelihood trades a little of it for
+    * exclusive-pair units — the delta column is that trade, measured.
+    * Scale: one corpus scan + the two driver-trained merge tables
+    * compiled into the plan; oracle embeds both unrolled training
+    * chains (distinct CTE namespaces) and both COALESCE-guarded encode
+    * chains. */
+  private def q217(s: SparkSession, d: String): DataFrame = {
+    val bpe = trainedMerges(s, d)
+    val wp = trainedWpMerges(s, d)
+      .map(m => BpeMerge(m.step, m.pair, m.sym, m.merged, m.count))
+    val toks = split(trim(coalesce(col("text"), lit(""))), "\\s+")
+    def sumOver(f: Column => Column): Column =
+      aggregate(toks, lit(0L), (acc, x) => acc + f(x).cast("long"))
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        sumOver(x => length(x)).as("n_chars"),
+        sumOver(x => length(bpeEncodeExpr(x, bpe))).as("bpe_symbols"),
+        sumOver(x => length(bpeEncodeExpr(x, wp))).as("wp_symbols"))
+      .withColumn("bpe_cps", col("n_chars").cast("double") /
+        nullif(col("bpe_symbols"), lit(0)).cast("double"))
+      .withColumn("wp_cps", col("n_chars").cast("double") /
+        nullif(col("wp_symbols"), lit(0)).cast("double"))
+      .orderBy("doc_id")
+  }
+  private def q217Sql: String = {
+    val bpeChain = (0 until OracleMerges).foldLeft("tk") { (acc, i) =>
+      s"replace($acc, COALESCE((SELECT pair FROM t$i), chr(${SymBase + 256 + i})), chr(${SymBase + i}))"
+    }
+    val wpChain = (0 until OracleMerges).foldLeft("tk") { (acc, i) =>
+      s"replace($acc, COALESCE((SELECT pair FROM wt$i), chr(${SymBase + 512 + i})), chr(${SymBase + i}))"
+    }
+    s"""WITH ${trainCtes.mkString(",\n")},
+       |${wpTrainCtes.mkString(",\n")},
+       |tok AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(COALESCE(text, '')), '\\s+')) AS tk
+       |  FROM documents),
+       |enc AS (
+       |  SELECT doc_id, length(tk) AS lc, length($bpeChain) AS ls,
+       |    length($wpChain) AS lw
+       |  FROM tok)
+       |SELECT doc_id, CAST(SUM(lc) AS BIGINT) AS n_chars,
+       |  CAST(SUM(ls) AS BIGINT) AS bpe_symbols,
+       |  CAST(SUM(lw) AS BIGINT) AS wp_symbols,
+       |  CAST(SUM(lc) AS DOUBLE) / CAST(nullif(SUM(ls), 0) AS DOUBLE) AS bpe_cps,
+       |  CAST(SUM(lc) AS DOUBLE) / CAST(nullif(SUM(lw), 0) AS DOUBLE) AS wp_cps
+       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   val all: Seq[Q] = Seq(
@@ -857,5 +923,6 @@ object BpeOps extends QueryModule {
     Q("q129_unigram_em", q129, Some(q129Sql)),
     Q("q192_tokenizer_transfer", q192, Some(q192Sql)),
     Q("q206_sample_train_encode", q206, Some(q206Sql)),
-    Q("q216_wordpiece_train", q216, Some(q216Sql)))
+    Q("q216_wordpiece_train", q216, Some(q216Sql)),
+    Q("q217_wp_bpe_encode_ab", q217, Some(q217Sql)))
 }
