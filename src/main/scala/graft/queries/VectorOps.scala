@@ -1499,6 +1499,83 @@ object VectorOps extends QueryModule {
        |ORDER BY iter""".stripMargin
   }
 
+  /** q218 — τ staleness card: is the semantic index's build-time
+    * calibration still valid for the corpus it now serves? The persisted
+    * τ was the 99.9th-percentile within-cell cosine of the BASE split;
+    * as refresh folds new material in, the within-cell cosine
+    * distribution drifts and a stale τ silently turns into
+    * over-merging (τ too low for the denser cells) or recall loss (τ
+    * too high). The card recalibrates the SAME statistic over the FULL
+    * embedding set assigned to the PERSISTED centroids — the state a
+    * day of streaming refresh leaves behind — and publishes indexed τ,
+    * current τ, absolute and relative drift, and the recalibrate flag
+    * at the 1% relative threshold. This is the trigger for the offline
+    * recalibration job the SemStream scaladoc names; q212/q213/q218 are
+    * the semantic index's full observability set (cost, recall,
+    * staleness).
+    *
+    * Scale shape: one row-local assignment pass over the corpus + the
+    * Σ|cell|² within-cell pair join (SemDeDup's own complexity — this
+    * card costs what one recalibration costs, which is the point);
+    * τ recomputation goes through [[PctGate]] with the pair-encoded
+    * ticket, so the percentile buffer is bounded at any corpus size. */
+  private def q218(s: SparkSession, d: String): DataFrame = {
+    val dir = builtSemIndex(s, d)
+    // collect-bound: centroid table — ≤ k rows, k ∝ √n via ivfKFor
+    val rows: Seq[Seq[Double]] = s.read.parquet(s"$dir/centroids")
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1)).toSeq
+    val sc = sortedCells(typedlit(rows), rows.size)
+    val au = unitize(t(s, d, "embeddings").select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), col("ue"),
+        element_at(sc, 1)("cid").cast("bigint").as("cell"))
+      .localCheckpoint(true) // consumers: both sides of the pair join
+    val a = au.select(col("cell"), col("vec_id").as("va"), col("ue").as("ua"))
+    val b = au.select(col("cell").as("cell_b"), col("vec_id").as("vb"),
+      col("ue").as("ub"))
+    val pairs = a.join(b, col("cell") === col("cell_b") && col("va") < col("vb"))
+      .select(col("va"), col("vb"), expr("graft_dot(ua, ub)").as("cos"))
+      .localCheckpoint(true) // consumers: count + threshold
+    val tauC = PctGate.thresholdDf(pairs, pairs.count(), "cos", "0.999",
+      "q218tau", "tau_current", keyExpr = "((va * 4194304) + vb)")
+    graft.Scalars.withScalar(
+        s.read.parquet(s"$dir/tau").limit(1).select(col("tau").as("tau_indexed")),
+        tauC)
+      .select(col("tau_indexed"), col("tau_current"),
+        (col("tau_current") - col("tau_indexed")).as("drift"),
+        (abs(col("tau_current") - col("tau_indexed")) /
+          abs(col("tau_indexed"))).as("rel_drift"))
+      .withColumn("recalibrate", col("rel_drift") > lit(0.01))
+  }
+  private def q218Sql: String = {
+    val thr = PctGate.thresholdSql("apairs", "cos", "0.999", "q218tau",
+      "tau_current", keyExpr = "((va * 4194304) + vb)")
+    s"""WITH $semIndexCtes,
+       |aasg AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT u.vec_id, cent.cid,
+       |      list_reduce(list_prepend(0.0, list_transform(list_zip(u.ue, cent.cu),
+       |        p -> p[1] * p[2])), (a, x) -> a + x) AS cc,
+       |      ROW_NUMBER() OVER (PARTITION BY u.vec_id ORDER BY
+       |        list_reduce(list_prepend(0.0, list_transform(list_zip(u.ue, cent.cu),
+       |          p -> p[1] * p[2])), (a, x) -> a + x) DESC, cid) AS rn
+       |    FROM u CROSS JOIN cent) t WHERE rn = 1),
+       |apairs AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb,
+       |    list_reduce(list_prepend(0.0, list_transform(list_zip(ua.ue, ub.ue),
+       |      p -> p[1] * p[2])), (x, y) -> x + y) AS cos
+       |  FROM aasg a JOIN aasg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN u ua ON ua.vec_id = a.vec_id
+       |  JOIN u ub ON ub.vec_id = b.vec_id),
+       |tcur AS ($thr)
+       |SELECT (SELECT tau FROM tauv) AS tau_indexed,
+       |  (SELECT tau_current FROM tcur) AS tau_current,
+       |  ((SELECT tau_current FROM tcur) - (SELECT tau FROM tauv)) AS drift,
+       |  (abs((SELECT tau_current FROM tcur) - (SELECT tau FROM tauv)) /
+       |    abs((SELECT tau FROM tauv))) AS rel_drift,
+       |  (abs((SELECT tau_current FROM tcur) - (SELECT tau FROM tauv)) /
+       |    abs((SELECT tau FROM tauv))) > 0.01 AS recalibrate""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q31_embed_norms", q31, Some(q31Sql)),
     Q("q114_semdedup", q114, Some(q114Sql)),
@@ -1507,6 +1584,7 @@ object VectorOps extends QueryModule {
     Q("q213_nprobe_recall_card", q213, Some(q213Sql)),
     Q("q214_dedup_modality_matrix", q214, Some(q214Sql)),
     Q("q215_kmeans_refine_card", q215, Some(q215Sql)),
+    Q("q218_tau_drift_card", q218, Some(q218Sql)),
     Q("q75_embed_quantize", q75, Some(q75Sql)),
     Q("q85_ann_quantized", q85, Some(q85Sql)),
     Q("q32_ann_bruteforce", q32, Some(q32Sql)),
