@@ -178,8 +178,201 @@ object UrlOps extends QueryModule {
        |FROM f GROUP BY domain ORDER BY n_docs DESC, domain""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q219
+
+  /** Fixed-point scale for PageRank ranks: 10^12. Chosen decimal (not
+    * dyadic) because every operation on ranks is INTEGER multiply /
+    * floor-divide — there is no float round-trip anywhere, so the
+    * power-of-two-exactness argument of [[VectorOps.MeanScale]] does not
+    * apply and a decimal scale keeps the card's `rank_score` column
+    * human-readable (r_fp / 1e12 is the conventional [0, 1]-ish rank). */
+  private[queries] val PrScale = 1000000000000L
+
+  /** Iterative PageRank over a weighted domain link graph — pure BIGINT
+    * fixed-point, bit-portable BY CONSTRUCTION (every step is integer
+    * ×, +, %, floor-div; no IEEE op exists to diverge, no sum order to
+    * pin). Damping 0.85 as published (Page et al. 1999, "The PageRank
+    * Citation Ranking"); domain-level centrality is the curation signal
+    * crawl pipelines rank seed lists by (Common Crawl publishes exactly
+    * this — domain ranks from harmonic centrality / PageRank over the
+    * host graph).
+    *
+    * Update rule, all integer (S = [[PrScale]], N = |V|, W(u) = Σ out-
+    * weights, floors = SQL integer division):
+    *
+    *   contrib(u→v) = floor(r(u)·w(u,v) / W(u))   [split-mod identity]
+    *   dang         = Σ_{W(u) undefined} r(u)
+    *   r'(v) = floor(15S/100N) + floor(85·Σ contrib(·→v) / 100)
+    *           + floor(85·floor(dang/N) / 100)
+    *
+    * The per-edge contribution is computed as
+    * `(r div W)·w + ((r mod W)·w) div W` — algebraically EQUAL to
+    * floor(r·w/W) (write r = qW + s: r·w/W = q·w + s·w/W, and q·w is
+    * integral), but the largest intermediate drops from r·w ≤ S·w_max
+    * to max(q·w ≤ r ≤ S, s·w < W·w_max): headroom to 2^63 holds as long
+    * as W·w_max < 2^63, i.e. per-domain out-link mass below ~3·10^9
+    * even at web scale, vs the naive form overflowing at w_max ≈ 9·10^6.
+    * Floors shed < 1 ulp of mass per edge/term per iteration, so total
+    * mass drifts a few units of 10^-12 below S per round — determinism
+    * is exact, which is the property the oracle gates.
+    *
+    * Scale shape (the Pregel/GraphX loop without the framework): ranks
+    * are a (domain, BIGINT) table hash-partitioned by domain; edges are
+    * joined on src (bucket/pre-partition BOTH on the join key at 100 TB
+    * and the per-iteration join is shuffle-free), contributions hash-
+    * aggregate on dst — ONE shuffle per iteration, map-side partial
+    * sums absorbing the zipf in-degree head (a hot domain's inflow is
+    * combined per map partition, never a skew window). The dangling
+    * mass and |V| are 1-row scalars attached via the enforced
+    * [[graft.Scalars.withScalar]] bridge. Each iteration's vertex-sized
+    * result is `localCheckpoint`ed (the [[Q]] convention) so the loop's
+    * lineage never compounds — T iterations are T independent jobs, the
+    * exact shape an AQE re-plan or executor loss recovers per-stage. */
+  private[graft] def pageRank(edges0: DataFrame, iters: Int): DataFrame = {
+    val edges = edges0.filter(col("src_dom") =!= col("dst_dom"))
+      .groupBy(col("src_dom"), col("dst_dom"))
+      .agg(sum(col("w")).as("w"))
+      .localCheckpoint(true)
+    val outw = edges.groupBy(col("src_dom")).agg(sum(col("w")).as("ow"))
+    val inw = edges.groupBy(col("dst_dom")).agg(sum(col("w")).as("in_w"))
+    val edgesW = edges.join(outw, Seq("src_dom")).localCheckpoint(true)
+    val verts = edges.select(col("src_dom").as("dom"))
+      .union(edges.select(col("dst_dom").as("dom"))).distinct()
+      .join(outw.withColumnRenamed("src_dom", "dom"), Seq("dom"), "left")
+      .localCheckpoint(true)
+    val nv = verts.agg(count(lit(1)).as("n_v"))
+
+    var ranks = graft.Scalars.withScalar(verts.select(col("dom")), nv)
+      .select(col("dom"), expr(s"cast($PrScale as bigint) div n_v").as("r"))
+      .localCheckpoint(true)
+    var prev = ranks
+    for (_ <- 1 to iters) {
+      val dang = ranks
+        .join(verts.filter(col("ow").isNull).select(col("dom")), Seq("dom"))
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
+      val inflow = edgesW
+        .join(ranks.withColumnRenamed("dom", "src_dom"), Seq("src_dom"))
+        .select(col("dst_dom"),
+          expr("(r div ow) * w + ((r % ow) * w) div ow").as("c"))
+        .groupBy(col("dst_dom")).agg(sum(col("c")).as("infl"))
+        .withColumnRenamed("dst_dom", "dom")
+      val next = graft.Scalars.withScalar(
+          graft.Scalars.withScalar(verts.select(col("dom")), nv), dang)
+        .join(inflow, Seq("dom"), "left")
+        .select(col("dom"),
+          expr(s"cast(${15L * PrScale} as bigint) div (100 * n_v)" +
+            " + (85 * coalesce(infl, cast(0 as bigint))) div 100" +
+            " + (85 * (dang div n_v)) div 100").as("r"))
+      prev = ranks
+      ranks = next.localCheckpoint(true)
+    }
+    verts
+      .join(ranks, Seq("dom"))
+      .join(prev.withColumnRenamed("r", "r_prev"), Seq("dom"))
+      .join(inw.withColumnRenamed("dst_dom", "dom"), Seq("dom"), "left")
+      .select(col("dom").as("domain"),
+        coalesce(col("ow"), lit(0L)).as("out_w"),
+        coalesce(col("in_w"), lit(0L)).as("in_w"),
+        col("r").as("r_fp"),
+        abs(col("r") - col("r_prev")).as("delta_fp"),
+        (col("r").cast("double") / lit(1e12)).as("rank_score"))
+      .orderBy(col("r_fp").desc, col("domain"))
+  }
+
+  /** Deterministic link-graph shell over the synthetic corpus (the
+    * q107/q108 URL-shell idiom — no URL column exists in TESTDATA.md, so
+    * the graph is synthesized from doc_id residues with the identical
+    * integer arithmetic restated in the oracle; the gate then checks the
+    * GRAPH COMPUTATION, not the wrapping): each document's domain
+    * (source × TLD, the q107 shell) emits two out-links whose target
+    * source-index and TLD are decorrelated residues of doc_id. */
+  private def tldCase(idx: String, spark: Boolean): String = {
+    val it = if (spark) "INT" else "INTEGER"
+    s"CASE CAST(($idx) % 4 AS $it) WHEN 0 THEN '.com' WHEN 1 THEN '.org' WHEN 2 THEN '.net' ELSE '.io' END"
+  }
+  private def linkEdges(s: SparkSession, d: String): DataFrame = {
+    val srcE = s"concat(source, ${tldCase("doc_id div 20", spark = true)})"
+    val dst1 = s"concat('src', CAST((doc_id * 7 + 3) % 20 AS STRING), ${tldCase("doc_id * 11 + 1", spark = true)})"
+    val dst2 = s"concat('src', CAST(((doc_id div 2) * 13 + 7) % 20 AS STRING), ${tldCase("(doc_id div 3) + 2", spark = true)})"
+    t(s, d, "documents")
+      .select(expr(srcE).as("src_dom"),
+        explode(array(expr(dst1), expr(dst2))).as("dst_dom"))
+      .withColumn("w", lit(1L))
+  }
+
+  /** q219 — PageRank domain-centrality card: 4 damped iterations of
+    * [[pageRank]] over the synthesized domain link graph; one row per
+    * domain with in/out link mass, the final fixed-point rank, the
+    * last-iteration per-vertex delta (the convergence column an operator
+    * reads to pick the iteration budget), and the human-readable
+    * rank_score. This is the curation family's authority signal — the
+    * complement of q118's content-quality drilldown: q118 scores what a
+    * domain SAYS, q219 scores how the web treats it. */
+  private def q219(s: SparkSession, d: String): DataFrame =
+    pageRank(linkEdges(s, d), iters = 4)
+
+  private def q219Sql: String = {
+    val srcE = s"source || ${tldCase("doc_id // 20", spark = false)}"
+    val dst1 = s"'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) || ${tldCase("doc_id * 11 + 1", spark = false)}"
+    val dst2 = s"'src' || CAST(((doc_id // 2) * 13 + 7) % 20 AS VARCHAR) || ${tldCase("(doc_id // 3) + 2", spark = false)}"
+    // Each rank level is referenced ≥3× (dangling scalar, contribution
+    // join, next level / final card) — AS MATERIALIZED per the q216
+    // lesson: DuckDB re-inlines plain CTEs at every reference.
+    def iter(i: Int): String =
+      s"""dang$i AS (
+         |  SELECT COALESCE(CAST(SUM(r.r) AS BIGINT), CAST(0 AS BIGINT)) AS dang
+         |  FROM r${i - 1} r JOIN verts v ON v.dom = r.dom WHERE v.ow IS NULL),
+         |inf$i AS (
+         |  SELECT ew.dst_dom AS dom,
+         |    CAST(SUM((r.r // ew.ow) * ew.w + ((r.r % ew.ow) * ew.w) // ew.ow) AS BIGINT) AS infl
+         |  FROM ew JOIN r${i - 1} r ON r.dom = ew.src_dom
+         |  GROUP BY ew.dst_dom),
+         |r$i AS MATERIALIZED (
+         |  SELECT v.dom, CAST(
+         |    CAST(${15L * PrScale} AS BIGINT) // (100 * (SELECT n_v FROM nv))
+         |    + (85 * COALESCE(i.infl, CAST(0 AS BIGINT))) // 100
+         |    + (85 * ((SELECT dang FROM dang$i) // (SELECT n_v FROM nv))) // 100
+         |    AS BIGINT) AS r
+         |  FROM verts v LEFT JOIN inf$i i ON i.dom = v.dom)""".stripMargin
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT src_dom, dst_dom, CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM (
+       |    SELECT $srcE AS src_dom,
+       |      unnest([$dst1, $dst2]) AS dst_dom
+       |    FROM documents)
+       |  WHERE src_dom <> dst_dom
+       |  GROUP BY src_dom, dst_dom),
+       |ow AS (SELECT src_dom, CAST(SUM(w) AS BIGINT) AS ow FROM e0 GROUP BY src_dom),
+       |iw AS (SELECT dst_dom, CAST(SUM(w) AS BIGINT) AS in_w FROM e0 GROUP BY dst_dom),
+       |ew AS MATERIALIZED (SELECT e0.src_dom, e0.dst_dom, e0.w, ow.ow FROM e0 JOIN ow USING (src_dom)),
+       |verts AS MATERIALIZED (
+       |  SELECT v.dom, ow.ow
+       |  FROM (SELECT src_dom AS dom FROM e0 UNION SELECT dst_dom FROM e0) v
+       |  LEFT JOIN ow ON ow.src_dom = v.dom),
+       |nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_v FROM verts),
+       |r0 AS MATERIALIZED (
+       |  SELECT dom, CAST(CAST($PrScale AS BIGINT) // (SELECT n_v FROM nv) AS BIGINT) AS r
+       |  FROM verts),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)},
+       |${iter(4)}
+       |SELECT v.dom AS domain,
+       |  CAST(COALESCE(v.ow, 0) AS BIGINT) AS out_w,
+       |  CAST(COALESCE(iw.in_w, 0) AS BIGINT) AS in_w,
+       |  r4.r AS r_fp,
+       |  CAST(ABS(r4.r - r3.r) AS BIGINT) AS delta_fp,
+       |  CAST(r4.r AS DOUBLE) / 1e12 AS rank_score
+       |FROM verts v
+       |JOIN r4 ON r4.dom = v.dom
+       |JOIN r3 ON r3.dom = v.dom
+       |LEFT JOIN iw ON iw.dst_dom = v.dom
+       |ORDER BY r_fp DESC, domain""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q107_url_extract", q107, Some(q107Sql)),
     Q("q108_domain_rollup", q108, Some(q108Sql)),
-    Q("q118_domain_quality", q118, Some(q118Sql)))
+    Q("q118_domain_quality", q118, Some(q118Sql)),
+    Q("q219_domain_pagerank", q219, Some(q219Sql)))
 }
