@@ -1133,6 +1133,196 @@ object LmOps extends QueryModule {
        |FROM pd2 ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------ q220
+
+  /** q220 — gradient-trained logistic quality classifier, ORACLED
+    * end-to-end: the trainer-oracle family's gradient-descent member
+    * (beside the merge trainers q104/q122/q216 and the Lloyd trainer
+    * q215). The production pattern is the fastText/linear quality
+    * classifier of the GPT-3 / LLaMA data pipelines (Brown et al. 2020
+    * App. A: logistic classifier over features, trained
+    * curated-vs-crawl, gating by score): full-batch gradient descent on
+    * logistic loss over row-local document features. The gate's label
+    * is a deterministic weak-supervision stand-in (an INTEGER-EXACT
+    * stopword-density cut — `nstop·16 ≥ nw`, no float compare), chosen
+    * so the card PROVABLY learns (loss strictly falls across
+    * iterations); a production deployment swaps in curated source
+    * labels through the identical trainer.
+    *
+    * Bit-parity, the whole game for an iterative float trainer:
+    *  - features are single correctly-rounded divisions of exact
+    *    integer counts (token count, chars-per-token, stopword density,
+    *    punct+digit density) — identical in both engines;
+    *  - the linear score is a fixed-association chain of IEEE ×/+;
+    *  - the sigmoid is the two-branch stable form over [[PortableExp]]
+    *    of |z| (each branch ONE correctly-rounded division — never
+    *    1−σ, whose cancellation would double the rounding surface);
+    *  - per-row loss ln goes through [[PortableLnPos]];
+    *  - gradient and loss accumulate as DYADIC FIXED-POINT BIGINTs
+    *    (floor(v·2^26), the [[VectorOps.MeanScale]] discipline) — exact,
+    *    order-free, partitioning/AQE/engine-proof — and the weight
+    *    update re-derives doubles through textually identical
+    *    correctly-rounded ops on both sides.
+    *
+    * Scale shape: ONE corpus pass per iteration (a single groupless
+    * hash aggregate computing loss + flag count + all five gradient
+    * sums together — map-side partial sums, no shuffle beyond the
+    * 1-partition merge); driver state is 5 doubles per iteration
+    * (weights), independent of corpus size. T iterations = T jobs over
+    * the `localCheckpoint`ed feature table; the feature pass itself is
+    * row-local projection. The card is a 4-row LocalTableScan of
+    * driver-assembled literals — the q209/q215 card shape. */
+  private val LogitStop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  private val Dy = "67108864e0" // 2^26, the dyadic fixed-point scale
+
+  private def logitFeatures(s: SparkSession, d: String): DataFrame = {
+    val stops = LogitStop.map(w => s"'$w'").mkString(", ")
+    t(s, d, "documents")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("nw", size(col("toks")).cast("long"))
+      .withColumn("nstop",
+        expr(s"size(filter(toks, t -> t IN ($stops)))").cast("long"))
+      .withColumn("nch", length(col("text")).cast("long"))
+      .withColumn("npd",
+        (length(col("text"))
+          - length(regexp_replace(col("text"), "[.,0-9]", ""))).cast("long"))
+      .select(col("doc_id"), lit(1e0).as("x0"),
+        expr("CAST(nw - 256 AS DOUBLE) / 256e0").as("x1"),
+        expr("CAST(nch - nw * 8 AS DOUBLE) / CAST(nw * 8 AS DOUBLE)").as("x2"),
+        expr("CAST(nstop * 16 - nw AS DOUBLE) / CAST(nw AS DOUBLE)").as("x3"),
+        expr("CAST(npd * 16 - nch AS DOUBLE) / CAST(nch + 1 AS DOUBLE)").as("x4"),
+        expr("CASE WHEN nstop * 16 >= nw THEN 1e0 ELSE 0e0 END").as("y"))
+  }
+  private def logitFeaturesSql: String = {
+    val stops = LogitStop.map(w => s"'$w'").mkString(", ")
+    s"""fb AS (
+       |  SELECT doc_id,
+       |    regexp_split_to_array(trim(COALESCE(text, '')), '\\s+') AS toks,
+       |    COALESCE(text, '') AS tx
+       |  FROM documents),
+       |fc AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS nw,
+       |    CAST(len(list_filter(toks, t -> t IN ($stops))) AS BIGINT) AS nstop,
+       |    CAST(length(tx) AS BIGINT) AS nch,
+       |    CAST(length(tx) - length(regexp_replace(tx, '[.,0-9]', '', 'g')) AS BIGINT) AS npd
+       |  FROM fb),
+       |f AS MATERIALIZED (
+       |  SELECT doc_id, 1e0 AS x0,
+       |    CAST(nw - 256 AS DOUBLE) / 256e0 AS x1,
+       |    CAST(nch - nw * 8 AS DOUBLE) / CAST(nw * 8 AS DOUBLE) AS x2,
+       |    CAST(nstop * 16 - nw AS DOUBLE) / CAST(nw AS DOUBLE) AS x3,
+       |    CAST(npd * 16 - nch AS DOUBLE) / CAST(nch + 1 AS DOUBLE) AS x4,
+       |    CASE WHEN nstop * 16 >= nw THEN 1e0 ELSE 0e0 END AS y
+       |  FROM fc)""".stripMargin
+  }
+
+  /** Per-row staged pipeline from z to (p1, rowloss) — stage groups
+    * applied as withColumn chains (Spark) or one CTE per group (oracle),
+    * emitted from the SAME source except the shift spellings inside the
+    * exp/ln steps. */
+  private def logitStages(spark: Boolean): Seq[Seq[(String, String)]] =
+    Seq(Seq("az" -> "ABS(z)")) ++
+      PortableExp.steps("az", "s", spark).map(Seq(_)) ++
+      Seq(Seq(
+        "p1" -> ("(CASE WHEN z >= 0e0 THEN (exps / (exps + 1e0))" +
+          " ELSE (1e0 / (exps + 1e0)) END)"),
+        "p0" -> ("(CASE WHEN z >= 0e0 THEN (1e0 / (exps + 1e0))" +
+          " ELSE (exps / (exps + 1e0)) END)"))) ++
+      Seq(Seq("parg" -> "(CASE WHEN y = 1e0 THEN p1 ELSE p0 END)")) ++
+      PortableLnPos.steps("parg", "P", spark).map(Seq(_)) ++
+      Seq(Seq("rowloss" -> "(0e0 - lnP)"))
+
+  /** The trainer: full-batch GD, η = 2 (an exact power of two — the
+    * scale step η·ḡ is then a pure exponent shift; chosen from a
+    * {2,4,8} sweep as the largest rate with a monotone loss trajectory
+    * on this corpus — 8 oscillates, see PLANS.md round-12 notes). Returns per
+    * iteration (iter, weights ENTERING the iteration, corpus loss and
+    * flagged-count under those weights). */
+  private[queries] def trainLogit(s: SparkSession, d: String,
+      iters: Int): Seq[(Int, Seq[Double], Double, Long)] = {
+    val f = logitFeatures(s, d).localCheckpoint(true) // consumers: every iteration
+    var w = Seq(0e0, 0e0, 0e0, 0e0, 0e0)
+    (0 to iters).map { it =>
+      val z = (0 to 4).map(j => lit(w(j)) * col(s"x$j"))
+        .reduceLeft(_ + _) // left-assoc: ((((w0x0 + w1x1) + w2x2) + w3x3) + w4x4)
+      val staged = logitStages(spark = true).flatten
+        .foldLeft(f.withColumn("z", z)) {
+          case (df, (n, e)) => df.withColumn(n, expr(e))
+        }
+      val aggCols: Seq[org.apache.spark.sql.Column] = Seq(
+        coalesce(sum(floor(col("rowloss") * expr(Dy)).cast("long")), lit(0L)).as("lsum"),
+        coalesce(sum(when(col("p1") < 0.5, 1L).otherwise(0L)), lit(0L)).as("nflag")) ++
+        (0 to 4).map(j =>
+          coalesce(sum(floor((col("p1") - col("y")) * col(s"x$j") * expr(Dy))
+            .cast("long")), lit(0L)).as(s"g$j"))
+      // collect-bound: groupless aggregate, exactly 1 row per iteration
+      val r = staged.agg(count(lit(1)).as("n"), aggCols: _*).collect()(0)
+      val n = r.getAs[Long]("n")
+      val nd = n.toDouble
+      val dy = 67108864e0
+      val loss = r.getAs[Long]("lsum").toDouble / (dy * nd)
+      val card = (it, w, loss, r.getAs[Long]("nflag"))
+      if (n > 0)
+        w = (0 to 4).map(j =>
+          w(j) - 2e0 * (r.getAs[Long](s"g$j").toDouble / (dy * nd)))
+      card
+    }
+  }
+
+  private def q220(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    trainLogit(s, d, 4)
+      .map { case (it, w, loss, nflag) =>
+        (it, w(0), w(1), w(2), w(3), w(4), loss, nflag) }
+      .toDF("iter", "w0", "w1", "w2", "w3", "w4", "loss", "n_flag")
+      .orderBy("iter")
+  }
+  private def q220Sql: String = {
+    val groups = logitStages(spark = false)
+    def iterCtes(i: Int): String = {
+      val z = s"""z$i AS (
+         |  SELECT f.*, ((((w.w0 * f.x0) + (w.w1 * f.x1)) + (w.w2 * f.x2)) + (w.w3 * f.x3)) + (w.w4 * f.x4) AS z
+         |  FROM f CROSS JOIN wt$i w)""".stripMargin
+      val stageCtes = groups.zipWithIndex.map { case (g, gi) =>
+        val src = if (gi == 0) s"z$i" else s"st${i}_$gi"
+        s"st${i}_${gi + 1} AS (SELECT *, ${g.map { case (n, e) => s"$e AS $n" }.mkString(", ")} FROM $src)"
+      }
+      val last = s"st${i}_${groups.size}"
+      // agg/wt referenced more than once and sitting on the full corpus
+      // chain — MATERIALIZED (the q216 lesson: DuckDB re-inlines plain
+      // CTEs at every reference; an inlined wt would re-run every prior
+      // iteration's corpus pass 3^i times).
+      val agg = s"""agg$i AS MATERIALIZED (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    COALESCE(CAST(SUM(CAST(FLOOR(rowloss * $Dy) AS BIGINT)) AS BIGINT), 0) AS lsum,
+         |    COALESCE(CAST(SUM(CASE WHEN p1 < 5e-1 THEN 1 ELSE 0 END) AS BIGINT), 0) AS nflag,
+         |    ${(0 to 4).map(j => s"COALESCE(CAST(SUM(CAST(FLOOR(((p1 - y) * x$j) * $Dy) AS BIGINT)) AS BIGINT), 0) AS g$j").mkString(",\n    ")}
+         |  FROM $last)""".stripMargin
+      val card = s"""card$i AS (
+         |  SELECT CAST($i AS INTEGER) AS iter, w.w0, w.w1, w.w2, w.w3, w.w4,
+         |    CAST(a.lsum AS DOUBLE) / ($Dy * CAST(a.n AS DOUBLE)) AS loss,
+         |    a.nflag AS n_flag
+         |  FROM wt$i w CROSS JOIN agg$i a)""".stripMargin
+      val wt = s"""wt${i + 1} AS MATERIALIZED (
+         |  SELECT ${(0 to 4).map(j => s"(w.w$j - (2e0 * (CAST(a.g$j AS DOUBLE) / ($Dy * CAST(a.n AS DOUBLE))))) AS w$j").mkString(",\n    ")}
+         |  FROM wt$i w CROSS JOIN agg$i a)""".stripMargin
+      (Seq(z) ++ stageCtes ++ Seq(agg, card, wt)).mkString(",\n")
+    }
+    s"""WITH ${logitFeaturesSql},
+       |wt0 AS (SELECT 0e0 AS w0, 0e0 AS w1, 0e0 AS w2, 0e0 AS w3, 0e0 AS w4),
+       |${iterCtes(0)},
+       |${iterCtes(1)},
+       |${iterCtes(2)},
+       |${iterCtes(3)},
+       |${iterCtes(4)}
+       |SELECT * FROM card0 UNION ALL SELECT * FROM card1
+       |UNION ALL SELECT * FROM card2 UNION ALL SELECT * FROM card3
+       |UNION ALL SELECT * FROM card4
+       |ORDER BY iter""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q106_lm_perplexity", q106, Some(q106Sql)),
     Q("q113_nb_classifier", q113, Some(q113Sql)),
@@ -1140,5 +1330,6 @@ object LmOps extends QueryModule {
     Q("q123_kneser_ney", q123, Some(q123Sql)),
     Q("q135_dsir_weights", q135, Some(q135Sql)),
     Q("q205_kn_trigram", q205, Some(q205Sql)),
-    Q("q210_kn5_modified", q210, Some(q210Sql)))
+    Q("q210_kn5_modified", q210, Some(q210Sql)),
+    Q("q220_logit_quality_trainer", q220, Some(q220Sql)))
 }
