@@ -1576,7 +1576,154 @@ object VectorOps extends QueryModule {
        |    abs((SELECT tau FROM tauv))) > 0.01 AS recalibrate""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q221
+
+  /** q221 — top-principal-component power-iteration card, ORACLED
+    * end-to-end: the dimensionality-reduction trainer beside the Lloyd
+    * quantizer trainer (q215). Production embedding indexes rotate /
+    * whiten before quantizing (Optimized Product Quantization, Ge et al.
+    * 2013; PCA preprocessing is standard ahead of IVF/PQ at billion
+    * scale) — the dominant component and its explained-variance share
+    * are the card a data team reads to decide whether rotation is worth
+    * a re-index. Von Mises power iteration on the CENTERED Gram operator
+    * without ever materializing the d×d matrix: per iteration one
+    * corpus pass computes y = Σᵢ cxᵢ·(cxᵢᵀv) (row-local [[graft_dot]]
+    * against the literal v, then a (pos)-keyed hash aggregation), and
+    * the d-sized y normalizes driver-side — the Lloyd-loop shape, state
+    * = d doubles per iteration, never corpus-proportional.
+    *
+    * Bit-parity: the mean vector and every y accumulate as dyadic
+    * fixed-point BIGINTs (floor(v·2^26), [[MeanScale]] discipline —
+    * exact, order-free, engine-proof); centering is one correctly-
+    * rounded subtraction per element; dots are the [[graft_dot]]
+    * ordered fold = the oracle's list_reduce(list_prepend(0.0, ...));
+    * λ (the Rayleigh value), ‖y‖, and the normalization divide are the
+    * identical fixed-order folds and correctly-rounded ops on both
+    * sides (IEEE sqrt is correctly rounded in both engines); the seed
+    * is the exact constant vector 1/√d. Degenerate guards mirror both
+    * sides: a zero y keeps the previous direction (the Lloyd empty-cell
+    * rule), a zero trace reports explained = 0.
+    *
+    * 100 TB shape: iteration cost is O(n·d) — the matvec form, chosen
+    * over the one-pass O(n·d²) Gram accumulation precisely because at
+    * production d (512-4096) the Gram explode is 3 orders costlier per
+    * row and its d² hash-agg keys shuffle d²/d = d× more bytes; T
+    * passes over a columnar scan beat one pass of d× width. The
+    * per-pos aggregation is map-side-combined; driver state d doubles. */
+  private[queries] def powerCard(s: SparkSession, d: String,
+      iters: Int): Seq[(Int, Int, Double, Double, Double)] = {
+    val dyV = 67108864e0
+    val x = t(s, d, "embeddings")
+      .select(expr("transform(embedding, v -> cast(v as double))").as("x"))
+      .localCheckpoint(true) // consumers: dim probe, mean, centering
+    // collect-bound: groupless aggregate — 1 row (corpus dimensionality)
+    val dim = x.agg(coalesce(max(size(col("x"))), lit(0)).as("d"))
+      .collect()(0).getInt(0)
+    val mean = x.select(posexplode(col("x")).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg((sum(floor(col("v") * lit(dyV)).cast("long")).cast("double")
+        / (lit(dyV) * count(lit(1)).cast("double"))).as("m"))
+      // collect-bound: grouped by element position — ≤ d rows
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val mu = (0 until dim).map(p => mean.getOrElse(p, 0e0))
+    val cx = x.select(zip_with(col("x"), typedlit(mu),
+        (a, b) => a - b).as("cx"))
+      .localCheckpoint(true) // consumers: trace + every iteration
+    // collect-bound: groupless aggregate — 1 row (centered trace)
+    val traceFp = cx.agg(coalesce(sum(floor(
+        call_function("graft_dot", col("cx"), col("cx")) * lit(dyV))
+        .cast("long")), lit(0L)).as("t"))
+      .collect()(0).getLong(0)
+    val trace = traceFp.toDouble / dyV
+    var v: Seq[Double] =
+      if (dim == 0) Seq.empty
+      else Seq.fill(dim)(1e0 / math.sqrt(dim.toDouble))
+    (1 to iters).flatMap { it =>
+      val yfp = cx
+        .select(posexplode(col("cx")).as(Seq("pos", "cv")),
+          call_function("graft_dot", col("cx"), typedlit(v)).as("s"))
+        .groupBy("pos")
+        .agg(sum(floor((col("cv") * col("s")) * lit(dyV)).cast("long"))
+          .as("yfp"))
+        // collect-bound: grouped by element position — ≤ d rows per iter
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val y = (0 until dim).map(p => yfp.getOrElse(p, 0L).toDouble / dyV)
+      val lam = v.zip(y).foldLeft(0e0)((a, p) => a + p._1 * p._2)
+      val nrm = math.sqrt(y.foldLeft(0e0)((a, e) => a + e * e))
+      v = if (nrm == 0e0) v else y.map(_ / nrm)
+      val explained = if (trace == 0e0) 0e0 else lam / trace
+      (0 until dim).map(p => (it, p, v(p), lam, explained))
+    }
+  }
+
+  private def q221(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    powerCard(s, d, iters = 3)
+      .toDF("iter", "pos", "v", "lam", "explained")
+      .orderBy("iter", "pos")
+  }
+  private def q221Sql: String = {
+    val dy = "67108864e0"
+    def dot(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), p -> p[1] * p[2])), (x, y) -> x + y)"
+    // Each iteration's y/v CTEs sit on the full corpus chain and are
+    // referenced more than once — MATERIALIZED (the q216 lesson), or the
+    // corpus pass re-evaluates 3^t times through inlining.
+    def iter(tn: Int): String =
+      s"""sc$tn AS (SELECT c.cx, ${dot("c.cx", "v.vl")} AS s FROM c CROSS JOIN v${tn - 1} v),
+         |y$tn AS MATERIALIZED (
+         |  SELECT i AS pos,
+         |    CAST(SUM(CAST(FLOOR((cx[i] * s) * $dy) AS BIGINT)) AS BIGINT) AS yfp
+         |  FROM (SELECT cx, s, unnest(generate_series(1, len(cx))) AS i FROM sc$tn)
+         |  GROUP BY i),
+         |yl$tn AS MATERIALIZED (
+         |  SELECT list(CAST(yfp AS DOUBLE) / $dy ORDER BY pos) AS yl FROM y$tn),
+         |nl$tn AS MATERIALIZED (
+         |  SELECT yl, ${dot("yl", "yl")} AS n2,
+         |    (SELECT ${dot("v.vl", "y.yl")} FROM v${tn - 1} v CROSS JOIN yl$tn y) AS lam
+         |  FROM yl$tn),
+         |v$tn AS MATERIALIZED (
+         |  SELECT CASE WHEN sqrt(n2) = 0e0 THEN (SELECT vl FROM v${tn - 1})
+         |    ELSE list_transform(yl, e -> e / sqrt(n2)) END AS vl, lam
+         |  FROM nl$tn),
+         |card$tn AS (
+         |  SELECT CAST($tn AS INTEGER) AS iter, CAST(i - 1 AS INTEGER) AS pos,
+         |    v.vl[i] AS v, v.lam AS lam,
+         |    CASE WHEN (SELECT tr FROM trc) = 0e0 THEN 0e0
+         |      ELSE v.lam / (SELECT tr FROM trc) END AS explained
+         |  FROM v$tn v CROSS JOIN
+         |    (SELECT unnest(generate_series(1, (SELECT d FROM dd))) AS i))""".stripMargin
+    s"""WITH xs AS MATERIALIZED (
+       |  SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+       |  FROM embeddings),
+       |dd AS (SELECT COALESCE(MAX(len(x)), 0) AS d FROM xs),
+       |mm AS (
+       |  SELECT i AS pos,
+       |    CAST(SUM(CAST(FLOOR(x[i] * $dy) AS BIGINT)) AS DOUBLE)
+       |      / ($dy * CAST(COUNT(*) AS DOUBLE)) AS m
+       |  FROM (SELECT x, unnest(generate_series(1, len(x))) AS i FROM xs)
+       |  GROUP BY i),
+       |ml AS (SELECT list(m ORDER BY pos) AS ml FROM mm),
+       |c AS MATERIALIZED (
+       |  SELECT list_transform(list_zip(x, m.ml), p -> p[1] - p[2]) AS cx
+       |  FROM xs CROSS JOIN ml m),
+       |trc AS MATERIALIZED (
+       |  SELECT CAST(COALESCE(SUM(CAST(FLOOR(${dot("cx", "cx")} * $dy) AS BIGINT)), 0) AS DOUBLE) / $dy AS tr
+       |  FROM c),
+       |v0 AS (
+       |  SELECT list_transform(generate_series(1, d), i -> 1e0 / sq) AS vl
+       |  FROM (SELECT d, sqrt(CAST(d AS DOUBLE)) AS sq FROM dd)),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT iter, pos, v, lam, explained
+       |FROM (SELECT * FROM card1 UNION ALL SELECT * FROM card2
+       |      UNION ALL SELECT * FROM card3)
+       |ORDER BY iter, pos""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q221_pca_power_card", q221, Some(q221Sql)),
     Q("q31_embed_norms", q31, Some(q31Sql)),
     Q("q114_semdedup", q114, Some(q114Sql)),
     Q("q211_incremental_semdedup", q211, Some(q211Sql)),
