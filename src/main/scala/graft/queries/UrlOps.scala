@@ -370,9 +370,82 @@ object UrlOps extends QueryModule {
        |ORDER BY r_fp DESC, domain""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q222
+
+  /** q222 — authority × quality decision matrix: q219's link-graph
+    * centrality crossed with q118's content-quality funnel, the
+    * seed-list decision card (the q214 composition discipline: two
+    * independently hash-verified chains joined on their shared key).
+    * Median splits on both axes put every domain in a 2×2 cell; the
+    * actionable corners are HIGH-authority/LOW-quality (link farms —
+    * well-linked domains whose content fails the gates; crawl-policy
+    * candidates for demotion) and LOW-authority/HIGH-quality (hidden
+    * gems the link graph under-serves; seed-list candidates).
+    *
+    * Determinism discipline: cell aggregates are exact (counts, BIGINT
+    * sums, min/max — all order-free); NO double is ever summed across a
+    * group. The per-cell representative is an aggregation argmax
+    * (min(struct(−r_fp, domain)) — the q109 idiom), not a window. Both
+    * median thresholds go through [[PctGate]] keyed by the domain
+    * string itself (a VARCHAR key the ticket hash spells identically in
+    * both dialects).
+    *
+    * Scale shape: both inputs are domain-cardinality tables (the link
+    * graph's vertex set), so every aggregate here is index-sized, never
+    * corpus-sized; the one corpus-proportional cost is inside the two
+    * sibling builds themselves. */
+  private def q222(s: SparkSession, d: String): DataFrame = {
+    val a = graft.SparkEntry.queries("q219_domain_pagerank")(s, d)
+      .select(col("domain"), col("r_fp"))
+    val q = graft.SparkEntry.queries("q118_domain_quality")(s, d)
+      .select(col("domain"), col("n_docs"), col("survival_rate"))
+    val j = a.join(q, Seq("domain")).localCheckpoint(true)
+    val n = j.count()
+    val medR = PctGate.thresholdDf(j, n, "CAST(r_fp AS DOUBLE)", "0.5",
+      "q222r", "med_r", keyExpr = "domain")
+    val medS = PctGate.thresholdDf(j, n, "survival_rate", "0.5",
+      "q222s", "med_s", keyExpr = "domain")
+    graft.Scalars.withScalar(graft.Scalars.withScalar(j, medR), medS)
+      .withColumn("auth_high", col("r_fp").cast("double") >= col("med_r"))
+      .withColumn("qual_high", col("survival_rate") >= col("med_s"))
+      .groupBy(col("auth_high"), col("qual_high"))
+      .agg(count(lit(1)).as("n_domains"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("r_fp")).as("r_fp_sum"),
+        min(col("survival_rate")).as("min_survival"),
+        max(col("survival_rate")).as("max_survival"),
+        min(struct((-col("r_fp")).as("neg"), col("domain").as("dom")))("dom")
+          .as("top_domain"))
+      .orderBy("auth_high", "qual_high")
+  }
+  private def q222Sql: String =
+    s"""WITH a AS MATERIALIZED ($q219Sql),
+       |qq AS MATERIALIZED ($q118Sql),
+       |j AS MATERIALIZED (
+       |  SELECT a.domain, a.r_fp, qq.n_docs, qq.survival_rate
+       |  FROM a JOIN qq USING (domain)),
+       |thr AS MATERIALIZED (
+       |  ${PctGate.thresholdSql("j", "CAST(r_fp AS DOUBLE)", "0.5", "q222r", "med_r", "domain")}),
+       |ths AS MATERIALIZED (
+       |  ${PctGate.thresholdSql("j", "survival_rate", "0.5", "q222s", "med_s", "domain")}),
+       |cells AS (
+       |  SELECT j.*, CAST(j.r_fp AS DOUBLE) >= (SELECT med_r FROM thr) AS auth_high,
+       |    j.survival_rate >= (SELECT med_s FROM ths) AS qual_high
+       |  FROM j)
+       |SELECT auth_high, qual_high,
+       |  CAST(COUNT(*) AS BIGINT) AS n_domains,
+       |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       |  CAST(SUM(r_fp) AS BIGINT) AS r_fp_sum,
+       |  MIN(survival_rate) AS min_survival,
+       |  MAX(survival_rate) AS max_survival,
+       |  (list(domain ORDER BY r_fp DESC, domain))[1] AS top_domain
+       |FROM cells GROUP BY auth_high, qual_high
+       |ORDER BY auth_high, qual_high""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q107_url_extract", q107, Some(q107Sql)),
     Q("q108_domain_rollup", q108, Some(q108Sql)),
     Q("q118_domain_quality", q118, Some(q118Sql)),
-    Q("q219_domain_pagerank", q219, Some(q219Sql)))
+    Q("q219_domain_pagerank", q219, Some(q219Sql)),
+    Q("q222_authority_quality_matrix", q222, Some(q222Sql)))
 }
