@@ -1271,15 +1271,24 @@ object LmOps extends QueryModule {
     }
   }
 
+  /** Memoized trainer artifact — q220 (the card) and q223 (the
+    * calibration audit) read the same training run, one build per
+    * (session, corpus) per the [[graft.SessionCache]] discipline. */
+  private val logitCache = new graft.SessionCache[Seq[(Int, Seq[Double], Double, Long)]]
+  private[queries] def trainLogitCached(s: SparkSession, d: String) =
+    logitCache.getOrBuild(s, d) { trainLogit(s, d, 4) }
+
   private def q220(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    trainLogit(s, d, 4)
+    trainLogitCached(s, d)
       .map { case (it, w, loss, nflag) =>
         (it, w(0), w(1), w(2), w(3), w(4), loss, nflag) }
       .toDF("iter", "w0", "w1", "w2", "w3", "w4", "loss", "n_flag")
       .orderBy("iter")
   }
-  private def q220Sql: String = {
+  /** The full training CTE chain (features + wt0 + five unrolled
+    * iterations) shared by the q220 and q223 oracles. */
+  private def logitChainSql: String = {
     val groups = logitStages(spark = false)
     def iterCtes(i: Int): String = {
       val z = s"""z$i AS (
@@ -1310,18 +1319,110 @@ object LmOps extends QueryModule {
          |  FROM wt$i w CROSS JOIN agg$i a)""".stripMargin
       (Seq(z) ++ stageCtes ++ Seq(agg, card, wt)).mkString(",\n")
     }
-    s"""WITH ${logitFeaturesSql},
+    s"""${logitFeaturesSql},
        |wt0 AS (SELECT 0e0 AS w0, 0e0 AS w1, 0e0 AS w2, 0e0 AS w3, 0e0 AS w4),
        |${iterCtes(0)},
        |${iterCtes(1)},
        |${iterCtes(2)},
        |${iterCtes(3)},
-       |${iterCtes(4)}
+       |${iterCtes(4)}""".stripMargin
+  }
+  private def q220Sql: String =
+    s"""WITH $logitChainSql
        |SELECT * FROM card0 UNION ALL SELECT * FROM card1
        |UNION ALL SELECT * FROM card2 UNION ALL SELECT * FROM card3
        |UNION ALL SELECT * FROM card4
        |ORDER BY iter""".stripMargin
+
+  // ------------------------------------------------------------------ q223
+
+  /** q223 — classifier calibration card (reliability diagram + Brier
+    * score) over q220's trained model: BEFORE a score gates data at
+    * scale, the question is whether "σ = 0.8" MEANS 80% — a
+    * miscalibrated gate silently shifts the corpus mix when a threshold
+    * is chosen on probabilities (Guo et al. 2017, "On Calibration of
+    * Modern Neural Networks" — the reliability-diagram methodology;
+    * Platt scaling consumes exactly this table). One corpus scoring
+    * pass with the FINAL weights (the memoized [[trainLogitCached]]
+    * artifact — no retraining), decile-bucketed predicted probability
+    * vs empirical label rate, per-bucket gap and a |gap| > 0.1
+    * miscalibration flag, plus the global Brier score repeated per row
+    * (the q218 card convention for corpus scalars).
+    *
+    * Bit-parity: σ re-derives through the shared [[logitStages]]
+    * pipeline; mean predicted probability and Brier accumulate as
+    * dyadic fixed-point BIGINTs; the empirical rate is one division of
+    * exact counts; the bucket id is floor(σ·10) — a correctly-rounded
+    * multiply then exact floor, identical both engines.
+    *
+    * Scale shape: one row-local scoring projection + one 10-key hash
+    * aggregation + one groupless Brier aggregate — two corpus passes,
+    * both map-side combined; nothing driver-side beyond the 5 cached
+    * weights. */
+  private def q223(s: SparkSession, d: String): DataFrame = {
+    val w = trainLogitCached(s, d).last._2
+    val z = (0 to 4).map(j => lit(w(j)) * col(s"x$j")).reduceLeft(_ + _)
+    val scored = logitStages(spark = true).flatten
+      .foldLeft(logitFeatures(s, d).withColumn("z", z)) {
+        case (df, (n, e)) => df.withColumn(n, expr(e))
+      }
+      .select(col("p1"), col("y"))
+      .localCheckpoint(true) // consumers: buckets + Brier
+    val brier = scored.agg(
+      (coalesce(sum(floor(((col("p1") - col("y")) * (col("p1") - col("y"))) * expr(Dy))
+        .cast("long")), lit(0L)).cast("double")
+        / (expr(Dy) * count(lit(1)).cast("double"))).as("brier"))
+    graft.Scalars.withScalar(
+        scored.withColumn("bucket",
+          least(floor(col("p1") * lit(10e0)).cast("int"), lit(9))),
+        brier)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y") === 1e0, 1L).otherwise(0L)).as("n_pos"),
+        (sum(floor(col("p1") * expr(Dy)).cast("long")).cast("double")
+          / (expr(Dy) * count(lit(1)).cast("double"))).as("mean_pred"),
+        (sum(when(col("y") === 1e0, 1L).otherwise(0L)).cast("double")
+          / count(lit(1)).cast("double")).as("frac_pos"),
+        max(col("brier")).as("brier"))
+      .withColumn("gap", col("frac_pos") - col("mean_pred"))
+      .withColumn("miscalibrated", abs(col("gap")) > 1e-1)
+      .select(col("bucket"), col("n"), col("n_pos"), col("mean_pred"),
+        col("frac_pos"), col("gap"), col("brier"), col("miscalibrated"))
+      .orderBy("bucket")
   }
+  private def q223Sql: String =
+    s"""WITH $logitChainSql,
+       |zc AS (
+       |  SELECT f.*, ((((w.w0 * f.x0) + (w.w1 * f.x1)) + (w.w2 * f.x2)) + (w.w3 * f.x3)) + (w.w4 * f.x4) AS z
+       |  FROM f CROSS JOIN wt4 w),
+       |${logitStages(spark = false).zipWithIndex.map { case (g, gi) =>
+           val src = if (gi == 0) "zc" else s"cal$gi"
+           s"cal${gi + 1} AS (SELECT *, ${g.map { case (n, e) => s"$e AS $n" }.mkString(", ")} FROM $src)"
+         }.mkString(",\n")},
+       |sc AS MATERIALIZED (
+       |  SELECT p1, y FROM cal${logitStages(spark = false).size}),
+       |br AS MATERIALIZED (
+       |  SELECT CAST(COALESCE(CAST(SUM(CAST(FLOOR(((p1 - y) * (p1 - y)) * $Dy) AS BIGINT)) AS BIGINT), 0) AS DOUBLE)
+       |    / ($Dy * CAST(COUNT(*) AS DOUBLE)) AS brier
+       |  FROM sc)
+       |SELECT CAST(LEAST(CAST(FLOOR(p1 * 10e0) AS INTEGER), 9) AS INTEGER) AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(CASE WHEN y = 1e0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  CAST(SUM(CAST(FLOOR(p1 * $Dy) AS BIGINT)) AS DOUBLE)
+       |    / ($Dy * CAST(COUNT(*) AS DOUBLE)) AS mean_pred,
+       |  CAST(SUM(CASE WHEN y = 1e0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS frac_pos,
+       |  (CAST(SUM(CASE WHEN y = 1e0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE))
+       |   - (CAST(SUM(CAST(FLOOR(p1 * $Dy) AS BIGINT)) AS DOUBLE)
+       |    / ($Dy * CAST(COUNT(*) AS DOUBLE))) AS gap,
+       |  (SELECT brier FROM br) AS brier,
+       |  ABS((CAST(SUM(CASE WHEN y = 1e0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE))
+       |   - (CAST(SUM(CAST(FLOOR(p1 * $Dy) AS BIGINT)) AS DOUBLE)
+       |    / ($Dy * CAST(COUNT(*) AS DOUBLE)))) > 1e-1 AS miscalibrated
+       |FROM sc GROUP BY bucket
+       |ORDER BY bucket""".stripMargin
 
   val all: Seq[Q] = Seq(
     Q("q106_lm_perplexity", q106, Some(q106Sql)),
@@ -1331,5 +1432,6 @@ object LmOps extends QueryModule {
     Q("q135_dsir_weights", q135, Some(q135Sql)),
     Q("q205_kn_trigram", q205, Some(q205Sql)),
     Q("q210_kn5_modified", q210, Some(q210Sql)),
-    Q("q220_logit_quality_trainer", q220, Some(q220Sql)))
+    Q("q220_logit_quality_trainer", q220, Some(q220Sql)),
+    Q("q223_logit_calibration", q223, Some(q223Sql)))
 }
