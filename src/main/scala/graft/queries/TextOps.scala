@@ -767,7 +767,101 @@ object TextOps extends QueryModule {
        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q224
+
+  /** q224 — Unicode-script profile + confusable-mixing screen, the
+    * homoglyph-poisoning gate: an attacker substituting Cyrillic/Greek
+    * confusables into Latin text (or vice versa) defeats exact AND
+    * shingle dedup while reading identically to humans and tokenizing
+    * into rare garbage (the classic spoofing vector — Unicode TR #39's
+    * mixed-script confusable class; "bad characters" corpus-poisoning
+    * literature, e.g. Boucher et al. 2022, "Bad Characters:
+    * Imperceptible NLP Attacks"). Per doc: counts of codepoints in the
+    * five major script blocks (length-difference over a class
+    * regexp_replace — one regex pass per script, row-local), an `other`
+    * remainder, the dominant script by a fixed-priority exact-integer
+    * CASE ladder, and the confusable flag — Latin mixed with Cyrillic
+    * or Greek in ONE document. q174's code-switch gate measures
+    * LANGUAGE mixing across words; this measures SCRIPT mixing at the
+    * codepoint level, which is the one q174 cannot see (а vs a is the
+    * same "word").
+    *
+    * Dialect parity: the char classes are spelled with `\\x{hhhh}`
+    * escapes — the one codepoint-escape syntax Java's Pattern and RE2
+    * share — and the patterns are TEXTUALLY IDENTICAL in both engines;
+    * counts are length differences of exact integers.
+    *
+    * Scale shape: pure row-local projection (five regex passes in one
+    * codegen stage), zero shuffles beyond the output order. */
+  private def q224(s: SparkSession, d: String): DataFrame = {
+    val scripts = Seq(
+      "n_latin" -> "[A-Za-z\\x{00C0}-\\x{024F}]",
+      "n_cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+      "n_greek" -> "[\\x{0370}-\\x{03FF}]",
+      "n_han" -> "[\\x{4E00}-\\x{9FFF}]",
+      "n_arabic" -> "[\\x{0600}-\\x{06FF}]")
+    val base = t(s, d, "documents")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("tx"))
+      .withColumn("nch", length(col("tx")).cast("long"))
+    val counted = scripts.foldLeft(base) { case (df, (n, cls)) =>
+      df.withColumn(n,
+        (length(col("tx")) - length(regexp_replace(col("tx"), cls, "")))
+          .cast("long"))
+    }
+    counted
+      .withColumn("n_other",
+        col("nch") - col("n_latin") - col("n_cyrillic") - col("n_greek")
+          - col("n_han") - col("n_arabic"))
+      .withColumn("dominant_script", expr(
+        """CASE
+          |  WHEN n_latin >= n_cyrillic AND n_latin >= n_greek
+          |    AND n_latin >= n_han AND n_latin >= n_arabic THEN 'latin'
+          |  WHEN n_cyrillic >= n_greek AND n_cyrillic >= n_han
+          |    AND n_cyrillic >= n_arabic THEN 'cyrillic'
+          |  WHEN n_greek >= n_han AND n_greek >= n_arabic THEN 'greek'
+          |  WHEN n_han >= n_arabic THEN 'han'
+          |  ELSE 'arabic' END""".stripMargin))
+      .withColumn("confusable_mix",
+        col("n_latin") > 0 && (col("n_cyrillic") > 0 || col("n_greek") > 0))
+      .select(col("doc_id"), col("nch"), col("n_latin"), col("n_cyrillic"),
+        col("n_greek"), col("n_han"), col("n_arabic"), col("n_other"),
+        col("dominant_script"), col("confusable_mix"))
+      .orderBy("doc_id")
+  }
+  private def q224Sql: String = {
+    val scripts = Seq(
+      "n_latin" -> "[A-Za-z\\x{00C0}-\\x{024F}]",
+      "n_cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+      "n_greek" -> "[\\x{0370}-\\x{03FF}]",
+      "n_han" -> "[\\x{4E00}-\\x{9FFF}]",
+      "n_arabic" -> "[\\x{0600}-\\x{06FF}]")
+    val cols = scripts.map { case (n, cls) =>
+      s"CAST(length(tx) - length(regexp_replace(tx, '$cls', '', 'g')) AS BIGINT) AS $n"
+    }.mkString(",\n    ")
+    s"""WITH b AS (
+       |  SELECT doc_id, COALESCE(text, '') AS tx,
+       |    CAST(length(COALESCE(text, '')) AS BIGINT) AS nch
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, nch,
+       |    $cols
+       |  FROM b)
+       |SELECT doc_id, nch, n_latin, n_cyrillic, n_greek, n_han, n_arabic,
+       |  nch - n_latin - n_cyrillic - n_greek - n_han - n_arabic AS n_other,
+       |  CASE
+       |    WHEN n_latin >= n_cyrillic AND n_latin >= n_greek
+       |      AND n_latin >= n_han AND n_latin >= n_arabic THEN 'latin'
+       |    WHEN n_cyrillic >= n_greek AND n_cyrillic >= n_han
+       |      AND n_cyrillic >= n_arabic THEN 'cyrillic'
+       |    WHEN n_greek >= n_han AND n_greek >= n_arabic THEN 'greek'
+       |    WHEN n_han >= n_arabic THEN 'han'
+       |    ELSE 'arabic' END AS dominant_script,
+       |  n_latin > 0 AND (n_cyrillic > 0 OR n_greek > 0) AS confusable_mix
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q224_script_mix", q224, Some(q224Sql)),
     Q("q71_posexplode_ordinal", q71, Some(q71Sql)),
     Q("q73_heavy_hitters", q73, Some(q73Sql)),
     Q("q83_cms_token_freq", q83, Some(q83Sql)),
