@@ -629,7 +629,101 @@ object AssemblyOps extends QueryModule {
        |FROM j JOIN cm USING (cluster_id)
        |ORDER BY j.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q225
+
+  /** q225 — per-source token-budget apportionment: the integer table
+    * [[graft.streaming.BudgetStream]] and q110's boundary rule consume.
+    * Mixture weights (temperature-adjusted token shares, τ = 0.75 — the
+    * q171/UniMax-family smoothing, computed through the portable
+    * ln → scale → exp pipeline) say WHAT FRACTION each source deserves;
+    * this op turns fractions into EXACT integer token budgets that sum
+    * to the global target T — Hamilton/largest-remainder apportionment
+    * (floor every share, then grant the leftover units to the largest
+    * remainders). Naive per-source rounding misses T by up to |sources|
+    * tokens; the whole point of the op is Σ budget_s = T exactly, which
+    * the spec asserts and the oracle hash-pins.
+    *
+    * Determinism discipline: shares are correctly-rounded doubles from
+    * the portable weight pipeline; floors exact; the weight-sum is a
+    * source-ordered fold (the q215 two-level rule — no cross-row double
+    * sum); remainder ranking is sort_array(collect_list) + posexplode
+    * over the SOURCE-CARDINALITY table (the q171 bounded-dim precedent
+    * — a |sources|-sized single-row buffer, never corpus-proportional;
+    * no window, no loop join), ties broken by source name.
+    *
+    * Scale shape: one corpus hash aggregation (per-source token
+    * totals); everything after is source-cardinality work + three 1-row
+    * scalars through the enforced withScalar bridge. */
+  private def q225(s: SparkSession, d: String): DataFrame = {
+    import graft.queries.{LmOps => L}
+    val srcTok = t(s, d, "documents")
+      .select(coalesce(col("source"), lit("")).as("source"),
+        size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("tok"))
+      .groupBy(col("source")).agg(sum(col("tok")).as("toks"))
+      .localCheckpoint(true) // consumers: weights, target scalar
+    val wgt = (L.PortableLn.steps("toks", "t", spark = true) ++
+        L.PortableExp.steps("(75e-2 * lnt)", "g", spark = true))
+      .foldLeft(srcTok) { case (df, (n, e)) => df.withColumn(n, expr(e)) }
+      .select(col("source"), col("toks"), col("expg").as("w"))
+      .localCheckpoint(true) // consumers: wsum fold, share table
+    val tgt = srcTok.agg(expr("cast(sum(toks) div 2 as bigint)").as("tgt"))
+    val wsum = wgt.agg(expr(
+      "aggregate(sort_array(collect_list(struct(source, w)))," +
+        " cast(0 as double), (a, x) -> a + x.w)").as("wsum"))
+    val b = graft.Scalars.withScalar(graft.Scalars.withScalar(wgt, tgt), wsum)
+      .withColumn("share", expr("(CAST(tgt AS DOUBLE) * w) / wsum"))
+      .withColumn("base", expr("CAST(FLOOR(share) AS BIGINT)"))
+      .withColumn("rem", expr("share - CAST(base AS DOUBLE)"))
+      .localCheckpoint(true) // consumers: leftover scalar, ranking, output
+    val leftover = b.agg((max(col("tgt")) - sum(col("base"))).as("lv"))
+    val ranked = b
+      .agg(sort_array(collect_list(struct((-col("rem")).as("nr"),
+        col("source").as("source")))).as("xs"))
+      .select(posexplode(col("xs")).as(Seq("rk", "x")))
+      .select(col("x.source").as("source"), col("rk").cast("long").as("rk"))
+    graft.Scalars.withScalar(b.join(ranked, Seq("source")), leftover)
+      .withColumn("granted", col("rk") < col("lv"))
+      .withColumn("budget",
+        col("base") + when(col("granted"), 1L).otherwise(0L))
+      .select(col("source"), col("toks"), col("w"), col("share"),
+        col("base"), col("rem"), col("rk"), col("granted"), col("budget"))
+      .orderBy("source")
+  }
+  private def q225Sql: String = {
+    val (lnLast, lnC) = graft.queries.LmOps.lnCtes("st", "al", Seq("toks" -> "t"))
+    val (expLast, expC) = graft.queries.LmOps.expCtes(lnLast, "ae",
+      Seq("(75e-2 * lnt)" -> "g"))
+    s"""WITH st AS MATERIALIZED (
+       |  SELECT COALESCE(source, '') AS source,
+       |    CAST(SUM(len(string_split(COALESCE(text, ''), ' '))) AS BIGINT) AS toks
+       |  FROM documents GROUP BY COALESCE(source, '')),
+       |${lnC.mkString(",\n")},
+       |${expC.mkString(",\n")},
+       |wg AS MATERIALIZED (SELECT source, toks, expg AS w FROM $expLast),
+       |tg AS (SELECT CAST(SUM(toks) AS BIGINT) // 2 AS tgt FROM st),
+       |ws AS (SELECT list_reduce(list_prepend(0.0, list(w ORDER BY source)),
+       |  (a, b) -> a + b) AS wsum FROM wg),
+       |b AS MATERIALIZED (
+       |  SELECT source, toks, w,
+       |    (CAST((SELECT tgt FROM tg) AS DOUBLE) * w) / (SELECT wsum FROM ws) AS share,
+       |    CAST(FLOOR((CAST((SELECT tgt FROM tg) AS DOUBLE) * w) / (SELECT wsum FROM ws)) AS BIGINT) AS base
+       |  FROM wg),
+       |b2 AS MATERIALIZED (
+       |  SELECT *, share - CAST(base AS DOUBLE) AS rem FROM b),
+       |lv AS (SELECT (SELECT tgt FROM tg) - CAST(SUM(base) AS BIGINT) AS lv FROM b2),
+       |ls AS (SELECT list(source ORDER BY rem DESC, source) AS l FROM b2),
+       |rk AS (
+       |  SELECT l[i] AS source, CAST(i - 1 AS BIGINT) AS rk
+       |  FROM (SELECT l, unnest(generate_series(1, len(l))) AS i FROM ls))
+       |SELECT b2.source, b2.toks, b2.w, b2.share, b2.base, b2.rem, rk.rk,
+       |  rk.rk < (SELECT lv FROM lv) AS granted,
+       |  b2.base + CASE WHEN rk.rk < (SELECT lv FROM lv) THEN 1 ELSE 0 END AS budget
+       |FROM b2 JOIN rk ON rk.source = b2.source
+       |ORDER BY b2.source""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q225_budget_apportionment", q225, Some(q225Sql)),
     Q("q120_mixture_report", q120, Some(q120Sql)),
     Q("q109_cluster_best", q109, Some(q109Sql)),
     Q("q207_dedup_reweighting", q207, Some(q207Sql)),
