@@ -236,7 +236,85 @@ object SourceOps extends QueryModule {
       |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q226
+
+  /** q226 — range-partition balance card, the TeraSort/global-sort
+    * planning primitive: before a 100 TB total-order write (sorted shard
+    * export, Z-order sibling of q65, any `repartitionByRange`), the
+    * engine samples the sort key, cuts P−1 boundaries, and the ONLY
+    * question that matters is whether the resulting partitions are
+    * even — a skewed key silently turns partition 7 into the job's
+    * straggler. This card derives the 7 octile boundaries of the sort
+    * key through [[PctGate.thresholdsDf]] (ONE pass, one percentile
+    * buffer — and above the exact-branch bound, the deterministic
+    * ticket sample, i.e. EXACTLY what Spark's RangePartitioner sampling
+    * does, made deterministic and oracle-restatable), assigns every doc
+    * its partition row-locally (count of boundaries below the key over
+    * the 7-element literal array — no join, no sort), and publishes per
+    * partition: row count, key range, share, and the imbalance factor
+    * n·P/total (1.0 = perfectly even; the straggler multiplier
+    * otherwise). Empty partitions are REPORTED (all 8 pids emitted) —
+    * range-starving on a discrete skewed key is the failure the card
+    * exists to show.
+    *
+    * All-exact discipline: octile fractions i/8 are exact binary
+    * doubles; the boundary percentiles are the PctGate-interpolated
+    * values both engines compute identically; assignment is an integer
+    * count of double compares; share/imbalance are single divisions of
+    * exact integers. */
+  private def q226(s: SparkSession, d: String): DataFrame = {
+    val keyed = t(s, d, "documents")
+      .select(col("doc_id"), col("n_chars").cast("double").as("k"))
+      .localCheckpoint(true) // consumers: count, boundaries, assignment
+    val n = keyed.count()
+    val fracs = (1 to 7).map(i => (i / 8.0).toString)
+    val names = (1 to 7).map(i => s"b$i")
+    val bounds = PctGate.thresholdsDf(keyed, n, "k", fracs, names, "q226")
+    val assigned = graft.Scalars.withScalar(keyed, bounds)
+      .withColumn("pid",
+        expr("size(filter(array(b1, b2, b3, b4, b5, b6, b7), b -> k > b))"))
+      .groupBy(col("pid"))
+      .agg(count(lit(1)).as("nd"), min(col("k")).as("min_key"),
+        max(col("k")).as("max_key"))
+    val pids = s.range(0, 8).select(col("id").cast("int").as("pid"))
+    pids.join(assigned, Seq("pid"), "left")
+      .select(col("pid"),
+        coalesce(col("nd"), lit(0L)).as("n_docs"),
+        col("min_key"), col("max_key"),
+        (coalesce(col("nd"), lit(0L)).cast("double")
+          / lit(n).cast("double")).as("share"),
+        (coalesce(col("nd") * 8, lit(0L)).cast("double")
+          / lit(n).cast("double")).as("imbalance"))
+      .orderBy("pid")
+  }
+  private def q226Sql: String = {
+    val fracs = (1 to 7).map(i => (i / 8.0).toString)
+    val names = (1 to 7).map(i => s"b$i")
+    s"""WITH kk AS MATERIALIZED (
+       |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS k FROM documents),
+       |thr AS MATERIALIZED (
+       |  ${PctGate.thresholdsSql("kk", "k", fracs, names, "q226")}),
+       |p AS (
+       |  SELECT kk.doc_id, kk.k,
+       |    CAST(len(list_filter([t.b1, t.b2, t.b3, t.b4, t.b5, t.b6, t.b7],
+       |      b -> kk.k > b)) AS INTEGER) AS pid
+       |  FROM kk CROSS JOIN thr t),
+       |g AS (
+       |  SELECT pid, CAST(COUNT(*) AS BIGINT) AS nd,
+       |    MIN(k) AS min_key, MAX(k) AS max_key
+       |  FROM p GROUP BY pid),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM kk)
+       |SELECT CAST(i AS INTEGER) AS pid,
+       |  COALESCE(g.nd, 0) AS n_docs, g.min_key, g.max_key,
+       |  CAST(COALESCE(g.nd, 0) AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE) AS share,
+       |  CAST(COALESCE(g.nd * 8, 0) AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE) AS imbalance
+       |FROM (SELECT unnest(generate_series(0, 7)) AS i) s
+       |LEFT JOIN g ON g.pid = s.i
+       |ORDER BY pid""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q226_range_partition_card", q226, Some(q226Sql)),
     Q("q67_csv_roundtrip", q67, Some(q67Sql)),
     Q("q68_json_roundtrip", q68, Some(q68Sql)),
     Q("q69_scd2_intervals", q69, Some(q69Sql)),
