@@ -860,7 +860,102 @@ object TextOps extends QueryModule {
        |FROM c ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q227
+
+  /** q227 — KMV distinct-count accuracy sweep over the corpus's word
+    * TRIGRAM-shingle space — the cardinality dedup sizing actually
+    * needs (q27/q28's shingle universe; the synthetic corpus's token
+    * vocabulary is deliberately tiny, so tokens would degenerate to the
+    * below-k path at every k): the k-vs-error table a
+    * data team reads before sizing the sketch (the
+    * [[graft.operators.KmvDistinct]] Aggregator's estimator family,
+    * Bar-Yossef et al. 2002; rel. error ≈ 1/√(k−2)). For k ∈ {64, 256,
+    * 1024}: the k-th minimum hash, the KMV estimate, the exact distinct
+    * count, relative error, and whether it sits inside the 2σ
+    * theoretical band. The Aggregator itself hashes with splitmix64
+    * (wrapping 64-bit arithmetic — deliberately NOT SQL-restatable);
+    * this card uses the repo's md5-lane hash (15 hex chars → [0, 2^60))
+    * so BOTH engines derive identical order statistics and the sweep is
+    * bit-green, the q28/q112 sketch-parity discipline.
+    *
+    * Scale shape: one distinct-token aggregation (the same shuffle
+    * class as the exact baseline it audits — the card costs one exact
+    * pass, which is the point: you pay it ONCE to pick k, then the
+    * 8·k-byte sketch replaces it everywhere); the k smallest hashes
+    * arrive via a TakeOrdered top-k (per-partition heaps + driver
+    * merge of max(k)=1024 rows — never a global sort); estimates are
+    * derived driver-side from ≤1024 longs and emitted as a literal
+    * card. Below-k cardinality degenerates to the exact count in both
+    * engines (the Aggregator's exact-below-k path). */
+  private def q227(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ks = Seq(64, 256, 1024)
+    val ht = t(s, d, "documents")
+      .select(split(trim(coalesce(col("text"), lit(""))), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 2)," +
+          " i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))")).as("w"))
+      .distinct()
+      .select(expr("cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)").as("h"))
+      .distinct()
+      .localCheckpoint(true) // consumers: exact count + top-k
+    // collect-bound: groupless aggregate — 1 row (exact distinct count)
+    val exact = ht.agg(count(lit(1)).as("n")).collect()(0).getLong(0)
+    // collect-bound: literal limit 1024 — the sketch-sized top-k
+    val mins = ht.orderBy(col("h")).limit(1024).collect().map(_.getLong(0))
+    val rows = ks.map { k =>
+      val (kth, est) =
+        if (exact <= k) (if (mins.isEmpty) 0L else mins.last, exact.toDouble)
+        else {
+          val kh = mins(k - 1)
+          (kh, (k - 1).toDouble * 1.152921504606846976e18 / kh.toDouble)
+        }
+      val rel = if (exact == 0L) 0e0 else (est - exact.toDouble) / exact.toDouble
+      val bound = 2e0 / math.sqrt((k - 2).toDouble)
+      (k, kth, est, exact, rel, math.abs(rel) <= bound)
+    }
+    rows.toDF("k", "kth_hash", "estimate", "exact", "rel_error", "within_2sigma")
+      .orderBy("k")
+  }
+  private def q227Sql: String = {
+    def one(k: Int): String =
+      s"""SELECT $k AS k,
+         |  CASE WHEN (SELECT n FROM ex) <= $k
+         |    THEN COALESCE((SELECT MAX(h) FROM mins), 0)
+         |    ELSE (SELECT MAX(h) FROM (SELECT h FROM mins ORDER BY h LIMIT $k))
+         |  END AS kth_hash,
+         |  CASE WHEN (SELECT n FROM ex) <= $k
+         |    THEN CAST((SELECT n FROM ex) AS DOUBLE)
+         |    ELSE CAST(${k - 1} AS DOUBLE) * 1.152921504606846976e18
+         |      / CAST((SELECT MAX(h) FROM (SELECT h FROM mins ORDER BY h LIMIT $k)) AS DOUBLE)
+         |  END AS estimate""".stripMargin
+    s"""WITH bt AS (
+       |  SELECT regexp_split_to_array(trim(COALESCE(text, '')), '\\s+') AS toks
+       |  FROM documents),
+       |dt AS (
+       |  SELECT DISTINCT toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS w
+       |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 2)) AS i
+       |        FROM bt WHERE len(toks) >= 3)),
+       |ht AS MATERIALIZED (
+       |  SELECT DISTINCT ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM dt),
+       |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ht),
+       |mins AS MATERIALIZED (SELECT h FROM ht ORDER BY h LIMIT 1024),
+       |es AS (${one(64)} UNION ALL ${one(256)} UNION ALL ${one(1024)})
+       |SELECT CAST(k AS INTEGER) AS k, CAST(kth_hash AS BIGINT) AS kth_hash,
+       |  estimate, (SELECT n FROM ex) AS exact,
+       |  CASE WHEN (SELECT n FROM ex) = 0 THEN 0e0
+       |    ELSE (estimate - CAST((SELECT n FROM ex) AS DOUBLE))
+       |      / CAST((SELECT n FROM ex) AS DOUBLE) END AS rel_error,
+       |  ABS(CASE WHEN (SELECT n FROM ex) = 0 THEN 0e0
+       |    ELSE (estimate - CAST((SELECT n FROM ex) AS DOUBLE))
+       |      / CAST((SELECT n FROM ex) AS DOUBLE) END)
+       |   <= 2e0 / sqrt(CAST(k - 2 AS DOUBLE)) AS within_2sigma
+       |FROM es ORDER BY k""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q227_kmv_error_sweep", q227, Some(q227Sql)),
     Q("q224_script_mix", q224, Some(q224Sql)),
     Q("q71_posexplode_ordinal", q71, Some(q71Sql)),
     Q("q73_heavy_hitters", q73, Some(q73Sql)),

@@ -308,8 +308,14 @@ object UrlOps extends QueryModule {
     * rank_score. This is the curation family's authority signal — the
     * complement of q118's content-quality drilldown: q118 scores what a
     * domain SAYS, q219 scores how the web treats it. */
+  /** Memoized per (session, corpus): q219 and q222 both read the rank
+    * card (the [[graft.SessionCache]] artifact discipline — one 4-
+    * iteration graph build per corpus, bench-visible on q222). */
+  private val prCache = new graft.SessionCache[DataFrame]
   private def q219(s: SparkSession, d: String): DataFrame =
-    pageRank(linkEdges(s, d), iters = 4)
+    prCache.getOrBuild(s, d) {
+      pageRank(linkEdges(s, d), iters = 4).localCheckpoint(true)
+    }
 
   private def q219Sql: String = {
     val srcE = s"source || ${tldCase("doc_id // 20", spark = false)}"
