@@ -228,7 +228,20 @@ object UrlOps extends QueryModule {
     * result is `localCheckpoint`ed (the [[Q]] convention) so the loop's
     * lineage never compounds — T iterations are T independent jobs, the
     * exact shape an AQE re-plan or executor loss recovers per-stage. */
-  private[graft] def pageRank(edges0: DataFrame, iters: Int): DataFrame = {
+  private[graft] def pageRank(edges0: DataFrame, iters: Int): DataFrame =
+    pageRankSeeded(edges0, iters, None)
+
+  /** [[pageRank]] generalized to an optional TELEPORT SEED SET — with
+    * seeds this is TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004,
+    * "Combating Web Spam with TrustRank"): the teleport mass (and the
+    * dangling redistribution — same teleport distribution, as
+    * published) lands ONLY on the trusted seeds, so rank can reach a
+    * page only through link paths from seeds — a link farm inflates
+    * PageRank but not TrustRank. With seeds = None every vertex is a
+    * teleport target (all CASE branches take the THEN arm with the same
+    * n) and the arithmetic reduces EXACTLY to [[pageRank]]'s. */
+  private[graft] def pageRankSeeded(edges0: DataFrame, iters: Int,
+      seeds: Option[Seq[String]]): DataFrame = {
     val edges = edges0.filter(col("src_dom") =!= col("dst_dom"))
       .groupBy(col("src_dom"), col("dst_dom"))
       .agg(sum(col("w")).as("w"))
@@ -236,14 +249,18 @@ object UrlOps extends QueryModule {
     val outw = edges.groupBy(col("src_dom")).agg(sum(col("w")).as("ow"))
     val inw = edges.groupBy(col("dst_dom")).agg(sum(col("w")).as("in_w"))
     val edgesW = edges.join(outw, Seq("src_dom")).localCheckpoint(true)
+    val isSeed = seeds.fold(lit(true))(ss => col("dom").isin(ss: _*))
     val verts = edges.select(col("src_dom").as("dom"))
       .union(edges.select(col("dst_dom").as("dom"))).distinct()
       .join(outw.withColumnRenamed("src_dom", "dom"), Seq("dom"), "left")
+      .withColumn("is_seed", isSeed)
       .localCheckpoint(true)
-    val nv = verts.agg(count(lit(1)).as("n_v"))
+    val nv = verts.filter(col("is_seed")).agg(count(lit(1)).as("n_v"))
 
-    var ranks = graft.Scalars.withScalar(verts.select(col("dom")), nv)
-      .select(col("dom"), expr(s"cast($PrScale as bigint) div n_v").as("r"))
+    var ranks = graft.Scalars.withScalar(
+        verts.select(col("dom"), col("is_seed")), nv)
+      .select(col("dom"), expr(s"CASE WHEN is_seed THEN cast($PrScale as bigint) div n_v" +
+        " ELSE cast(0 as bigint) END").as("r"))
       .localCheckpoint(true)
     var prev = ranks
     for (_ <- 1 to iters) {
@@ -257,12 +274,15 @@ object UrlOps extends QueryModule {
         .groupBy(col("dst_dom")).agg(sum(col("c")).as("infl"))
         .withColumnRenamed("dst_dom", "dom")
       val next = graft.Scalars.withScalar(
-          graft.Scalars.withScalar(verts.select(col("dom")), nv), dang)
+          graft.Scalars.withScalar(
+            verts.select(col("dom"), col("is_seed")), nv), dang)
         .join(inflow, Seq("dom"), "left")
         .select(col("dom"),
-          expr(s"cast(${15L * PrScale} as bigint) div (100 * n_v)" +
+          expr(s"CASE WHEN is_seed THEN cast(${15L * PrScale} as bigint) div (100 * n_v)" +
+            " ELSE cast(0 as bigint) END" +
             " + (85 * coalesce(infl, cast(0 as bigint))) div 100" +
-            " + (85 * (dang div n_v)) div 100").as("r"))
+            " + CASE WHEN is_seed THEN (85 * (dang div n_v)) div 100" +
+            " ELSE cast(0 as bigint) END").as("r"))
       prev = ranks
       ranks = next.localCheckpoint(true)
     }
@@ -376,6 +396,133 @@ object UrlOps extends QueryModule {
        |ORDER BY r_fp DESC, domain""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q228
+
+  /** q228 — TrustRank vs PageRank: the STRUCTURAL link-spam screen
+    * (Gyöngyi et al. 2004). Seeds are the top-8 domains by q118's
+    * content-quality survival rate (deterministic: survival DESC, domain
+    * — trust anchored in CONTENT-verified domains, the composition
+    * q118 → q228 the paper prescribes for seed selection); teleport and
+    * dangling mass land only on seeds, so a domain's TrustRank is
+    * reachable only through link paths from verified-good domains. The
+    * card joins both fixed-point ranks per domain: a HIGH PageRank with
+    * a LOW trust share (trust_fp·2 < pr_fp, an exact integer compare)
+    * is the link-farm signature — well-linked by the graph at large,
+    * unreachable from trusted seeds. Complements q222: that card flags
+    * content-quality mismatches, this one flags them structurally, with
+    * no content gate in the loop at all.
+    *
+    * Scale shape: one extra rank iteration chain over the same
+    * edges/vertex tables (the q219 card is the memoized artifact —
+    * built once); the seed list is 8 strings collected from a
+    * TakeOrdered top-k. */
+  private def q228(s: SparkSession, d: String): DataFrame = {
+    val seeds: Seq[String] =
+      graft.SparkEntry.queries("q118_domain_quality")(s, d)
+        .orderBy(col("survival_rate").desc, col("domain"))
+        .limit(8)
+        // collect-bound: literal limit 8 — the trusted seed list
+        .collect().map(_.getAs[String]("domain")).toSeq
+    val tr = pageRankSeeded(linkEdges(s, d), 4, Some(seeds))
+      .select(col("domain"), col("r_fp").as("trust_fp"))
+    q219(s, d)
+      .select(col("domain"), col("r_fp").as("pr_fp"))
+      .join(tr, Seq("domain"))
+      .withColumn("is_seed", col("domain").isin(seeds: _*))
+      .withColumn("trust_ratio",
+        col("trust_fp").cast("double") / col("pr_fp").cast("double"))
+      .withColumn("low_trust",
+        !col("is_seed") && (col("trust_fp") * 2 < col("pr_fp")))
+      .select(col("domain"), col("is_seed"), col("pr_fp"), col("trust_fp"),
+        col("trust_ratio"), col("low_trust"))
+      .orderBy(col("trust_ratio").desc, col("domain"))
+  }
+  private def q228Sql: String = {
+    val srcE = s"source || ${tldCase("doc_id // 20", spark = false)}"
+    val dst1 = s"'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) || ${tldCase("doc_id * 11 + 1", spark = false)}"
+    val dst2 = s"'src' || CAST(((doc_id // 2) * 13 + 7) % 20 AS VARCHAR) || ${tldCase("(doc_id // 3) + 2", spark = false)}"
+    // Two rank chains over ONE graph-CTE block: the uniform chain
+    // (r0..r4, nv — q219's values) and the seeded chain (t0..t4, tnv).
+    def iter(i: Int): String =
+      s"""dang$i AS (
+         |  SELECT COALESCE(CAST(SUM(r.r) AS BIGINT), CAST(0 AS BIGINT)) AS dang
+         |  FROM r${i - 1} r JOIN verts v ON v.dom = r.dom WHERE v.ow IS NULL),
+         |inf$i AS (
+         |  SELECT ew.dst_dom AS dom,
+         |    CAST(SUM((r.r // ew.ow) * ew.w + ((r.r % ew.ow) * ew.w) // ew.ow) AS BIGINT) AS infl
+         |  FROM ew JOIN r${i - 1} r ON r.dom = ew.src_dom
+         |  GROUP BY ew.dst_dom),
+         |r$i AS MATERIALIZED (
+         |  SELECT v.dom, CAST(
+         |    CAST(${15L * PrScale} AS BIGINT) // (100 * (SELECT n_v FROM nv))
+         |    + (85 * COALESCE(i.infl, CAST(0 AS BIGINT))) // 100
+         |    + (85 * ((SELECT dang FROM dang$i) // (SELECT n_v FROM nv))) // 100
+         |    AS BIGINT) AS r
+         |  FROM verts v LEFT JOIN inf$i i ON i.dom = v.dom)""".stripMargin
+    def titer(i: Int): String =
+      s"""tdang$i AS (
+         |  SELECT COALESCE(CAST(SUM(r.r) AS BIGINT), CAST(0 AS BIGINT)) AS dang
+         |  FROM t${i - 1} r JOIN tverts v ON v.dom = r.dom WHERE v.ow IS NULL),
+         |tinf$i AS (
+         |  SELECT ew.dst_dom AS dom,
+         |    CAST(SUM((r.r // ew.ow) * ew.w + ((r.r % ew.ow) * ew.w) // ew.ow) AS BIGINT) AS infl
+         |  FROM ew JOIN t${i - 1} r ON r.dom = ew.src_dom
+         |  GROUP BY ew.dst_dom),
+         |t$i AS MATERIALIZED (
+         |  SELECT v.dom, CAST(
+         |    CASE WHEN v.is_seed THEN CAST(${15L * PrScale} AS BIGINT) // (100 * (SELECT n_v FROM tnv))
+         |      ELSE CAST(0 AS BIGINT) END
+         |    + (85 * COALESCE(i.infl, CAST(0 AS BIGINT))) // 100
+         |    + CASE WHEN v.is_seed THEN (85 * ((SELECT dang FROM tdang$i) // (SELECT n_v FROM tnv))) // 100
+         |      ELSE CAST(0 AS BIGINT) END
+         |    AS BIGINT) AS r
+         |  FROM tverts v LEFT JOIN tinf$i i ON i.dom = v.dom)""".stripMargin
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT src_dom, dst_dom, CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM (
+       |    SELECT $srcE AS src_dom,
+       |      unnest([$dst1, $dst2]) AS dst_dom
+       |    FROM documents)
+       |  WHERE src_dom <> dst_dom
+       |  GROUP BY src_dom, dst_dom),
+       |ow AS (SELECT src_dom, CAST(SUM(w) AS BIGINT) AS ow FROM e0 GROUP BY src_dom),
+       |ew AS MATERIALIZED (SELECT e0.src_dom, e0.dst_dom, e0.w, ow.ow FROM e0 JOIN ow USING (src_dom)),
+       |verts AS MATERIALIZED (
+       |  SELECT v.dom, ow.ow
+       |  FROM (SELECT src_dom AS dom FROM e0 UNION SELECT dst_dom FROM e0) v
+       |  LEFT JOIN ow ON ow.src_dom = v.dom),
+       |nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_v FROM verts),
+       |r0 AS MATERIALIZED (
+       |  SELECT dom, CAST(CAST($PrScale AS BIGINT) // (SELECT n_v FROM nv) AS BIGINT) AS r
+       |  FROM verts),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)},
+       |${iter(4)},
+       |sd AS MATERIALIZED (
+       |  SELECT domain FROM ($q118Sql) ORDER BY survival_rate DESC, domain LIMIT 8),
+       |tverts AS MATERIALIZED (
+       |  SELECT v.dom, v.ow, v.dom IN (SELECT domain FROM sd) AS is_seed FROM verts v),
+       |tnv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_v FROM tverts WHERE is_seed),
+       |t0 AS MATERIALIZED (
+       |  SELECT dom, CASE WHEN is_seed
+       |    THEN CAST(CAST($PrScale AS BIGINT) // (SELECT n_v FROM tnv) AS BIGINT)
+       |    ELSE CAST(0 AS BIGINT) END AS r
+       |  FROM tverts),
+       |${titer(1)},
+       |${titer(2)},
+       |${titer(3)},
+       |${titer(4)}
+       |SELECT v.dom AS domain, v.is_seed,
+       |  r4.r AS pr_fp, t4.r AS trust_fp,
+       |  CAST(t4.r AS DOUBLE) / CAST(r4.r AS DOUBLE) AS trust_ratio,
+       |  (NOT v.is_seed) AND (t4.r * 2 < r4.r) AS low_trust
+       |FROM tverts v
+       |JOIN r4 ON r4.dom = v.dom
+       |JOIN t4 ON t4.dom = v.dom
+       |ORDER BY trust_ratio DESC, domain""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q222
 
   /** q222 — authority × quality decision matrix: q219's link-graph
@@ -453,5 +600,6 @@ object UrlOps extends QueryModule {
     Q("q108_domain_rollup", q108, Some(q108Sql)),
     Q("q118_domain_quality", q118, Some(q118Sql)),
     Q("q219_domain_pagerank", q219, Some(q219Sql)),
-    Q("q222_authority_quality_matrix", q222, Some(q222Sql)))
+    Q("q222_authority_quality_matrix", q222, Some(q222Sql)),
+    Q("q228_trustrank", q228, Some(q228Sql)))
 }

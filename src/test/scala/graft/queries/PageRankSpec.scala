@@ -68,6 +68,33 @@ class PageRankSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("seeded teleport (TrustRank): a link farm outranks on PageRank, not on trust") {
+    // Trusted cluster: seed s.com endorses a.com and b.com. Link farm:
+    // f1/f2/f3 densely inter-link and all point at target.com — which
+    // ends up with the highest in-mass in the graph but NO path from
+    // the seed.
+    val g = Seq(
+      ("s.com", "a.com", 2L), ("s.com", "b.com", 2L), ("a.com", "s.com", 1L),
+      ("f1.com", "f2.com", 5L), ("f2.com", "f3.com", 5L), ("f3.com", "f1.com", 5L),
+      ("f1.com", "target.com", 9L), ("f2.com", "target.com", 9L),
+      ("f3.com", "target.com", 9L))
+    val df = g.toDF("src_dom", "dst_dom", "w")
+    val pr = UrlOps.pageRank(df, 4)
+      .select("domain", "r_fp").as[(String, Long)].collect().toMap
+    val tr = UrlOps.pageRankSeeded(df, 4, Some(Seq("s.com")))
+      .select("domain", "r_fp").as[(String, Long)].collect().toMap
+    // PageRank: the farm target is the global authority.
+    assert(pr("target.com") === pr.values.max)
+    // TrustRank: no seed-path to the farm -> its mass collapses; the
+    // trusted cluster holds the top ranks.
+    assert(tr("target.com") * 2 < pr("target.com"))
+    assert(Seq("s.com", "a.com", "b.com").map(tr).min > tr("target.com"))
+    // seeds = None reduces exactly to pageRank
+    val uni = UrlOps.pageRankSeeded(df, 4, None)
+      .select("domain", "r_fp").as[(String, Long)].collect().toMap
+    assert(uni === pr)
+  }
+
   test("q219 corpus card: every domain present, delta shrinks vs rank scale") {
     val d = graft.SparkEntry.queries("q219_domain_pagerank")(spark, "/root/testdata/sf0.001")
     val rows = d.select("domain", "r_fp", "delta_fp").as[(String, Long, Long)].collect()
