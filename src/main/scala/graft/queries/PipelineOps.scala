@@ -938,7 +938,84 @@ object PipelineOps extends QueryModule {
       |FROM p JOIN rk ON rk.rn = p.target_rank
       |ORDER BY pct""".stripMargin
 
+  // ---------------------------------------------------------------- q229
+
+  /** q229 — reshard-cost card: modulo vs rendezvous (HRW) hashing when a
+    * shard is added. Growing a training-shard layout from S to S+1 is
+    * routine at 100 TB; under `h mod S` assignment it rewrites
+    * ~S/(S+1) of every byte (here: 8/9 ≈ 89%), under rendezvous
+    * hashing (Thaler & Ravishankar 1998, highest-random-weight; the
+    * idea behind consistent hashing, Karger et al. 1997) only the docs
+    * whose argmax shard IS the new one move (~1/(S+1) ≈ 11%) — an 8×
+    * difference in rewrite I/O the card turns into measured corpus
+    * numbers, alongside the balance extremes of each strategy at S=8.
+    * Complements q100 (which ASSIGNS shards); this prices the
+    * RE-assignment policy.
+    *
+    * Determinism: all assignments are md5-lane integers (the ticket
+    * idiom); the rendezvous argmax is a row-local sort of a 9-element
+    * literal-range struct array (the q52 sortedCells shape — negated
+    * score, shard tie-break), identical in both engines. One corpus
+    * pass; two tiny rollups. */
+  private def q229(s: SparkSession, d: String): DataFrame = {
+    val hx = "cast(conv(substring(md5(concat('shard|', cast(doc_id as string))), 1, 15), 16, 10) as bigint)"
+    val scores = "transform(sequence(0, 8), sh -> named_struct(" +
+      "'nsc', -cast(conv(substring(md5(concat(cast(doc_id as string), '|', cast(sh as string))), 1, 15), 16, 10) as bigint)," +
+      " 'sh', sh))"
+    val base = t(s, d, "documents").select(col("doc_id"))
+      .withColumn("h", expr(hx))
+      .withColumn("scores", expr(scores))
+      .select(
+        expr("cast(h % 8 as int)").as("mod8"),
+        expr("cast(h % 9 as int)").as("mod9"),
+        expr("element_at(array_sort(slice(scores, 1, 8)), 1).sh").as("rdv8"),
+        expr("element_at(array_sort(scores), 1).sh").as("rdv9"))
+      .localCheckpoint(true) // consumers: both strategy rollups
+    def card(name: String, c8: String, c9: String): DataFrame = {
+      val shards = base.groupBy(col(c8).as("sh")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n")).as("max_shard_docs"), min(col("n")).as("min_shard_docs"))
+      val moved = base.agg(count(lit(1)).as("n_docs"),
+        sum(when(col(c8) =!= col(c9), 1L).otherwise(0L)).as("n_moved"))
+      graft.Scalars.withScalar(moved, shards)
+        .select(lit(name).as("strategy"), col("n_docs"), col("n_moved"),
+          (col("n_moved").cast("double") / col("n_docs").cast("double"))
+            .as("moved_frac"),
+          col("max_shard_docs"), col("min_shard_docs"))
+    }
+    card("mod", "mod8", "mod9")
+      .unionAll(card("rendezvous", "rdv8", "rdv9"))
+      .orderBy("strategy")
+  }
+  private def q229Sql: String = {
+    val hx = "(('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)"
+    val scores = "list_transform(generate_series(0, 8), sh -> {" +
+      "'nsc': -(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || CAST(sh AS VARCHAR)), 1, 15))::BIGINT)," +
+      " 'sh': sh})"
+    def card(name: String, c8: String, c9: String): String =
+      s"""SELECT '$name' AS strategy,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS n_docs,
+         |  (SELECT CAST(SUM(CASE WHEN $c8 <> $c9 THEN 1 ELSE 0 END) AS BIGINT) FROM base) AS n_moved,
+         |  (SELECT CAST(SUM(CASE WHEN $c8 <> $c9 THEN 1 ELSE 0 END) AS DOUBLE) FROM base)
+         |    / (SELECT CAST(COUNT(*) AS DOUBLE) FROM base) AS moved_frac,
+         |  (SELECT CAST(MAX(n) AS BIGINT) FROM
+         |    (SELECT COUNT(*) AS n FROM base GROUP BY $c8)) AS max_shard_docs,
+         |  (SELECT CAST(MIN(n) AS BIGINT) FROM
+         |    (SELECT COUNT(*) AS n FROM base GROUP BY $c8)) AS min_shard_docs""".stripMargin
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST($hx % 8 AS INTEGER) AS mod8,
+       |    CAST($hx % 9 AS INTEGER) AS mod9,
+       |    CAST(list_sort(list_transform(generate_series(0, 7), sh -> {'nsc': -(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || CAST(sh AS VARCHAR)), 1, 15))::BIGINT), 'sh': sh}))[1].sh AS INTEGER) AS rdv8,
+       |    CAST(list_sort($scores)[1].sh AS INTEGER) AS rdv9
+       |  FROM documents)
+       |SELECT * FROM (${card("mod", "mod8", "mod9")}
+       |UNION ALL
+       |${card("rendezvous", "rdv8", "rdv9")})
+       |ORDER BY strategy""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q229_reshard_cost", q229, Some(q229Sql)),
     Q("q41_redaction", q41, Some(q41Sql)),
     Q("q115_pretrain_pipeline", q115, Some(q115Sql)),
     Q("q132_gate_overlap", q132, Some(q132Sql)),
