@@ -1175,10 +1175,16 @@ object LmOps extends QueryModule {
   private val LogitStop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
   private val Dy = "67108864e0" // 2^26, the dyadic fixed-point scale
 
-  private def logitFeatures(s: SparkSession, d: String): DataFrame = {
+  private def logitFeatures(s: SparkSession, d: String): DataFrame =
+    logitFeaturesOf(t(s, d, "documents"))
+
+  /** The feature projection over an arbitrary documents frame — shared
+    * with the streaming scorer ([[graft.streaming.ScoreStream]]), so
+    * stream ≡ batch is by construction. Keeps every input column. */
+  private[graft] def logitFeaturesOf(docs: DataFrame): DataFrame = {
     val stops = LogitStop.map(w => s"'$w'").mkString(", ")
-    t(s, d, "documents")
-      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    docs
+      .withColumn("text", coalesce(col("text"), lit("")))
       .withColumn("toks", split(trim(col("text")), "\\s+"))
       .withColumn("nw", size(col("toks")).cast("long"))
       .withColumn("nstop",
@@ -1187,12 +1193,13 @@ object LmOps extends QueryModule {
       .withColumn("npd",
         (length(col("text"))
           - length(regexp_replace(col("text"), "[.,0-9]", ""))).cast("long"))
-      .select(col("doc_id"), lit(1e0).as("x0"),
-        expr("CAST(nw - 256 AS DOUBLE) / 256e0").as("x1"),
-        expr("CAST(nch - nw * 8 AS DOUBLE) / CAST(nw * 8 AS DOUBLE)").as("x2"),
-        expr("CAST(nstop * 16 - nw AS DOUBLE) / CAST(nw AS DOUBLE)").as("x3"),
-        expr("CAST(npd * 16 - nch AS DOUBLE) / CAST(nch + 1 AS DOUBLE)").as("x4"),
-        expr("CASE WHEN nstop * 16 >= nw THEN 1e0 ELSE 0e0 END").as("y"))
+      .withColumn("x0", lit(1e0))
+      .withColumn("x1", expr("CAST(nw - 256 AS DOUBLE) / 256e0"))
+      .withColumn("x2", expr("CAST(nch - nw * 8 AS DOUBLE) / CAST(nw * 8 AS DOUBLE)"))
+      .withColumn("x3", expr("CAST(nstop * 16 - nw AS DOUBLE) / CAST(nw AS DOUBLE)"))
+      .withColumn("x4", expr("CAST(npd * 16 - nch AS DOUBLE) / CAST(nch + 1 AS DOUBLE)"))
+      .withColumn("y", expr("CASE WHEN nstop * 16 >= nw THEN 1e0 ELSE 0e0 END"))
+      .drop("toks", "nw", "nstop", "nch", "npd")
   }
   private def logitFeaturesSql: String = {
     val stops = LogitStop.map(w => s"'$w'").mkString(", ")
@@ -1222,7 +1229,7 @@ object LmOps extends QueryModule {
     * applied as withColumn chains (Spark) or one CTE per group (oracle),
     * emitted from the SAME source except the shift spellings inside the
     * exp/ln steps. */
-  private def logitStages(spark: Boolean): Seq[Seq[(String, String)]] =
+  private[graft] def logitStages(spark: Boolean): Seq[Seq[(String, String)]] =
     Seq(Seq("az" -> "ABS(z)")) ++
       PortableExp.steps("az", "s", spark).map(Seq(_)) ++
       Seq(Seq(
@@ -1242,7 +1249,10 @@ object LmOps extends QueryModule {
     * flagged-count under those weights). */
   private[queries] def trainLogit(s: SparkSession, d: String,
       iters: Int): Seq[(Int, Seq[Double], Double, Long)] = {
-    val f = logitFeatures(s, d).localCheckpoint(true) // consumers: every iteration
+    val f = logitFeatures(s, d)
+      .select(col("doc_id"), col("x0"), col("x1"), col("x2"), col("x3"),
+        col("x4"), col("y"))
+      .localCheckpoint(true) // consumers: every iteration
     var w = Seq(0e0, 0e0, 0e0, 0e0, 0e0)
     (0 to iters).map { it =>
       val z = (0 to 4).map(j => lit(w(j)) * col(s"x$j"))
@@ -1275,7 +1285,7 @@ object LmOps extends QueryModule {
     * calibration audit) read the same training run, one build per
     * (session, corpus) per the [[graft.SessionCache]] discipline. */
   private val logitCache = new graft.SessionCache[Seq[(Int, Seq[Double], Double, Long)]]
-  private[queries] def trainLogitCached(s: SparkSession, d: String) =
+  private[graft] def trainLogitCached(s: SparkSession, d: String) =
     logitCache.getOrBuild(s, d) { trainLogit(s, d, 4) }
 
   private def q220(s: SparkSession, d: String): DataFrame = {
