@@ -313,7 +313,63 @@ object SourceOps extends QueryModule {
        |ORDER BY pid""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q230
+
+  /** q230 — schema-evolution round trip: a corpus lake accretes files
+    * from pipeline GENERATIONS with different schemas (a recrawl adds a
+    * quality-score column; an old column is retired), and the reader
+    * must see one unified view — Spark's parquet `mergeSchema`, the
+    * schema-on-read contract every long-lived 100 TB lake depends on.
+    * Generation 1 writes (doc_id, text, lang, source); generation 2
+    * ADDS q_score and DROPS lang — both evolution directions at once.
+    * The merged read is asserted (runtime require) to surface exactly
+    * the five-column union with NULLs where a generation lacks the
+    * field, then aggregated per source; the oracle recomputes the same
+    * aggregate straight from the base table (the q67/q99 round-trip
+    * proof shape: equality proves the evolved read LOSSLESS, not just
+    * well-typed).
+    *
+    * Scale note: mergeSchema=true reads every file footer at planning
+    * time — fine per-generation directory, pathological over millions
+    * of small files; production pins the merged schema in a metastore
+    * and this op is the audit that the pinned schema matches the files. */
+  private def q230(s: SparkSession, d: String): DataFrame = {
+    val dir = rtDir("schevo", s, d)
+    val docs = t(s, d, "documents")
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .write.mode("overwrite").parquet(s"$dir/gen=1")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"), col("source"),
+        (col("n_chars").cast("double") / lit(1024e0)).as("q_score"))
+      .write.mode("overwrite").parquet(s"$dir/gen=2")
+    val merged = s.read.option("mergeSchema", "true")
+      .parquet(s"$dir/gen=1", s"$dir/gen=2")
+    require(merged.columns.toSet ==
+      Set("doc_id", "text", "lang", "source", "q_score"),
+      s"mergeSchema must surface the five-column union, got ${merged.columns.toSeq}")
+    merged
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lang").isNotNull, 1L).otherwise(0L)).as("n_gen1"),
+        sum(when(col("q_score").isNotNull, 1L).otherwise(0L)).as("n_gen2"),
+        min(col("q_score")).as("min_score"),
+        max(col("q_score")).as("max_score"),
+        countDistinct(col("lang")).as("n_langs_gen1"))
+      .orderBy("source")
+  }
+  private val q230Sql =
+    """SELECT source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN doc_id % 2 = 0 AND lang IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gen1,
+      |  CAST(SUM(CASE WHEN doc_id % 2 = 1 AND n_chars IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gen2,
+      |  MIN(CASE WHEN doc_id % 2 = 1 THEN CAST(n_chars AS DOUBLE) / 1024e0 END) AS min_score,
+      |  MAX(CASE WHEN doc_id % 2 = 1 THEN CAST(n_chars AS DOUBLE) / 1024e0 END) AS max_score,
+      |  CAST(COUNT(DISTINCT CASE WHEN doc_id % 2 = 0 THEN lang END) AS BIGINT) AS n_langs_gen1
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q230_schema_evolution", q230, Some(q230Sql)),
     Q("q226_range_partition_card", q226, Some(q226Sql)),
     Q("q67_csv_roundtrip", q67, Some(q67Sql)),
     Q("q68_json_roundtrip", q68, Some(q68Sql)),
