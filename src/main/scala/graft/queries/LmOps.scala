@@ -1585,6 +1585,133 @@ object LmOps extends QueryModule {
        |ORDER BY model""".stripMargin
   }
 
+  // ------------------------------------------------------------------ q232
+
+  /** Exact weighted isotonic fit over an ordered bucket sequence via the
+    * minimax characterization (Robertson/Wright/Dykstra 1988, "Order
+    * Restricted Statistical Inference" §1.2): the non-decreasing
+    * least-squares fit at position i is
+    * `max_{j<=i} min_{k>=i} (sum pos[j..k]) / (sum nb[j..k])`.
+    * Buckets are `(nb, pos)` COUNTS, so every candidate level is an
+    * exact rational; comparisons cross-multiply in BigInt (no IEEE op
+    * anywhere in the argmax — at 100 TB bucket counts exceed 2^31 and a
+    * double-compare could pool the wrong pair). Returns the fit as
+    * `(numerator, denominator)` per position; the single rounding is
+    * the caller's final division. O(m^3) in the BUCKET count (m <= 10
+    * here) — never corpus-proportional. */
+  private[queries] def pavFit(bk: Seq[(Long, Long)]): Seq[(BigInt, BigInt)] = {
+    val m = bk.length
+    def rng(j: Int, k: Int): (BigInt, BigInt) = {
+      val sl = bk.slice(j, k + 1)
+      (BigInt(sl.map(_._2).sum), BigInt(sl.map(_._1).sum))
+    }
+    def lt(a: (BigInt, BigInt), b: (BigInt, BigInt)): Boolean =
+      a._1 * b._2 < b._1 * a._2 // denominators positive
+    (0 until m).map { i =>
+      (0 to i).map { j =>
+        (i until m).map(k => rng(j, k))
+          .reduceLeft((x, y) => if (lt(y, x)) y else x)
+      }.reduceLeft((x, y) => if (lt(x, y)) y else x)
+    }
+  }
+
+  /** q232 — isotonic-regression calibration (pool-adjacent-violators):
+    * the NON-parametric close of the calibration arc (q223 diagnoses,
+    * q231 fits the 2-parameter Platt sigmoid, q232 fits the weighted
+    * monotone step function — Zadrozny & Elkan 2002, "Transforming
+    * classifier scores into accurate multiclass probability estimates").
+    * Per decile bucket of q220's trained model: count, empirical rate,
+    * mean predicted probability, the isotonic fitted rate, both gaps,
+    * and an exact `pooled` flag (fit != own empirical rate — the bucket
+    * was merged with a violating neighbor).
+    *
+    * Bit-parity: the fit is [[pavFit]]'s exact-rational minimax — the
+    * oracle restates it with HUGEINT cross-multiplied NOT EXISTS
+    * argmins over the same <=10-row bucket table, so both engines round
+    * only at the one final division of identical integers.
+    *
+    * Scale shape: one row-local scoring projection + one 10-key hash
+    * aggregation; the PAV itself runs on the <=10 collected buckets —
+    * driver state is 10 count pairs regardless of corpus size. */
+  private def q232(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = trainLogitCached(s, d).last._2
+    val z = (0 to 4).map(j => lit(w(j)) * col(s"x$j")).reduceLeft(_ + _)
+    val bk = logitStages(spark = true).flatten
+      .foldLeft(logitFeatures(s, d).withColumn("z", z)) {
+        case (df, (n, e)) => df.withColumn(n, expr(e))
+      }
+      .withColumn("bucket", least(floor(col("p1") * lit(10e0)).cast("int"), lit(9)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("nb"),
+        sum(when(col("y") === 1e0, 1L).otherwise(0L)).as("pos"),
+        sum(floor(col("p1") * expr(Dy)).cast("long")).as("ps"))
+      // collect-bound: grouped by decile bucket — ≤ 10 rows
+      .collect().map(r => (r.getAs[Int]("bucket"), r.getAs[Long]("nb"),
+        r.getAs[Long]("pos"), r.getAs[Long]("ps")))
+      .sortBy(_._1)
+    val iso = pavFit(bk.toSeq.map { case (_, nb, pos, _) => (nb, pos) })
+    val dy = 67108864e0
+    bk.zipWithIndex.map { case ((b, nb, pos, ps), i) =>
+      val (rp, rn) = iso(i)
+      val mp = ps.toDouble / (dy * nb.toDouble)
+      val fp = pos.toDouble / nb.toDouble
+      val ir = rp.toDouble / rn.toDouble
+      (b, nb, pos, mp, fp, ir, fp - mp, fp - ir,
+        rp * BigInt(nb) != BigInt(pos) * rn)
+    }.toSeq
+      .toDF("bucket", "n", "n_pos", "mean_pred", "frac_pos", "iso_rate",
+        "gap_raw", "gap_iso", "pooled")
+      .orderBy("bucket")
+  }
+  private def q232Sql: String =
+    s"""WITH $logitChainSql,
+       |zc AS (
+       |  SELECT f.*, ((((w.w0 * f.x0) + (w.w1 * f.x1)) + (w.w2 * f.x2)) + (w.w3 * f.x3)) + (w.w4 * f.x4) AS z
+       |  FROM f CROSS JOIN wt4 w),
+       |${logitStages(spark = false).zipWithIndex.map { case (g, gi) =>
+           val src = if (gi == 0) "zc" else s"iso$gi"
+           s"iso${gi + 1} AS (SELECT *, ${g.map { case (n, e) => s"$e AS $n" }.mkString(", ")} FROM $src)"
+         }.mkString(",\n")},
+       |bkt AS MATERIALIZED (
+       |  SELECT CAST(LEAST(CAST(FLOOR(p1 * 10e0) AS INTEGER), 9) AS INTEGER) AS bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS nb,
+       |    CAST(SUM(CASE WHEN y = 1e0 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+       |    CAST(SUM(CAST(FLOOR(p1 * $Dy) AS BIGINT)) AS BIGINT) AS ps
+       |  FROM iso${logitStages(spark = false).size} GROUP BY 1),
+       |rng AS MATERIALIZED (
+       |  SELECT j.bucket AS jb, k.bucket AS kb,
+       |    CAST(SUM(m.pos) AS BIGINT) AS rp, CAST(SUM(m.nb) AS BIGINT) AS rn
+       |  FROM bkt j JOIN bkt k ON j.bucket <= k.bucket
+       |  JOIN bkt m ON m.bucket BETWEEN j.bucket AND k.bucket
+       |  GROUP BY 1, 2),
+       |cand AS MATERIALIZED (
+       |  SELECT i.bucket AS ib, r.jb, r.kb, r.rp, r.rn
+       |  FROM bkt i JOIN rng r ON r.jb <= i.bucket AND r.kb >= i.bucket),
+       |mn AS MATERIALIZED (
+       |  SELECT ib, jb, rp, rn FROM cand c
+       |  WHERE NOT EXISTS (SELECT 1 FROM cand c2
+       |    WHERE c2.ib = c.ib AND c2.jb = c.jb
+       |      AND CAST(c2.rp AS HUGEINT) * c.rn < CAST(c.rp AS HUGEINT) * c2.rn)
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY ib, jb ORDER BY kb) = 1),
+       |mx AS MATERIALIZED (
+       |  SELECT ib, rp, rn FROM mn m
+       |  WHERE NOT EXISTS (SELECT 1 FROM mn m2
+       |    WHERE m2.ib = m.ib
+       |      AND CAST(m2.rp AS HUGEINT) * m.rn > CAST(m.rp AS HUGEINT) * m2.rn)
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY ib ORDER BY jb) = 1)
+       |SELECT b.bucket, b.nb AS n, b.pos AS n_pos,
+       |  CAST(b.ps AS DOUBLE) / ($Dy * CAST(b.nb AS DOUBLE)) AS mean_pred,
+       |  CAST(b.pos AS DOUBLE) / CAST(b.nb AS DOUBLE) AS frac_pos,
+       |  CAST(x.rp AS DOUBLE) / CAST(x.rn AS DOUBLE) AS iso_rate,
+       |  (CAST(b.pos AS DOUBLE) / CAST(b.nb AS DOUBLE))
+       |    - (CAST(b.ps AS DOUBLE) / ($Dy * CAST(b.nb AS DOUBLE))) AS gap_raw,
+       |  (CAST(b.pos AS DOUBLE) / CAST(b.nb AS DOUBLE))
+       |    - (CAST(x.rp AS DOUBLE) / CAST(x.rn AS DOUBLE)) AS gap_iso,
+       |  (CAST(x.rp AS HUGEINT) * b.nb) != (CAST(b.pos AS HUGEINT) * x.rn) AS pooled
+       |FROM bkt b JOIN mx x ON x.ib = b.bucket
+       |ORDER BY b.bucket""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q106_lm_perplexity", q106, Some(q106Sql)),
     Q("q113_nb_classifier", q113, Some(q113Sql)),
@@ -1595,5 +1722,6 @@ object LmOps extends QueryModule {
     Q("q210_kn5_modified", q210, Some(q210Sql)),
     Q("q220_logit_quality_trainer", q220, Some(q220Sql)),
     Q("q223_logit_calibration", q223, Some(q223Sql)),
-    Q("q231_platt_scaling", q231, Some(q231Sql)))
+    Q("q231_platt_scaling", q231, Some(q231Sql)),
+    Q("q232_isotonic_calibration", q232, Some(q232Sql)))
 }
