@@ -954,7 +954,126 @@ object TextOps extends QueryModule {
        |FROM es ORDER BY k""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q233
+
+  /** q233 — mergeable log-histogram quantile sketch over per-doc token
+    * counts, with an accuracy card against the exact percentile. The
+    * bucket index is PURE INTEGER arithmetic (the HdrHistogram /
+    * DDSketch bucketing family — Masson et al., VLDB 2019 — restated
+    * base-2): exponent `e = len(bin(v)) − 1`, 3 sub-exponent bits
+    * `sub = v·8 div 2^e − 8`, `idx = 8e + sub` — monotone in v, bucket
+    * relative width ≤ 2^-3, so the midpoint estimate carries a ≤ ~7%
+    * relative-error GUARANTEE at any scale. No IEEE op exists anywhere
+    * in the sketch path (the q219 bit-portability-by-construction
+    * class): both engines bucket, cumulate, rank-select, and midpoint
+    * with integers only; the card's rel_err division is the single
+    * rounding.
+    *
+    * Why this beats exact percentiles at 100 TB: `percentile` buffers
+    * every value (PctGate's documented 2^23 boundary) and a global sort
+    * is a full shuffle; this sketch is ONE hash aggregation into ≤ 512
+    * buckets (64 exponents × 8 sub-buckets), map-side combined, and —
+    * because union-of-sketches = sum-of-counts — shard sketches merge
+    * associatively: per-shard sketches roll up without ever co-locating
+    * raw values (the property t-digest/GK lack, whose merges are
+    * order-dependent — the reason PctGate rejected them for parity).
+    * The exact column itself routes through [[PctGate]] (exact ≤ 2^23,
+    * deterministic md5-ticket sample above), so the CARD also stays
+    * bit-green at every scale.
+    *
+    * Scale shape: one ≤512-key hash agg + one PctGate percentile pass;
+    * the collected sketch is ≤ 512 rows BY CONSTRUCTION (not by data),
+    * the q227 driver-card idiom; rank selection and bucket bounds are
+    * driver math over those rows. */
+  private def q233(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dt = t(s, d, "documents")
+      .select(col("doc_id"),
+        size(split(trim(coalesce(col("text"), lit(""))), "\\s+"))
+          .cast("long").as("v"))
+      .localCheckpoint(true) // consumers: count + sketch agg + PctGate pass
+    val n = dt.count()
+    val sk = dt
+      .withColumn("e", (length(expr("bin(v)")) - lit(1)).cast("int"))
+      .withColumn("idx", (col("e") * lit(8)
+        + (expr("(v * 8L) div shiftleft(1L, e)") - lit(8)).cast("int")))
+      .groupBy(col("idx")).agg(count(lit(1)).as("cnt"))
+      // collect-bound: log-histogram buckets — ≤ 8·64 = 512 rows by construction
+      .collect().map(r => (r.getAs[Int]("idx"), r.getAs[Long]("cnt")))
+      .sortBy(_._1)
+    val cum = sk.scanLeft(0L)(_ + _._2).tail
+    val spine = Seq((1, 0.01), (2, 0.25), (3, 0.5), (4, 0.75), (5, 0.9), (6, 0.99))
+    val rows = spine.map { case (qi, q) =>
+      val r = math.max(math.ceil(q * n.toDouble).toLong, 1L)
+      val idx = sk(cum.indexWhere(_ >= r))._1
+      val e = idx / 8; val sub = idx % 8
+      val lo = (((8L + sub) << e) + 7L) / 8L
+      val hi = ((((9L + sub) << e) + 7L) / 8L) - 1L
+      (qi, q, r, idx, (lo + hi) / 2L)
+    }
+    val pct = PctGate.thresholdsDf(dt, n, "v",
+      Seq("0.01", "0.25", "0.5", "0.75", "0.9", "0.99"),
+      (1 to 6).map(i => s"p$i"), "q233pct")
+    val exact = (2 to 6).foldLeft(when(col("qi") === 1, col("p1"))) {
+      (acc, i) => acc.when(col("qi") === i, col(s"p$i"))
+    }
+    graft.Scalars.withScalar(
+        rows.toDF("qi", "q", "rank_r", "bucket_idx", "est"), pct)
+      .select(col("qi"), col("q"), col("rank_r"), col("bucket_idx"),
+        col("est"), exact.as("exact_pct"),
+        ((col("est").cast("double") - exact) / exact).as("rel_err"),
+        lit(sk.length).as("n_buckets"))
+      .orderBy("qi")
+  }
+  private def q233Sql: String =
+    s"""WITH dt AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(trim(COALESCE(text, '')), '\\s+')) AS BIGINT) AS v
+       |  FROM documents),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dt),
+       |sk AS MATERIALIZED (
+       |  SELECT CAST((length(bin(v)) - 1) * 8
+       |    + ((v * 8) // (1::BIGINT << (length(bin(v)) - 1)) - 8) AS INTEGER) AS idx,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM dt GROUP BY 1),
+       |ck AS MATERIALIZED (
+       |  SELECT b.idx, (SELECT SUM(c.cnt) FROM sk c WHERE c.idx <= b.idx) AS cum
+       |  FROM sk b),
+       |sp AS (SELECT * FROM (VALUES
+       |  (1, 0.01::DOUBLE), (2, 0.25::DOUBLE), (3, 0.5::DOUBLE),
+       |  (4, 0.75::DOUBLE), (5, 0.9::DOUBLE), (6, 0.99::DOUBLE)) AS t(qi, q)),
+       |rk AS (
+       |  SELECT qi, q,
+       |    GREATEST(CAST(CEIL(q * CAST((SELECT n FROM nn) AS DOUBLE)) AS BIGINT), 1) AS r
+       |  FROM sp),
+       |sel AS (
+       |  SELECT rk.qi, rk.q, rk.r, MIN(ck.idx) AS idx
+       |  FROM rk JOIN ck ON ck.cum >= rk.r
+       |  GROUP BY 1, 2, 3),
+       |eb AS (
+       |  SELECT qi, q, r, idx,
+       |    (((8 + (idx % 8))::BIGINT << (idx // 8)) + 7) // 8 AS lo,
+       |    ((((9 + (idx % 8))::BIGINT << (idx // 8)) + 7) // 8) - 1 AS hi
+       |  FROM sel),
+       |thr AS (${PctGate.thresholdsSql("dt", "CAST(v AS DOUBLE)",
+           Seq("0.01", "0.25", "0.5", "0.75", "0.9", "0.99"),
+           (1 to 6).map(i => s"p$i"), "q233pct")})
+       |SELECT CAST(eb.qi AS INTEGER) AS qi, eb.q, eb.r AS rank_r,
+       |  CAST(eb.idx AS INTEGER) AS bucket_idx,
+       |  CAST((eb.lo + eb.hi) // 2 AS BIGINT) AS est,
+       |  ${(1 to 6).map(i => s"WHEN eb.qi = $i THEN thr.p$i")
+           .mkString("CASE ", " ", " END")} AS exact_pct,
+       |  (CAST((eb.lo + eb.hi) // 2 AS DOUBLE)
+       |    - ${(1 to 6).map(i => s"WHEN eb.qi = $i THEN thr.p$i")
+           .mkString("CASE ", " ", " END")})
+       |   / ${(1 to 6).map(i => s"WHEN eb.qi = $i THEN thr.p$i")
+           .mkString("CASE ", " ", " END")} AS rel_err,
+       |  (SELECT CAST(COUNT(*) AS INTEGER) FROM sk) AS n_buckets
+       |FROM eb CROSS JOIN thr
+       |ORDER BY qi""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q233_quantile_sketch", q233, Some(q233Sql)),
     Q("q227_kmv_error_sweep", q227, Some(q227Sql)),
     Q("q224_script_mix", q224, Some(q224Sql)),
     Q("q71_posexplode_ordinal", q71, Some(q71Sql)),
