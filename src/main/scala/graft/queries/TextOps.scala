@@ -887,19 +887,42 @@ object TextOps extends QueryModule {
     * derived driver-side from ≤1024 longs and emitted as a literal
     * card. Below-k cardinality degenerates to the exact count in both
     * engines (the Aggregator's exact-below-k path). */
+  /** Memoized distinct trigram-shingle hash table (one 60-bit md5 lane
+    * per distinct shingle) — built once per (session, corpus), read by
+    * the q227 KMV sweep and the q234 HLL card so the two sketch audits
+    * share one distinct-aggregation pass (the q208→q212 shared-artifact
+    * lesson). */
+  private val shingleHashCache = new graft.SessionCache[DataFrame]
+  private def shingleHashes(s: SparkSession, d: String): DataFrame =
+    shingleHashCache.getOrBuild(s, d) {
+      t(s, d, "documents")
+        .select(split(trim(coalesce(col("text"), lit(""))), "\\s+").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(explode(expr(
+          "transform(sequence(1, size(toks) - 2)," +
+            " i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))")).as("w"))
+        .distinct()
+        .select(expr("cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)").as("h"))
+        .distinct()
+        .localCheckpoint(true) // consumers: q227 exact count + top-k, q234 registers
+    }
+  /** The oracle-side twin of [[shingleHashes]] — the `ht` CTE body both
+    * sketch-card oracles embed. */
+  private val shingleHashSql: String =
+    s"""bt AS (
+       |  SELECT regexp_split_to_array(trim(COALESCE(text, '')), '\\s+') AS toks
+       |  FROM documents),
+       |dt AS (
+       |  SELECT DISTINCT toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS w
+       |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 2)) AS i
+       |        FROM bt WHERE len(toks) >= 3)),
+       |ht AS MATERIALIZED (
+       |  SELECT DISTINCT ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM dt)""".stripMargin
+
   private def q227(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ks = Seq(64, 256, 1024)
-    val ht = t(s, d, "documents")
-      .select(split(trim(coalesce(col("text"), lit(""))), "\\s+").as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(explode(expr(
-        "transform(sequence(1, size(toks) - 2)," +
-          " i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))")).as("w"))
-      .distinct()
-      .select(expr("cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)").as("h"))
-      .distinct()
-      .localCheckpoint(true) // consumers: exact count + top-k
+    val ht = shingleHashes(s, d)
     // collect-bound: groupless aggregate — 1 row (exact distinct count)
     val exact = ht.agg(count(lit(1)).as("n")).collect()(0).getLong(0)
     // collect-bound: literal limit 1024 — the sketch-sized top-k
@@ -930,15 +953,7 @@ object TextOps extends QueryModule {
          |    ELSE CAST(${k - 1} AS DOUBLE) * 1.152921504606846976e18
          |      / CAST((SELECT MAX(h) FROM (SELECT h FROM mins ORDER BY h LIMIT $k)) AS DOUBLE)
          |  END AS estimate""".stripMargin
-    s"""WITH bt AS (
-       |  SELECT regexp_split_to_array(trim(COALESCE(text, '')), '\\s+') AS toks
-       |  FROM documents),
-       |dt AS (
-       |  SELECT DISTINCT toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS w
-       |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 2)) AS i
-       |        FROM bt WHERE len(toks) >= 3)),
-       |ht AS MATERIALIZED (
-       |  SELECT DISTINCT ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM dt),
+    s"""WITH $shingleHashSql,
        |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ht),
        |mins AS MATERIALIZED (SELECT h FROM ht ORDER BY h LIMIT 1024),
        |es AS (${one(64)} UNION ALL ${one(256)} UNION ALL ${one(1024)})
@@ -952,6 +967,132 @@ object TextOps extends QueryModule {
        |      / CAST((SELECT n FROM ex) AS DOUBLE) END)
        |   <= 2e0 / sqrt(CAST(k - 2 AS DOUBLE)) AS within_2sigma
        |FROM es ORDER BY k""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q234
+
+  /** q234 — HyperLogLog distinct-count card (Flajolet/Fusy/Gandouet/
+    * Meunier 2007) over the SAME trigram-shingle universe as q227's KMV
+    * sweep, so the two standard cardinality sketches read side by side
+    * on one shared [[shingleHashes]] artifact. For m = 2^b registers,
+    * b ∈ {4, 6, 8}: register j = top b bits of the 60-bit md5 lane,
+    * rank = leading zeros of the remaining w = 60−b bits + 1 (via
+    * `length(bin(·))` — the engine-portable bit-length idiom), raw
+    * estimate α_m·m²/Σ2^−M_j, and the paper's small-range correction
+    * (linear counting m·ln(m/V) when E ≤ 2.5m and V zero-registers
+    * remain). The 32-bit-hash large-range correction is deliberately
+    * absent: it exists to undo hash-collision saturation at ~2^32, and
+    * this lane is 60 bits.
+    *
+    * Bit-parity: Σ2^−M_j accumulates as the exact integer
+    * Σ2^(w+1−M_j) (every term a power of two ≤ 2^57, the sum < 2^62 —
+    * no IEEE op until one final division); α_m and 2.5m are spelled as
+    * identical e-notation literals; ln(m/V) = b·ln2 − [[LmOps.PortableLn]](V)
+    * (m is a power of two, so ln m is EXACTLY b·ln2-the-literal; V is an
+    * integer, so the staged atanh-Horner ln applies).
+    *
+    * Scale shape: three ≤2^b-key hash aggregations over the shared
+    * shingle table — registers are max-mergeable, so per-shard register
+    * tables roll up with one more max; the exact baseline is paid once
+    * by the shared artifact (the q227 rationale: the card prices the
+    * sketch you then run everywhere). No collect anywhere — the card
+    * rows are 1-row aggregates unioned. */
+  private def q234(s: SparkSession, d: String): DataFrame = {
+    val ht = shingleHashes(s, d)
+    val ex = ht.agg(count(lit(1)).as("exact"))
+    def cardB(b: Int): DataFrame = {
+      val w = 60 - b
+      val m = 1L << b
+      val alpha = b match {
+        case 4 => "673e-3"
+        case 6 => "709e-3"
+        case _ => s"(7213e-4 / (1e0 + (1079e-3 / ${m}e0)))"
+      }
+      val regs = ht
+        .select(expr(s"shiftright(h, $w)").as("bkt"),
+          expr(s"h & ${(1L << w) - 1L}").as("rest"))
+        .select(col("bkt"), expr(
+          s"CASE WHEN rest = 0 THEN ${w + 1} ELSE ${w + 1} - length(bin(rest)) END")
+          .as("r"))
+        .groupBy(col("bkt")).agg(max(col("r")).as("r"))
+      val base = regs
+        .agg(count(lit(1)).as("npres"),
+          coalesce(sum(expr(s"shiftleft(1L, ${w + 1} - r)")), lit(0L)).as("sp"))
+        .withColumn("vz", lit(m) - col("npres"))
+        .withColumn("ssum", (col("vz") * lit(1L << (w + 1))) + col("sp"))
+        .withColumn("raw", expr(
+          s"(($alpha * ${m * m}e0) * ${BigInt(1) << (w + 1)}e0) / CAST(ssum AS DOUBLE)"))
+      LmOps.PortableLn.steps("GREATEST(vz, 1)", "v", spark = true)
+        .foldLeft(base) { case (df, (n, e)) => df.withColumn(n, expr(e)) }
+        .withColumn("est", expr(
+          s"CASE WHEN raw <= ${m * 5 / 2}e0 AND vz > 0" +
+            s" THEN ${m}e0 * ((${b}e0 * 6.931471805599453e-1) - lnv)" +
+            " ELSE raw END"))
+        .select(lit(b).as("b"), lit(m).as("m"), col("vz").as("n_zero_regs"),
+          col("raw").as("raw_est"), col("est").as("estimate"))
+    }
+    val card = Seq(4, 6, 8).map(cardB).reduceLeft(_.union(_))
+    graft.Scalars.withScalar(card, ex)
+      .withColumn("rel_error", expr(
+        "CASE WHEN exact = 0 THEN 0e0" +
+          " ELSE (estimate - CAST(exact AS DOUBLE)) / CAST(exact AS DOUBLE) END"))
+      .withColumn("within_2sigma",
+        expr("ABS(rel_error) <= (208e-2 / SQRT(CAST(m AS DOUBLE)))"))
+      .select(col("b"), col("m"), col("n_zero_regs"), col("raw_est"),
+        col("estimate"), col("exact"), col("rel_error"), col("within_2sigma"))
+      .orderBy("b")
+  }
+  private def q234Sql: String = {
+    def one(b: Int): String = {
+      val w = 60 - b
+      val m = 1L << b
+      val alpha = b match {
+        case 4 => "673e-3"
+        case 6 => "709e-3"
+        case _ => s"(7213e-4 / (1e0 + (1079e-3 / ${m}e0)))"
+      }
+      val lnStages = LmOps.PortableLn.steps("GREATEST(vz, 1)", "v", spark = false)
+      val lnCtes = lnStages.zipWithIndex.map { case ((n, e), i) =>
+        val src = if (i == 0) s"cb${b}_1" else s"cb${b}_${i + 1}"
+        s"cb${b}_${i + 2} AS (SELECT *, $e AS $n FROM $src)"
+      }
+      s"""rb$b AS (
+         |  SELECT (h >> $w) AS bkt,
+         |    MAX(CASE WHEN (h & ${(1L << w) - 1L}) = 0 THEN ${w + 1}
+         |      ELSE ${w + 1} - length(bin(h & ${(1L << w) - 1L})) END) AS r
+         |  FROM ht GROUP BY 1),
+         |cb${b}_0 AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS npres,
+         |    COALESCE(CAST(SUM(1::BIGINT << (${w + 1} - r)) AS BIGINT), 0) AS sp
+         |  FROM rb$b),
+         |cb${b}_1 AS (
+         |  SELECT *, ($m - npres) AS vz,
+         |    (($m - npres) * ${1L << (w + 1)} + sp) AS ssum
+         |  FROM cb${b}_0),
+         |${lnCtes.mkString(",\n")},
+         |fb$b AS (
+         |  SELECT CAST($b AS INTEGER) AS b, CAST($m AS BIGINT) AS m,
+         |    CAST(vz AS BIGINT) AS n_zero_regs,
+         |    (($alpha * ${m * m}e0) * ${BigInt(1) << (w + 1)}e0) / CAST(ssum AS DOUBLE) AS raw_est,
+         |    CASE WHEN ((($alpha * ${m * m}e0) * ${BigInt(1) << (w + 1)}e0) / CAST(ssum AS DOUBLE)) <= ${m * 5 / 2}e0 AND vz > 0
+         |      THEN ${m}e0 * ((${b}e0 * 6.931471805599453e-1) - lnv)
+         |      ELSE ((($alpha * ${m * m}e0) * ${BigInt(1) << (w + 1)}e0) / CAST(ssum AS DOUBLE)) END AS estimate
+         |  FROM cb${b}_${lnStages.size + 1})""".stripMargin
+    }
+    s"""WITH $shingleHashSql,
+       |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact FROM ht),
+       |${one(4)},
+       |${one(6)},
+       |${one(8)},
+       |uni AS (SELECT * FROM fb4 UNION ALL SELECT * FROM fb6 UNION ALL SELECT * FROM fb8)
+       |SELECT u.b, u.m, u.n_zero_regs, u.raw_est, u.estimate, e.exact,
+       |  CASE WHEN e.exact = 0 THEN 0e0
+       |    ELSE (u.estimate - CAST(e.exact AS DOUBLE)) / CAST(e.exact AS DOUBLE) END AS rel_error,
+       |  ABS(CASE WHEN e.exact = 0 THEN 0e0
+       |    ELSE (u.estimate - CAST(e.exact AS DOUBLE)) / CAST(e.exact AS DOUBLE) END)
+       |   <= (208e-2 / SQRT(CAST(u.m AS DOUBLE))) AS within_2sigma
+       |FROM uni u CROSS JOIN ex e
+       |ORDER BY u.b""".stripMargin
   }
 
   // ---------------------------------------------------------------- q233
@@ -1074,6 +1215,7 @@ object TextOps extends QueryModule {
 
   val all: Seq[Q] = Seq(
     Q("q233_quantile_sketch", q233, Some(q233Sql)),
+    Q("q234_hll_card", q234, Some(q234Sql)),
     Q("q227_kmv_error_sweep", q227, Some(q227Sql)),
     Q("q224_script_mix", q224, Some(q224Sql)),
     Q("q71_posexplode_ordinal", q71, Some(q71Sql)),
