@@ -50,9 +50,9 @@ object LmOps extends QueryModule {
     * e-notation (`1e0`) which lexes as DOUBLE in BOTH engines — plain
     * `1.0` is DECIMAL in both, and decimal/decimal division would
     * diverge from the double path. */
-  private[queries] object PortableLn {
+  private[graft] object PortableLn {
     /** 1 + t2*(1/3 + t2*(1/5 + ... + t2*(1/35))) — fixed-order Horner. */
-    private[queries] def horner(t2: String): String = {
+    private[graft] def horner(t2: String): String = {
       val inner = (33 to 3 by -2).foldLeft("(1e0/35e0)") { (acc, den) =>
         s"((1e0/${den}e0) + ($t2 * $acc))"
       }
