@@ -1208,7 +1208,108 @@ object DedupOps extends QueryModule {
        |FROM b ORDER BY i""".stripMargin
   }
 
+  // ------------------------------------------------------------------ q235
+
+  /** q235 — sorted-neighborhood blocking (Hernández & Stolfo 1995, "The
+    * Merge/Purge Problem for Large Databases"): the THIRD blocking
+    * family beside hash-LSH (q28) and the prefix-filtered inverted
+    * index (q27). Each doc gets a normalized sort key (lowercased,
+    * non-alphanumerics stripped, first 32 chars); docs sort within
+    * 2-char-prefix blocks and each row is paired with its next 3
+    * neighbors in key order (window w = 4); candidates verify
+    * ROW-LOCALLY by character-trigram Jaccard of the keys (is_dup at
+    * J ≥ 0.8). SNM's trade vs LSH: no hashing and candidates bounded at
+    * w·n by construction, but recall depends on the sort key sharing a
+    * prefix — the classic fix (noted, not built) is multi-pass with
+    * rotated keys.
+    *
+    * Parity: the key alphabet is [a-z0-9] — pure ASCII — so Java
+    * UTF-16 and DuckDB UTF-8 byte orderings coincide (a non-ASCII sort
+    * key would NOT survive the cross-engine ORDER BY); doc_id breaks
+    * ties, making the neighbor assignment deterministic; Jaccard is one
+    * double division of exact set sizes.
+    *
+    * Scale shape: one sort-shuffle keyed (pfx, key) — the window
+    * partitions by the 36² prefix blocks, so no global sort; per-row
+    * work after the sort is w−1 lead()s and a ≤30-trigram intersect.
+    * Skew honesty: a corpus where one 2-char prefix dominates (all docs
+    * share a boilerplate opener) re-creates the global-sort problem —
+    * production rotates the key (the multi-pass recall fix doubles as
+    * the skew fix) or extends the prefix adaptively. */
+  private def q235(s: SparkSession, d: String): DataFrame = {
+    val keyed = t(s, d, "documents")
+      .select(col("doc_id"), expr(
+        "substring(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]', ''), 1, 32)")
+        .as("k"))
+      .filter(length(col("k")) >= 3)
+      .withColumn("pfx", substring(col("k"), 1, 2))
+    val w = Window.partitionBy("pfx").orderBy("k", "doc_id")
+    val tri = (c: String) => array_distinct(expr(
+      s"transform(sequence(1, length($c) - 2), i -> substring($c, i, 3))"))
+    keyed
+      .withColumn("k1", lead(col("k"), 1).over(w))
+      .withColumn("d1", lead(col("doc_id"), 1).over(w))
+      .withColumn("k2", lead(col("k"), 2).over(w))
+      .withColumn("d2", lead(col("doc_id"), 2).over(w))
+      .withColumn("k3", lead(col("k"), 3).over(w))
+      .withColumn("d3", lead(col("doc_id"), 3).over(w))
+      .select(col("doc_id"), col("k"), explode(array(
+        struct(lit(1).as("nd"), col("d1").as("id2"), col("k1").as("kb")),
+        struct(lit(2).as("nd"), col("d2").as("id2"), col("k2").as("kb")),
+        struct(lit(3).as("nd"), col("d3").as("id2"), col("k3").as("kb")))).as("p"))
+      .filter(col("p.id2").isNotNull)
+      .select(col("doc_id"), col("k"), col("p.nd").as("neighbor_dist"),
+        col("p.id2").as("id2"), col("p.kb").as("kb"))
+      .withColumn("ta", tri("k"))
+      .withColumn("tb", tri("kb"))
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("uni",
+        (size(col("ta")) + size(col("tb"))).cast("long") - col("inter"))
+      .select(least(col("doc_id"), col("id2")).as("doc_a"),
+        greatest(col("doc_id"), col("id2")).as("doc_b"),
+        col("neighbor_dist"),
+        (col("inter").cast("double") / col("uni").cast("double")).as("jaccard"))
+      .withColumn("is_dup", col("jaccard") >= 0.8)
+      .orderBy("doc_a", "doc_b", "neighbor_dist")
+  }
+  private val q235Sql =
+    """WITH keyed AS (
+      |  SELECT doc_id,
+      |    substr(regexp_replace(lower(COALESCE(text, '')), '[^a-z0-9]', '', 'g'), 1, 32) AS k
+      |  FROM documents),
+      |f AS (SELECT doc_id, k, substr(k, 1, 2) AS pfx FROM keyed WHERE length(k) >= 3),
+      |led AS (
+      |  SELECT doc_id, k,
+      |    LEAD(k, 1) OVER w AS k1, LEAD(doc_id, 1) OVER w AS d1,
+      |    LEAD(k, 2) OVER w AS k2, LEAD(doc_id, 2) OVER w AS d2,
+      |    LEAD(k, 3) OVER w AS k3, LEAD(doc_id, 3) OVER w AS d3
+      |  FROM f WINDOW w AS (PARTITION BY pfx ORDER BY k, doc_id)),
+      |pairs AS (
+      |  SELECT doc_id, k, 1 AS nd, d1 AS id2, k1 AS kb FROM led WHERE d1 IS NOT NULL
+      |  UNION ALL
+      |  SELECT doc_id, k, 2 AS nd, d2 AS id2, k2 AS kb FROM led WHERE d2 IS NOT NULL
+      |  UNION ALL
+      |  SELECT doc_id, k, 3 AS nd, d3 AS id2, k3 AS kb FROM led WHERE d3 IS NOT NULL),
+      |tri AS (
+      |  SELECT LEAST(doc_id, id2) AS doc_a, GREATEST(doc_id, id2) AS doc_b, nd,
+      |    list_distinct(list_transform(generate_series(1, length(k) - 2),
+      |      i -> substr(k, i, 3))) AS ta,
+      |    list_distinct(list_transform(generate_series(1, length(kb) - 2),
+      |      i -> substr(kb, i, 3))) AS tb
+      |  FROM pairs),
+      |sc AS (
+      |  SELECT doc_a, doc_b, nd,
+      |    CAST(len(list_intersect(ta, tb)) AS BIGINT) AS inter,
+      |    CAST(len(ta) + len(tb) AS BIGINT)
+      |      - CAST(len(list_intersect(ta, tb)) AS BIGINT) AS uni
+      |  FROM tri)
+      |SELECT doc_a, doc_b, CAST(nd AS INTEGER) AS neighbor_dist,
+      |  CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard,
+      |  (CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE)) >= 0.8 AS is_dup
+      |FROM sc ORDER BY doc_a, doc_b, neighbor_dist""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q235_sorted_neighborhood", q235, Some(q235Sql)),
     Q("q26_dedup_exact", q26, Some(q26Sql)),
     Q("q134_split_decontam", q134, Some(q134Sql)),
     Q("q119_winnowing", q119, Some(q119Sql)),
