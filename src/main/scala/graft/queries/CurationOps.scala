@@ -2381,5 +2381,109 @@ object CurationOps extends QueryModule {
     Q("q201_psi_drift", q201, Some(q201Sql)),
     Q("q202_source_gini", q202, Some(q202Sql)),
     Q("q203_bm25_retrieval", q203, Some(q203Sql)),
-    Q("q204_ndcg_eval", q204, Some(q204Sql)))
+    Q("q204_ndcg_eval", q204, Some(q204Sql)),
+    Q("q236_zipf_fit", q236, Some(q236Sql)))
+
+  // ---------------------------------------------------------------------
+  // q236 — Zipf rank-frequency fit: the corpus-linguistics health check
+  // (Zipf 1949; Piantadosi 2014's review) — OLS slope of ln(count) on
+  // ln(rank) over the full vocabulary, reported as the Zipf exponent
+  // s = −slope with intercept and R². Natural text sits near s ≈ 1;
+  // a corpus drifting far off (template floods flatten the curve,
+  // boilerplate dedup failures steepen the head) fails the release gate
+  // before any model sees it. Beside q202's Gini (source concentration)
+  // and q201's PSI (snapshot drift), this is the SHAPE-of-language check.
+  //
+  // Exactness: ranks come from [[graft.operators.GlobalRank.withRank]]
+  // (the two-pass bucketed construction — no single-partition window),
+  // ordered (count DESC, word ASC) so the rank assignment is a pure
+  // function of the data and DuckDB's ROW_NUMBER reproduces it exactly.
+  // Both ln arguments are positive integers → PortableLn; every
+  // cross-row sum is dyadic fixed-point (floor(·2^26) into BIGINT —
+  // the q220 discipline), so Σx, Σy, Σxy, Σx², Σy² are EXACT integers
+  // and the five closed-form OLS doubles are identical in both engines.
+  // Term magnitude note: |ln r · ln c| ≤ ~2 000 at any real corpus, so
+  // the scaled sum stays under 2^63 to ~6·10^13 vocabulary types.
+  //
+  // Scale shape: one token-explode hash agg to the vocabulary-bounded
+  // count table, GlobalRank's two bounded passes + per-bucket window
+  // over it, one groupless dyadic aggregate. Nothing driver-side beyond
+  // GlobalRank's boundary values and one 1-row collect-free card.
+  //
+  // Fixture honesty: the synthetic corpus's vocabulary is ~31 types
+  // (the q227 note), so the shipped card reads s ≈ 0.16, R² ≈ 0.05 —
+  // correctly reporting that generator text is NOT Zipfian. On natural
+  // text the same card is the s ≈ 1 release gate.
+  // ---------------------------------------------------------------------
+  private def q236(s: SparkSession, d: String): DataFrame = {
+    val vc = t(s, d, "documents")
+      .select(explode(split(trim(coalesce(col("text"), lit(""))), "\\s+")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // consumers: GlobalRank's three evaluations
+    val ranked = graft.operators.GlobalRank.withRank(
+      vc, col("c"), descending = true, tieBreakers = Seq(col("w")), rnName = "rn")
+    val dy = "67108864e0"
+    val staged = (LmOps.PortableLn.steps("rn", "r", spark = true) ++
+      LmOps.PortableLn.steps("c", "q", spark = true))
+      .foldLeft(ranked) { case (df, (n, e)) => df.withColumn(n, expr(e)) }
+    staged.agg(
+        count(lit(1)).as("n_types"),
+        sum(col("c")).as("total_tokens"),
+        sum(expr(s"CAST(FLOOR(lnr * $dy) AS BIGINT)")).as("sx"),
+        sum(expr(s"CAST(FLOOR(lnq * $dy) AS BIGINT)")).as("sy"),
+        sum(expr(s"CAST(FLOOR((lnr * lnq) * $dy) AS BIGINT)")).as("sxy"),
+        sum(expr(s"CAST(FLOOR((lnr * lnr) * $dy) AS BIGINT)")).as("sxx"),
+        sum(expr(s"CAST(FLOOR((lnq * lnq) * $dy) AS BIGINT)")).as("syy"))
+      .withColumn("nd", col("n_types").cast("double"))
+      .withColumn("fx", expr(s"CAST(sx AS DOUBLE) / $dy"))
+      .withColumn("fy", expr(s"CAST(sy AS DOUBLE) / $dy"))
+      .withColumn("fxy", expr(s"CAST(sxy AS DOUBLE) / $dy"))
+      .withColumn("fxx", expr(s"CAST(sxx AS DOUBLE) / $dy"))
+      .withColumn("fyy", expr(s"CAST(syy AS DOUBLE) / $dy"))
+      .withColumn("slope",
+        expr("((nd * fxy) - (fx * fy)) / ((nd * fxx) - (fx * fx))"))
+      .select(col("n_types"), col("total_tokens"),
+        expr("0e0 - slope").as("zipf_exponent"),
+        expr("((fy - (slope * fx)) / nd)").as("intercept"),
+        expr("(((nd * fxy) - (fx * fy)) * ((nd * fxy) - (fx * fy)))" +
+          " / (((nd * fxx) - (fx * fx)) * ((nd * fyy) - (fy * fy)))").as("r2"))
+  }
+  private def q236Sql: String = {
+    val dy = "67108864e0"
+    val (last, ctes) = LmOps.lnCtes("rk", "zl", Seq("rn" -> "r", "c" -> "q"))
+    s"""WITH tok AS (
+       |  SELECT unnest(regexp_split_to_array(trim(COALESCE(text, '')), '\\s+')) AS w
+       |  FROM documents),
+       |vc AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w),
+       |rk AS MATERIALIZED (
+       |  SELECT w, c, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) AS BIGINT) AS rn
+       |  FROM vc),
+       |${ctes.mkString(",\n")},
+       |agg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+       |    CAST(SUM(c) AS BIGINT) AS total_tokens,
+       |    CAST(SUM(CAST(FLOOR(lnr * $dy) AS BIGINT)) AS BIGINT) AS sx,
+       |    CAST(SUM(CAST(FLOOR(lnq * $dy) AS BIGINT)) AS BIGINT) AS sy,
+       |    CAST(SUM(CAST(FLOOR((lnr * lnq) * $dy) AS BIGINT)) AS BIGINT) AS sxy,
+       |    CAST(SUM(CAST(FLOOR((lnr * lnr) * $dy) AS BIGINT)) AS BIGINT) AS sxx,
+       |    CAST(SUM(CAST(FLOOR((lnq * lnq) * $dy) AS BIGINT)) AS BIGINT) AS syy
+       |  FROM $last),
+       |fs AS (
+       |  SELECT n_types, total_tokens,
+       |    CAST(n_types AS DOUBLE) AS nd,
+       |    CAST(sx AS DOUBLE) / $dy AS fx, CAST(sy AS DOUBLE) / $dy AS fy,
+       |    CAST(sxy AS DOUBLE) / $dy AS fxy, CAST(sxx AS DOUBLE) / $dy AS fxx,
+       |    CAST(syy AS DOUBLE) / $dy AS fyy
+       |  FROM agg),
+       |sl AS (
+       |  SELECT *, ((nd * fxy) - (fx * fy)) / ((nd * fxx) - (fx * fx)) AS slope
+       |  FROM fs)
+       |SELECT n_types, total_tokens,
+       |  0e0 - slope AS zipf_exponent,
+       |  ((fy - (slope * fx)) / nd) AS intercept,
+       |  (((nd * fxy) - (fx * fy)) * ((nd * fxy) - (fx * fy)))
+       |    / (((nd * fxx) - (fx * fx)) * ((nd * fyy) - (fy * fy))) AS r2
+       |FROM sl""".stripMargin
+  }
 }
