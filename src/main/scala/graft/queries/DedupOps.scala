@@ -647,6 +647,43 @@ object DedupOps extends QueryModule {
     }.sum
   }
 
+  /** Retire docs from the index: append their ids to the tombstone
+    * table (one column, `doc_id`). Tombstones take effect at the NEXT
+    * PROBE — matches whose base doc is tombstoned are ignored, so a
+    * takedown stops being a dedup target immediately — and are
+    * PHYSICALLY applied (rows removed from all three tables, applied
+    * tombstones cleared) by [[compactDedupIndex]]'s next maintenance
+    * pass. Semantics, deliberately: retiring a doc FORGETS its content
+    * for dedup purposes — a later identical doc probes novel and
+    * becomes the new canonical (content re-canonicalization, pinned in
+    * DedupTtlSpec). Keeping retired CONTENT blocked is a policy
+    * screen's job (q121's blocklist), not the index's: dedup's contract
+    * here is "never match against what was taken down". A tombstone for
+    * a doc not (yet) present survives compaction, so retire-before-
+    * arrival cannot be resurrected by a late append replay. TTL is this
+    * API composed with a timestamp source: tombstone everything whose
+    * ingest date aged out, then compact. */
+  private[graft] def tombstoneDocs(docs: DataFrame, dir: String): Unit =
+    docs.select(col("doc_id")).write.mode("append").parquet(s"$dir/tombstones")
+
+  /** The distinct tombstoned ids, or None when the index has none — the
+    * probe skips its anti-joins entirely on tombstone-free indexes
+    * (zero overhead for the common case). */
+  private[graft] def loadTombstones(s: SparkSession,
+      dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)) None
+    else Some(s.read.parquet(p.toString).select(col("doc_id")).distinct())
+  }
+
+  /** Anti-join `df` against the tombstone set on `key` (no-op without
+    * tombstones). The tombstone side is takedown-sized — AQE broadcasts
+    * it; work ∝ df, never ∝ index × tombstones. */
+  private def dropTombstoned(df: DataFrame, key: String,
+      tombs: Option[DataFrame]): DataFrame =
+    tombs.fold(df)(tb => df.join(tb.withColumnRenamed("doc_id", "__tomb"),
+      col(key) === col("__tomb"), "left_anti"))
+
   /** Compact the persisted dedup index IN PLACE: each table is rewritten
     * to a sibling `<table>__compact` directory sized by bytes (128 MB
     * target files), then swapped in. Compaction is SEMANTIC, not just a
@@ -671,6 +708,22 @@ object DedupOps extends QueryModule {
     * probe. */
   private[graft] def compactDedupIndex(s: SparkSession, dir: String): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
+    // Snapshot tombstones BEFORE any rewrite: the swap closures and the
+    // retained-set overwrite below both consume them, and the lazy
+    // parquet read would otherwise race its own overwrite.
+    val tombs = loadTombstones(s, dir).map(_.localCheckpoint(true))
+    // Tombstones whose doc never appeared in any table keep waiting
+    // (retire-before-arrival); the ones applied by this pass clear.
+    tombs.foreach { tb =>
+      val present = Seq(
+        s.read.parquet(s"$dir/exact").select(col("exact_doc").as("doc_id")),
+        s.read.parquet(s"$dir/bands").select(col("doc_id")),
+        s.read.parquet(s"$dir/shingles").select(col("doc_id")))
+        .reduce(_.union(_)).distinct()
+      tb.join(present, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true) // detach from the files overwritten next
+        .write.mode("overwrite").parquet(s"$dir/tombstones")
+    }
     def swap(table: String)(compact: DataFrame => DataFrame): Unit = {
       val cur = new org.apache.hadoop.fs.Path(s"$dir/$table")
       val tmp = new org.apache.hadoop.fs.Path(s"$dir/${table}__compact")
@@ -683,10 +736,11 @@ object DedupOps extends QueryModule {
       fs.delete(cur, true)
       require(fs.rename(tmp, cur), s"compaction swap failed for $cur")
     }
-    swap("exact")(_.groupBy(col("norm_key"))
-      .agg(min(col("exact_doc")).as("exact_doc")))
-    swap("bands")(_.distinct())
-    swap("shingles")(_.dropDuplicates("doc_id"))
+    swap("exact")(df => dropTombstoned(df, "exact_doc", tombs)
+      .groupBy(col("norm_key")).agg(min(col("exact_doc")).as("exact_doc")))
+    swap("bands")(df => dropTombstoned(df, "doc_id", tombs).distinct())
+    swap("shingles")(df =>
+      dropTombstoned(df, "doc_id", tombs).dropDuplicates("doc_id"))
   }
 
   /** Probe a batch of (doc_id, text) against a persisted index: verdict
@@ -712,10 +766,15 @@ object DedupOps extends QueryModule {
   private[graft] def probeDedupIndex(s: SparkSession, batch: DataFrame,
       dir: String): DataFrame = {
     val nb = normDocs(batch).localCheckpoint(true)
+    // Tombstoned base docs are invisible to the probe (matches against
+    // taken-down content must not fire); None on tombstone-free indexes.
+    val tombs = loadTombstones(s, dir)
     // Candidates: batch bands × persisted band index — the only
     // index-sized join, keyed on (band, sig).
-    val bandIdx = s.read.parquet(s"$dir/bands")
-      .select(col("doc_id").as("base_doc"), col("band"), col("sig"))
+    val bandIdx = dropTombstoned(
+      s.read.parquet(s"$dir/bands")
+        .select(col("doc_id").as("base_doc"), col("band"), col("sig")),
+      "base_doc", tombs)
     val cand = mhBandsOf(nb, indexScheme(s, dir))
       .join(bandIdx, Seq("band", "sig"))
       .select(col("doc_id").as("batch_doc"), col("base_doc"))
@@ -751,7 +810,8 @@ object DedupOps extends QueryModule {
     // probing its own partial append) are nulled before the min, which
     // ignores them.
     nb.select(col("doc_id"), col("norm_key"))
-      .join(s.read.parquet(s"$dir/exact"), Seq("norm_key"), "left")
+      .join(dropTombstoned(s.read.parquet(s"$dir/exact"), "exact_doc", tombs),
+        Seq("norm_key"), "left")
       .groupBy(col("doc_id"))
       .agg(min(when(col("exact_doc") =!= col("doc_id"), col("exact_doc")))
         .as("exact_doc"))
