@@ -1454,33 +1454,54 @@ object LmOps extends QueryModule {
     * a ≤10-element ordered fold (the q215 two-level rule — no cross-row
     * double sum anywhere). One corpus agg per GD step + one metric pass
     * per model; driver state is two doubles. */
+  /** The raw-score frame (z0, y) under the shipped wt4 model — shared by
+    * the Platt trainer and both calibration-consumer cards. */
+  private def rawScoreFrame(s: SparkSession, d: String): DataFrame = {
+    val w = trainLogitCached(s, d).last._2
+    val z = (0 to 4).map(j => lit(w(j)) * col(s"x$j")).reduceLeft(_ + _)
+    logitFeatures(s, d).withColumn("z0", z).select(col("z0"), col("y"))
+  }
+
+  private def stagedSigmoid(df: DataFrame): DataFrame =
+    logitStages(spark = true).flatten.foldLeft(df) {
+      case (acc, (n, e)) => acc.withColumn(n, expr(e))
+    }
+
+  /** Memoized Platt (a, b) — q231 (the before/after audit) and q237
+    * (the operating-point card) read ONE training run per (session,
+    * corpus), the [[graft.SessionCache]] discipline. */
+  private val plattCache = new graft.SessionCache[(Double, Double)]
+  private[queries] def trainPlattCached(s: SparkSession,
+      d: String): (Double, Double) =
+    plattCache.getOrBuild(s, d) {
+      val dy = 67108864e0
+      val zf = rawScoreFrame(s, d)
+        .localCheckpoint(true) // consumers: every GD step
+      var ab = (1e0, 0e0)
+      for (_ <- 1 to 4) {
+        val sc = stagedSigmoid(zf.withColumn("z",
+          (lit(ab._1) * col("z0")) + lit(ab._2)))
+        // collect-bound: groupless aggregate, exactly 1 row per GD step
+        val r = sc.agg(count(lit(1)).as("n"),
+          coalesce(sum(floor(((col("p1") - col("y")) * col("z0")) * lit(dy))
+            .cast("long")), lit(0L)).as("ga"),
+          coalesce(sum(floor((col("p1") - col("y")) * lit(dy))
+            .cast("long")), lit(0L)).as("gb")).collect()(0)
+        val nd = r.getAs[Long]("n").toDouble
+        if (nd > 0)
+          ab = (ab._1 - 16e0 * (r.getAs[Long]("ga").toDouble / (dy * nd)),
+            ab._2 - 16e0 * (r.getAs[Long]("gb").toDouble / (dy * nd)))
+      }
+      ab
+    }
+
   private def q231(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val dy = 67108864e0
-    val w = trainLogitCached(s, d).last._2
-    val z = (0 to 4).map(j => lit(w(j)) * col(s"x$j")).reduceLeft(_ + _)
-    val zf = logitFeatures(s, d)
-      .withColumn("z0", z).select(col("z0"), col("y"))
-      .localCheckpoint(true) // consumers: every GD step + both metric passes
-    def staged(df: DataFrame): DataFrame =
-      logitStages(spark = true).flatten.foldLeft(df) {
-        case (acc, (n, e)) => acc.withColumn(n, expr(e))
-      }
-    var ab = (1e0, 0e0)
-    for (_ <- 1 to 4) {
-      val sc = staged(zf.withColumn("z",
-        (lit(ab._1) * col("z0")) + lit(ab._2)))
-      // collect-bound: groupless aggregate, exactly 1 row per GD step
-      val r = sc.agg(count(lit(1)).as("n"),
-        coalesce(sum(floor(((col("p1") - col("y")) * col("z0")) * lit(dy))
-          .cast("long")), lit(0L)).as("ga"),
-        coalesce(sum(floor((col("p1") - col("y")) * lit(dy))
-          .cast("long")), lit(0L)).as("gb")).collect()(0)
-      val nd = r.getAs[Long]("n").toDouble
-      if (nd > 0)
-        ab = (ab._1 - 16e0 * (r.getAs[Long]("ga").toDouble / (dy * nd)),
-          ab._2 - 16e0 * (r.getAs[Long]("gb").toDouble / (dy * nd)))
-    }
+    val ab = trainPlattCached(s, d)
+    val zf = rawScoreFrame(s, d)
+      .localCheckpoint(true) // consumers: both metric passes
+    def staged(df: DataFrame): DataFrame = stagedSigmoid(df)
     def metricsOf(name: String, a: Double, b: Double): (String, Double, Double, Double, Double, Double) = {
       val sc = staged(zf.withColumn("z", (lit(a) * col("z0")) + lit(b)))
         .localCheckpoint(true) // consumers: scalar metrics + decile table
@@ -1513,33 +1534,50 @@ object LmOps extends QueryModule {
       .toDF("model", "a", "b", "loss", "brier", "ece")
       .orderBy("model")
   }
-  private def q231Sql: String = {
+  /** One staged-sigmoid CTE chain (spark = false dialect) from a source
+    * CTE carrying `z` — returns (lastCteName, ctes). */
+  private def plattStagedCtes(src: String, pfx: String): (String, Seq[String]) = {
     val groups = logitStages(spark = false)
-    def stagedCtes(src: String, pfx: String): (String, Seq[String]) = {
-      val ctes = groups.zipWithIndex.map { case (g, gi) =>
-        val from = if (gi == 0) src else s"$pfx$gi"
-        s"$pfx${gi + 1} AS (SELECT *, ${g.map { case (n, e) => s"$e AS $n" }.mkString(", ")} FROM $from)"
-      }
-      (s"$pfx${groups.size}", ctes)
+    val ctes = groups.zipWithIndex.map { case (g, gi) =>
+      val from = if (gi == 0) src else s"$pfx$gi"
+      s"$pfx${gi + 1} AS (SELECT *, ${g.map { case (n, e) => s"$e AS $n" }.mkString(", ")} FROM $from)"
     }
-    def gdIter(i: Int): String = {
-      val (last, ctes) = stagedCtes(s"pz$i", s"ps${i}_")
-      s"""pz$i AS (
-         |  SELECT zf.z0, zf.y, ((p.a * zf.z0) + p.b) AS z
-         |  FROM zf CROSS JOIN pt$i p),
-         |${ctes.mkString(",\n")},
-         |pagg$i AS MATERIALIZED (
-         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         |    COALESCE(CAST(SUM(CAST(FLOOR(((p1 - y) * z0) * $Dy) AS BIGINT)) AS BIGINT), 0) AS ga,
-         |    COALESCE(CAST(SUM(CAST(FLOOR((p1 - y) * $Dy) AS BIGINT)) AS BIGINT), 0) AS gb
-         |  FROM $last),
-         |pt${i + 1} AS MATERIALIZED (
-         |  SELECT (p.a - (16e0 * (CAST(g.ga AS DOUBLE) / ($Dy * CAST(g.n AS DOUBLE))))) AS a,
-         |    (p.b - (16e0 * (CAST(g.gb AS DOUBLE) / ($Dy * CAST(g.n AS DOUBLE))))) AS b
-         |  FROM pt$i p CROSS JOIN pagg$i g)""".stripMargin
-    }
+    (s"$pfx${groups.size}", ctes)
+  }
+  private def plattGdIter(i: Int): String = {
+    val (last, ctes) = plattStagedCtes(s"pz$i", s"ps${i}_")
+    s"""pz$i AS (
+       |  SELECT zf.z0, zf.y, ((p.a * zf.z0) + p.b) AS z
+       |  FROM zf CROSS JOIN pt$i p),
+       |${ctes.mkString(",\n")},
+       |pagg$i AS MATERIALIZED (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    COALESCE(CAST(SUM(CAST(FLOOR(((p1 - y) * z0) * $Dy) AS BIGINT)) AS BIGINT), 0) AS ga,
+       |    COALESCE(CAST(SUM(CAST(FLOOR((p1 - y) * $Dy) AS BIGINT)) AS BIGINT), 0) AS gb
+       |  FROM $last),
+       |pt${i + 1} AS MATERIALIZED (
+       |  SELECT (p.a - (16e0 * (CAST(g.ga AS DOUBLE) / ($Dy * CAST(g.n AS DOUBLE))))) AS a,
+       |    (p.b - (16e0 * (CAST(g.gb AS DOUBLE) / ($Dy * CAST(g.n AS DOUBLE))))) AS b
+       |  FROM pt$i p CROSS JOIN pagg$i g)""".stripMargin
+  }
+  /** The full Platt chain: q220's training CTEs (→ wt4), the raw-score
+    * frame zf, and four unrolled GD iterations (→ pt4) — the oracle twin
+    * of [[trainPlattCached]], shared by q231 and q237. */
+  private def plattChainSql: String =
+    s"""$logitChainSql,
+       |zc2 AS (
+       |  SELECT f.*, ((((w.w0 * f.x0) + (w.w1 * f.x1)) + (w.w2 * f.x2)) + (w.w3 * f.x3)) + (w.w4 * f.x4) AS z0
+       |  FROM f CROSS JOIN wt4 w),
+       |zf AS MATERIALIZED (SELECT z0, y FROM zc2),
+       |pt0 AS (SELECT 1e0 AS a, 0e0 AS b),
+       |${plattGdIter(0)},
+       |${plattGdIter(1)},
+       |${plattGdIter(2)},
+       |${plattGdIter(3)}""".stripMargin
+
+  private def q231Sql: String = {
     def metric(name: String, ptCte: String, pfx: String): String = {
-      val (last, ctes) = stagedCtes(s"${pfx}z", s"${pfx}s_")
+      val (last, ctes) = plattStagedCtes(s"${pfx}z", s"${pfx}s_")
       s"""${pfx}z AS (
          |  SELECT zf.z0, zf.y, ((p.a * zf.z0) + p.b) AS z
          |  FROM zf CROSS JOIN $ptCte p),
@@ -1569,20 +1607,97 @@ object LmOps extends QueryModule {
          |    (SELECT s FROM ${pfx}ece) / CAST(g.n AS DOUBLE) AS ece
          |  FROM $ptCte p CROSS JOIN ${pfx}g g)""".stripMargin
     }
-    s"""WITH $logitChainSql,
-       |zc2 AS (
-       |  SELECT f.*, ((((w.w0 * f.x0) + (w.w1 * f.x1)) + (w.w2 * f.x2)) + (w.w3 * f.x3)) + (w.w4 * f.x4) AS z0
-       |  FROM f CROSS JOIN wt4 w),
-       |zf AS MATERIALIZED (SELECT z0, y FROM zc2),
-       |pt0 AS (SELECT 1e0 AS a, 0e0 AS b),
-       |${gdIter(0)},
-       |${gdIter(1)},
-       |${gdIter(2)},
-       |${gdIter(3)},
+    s"""WITH $plattChainSql,
        |${metric("platt", "pt4", "mp")},
        |${metric("raw", "pt0", "mr")}
        |SELECT * FROM mprow UNION ALL SELECT * FROM mrrow
        |ORDER BY model""".stripMargin
+  }
+
+  // ------------------------------------------------------------------ q237
+
+  /** q237 — calibrated operating-point card: the USE of the calibration
+    * arc. For every threshold τ = k/10 over the PLATT-SCALED probability,
+    * report kept volume, the label-free EXPECTED precision (mean
+    * calibrated probability of the kept set — the number a deployment
+    * can compute with no labels at all), the actual labeled precision,
+    * and recall. q231 made expected ≈ actual true (that is what
+    * calibration MEANS), so this card is how a 100 TB gate picks its τ
+    * for a target precision without annotating the corpus — then the
+    * expected column is monitored and a widening expected/actual gap on
+    * a labeled audit slice is the recalibration alarm.
+    *
+    * Bit-parity: the gate is DEFINED on the decile bucket id (kept ⇔
+    * bucket ≥ k — exact integer compare, no p ≥ τ float-boundary
+    * ambiguity); bucket stats are exact integers (count, positives,
+    * dyadic probability sum); the driver only ADDS integers over ≤10
+    * buckets, and every division is a CASE-guarded expression spelled
+    * identically in both dialects.
+    *
+    * Scale shape: one calibrated scoring pass + one 10-key hash agg;
+    * the τ-grid arithmetic runs on the ≤10 collected bucket rows. */
+  private def q237(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ab = trainPlattCached(s, d)
+    val sc = stagedSigmoid(rawScoreFrame(s, d)
+      .withColumn("z", (lit(ab._1) * col("z0")) + lit(ab._2)))
+    val bk = sc
+      .withColumn("bucket", least(floor(col("p1") * lit(10e0)).cast("int"), lit(9)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("nb"),
+        sum(when(col("y") === 1e0, 1L).otherwise(0L)).as("pos"),
+        sum(floor(col("p1") * expr(Dy)).cast("long")).as("ps"))
+      // collect-bound: grouped by decile bucket — ≤ 10 rows
+      .collect().map(r => (r.getAs[Int]("bucket"), r.getAs[Long]("nb"),
+        r.getAs[Long]("pos"), r.getAs[Long]("ps")))
+    val totPos = bk.map(_._3).sum
+    val rows = (0 to 9).map { k =>
+      val kept = bk.filter(_._1 >= k)
+      (k, kept.map(_._2).sum, kept.map(_._3).sum, kept.map(_._4).sum)
+    }
+    rows.toDF("k", "n_kept", "n_true_pos", "sp")
+      .withColumn("tau", expr("CAST(k AS DOUBLE) / 10e0"))
+      .withColumn("expected_precision", expr(
+        s"CASE WHEN n_kept > 0 THEN CAST(sp AS DOUBLE) / ($Dy * CAST(n_kept AS DOUBLE)) END"))
+      .withColumn("actual_precision", expr(
+        "CASE WHEN n_kept > 0 THEN CAST(n_true_pos AS DOUBLE) / CAST(n_kept AS DOUBLE) END"))
+      .withColumn("recall", expr(
+        s"CASE WHEN ${totPos}L > 0 THEN CAST(n_true_pos AS DOUBLE) / CAST(${totPos}L AS DOUBLE) END"))
+      .select(col("k"), col("tau"), col("n_kept"), col("n_true_pos"),
+        col("expected_precision"), col("actual_precision"), col("recall"))
+      .orderBy("k")
+  }
+  private def q237Sql: String = {
+    val (last, ctes) = plattStagedCtes("csz", "cs_")
+    s"""WITH $plattChainSql,
+       |csz AS (
+       |  SELECT zf.z0, zf.y, ((p.a * zf.z0) + p.b) AS z
+       |  FROM zf CROSS JOIN pt4 p),
+       |${ctes.mkString(",\n")},
+       |cbk AS MATERIALIZED (
+       |  SELECT CAST(LEAST(CAST(FLOOR(p1 * 10e0) AS INTEGER), 9) AS INTEGER) AS bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS nb,
+       |    CAST(SUM(CASE WHEN y = 1e0 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+       |    CAST(SUM(CAST(FLOOR(p1 * $Dy) AS BIGINT)) AS BIGINT) AS ps
+       |  FROM $last GROUP BY 1),
+       |tot AS (SELECT CAST(COALESCE(SUM(pos), 0) AS BIGINT) AS tp FROM cbk),
+       |grid AS (SELECT unnest(generate_series(0, 9)) AS k),
+       |agg AS (
+       |  SELECT g.k,
+       |    CAST(COALESCE(SUM(b.nb), 0) AS BIGINT) AS n_kept,
+       |    CAST(COALESCE(SUM(b.pos), 0) AS BIGINT) AS n_true_pos,
+       |    CAST(COALESCE(SUM(b.ps), 0) AS BIGINT) AS sp
+       |  FROM grid g LEFT JOIN cbk b ON b.bucket >= g.k
+       |  GROUP BY g.k)
+       |SELECT CAST(k AS INTEGER) AS k, CAST(k AS DOUBLE) / 10e0 AS tau,
+       |  n_kept, n_true_pos,
+       |  CASE WHEN n_kept > 0
+       |    THEN CAST(sp AS DOUBLE) / ($Dy * CAST(n_kept AS DOUBLE)) END AS expected_precision,
+       |  CASE WHEN n_kept > 0
+       |    THEN CAST(n_true_pos AS DOUBLE) / CAST(n_kept AS DOUBLE) END AS actual_precision,
+       |  CASE WHEN (SELECT tp FROM tot) > 0
+       |    THEN CAST(n_true_pos AS DOUBLE) / CAST((SELECT tp FROM tot) AS DOUBLE) END AS recall
+       |FROM agg ORDER BY k""".stripMargin
   }
 
   // ------------------------------------------------------------------ q232
@@ -1723,5 +1838,6 @@ object LmOps extends QueryModule {
     Q("q220_logit_quality_trainer", q220, Some(q220Sql)),
     Q("q223_logit_calibration", q223, Some(q223Sql)),
     Q("q231_platt_scaling", q231, Some(q231Sql)),
-    Q("q232_isotonic_calibration", q232, Some(q232Sql)))
+    Q("q232_isotonic_calibration", q232, Some(q232Sql)),
+    Q("q237_operating_point", q237, Some(q237Sql)))
 }
