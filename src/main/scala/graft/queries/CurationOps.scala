@@ -2382,7 +2382,8 @@ object CurationOps extends QueryModule {
     Q("q202_source_gini", q202, Some(q202Sql)),
     Q("q203_bm25_retrieval", q203, Some(q203Sql)),
     Q("q204_ndcg_eval", q204, Some(q204Sql)),
-    Q("q236_zipf_fit", q236, Some(q236Sql)))
+    Q("q236_zipf_fit", q236, Some(q236Sql)),
+    Q("q238_heaps_fit", q238, Some(q238Sql)))
 
   // ---------------------------------------------------------------------
   // q236 — Zipf rank-frequency fit: the corpus-linguistics health check
@@ -2485,5 +2486,152 @@ object CurationOps extends QueryModule {
        |  (((nd * fxy) - (fx * fy)) * ((nd * fxy) - (fx * fy)))
        |    / (((nd * fxx) - (fx * fx)) * ((nd * fyy) - (fy * fy))) AS r2
        |FROM sl""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q238 — Heaps' law vocabulary-growth fit (Heaps 1978; the V(n) = K·n^β
+  // companion to q236's Zipf): 10 corpus prefixes cut at doc_id deciles,
+  // each with its exact token mass n_g and exact type count V_g (words
+  // whose FIRST containing doc falls inside the prefix), then the log-log
+  // OLS slope β with intercept ln K and R². Release use: β drifting
+  // toward 1 means the corpus keeps minting new types (OCR noise, id
+  // floods) — the dedup/quality gates upstream are leaking; β near 0
+  // means template saturation.
+  //
+  // Exactness: prefix membership is the integer compare
+  // doc_id ≤ (g·max_id) div 10; both stats come from ONE conditional
+  // aggregate each (10 CASE sums over the doc table, 10 CASE counts over
+  // the first-occurrence table — no per-prefix corpus passes); the fit is
+  // q236's machinery verbatim (PortableLn on integer stats, dyadic sums,
+  // closed form), guarded so a degenerate grid (<2 usable points, zero
+  // x-variance) yields NULL fit columns identically in both engines.
+  //
+  // Scale shape: two corpus passes (token sums; explode→min first-doc
+  // hash agg, vocabulary-bounded output) + 10-row arithmetic.
+  // ---------------------------------------------------------------------
+  private def q238(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dy = "67108864e0"
+    val dt = t(s, d, "documents")
+      .select(col("doc_id"),
+        size(split(trim(coalesce(col("text"), lit(""))), "\\s+"))
+          .cast("long").as("ntok"))
+    val mx = dt.agg(max(col("doc_id")).as("mx"))
+    val ntAgg = Scalars.withScalar(dt, mx).agg(
+      coalesce(sum(when(expr("doc_id <= ((1 * mx) div 10)"), col("ntok"))), lit(0L)).as("nt1"),
+      (2 to 10).map(g =>
+        coalesce(sum(when(expr(s"doc_id <= (($g * mx) div 10)"), col("ntok"))), lit(0L))
+          .as(s"nt$g")): _*)
+    val vw = t(s, d, "documents")
+      .select(col("doc_id"),
+        explode(split(trim(coalesce(col("text"), lit(""))), "\\s+")).as("w"))
+      .groupBy(col("w")).agg(min(col("doc_id")).as("fd"))
+    val vtAgg = Scalars.withScalar(vw, mx).agg(
+      count(when(expr("fd <= ((1 * mx) div 10)"), 1)).as("v1"),
+      (2 to 10).map(g =>
+        count(when(expr(s"fd <= (($g * mx) div 10)"), 1)).as(s"v$g")): _*)
+    val ntCase = (1 to 10).map(g => s"WHEN $g THEN nt$g").mkString("CASE g ", " ", " END")
+    val vtCase = (1 to 10).map(g => s"WHEN $g THEN v$g").mkString("CASE g ", " ", " END")
+    val pts = Seq(mx, ntAgg, vtAgg)
+      .foldLeft((1 to 10).toDF("g"))(Scalars.withScalar)
+      .withColumn("cutoff_doc", expr("(g * mx) div 10"))
+      .withColumn("n_tokens", expr(ntCase))
+      .withColumn("n_types", expr(vtCase))
+      .filter(col("n_tokens") >= 1 && col("n_types") >= 1)
+      .select(col("g"), col("cutoff_doc"), col("n_tokens"), col("n_types"))
+      .localCheckpoint(true) // consumers: fit aggregate + final card
+    val staged = (LmOps.PortableLn.steps("n_tokens", "h", spark = true) ++
+      LmOps.PortableLn.steps("n_types", "t", spark = true))
+      .foldLeft(pts) { case (df, (n, e)) => df.withColumn(n, expr(e)) }
+    val fit = staged.agg(
+        count(lit(1)).as("npts"),
+        sum(expr(s"CAST(FLOOR(lnh * $dy) AS BIGINT)")).as("sx"),
+        sum(expr(s"CAST(FLOOR(lnt * $dy) AS BIGINT)")).as("sy"),
+        sum(expr(s"CAST(FLOOR((lnh * lnt) * $dy) AS BIGINT)")).as("sxy"),
+        sum(expr(s"CAST(FLOOR((lnh * lnh) * $dy) AS BIGINT)")).as("sxx"),
+        sum(expr(s"CAST(FLOOR((lnt * lnt) * $dy) AS BIGINT)")).as("syy"))
+      .withColumn("nd", col("npts").cast("double"))
+      .withColumn("fx", expr(s"CAST(sx AS DOUBLE) / $dy"))
+      .withColumn("fy", expr(s"CAST(sy AS DOUBLE) / $dy"))
+      .withColumn("fxy", expr(s"CAST(sxy AS DOUBLE) / $dy"))
+      .withColumn("fxx", expr(s"CAST(sxx AS DOUBLE) / $dy"))
+      .withColumn("fyy", expr(s"CAST(syy AS DOUBLE) / $dy"))
+      .withColumn("dn", expr("(nd * fxx) - (fx * fx)"))
+      .withColumn("beta", expr(
+        "CASE WHEN npts >= 2 AND dn <> 0e0 THEN ((nd * fxy) - (fx * fy)) / dn END"))
+      .withColumn("ln_k", expr(
+        "CASE WHEN npts >= 2 AND dn <> 0e0 THEN (fy - (beta * fx)) / nd END"))
+      .withColumn("r2", expr(
+        "CASE WHEN npts >= 2 AND dn <> 0e0 AND ((nd * fyy) - (fy * fy)) <> 0e0" +
+          " THEN (((nd * fxy) - (fx * fy)) * ((nd * fxy) - (fx * fy)))" +
+          " / (dn * ((nd * fyy) - (fy * fy))) END"))
+      .select(col("beta"), col("ln_k"), col("r2"))
+    Scalars.withScalar(pts, fit)
+      .select(col("g"), col("cutoff_doc"), col("n_tokens"), col("n_types"),
+        col("beta"), col("ln_k"), col("r2"))
+      .orderBy("g")
+  }
+  private def q238Sql: String = {
+    val dy = "67108864e0"
+    val ntCols = (1 to 10).map(g =>
+      s"CAST(COALESCE(SUM(CASE WHEN d.doc_id <= (($g * m.mx) // 10) THEN d.ntok END), 0) AS BIGINT) AS nt$g")
+      .mkString(",\n    ")
+    val vtCols = (1 to 10).map(g =>
+      s"CAST(COUNT(CASE WHEN v.fd <= (($g * m.mx) // 10) THEN 1 END) AS BIGINT) AS v$g")
+      .mkString(",\n    ")
+    val ntCase = (1 to 10).map(g => s"WHEN $g THEN nt$g").mkString("CASE g ", " ", " END")
+    val vtCase = (1 to 10).map(g => s"WHEN $g THEN v$g").mkString("CASE g ", " ", " END")
+    val (last, ctes) = LmOps.lnCtes("pts", "hl",
+      Seq("n_tokens" -> "h", "n_types" -> "t"))
+    s"""WITH dt AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(trim(COALESCE(text, '')), '\\s+')) AS BIGINT) AS ntok
+       |  FROM documents),
+       |mx AS (SELECT CAST(MAX(doc_id) AS BIGINT) AS mx FROM dt),
+       |nt AS (SELECT $ntCols FROM dt d CROSS JOIN mx m),
+       |vw AS MATERIALIZED (
+       |  SELECT w, CAST(MIN(doc_id) AS BIGINT) AS fd
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_split_to_array(trim(COALESCE(text, '')), '\\s+')) AS w
+       |        FROM documents)
+       |  GROUP BY w),
+       |vt AS (SELECT $vtCols FROM vw v CROSS JOIN mx m),
+       |grid AS (SELECT unnest(generate_series(1, 10)) AS g),
+       |pts0 AS (
+       |  SELECT g, ((g * m.mx) // 10) AS cutoff_doc,
+       |    $ntCase AS n_tokens, $vtCase AS n_types
+       |  FROM grid CROSS JOIN mx m CROSS JOIN nt CROSS JOIN vt),
+       |pts AS MATERIALIZED (
+       |  SELECT * FROM pts0 WHERE n_tokens >= 1 AND n_types >= 1),
+       |${ctes.mkString(",\n")},
+       |agg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS npts,
+       |    CAST(SUM(CAST(FLOOR(lnh * $dy) AS BIGINT)) AS BIGINT) AS sx,
+       |    CAST(SUM(CAST(FLOOR(lnt * $dy) AS BIGINT)) AS BIGINT) AS sy,
+       |    CAST(SUM(CAST(FLOOR((lnh * lnt) * $dy) AS BIGINT)) AS BIGINT) AS sxy,
+       |    CAST(SUM(CAST(FLOOR((lnh * lnh) * $dy) AS BIGINT)) AS BIGINT) AS sxx,
+       |    CAST(SUM(CAST(FLOOR((lnt * lnt) * $dy) AS BIGINT)) AS BIGINT) AS syy
+       |  FROM $last),
+       |fs AS (
+       |  SELECT CAST(npts AS DOUBLE) AS nd, npts,
+       |    CAST(sx AS DOUBLE) / $dy AS fx, CAST(sy AS DOUBLE) / $dy AS fy,
+       |    CAST(sxy AS DOUBLE) / $dy AS fxy, CAST(sxx AS DOUBLE) / $dy AS fxx,
+       |    CAST(syy AS DOUBLE) / $dy AS fyy
+       |  FROM agg),
+       |dn0 AS (SELECT *, ((nd * fxx) - (fx * fx)) AS dn FROM fs),
+       |bt AS (SELECT *,
+       |    CASE WHEN npts >= 2 AND dn <> 0e0
+       |      THEN ((nd * fxy) - (fx * fy)) / dn END AS beta
+       |  FROM dn0),
+       |fit AS (
+       |  SELECT beta,
+       |    CASE WHEN npts >= 2 AND dn <> 0e0 THEN (fy - (beta * fx)) / nd END AS ln_k,
+       |    CASE WHEN npts >= 2 AND dn <> 0e0 AND ((nd * fyy) - (fy * fy)) <> 0e0
+       |      THEN (((nd * fxy) - (fx * fy)) * ((nd * fxy) - (fx * fy)))
+       |        / (dn * ((nd * fyy) - (fy * fy))) END AS r2
+       |  FROM bt)
+       |SELECT p.g, p.cutoff_doc, p.n_tokens, p.n_types, f.beta, f.ln_k, f.r2
+       |FROM pts p CROSS JOIN fit f
+       |ORDER BY p.g""".stripMargin
   }
 }
