@@ -709,20 +709,26 @@ object DedupOps extends QueryModule {
   private[graft] def compactDedupIndex(s: SparkSession, dir: String): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
     // Snapshot tombstones BEFORE any rewrite: the swap closures and the
-    // retained-set overwrite below both consume them, and the lazy
+    // retained-set computation below both consume them, and the lazy
     // parquet read would otherwise race its own overwrite.
     val tombs = loadTombstones(s, dir).map(_.localCheckpoint(true))
-    // Tombstones whose doc never appeared in any table keep waiting
-    // (retire-before-arrival); the ones applied by this pass clear.
-    tombs.foreach { tb =>
+    // Retained set = tombstones whose doc never appeared in any table
+    // (retire-before-arrival — they keep waiting); the ones this pass
+    // applies clear. COMPUTED here against the pre-swap tables (after the
+    // swaps the applied docs are gone, so every tombstone would look
+    // unapplied) but WRITTEN last, after all three swaps: a crash anywhere
+    // in between leaves extra tombstones on disk, which re-apply
+    // idempotently at the next probe/compaction — never the reverse
+    // hazard of a tombstoned doc live in the tables with its tombstone
+    // record already erased.
+    val retained = tombs.map { tb =>
       val present = Seq(
         s.read.parquet(s"$dir/exact").select(col("exact_doc").as("doc_id")),
         s.read.parquet(s"$dir/bands").select(col("doc_id")),
         s.read.parquet(s"$dir/shingles").select(col("doc_id")))
         .reduce(_.union(_)).distinct()
       tb.join(present, Seq("doc_id"), "left_anti")
-        .localCheckpoint(true) // detach from the files overwritten next
-        .write.mode("overwrite").parquet(s"$dir/tombstones")
+        .localCheckpoint(true) // detach from the files the swaps rewrite
     }
     def swap(table: String)(compact: DataFrame => DataFrame): Unit = {
       val cur = new org.apache.hadoop.fs.Path(s"$dir/$table")
@@ -741,6 +747,10 @@ object DedupOps extends QueryModule {
     swap("bands")(df => dropTombstoned(df, "doc_id", tombs).distinct())
     swap("shingles")(df =>
       dropTombstoned(df, "doc_id", tombs).dropDuplicates("doc_id"))
+    // Tombstone overwrite LAST (see `retained` above for the ordering
+    // argument): only once every swap has consumed the snapshot is it
+    // safe to forget the applied tombstones.
+    retained.foreach(_.write.mode("overwrite").parquet(s"$dir/tombstones"))
   }
 
   /** Probe a batch of (doc_id, text) against a persisted index: verdict

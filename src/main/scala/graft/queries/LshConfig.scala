@@ -93,12 +93,24 @@ object LshConfig {
     * [[Default]]. */
   def fromConf(s: SparkSession): Scheme = {
     val c = s.conf
+    // Both-or-neither, fail-fast: a half-set pin (a typo'd key, a partial
+    // rollout) silently falling through to Default would build an index
+    // with a scheme the operator did not intend — and a probe-vs-index
+    // scheme mismatch zeroes recall (see the class scaladoc). Same
+    // contract for the SLA pair.
     (c.getOption("spark.graft.lsh.bands"), c.getOption("spark.graft.lsh.rows")) match {
       case (Some(b), Some(r)) => Scheme(b.toInt, r.toInt)
-      case _ =>
+      case (Some(_), None) | (None, Some(_)) => throw new IllegalArgumentException(
+        "spark.graft.lsh.bands and spark.graft.lsh.rows must be set together " +
+          "(exactly one is set — a half-specified pin would silently fall back " +
+          "to the default scheme)")
+      case (None, None) =>
         (c.getOption("spark.graft.lsh.targetRecall"),
             c.getOption("spark.graft.lsh.atJaccard")) match {
           case (Some(t), Some(j)) => schemeFor(t.toDouble, j.toDouble)
+          case (Some(_), None) | (None, Some(_)) => throw new IllegalArgumentException(
+            "spark.graft.lsh.targetRecall and spark.graft.lsh.atJaccard must be " +
+              "set together (exactly one is set)")
           case _ => Default
         }
     }

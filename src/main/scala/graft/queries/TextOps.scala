@@ -1142,6 +1142,15 @@ object TextOps extends QueryModule {
       // collect-bound: log-histogram buckets — ≤ 8·64 = 512 rows by construction
       .collect().map(r => (r.getAs[Int]("idx"), r.getAs[Long]("cnt")))
       .sortBy(_._1)
+    // Empty-corpus degenerate: no values → no buckets → no rank is
+    // selectable. The oracle's `sel` join yields zero rows there, so the
+    // card is the EMPTY card, not a crash (the q238 NULL-fit guard
+    // pattern applied to a zero-row one).
+    if (n == 0L || sk.isEmpty)
+      return Seq.empty[(Int, Double, Long, Int, Long, Option[Double],
+          Option[Double], Int)]
+        .toDF("qi", "q", "rank_r", "bucket_idx", "est", "exact_pct",
+          "rel_err", "n_buckets")
     val cum = sk.scanLeft(0L)(_ + _._2).tail
     val spine = Seq((1, 0.01), (2, 0.25), (3, 0.5), (4, 0.75), (5, 0.9), (6, 0.99))
     val rows = spine.map { case (qi, q) =>

@@ -1542,8 +1542,13 @@ object VectorOps extends QueryModule {
         tauC)
       .select(col("tau_indexed"), col("tau_current"),
         (col("tau_current") - col("tau_indexed")).as("drift"),
-        (abs(col("tau_current") - col("tau_indexed")) /
-          abs(col("tau_indexed"))).as("rel_drift"))
+        // CASE-guarded division (the q237/q238 discipline): a degenerate
+        // index whose calibrated τ is 0 (single-vector cells → no
+        // within-cell pair → NULL/0 τ) yields a NULL rel_drift and NULL
+        // recalibrate flag, never Infinity/NaN.
+        when(col("tau_indexed") =!= 0.0,
+          abs(col("tau_current") - col("tau_indexed")) /
+            abs(col("tau_indexed"))).as("rel_drift"))
       .withColumn("recalibrate", col("rel_drift") > lit(0.01))
   }
   private def q218Sql: String = {
@@ -1570,10 +1575,12 @@ object VectorOps extends QueryModule {
        |SELECT (SELECT tau FROM tauv) AS tau_indexed,
        |  (SELECT tau_current FROM tcur) AS tau_current,
        |  ((SELECT tau_current FROM tcur) - (SELECT tau FROM tauv)) AS drift,
-       |  (abs((SELECT tau_current FROM tcur) - (SELECT tau FROM tauv)) /
-       |    abs((SELECT tau FROM tauv))) AS rel_drift,
-       |  (abs((SELECT tau_current FROM tcur) - (SELECT tau FROM tauv)) /
-       |    abs((SELECT tau FROM tauv))) > 0.01 AS recalibrate""".stripMargin
+       |  CASE WHEN (SELECT tau FROM tauv) <> 0 THEN
+       |    (abs((SELECT tau_current FROM tcur) - (SELECT tau FROM tauv)) /
+       |      abs((SELECT tau FROM tauv))) END AS rel_drift,
+       |  (CASE WHEN (SELECT tau FROM tauv) <> 0 THEN
+       |    (abs((SELECT tau_current FROM tcur) - (SELECT tau FROM tauv)) /
+       |      abs((SELECT tau FROM tauv))) END) > 0.01 AS recalibrate""".stripMargin
   }
 
   // ---------------------------------------------------------------- q221

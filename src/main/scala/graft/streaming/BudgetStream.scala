@@ -17,14 +17,23 @@ import org.apache.spark.sql.types._
   * budget — the identical boundary rule as q110 (`cum − n_tokens <
   * budget`: the doc that crosses the boundary is kept).
   *
-  * State is ONE Long per source (the running token total) — bounded by
-  * the source vocabulary, never corpus-proportional; a year of 100 TB/day
-  * ingest carries the same state as day one. The token projection is the
-  * row-local q110 tokenizer shared verbatim with [[batchTwin]], so the
-  * spec proves stream ≡ batch by construction. Within a micro-batch the
-  * group's rows are sorted (event time, doc_id) — a batch-bounded sort,
-  * the same order the twin's window uses — so admissions are
-  * deterministic under any in-batch file/partition order. Every doc is
+  * PERSISTED state is ONE Long per source (the running token total) —
+  * bounded by the source vocabulary, never corpus-proportional; a year of
+  * 100 TB/day ingest carries the same checkpoint state as day one. The
+  * TRANSIENT bound is different and must be sized: the accountant buffers
+  * each source's slice of the current micro-batch (`rows.toSeq`) to sort
+  * it, so executor memory per group is proportional to the micro-batch —
+  * a single-source flood in one trigger can exceed executor memory even
+  * though the checkpoint stays one Long. Cap the micro-batch with
+  * `maxFilesPerTrigger` (exposed on [[read]]/[[runAccountant]]) so the
+  * largest per-source slice fits; feeds that are already time-ordered at
+  * the source could instead process the iterator in arrival order and
+  * drop the in-batch sort (trading determinism-under-partition-reorder
+  * for O(1) memory). The token projection is the row-local q110 tokenizer
+  * shared verbatim with [[batchTwin]], so the spec proves stream ≡ batch
+  * by construction. Within a micro-batch the group's rows are sorted
+  * (event time, doc_id) — the same order the twin's window uses — so
+  * admissions are deterministic under any in-batch file/partition order. Every doc is
   * EMITTED with its verdict (admitted or not) and running total: the
   * rejected rows are the accountant's observability — their per-source
   * volume is what tells an operator to stop paying for a source's crawl.
@@ -79,6 +88,8 @@ object BudgetStream {
           val b = budgets.getOrElse(src, defaultBudget)
           var cum = state.getOption.fold(0L)(_.cum)
           // Batch-bounded sort: (event time, doc_id) — the twin's order.
+          // NOTE: buffers the group's whole micro-batch slice; see the
+          // object scaladoc's transient-memory bound + maxFilesPerTrigger.
           val out = rows.toSeq.sortBy(r => (r._4, r._2)).map {
             case (_, id, nt, _) =>
               val admitted = cum < b
