@@ -709,25 +709,35 @@ object DedupOps extends QueryModule {
   private[graft] def compactDedupIndex(s: SparkSession, dir: String): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
     // Snapshot tombstones BEFORE any rewrite: the swap closures and the
-    // retained-set computation below both consume them, and the lazy
+    // applied-set computation below both consume them, and the lazy
     // parquet read would otherwise race its own overwrite.
     val tombs = loadTombstones(s, dir).map(_.localCheckpoint(true))
-    // Retained set = tombstones whose doc never appeared in any table
-    // (retire-before-arrival — they keep waiting); the ones this pass
-    // applies clear. COMPUTED here against the pre-swap tables (after the
-    // swaps the applied docs are gone, so every tombstone would look
-    // unapplied) but WRITTEN last, after all three swaps: a crash anywhere
-    // in between leaves extra tombstones on disk, which re-apply
+    // Applied set = tombstones whose doc WAS in some pre-swap table (the
+    // swaps below remove exactly these). COMPUTED here against the
+    // pre-swap tables (after the swaps the applied docs are gone, so
+    // every tombstone would look unapplied); the surviving tombstone set
+    // is then derived at WRITE time, after all three swaps, by re-reading
+    // the CURRENT on-disk tombstone table and anti-joining the applied
+    // set — not by writing this snapshot back. The re-read is what keeps
+    // a takedown appended concurrently by [[tombstoneDocs]] (append mode)
+    // DURING the compaction pass alive: a snapshot-derived write would
+    // silently clobber it, leaving the doc matchable. Crash ordering is
+    // unchanged from the snapshot design: a crash anywhere before the
+    // final write leaves extra tombstones on disk, which re-apply
     // idempotently at the next probe/compaction — never the reverse
     // hazard of a tombstoned doc live in the tables with its tombstone
-    // record already erased.
-    val retained = tombs.map { tb =>
+    // record already erased. (A takedown landing BETWEEN the final
+    // re-read and the overwrite — a sub-second window, vs the whole pass
+    // before — is the residual race; serializing takedowns against the
+    // maintenance arm closes it, and the streaming driver does exactly
+    // that by running both from one foreachBatch thread.)
+    val applied = tombs.map { tb =>
       val present = Seq(
         s.read.parquet(s"$dir/exact").select(col("exact_doc").as("doc_id")),
         s.read.parquet(s"$dir/bands").select(col("doc_id")),
         s.read.parquet(s"$dir/shingles").select(col("doc_id")))
         .reduce(_.union(_)).distinct()
-      tb.join(present, Seq("doc_id"), "left_anti")
+      tb.join(present, Seq("doc_id"), "left_semi")
         .localCheckpoint(true) // detach from the files the swaps rewrite
     }
     def swap(table: String)(compact: DataFrame => DataFrame): Unit = {
@@ -747,10 +757,17 @@ object DedupOps extends QueryModule {
     swap("bands")(df => dropTombstoned(df, "doc_id", tombs).distinct())
     swap("shingles")(df =>
       dropTombstoned(df, "doc_id", tombs).dropDuplicates("doc_id"))
-    // Tombstone overwrite LAST (see `retained` above for the ordering
-    // argument): only once every swap has consumed the snapshot is it
-    // safe to forget the applied tombstones.
-    retained.foreach(_.write.mode("overwrite").parquet(s"$dir/tombstones"))
+    // Tombstone overwrite LAST (see `applied` above for the ordering
+    // argument), against a FRESH read of the table so concurrent
+    // takedowns survive: only once every swap has consumed the snapshot
+    // is it safe to forget the applied tombstones.
+    applied.foreach { ap =>
+      loadTombstones(s, dir).foreach { cur =>
+        cur.join(ap, Seq("doc_id"), "left_anti")
+          .localCheckpoint(true) // detach from the files being overwritten
+          .write.mode("overwrite").parquet(s"$dir/tombstones")
+      }
+    }
   }
 
   /** Probe a batch of (doc_id, text) against a persisted index: verdict

@@ -68,6 +68,24 @@ class LshConfigSpec extends SparkSpec {
     assert(fromConf(spark) === Default)
   }
 
+  test("fromConf fails fast on every half-specified pin") {
+    // A typo'd key or partial rollout must NOT silently fall back to
+    // Default — a probe banding differently from its index zeroes recall.
+    for ((key, value) <- Seq(
+        "spark.graft.lsh.bands" -> "8",
+        "spark.graft.lsh.rows" -> "2",
+        "spark.graft.lsh.targetRecall" -> "0.9",
+        "spark.graft.lsh.atJaccard" -> "0.5")) {
+      try {
+        spark.conf.set(key, value)
+        val e = intercept[IllegalArgumentException] { fromConf(spark) }
+        assert(e.getMessage.contains("must be set together"), s"half-pin $key")
+      } finally spark.conf.unset(key)
+    }
+    // And a half-pin does not poison the session once cleared.
+    assert(fromConf(spark) === Default)
+  }
+
   test("generalized banding is byte-identical to the pre-knob 4x4 formulation") {
     import spark.implicits._
     val docs = Seq(

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.SparkSpec
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The q233 log-histogram bucket math — exhaustive over v in [1, 2^20]:
@@ -59,5 +60,31 @@ class QuantileSketchSpec extends AnyFunSuite {
     seen.sliding(2).foreach { case Seq(a, b) =>
       if (b == a + 1) assert(hi(a) + 1 === lo(b), s"gap between idx $a and $b")
     }
+  }
+}
+
+/** The q233 EMPTY-CORPUS degenerate (round-13 guard, round-14 test): no
+  * values → no buckets → no selectable rank. The engine must return the
+  * zero-row card with the REGULAR card's schema — the same shape the
+  * DuckDB oracle's `sel` join produces on an empty corpus — instead of
+  * the pre-guard sk(-1) IndexOutOfBounds. */
+class QuantileSketchEmptySpec extends SparkSpec {
+
+  test("q233 on an empty corpus: zero-row card, schema identical to the populated card") {
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft_q233_empty").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      .write.mode("overwrite").parquet(s"$root/documents.parquet")
+    val empty = graft.SparkEntry.queries("q233_quantile_sketch")(spark, root)
+    assert(empty.count() === 0L)
+    val populated =
+      graft.SparkEntry.queries("q233_quantile_sketch")(spark, "/root/testdata/sf0.001")
+    assert(empty.schema.map(f => (f.name, f.dataType)) ===
+      populated.schema.map(f => (f.name, f.dataType)),
+      s"empty-card schema drifted:\n${empty.schema}\nvs\n${populated.schema}")
   }
 }
