@@ -587,10 +587,18 @@ object DedupOps extends QueryModule {
     val s = base.sparkSession
     val scheme = LshConfig.fromConf(s)
     val nb = normDocs(base)
-    nb.groupBy(col("norm_key")).agg(min(col("doc_id")).as("exact_doc"))
-      .write.mode("overwrite").parquet(s"$dir/exact")
-    mhBandsOf(nb, scheme).write.mode("overwrite").parquet(s"$dir/bands")
-    shingleSetOf(nb).write.mode("overwrite").parquet(s"$dir/shingles")
+    // Each table persists BUCKETED on its own probe-join key (external
+    // bucketed tables, spec persisted beside the data — see IndexStore):
+    // the probe's index-side scans arrive pre-partitioned, so only the
+    // batch side ever shuffles. This is the layout the DedupStream
+    // scaladoc promises; IndexColocationSpec pins the plan shape.
+    graft.operators.IndexStore.create(
+      nb.groupBy(col("norm_key")).agg(min(col("doc_id")).as("exact_doc")),
+      dir, "exact", Seq("norm_key"))
+    graft.operators.IndexStore.create(
+      mhBandsOf(nb, scheme), dir, "bands", Seq("band", "sig"))
+    graft.operators.IndexStore.create(
+      shingleSetOf(nb), dir, "shingles", Seq("doc_id"))
     import s.implicits._
     Seq((scheme.bands, scheme.rows)).toDF("bands", "rows")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/scheme")
@@ -621,11 +629,12 @@ object DedupOps extends QueryModule {
     * min. */
   private[graft] def appendToDedupIndex(novel: DataFrame, dir: String): Unit = {
     val nb = normDocs(novel)
-    nb.groupBy(col("norm_key")).agg(min(col("doc_id")).as("exact_doc"))
-      .write.mode("append").parquet(s"$dir/exact")
-    mhBandsOf(nb, indexScheme(novel.sparkSession, dir))
-      .write.mode("append").parquet(s"$dir/bands")
-    shingleSetOf(nb).write.mode("append").parquet(s"$dir/shingles")
+    graft.operators.IndexStore.append(
+      nb.groupBy(col("norm_key")).agg(min(col("doc_id")).as("exact_doc")),
+      dir, "exact")
+    graft.operators.IndexStore.append(
+      mhBandsOf(nb, indexScheme(novel.sparkSession, dir)), dir, "bands")
+    graft.operators.IndexStore.append(shingleSetOf(nb), dir, "shingles")
   }
 
   private val IndexTables = Seq("exact", "bands", "shingles")
@@ -707,7 +716,6 @@ object DedupOps extends QueryModule {
     * from the maintenance arm (file-count threshold), never inline with a
     * probe. */
   private[graft] def compactDedupIndex(s: SparkSession, dir: String): Unit = {
-    val conf = s.sparkContext.hadoopConfiguration
     // Snapshot tombstones BEFORE any rewrite: the swap closures and the
     // applied-set computation below both consume them, and the lazy
     // parquet read would otherwise race its own overwrite.
@@ -733,25 +741,19 @@ object DedupOps extends QueryModule {
     // that by running both from one foreachBatch thread.)
     val applied = tombs.map { tb =>
       val present = Seq(
-        s.read.parquet(s"$dir/exact").select(col("exact_doc").as("doc_id")),
-        s.read.parquet(s"$dir/bands").select(col("doc_id")),
-        s.read.parquet(s"$dir/shingles").select(col("doc_id")))
+        graft.operators.IndexStore.read(s, dir, "exact")
+          .select(col("exact_doc").as("doc_id")),
+        graft.operators.IndexStore.read(s, dir, "bands").select(col("doc_id")),
+        graft.operators.IndexStore.read(s, dir, "shingles")
+          .select(col("doc_id")))
         .reduce(_.union(_)).distinct()
       tb.join(present, Seq("doc_id"), "left_semi")
         .localCheckpoint(true) // detach from the files the swaps rewrite
     }
-    def swap(table: String)(compact: DataFrame => DataFrame): Unit = {
-      val cur = new org.apache.hadoop.fs.Path(s"$dir/$table")
-      val tmp = new org.apache.hadoop.fs.Path(s"$dir/${table}__compact")
-      val fs = cur.getFileSystem(conf)
-      val bytes = fs.getContentSummary(cur).getLength
-      val nFiles = math.max(1L, (bytes + (128L << 20) - 1) / (128L << 20)).toInt
-      compact(s.read.parquet(cur.toString))
-        .coalesce(nFiles)
-        .write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(cur, true)
-      require(fs.rename(tmp, cur), s"compaction swap failed for $cur")
-    }
+    // Swap preserves the build-time bucketing (IndexStore.compactSwap
+    // re-registers from the persisted spec after the rename).
+    def swap(table: String)(compact: DataFrame => DataFrame): Unit =
+      graft.operators.IndexStore.compactSwap(s, dir, table)(compact)
     swap("exact")(df => dropTombstoned(df, "exact_doc", tombs)
       .groupBy(col("norm_key")).agg(min(col("exact_doc")).as("exact_doc")))
     swap("bands")(df => dropTombstoned(df, "doc_id", tombs).distinct())
@@ -799,7 +801,7 @@ object DedupOps extends QueryModule {
     // Candidates: batch bands × persisted band index — the only
     // index-sized join, keyed on (band, sig).
     val bandIdx = dropTombstoned(
-      s.read.parquet(s"$dir/bands")
+      graft.operators.IndexStore.read(s, dir, "bands")
         .select(col("doc_id").as("base_doc"), col("band"), col("sig")),
       "base_doc", tombs)
     val cand = mhBandsOf(nb, indexScheme(s, dir))
@@ -815,7 +817,7 @@ object DedupOps extends QueryModule {
         nb.join(broadcast(cand.select(col("batch_doc").as("doc_id")).distinct()),
           "doc_id"))
       .localCheckpoint(true)
-    val baseSets = s.read.parquet(s"$dir/shingles")
+    val baseSets = graft.operators.IndexStore.read(s, dir, "shingles")
       .join(broadcast(cand.select(col("base_doc").as("doc_id")).distinct()),
         "doc_id")
     val best = cand
@@ -837,7 +839,8 @@ object DedupOps extends QueryModule {
     // probing its own partial append) are nulled before the min, which
     // ignores them.
     nb.select(col("doc_id"), col("norm_key"))
-      .join(dropTombstoned(s.read.parquet(s"$dir/exact"), "exact_doc", tombs),
+      .join(dropTombstoned(graft.operators.IndexStore.read(s, dir, "exact"),
+          "exact_doc", tombs),
         Seq("norm_key"), "left")
       .groupBy(col("doc_id"))
       .agg(min(when(col("exact_doc") =!= col("doc_id"), col("exact_doc")))
@@ -885,14 +888,15 @@ object DedupOps extends QueryModule {
     * exact integers plus one final division. */
   private def q208(s: SparkSession, d: String): DataFrame = {
     val dir = builtBaseIndex(s, d) // shared with q112 — one build per corpus
-    val bstats = s.read.parquet(s"$dir/bands")
+    val bstats = graft.operators.IndexStore.read(s, dir, "bands")
       .groupBy(col("band"), col("sig")).agg(count(lit(1)).as("n"))
       .agg(sum(col("n")).as("band_rows"),
         count(lit(1)).as("band_buckets"),
         max(col("n")).as("max_bucket_docs"),
         expr("sum(n * (n - 1)) div 2").as("cand_pairs_budget"))
-    val estats = s.read.parquet(s"$dir/exact").agg(count(lit(1)).as("exact_keys"))
-    val sstats = s.read.parquet(s"$dir/shingles")
+    val estats = graft.operators.IndexStore.read(s, dir, "exact")
+      .agg(count(lit(1)).as("exact_keys"))
+    val sstats = graft.operators.IndexStore.read(s, dir, "shingles")
       .agg(count(lit(1)).as("shingle_docs"), sum(size(col("shs"))).as("shingle_mass"))
     graft.Scalars.withScalar(graft.Scalars.withScalar(bstats, estats), sstats)
       .select(col("exact_keys"), col("band_rows"), col("band_buckets"),
@@ -1307,8 +1311,8 @@ object DedupOps extends QueryModule {
     * ROW-LOCALLY by character-trigram Jaccard of the keys (is_dup at
     * J ≥ 0.8). SNM's trade vs LSH: no hashing and candidates bounded at
     * w·n by construction, but recall depends on the sort key sharing a
-    * prefix — the classic fix (noted, not built) is multi-pass with
-    * rotated keys.
+    * prefix — the classic fix is multi-pass with rotated keys, built
+    * as [[q239]] (whose pass 0 is exactly this query).
     *
     * Parity: the key alphabet is [a-z0-9] — pure ASCII — so Java
     * UTF-16 and DuckDB UTF-8 byte orderings coincide (a non-ASCII sort
@@ -1321,8 +1325,9 @@ object DedupOps extends QueryModule {
     * work after the sort is w−1 lead()s and a ≤30-trigram intersect.
     * Skew honesty: a corpus where one 2-char prefix dominates (all docs
     * share a boilerplate opener) re-creates the global-sort problem —
-    * production rotates the key (the multi-pass recall fix doubles as
-    * the skew fix) or extends the prefix adaptively. */
+    * the rotated-key passes of [[q239]] are the fix (the recall fix
+    * doubles as the skew fix); extending the prefix adaptively is the
+    * alternative. */
   private def q235(s: SparkSession, d: String): DataFrame = {
     val keyed = t(s, d, "documents")
       .select(col("doc_id"), expr(
@@ -1395,8 +1400,244 @@ object DedupOps extends QueryModule {
       |  (CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE)) >= 0.8 AS is_dup
       |FROM sc ORDER BY doc_a, doc_b, neighbor_dist""".stripMargin
 
+  // ------------------------------------------------------------------ q239
+
+  /** q239 — MULTI-PASS sorted-neighborhood with rotated keys: the
+    * classic recall fix q235's scaladoc names (Hernández & Stolfo 1995
+    * §4.2 run several passes with different sort keys and union the
+    * candidates). Single-pass SNM only pairs docs whose keys sort
+    * adjacently — two near-identical docs whose keys diverge in the
+    * FIRST characters land in different 2-char blocks and are never
+    * candidates. Pass p here sorts by the key ROTATED left by
+    * (p·11 mod len) characters (11 is coprime to the 32-char key cap,
+    * so the three passes start the sort at well-spread offsets); a pair
+    * differing only in a short prefix becomes ADJACENT in a rotated
+    * pass where the shared substring leads the sort key. Pass 0 is
+    * rotation 0 — exactly q235 — so multi-pass candidate recall is ≥
+    * single-pass BY CONSTRUCTION (SnmMultipassSpec also pins it on
+    * planted prefix-divergent near-dups), and verification is unchanged:
+    * character-trigram Jaccard of the ORIGINAL keys at J ≥ 0.8.
+    *
+    * The SKEW DUAL, now cashed rather than noted: a corpus where one
+    * boilerplate opener dominates pass 0's 2-char blocks (the q235
+    * honesty caveat — one block re-creates the global sort) spreads
+    * across rotated passes, because the rotation starts each key
+    * mid-document where the shared opener no longer leads; the window
+    * work of the skewed pass re-balances in the others, and the union
+    * keeps every pair any pass saw.
+    *
+    * Scale shape: 3× q235's sort-shuffle, each keyed (pass, pfx, rk) —
+    * the pass id is IN the partition key, so all three passes run as ONE
+    * window over one shuffle, not three jobs; per-row work after the
+    * sort is the same w−1 lead()s; the union is a (doc_a, doc_b) hash
+    * aggregation over candidate pairs (≤ 3·(w−1)·n rows). Parity: the
+    * rotation is pure ASCII substring algebra, identical in both
+    * engines; min/count-distinct aggregates are exact integers. */
+  private def q239(s: SparkSession, d: String): DataFrame = {
+    val keyed = t(s, d, "documents")
+      .select(col("doc_id"), expr(
+        "substring(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]', ''), 1, 32)")
+        .as("k"))
+      .filter(length(col("k")) >= 3)
+    val passes = keyed
+      .select(col("doc_id"), col("k"), explode(expr("array(0, 1, 2)")).as("pass"))
+      .withColumn("rot", (col("pass") * lit(11)) % length(col("k")))
+      .withColumn("rk",
+        concat(expr("substring(k, rot + 1)"), expr("substring(k, 1, rot)")))
+      .withColumn("pfx", substring(col("rk"), 1, 2))
+    val w = Window.partitionBy("pass", "pfx").orderBy("rk", "doc_id")
+    val tri = (c: String) => array_distinct(expr(
+      s"transform(sequence(1, length($c) - 2), i -> substring($c, i, 3))"))
+    passes
+      .withColumn("k1", lead(col("k"), 1).over(w))
+      .withColumn("d1", lead(col("doc_id"), 1).over(w))
+      .withColumn("k2", lead(col("k"), 2).over(w))
+      .withColumn("d2", lead(col("doc_id"), 2).over(w))
+      .withColumn("k3", lead(col("k"), 3).over(w))
+      .withColumn("d3", lead(col("doc_id"), 3).over(w))
+      .select(col("doc_id"), col("k"), col("pass"), explode(array(
+        struct(lit(1).as("nd"), col("d1").as("id2"), col("k1").as("nk")),
+        struct(lit(2).as("nd"), col("d2").as("id2"), col("k2").as("nk")),
+        struct(lit(3).as("nd"), col("d3").as("id2"), col("k3").as("nk")))).as("p"))
+      .filter(col("p.id2").isNotNull)
+      .select(
+        least(col("doc_id"), col("p.id2")).as("doc_a"),
+        greatest(col("doc_id"), col("p.id2")).as("doc_b"),
+        col("pass"), col("p.nd").as("nd"),
+        when(col("doc_id") < col("p.id2"), col("k")).otherwise(col("p.nk")).as("ka"),
+        when(col("doc_id") < col("p.id2"), col("p.nk")).otherwise(col("k")).as("kb"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(col("pass")).as("first_pass"),
+        countDistinct(col("pass")).as("n_passes"),
+        min(col("nd")).as("min_neighbor_dist"),
+        min(col("ka")).as("ka"), min(col("kb")).as("kb"))
+      .withColumn("ta", tri("ka"))
+      .withColumn("tb", tri("kb"))
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("uni",
+        (size(col("ta")) + size(col("tb"))).cast("long") - col("inter"))
+      .select(col("doc_a"), col("doc_b"), col("first_pass"), col("n_passes"),
+        col("min_neighbor_dist"),
+        (col("inter").cast("double") / col("uni").cast("double")).as("jaccard"))
+      .withColumn("is_dup", col("jaccard") >= 0.8)
+      .orderBy("doc_a", "doc_b")
+  }
+  private val q239Sql =
+    """WITH keyed AS (
+      |  SELECT doc_id,
+      |    substr(regexp_replace(lower(COALESCE(text, '')), '[^a-z0-9]', '', 'g'), 1, 32) AS k
+      |  FROM documents),
+      |f AS (SELECT doc_id, k FROM keyed WHERE length(k) >= 3),
+      |pr AS (
+      |  SELECT doc_id, k, pass, (pass * 11) % length(k) AS rot
+      |  FROM f, (SELECT unnest([0, 1, 2]) AS pass)),
+      |g AS (
+      |  SELECT doc_id, k, pass,
+      |    substr(k, rot + 1) || substr(k, 1, rot) AS rk
+      |  FROM pr),
+      |h AS (SELECT doc_id, k, pass, rk, substr(rk, 1, 2) AS pfx FROM g),
+      |led AS (
+      |  SELECT doc_id, k, pass,
+      |    LEAD(k, 1) OVER w AS k1, LEAD(doc_id, 1) OVER w AS d1,
+      |    LEAD(k, 2) OVER w AS k2, LEAD(doc_id, 2) OVER w AS d2,
+      |    LEAD(k, 3) OVER w AS k3, LEAD(doc_id, 3) OVER w AS d3
+      |  FROM h WINDOW w AS (PARTITION BY pass, pfx ORDER BY rk, doc_id)),
+      |pairs AS (
+      |  SELECT doc_id, k, pass, 1 AS nd, d1 AS id2, k1 AS nk FROM led WHERE d1 IS NOT NULL
+      |  UNION ALL
+      |  SELECT doc_id, k, pass, 2 AS nd, d2 AS id2, k2 AS nk FROM led WHERE d2 IS NOT NULL
+      |  UNION ALL
+      |  SELECT doc_id, k, pass, 3 AS nd, d3 AS id2, k3 AS nk FROM led WHERE d3 IS NOT NULL),
+      |canon AS (
+      |  SELECT LEAST(doc_id, id2) AS doc_a, GREATEST(doc_id, id2) AS doc_b, pass, nd,
+      |    CASE WHEN doc_id < id2 THEN k ELSE nk END AS ka,
+      |    CASE WHEN doc_id < id2 THEN nk ELSE k END AS kb
+      |  FROM pairs),
+      |grp AS (
+      |  SELECT doc_a, doc_b, CAST(MIN(pass) AS INTEGER) AS first_pass,
+      |    CAST(COUNT(DISTINCT pass) AS BIGINT) AS n_passes,
+      |    CAST(MIN(nd) AS INTEGER) AS min_neighbor_dist,
+      |    MIN(ka) AS ka, MIN(kb) AS kb
+      |  FROM canon GROUP BY doc_a, doc_b),
+      |tri AS (
+      |  SELECT doc_a, doc_b, first_pass, n_passes, min_neighbor_dist,
+      |    list_distinct(list_transform(generate_series(1, length(ka) - 2),
+      |      i -> substr(ka, i, 3))) AS ta,
+      |    list_distinct(list_transform(generate_series(1, length(kb) - 2),
+      |      i -> substr(kb, i, 3))) AS tb
+      |  FROM grp),
+      |sc AS (
+      |  SELECT doc_a, doc_b, first_pass, n_passes, min_neighbor_dist,
+      |    CAST(len(list_intersect(ta, tb)) AS BIGINT) AS inter,
+      |    CAST(len(ta) + len(tb) AS BIGINT)
+      |      - CAST(len(list_intersect(ta, tb)) AS BIGINT) AS uni
+      |  FROM tri)
+      |SELECT doc_a, doc_b, first_pass, n_passes, min_neighbor_dist,
+      |  CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard,
+      |  (CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE)) >= 0.8 AS is_dup
+      |FROM sc ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------------------ q242
+
+  /** q242 — LSH banding-scheme derivation card: [[LshConfig.schemeFor]]'s
+    * SLA→(bands, rows) enumeration expressed AS A QUERY and held to the
+    * DuckDB oracle, closing the round-12/13 "operationalize the knob
+    * end-to-end" item: the driver-side derivation an index build uses
+    * (`spark.graft.lsh.targetRecall`/`atJaccard` → `fromConf` →
+    * `schemeFor` → persisted scheme metadata) is now AUDITABLE — this
+    * card derives the same scheme for a grid of published SLA points in
+    * both engines, and LshConfigSpec pins card ≡ schemeFor row by row,
+    * so the three implementations (Scala driver, Spark plan, SQL) can
+    * never drift apart silently.
+    *
+    * Parity mechanics: detection probability 1 − (1 − J^r)^b uses NO
+    * libm pow — J^r and (1 − J^r)^b are ordered multiply folds
+    * (aggregate ≡ list_reduce, the recallAt loop unrolled), so the
+    * qualification comparisons see bit-identical doubles in both
+    * engines. The candidate space is the full ≤[[LshConfig.MaxLanes]]
+    * lanes grid (~65 k (r, b) pairs before the lane filter — plan-time
+    * literal, corpus-independent); winner per SLA point is the
+    * schemeFor objective verbatim: fewest lanes, ties to largest rows.
+    * Scale: everything is a literal-spine row-local computation — the
+    * card costs the same at sf0.001 and 100 TB. */
+  private def q242(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sla = Seq((1, 0.9, 0.5), (2, 0.8, 0.7), (3, 0.95, 0.8), (4, 0.5, 0.3))
+      .toDF("sla_id", "target_recall", "at_j")
+    val max = LshConfig.MaxLanes
+    sla
+      .select(col("*"), explode(sequence(lit(1), lit(max))).as("r"))
+      .select(col("*"), explode(sequence(lit(1), lit(max))).as("b"))
+      .filter(col("r") * col("b") <= max)
+      .withColumn("jr", expr(
+        "aggregate(sequence(1, r), cast(1.0 as double), (a, x) -> a * at_j)"))
+      .withColumn("det", lit(1.0) - expr(
+        "aggregate(sequence(1, b), cast(1.0 as double), (a, x) -> a * (1.0 - jr))"))
+      .withColumn("jrn", expr(
+        "aggregate(sequence(1, r), cast(1.0 as double), (a, x) -> a * 0.1)"))
+      .withColumn("noise", lit(1.0) - expr(
+        "aggregate(sequence(1, b), cast(1.0 as double), (a, x) -> a * (1.0 - jrn))"))
+      .filter(col("det") >= col("target_recall") && col("noise") <= lit(0.05))
+      .groupBy(col("sla_id"), col("target_recall"), col("at_j"))
+      .agg(min(struct((col("r") * col("b")).as("lanes"), (-col("r")).as("nr"),
+        col("b").as("b"), col("r").as("r"),
+        col("det").as("det"), col("noise").as("noise"))).as("w"))
+      .select(col("sla_id"), col("target_recall"), col("at_j"),
+        col("w.b").as("bands"), col("w.r").as("rows"),
+        col("w.lanes").as("lanes"),
+        col("w.det").as("recall_at_target"),
+        col("w.noise").as("noise_recall"))
+      .orderBy("sla_id")
+  }
+  private val q242Sql =
+    s"""WITH sla AS (
+       |  SELECT sla_id, CAST(target_recall AS DOUBLE) AS target_recall,
+       |    CAST(at_j AS DOUBLE) AS at_j
+       |  FROM (VALUES (1, 0.9, 0.5), (2, 0.8, 0.7),
+       |               (3, 0.95, 0.8), (4, 0.5, 0.3))
+       |    AS t(sla_id, target_recall, at_j)),
+       |cand AS (
+       |  SELECT sla_id, target_recall, at_j, r, b
+       |  FROM sla,
+       |    (SELECT unnest(generate_series(1, ${LshConfig.MaxLanes})) AS r),
+       |    (SELECT unnest(generate_series(1, ${LshConfig.MaxLanes})) AS b)
+       |  WHERE r * b <= ${LshConfig.MaxLanes}),
+       |curve AS (
+       |  SELECT sla_id, target_recall, at_j, r, b,
+       |    list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+       |      list_transform(generate_series(1, r), x -> at_j)),
+       |      (a, q) -> a * q) AS jr,
+       |    -- 0.1 MUST be cast: a bare DuckDB 0.1 is DECIMAL(1,1) and the
+       |    -- decimal fold truncates 0.1^r to 0, silently voiding the
+       |    -- noise ceiling (observed: every 1-row scheme qualified)
+       |    list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+       |      list_transform(generate_series(1, r), x -> CAST(0.1 AS DOUBLE))),
+       |      (a, q) -> a * q) AS jrn
+       |  FROM cand),
+       |scored AS (
+       |  SELECT sla_id, target_recall, at_j, r, b,
+       |    CAST(1.0 AS DOUBLE) - list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+       |      list_transform(generate_series(1, b), x -> CAST(1.0 AS DOUBLE) - jr)),
+       |      (a, q) -> a * q) AS det,
+       |    CAST(1.0 AS DOUBLE) - list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+       |      list_transform(generate_series(1, b), x -> CAST(1.0 AS DOUBLE) - jrn)),
+       |      (a, q) -> a * q) AS noise
+       |  FROM curve),
+       |qualified AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY sla_id
+       |      ORDER BY r * b, r DESC, b) AS rn
+       |  FROM scored
+       |  WHERE det >= target_recall AND noise <= 0.05)
+       |SELECT CAST(sla_id AS INTEGER) AS sla_id, target_recall, at_j,
+       |  CAST(b AS INTEGER) AS bands, CAST(r AS INTEGER) AS "rows",
+       |  CAST(r * b AS INTEGER) AS lanes,
+       |  det AS recall_at_target, noise AS noise_recall
+       |FROM qualified WHERE rn = 1 ORDER BY sla_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q235_sorted_neighborhood", q235, Some(q235Sql)),
+    Q("q239_snm_multipass", q239, Some(q239Sql)),
+    Q("q242_lsh_scheme_derivation", q242, Some(q242Sql)),
     Q("q26_dedup_exact", q26, Some(q26Sql)),
     Q("q134_split_decontam", q134, Some(q134Sql)),
     Q("q119_winnowing", q119, Some(q119Sql)),

@@ -1006,7 +1006,11 @@ object VectorOps extends QueryModule {
     val asg = u.select(col("vec_id"), col("ue"),
         element_at(sc, 1)("cid").cast("bigint").as("cell"))
       .localCheckpoint(true) // consumers: vector store sink + τ pairs
-    asg.write.mode("overwrite").parquet(s"$dir/vectors")
+    // Vector store persists BUCKETED on the cell id (external bucketed
+    // table, spec beside the data — IndexStore): the probe's candidate
+    // join arrives at a pre-partitioned index side, so only the batch's
+    // exploded probe-cells shuffle. IndexColocationSpec pins the plan.
+    graft.operators.IndexStore.create(asg, dir, "vectors", Seq("cell"))
     val a = asg.select(col("cell"), col("vec_id").as("va"), col("ue").as("ua"))
     val b = asg.select(col("cell").as("cell_b"), col("vec_id").as("vb"),
       col("ue").as("ub"))
@@ -1043,8 +1047,13 @@ object VectorOps extends QueryModule {
         expr(s"transform(slice(cells, 1, $nprobe), c -> cast(c.cid as bigint))")
           .as("probe_cells"))
       .localCheckpoint(true) // consumers: pair join + output spine
-    val idx = s.read.parquet(s"$dir/vectors")
-      .select(col("cell"), col("vec_id").as("base_vec"), col("ue").as("bu"))
+    // Tombstoned base vectors are invisible to the probe (matches
+    // against taken-down content must not fire); None when the index
+    // has no tombstones — the common case pays nothing.
+    val idx = dropSemTombstoned(
+      graft.operators.IndexStore.read(s, dir, "vectors")
+        .select(col("cell"), col("vec_id").as("base_vec"), col("ue").as("bu")),
+      "base_vec", loadSemTombstones(s, dir))
     val best = assigned
       .select(col("vec_id"), col("pu"), explode(col("probe_cells")).as("cell"))
       .join(idx, Seq("cell"))
@@ -1079,10 +1088,11 @@ object VectorOps extends QueryModule {
     val rows: Seq[Seq[Double]] = s.read.parquet(s"$dir/centroids")
       .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1)).toSeq
     val sc = sortedCells(typedlit(rows), rows.size)
-    unitize(novel)
-      .select(col("vec_id"), col("ue"),
-        element_at(sc, 1)("cid").cast("bigint").as("cell"))
-      .write.mode("append").parquet(s"$dir/vectors")
+    graft.operators.IndexStore.append(
+      unitize(novel)
+        .select(col("vec_id"), col("ue"),
+          element_at(sc, 1)("cid").cast("bigint").as("cell")),
+      dir, "vectors")
   }
 
   /** Parquet data files backing the semantic index's vector store — the
@@ -1097,29 +1107,73 @@ object VectorOps extends QueryModule {
       f.isFile && f.getPath.getName.endsWith(".parquet")).toLong
   }
 
+  /** Retire vectors from the semantic index — [[DedupOps.tombstoneDocs]]
+    * one modality over, closing the round-13 gap where a GDPR takedown
+    * silenced the lexical index only. Tombstones take effect at the
+    * NEXT PROBE (the retired vector stops being a dup target at once)
+    * and are PHYSICALLY applied by [[compactSemIndex]]. Same semantics,
+    * deliberately: retiring a vector FORGETS it for dedup — identical
+    * content arriving later probes novel and re-canonicalizes (pinned in
+    * SemTtlSpec); a tombstone for a vector not (yet) indexed survives
+    * compaction, so retire-before-arrival cannot be resurrected by a
+    * late append replay. */
+  private[graft] def tombstoneVecs(vecs: DataFrame, dir: String): Unit =
+    vecs.select(col("vec_id")).write.mode("append").parquet(s"$dir/tombstones")
+
+  /** Distinct tombstoned vec_ids, or None — tombstone-free indexes skip
+    * the anti-join entirely (zero overhead for the common case). */
+  private[graft] def loadSemTombstones(s: SparkSession,
+      dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)) None
+    else Some(s.read.parquet(p.toString).select(col("vec_id")).distinct())
+  }
+
+  /** Anti-join against the takedown-sized tombstone set (AQE broadcasts
+    * it; work ∝ df, never ∝ index × tombstones). */
+  private def dropSemTombstoned(df: DataFrame, key: String,
+      tombs: Option[DataFrame]): DataFrame =
+    tombs.fold(df)(tb => df.join(tb.withColumnRenamed("vec_id", "__tomb"),
+      col(key) === col("__tomb"), "left_anti"))
+
   /** Compact the vector store IN PLACE: rewrite to one-row-per-vec_id
     * (rows for a vec_id are identical by construction — ue is a pure
     * function of the embedding and cell a pure function of ue + the
     * frozen centroid table, so at-least-once replays append verbatim
-    * duplicates), sized at 128 MB target files, then swapped in. Probe
+    * duplicates) minus the tombstoned vectors, then swapped in with the
+    * build-time bucketing preserved (IndexStore.compactSwap). Probe
     * verdicts are invariant: the probe's per-probe argmax already
-    * collapses duplicate index rows, compaction just materializes that
-    * collapse (SemCompactionSpec pins it bit-for-bit). Same crash-window
-    * caveat as [[DedupOps.compactDedupIndex]] — production swaps a
-    * table-format pointer instead of a rename. */
+    * collapses duplicate index rows and already skips tombstoned base
+    * vectors, compaction just materializes both (SemCompactionSpec /
+    * SemTtlSpec pin it bit-for-bit).
+    *
+    * Tombstone ordering is the [[DedupOps.compactDedupIndex]] discipline
+    * verbatim: the APPLIED set (tombstones whose vector was in the
+    * pre-swap store) is computed eagerly before the swap, and the
+    * surviving tombstone table is written LAST from a FRESH read of the
+    * on-disk tombstones anti-joined against it — a crash anywhere before
+    * that write leaves extra tombstones that re-apply idempotently
+    * (never a resurrected takedown), and a takedown appended
+    * concurrently by [[tombstoneVecs]] during the pass survives. Same
+    * crash-window caveat on the swap itself — production swaps a
+    * metastore/table-format pointer instead of a rename. */
   private[graft] def compactSemIndex(s: SparkSession, dir: String): Unit = {
-    val conf = s.sparkContext.hadoopConfiguration
-    val cur = new org.apache.hadoop.fs.Path(s"$dir/vectors")
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/vectors__compact")
-    val fs = cur.getFileSystem(conf)
-    val bytes = fs.getContentSummary(cur).getLength
-    val nFiles = math.max(1L, (bytes + (128L << 20) - 1) / (128L << 20)).toInt
-    s.read.parquet(cur.toString)
-      .dropDuplicates("vec_id")
-      .coalesce(nFiles)
-      .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(cur, true)
-    require(fs.rename(tmp, cur), s"compaction swap failed for $cur")
+    val tombs = loadSemTombstones(s, dir).map(_.localCheckpoint(true))
+    val applied = tombs.map { tb =>
+      val present = graft.operators.IndexStore.read(s, dir, "vectors")
+        .select(col("vec_id")).distinct()
+      tb.join(present, Seq("vec_id"), "left_semi")
+        .localCheckpoint(true) // detach from the files the swap rewrites
+    }
+    graft.operators.IndexStore.compactSwap(s, dir, "vectors")(df =>
+      dropSemTombstoned(df, "vec_id", tombs).dropDuplicates("vec_id"))
+    applied.foreach { ap =>
+      loadSemTombstones(s, dir).foreach { cur =>
+        cur.join(ap, Seq("vec_id"), "left_anti")
+          .localCheckpoint(true) // detach from the files being overwritten
+          .write.mode("overwrite").parquet(s"$dir/tombstones")
+      }
+    }
   }
 
   /** The q211 base-corpus semantic index (vec_id % 5 ≠ 0 split), built
@@ -1226,7 +1280,8 @@ object VectorOps extends QueryModule {
     * tables; exact integers + one division + the persisted τ. */
   private def q212(s: SparkSession, d: String): DataFrame = {
     val dir = builtSemIndex(s, d) // shared with q211 — one build per corpus
-    val occ = s.read.parquet(s"$dir/vectors")
+    // bucketed-by-cell store: this groupBy runs exchange-free
+    val occ = graft.operators.IndexStore.read(s, dir, "vectors")
       .groupBy(col("cell")).agg(count(lit(1)).as("n"))
     val card = occ.agg(
       sum(col("n")).as("n_vectors"),
@@ -1292,7 +1347,7 @@ object VectorOps extends QueryModule {
       .select(col("vec_id"),
         posexplode(transform(slice(sc, 1, 2), c => c("cid").cast("bigint"))))
       .select(col("vec_id"), col("pos").as("rank"), col("col").as("cell"))
-    val occ = s.read.parquet(s"$dir/vectors")
+    val occ = graft.operators.IndexStore.read(s, dir, "vectors")
       .groupBy(col("cell")).agg(count(lit(1)).as("occ_n"))
     val work = probed.join(occ, Seq("cell"), "left")
       .agg(sum(when(col("rank") === 0, coalesce(col("occ_n"), lit(0L))))
@@ -1729,8 +1784,334 @@ object VectorOps extends QueryModule {
        |ORDER BY iter, pos""".stripMargin
   }
 
+  // ------------------------------------------------------------ q240/q241
+
+  /** Product quantization (Jégou, Douze & Schmid 2011, "Product
+    * Quantization for Nearest Neighbor Search") — the billion-scale
+    * memory tier completing the LSH (q33) / IVF (q52) / scalar-int8
+    * (q85) ANN family: split each unit vector into [[PqM]] sub-vectors,
+    * quantize each against a [[PqKsub]]-entry sub-codebook, store m
+    * one-byte codes per vector (64 dims × 4 bytes → 4 bytes: 64× less
+    * memory than float32), and score queries ASYMMETRICALLY (ADC): the
+    * query stays exact, each (subspace, code) pair's contribution is a
+    * table lookup, so approx cosine = Σ_j LUT_j[code_j] — m adds per
+    * candidate instead of d multiply-adds.
+    *
+    * The subspace DECOMPOSITION is variance-balanced à la OPQ (Ge, He,
+    * Ke & Sun 2013, "Optimized Product Quantization"): dimensions are
+    * ranked by corpus second moment and dealt round-robin across the m
+    * subspaces — a PERMUTATION is an orthogonal rotation, so this is
+    * OPQ restricted to permutation matrices (the paper's non-parametric
+    * initialization family), chosen because it is EXACTLY restatable in
+    * the DuckDB oracle: the moment ranks use the q215 dyadic fixed-point
+    * idiom (floor(v²·2^26) summed as BIGINT — no IEEE accumulation
+    * order anywhere), so both engines derive the identical permutation
+    * at every scale. Lloyd-trained sub-codebooks are the production
+    * path ([[trainPqCodebooks]] — PqSpec pins monotone distortion,
+    * determinism, and drop-in ADC search; the oracled queries keep the
+    * seed books, the q52 discipline); a LEARNED rotation (Ge et al.'s
+    * parametric OPQ over [[q221]]'s PCA machinery) is the next rung of
+    * the same ladder and would slot in where the permutation does.
+    *
+    * Oracle parity mechanics: sub-codebooks are the first-ksub unit
+    * vectors' sub-vectors (the q52 seed-codebook discipline — SQL can
+    * restate first-k, not k-means); assignment argmin and ADC dots are
+    * ordered folds ≡ list_reduce; the ADC sum runs in subspace order in
+    * BOTH engines (Spark: aggregate over sequence(0,m−1); SQL:
+    * list_reduce over list(· ORDER BY sub)) — the scores hash-match, not
+    * just the ranks.
+    *
+    * Scale shape: permutation + codebook are driver literals (≤ dim +
+    * ksub collected rows); encoding is ROW-LOCAL inside the scan's
+    * codegen span (zero shuffles — the q29 sketch discipline); search
+    * is the q32/q85 broadcast-query shape over the CODES table (the
+    * 64×-smaller artifact a real deployment scans), m lookup-adds per
+    * pair. */
+  private val PqM = 4
+  private val PqKsub = 16
+  private val pqCache =
+    new graft.SessionCache[(Seq[Seq[Int]], Seq[Seq[Seq[Double]]])]
+
+  /** (dimension permutation as m rank-ordered sub-lists, m × ksub seed
+    * sub-codebooks), derived once per (session, corpus). */
+  private[queries] def pqArtifacts(s: SparkSession,
+      d: String): (Seq[Seq[Int]], Seq[Seq[Seq[Double]]]) =
+    pqCache.getOrBuild(s, d) {
+      val u = unitVectors(s, d)
+      // collect-bound: one row per embedding dimension — ≤ dim rows
+      val ranked = u.select(posexplode(col("ue")).as(Seq("pos", "v")))
+        .groupBy(col("pos"))
+        .agg(sum(floor(col("v") * col("v") * lit(MeanScale)).cast("long"))
+          .as("s2"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+        .sortBy { case (p, s2) => (-s2, p) }
+      val dims: Seq[Seq[Int]] = (0 until PqM).map(j =>
+        ranked.indices.collect { case r if r % PqM == j => ranked(r)._1 }.toSeq)
+      // collect-bound: seed rows vec_id < ksub — ≤ 16 rows
+      val seeds = u.filter(col("vec_id") < PqKsub)
+        .select(col("vec_id"), col("ue"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+      val cb: Seq[Seq[Seq[Double]]] =
+        dims.map(dj => seeds.map { case (_, ue) => dj.map(ue(_)) }.toSeq)
+      (dims, cb)
+    }
+
+  /** Attach the m permuted sub-vectors pv0..pv{m−1} (row-local literal
+    * index gather). */
+  private[queries] def withPqSubvectors(df: DataFrame,
+      dims: Seq[Seq[Int]]): DataFrame =
+    dims.zipWithIndex.foldLeft(df) { case (acc, (dj, j)) =>
+      acc.withColumn(s"pv$j",
+        transform(typedlit(dj), ix => element_at(col("ue"), ix + lit(1))))
+    }
+
+  /** Attach code_j (argmin sub-L2², ties to the smaller centroid id —
+    * the sortedCells comparator) and its quantization error cerr_j. */
+  private[queries] def withPqCodes(df: DataFrame, dims: Seq[Seq[Int]],
+      cb: Seq[Seq[Seq[Double]]]): DataFrame =
+    dims.indices.foldLeft(withPqSubvectors(df, dims)) { (acc, j) =>
+      val scores = transform(sequence(lit(0), lit(PqKsub - 1)), c =>
+        struct(
+          aggregate(
+            zip_with(col(s"pv$j"), element_at(typedlit(cb(j)), c + lit(1)),
+              (a, b) => (a - b) * (a - b)),
+            lit(0.0), (accv, x) => accv + x).as("d2"),
+          c.as("cid")))
+      val best = element_at(array_sort(scores, (a, b) =>
+        when(a("d2") < b("d2"), -1).when(a("d2") > b("d2"), 1)
+          .otherwise(a("cid") - b("cid"))), 1)
+      acc.withColumn(s"code$j", best("cid").cast("int"))
+        .withColumn(s"cerr$j", best("d2"))
+    }
+
+  /** Per-subspace L2 Lloyd refinement of the seed sub-codebooks — the
+    * production trainer the oracled q240/q241 point at (the
+    * [[trainCodebook]] discipline applied to PQ): assign codes row-local
+    * against the current literal codebooks, recompute each (code, pos)
+    * mean as a dyadic fixed-point exact integer (bit-stable under any
+    * partitioning/AQE — the [[MeanScale]] idiom; PQ centroids are plain
+    * L2 means, no renormalization), empty codes keep their previous
+    * centroid. Driver state is m·ksub·dim doubles per iteration. Lloyd
+    * never increases total distortion, and PqSpec pins monotonicity,
+    * determinism, and that the refined books drop straight into the ADC
+    * search. */
+  private[queries] def trainPqCodebooks(s: SparkSession, d: String,
+      iters: Int): Seq[Seq[Seq[Double]]] = {
+    val (dims, seed) = pqArtifacts(s, d)
+    val u = unitVectors(s, d).select(col("vec_id"), col("ue"))
+    var cb = seed
+    for (_ <- 1 to iters) {
+      val coded = withPqCodes(u, dims, cb)
+      cb = dims.indices.map { j =>
+        // collect-bound: grouped by code id < ksub — ≤ 16 rows per subspace
+        val means = coded
+          .select(col(s"code$j").as("c"), posexplode(col(s"pv$j")).as(Seq("pos", "v")))
+          .groupBy(col("c"), col("pos"))
+          .agg((sum(floor(col("v") * lit(MeanScale)).cast("long")).cast("double")
+            / (lit(MeanScale) * count(lit(1)).cast("double"))).as("m"))
+          .groupBy(col("c"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            x => x("m")).as("mean"))
+          // collect-bound: one row per code id < ksub — ≤ 16 rows
+          .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+        cb(j).indices.map(c => means.getOrElse(c, cb(j)(c)).toSeq).toSeq
+      }
+    }
+    cb
+  }
+
+  /** Corpus-mean total quantization error under the given sub-codebooks
+    * (the q241 distortion metric, reusable against trained books). */
+  private[queries] def pqDistortion(s: SparkSession, d: String,
+      cb: Seq[Seq[Seq[Double]]]): Double = {
+    val (dims, _) = pqArtifacts(s, d)
+    val coded = withPqCodes(unitVectors(s, d).select(col("vec_id"), col("ue")),
+      dims, cb)
+    val tot = dims.indices.map(j => col(s"cerr$j")).reduce(_ + _)
+    val r = coded.agg(sum(floor(tot * lit(MeanScale)).cast("long")).as("efp"),
+      count(lit(1)).as("n")).head()
+    r.getLong(0).toDouble / MeanScale / r.getLong(1).toDouble
+  }
+
+  /** The ADC top-3 search both q240 and q241 rank (q32's broadcast-query
+    * shape over the codes table). `cbOverride` lets the spec drive the
+    * SAME search with Lloyd-trained books; the oracled queries keep the
+    * seed books. */
+  private[queries] def pqTop3(s: SparkSession, d: String,
+      cbOverride: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
+    val (dims, seedCb) = pqArtifacts(s, d)
+    val cb = cbOverride.getOrElse(seedCb)
+    val u = unitVectors(s, d)
+    val coded = withPqCodes(u.select(col("vec_id"), col("ue")), dims, cb)
+      .select(col("vec_id").as("neighbor_id"),
+        array(dims.indices.map(j => col(s"code$j")): _*).as("cd"))
+    val q = withPqSubvectors(
+        u.filter(col("vec_id") < 8).select(col("vec_id"), col("ue")), dims)
+      .select(col("vec_id").as("query_id"),
+        array(dims.indices.map { j =>
+          transform(sequence(lit(0), lit(PqKsub - 1)), c =>
+            call_function("graft_dot", col(s"pv$j"),
+              element_at(typedlit(cb(j)), c + lit(1))))
+        }: _*).as("lut"))
+    val scored = broadcast(q)
+      .join(coded, col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_cos", expr(
+        s"aggregate(sequence(0, ${PqM - 1}), cast(0.0 as double), " +
+          "(acc, j) -> acc + lut[j][cd[j]])"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", rank().over(w)).filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("adc_cos"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
+  private def q240(s: SparkSession, d: String): DataFrame =
+    pqTop3(s, d).orderBy("query_id", "rnk", "neighbor_id")
+
+  /** Shared oracle CTE chain: permutation → sub-vectors → seed
+    * sub-codebooks → codes (argmin L2², ties to smaller cid) → query
+    * LUTs → subspace-ordered ADC fold → RANK ≤ 3. */
+  private def pqCtes: String =
+    """e AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) AS nrm
+      |  FROM embeddings),
+      |u AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS ue FROM e),
+      |dimspine AS (
+      |  SELECT unnest(generate_series(1, (SELECT MAX(len(ue)) FROM u))) AS p),
+      |m2 AS (
+      |  SELECT p, CAST(SUM(CAST(floor(ue[p] * ue[p] * 67108864.0) AS BIGINT)) AS BIGINT) AS s2
+      |  FROM u CROSS JOIN dimspine GROUP BY p),
+      |rankeddim AS (
+      |  SELECT p, ROW_NUMBER() OVER (ORDER BY s2 DESC, p) - 1 AS r FROM m2),
+      |dl AS (
+      |  SELECT CAST(r % 4 AS INTEGER) AS sub, list(p ORDER BY r) AS dims
+      |  FROM rankeddim GROUP BY r % 4),
+      |pv AS (
+      |  SELECT u.vec_id, dl.sub, list_transform(dl.dims, ix -> u.ue[ix]) AS pv
+      |  FROM u CROSS JOIN dl),
+      |cent AS (
+      |  SELECT t.cid, p.sub, p.pv AS cv
+      |  FROM (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+      |        FROM u WHERE vec_id < 16) t
+      |  JOIN pv p ON p.vec_id = t.vec_id),
+      |d2t AS (
+      |  SELECT p.vec_id, p.sub, c.cid,
+      |    list_reduce(list_prepend(0.0, list_transform(list_zip(p.pv, c.cv),
+      |      z -> (z[1] - z[2]) * (z[1] - z[2]))), (a, b) -> a + b) AS d2
+      |  FROM pv p JOIN cent c ON c.sub = p.sub),
+      |codes AS (
+      |  SELECT vec_id, sub, cid AS code, d2 FROM (
+      |    SELECT vec_id, sub, cid, d2,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+      |    FROM d2t) t WHERE rn = 1),
+      |lut AS (
+      |  SELECT p.vec_id AS query_id, c.sub, c.cid,
+      |    list_reduce(list_prepend(0.0, list_transform(list_zip(p.pv, c.cv),
+      |      z -> z[1] * z[2])), (a, b) -> a + b) AS dotv
+      |  FROM pv p JOIN cent c ON c.sub = p.sub
+      |  WHERE p.vec_id < 8),
+      |contrib AS (
+      |  SELECT l.query_id, c.vec_id AS neighbor_id, c.sub, l.dotv
+      |  FROM codes c JOIN lut l ON l.sub = c.sub AND l.cid = c.code
+      |  WHERE l.query_id <> c.vec_id),
+      |score AS (
+      |  SELECT query_id, neighbor_id,
+      |    list_reduce(list_prepend(0.0, list(dotv ORDER BY sub)), (a, b) -> a + b) AS adc_cos
+      |  FROM contrib GROUP BY query_id, neighbor_id),
+      |pq3 AS (
+      |  SELECT query_id, neighbor_id, adc_cos, rnk FROM (
+      |    SELECT query_id, neighbor_id, adc_cos,
+      |      CAST(RANK() OVER (PARTITION BY query_id ORDER BY adc_cos DESC, neighbor_id) AS INTEGER) AS rnk
+      |    FROM score) t WHERE rnk <= 3)""".stripMargin
+
+  private def q240Sql: String =
+    s"""WITH $pqCtes
+       |SELECT query_id, neighbor_id, adc_cos, rnk FROM pq3
+       |ORDER BY query_id, rnk, neighbor_id""".stripMargin
+
+  /** q241 — PQ recall/distortion card (the q213 audited-knob idiom):
+    * recall@3 of the ADC search against q32's exact cosine top-3 on the
+    * same queries and tie-rule, mean per-vector quantization error
+    * (subspace-ordered sum, corpus mean via the dyadic fixed-point
+    * accumulator — no IEEE accumulation order), and codebook occupancy
+    * (distinct (sub, code) pairs used vs m·ksub) — the number that says
+    * whether ksub was sized to the corpus. All joins are
+    * 8-query-bounded or (sub, code)-keyed; the card is ≤ 1 row. */
+  private def q241(s: SparkSession, d: String): DataFrame = {
+    val (dims, cb) = pqArtifacts(s, d)
+    val u = unitVectors(s, d)
+    val coded = withPqCodes(u.select(col("vec_id"), col("ue")), dims, cb)
+      .localCheckpoint(true) // consumers: error card + occupancy
+    val totErr = dims.indices.map(j => col(s"cerr$j")).reduce(_ + _)
+    val err = coded.agg(
+      sum(floor(totErr * lit(MeanScale)).cast("long")).as("efp"),
+      count(lit(1)).as("n_vectors"))
+    val used = coded
+      .select(posexplode(array(dims.indices.map(j => col(s"code$j")): _*))
+        .as(Seq("sub", "code")))
+      .agg(countDistinct(col("sub"), col("code")).as("codes_used"))
+    val exact3 = {
+      val q = u.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("ue").as("qu"))
+      val c = u.select(col("vec_id").as("neighbor_id"), col("ue").as("cu"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(expr("graft_dot(qu, cu)").desc, col("neighbor_id"))
+      broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+        .withColumn("rnk", rank().over(w)).filter(col("rnk") <= 3)
+        .select(col("query_id"), col("neighbor_id"))
+    }
+    val overlap = pqTop3(s, d).select(col("query_id"), col("neighbor_id"))
+      .join(exact3, Seq("query_id", "neighbor_id"))
+      .agg(count(lit(1)).as("overlap"))
+    val nq = u.filter(col("vec_id") < 8)
+      .agg(count(lit(1)).as("n_queries"))
+    Seq(used, overlap, nq).foldLeft(err)(graft.Scalars.withScalar)
+      .select(col("n_vectors"), col("n_queries"),
+        (col("overlap").cast("double") /
+          (lit(3.0) * col("n_queries").cast("double"))).as("recall_at3"),
+        (col("efp").cast("double") / lit(MeanScale) /
+          col("n_vectors").cast("double")).as("mean_code_err"),
+        col("codes_used"), lit(PqM * PqKsub).as("codes_total"))
+  }
+  private def q241Sql: String =
+    s"""WITH $pqCtes,
+       |verr AS (
+       |  SELECT vec_id,
+       |    ((MAX(CASE WHEN sub = 0 THEN d2 END) + MAX(CASE WHEN sub = 1 THEN d2 END))
+       |      + MAX(CASE WHEN sub = 2 THEN d2 END)) + MAX(CASE WHEN sub = 3 THEN d2 END) AS toterr
+       |  FROM codes GROUP BY vec_id),
+       |errfp AS (
+       |  SELECT CAST(SUM(CAST(floor(toterr * 67108864.0) AS BIGINT)) AS BIGINT) AS efp,
+       |    CAST(COUNT(*) AS BIGINT) AS n_vectors
+       |  FROM verr),
+       |used AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS codes_used
+       |  FROM (SELECT DISTINCT sub, code FROM codes)),
+       |ex3 AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      RANK() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_reduce(list_prepend(0.0, list_transform(list_zip(q.ue, c.ue),
+       |          z -> z[1] * z[2])), (a, b) -> a + b) DESC, c.vec_id) AS rnk
+       |    FROM (SELECT vec_id, ue FROM u WHERE vec_id < 8) q
+       |    JOIN u c ON q.vec_id <> c.vec_id) t
+       |  WHERE rnk <= 3),
+       |ov AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS overlap
+       |  FROM pq3 JOIN ex3 USING (query_id, neighbor_id)),
+       |nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM u WHERE vec_id < 8)
+       |SELECT e.n_vectors, nq.n_queries,
+       |  CAST(ov.overlap AS DOUBLE) / (3.0 * CAST(nq.n_queries AS DOUBLE)) AS recall_at3,
+       |  CAST(e.efp AS DOUBLE) / 67108864.0 / CAST(e.n_vectors AS DOUBLE) AS mean_code_err,
+       |  used.codes_used, CAST(64 AS INTEGER) AS codes_total
+       |FROM errfp e, used, ov, nq""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q221_pca_power_card", q221, Some(q221Sql)),
+    Q("q240_pq_ann", q240, Some(q240Sql)),
+    Q("q241_pq_recall_card", q241, Some(q241Sql)),
     Q("q31_embed_norms", q31, Some(q31Sql)),
     Q("q114_semdedup", q114, Some(q114Sql)),
     Q("q211_incremental_semdedup", q211, Some(q211Sql)),

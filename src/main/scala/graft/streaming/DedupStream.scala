@@ -36,9 +36,12 @@ import org.apache.spark.sql.types._
   * Scale shape per micro-batch: band probe is a batch-bands × index
   * equi-join on (band, sig); shingle verification touches candidate
   * docs only and reads base shingles from the doc-store; nothing
-  * corpus-proportional lives in executor state. At real scale the index
-  * tables are bucketed by their join keys so each probe is co-located —
-  * the stream adds zero index-side shuffles.
+  * corpus-proportional lives in executor state. The index tables ARE
+  * bucketed by their join keys (graft.operators.IndexStore — external
+  * bucketed tables, spec persisted beside the data) so each probe is
+  * co-located: the index side of every probe join scans pre-partitioned
+  * with zero index-side shuffles, batch-side data alone moves
+  * (IndexColocationSpec pins the executed plans).
   */
 object DedupStream {
 

@@ -189,9 +189,16 @@ class PlanHygieneSpec extends SparkSpec {
     *    so the BNL scans 8·n pairs: linear in data, the intended exact
     *    baseline the LSH (q33) / IVF (q52) paths are measured against.
     *  - q85: quantized rerank over the same ≤8-row broadcast query set;
-    *    identical 8·n shape. */
+    *    identical 8·n shape.
+    *  - q240/q241: PQ ADC search (and its recall card, which also embeds
+    *    the q32 exact baseline) — the same ≤8-row broadcast query set
+    *    over the codes table; 8·n lookup-adds, linear in data. A real
+    *    deployment pre-filters candidates through the IVF cells (q52)
+    *    before ADC; the oracled query keeps the exhaustive 8·n shape so
+    *    recall is measured against the full corpus, like q32/q85. */
   private val loopJoinAllowlist: Set[String] =
-    Set("q32_ann_bruteforce", "q85_ann_quantized")
+    Set("q32_ann_bruteforce", "q85_ann_quantized",
+      "q240_pq_ann", "q241_pq_recall_card")
 
   test("the loop-join gate FIRES: synthetic all-pairs plans are flagged, bounded ones excused") {
     import org.apache.spark.sql.functions._

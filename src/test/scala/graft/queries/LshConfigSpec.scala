@@ -86,6 +86,45 @@ class LshConfigSpec extends SparkSpec {
     assert(fromConf(spark) === Default)
   }
 
+  test("q242 scheme-derivation card == schemeFor, row by row (the three implementations cannot drift)") {
+    val rows = graft.SparkEntry.queries("q242_lsh_scheme_derivation")(
+        spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      val sch = schemeFor(r.getDouble(1), r.getDouble(2))
+      assert((r.getInt(3), r.getInt(4)) === ((sch.bands, sch.rows)),
+        s"card row $r vs schemeFor $sch")
+      assert(math.abs(r.getDouble(6) - sch.recallAt(r.getDouble(2))) === 0.0,
+        "recall column must be the recallAt fold bit-for-bit")
+    }
+  }
+
+  test("an index BUILT under the SLA conf persists the derived scheme end-to-end") {
+    import org.apache.spark.sql.functions.split
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_lshsla").toString
+    val base = Seq(
+      (10L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+      (11L, "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    try {
+      spark.conf.set("spark.graft.lsh.targetRecall", "0.9")
+      spark.conf.set("spark.graft.lsh.atJaccard", "0.5")
+      DedupOps.buildDedupIndex(base, s"$root/index")
+    } finally {
+      spark.conf.unset("spark.graft.lsh.targetRecall")
+      spark.conf.unset("spark.graft.lsh.atJaccard")
+    }
+    // The build derived (18, 3) from the SLA and persisted it; probes in
+    // a DIFFERENT conf world band the index's way.
+    assert(DedupOps.indexScheme(spark, s"$root/index") === Scheme(18, 3))
+    val v = DedupOps.probeDedupIndex(spark,
+      Seq((500L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"))
+        .toDF("doc_id", "text"), s"$root/index").head()
+    assert(v.getString(1) === "exact" && v.getLong(2) === 10L)
+  }
+
   test("generalized banding is byte-identical to the pre-knob 4x4 formulation") {
     import spark.implicits._
     val docs = Seq(

@@ -100,10 +100,14 @@ class DedupCompactionSpec extends SparkSpec {
     // Simulate the crash window: the exact table's append landed, the
     // bands/shingles appends did not (appendToDedupIndex writes exact
     // first — this is the only partial state a crash can leave plus the
-    // exact+bands prefix, which the same filter covers).
-    DedupOps.normDocs(batch)
-      .groupBy(col("norm_key")).agg(min(col("doc_id")).as("exact_doc"))
-      .write.mode("append").parquet(s"$idx/exact")
+    // exact+bands prefix, which the same filter covers). The partial
+    // append goes through IndexStore.append — the same path the real
+    // appender uses — so the simulated crash leaves a valid BUCKETED
+    // file set, exactly like a real crash after the first table commit.
+    graft.operators.IndexStore.append(
+      DedupOps.normDocs(batch)
+        .groupBy(col("norm_key")).agg(min(col("doc_id")).as("exact_doc")),
+      idx, "exact")
 
     // Replay: the self-exact row must be ignored — same verdicts as the
     // first attempt, so the novel filter re-admits the doc.
