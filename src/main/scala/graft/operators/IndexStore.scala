@@ -46,6 +46,11 @@ object IndexStore {
   val EnabledConf = "spark.graft.index.bucketing"
   val DefaultBuckets = 8
 
+  /** Maximum time a writer waits for a sibling IN-PROCESS writer before
+    * [[withLock]] gives up (a cross-process holder fails fast instead —
+    * see withLock). */
+  val LockWaitMs = 120000L
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -79,10 +84,32 @@ object IndexStore {
     }
   }
 
+  /** The spec's persisted row schema (written since round 15 so a fresh
+    * session can register an EMPTY table — parquet footer inference has
+    * nothing to read when the corpus had zero rows). Pre-round-15 specs
+    * lack the column; callers fall back to footer inference. */
+  private def specSchemaDdl(s: SparkSession, dir: String,
+      table: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(specPath(dir, table))
+    if (!fsOf(s, p).exists(p)) None
+    else {
+      val df = s.read.parquet(p.toString)
+      if (!df.schema.fieldNames.contains("schema_ddl")) None
+      else Option(df.select("schema_ddl").head().getString(0))
+    }
+  }
+
+  /** SQL-literal escape for the LOCATION path and identifier escape for
+    * key columns — an index dir containing a quote (or a key named with
+    * a backtick) must produce valid DDL, not injected DDL. */
+  private def sqlLit(v: String): String = v.replace("'", "''")
+  private def ident(v: String): String = "`" + v.replace("`", "``") + "`"
+
   /** Ensure the catalog knows this table's bucketing; true iff the table
     * is bucketed (registered now or already). Re-registration is DDL
-    * over the persisted spec + the parquet footer schema — no data
-    * movement. */
+    * over the persisted spec + the persisted (or parquet-footer) schema
+    * — no data movement. Falls back to plain parquet (false) when no
+    * schema can be derived at all. */
   private[graft] def registered(s: SparkSession, dir: String,
       table: String): Boolean = {
     val name = tableName(dir, table)
@@ -90,12 +117,18 @@ object IndexStore {
     else spec(s, dir, table) match {
       case None => false
       case Some((n, keys)) =>
-        val ddl = s.read.parquet(s"$dir/$table").schema.toDDL
-        val cols = keys.map(k => s"`$k`").mkString(", ")
-        s.sql(s"CREATE TABLE `$name` ($ddl) USING PARQUET " +
-          s"CLUSTERED BY ($cols) SORTED BY ($cols) INTO $n BUCKETS " +
-          s"LOCATION '$dir/$table'")
-        true
+        val ddl = specSchemaDdl(s, dir, table).orElse(
+          scala.util.Try(s.read.parquet(s"$dir/$table").schema.toDDL)
+            .toOption)
+        ddl match {
+          case None => false // no data files and a pre-schema spec
+          case Some(d) =>
+            val cols = keys.map(ident).mkString(", ")
+            s.sql(s"CREATE TABLE ${ident(name)} ($d) USING PARQUET " +
+              s"CLUSTERED BY ($cols) SORTED BY ($cols) INTO $n BUCKETS " +
+              s"LOCATION '${sqlLit(s"$dir/$table")}'")
+            true
+        }
     }
   }
 
@@ -114,21 +147,51 @@ object IndexStore {
       s.table(tableName(dir, table))
     } else s.read.parquet(s"$dir/$table")
 
+  private def deleteSpec(s: SparkSession, dir: String, table: String): Unit = {
+    val sp = new org.apache.hadoop.fs.Path(specPath(dir, table))
+    fsOf(s, sp).delete(sp, true)
+    (): Unit
+  }
+
+  private def writeSpec(s: SparkSession, dir: String, table: String,
+      n: Int, keys: Seq[String], schemaDdl: String): Unit = {
+    import s.implicits._
+    Seq((n, keys.mkString(","), schemaDdl))
+      .toDF("buckets", "keys", "schema_ddl")
+      .coalesce(1).write.mode("overwrite").parquet(specPath(dir, table))
+  }
+
   /** (Re)create an index table bucketed on its probe-join keys. The
     * pre-delete matters: `saveAsTable` Overwrite on an EXTERNAL table
     * does not reliably clear a location it no longer tracks, and stale
-    * data files would be silently double-read. */
+    * data files would be silently double-read.
+    *
+    * Crash ordering (round-15, was a corruption window): the OLD spec
+    * file is deleted FIRST, then the data is rewritten, then the NEW
+    * spec lands. A rebuild under a changed bucket count that crashes
+    * mid-data-write therefore leaves a spec-less dir — readers fall
+    * back to plain parquet (correct, just re-shuffled) — never an
+    * old-count spec over new-count files, which would claim a
+    * HashPartitioning the files don't have and let exchange elision
+    * produce silently wrong joins. */
   def create(df: DataFrame, dir: String, table: String,
       keys: Seq[String]): Unit = {
     val s = df.sparkSession
     val path = s"$dir/$table"
+    val name = tableName(dir, table)
     if (!enabled(s)) {
+      // A prior BUCKETED build of this dir may have left a catalog entry
+      // and a spec file; writing plain parquet under them would make
+      // later reads claim bucketing over non-bucketed files ("Invalid
+      // bucket file" at probe time). Clear both first.
+      s.sql(s"DROP TABLE IF EXISTS ${ident(name)}")
+      deleteSpec(s, dir, table)
       df.write.mode(SaveMode.Overwrite).parquet(path)
       return
     }
-    val name = tableName(dir, table)
     val n = bucketsFor(s)
-    s.sql(s"DROP TABLE IF EXISTS `$name`")
+    s.sql(s"DROP TABLE IF EXISTS ${ident(name)}")
+    deleteSpec(s, dir, table)
     val p = new org.apache.hadoop.fs.Path(path)
     fsOf(s, p).delete(p, true)
     df.write.mode(SaveMode.Overwrite)
@@ -136,9 +199,7 @@ object IndexStore {
       .sortBy(keys.head, keys.tail: _*)
       .option("path", path)
       .saveAsTable(name)
-    import s.implicits._
-    Seq((n, keys.mkString(","))).toDF("buckets", "keys")
-      .coalesce(1).write.mode("overwrite").parquet(specPath(dir, table))
+    writeSpec(s, dir, table, n, keys, df.schema.toDDL)
   }
 
   /** Append rows preserving the table's build-time bucketing (each
@@ -183,7 +244,7 @@ object IndexStore {
       case Some((n, keys)) if registered(s, dir, table) =>
         val name = tableName(dir, table)
         val tmpName = s"${name}__compact"
-        s.sql(s"DROP TABLE IF EXISTS `$tmpName`")
+        s.sql(s"DROP TABLE IF EXISTS ${ident(tmpName)}")
         fs.delete(tmp, true)
         // Fresh listing, not the session's cached resolution: appends
         // from sibling sessions (streaming foreachBatch clones) would
@@ -195,8 +256,8 @@ object IndexStore {
           .sortBy(keys.head, keys.tail: _*)
           .option("path", tmp.toString)
           .saveAsTable(tmpName)
-        s.sql(s"DROP TABLE IF EXISTS `$name`")
-        s.sql(s"DROP TABLE IF EXISTS `$tmpName`")
+        s.sql(s"DROP TABLE IF EXISTS ${ident(name)}")
+        s.sql(s"DROP TABLE IF EXISTS ${ident(tmpName)}")
         fs.delete(cur, true)
         require(fs.rename(tmp, cur), s"compaction swap failed for $cur")
         registered(s, dir, table) // re-register from the spec file
@@ -212,4 +273,137 @@ object IndexStore {
         require(fs.rename(tmp, cur), s"compaction swap failed for $cur")
     }
   }
+
+  // ------------------------------------------------------------ writer lock
+
+  /** Per-index-dir writer locks, two layers (round-15, closing the
+    * residual takedown race the round-14 verdict documented):
+    *
+    *  - IN-PROCESS: a per-dir ReentrantLock gives real mutual exclusion
+    *    between the writers that actually coexist in one JVM — the
+    *    streaming driver's takedown arm vs its maintenance arm, specs,
+    *    a Verify/Bench session. This is the mechanism that closes the
+    *    "takedown lands between compaction's final tombstone re-read and
+    *    its overwrite" window: both sections run under the same lock.
+    *  - CROSS-PROCESS: a `__lock` file (pid inside) makes the
+    *    single-writer-per-index deployment contract FAIL LOUDLY instead
+    *    of corrupting reads — a second process finding a live foreign
+    *    holder throws; a lock left by a CRASHED pid is broken and
+    *    reclaimed (the Scratch.sweepDead discipline). A multi-host
+    *    production deployment replaces this file with its coordination
+    *    service / table-format commit protocol; the in-process layer and
+    *    the write orderings are what carry over unchanged.
+    */
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.locks.ReentrantLock]()
+
+  private def lockPath(dir: String) = new org.apache.hadoop.fs.Path(s"$dir/__lock")
+
+  /** Run `body` as THE writer for `dir`'s index. Reentrant (a compaction
+    * already holding the lock may call a locked tombstone helper).
+    * Throws IllegalStateException on a live foreign-process holder or
+    * when an in-process sibling holds it past [[LockWaitMs]]. */
+  def withLock[T](s: SparkSession, dir: String)(body: => T): T = {
+    val l = jvmLocks.computeIfAbsent(dir,
+      _ => new java.util.concurrent.locks.ReentrantLock())
+    if (!l.tryLock(LockWaitMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+      throw new IllegalStateException(
+        s"index writer lock for $dir held elsewhere in this process for " +
+          s">${LockWaitMs}ms — single-writer contract violated")
+    try {
+      val first = l.getHoldCount == 1
+      if (first) acquireLockFile(s, dir)
+      try body
+      finally if (first) { fsOf(s, lockPath(dir)).delete(lockPath(dir), false); () }
+    } finally l.unlock()
+  }
+
+  /** Atomically create the lock file with our pid. An existing file from
+    * a DEAD pid (crashed writer) is broken; a live foreign pid throws —
+    * this is contract enforcement, not a wait queue: two processes
+    * mutating one index concurrently is a deployment error. */
+  private def acquireLockFile(s: SparkSession, dir: String): Unit = {
+    val p = lockPath(dir)
+    val fs = fsOf(s, p)
+    var done = false
+    while (!done) {
+      try {
+        val out = fs.create(p, false)
+        try out.write(ProcessHandle.current.pid.toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        done = true
+      } catch {
+        case _: java.io.IOException =>
+          val holder = scala.util.Try {
+            val in = fs.open(p)
+            val buf = new java.io.ByteArrayOutputStream()
+            try org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+            finally in.close()
+            new String(buf.toByteArray,
+              java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+          }.toOption
+          val alive = holder.exists(pid =>
+            pid != ProcessHandle.current.pid &&
+              scala.util.Try(ProcessHandle.of(pid)
+                .map[Boolean](_.isAlive).orElse(false): Boolean)
+                .getOrElse(true))
+          if (alive)
+            throw new IllegalStateException(
+              s"index $dir is being written by live process ${holder.get} — " +
+                "single-writer contract violated")
+          // dead / unreadable / our own stale file: break and retry
+          fs.delete(p, false)
+          (): Unit
+      }
+    }
+  }
+
+  // ------------------------------------------------------------- rebucket
+
+  /** Re-bucket a table to `n` buckets — the lifecycle op for an index
+    * that OUTGREW its build-time bucket count (buckets are frozen at
+    * build so probe plans stay exchange-free; growth eventually makes
+    * per-bucket files exceed the 128-512 MB target and the only prior
+    * remedy was a full external rebuild). Same shape as [[compactSwap]]
+    * with a changed count, and the same round-15 crash ordering as
+    * [[create]]: old spec deleted BEFORE the data swap (readers fall
+    * back to plain parquet during the window), new spec written LAST —
+    * no window ever claims a partitioning the files don't have. Rows
+    * are untouched; only layout changes, so probe results are invariant
+    * (RebucketSpec pins it and re-checks plan co-location at the new
+    * count). */
+  def rebucket(s: SparkSession, dir: String, table: String, n: Int): Unit =
+    withLock(s, dir) {
+      val (oldN, keys) = spec(s, dir, table).getOrElse(
+        throw new IllegalArgumentException(
+          s"$dir/$table is not a bucketed index table — build it with " +
+            "bucketing on before rebucketing"))
+      require(n > 0, s"bucket count must be positive: $n")
+      if (n == oldN) () else {
+      val name = tableName(dir, table)
+      val tmpName = s"${name}__rebucket"
+      val cur = new org.apache.hadoop.fs.Path(s"$dir/$table")
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/${table}__rebucket")
+      val fs = fsOf(s, cur)
+      s.sql(s"DROP TABLE IF EXISTS ${ident(tmpName)}")
+      fs.delete(tmp, true)
+      val df = read(s, dir, table)
+      val ddl = df.schema.toDDL
+      df.repartition(n, keys.map(col): _*)
+        .write.bucketBy(n, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+        .option("path", tmp.toString)
+        .saveAsTable(tmpName)
+      deleteSpec(s, dir, table) // spec first: fallback is plain, never wrong-count
+      s.sql(s"DROP TABLE IF EXISTS ${ident(name)}")
+      s.sql(s"DROP TABLE IF EXISTS ${ident(tmpName)}")
+      fs.delete(cur, true)
+      require(fs.rename(tmp, cur), s"rebucket swap failed for $cur")
+      writeSpec(s, dir, table, n, keys, ddl)
+      registered(s, dir, table)
+      (): Unit
+      }
+    }
 }

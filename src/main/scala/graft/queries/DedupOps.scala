@@ -671,9 +671,19 @@ object DedupOps extends QueryModule {
     * a doc not (yet) present survives compaction, so retire-before-
     * arrival cannot be resurrected by a late append replay. TTL is this
     * API composed with a timestamp source: tombstone everything whose
-    * ingest date aged out, then compact. */
+    * ingest date aged out, then compact.
+    *
+    * Serialized against [[compactDedupIndex]]'s tombstone rewrite via
+    * the index writer lock (round-15): a takedown can no longer land
+    * inside compaction's re-read→overwrite window and be clobbered — it
+    * either precedes the re-read (and survives via it) or waits for the
+    * overwrite (and survives trivially). DedupRaceSpec hammers the
+    * interleaving. */
   private[graft] def tombstoneDocs(docs: DataFrame, dir: String): Unit =
-    docs.select(col("doc_id")).write.mode("append").parquet(s"$dir/tombstones")
+    graft.operators.IndexStore.withLock(docs.sparkSession, dir) {
+      docs.select(col("doc_id")).write.mode("append")
+        .parquet(s"$dir/tombstones")
+    }
 
   /** The distinct tombstoned ids, or None when the index has none — the
     * probe skips its anti-joins entirely on tombstone-free indexes
@@ -762,12 +772,17 @@ object DedupOps extends QueryModule {
     // Tombstone overwrite LAST (see `applied` above for the ordering
     // argument), against a FRESH read of the table so concurrent
     // takedowns survive: only once every swap has consumed the snapshot
-    // is it safe to forget the applied tombstones.
+    // is it safe to forget the applied tombstones. The re-read AND the
+    // overwrite run under the index writer lock, so a concurrent
+    // [[tombstoneDocs]] cannot land between them (the round-14 residual
+    // race, now closed rather than documented).
     applied.foreach { ap =>
-      loadTombstones(s, dir).foreach { cur =>
-        cur.join(ap, Seq("doc_id"), "left_anti")
-          .localCheckpoint(true) // detach from the files being overwritten
-          .write.mode("overwrite").parquet(s"$dir/tombstones")
+      graft.operators.IndexStore.withLock(s, dir) {
+        loadTombstones(s, dir).foreach { cur =>
+          cur.join(ap, Seq("doc_id"), "left_anti")
+            .localCheckpoint(true) // detach from the files being overwritten
+            .write.mode("overwrite").parquet(s"$dir/tombstones")
+        }
       }
     }
   }

@@ -1116,9 +1116,15 @@ object VectorOps extends QueryModule {
     * content arriving later probes novel and re-canonicalizes (pinned in
     * SemTtlSpec); a tombstone for a vector not (yet) indexed survives
     * compaction, so retire-before-arrival cannot be resurrected by a
-    * late append replay. */
+    * late append replay. Locked against [[compactSemIndex]]'s tombstone
+    * rewrite (the [[DedupOps.tombstoneDocs]] round-15 discipline) — a
+    * takedown can no longer be clobbered by a concurrent compaction's
+    * re-read→overwrite window; SemRaceSpec hammers the interleaving. */
   private[graft] def tombstoneVecs(vecs: DataFrame, dir: String): Unit =
-    vecs.select(col("vec_id")).write.mode("append").parquet(s"$dir/tombstones")
+    graft.operators.IndexStore.withLock(vecs.sparkSession, dir) {
+      vecs.select(col("vec_id")).write.mode("append")
+        .parquet(s"$dir/tombstones")
+    }
 
   /** Distinct tombstoned vec_ids, or None — tombstone-free indexes skip
     * the anti-join entirely (zero overhead for the common case). */
@@ -1167,11 +1173,15 @@ object VectorOps extends QueryModule {
     }
     graft.operators.IndexStore.compactSwap(s, dir, "vectors")(df =>
       dropSemTombstoned(df, "vec_id", tombs).dropDuplicates("vec_id"))
+    // Re-read + overwrite under the writer lock: a concurrent
+    // tombstoneVecs serializes against this window instead of racing it.
     applied.foreach { ap =>
-      loadSemTombstones(s, dir).foreach { cur =>
-        cur.join(ap, Seq("vec_id"), "left_anti")
-          .localCheckpoint(true) // detach from the files being overwritten
-          .write.mode("overwrite").parquet(s"$dir/tombstones")
+      graft.operators.IndexStore.withLock(s, dir) {
+        loadSemTombstones(s, dir).foreach { cur =>
+          cur.join(ap, Seq("vec_id"), "left_anti")
+            .localCheckpoint(true) // detach from the files being overwritten
+            .write.mode("overwrite").parquet(s"$dir/tombstones")
+        }
       }
     }
   }
@@ -1972,7 +1982,7 @@ object VectorOps extends QueryModule {
     * sub-codebooks → codes (argmin L2², ties to smaller cid) → query
     * LUTs → subspace-ordered ADC fold → RANK ≤ 3. */
   private def pqCtes: String =
-    """e AS (
+    s"""e AS (
       |  SELECT vec_id, embedding,
       |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) AS nrm
@@ -1986,15 +1996,15 @@ object VectorOps extends QueryModule {
       |rankeddim AS (
       |  SELECT p, ROW_NUMBER() OVER (ORDER BY s2 DESC, p) - 1 AS r FROM m2),
       |dl AS (
-      |  SELECT CAST(r % 4 AS INTEGER) AS sub, list(p ORDER BY r) AS dims
-      |  FROM rankeddim GROUP BY r % 4),
+      |  SELECT CAST(r % $PqM AS INTEGER) AS sub, list(p ORDER BY r) AS dims
+      |  FROM rankeddim GROUP BY r % $PqM),
       |pv AS (
       |  SELECT u.vec_id, dl.sub, list_transform(dl.dims, ix -> u.ue[ix]) AS pv
       |  FROM u CROSS JOIN dl),
       |cent AS (
       |  SELECT t.cid, p.sub, p.pv AS cv
       |  FROM (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
-      |        FROM u WHERE vec_id < 16) t
+      |        FROM u WHERE vec_id < $PqKsub) t
       |  JOIN pv p ON p.vec_id = t.vec_id),
       |d2t AS (
       |  SELECT p.vec_id, p.sub, c.cid,
@@ -2075,12 +2085,18 @@ object VectorOps extends QueryModule {
           col("n_vectors").cast("double")).as("mean_code_err"),
         col("codes_used"), lit(PqM * PqKsub).as("codes_total"))
   }
+  // toterr's CASE chain and codes_total are INTERPOLATED from PqM/PqKsub
+  // (the q242Sql MaxLanes discipline) — the chain folds left like the
+  // Spark side's dims.indices.map(cerr).reduce(_ + _), so changing either
+  // constant keeps oracle parity instead of silently breaking it.
+  private def pqToterrSql: String =
+    (0 until PqM).map(j => s"MAX(CASE WHEN sub = $j THEN d2 END)")
+      .reduce((a, b) => s"($a + $b)")
   private def q241Sql: String =
     s"""WITH $pqCtes,
        |verr AS (
        |  SELECT vec_id,
-       |    ((MAX(CASE WHEN sub = 0 THEN d2 END) + MAX(CASE WHEN sub = 1 THEN d2 END))
-       |      + MAX(CASE WHEN sub = 2 THEN d2 END)) + MAX(CASE WHEN sub = 3 THEN d2 END) AS toterr
+       |    $pqToterrSql AS toterr
        |  FROM codes GROUP BY vec_id),
        |errfp AS (
        |  SELECT CAST(SUM(CAST(floor(toterr * 67108864.0) AS BIGINT)) AS BIGINT) AS efp,
@@ -2105,7 +2121,7 @@ object VectorOps extends QueryModule {
        |SELECT e.n_vectors, nq.n_queries,
        |  CAST(ov.overlap AS DOUBLE) / (3.0 * CAST(nq.n_queries AS DOUBLE)) AS recall_at3,
        |  CAST(e.efp AS DOUBLE) / 67108864.0 / CAST(e.n_vectors AS DOUBLE) AS mean_code_err,
-       |  used.codes_used, CAST(64 AS INTEGER) AS codes_total
+       |  used.codes_used, CAST(${PqM * PqKsub} AS INTEGER) AS codes_total
        |FROM errfp e, used, ov, nq""".stripMargin
 
   val all: Seq[Q] = Seq(

@@ -239,4 +239,40 @@ class IndexColocationSpec extends SparkSpec {
     assertColocated(plans, idx, Seq("exact", "bands", "shingles"))
     assert(after === before, "compaction must not change any verdict bit")
   }
+
+  test("rebucket keeps the probe co-located at the NEW count, verdicts equal") {
+    val root = java.nio.file.Files.createTempDirectory("graft_coloc_r").toString
+    val idx = s"$root/index"
+    val novelText = (1 to 30).map(i => s"wrd$i").mkString(" ")
+    DedupOps.buildDedupIndex(docsDf(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      3L -> novelText), idx)
+    val probe = docsDf(500L -> novelText,
+      502L -> "entirely novel content that matches nothing in the index")
+    val before = DedupOps.probeDedupIndex(spark, probe, idx)
+      .collect().map(_.toSeq).toSet
+
+    Seq("exact", "bands", "shingles").foreach(t =>
+      IndexStore.rebucket(spark, idx, t, 4))
+    assert(IndexStore.spec(spark, idx, "exact") === Some((4, Seq("norm_key"))))
+
+    val (after, plans) = withShuffleJoins {
+      capturePlans {
+        DedupOps.probeDedupIndex(spark, probe, idx)
+          .collect().map(_.toSeq).toSet
+      }
+    }
+    assertColocated(plans, idx, Seq("exact", "bands", "shingles"))
+    // non-vacuity at the NEW count: some index scan reports 4-way hashing
+    val paths = plans.flatMap(scanAncestry(_,
+      Seq("exact", "bands", "shingles").map(t => s"$idx/$t"), Nil))
+    val counts = paths.map(_.head).collect {
+      case f: FileSourceScanExec
+          if f.outputPartitioning.isInstanceOf[HashPartitioning] =>
+        f.outputPartitioning.asInstanceOf[HashPartitioning].numPartitions
+    }
+    assert(counts.nonEmpty && counts.forall(_ == 4),
+      s"expected 4-bucket scans after rebucket, saw $counts")
+    assert(after === before, "rebucket must not change any verdict bit")
+  }
 }
