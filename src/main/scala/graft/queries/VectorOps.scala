@@ -1088,11 +1088,26 @@ object VectorOps extends QueryModule {
     val rows: Seq[Seq[Double]] = s.read.parquet(s"$dir/centroids")
       .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1)).toSeq
     val sc = sortedCells(typedlit(rows), rows.size)
-    graft.operators.IndexStore.append(
-      unitize(novel)
-        .select(col("vec_id"), col("ue"),
-          element_at(sc, 1)("cid").cast("bigint").as("cell")),
-      dir, "vectors")
+    val assigned = unitize(novel)
+      .select(col("vec_id"), col("ue"),
+        element_at(sc, 1)("cid").cast("bigint").as("cell"))
+    graft.operators.IndexStore.append(assigned, dir, "vectors")
+    // IVFADC parity: an index carrying PQ artifacts encodes the novel
+    // vectors' residuals with the FROZEN permutation + codebooks (index
+    // metadata ages like the centroids and τ — recalibrated offline).
+    if (hasPq(s, dir)) {
+      val (dims, cb) = loadPqMeta(s, dir)
+      val cent = s.read.parquet(s"$dir/centroids")
+        .select(col("cid").cast("bigint").as("cid"), col("cu"))
+      val resid = assigned.join(broadcast(cent), col("cell") === col("cid"))
+        .select(col("vec_id"), col("cell"),
+          zip_with(col("ue"), col("cu"), (a, b) => a - b).as("ue"))
+      graft.operators.IndexStore.append(
+        withPqCodes(resid, dims, cb)
+          .select(col("vec_id") +: col("cell") +:
+            dims.indices.map(j => col(s"code$j")): _*),
+        dir, "codes")
+    }
   }
 
   /** Parquet data files backing the semantic index's vector store — the
@@ -1173,6 +1188,12 @@ object VectorOps extends QueryModule {
     }
     graft.operators.IndexStore.compactSwap(s, dir, "vectors")(df =>
       dropSemTombstoned(df, "vec_id", tombs).dropDuplicates("vec_id"))
+    // IVFADC parity: the codes table compacts in the same pass with the
+    // same tombstone snapshot — a taken-down vector leaves both the
+    // float store and the code store together (IvfAdcSpec pins it).
+    if (hasPq(s, dir))
+      graft.operators.IndexStore.compactSwap(s, dir, "codes")(df =>
+        dropSemTombstoned(df, "vec_id", tombs).dropDuplicates("vec_id"))
     // Re-read + overwrite under the writer lock: a concurrent
     // tombstoneVecs serializes against this window instead of racing it.
     applied.foreach { ap =>
@@ -1908,10 +1929,18 @@ object VectorOps extends QueryModule {
   private[queries] def trainPqCodebooks(s: SparkSession, d: String,
       iters: Int): Seq[Seq[Seq[Double]]] = {
     val (dims, seed) = pqArtifacts(s, d)
-    val u = unitVectors(s, d).select(col("vec_id"), col("ue"))
+    refinePqBooks(unitVectors(s, d).select(col("vec_id"), col("ue")),
+      dims, seed, iters)
+  }
+
+  /** The Lloyd loop itself, over an arbitrary (vec_id, ue) frame — raw
+    * unit vectors for [[trainPqCodebooks]], IVF cell RESIDUALS for
+    * [[addPqToSemIndex]]'s production rung. Same determinism contract. */
+  private[queries] def refinePqBooks(frame: DataFrame, dims: Seq[Seq[Int]],
+      seed: Seq[Seq[Seq[Double]]], iters: Int): Seq[Seq[Seq[Double]]] = {
     var cb = seed
     for (_ <- 1 to iters) {
-      val coded = withPqCodes(u, dims, cb)
+      val coded = withPqCodes(frame, dims, cb)
       cb = dims.indices.map { j =>
         // collect-bound: grouped by code id < ksub — ≤ 16 rows per subspace
         val means = coded
@@ -2124,10 +2153,604 @@ object VectorOps extends QueryModule {
        |  used.codes_used, CAST(${PqM * PqKsub} AS INTEGER) AS codes_total
        |FROM errfp e, used, ov, nq""".stripMargin
 
+  // ------------------------------------------------------------ q243/q244
+
+  /** IVFADC — the composed billion-scale ANN index (Jégou, Douze &
+    * Schmid 2011 §IV: IVF coarse quantizer + product quantization of the
+    * CELL RESIDUALS, searched with an asymmetric distance computation
+    * over only the probed cells' codes). Rounds 11-14 proved the three
+    * parts separately — q52's coarse cells, q240's PQ, IndexStore's
+    * bucketed persistence; this section composes them into the one
+    * deployable artifact a production vector store actually ships:
+    *
+    *  - BUILD ([[addPqToSemIndex]]): on top of an existing semantic
+    *    index (buildSemIndex's `centroids` + cell-bucketed `vectors`),
+    *    compute each indexed vector's residual r = ue − c_cell, derive
+    *    the variance-balanced dimension permutation from the RESIDUAL
+    *    second moments (the q240 dyadic fixed-point idiom — both engines
+    *    derive the identical permutation), seed m sub-codebooks from the
+    *    first-ksub residuals in vec_id order (SQL-restatable; Lloyd
+    *    refinement via [[refinePqBooks]] is the spec-owned production
+    *    rung, the q52 seed-vs-trained discipline), and persist
+    *    `pq_dims`/`pq_cb` (driver-literal-sized metadata) plus the
+    *    `codes` table — (vec_id, cell, code0..m−1), ~m bytes of payload
+    *    per vector vs d·4 for floats — as an IndexStore EXTERNAL BUCKETED
+    *    table on `cell`, the probe-join key.
+    *  - PROBE ([[probeIvfAdcTop3]]): a query ranks the ≤k centroids
+    *    row-locally (literal codebook, no crossJoin), keeps its top
+    *    [[IvfAdcNprobe]] (cell, coarse-dot) pairs, builds its m×ksub ADC
+    *    LUT once (LUT_j[c] = ⟨q_subvec_j, cb_j[c]⟩ — the FULL query
+    *    sub-vector, not a residual: ⟨q, c + r̃⟩ = ⟨q, c⟩ + ⟨q, r̃⟩, so
+    *    approx cosine = coarse + Σ_j LUT_j[code_j] with zero per-cell
+    *    LUT work), then joins the exploded probe cells against the
+    *    codes table. The index side arrives bucket-partitioned on
+    *    `cell` — no index-side Exchange even under forced shuffle joins
+    *    (IndexColocationSpec's ivfadc arm) — and the per-candidate work
+    *    is m lookup-adds over the 64×-smaller codes artifact.
+    *  - LIFECYCLE: [[appendToSemIndex]] encodes novel vectors with the
+    *    FROZEN permutation + codebooks (index metadata ages like the
+    *    centroids and τ — recalibrated offline, never drifted online);
+    *    [[tombstoneVecs]] takedowns suppress code rows at the next probe
+    *    and [[compactSemIndex]] physically removes them in the same
+    *    locked pass that compacts `vectors` (IvfAdcSpec pins all three).
+    *
+    * Oracle parity mechanics are the q211 + q240 chains composed:
+    * residual subtraction is an element-ordered zip in both engines,
+    * moments/means are dyadic fixed-point BIGINTs, argmin ties go to the
+    * smaller code id, the ADC sum is coarse + a subspace-ordered fold —
+    * scores hash-match, not just ranks. q243 probes the held-out split
+    * (vec_id % 5 = 0, < [[IvfAdcQueryBound]]) through the PERSISTED
+    * artifact; q244 is its recall/distortion/occupancy card vs the exact
+    * within-split top-3.
+    *
+    * Scale shape: build is one residual pass + one (pos)-keyed and one
+    * (code, pos)-keyed hash agg (collects ≤ dim + m·ksub rows); probe
+    * work ∝ |Q| · (nprobe cells' occupancy) · m; nothing anywhere is
+    * all-pairs or corpus-collected. */
+  private val IvfAdcNprobe = 2
+  private val IvfAdcQueryBound = 40
+
+  /** Residual frame (vec_id, cell, ue := unit vector − own-cell
+    * centroid) of a persisted semantic index — the PQ training/encoding
+    * input. Centroid side is ≤ k rows, broadcast. */
+  private[queries] def semResiduals(s: SparkSession, dir: String): DataFrame = {
+    val cent = s.read.parquet(s"$dir/centroids")
+      .select(col("cid").cast("bigint").as("cid"), col("cu"))
+    graft.operators.IndexStore.read(s, dir, "vectors")
+      .join(broadcast(cent), col("cell") === col("cid"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("ue"), col("cu"), (a, b) => a - b).as("ue"))
+  }
+
+  /** Extend a built semantic index with the IVFADC artifacts: residual
+    * permutation + sub-codebooks (`pq_dims`/`pq_cb`) and the
+    * cell-bucketed `codes` table. `lloydIters = 0` keeps the oracle seed
+    * books; production passes > 0 ([[refinePqBooks]]). */
+  private[graft] def addPqToSemIndex(s: SparkSession, dir: String,
+      lloydIters: Int = 0): Unit = {
+    val resid = semResiduals(s, dir)
+      .localCheckpoint(true) // consumers: moments + seeds + refine + codes
+    // collect-bound: one row per embedding dimension — ≤ dim rows
+    val ranked = resid.select(posexplode(col("ue")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(sum(floor(col("v") * col("v") * lit(MeanScale)).cast("long"))
+        .as("s2"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy { case (p, s2) => (-s2, p) }
+    val dims: Seq[Seq[Int]] = (0 until PqM).map(j =>
+      ranked.indices.collect { case r if r % PqM == j => ranked(r)._1 }.toSeq)
+    // collect-bound: first-ksub residuals by vec_id order — ≤ 16 rows
+    val seeds = resid.select(col("vec_id"), col("ue"))
+      .orderBy(col("vec_id")).limit(PqKsub)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    val seedCb: Seq[Seq[Seq[Double]]] =
+      dims.map(dj => seeds.map { case (_, re) => dj.map(re(_)).toSeq }.toSeq)
+    val cb = refinePqBooks(resid.select(col("vec_id"), col("ue")), dims,
+      seedCb, lloydIters)
+    import s.implicits._
+    dims.zipWithIndex.map { case (dj, j) => (j, dj) }.toDF("sub", "dims")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_dims")
+    cb.zipWithIndex.flatMap { case (cj, j) =>
+        cj.zipWithIndex.map { case (cv, c) => (j, c, cv) } }
+      .toDF("sub", "cid", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_cb")
+    val codes = withPqCodes(resid, dims, cb)
+      .select(col("vec_id") +: col("cell") +:
+        dims.indices.map(j => col(s"code$j")): _*)
+    graft.operators.IndexStore.create(codes, dir, "codes", Seq("cell"))
+  }
+
+  /** (permutation, sub-codebooks) reloaded from a persisted IVFADC
+    * index — ≤ m + m·ksub collected rows. */
+  private def loadPqMeta(s: SparkSession,
+      dir: String): (Seq[Seq[Int]], Seq[Seq[Seq[Double]]]) = {
+    // collect-bound: pq_dims has one row per subspace — ≤ m rows
+    val dims: Seq[Seq[Int]] = s.read.parquet(s"$dir/pq_dims")
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Int](1).toSeq).toSeq
+    // collect-bound: pq_cb has one row per (sub, code) — ≤ m·ksub rows
+    val cbm = s.read.parquet(s"$dir/pq_cb")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2)))
+      .toMap
+    val cb = dims.indices.map(j =>
+      (0 until PqKsub).map(c => cbm((j, c)).toSeq).toSeq).toSeq
+    (dims, cb)
+  }
+
+  /** Corpus-mean residual quantization error of a persisted IVFADC index
+    * under its own persisted books (the q244 metric; PqSpec-style
+    * monotonicity checks compare seed vs Lloyd builds through it). */
+  private[queries] def ivfAdcDistortion(s: SparkSession, dir: String): Double = {
+    val (dims, cb) = loadPqMeta(s, dir)
+    val coded = withPqCodes(semResiduals(s, dir), dims, cb)
+    val tot = dims.indices.map(j => col(s"cerr$j")).reduce(_ + _)
+    val r = coded.agg(sum(floor(tot * lit(MeanScale)).cast("long")).as("efp"),
+      count(lit(1)).as("n")).head()
+    r.getLong(0).toDouble / MeanScale / r.getLong(1).toDouble
+  }
+
+  private[graft] def hasPq(s: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/pq_dims")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** ADC top-3 of a query batch against a persisted IVFADC index:
+    * (query_id, neighbor_id, adc_cos, rnk), unordered. Tombstoned base
+    * vectors are invisible (the probeSemIndex discipline). */
+  private[graft] def probeIvfAdcTop3(s: SparkSession, batch: DataFrame,
+      dir: String, nprobe: Int = IvfAdcNprobe): DataFrame = {
+    // collect-bound: centroid table — ≤ k rows, k ∝ √n via ivfKFor
+    val cRows: Seq[Seq[Double]] = s.read.parquet(s"$dir/centroids")
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1)).toSeq
+    val (dims, cb) = loadPqMeta(s, dir)
+    val sc = sortedCells(typedlit(cRows), cRows.size)
+    val probes = withPqSubvectors(unitize(batch), dims)
+      .select(col("vec_id").as("query_id"),
+        explode(slice(sc, 1, nprobe)).as("pc"),
+        array(dims.indices.map { j =>
+          transform(sequence(lit(0), lit(PqKsub - 1)), c =>
+            call_function("graft_dot", col(s"pv$j"),
+              element_at(typedlit(cb(j)), c + lit(1))))
+        }: _*).as("lut"))
+      .select(col("query_id"), col("pc")("cid").cast("bigint").as("cell"),
+        col("pc")("cc").as("coarse"), col("lut"))
+    val idx = dropSemTombstoned(
+      graft.operators.IndexStore.read(s, dir, "codes"),
+      "vec_id", loadSemTombstones(s, dir))
+      .select(col("cell"), col("vec_id").as("neighbor_id"),
+        array(dims.indices.map(j => col(s"code$j")): _*).as("cd"))
+    val scored = probes.join(idx, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_cos", col("coarse") + expr(
+        s"aggregate(sequence(0, ${PqM - 1}), cast(0.0 as double), " +
+          "(acc, j) -> acc + lut[j][cd[j]])"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", rank().over(w)).filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("adc_cos"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
+  /** The shared q243/q244 IVFADC index: the q211 semantic index extended
+    * with PQ artifacts, once per (session, corpus). */
+  private val ivfadcCache = new graft.SessionCache[String]
+  private def builtIvfAdc(s: SparkSession, d: String): String =
+    ivfadcCache.getOrBuild(s, d) {
+      val dir = builtSemIndex(s, d)
+      addPqToSemIndex(s, dir)
+      dir
+    }
+
+  private def ivfAdcQueries(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") % 5 === 0 && col("vec_id") < IvfAdcQueryBound)
+
+  private def q243(s: SparkSession, d: String): DataFrame =
+    probeIvfAdcTop3(s, ivfAdcQueries(s, d), builtIvfAdc(s, d))
+      .orderBy("query_id", "rnk", "neighbor_id")
+
+  /** The residual-PQ CTE chain on top of [[semIndexCtes]] (resid →
+    * permutation → sub-vectors → seed books → rcodes) plus the probe
+    * side (coarse ranks, query LUT, candidate ADC scores → adc3) — the
+    * SQL restatement of addPqToSemIndex + probeIvfAdcTop3. */
+  private def ivfAdcCtes: String =
+    s"""$semIndexCtes,
+       |resid AS (
+       |  SELECT a.vec_id, a.cell,
+       |    list_transform(list_zip(b.ue, c.cu), z -> z[1] - z[2]) AS re
+       |  FROM bassign a JOIN buni b ON b.vec_id = a.vec_id
+       |  JOIN cent c ON c.cid = a.cell),
+       |rdimspine AS (
+       |  SELECT unnest(generate_series(1, (SELECT MAX(len(re)) FROM resid))) AS p),
+       |rm2 AS (
+       |  SELECT p, CAST(SUM(CAST(floor(re[p] * re[p] * 67108864.0) AS BIGINT)) AS BIGINT) AS s2
+       |  FROM resid CROSS JOIN rdimspine GROUP BY p),
+       |rrank AS (SELECT p, ROW_NUMBER() OVER (ORDER BY s2 DESC, p) - 1 AS r FROM rm2),
+       |rdl AS (
+       |  SELECT CAST(r % $PqM AS INTEGER) AS sub, list(p ORDER BY r) AS dims
+       |  FROM rrank GROUP BY r % $PqM),
+       |rpv AS (
+       |  SELECT resid.vec_id, resid.cell, rdl.sub,
+       |    list_transform(rdl.dims, ix -> resid.re[ix]) AS pv
+       |  FROM resid CROSS JOIN rdl),
+       |rcent AS (
+       |  SELECT t.cid, p.sub, p.pv AS cv
+       |  FROM (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+       |        FROM resid) t
+       |  JOIN rpv p ON p.vec_id = t.vec_id
+       |  WHERE t.cid < $PqKsub),
+       |rd2 AS (
+       |  SELECT p.vec_id, p.cell, p.sub, c.cid,
+       |    list_reduce(list_prepend(0.0, list_transform(list_zip(p.pv, c.cv),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2]))), (a, b) -> a + b) AS d2
+       |  FROM rpv p JOIN rcent c ON c.sub = p.sub),
+       |rcodes AS (
+       |  SELECT vec_id, cell, sub, cid AS code, d2 FROM (
+       |    SELECT vec_id, cell, sub, cid, d2,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+       |    FROM rd2) t WHERE rn = 1),
+       |qv AS (SELECT vec_id, ue FROM u WHERE vec_id % 5 = 0 AND vec_id < $IvfAdcQueryBound),
+       |qcc AS (
+       |  SELECT q.vec_id, cent.cid,
+       |    list_reduce(list_prepend(0.0, list_transform(list_zip(q.ue, cent.cu),
+       |      z -> z[1] * z[2])), (a, x) -> a + x) AS cc
+       |  FROM qv q CROSS JOIN cent),
+       |qprobe AS (
+       |  SELECT vec_id, cid AS cell, cc FROM (
+       |    SELECT vec_id, cid, cc,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+       |    FROM qcc) t WHERE rn <= $IvfAdcNprobe),
+       |qpv AS (
+       |  SELECT q.vec_id, rdl.sub, list_transform(rdl.dims, ix -> q.ue[ix]) AS pv
+       |  FROM qv q CROSS JOIN rdl),
+       |qlut AS (
+       |  SELECT p.vec_id AS query_id, c.sub, c.cid,
+       |    list_reduce(list_prepend(0.0, list_transform(list_zip(p.pv, c.cv),
+       |      z -> z[1] * z[2])), (a, b) -> a + b) AS dotv
+       |  FROM qpv p JOIN rcent c ON c.sub = p.sub),
+       |cand AS (
+       |  SELECT p.vec_id AS query_id, p.cc AS coarse, r.vec_id AS neighbor_id
+       |  FROM qprobe p
+       |  JOIN (SELECT DISTINCT vec_id, cell FROM rcodes) r ON r.cell = p.cell
+       |  WHERE r.vec_id <> p.vec_id),
+       |contrib AS (
+       |  SELECT c.query_id, c.neighbor_id, c.coarse, rc.sub, l.dotv
+       |  FROM cand c JOIN rcodes rc ON rc.vec_id = c.neighbor_id
+       |  JOIN qlut l ON l.query_id = c.query_id AND l.sub = rc.sub AND l.cid = rc.code),
+       |ascore AS (
+       |  SELECT query_id, neighbor_id,
+       |    MIN(coarse) + list_reduce(list_prepend(0.0, list(dotv ORDER BY sub)),
+       |      (a, b) -> a + b) AS adc_cos
+       |  FROM contrib GROUP BY query_id, neighbor_id),
+       |adc3 AS (
+       |  SELECT query_id, neighbor_id, adc_cos, rnk FROM (
+       |    SELECT query_id, neighbor_id, adc_cos,
+       |      CAST(RANK() OVER (PARTITION BY query_id ORDER BY adc_cos DESC, neighbor_id) AS INTEGER) AS rnk
+       |    FROM ascore) t WHERE rnk <= 3)""".stripMargin
+
+  private def q243Sql: String =
+    s"""WITH $ivfAdcCtes
+       |SELECT query_id, neighbor_id, adc_cos, rnk FROM adc3
+       |ORDER BY query_id, rnk, neighbor_id""".stripMargin
+
+  /** q244 — IVFADC recall/distortion/occupancy card (the q241 idiom for
+    * the COMPOSED index): recall@3 of the persisted-index ADC probe vs
+    * the exact within-split cosine top-3 on the same held-out queries
+    * and tie rule, corpus-mean residual quantization error (dyadic
+    * fixed-point — no IEEE accumulation order), and (sub, code)
+    * occupancy vs m·ksub. */
+  private def q244(s: SparkSession, d: String): DataFrame = {
+    val dir = builtIvfAdc(s, d)
+    val (dims, cb) = loadPqMeta(s, dir)
+    val coded = withPqCodes(semResiduals(s, dir), dims, cb)
+      .localCheckpoint(true) // consumers: error card + occupancy
+    val totErr = dims.indices.map(j => col(s"cerr$j")).reduce(_ + _)
+    val err = coded.agg(
+      sum(floor(totErr * lit(MeanScale)).cast("long")).as("efp"),
+      count(lit(1)).as("n_vectors"))
+    val used = coded
+      .select(posexplode(array(dims.indices.map(j => col(s"code$j")): _*))
+        .as(Seq("sub", "code")))
+      .agg(countDistinct(col("sub"), col("code")).as("codes_used"))
+    val u = unitVectors(s, d)
+    val qv = u.filter(col("vec_id") % 5 === 0 && col("vec_id") < IvfAdcQueryBound)
+      .select(col("vec_id").as("query_id"), col("ue").as("qu"))
+    val base = u.filter(col("vec_id") % 5 =!= 0)
+      .select(col("vec_id").as("neighbor_id"), col("ue").as("cu"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(expr("graft_dot(qu, cu)").desc, col("neighbor_id"))
+    val exact3 = broadcast(qv).join(base, col("query_id") =!= col("neighbor_id"))
+      .withColumn("rnk", rank().over(w)).filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val overlap = probeIvfAdcTop3(s, ivfAdcQueries(s, d), dir)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(exact3, Seq("query_id", "neighbor_id"))
+      .agg(count(lit(1)).as("overlap"))
+    val nq = qv.agg(count(lit(1)).as("n_queries"))
+    Seq(used, overlap, nq).foldLeft(err)(graft.Scalars.withScalar)
+      .select(col("n_vectors"), col("n_queries"),
+        (col("overlap").cast("double") /
+          (lit(3.0) * col("n_queries").cast("double"))).as("recall_at3"),
+        (col("efp").cast("double") / lit(MeanScale) /
+          col("n_vectors").cast("double")).as("mean_code_err"),
+        col("codes_used"), lit(PqM * PqKsub).as("codes_total"))
+  }
+
+  private def q244Sql: String =
+    s"""WITH $ivfAdcCtes,
+       |verr AS (
+       |  SELECT vec_id, $pqToterrSql AS toterr
+       |  FROM rcodes GROUP BY vec_id),
+       |errfp AS (
+       |  SELECT CAST(SUM(CAST(floor(toterr * 67108864.0) AS BIGINT)) AS BIGINT) AS efp,
+       |    CAST(COUNT(*) AS BIGINT) AS n_vectors
+       |  FROM verr),
+       |used AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS codes_used
+       |  FROM (SELECT DISTINCT sub, code FROM rcodes)),
+       |ex3 AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |      RANK() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_reduce(list_prepend(0.0, list_transform(list_zip(q.ue, b.ue),
+       |          z -> z[1] * z[2])), (a, x) -> a + x) DESC, b.vec_id) AS rnk
+       |    FROM qv q JOIN buni b ON q.vec_id <> b.vec_id) t
+       |  WHERE rnk <= 3),
+       |ov AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS overlap
+       |  FROM adc3 JOIN ex3 USING (query_id, neighbor_id)),
+       |nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM qv)
+       |SELECT e.n_vectors, nq.n_queries,
+       |  CAST(ov.overlap AS DOUBLE) / (3.0 * CAST(nq.n_queries AS DOUBLE)) AS recall_at3,
+       |  CAST(e.efp AS DOUBLE) / 67108864.0 / CAST(e.n_vectors AS DOUBLE) AS mean_code_err,
+       |  used.codes_used, CAST(${PqM * PqKsub} AS INTEGER) AS codes_total
+       |FROM errfp e, used, ov, nq""".stripMargin
+
+  // ------------------------------------------------------------ q245/q246
+
+  /** Graph-ANN (the carried round-13 stretch, completing the
+    * LSH/IVF/PQ/graph quartet): a BOUNDED-DEGREE neighbor graph built
+    * from the IVF cells' candidate pairs — each vector keeps its
+    * [[GraphDegree]] best within-cell neighbors by cosine, so
+    * construction is the q114/q52 cell-local equi-join (Σ|cell|² pairs,
+    * never all-pairs) plus one per-source window — searched GREEDILY:
+    * start at the query's own cell's smallest-id member and hop
+    * [[GraphHops]] times, each hop moving to the best of {current} ∪
+    * out-neighbors(current) by true cosine (monotone by construction —
+    * the current node competes). This is the NSW/DiskANN search shape
+    * with the budget made explicit: a FIXED hop count, which is what
+    * lets the DuckDB oracle restate the whole search as unrolled CTEs
+    * (the q215/q221 unrolled-iteration discipline) and what a
+    * latency-bound production deployment actually configures.
+    *
+    * q245 is the per-query greedy trace (found neighbor, its true
+    * cosine, the exact top-1 under the q32 tie rule, hit bit); q246 the
+    * aggregate card: recall@1, graph size/degree, and the build-pair
+    * budget vs the IVF probe cost it replaces — the number PLANS.md
+    * compares. Entry fallback for singleton cells is the corpus' two
+    * smallest ids (2-row bounded collect), restated via a LIMIT-2 CTE.
+    *
+    * Scale shape: edges are cell-bounded pairs + a per-src window (one
+    * shuffle each); the greedy frontier is |Q|·(1+degree) rows per hop
+    * with |Q| broadcast — hop joins touch edge/vector tables only on
+    * equi-keys. Degree and hops are constants, so plan size is fixed. */
+  private val GraphDegree = 4
+  private val GraphHops = 3
+
+  /** (assignments with unit vectors, bounded-degree edge list) over the
+    * full corpus — shared by q245/q246. */
+  private def graphAnnParts(s: SparkSession,
+      d: String): (DataFrame, DataFrame) = {
+    val u = unitVectors(s, d)
+    val k = ivfKFor(u.count())
+    val sc = sortedCells(codebook(u, k), k)
+    val asg = u.select(col("vec_id"), col("ue"),
+        element_at(sc, 1)("cid").as("cell"))
+      .localCheckpoint(true) // consumers: both pair sides + entry + hops
+    val a = asg.select(col("cell"), col("vec_id").as("src"), col("ue").as("su"))
+    val b = asg.select(col("cell").as("cell_b"), col("vec_id").as("dst"),
+      col("ue").as("du"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("ecos").desc, col("dst"))
+    val edges = a.join(b, col("cell") === col("cell_b") && col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), expr("graft_dot(su, du)").as("ecos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= GraphDegree)
+      .select(col("src"), col("dst"))
+      .localCheckpoint(true) // consumers: every hop + the card's count
+    (asg, edges)
+  }
+
+  /** Per-query greedy trace: (query_id, found_id, found_cos, exact_id,
+    * hit), unordered. */
+  private def graphAnnTrace(s: SparkSession, d: String): DataFrame = {
+    val (asg, edges) = graphAnnParts(s, d)
+    val qv = asg.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("ue").as("qu"),
+        col("cell").as("qcell"))
+    // collect-bound: two smallest corpus ids — 2 rows (entry fallback)
+    val low2 = asg.select(col("vec_id")).orderBy(col("vec_id")).limit(2)
+      .collect().map(_.getLong(0))
+    val cellMin = broadcast(qv)
+      .join(asg.select(col("cell").as("qcell"), col("vec_id").as("m")), "qcell")
+      .filter(col("m") =!= col("query_id"))
+      .groupBy(col("query_id")).agg(min(col("m")).as("cell_entry"))
+    val entry = qv.join(cellMin, Seq("query_id"), "left")
+      .select(col("query_id"), col("qu"),
+        coalesce(col("cell_entry"),
+          when(col("query_id") === lit(low2(0)), lit(low2(1)))
+            .otherwise(lit(low2(0)))).as("node"))
+    val nu = asg.select(col("vec_id").as("node"), col("ue").as("nu"))
+    var frontier = entry.join(nu, "node")
+      .select(col("query_id"), col("qu"), col("node"),
+        expr("graft_dot(qu, nu)").as("gcos"))
+    for (_ <- 1 to GraphHops) {
+      val nb = frontier.join(edges, col("node") === col("src"))
+        .filter(col("dst") =!= col("query_id"))
+        .join(nu.withColumnRenamed("node", "dst"), "dst")
+        .select(col("query_id"), col("qu"), col("dst").as("node"),
+          expr("graft_dot(qu, nu)").as("gcos"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("gcos").desc, col("node"))
+      frontier = frontier.unionByName(nb)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .localCheckpoint(true) // keep the unrolled plan hop-sized
+    }
+    val exact = {
+      val c = asg.select(col("vec_id").as("neighbor_id"), col("ue").as("cu"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(expr("graft_dot(qu, cu)").desc, col("neighbor_id"))
+      broadcast(qv.select(col("query_id"), col("qu")))
+        .join(c, col("query_id") =!= col("neighbor_id"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("query_id"), col("neighbor_id").as("exact_id"))
+    }
+    frontier.join(exact, "query_id")
+      .select(col("query_id"), col("node").as("found_id"),
+        col("gcos").as("found_cos"), col("exact_id"),
+        (col("node") === col("exact_id")).cast("int").as("hit"))
+  }
+
+  private def q245(s: SparkSession, d: String): DataFrame =
+    graphAnnTrace(s, d).orderBy("query_id")
+
+  /** q246 — graph-ANN recall/build-cost card: recall@1 of the greedy
+    * search vs exact, graph size and realized mean out-degree, and the
+    * cell-pair build budget (the cost IVF's probe pays per batch but the
+    * graph pays ONCE). */
+  private def q246(s: SparkSession, d: String): DataFrame = {
+    val (asg, edges) = graphAnnParts(s, d)
+    val rec = graphAnnTrace(s, d).agg(
+      count(lit(1)).as("n_queries"), sum(col("hit")).as("hits"))
+    val eCard = edges.agg(count(lit(1)).as("n_edges"))
+    val nCard = asg.agg(count(lit(1)).as("n_nodes"))
+    val pairs = asg.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * (col("n") - 1)).as("build_pairs"))
+    Seq(eCard, nCard, pairs).foldLeft(rec)(graft.Scalars.withScalar)
+      .select(col("n_queries"), col("hits"),
+        (col("hits").cast("double") / col("n_queries").cast("double"))
+          .as("recall_at1"),
+        col("n_nodes"), col("n_edges"),
+        (col("n_edges").cast("double") / col("n_nodes").cast("double"))
+          .as("mean_out_degree"),
+        col("build_pairs"), lit(GraphDegree).as("degree_bound"),
+        lit(GraphHops).as("hops"))
+  }
+
+  /** Shared graph CTE chain: q52-style cells → bounded-degree edges →
+    * entry (cell min with LIMIT-2 fallback) → unrolled greedy hops →
+    * per-query trace vs exact top-1. */
+  private def graphAnnCtes: String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), z -> z[1] * z[2])), (x, y) -> x + y)"
+    def hop(t: Int) =
+      s"""nb$t AS (
+         |  SELECT f.query_id, n.vec_id AS node, ${dot("q.ue", "n.ue")} AS gcos
+         |  FROM h${t - 1} f
+         |  JOIN edges e ON e.src = f.node
+         |  JOIN u n ON n.vec_id = e.dst
+         |  JOIN u q ON q.vec_id = f.query_id
+         |  WHERE e.dst <> f.query_id),
+         |h$t AS (
+         |  SELECT query_id, node, gcos FROM (
+         |    SELECT query_id, node, gcos,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY gcos DESC, node) AS rn
+         |    FROM (SELECT query_id, node, gcos FROM h${t - 1}
+         |          UNION ALL SELECT query_id, node, gcos FROM nb$t) z) t
+         |  WHERE rn = 1)""".stripMargin
+    s"""params AS (
+       |  SELECT GREATEST(16, 1 << (LENGTH(BIN(CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) - 1)) AS k
+       |  FROM embeddings),
+       |e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) AS nrm
+       |  FROM embeddings),
+       |u AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS ue FROM e),
+       |cent AS (SELECT vec_id AS cid, ue AS cu FROM u WHERE vec_id < (SELECT k FROM params)),
+       |cc AS (
+       |  SELECT u.vec_id, cent.cid, ${dot("u.ue", "cent.cu")} AS cc
+       |  FROM u CROSS JOIN cent),
+       |assign AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+       |    FROM cc) t WHERE rn = 1),
+       |edges AS (
+       |  SELECT src, dst FROM (
+       |    SELECT a.vec_id AS src, b.vec_id AS dst,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+       |        ${dot("ua.ue", "ub.ue")} DESC, b.vec_id) AS rn
+       |    FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |    JOIN u ua ON ua.vec_id = a.vec_id
+       |    JOIN u ub ON ub.vec_id = b.vec_id) t
+       |  WHERE rn <= $GraphDegree),
+       |lows AS (SELECT vec_id FROM u ORDER BY vec_id LIMIT 2),
+       |qv AS (
+       |  SELECT a.vec_id AS query_id, a.cell AS qcell FROM assign a WHERE a.vec_id < 8),
+       |cellmin AS (
+       |  SELECT q.query_id, MIN(m.vec_id) AS cell_entry
+       |  FROM qv q JOIN assign m ON m.cell = q.qcell AND m.vec_id <> q.query_id
+       |  GROUP BY q.query_id),
+       |entry AS (
+       |  SELECT q.query_id,
+       |    COALESCE(c.cell_entry,
+       |      CASE WHEN q.query_id = (SELECT MIN(vec_id) FROM lows)
+       |           THEN (SELECT MAX(vec_id) FROM lows)
+       |           ELSE (SELECT MIN(vec_id) FROM lows) END) AS node
+       |  FROM qv q LEFT JOIN cellmin c USING (query_id)),
+       |h0 AS (
+       |  SELECT en.query_id, en.node, ${dot("q.ue", "n.ue")} AS gcos
+       |  FROM entry en
+       |  JOIN u n ON n.vec_id = en.node
+       |  JOIN u q ON q.vec_id = en.query_id),
+       |${(1 to GraphHops).map(hop).mkString(",\n")},
+       |exact AS (
+       |  SELECT query_id, neighbor_id AS exact_id FROM (
+       |    SELECT q.query_id, c.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+       |        ${dot("uq.ue", "c.ue")} DESC, c.vec_id) AS rn
+       |    FROM qv q JOIN u c ON c.vec_id <> q.query_id
+       |    JOIN u uq ON uq.vec_id = q.query_id) t
+       |  WHERE rn = 1),
+       |trace AS (
+       |  SELECT f.query_id, f.node AS found_id, f.gcos AS found_cos,
+       |    x.exact_id,
+       |    CAST(CASE WHEN f.node = x.exact_id THEN 1 ELSE 0 END AS INTEGER) AS hit
+       |  FROM h$GraphHops f JOIN exact x USING (query_id))""".stripMargin
+  }
+
+  private def q245Sql: String =
+    s"""WITH $graphAnnCtes
+       |SELECT query_id, found_id, found_cos, exact_id, hit FROM trace
+       |ORDER BY query_id""".stripMargin
+
+  private def q246Sql: String =
+    s"""WITH $graphAnnCtes,
+       |rec AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       |    CAST(SUM(hit) AS BIGINT) AS hits FROM trace),
+       |ec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges),
+       |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM u),
+       |bp AS (
+       |  SELECT CAST(SUM(n * (n - 1)) AS BIGINT) AS build_pairs FROM (
+       |    SELECT CAST(COUNT(*) AS BIGINT) AS n FROM assign GROUP BY cell))
+       |SELECT rec.n_queries, rec.hits,
+       |  CAST(rec.hits AS DOUBLE) / CAST(rec.n_queries AS DOUBLE) AS recall_at1,
+       |  nc.n_nodes, ec.n_edges,
+       |  CAST(ec.n_edges AS DOUBLE) / CAST(nc.n_nodes AS DOUBLE) AS mean_out_degree,
+       |  bp.build_pairs,
+       |  CAST($GraphDegree AS INTEGER) AS degree_bound,
+       |  CAST($GraphHops AS INTEGER) AS hops
+       |FROM rec, ec, nc, bp""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q221_pca_power_card", q221, Some(q221Sql)),
     Q("q240_pq_ann", q240, Some(q240Sql)),
     Q("q241_pq_recall_card", q241, Some(q241Sql)),
+    Q("q243_ivfadc_search", q243, Some(q243Sql)),
+    Q("q244_ivfadc_recall_card", q244, Some(q244Sql)),
+    Q("q245_graph_ann_trace", q245, Some(q245Sql)),
+    Q("q246_graph_ann_card", q246, Some(q246Sql)),
     Q("q31_embed_norms", q31, Some(q31Sql)),
     Q("q114_semdedup", q114, Some(q114Sql)),
     Q("q211_incremental_semdedup", q211, Some(q211Sql)),

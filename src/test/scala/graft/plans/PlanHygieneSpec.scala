@@ -195,10 +195,17 @@ class PlanHygieneSpec extends SparkSpec {
     *    over the codes table; 8·n lookup-adds, linear in data. A real
     *    deployment pre-filters candidates through the IVF cells (q52)
     *    before ADC; the oracled query keeps the exhaustive 8·n shape so
-    *    recall is measured against the full corpus, like q32/q85. */
+    *    recall is measured against the full corpus, like q32/q85.
+    *  - q244/q245/q246: the IVFADC and graph-ANN recall cards EMBED the
+    *    q32 exact baseline (broadcast ≤8-row query set, non-equi ≠ join)
+    *    as the ground truth their recall is measured against; the
+    *    approximate paths under audit (ADC probe, greedy hops) are pure
+    *    equi-joins — only the baseline is a loop join, same 8·n shape. */
   private val loopJoinAllowlist: Set[String] =
     Set("q32_ann_bruteforce", "q85_ann_quantized",
-      "q240_pq_ann", "q241_pq_recall_card")
+      "q240_pq_ann", "q241_pq_recall_card",
+      "q244_ivfadc_recall_card", "q245_graph_ann_trace",
+      "q246_graph_ann_card")
 
   test("the loop-join gate FIRES: synthetic all-pairs plans are flagged, bounded ones excused") {
     import org.apache.spark.sql.functions._
