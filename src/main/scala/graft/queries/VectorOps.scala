@@ -1972,20 +1972,18 @@ object VectorOps extends QueryModule {
     r.getLong(0).toDouble / MeanScale / r.getLong(1).toDouble
   }
 
-  /** The ADC top-3 search both q240 and q241 rank (q32's broadcast-query
-    * shape over the codes table). `cbOverride` lets the spec drive the
-    * SAME search with Lloyd-trained books; the oracled queries keep the
-    * seed books. */
-  private[queries] def pqTop3(s: SparkSession, d: String,
-      cbOverride: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
-    val (dims, seedCb) = pqArtifacts(s, d)
-    val cb = cbOverride.getOrElse(seedCb)
-    val u = unitVectors(s, d)
-    val coded = withPqCodes(u.select(col("vec_id"), col("ue")), dims, cb)
+  /** The ADC top-3 body over an arbitrary (vec_id, ue) frame — raw unit
+    * vectors for [[pqTop3]] (the oracled q240/q241 path), OPQ-ROTATED
+    * unit vectors for the learned-rotation arm ([[trainOpq]] — rotation
+    * preserves dots, so the same search runs unchanged in the rotated
+    * space). Queries are the vec_id < 8 split of the frame itself. */
+  private[queries] def adcTop3(frame: DataFrame, dims: Seq[Seq[Int]],
+      cb: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val coded = withPqCodes(frame.select(col("vec_id"), col("ue")), dims, cb)
       .select(col("vec_id").as("neighbor_id"),
         array(dims.indices.map(j => col(s"code$j")): _*).as("cd"))
     val q = withPqSubvectors(
-        u.filter(col("vec_id") < 8).select(col("vec_id"), col("ue")), dims)
+        frame.filter(col("vec_id") < 8).select(col("vec_id"), col("ue")), dims)
       .select(col("vec_id").as("query_id"),
         array(dims.indices.map { j =>
           transform(sequence(lit(0), lit(PqKsub - 1)), c =>
@@ -2002,6 +2000,16 @@ object VectorOps extends QueryModule {
     scored.withColumn("rnk", rank().over(w)).filter(col("rnk") <= 3)
       .select(col("query_id"), col("neighbor_id"), col("adc_cos"),
         col("rnk").cast("int").as("rnk"))
+  }
+
+  /** The ADC top-3 search both q240 and q241 rank (q32's broadcast-query
+    * shape over the codes table). `cbOverride` lets the spec drive the
+    * SAME search with Lloyd-trained books; the oracled queries keep the
+    * seed books. */
+  private[queries] def pqTop3(s: SparkSession, d: String,
+      cbOverride: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
+    val (dims, seedCb) = pqArtifacts(s, d)
+    adcTop3(unitVectors(s, d), dims, cbOverride.getOrElse(seedCb))
   }
 
   private def q240(s: SparkSession, d: String): DataFrame =
@@ -2152,6 +2160,178 @@ object VectorOps extends QueryModule {
        |  CAST(e.efp AS DOUBLE) / 67108864.0 / CAST(e.n_vectors AS DOUBLE) AS mean_code_err,
        |  used.codes_used, CAST(${PqM * PqKsub} AS INTEGER) AS codes_total
        |FROM errfp e, used, ov, nq""".stripMargin
+
+  // ------------------------------------------- learned-rotation OPQ (spec)
+
+  /** Parametric OPQ (Ge, He, Ke & Sun 2013, "Optimized Product
+    * Quantization", §4 — the Gaussian-assumption closed form): learn a
+    * FULL orthogonal rotation R from the corpus second-moment structure,
+    * allocate principal directions to the m subspaces by EIGENVALUE
+    * ALLOCATION (balance the per-subspace variance product), then Lloyd
+    * sub-codebooks in the rotated space. This is the "next rung" the
+    * q240 scaladoc ladder names above the permutation arm: a permutation
+    * is OPQ restricted to axis swaps; the learned R also MIXES
+    * dimensions, so correlated coordinates land in the same subspace and
+    * the product-quantizer independence assumption gets closer to true.
+    *
+    * Division of labor (the q52 / trainPqCodebooks seed-vs-trained
+    * discipline): the ORACLED queries q240/q241/q243/q244 keep the
+    * SQL-restatable permutation arm; the learned rotation is the
+    * spec-owned production rung (OpqSpec pins orthogonality, dot
+    * preservation, distortion ≤ the permutation arm under the same Lloyd
+    * budget, drop-in ADC, and bit-determinism).
+    *
+    * TRAINING — block subspace iteration on the uncentered second-moment
+    * operator A = Σᵢ ueᵢ·ueᵢᵀ (PQ quantizes ue itself and ADC scores raw
+    * dots, so the moment about the ORIGIN — not the covariance — is the
+    * distortion-relevant operator; for unit vectors trace(A) = n, the
+    * spec's mass-conservation pin). Each iteration is ONE corpus pass
+    * (the q221 matvec discipline generalized from 1 to d directions):
+    * row-locally score sₖ = ue·vₖ against the literal V, hash-aggregate
+    * floor(ue_pos·sₖ·2²⁶) keyed by (k, pos) — dyadic fixed point, exact,
+    * partitioning/AQE-proof — then re-orthonormalize the d×d result
+    * driver-side by modified Gram-Schmidt (deterministic: no RNG, seed
+    * V₀ = I, rank-deficiency falls back to the smallest canonical basis
+    * vector with a non-degenerate residual, so R is ALWAYS full-rank
+    * orthogonal). Driver state is d² doubles; iteration cost O(n·d²) —
+    * the same asymptotic as encoding itself, and 1/T of running q221's
+    * single-direction loop d times with deflation.
+    *
+    * 100 TB shape: T corpus passes total (T = `iters`, not d·T); the
+    * (k, pos) aggregation carries d² ≤ 4096-at-dim-64 keys with map-side
+    * combine; nothing corpus-proportional ever reaches the driver. */
+  private[queries] def trainOpqRotation(s: SparkSession, d: String,
+      iters: Int = 4): (Seq[Seq[Double]], Seq[Double]) = {
+    val u = unitVectors(s, d).select(col("ue"))
+    // collect-bound: groupless aggregate — 1 row (corpus dimensionality)
+    val dim = u.agg(coalesce(max(size(col("ue"))), lit(0)).as("d"))
+      .collect()(0).getInt(0)
+    if (dim == 0) return (Seq.empty, Seq.empty)
+    // Modified Gram-Schmidt with canonical-basis fallback: always
+    // returns an orthonormal set of `dim` rows (driver-side, d² state).
+    def orthonormalize(rows: Seq[Seq[Double]]): Seq[Seq[Double]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
+      def residual(x: Seq[Double]): Seq[Double] =
+        out.foldLeft(x) { (w, q) =>
+          val p = w.zip(q).foldLeft(0e0)((a, z) => a + z._1 * z._2)
+          w.zip(q).map { case (wi, qi) => wi - p * qi }
+        }
+      rows.foreach { r =>
+        var w = residual(r)
+        var nrm = math.sqrt(w.foldLeft(0e0)((a, e) => a + e * e))
+        if (nrm <= 1e-9) {
+          // rank-deficient direction: smallest canonical eₚ that keeps R
+          // full rank (its residual against the found set is non-tiny)
+          val p = (0 until dim).find { i =>
+            val e = Seq.tabulate(dim)(j => if (j == i) 1e0 else 0e0)
+            val res = residual(e)
+            math.sqrt(res.foldLeft(0e0)((a, x) => a + x * x)) > 1e-6
+          }.getOrElse(0)
+          w = residual(Seq.tabulate(dim)(j => if (j == p) 1e0 else 0e0))
+          nrm = math.sqrt(w.foldLeft(0e0)((a, e) => a + e * e))
+        }
+        out += w.map(_ / nrm)
+      }
+      out.toSeq
+    }
+    var v: Seq[Seq[Double]] =
+      Seq.tabulate(dim, dim)((i, j) => if (i == j) 1e0 else 0e0)
+    for (_ <- 1 to iters) {
+      val yfp = u
+        .select(col("ue"), transform(typedlit(v),
+          r => call_function("graft_dot", col("ue"), r)).as("sv"))
+        .select(posexplode(col("ue")).as(Seq("pos", "cv")), col("sv"))
+        .select(col("pos"), col("cv"),
+          posexplode(col("sv")).as(Seq("k", "sk")))
+        .groupBy(col("k"), col("pos"))
+        .agg(sum(floor(col("cv") * col("sk") * lit(MeanScale)).cast("long"))
+          .as("yfp"))
+        // collect-bound: one row per (direction, position) — ≤ d² rows
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val y = Seq.tabulate(dim, dim)((k, p) =>
+        yfp.getOrElse((k, p), 0L).toDouble / MeanScale)
+      v = orthonormalize(y)
+    }
+    // Rayleigh eigenvalues λₖ = vₖᵀA·vₖ = Σᵢ (ueᵢ·vₖ)² — one final
+    // fixed-point pass; Σλₖ = trace(A) = n for unit vectors.
+    val lamFp = u
+      .select(posexplode(transform(typedlit(v), r => {
+        val s0 = call_function("graft_dot", col("ue"), r); s0 * s0
+      })).as(Seq("k", "s2")))
+      .groupBy(col("k"))
+      .agg(sum(floor(col("s2") * lit(MeanScale)).cast("long")).as("lfp"))
+      // collect-bound: one row per direction — ≤ d rows
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val lams = Seq.tabulate(dim)(k =>
+      lamFp.getOrElse(k, 0L).toDouble / MeanScale)
+    (v, lams)
+  }
+
+  /** Eigenvalue allocation (Ge et al. 2013 §4.2): deal the rotated
+    * coordinates (= principal directions) to the m subspaces so the
+    * per-subspace variance PRODUCTS balance — sort by λ descending,
+    * greedily give each to the not-yet-full subspace with the smallest
+    * log-product. Subspace capacities match the permutation arm's
+    * (so distortion comparisons are like-for-like); within a subspace
+    * the coordinates sort ascending for a stable sub-vector layout. */
+  private[queries] def opqAllocate(lams: Seq[Double]): Seq[Seq[Int]] = {
+    val caps = Array.tabulate(PqM)(j => lams.indices.count(_ % PqM == j))
+    val logp = Array.fill(PqM)(0e0)
+    val used = Array.fill(PqM)(0)
+    val out = Array.fill(PqM)(Vector.empty[Int])
+    lams.zipWithIndex.sortBy { case (l, i) => (-l, i) }.foreach {
+      case (l, i) =>
+        val j = (0 until PqM).filter(jj => used(jj) < caps(jj))
+          .minBy(jj => (logp(jj), jj))
+        out(j) :+= i
+        used(j) += 1
+        logp(j) += math.log(math.max(l, 1e-12))
+    }
+    out.map(_.sorted: Seq[Int]).toSeq
+  }
+
+  /** Rotate a (vec_id, ue) frame into the learned basis — row-local
+    * (literal R, codegen'd graft_dot per output coordinate); R is
+    * orthogonal so ⟨Rx, Ry⟩ = ⟨x, y⟩ and rotated vectors stay unit. */
+  private[queries] def opqRotate(df: DataFrame,
+      rot: Seq[Seq[Double]]): DataFrame =
+    df.withColumn("ue", transform(typedlit(rot),
+      r => call_function("graft_dot", col("ue"), r)))
+
+  /** The full learned-rotation OPQ trainer: rotation + eigenvalue
+    * allocation + Lloyd sub-codebooks in the rotated space (seeds =
+    * first-ksub rotated vectors, the pqArtifacts discipline). Returns
+    * (R, λ, subspace allocation, books); search = [[adcTop3]] over
+    * [[opqRotate]]d frames with these artifacts. */
+  private[queries] def trainOpq(s: SparkSession, d: String,
+      rotIters: Int = 4, lloydIters: Int = 1):
+      (Seq[Seq[Double]], Seq[Double], Seq[Seq[Int]], Seq[Seq[Seq[Double]]]) = {
+    val (rot, lams) = trainOpqRotation(s, d, rotIters)
+    val dims = opqAllocate(lams)
+    val rotated = opqRotate(
+      unitVectors(s, d).select(col("vec_id"), col("ue")), rot)
+      .localCheckpoint(true) // consumers: seeds + Lloyd passes
+    // collect-bound: seed rows vec_id < ksub — ≤ 16 rows
+    val seeds = rotated.filter(col("vec_id") < PqKsub)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    val seedCb: Seq[Seq[Seq[Double]]] =
+      dims.map(dj => seeds.map { case (_, ue) => dj.map(ue(_)).toSeq }.toSeq)
+    val cb = refinePqBooks(rotated, dims, seedCb, lloydIters)
+    (rot, lams, dims, cb)
+  }
+
+  /** Corpus-mean total quantization error of an arbitrary (vec_id, ue)
+    * frame under the given decomposition — [[pqDistortion]] generalized
+    * so the permutation arm and the rotated arm measure through the
+    * SAME code path (OpqSpec's like-for-like comparison). */
+  private[queries] def frameDistortion(frame: DataFrame, dims: Seq[Seq[Int]],
+      cb: Seq[Seq[Seq[Double]]]): Double = {
+    val coded = withPqCodes(frame.select(col("vec_id"), col("ue")), dims, cb)
+    val tot = dims.indices.map(j => col(s"cerr$j")).reduce(_ + _)
+    val r = coded.agg(sum(floor(tot * lit(MeanScale)).cast("long")).as("efp"),
+      count(lit(1)).as("n")).head()
+    r.getLong(0).toDouble / MeanScale / r.getLong(1).toDouble
+  }
 
   // ------------------------------------------------------------ q243/q244
 
