@@ -114,6 +114,73 @@ object SemStream {
     q.awaitTermination()
   }
 
+  /** Streaming ANN retrieval over the PERSISTED IVFADC index (the q243
+    * artifact: coarse centroids + cell-bucketed residual-PQ codes) — the
+    * round-14 verdict's stretch arm. Each micro-batch's vectors are
+    * ADC-searched through `VectorOps.probeIvfAdcTop3`, the SAME function
+    * batch q243 calls, so stream ≡ batch results hold by construction
+    * (AnnStreamSpec pins the streamed rows bit-equal to the registered
+    * q243 output on the same queries); results land idempotently under
+    * `outDir/batch=<id>`.
+    *
+    * `refresh = true` closes the ingest loop the DedupStream/SemStream
+    * refresh arms prove one index over: AFTER probing, the batch's
+    * vectors join the index — `VectorOps.appendToSemIndex` assigns cells
+    * against the frozen centroids and encodes residual codes with the
+    * FROZEN permutation + books — so batch N+1 retrieves anything batch
+    * N ingested, with zero corpus re-passes and zero re-training (index
+    * metadata ages offline, the production contract). Probe-then-append
+    * ordering means a batch is searched against the index AS OF batch
+    * start (an in-batch pair meets at the NEXT batch); the probe skips
+    * self-matches, so at-least-once replays of a partially-appended
+    * batch are retry-safe. Compaction at `compactAboveFiles` rewrites
+    * `vectors` and `codes` in the same locked pass
+    * (`VectorOps.compactSemIndex`) — results are invariant, pinned by
+    * AnnStreamSpec's dual-run arm.
+    *
+    * Scale shape per micro-batch: coarse ranking is row-local against
+    * the ≤k-row literal centroid table; the candidate join touches only
+    * the batch's nprobe cells' code rows, arriving bucket-partitioned on
+    * `cell` (no index-side Exchange — IndexColocationSpec); per-candidate
+    * work is m lookup-adds. Nothing corpus-proportional lives anywhere
+    * but the index. */
+  def runAnnProbe(spark: SparkSession, streamDir: String, indexDir: String,
+      outDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      watermarkDelay: String = "2 hours", nprobe: Int = 2,
+      refresh: Boolean = false,
+      compactAboveFiles: Option[Long] = None): Unit = {
+    val q = read(spark, streamDir, maxFilesPerTrigger)
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("vec_id")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val vecs = batch.select("vec_id", "embedding")
+        val pinned = // two consumers under refresh: search + append
+          if (refresh) vecs.localCheckpoint(true) else vecs
+        VectorOps.probeIvfAdcTop3(spark, pinned, indexDir, nprobe)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        if (refresh) {
+          VectorOps.appendToSemIndex(spark, pinned, indexDir)
+          compactAboveFiles.foreach { thr =>
+            if (VectorOps.semIndexFileCount(spark, indexDir) > thr)
+              VectorOps.compactSemIndex(spark, indexDir)
+          }
+        }
+        (): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** All ANN results emitted so far (the batch partition column
+    * dropped). */
+  def readAnnResults(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(outDir)
+      .select(col("query_id"), col("neighbor_id"), col("adc_cos"), col("rnk"))
+
   /** All verdicts emitted so far (the batch partition column dropped). */
   def readVerdicts(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(outDir)
