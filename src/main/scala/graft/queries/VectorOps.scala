@@ -2473,11 +2473,13 @@ object VectorOps extends QueryModule {
     p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** ADC top-3 of a query batch against a persisted IVFADC index:
-    * (query_id, neighbor_id, adc_cos, rnk), unordered. Tombstoned base
-    * vectors are invisible (the probeSemIndex discipline). */
-  private[graft] def probeIvfAdcTop3(s: SparkSession, batch: DataFrame,
-      dir: String, nprobe: Int = IvfAdcNprobe): DataFrame = {
+  /** The full ADC-scored candidate frame (query_id, neighbor_id,
+    * adc_cos) of a batch against a persisted IVFADC index — every
+    * (query, probed-cell occupant) pair, BEFORE the top-k cut. Shared by
+    * [[probeIvfAdcTop3]] (ranks it) and q247's sweep card (counts it:
+    * the frame's size IS the per-nprobe scored-pair work). */
+  private def ivfAdcScoredCands(s: SparkSession, batch: DataFrame,
+      dir: String, nprobe: Int): DataFrame = {
     // collect-bound: centroid table — ≤ k rows, k ∝ √n via ivfKFor
     val cRows: Seq[Seq[Double]] = s.read.parquet(s"$dir/centroids")
       .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1)).toSeq
@@ -2498,11 +2500,20 @@ object VectorOps extends QueryModule {
       "vec_id", loadSemTombstones(s, dir))
       .select(col("cell"), col("vec_id").as("neighbor_id"),
         array(dims.indices.map(j => col(s"code$j")): _*).as("cd"))
-    val scored = probes.join(idx, Seq("cell"))
+    probes.join(idx, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("adc_cos", col("coarse") + expr(
         s"aggregate(sequence(0, ${PqM - 1}), cast(0.0 as double), " +
           "(acc, j) -> acc + lut[j][cd[j]])"))
+      .select(col("query_id"), col("neighbor_id"), col("adc_cos"))
+  }
+
+  /** ADC top-3 of a query batch against a persisted IVFADC index:
+    * (query_id, neighbor_id, adc_cos, rnk), unordered. Tombstoned base
+    * vectors are invisible (the probeSemIndex discipline). */
+  private[graft] def probeIvfAdcTop3(s: SparkSession, batch: DataFrame,
+      dir: String, nprobe: Int = IvfAdcNprobe): DataFrame = {
+    val scored = ivfAdcScoredCands(s, batch, dir, nprobe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_cos").desc, col("neighbor_id"))
     scored.withColumn("rnk", rank().over(w)).filter(col("rnk") <= 3)
@@ -2612,6 +2623,21 @@ object VectorOps extends QueryModule {
        |SELECT query_id, neighbor_id, adc_cos, rnk FROM adc3
        |ORDER BY query_id, rnk, neighbor_id""".stripMargin
 
+  /** Exact within-split cosine top-3 of the held-out queries under the
+    * q32 tie rule — the recall reference shared by q244 and q247. */
+  private def ivfAdcExactTop3(s: SparkSession, d: String): DataFrame = {
+    val u = unitVectors(s, d)
+    val qv = u.filter(col("vec_id") % 5 === 0 && col("vec_id") < IvfAdcQueryBound)
+      .select(col("vec_id").as("query_id"), col("ue").as("qu"))
+    val base = u.filter(col("vec_id") % 5 =!= 0)
+      .select(col("vec_id").as("neighbor_id"), col("ue").as("cu"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(expr("graft_dot(qu, cu)").desc, col("neighbor_id"))
+    broadcast(qv).join(base, col("query_id") =!= col("neighbor_id"))
+      .withColumn("rnk", rank().over(w)).filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
   /** q244 — IVFADC recall/distortion/occupancy card (the q241 idiom for
     * the COMPOSED index): recall@3 of the persisted-index ADC probe vs
     * the exact within-split cosine top-3 on the same held-out queries
@@ -2631,21 +2657,12 @@ object VectorOps extends QueryModule {
       .select(posexplode(array(dims.indices.map(j => col(s"code$j")): _*))
         .as(Seq("sub", "code")))
       .agg(countDistinct(col("sub"), col("code")).as("codes_used"))
-    val u = unitVectors(s, d)
-    val qv = u.filter(col("vec_id") % 5 === 0 && col("vec_id") < IvfAdcQueryBound)
-      .select(col("vec_id").as("query_id"), col("ue").as("qu"))
-    val base = u.filter(col("vec_id") % 5 =!= 0)
-      .select(col("vec_id").as("neighbor_id"), col("ue").as("cu"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(expr("graft_dot(qu, cu)").desc, col("neighbor_id"))
-    val exact3 = broadcast(qv).join(base, col("query_id") =!= col("neighbor_id"))
-      .withColumn("rnk", rank().over(w)).filter(col("rnk") <= 3)
-      .select(col("query_id"), col("neighbor_id"))
+    val exact3 = ivfAdcExactTop3(s, d)
     val overlap = probeIvfAdcTop3(s, ivfAdcQueries(s, d), dir)
       .select(col("query_id"), col("neighbor_id"))
       .join(exact3, Seq("query_id", "neighbor_id"))
       .agg(count(lit(1)).as("overlap"))
-    val nq = qv.agg(count(lit(1)).as("n_queries"))
+    val nq = ivfAdcQueries(s, d).agg(count(lit(1)).as("n_queries"))
     Seq(used, overlap, nq).foldLeft(err)(graft.Scalars.withScalar)
       .select(col("n_vectors"), col("n_queries"),
         (col("overlap").cast("double") /
@@ -2684,6 +2701,107 @@ object VectorOps extends QueryModule {
        |  CAST(e.efp AS DOUBLE) / 67108864.0 / CAST(e.n_vectors AS DOUBLE) AS mean_code_err,
        |  used.codes_used, CAST(${PqM * PqKsub} AS INTEGER) AS codes_total
        |FROM errfp e, used, ov, nq""".stripMargin
+
+  // ---------------------------------------------------------------- q247
+
+  /** q247 — IVFADC nprobe recall/cost sweep (the q213/q209 knob-pricing
+    * idiom applied to the COMPOSED index): for nprobe ∈ {1, 2, 3}, the
+    * recall@3 of the persisted-index ADC probe vs the exact within-split
+    * top-3 AND the scored-pair work that recall costs — the size of the
+    * (query, probed-cell occupant) candidate frame, i.e. Σ probed-cell
+    * occupancy over the query batch, the number a deployment multiplies
+    * by m LUT-adds to price a probe. q244 fixes nprobe at the default
+    * and reports quantization quality; this card is the LEVER beside it:
+    * an operator reads the recall step between rows to pick the smallest
+    * nprobe that clears their SLA, exactly how q213 prices the plain IVF
+    * probe. Candidates come from the SAME [[ivfAdcScoredCands]] frame
+    * the production probe ranks, so the priced work is the executed
+    * work, not a model of it.
+    *
+    * Scale shape: three probe passes over the bucketed codes table (each
+    * |Q|·occupancy-proportional, zero index-side Exchange) + the one
+    * exact-top-3 reference the recall needs anyway; per-arm results are
+    * 1-row scalars folded via [[graft.Scalars.withScalar]]. */
+  private def q247(s: SparkSession, d: String): DataFrame = {
+    val dir = builtIvfAdc(s, d)
+    val exact3 = ivfAdcExactTop3(s, d)
+      .localCheckpoint(true) // consumers: one overlap join per nprobe arm
+    val nq = ivfAdcQueries(s, d).agg(count(lit(1)).as("n_queries"))
+    val arms = (1 to 3).map { np =>
+      val scored = ivfAdcScoredCands(s, ivfAdcQueries(s, d), dir, np)
+        .localCheckpoint(true) // consumers: pair count + top-3 cut
+      val pairs = scored.agg(count(lit(1)).as("scored_pairs"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc_cos").desc, col("neighbor_id"))
+      val overlap = scored.withColumn("rnk", rank().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(exact3, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("overlap"))
+      Seq(overlap, nq).foldLeft(pairs)(graft.Scalars.withScalar)
+        .select(lit(np).as("nprobe"), col("n_queries"), col("scored_pairs"),
+          (col("overlap").cast("double") /
+            (lit(3.0) * col("n_queries").cast("double"))).as("recall_at3"))
+    }
+    arms.reduce(_ unionAll _).orderBy("nprobe")
+  }
+
+  /** Per-nprobe restatement of the probe chain: the shared CTEs (qcc
+    * coarse dots, qlut, rcodes) are nprobe-independent; each arm re-cuts
+    * qcc at its own rank bound and re-runs candidate → contrib → score →
+    * top-3 under arm-suffixed names. */
+  private def q247Sql: String = {
+    def arm(np: Int): String =
+      s"""cand$np AS (
+         |  SELECT p.vec_id AS query_id, p.cc AS coarse, r.vec_id AS neighbor_id
+         |  FROM (SELECT vec_id, cid AS cell, cc FROM (
+         |          SELECT vec_id, cid, cc,
+         |            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+         |          FROM qcc) t WHERE rn <= $np) p
+         |  JOIN (SELECT DISTINCT vec_id, cell FROM rcodes) r ON r.cell = p.cell
+         |  WHERE r.vec_id <> p.vec_id),
+         |sp$np AS (SELECT CAST(COUNT(*) AS BIGINT) AS scored_pairs FROM cand$np),
+         |contribx$np AS (
+         |  SELECT c.query_id, c.neighbor_id, c.coarse, rc.sub, l.dotv
+         |  FROM cand$np c JOIN rcodes rc ON rc.vec_id = c.neighbor_id
+         |  JOIN qlut l ON l.query_id = c.query_id AND l.sub = rc.sub AND l.cid = rc.code),
+         |ascorex$np AS (
+         |  SELECT query_id, neighbor_id,
+         |    MIN(coarse) + list_reduce(list_prepend(0.0, list(dotv ORDER BY sub)),
+         |      (a, b) -> a + b) AS adc_cos
+         |  FROM contribx$np GROUP BY query_id, neighbor_id),
+         |top3x$np AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      RANK() OVER (PARTITION BY query_id ORDER BY adc_cos DESC, neighbor_id) AS rnk
+         |    FROM ascorex$np) t WHERE rnk <= 3),
+         |ov$np AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS overlap
+         |  FROM top3x$np JOIN ex3 USING (query_id, neighbor_id))""".stripMargin
+    def row(np: Int): String =
+      s"""SELECT CAST($np AS INTEGER) AS nprobe, nq.n_queries, sp$np.scored_pairs,
+         |  CAST(ov$np.overlap AS DOUBLE) / (3.0 * CAST(nq.n_queries AS DOUBLE)) AS recall_at3
+         |FROM sp$np, ov$np, nq""".stripMargin
+    s"""WITH $ivfAdcCtes,
+       |ex3 AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |      RANK() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_reduce(list_prepend(0.0, list_transform(list_zip(q.ue, b.ue),
+       |          z -> z[1] * z[2])), (a, x) -> a + x) DESC, b.vec_id) AS rnk
+       |    FROM qv q JOIN buni b ON q.vec_id <> b.vec_id) t
+       |  WHERE rnk <= 3),
+       |nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM qv),
+       |${arm(1)},
+       |${arm(2)},
+       |${arm(3)}
+       |${row(1)}
+       |UNION ALL
+       |${row(2)}
+       |UNION ALL
+       |${row(3)}
+       |ORDER BY nprobe""".stripMargin
+  }
 
   // ------------------------------------------------------------ q245/q246
 
@@ -2931,6 +3049,7 @@ object VectorOps extends QueryModule {
     Q("q244_ivfadc_recall_card", q244, Some(q244Sql)),
     Q("q245_graph_ann_trace", q245, Some(q245Sql)),
     Q("q246_graph_ann_card", q246, Some(q246Sql)),
+    Q("q247_ivfadc_nprobe_sweep", q247, Some(q247Sql)),
     Q("q31_embed_norms", q31, Some(q31Sql)),
     Q("q114_semdedup", q114, Some(q114Sql)),
     Q("q211_incremental_semdedup", q211, Some(q211Sql)),
