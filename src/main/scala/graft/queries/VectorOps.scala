@@ -1093,15 +1093,17 @@ object VectorOps extends QueryModule {
         element_at(sc, 1)("cid").cast("bigint").as("cell"))
     graft.operators.IndexStore.append(assigned, dir, "vectors")
     // IVFADC parity: an index carrying PQ artifacts encodes the novel
-    // vectors' residuals with the FROZEN permutation + codebooks (index
-    // metadata ages like the centroids and τ — recalibrated offline).
+    // vectors' residuals with the FROZEN permutation + codebooks (and
+    // FROZEN learned rotation, when the build chose one — index metadata
+    // ages like the centroids and τ, recalibrated offline).
     if (hasPq(s, dir)) {
-      val (dims, cb) = loadPqMeta(s, dir)
+      val (dims, cb, rot) = loadPqMeta(s, dir)
       val cent = s.read.parquet(s"$dir/centroids")
         .select(col("cid").cast("bigint").as("cid"), col("cu"))
-      val resid = assigned.join(broadcast(cent), col("cell") === col("cid"))
+      val resid0 = assigned.join(broadcast(cent), col("cell") === col("cid"))
         .select(col("vec_id"), col("cell"),
           zip_with(col("ue"), col("cu"), (a, b) => a - b).as("ue"))
+      val resid = rot.fold(resid0)(r => opqRotate(resid0, r))
       graft.operators.IndexStore.append(
         withPqCodes(resid, dims, cb)
           .select(col("vec_id") +: col("cell") +:
@@ -1888,12 +1890,14 @@ object VectorOps extends QueryModule {
     }
 
   /** Attach the m permuted sub-vectors pv0..pv{m−1} (row-local literal
-    * index gather). */
+    * index gather). `src` names the gathered column — "ue" everywhere
+    * except the learned-rotation probe, which gathers from the ROTATED
+    * query while the coarse ranking keeps reading the raw `ue`. */
   private[queries] def withPqSubvectors(df: DataFrame,
-      dims: Seq[Seq[Int]]): DataFrame =
+      dims: Seq[Seq[Int]], src: String = "ue"): DataFrame =
     dims.zipWithIndex.foldLeft(df) { case (acc, (dj, j)) =>
       acc.withColumn(s"pv$j",
-        transform(typedlit(dj), ix => element_at(col("ue"), ix + lit(1))))
+        transform(typedlit(dj), ix => element_at(col(src), ix + lit(1))))
     }
 
   /** Attach code_j (argmin sub-L2², ties to the smaller centroid id —
@@ -2201,8 +2205,17 @@ object VectorOps extends QueryModule {
     * (k, pos) aggregation carries d² ≤ 4096-at-dim-64 keys with map-side
     * combine; nothing corpus-proportional ever reaches the driver. */
   private[queries] def trainOpqRotation(s: SparkSession, d: String,
-      iters: Int = 4): (Seq[Seq[Double]], Seq[Double]) = {
-    val u = unitVectors(s, d).select(col("ue"))
+      iters: Int = 4): (Seq[Seq[Double]], Seq[Double]) =
+    trainRotation(unitVectors(s, d).select(col("ue")), iters)
+
+  /** The subspace-iteration loop itself, over an arbitrary frame with an
+    * `ue` array column — raw unit vectors for [[trainOpqRotation]], IVF
+    * cell RESIDUALS for [[addPqToSemIndex]]'s learned-rotation arm (the
+    * refinePqBooks frame-generic discipline). For non-unit inputs Σλ =
+    * trace = Σ‖x‖², not n; the allocation only reads relative λ. */
+  private[queries] def trainRotation(frame: DataFrame,
+      iters: Int): (Seq[Seq[Double]], Seq[Double]) = {
+    val u = frame.select(col("ue"))
     // collect-bound: groupless aggregate — 1 row (corpus dimensionality)
     val dim = u.agg(coalesce(max(size(col("ue"))), lit(0)).as("d"))
       .collect()(0).getInt(0)
@@ -2405,20 +2418,40 @@ object VectorOps extends QueryModule {
   /** Extend a built semantic index with the IVFADC artifacts: residual
     * permutation + sub-codebooks (`pq_dims`/`pq_cb`) and the
     * cell-bucketed `codes` table. `lloydIters = 0` keeps the oracle seed
-    * books; production passes > 0 ([[refinePqBooks]]). */
+    * books; production passes > 0 ([[refinePqBooks]]).
+    *
+    * `learnedRotation = true` composes the OPQ trainer into the
+    * deployable artifact (the spec-owned rung — the oracled q243/q244/
+    * q247 keep the permutation build): residuals are rotated into the
+    * basis [[trainRotation]] learns from THEIR second moments, subspaces
+    * come from [[opqAllocate]] over the residual eigenvalues, and the
+    * rotation persists as `pq_rot` beside the books — probes rotate the
+    * QUERY once per query (⟨q, r⟩ = ⟨Rq, Rr⟩, so the LUT is built from
+    * the rotated query against codewords living in the rotated space;
+    * the coarse ⟨q, c⟩ term keeps the raw query). Appends encode with
+    * the frozen rotation exactly like the frozen books. */
   private[graft] def addPqToSemIndex(s: SparkSession, dir: String,
-      lloydIters: Int = 0): Unit = {
-    val resid = semResiduals(s, dir)
-      .localCheckpoint(true) // consumers: moments + seeds + refine + codes
-    // collect-bound: one row per embedding dimension — ≤ dim rows
-    val ranked = resid.select(posexplode(col("ue")).as(Seq("pos", "v")))
-      .groupBy(col("pos"))
-      .agg(sum(floor(col("v") * col("v") * lit(MeanScale)).cast("long"))
-        .as("s2"))
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
-      .sortBy { case (p, s2) => (-s2, p) }
-    val dims: Seq[Seq[Int]] = (0 until PqM).map(j =>
-      ranked.indices.collect { case r if r % PqM == j => ranked(r)._1 }.toSeq)
+      lloydIters: Int = 0, learnedRotation: Boolean = false): Unit = {
+    val resid0 = semResiduals(s, dir)
+      .localCheckpoint(true) // consumers: rotation/moments + seeds + codes
+    val rotOpt: Option[(Seq[Seq[Double]], Seq[Double])] =
+      if (learnedRotation) Some(trainRotation(resid0, iters = 4)) else None
+    val resid = rotOpt.fold(resid0) { case (r, _) =>
+      opqRotate(resid0, r).localCheckpoint(true) // same consumers, rotated
+    }
+    val dims: Seq[Seq[Int]] = rotOpt match {
+      case Some((_, lams)) => opqAllocate(lams)
+      case None =>
+        // collect-bound: one row per embedding dimension — ≤ dim rows
+        val ranked = resid.select(posexplode(col("ue")).as(Seq("pos", "v")))
+          .groupBy(col("pos"))
+          .agg(sum(floor(col("v") * col("v") * lit(MeanScale)).cast("long"))
+            .as("s2"))
+          .collect().map(r => (r.getInt(0), r.getLong(1)))
+          .sortBy { case (p, s2) => (-s2, p) }
+        (0 until PqM).map(j =>
+          ranked.indices.collect { case r if r % PqM == j => ranked(r)._1 }.toSeq)
+    }
     // collect-bound: first-ksub residuals by vec_id order — ≤ 16 rows
     val seeds = resid.select(col("vec_id"), col("ue"))
       .orderBy(col("vec_id")).limit(PqKsub)
@@ -2434,16 +2467,21 @@ object VectorOps extends QueryModule {
         cj.zipWithIndex.map { case (cv, c) => (j, c, cv) } }
       .toDF("sub", "cid", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_cb")
+    rotOpt.foreach { case (r, _) =>
+      r.zipWithIndex.map { case (rv, k) => (k, rv) }.toDF("k", "rv")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_rot")
+    }
     val codes = withPqCodes(resid, dims, cb)
       .select(col("vec_id") +: col("cell") +:
         dims.indices.map(j => col(s"code$j")): _*)
     graft.operators.IndexStore.create(codes, dir, "codes", Seq("cell"))
   }
 
-  /** (permutation, sub-codebooks) reloaded from a persisted IVFADC
-    * index — ≤ m + m·ksub collected rows. */
-  private def loadPqMeta(s: SparkSession,
-      dir: String): (Seq[Seq[Int]], Seq[Seq[Seq[Double]]]) = {
+  /** (permutation/allocation, sub-codebooks, optional learned rotation)
+    * reloaded from a persisted IVFADC index — ≤ m + m·ksub + d collected
+    * rows. */
+  private def loadPqMeta(s: SparkSession, dir: String):
+      (Seq[Seq[Int]], Seq[Seq[Seq[Double]]], Option[Seq[Seq[Double]]]) = {
     // collect-bound: pq_dims has one row per subspace — ≤ m rows
     val dims: Seq[Seq[Int]] = s.read.parquet(s"$dir/pq_dims")
       .collect().sortBy(_.getInt(0)).map(_.getSeq[Int](1).toSeq).toSeq
@@ -2453,15 +2491,31 @@ object VectorOps extends QueryModule {
       .toMap
     val cb = dims.indices.map(j =>
       (0 until PqKsub).map(c => cbm((j, c)).toSeq).toSeq).toSeq
-    (dims, cb)
+    val rotPath = new org.apache.hadoop.fs.Path(s"$dir/pq_rot")
+    val rot =
+      if (!rotPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .exists(rotPath)) None
+      // collect-bound: pq_rot has one row per dimension — ≤ d rows
+      else Some(s.read.parquet(s"$dir/pq_rot")
+        .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toSeq).toSeq)
+    (dims, cb, rot)
   }
+
+  /** The index's residuals in its CODING basis (rotated when built with
+    * the learned rotation) with code/cerr columns attached — shared by
+    * the q244 card and [[ivfAdcDistortion]]. */
+  private def encodedResiduals(s: SparkSession, dir: String,
+      dims: Seq[Seq[Int]], cb: Seq[Seq[Seq[Double]]],
+      rot: Option[Seq[Seq[Double]]]): DataFrame =
+    withPqCodes(rot.fold(semResiduals(s, dir))(r =>
+      opqRotate(semResiduals(s, dir), r)), dims, cb)
 
   /** Corpus-mean residual quantization error of a persisted IVFADC index
     * under its own persisted books (the q244 metric; PqSpec-style
     * monotonicity checks compare seed vs Lloyd builds through it). */
   private[queries] def ivfAdcDistortion(s: SparkSession, dir: String): Double = {
-    val (dims, cb) = loadPqMeta(s, dir)
-    val coded = withPqCodes(semResiduals(s, dir), dims, cb)
+    val (dims, cb, rot) = loadPqMeta(s, dir)
+    val coded = encodedResiduals(s, dir, dims, cb, rot)
     val tot = dims.indices.map(j => col(s"cerr$j")).reduce(_ + _)
     val r = coded.agg(sum(floor(tot * lit(MeanScale)).cast("long")).as("efp"),
       count(lit(1)).as("n")).head()
@@ -2483,9 +2537,18 @@ object VectorOps extends QueryModule {
     // collect-bound: centroid table — ≤ k rows, k ∝ √n via ivfKFor
     val cRows: Seq[Seq[Double]] = s.read.parquet(s"$dir/centroids")
       .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1)).toSeq
-    val (dims, cb) = loadPqMeta(s, dir)
+    val (dims, cb, rot) = loadPqMeta(s, dir)
     val sc = sortedCells(typedlit(cRows), cRows.size)
-    val probes = withPqSubvectors(unitize(batch), dims)
+    // Learned-rotation index: the LUT gathers from the ROTATED query
+    // (⟨q, r⟩ = ⟨Rq, Rr⟩ — codewords live in the rotated space), the
+    // coarse ⟨q, c⟩ ranking keeps the raw query. One rotation per query.
+    val qFrame = rot.fold(withPqSubvectors(unitize(batch), dims)) { r =>
+      withPqSubvectors(
+        unitize(batch).withColumn("uer", transform(typedlit(r),
+          rr => call_function("graft_dot", col("ue"), rr))),
+        dims, src = "uer")
+    }
+    val probes = qFrame
       .select(col("vec_id").as("query_id"),
         explode(slice(sc, 1, nprobe)).as("pc"),
         array(dims.indices.map { j =>
@@ -2646,8 +2709,8 @@ object VectorOps extends QueryModule {
     * occupancy vs m·ksub. */
   private def q244(s: SparkSession, d: String): DataFrame = {
     val dir = builtIvfAdc(s, d)
-    val (dims, cb) = loadPqMeta(s, dir)
-    val coded = withPqCodes(semResiduals(s, dir), dims, cb)
+    val (dims, cb, rot) = loadPqMeta(s, dir)
+    val coded = encodedResiduals(s, dir, dims, cb, rot)
       .localCheckpoint(true) // consumers: error card + occupancy
     val totErr = dims.indices.map(j => col(s"cerr$j")).reduce(_ + _)
     val err = coded.agg(

@@ -135,4 +135,58 @@ class IvfAdcSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(ca === cb, "PQ build must be bit-deterministic")
   }
+
+  // ------------------------- learned-rotation (OPQ) build arm — spec-owned
+
+  test("learned-rotation build: distortion <= permutation build, real corpus") {
+    val d = "/root/testdata/sf0.001"
+    val e = graft.Tables(spark, d, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val perm = freshIdx("operm")
+    VectorOps.buildSemIndex(spark, e, perm)
+    VectorOps.addPqToSemIndex(spark, perm, lloydIters = 1)
+    val learned = freshIdx("orot")
+    VectorOps.buildSemIndex(spark, e, learned)
+    VectorOps.addPqToSemIndex(spark, learned, lloydIters = 1,
+      learnedRotation = true)
+    val dp = VectorOps.ivfAdcDistortion(spark, perm)
+    val dl = VectorOps.ivfAdcDistortion(spark, learned)
+    // Rotation is orthogonal, so residual L2 distortion is comparable
+    // across coding bases — the OpqSpec pin, now on the composed index.
+    assert(dl <= dp + 1e-9,
+      s"learned-rotation residual distortion $dl must not exceed permutation $dp")
+  }
+
+  test("learned-rotation index: ADC identity, frozen-rotation append, determinism") {
+    val idx = freshIdx("oself")
+    VectorOps.buildSemIndex(spark, vecsDf(baseRows: _*), idx)
+    VectorOps.addPqToSemIndex(spark, idx, learnedRotation = true)
+    // Seed vec 3's ROTATED residual is a codeword, so the exact-direction
+    // query still scores it at the true cosine: the probe rotates the
+    // query once and the identity <q,c> + <Rq,Rr> = <q, ue3> survives
+    // (float tolerance for the two rotation applications).
+    val t = top1(vecsDf(500L -> axis(3).map(_ * 7.0)), idx)
+    assert(t(500L)._1 === 3L, s"expected seed vec 3 at rank 1: $t")
+    assert(math.abs(t(500L)._2 - 1.0) < 1e-9, s"rotated ADC identity violated: $t")
+
+    // Frozen-rotation append: same direction as seed 3 encodes to the
+    // same codeword through the persisted rotation and is searchable.
+    VectorOps.appendToSemIndex(spark, vecsDf(100L -> axis(3).map(_ * 3.0)), idx)
+    val res = VectorOps.probeIvfAdcTop3(spark,
+        vecsDf(500L -> axis(3).map(_ * 7.0)), idx)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(res.contains(100L), s"appended vector must be searchable: $res")
+    assert(math.abs(res(100L) - 1.0) < 1e-9,
+      s"frozen-rotation encoding must satisfy the ADC identity: $res")
+
+    // Bit-deterministic rebuild (subspace iteration has no RNG).
+    val idx2 = freshIdx("oself2")
+    VectorOps.buildSemIndex(spark, vecsDf(baseRows: _*), idx2)
+    VectorOps.addPqToSemIndex(spark, idx2, learnedRotation = true)
+    def codes(i: String) = graft.operators.IndexStore.read(spark, i, "codes")
+      .collect().map(_.toSeq).toSet
+    // idx carries the one appended row (vec 100) on top of the build.
+    assert(codes(idx2) === codes(idx).filter(_.head.asInstanceOf[Long] < 100L),
+      "learned-rotation build must be bit-deterministic")
+  }
 }
