@@ -677,8 +677,8 @@ object DedupOps extends QueryModule {
     * the index writer lock (round-15): a takedown can no longer land
     * inside compaction's re-read→overwrite window and be clobbered — it
     * either precedes the re-read (and survives via it) or waits for the
-    * overwrite (and survives trivially). DedupRaceSpec hammers the
-    * interleaving. */
+    * overwrite (and survives trivially). IndexRaceSpec's dedup arm
+    * hammers the interleaving. */
   private[graft] def tombstoneDocs(docs: DataFrame, dir: String): Unit =
     graft.operators.IndexStore.withLock(docs.sparkSession, dir) {
       docs.select(col("doc_id")).write.mode("append")

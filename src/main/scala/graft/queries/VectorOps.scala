@@ -1136,7 +1136,7 @@ object VectorOps extends QueryModule {
     * late append replay. Locked against [[compactSemIndex]]'s tombstone
     * rewrite (the [[DedupOps.tombstoneDocs]] round-15 discipline) — a
     * takedown can no longer be clobbered by a concurrent compaction's
-    * re-read→overwrite window; SemRaceSpec hammers the interleaving. */
+    * re-read→overwrite window; IndexRaceSpec hammers the interleaving. */
   private[graft] def tombstoneVecs(vecs: DataFrame, dir: String): Unit =
     graft.operators.IndexStore.withLock(vecs.sparkSession, dir) {
       vecs.select(col("vec_id")).write.mode("append")

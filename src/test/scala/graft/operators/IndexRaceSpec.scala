@@ -58,4 +58,46 @@ class IndexRaceSpec extends SparkSpec {
     // And the non-retired majority is untouched.
     assert(IndexStore.read(spark, dir, "vectors").count() === 120 - 100)
   }
+
+  test("dedup index: 100 concurrent takedowns survive racing compactions") {
+    import graft.queries.DedupOps
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_race_dedup").toString
+    // Distinct multi-token texts so every doc lands in exact AND
+    // bands/shingles (>= 3 tokens clears the banding filter).
+    val base = (0 until 120).map(i =>
+      (i.toLong, s"alpha bravo charlie delta echo token$i tail${i % 7}"))
+      .toDF("doc_id", "text")
+    DedupOps.buildDedupIndex(base, dir)
+
+    val takedownIds = (0 until 120 by 6).flatMap(i => Seq(i, i + 1, i + 2,
+      i + 3, i + 4)).take(100).map(_.toLong)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    @volatile var takedownsDone = false
+
+    val taker = new Thread(() =>
+      try takedownIds.foreach { id =>
+        DedupOps.tombstoneDocs(Seq(id).toDF("doc_id"), dir)
+      } catch { case t: Throwable => failures.add(t); () }
+      finally takedownsDone = true)
+    val compactor = new Thread(() =>
+      try while (!takedownsDone) DedupOps.compactDedupIndex(spark, dir)
+      catch { case t: Throwable => failures.add(t); () })
+
+    taker.start(); compactor.start()
+    taker.join(); compactor.join()
+    assert(failures.isEmpty, s"racing writer threw: ${failures.peek()}")
+
+    DedupOps.compactDedupIndex(spark, dir)
+    val surviving = Seq(
+      IndexStore.read(spark, dir, "exact").select(col("exact_doc").as("doc_id")),
+      IndexStore.read(spark, dir, "bands").select(col("doc_id")),
+      IndexStore.read(spark, dir, "shingles").select(col("doc_id")))
+      .reduce(_.union(_)).distinct()
+      .filter(col("doc_id").isin(takedownIds: _*))
+      .collect().map(_.getLong(0)).toSeq
+    assert(surviving.isEmpty,
+      s"takedowns lost to the compaction race: ${surviving.sorted.take(10)}")
+    assert(IndexStore.read(spark, dir, "shingles").count() === 120 - 100)
+  }
 }
