@@ -1905,7 +1905,10 @@ object VectorOps extends QueryModule {
   private[queries] def withPqCodes(df: DataFrame, dims: Seq[Seq[Int]],
       cb: Seq[Seq[Seq[Double]]]): DataFrame =
     dims.indices.foldLeft(withPqSubvectors(df, dims)) { (acc, j) =>
-      val scores = transform(sequence(lit(0), lit(PqKsub - 1)), c =>
+      // Score exactly the codewords the book HAS — a small corpus can
+      // seed fewer than ksub (element_at past the literal's end would
+      // null the distance and corrupt the argmin).
+      val scores = transform(sequence(lit(0), lit(cb(j).size - 1)), c =>
         struct(
           aggregate(
             zip_with(col(s"pv$j"), element_at(typedlit(cb(j)), c + lit(1)),
@@ -1990,7 +1993,8 @@ object VectorOps extends QueryModule {
         frame.filter(col("vec_id") < 8).select(col("vec_id"), col("ue")), dims)
       .select(col("vec_id").as("query_id"),
         array(dims.indices.map { j =>
-          transform(sequence(lit(0), lit(PqKsub - 1)), c =>
+          // LUT over exactly the codewords the book has (see withPqCodes)
+          transform(sequence(lit(0), lit(cb(j).size - 1)), c =>
             call_function("graft_dot", col(s"pv$j"),
               element_at(typedlit(cb(j)), c + lit(1))))
         }: _*).as("lut"))
@@ -2362,9 +2366,13 @@ object VectorOps extends QueryModule {
     *    the variance-balanced dimension permutation from the RESIDUAL
     *    second moments (the q240 dyadic fixed-point idiom — both engines
     *    derive the identical permutation), seed m sub-codebooks from the
-    *    first-ksub residuals in vec_id order (SQL-restatable; Lloyd
-    *    refinement via [[refinePqBooks]] is the spec-owned production
-    *    rung, the q52 seed-vs-trained discipline), and persist
+    *    ZERO codeword + the first ksub−1 NON-CENTROID residuals in
+    *    vec_id order — the k smallest base ids ARE the centroids, so
+    *    their residuals are zero and seeding from them would collapse
+    *    every codeword to zero and ADC to coarse-only scoring
+    *    (SQL-restatable; Lloyd refinement via [[refinePqBooks]] is the
+    *    spec-owned production rung, the q52 seed-vs-trained
+    *    discipline), and persist
     *    `pq_dims`/`pq_cb` (driver-literal-sized metadata) plus the
     *    `codes` table — (vec_id, cell, code0..m−1), ~m bytes of payload
     *    per vector vs d·4 for floats — as an IndexStore EXTERNAL BUCKETED
@@ -2417,8 +2425,10 @@ object VectorOps extends QueryModule {
 
   /** Extend a built semantic index with the IVFADC artifacts: residual
     * permutation + sub-codebooks (`pq_dims`/`pq_cb`) and the
-    * cell-bucketed `codes` table. `lloydIters = 0` keeps the oracle seed
-    * books; production passes > 0 ([[refinePqBooks]]).
+    * cell-bucketed `codes` table. The oracled q243 build passes
+    * `lloydIters = 1` (one refinement round, restated in [[ivfAdcCtes]]
+    * as unrolled CTEs); production sizes the budget freely
+    * ([[refinePqBooks]]).
     *
     * `learnedRotation = true` composes the OPQ trainer into the
     * deployable artifact (the spec-owned rung — the oracled q243/q244/
@@ -2452,12 +2462,21 @@ object VectorOps extends QueryModule {
         (0 until PqM).map(j =>
           ranked.indices.collect { case r if r % PqM == j => ranked(r)._1 }.toSeq)
     }
-    // collect-bound: first-ksub residuals by vec_id order — ≤ 16 rows
-    val seeds = resid.select(col("vec_id"), col("ue"))
-      .orderBy(col("vec_id")).limit(PqKsub)
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    // Seed books: the ZERO codeword + the first ksub−1 NON-CENTROID
+    // residuals by vec_id. The k smallest base vec_ids ARE the seed
+    // centroids (buildSemIndex), so their residuals are exactly zero —
+    // naively seeding from the first ksub rows would make every codeword
+    // the zero vector and collapse ADC to coarse-only scoring (the
+    // degeneracy IvfAdcSpec's codes_used pin now guards). Codeword 0
+    // stays the zero vector on purpose: centroid-exact vectors encode to
+    // it with zero error, preserving the ADC identity tests.
+    val k = s.read.parquet(s"$dir/centroids").count().toInt
+    // collect-bound: k + ksub − 1 rows — k ∝ √n, the centroid-collect bound
+    val seedRows: Seq[Seq[Double]] = resid.select(col("vec_id"), col("ue"))
+      .orderBy(col("vec_id")).limit(k + PqKsub - 1)
+      .collect().drop(k).map(_.getSeq[Double](1).toSeq).toSeq
     val seedCb: Seq[Seq[Seq[Double]]] =
-      dims.map(dj => seeds.map { case (_, re) => dj.map(re(_)).toSeq }.toSeq)
+      dims.map(dj => Seq.fill(dj.size)(0.0) +: seedRows.map(re => dj.map(re(_)).toSeq))
     val cb = refinePqBooks(resid.select(col("vec_id"), col("ue")), dims,
       seedCb, lloydIters)
     import s.implicits._
@@ -2489,8 +2508,11 @@ object VectorOps extends QueryModule {
     val cbm = s.read.parquet(s"$dir/pq_cb")
       .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2)))
       .toMap
+    // A small corpus can persist fewer than ksub codewords per sub (zero
+    // codeword + the non-centroid seeds it had) — load what's there.
     val cb = dims.indices.map(j =>
-      (0 until PqKsub).map(c => cbm((j, c)).toSeq).toSeq).toSeq
+      cbm.keysIterator.filter(_._1 == j).map(_._2).toSeq.sorted
+        .map(c => cbm((j, c)).toSeq)).toSeq
     val rotPath = new org.apache.hadoop.fs.Path(s"$dir/pq_rot")
     val rot =
       if (!rotPath.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -2552,7 +2574,8 @@ object VectorOps extends QueryModule {
       .select(col("vec_id").as("query_id"),
         explode(slice(sc, 1, nprobe)).as("pc"),
         array(dims.indices.map { j =>
-          transform(sequence(lit(0), lit(PqKsub - 1)), c =>
+          // LUT over exactly the codewords the book has (see withPqCodes)
+          transform(sequence(lit(0), lit(cb(j).size - 1)), c =>
             call_function("graft_dot", col(s"pv$j"),
               element_at(typedlit(cb(j)), c + lit(1))))
         }: _*).as("lut"))
@@ -2590,7 +2613,13 @@ object VectorOps extends QueryModule {
   private def builtIvfAdc(s: SparkSession, d: String): String =
     ivfadcCache.getOrBuild(s, d) {
       val dir = builtSemIndex(s, d)
-      addPqToSemIndex(s, dir)
+      // One Lloyd round over the seed books, restated in the oracle as
+      // the unrolled rcodes0 → per-(sub, code, pos) fixed-point mean →
+      // rcent chain (the q215 unrolled-iteration discipline): seed
+      // residual books on synthetic corpora are weak enough that raw-seed
+      // ADC ranks WORSE than coarse-only ties — one assignment/mean pass
+      // is what makes the LUT term signal instead of noise.
+      addPqToSemIndex(s, dir, lloydIters = 1)
       dir
     }
 
@@ -2626,12 +2655,42 @@ object VectorOps extends QueryModule {
        |  SELECT resid.vec_id, resid.cell, rdl.sub,
        |    list_transform(rdl.dims, ix -> resid.re[ix]) AS pv
        |  FROM resid CROSS JOIN rdl),
-       |rcent AS (
-       |  SELECT t.cid, p.sub, p.pv AS cv
-       |  FROM (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+       |rcent0 AS (
+       |  SELECT 0 AS cid, rdl.sub, list_transform(rdl.dims, ix -> 0.0) AS cv
+       |  FROM rdl
+       |  UNION ALL
+       |  SELECT CAST(t.rn - (SELECT k FROM params) AS INTEGER) AS cid,
+       |    p.sub, p.pv AS cv
+       |  FROM (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
        |        FROM resid) t
        |  JOIN rpv p ON p.vec_id = t.vec_id
-       |  WHERE t.cid < $PqKsub),
+       |  WHERE t.rn > (SELECT k FROM params)
+       |    AND t.rn <= (SELECT k FROM params) + ${PqKsub - 1}),
+       |rd20 AS (
+       |  SELECT p.vec_id, p.sub, c.cid,
+       |    list_reduce(list_prepend(0.0, list_transform(list_zip(p.pv, c.cv),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2]))), (a, b) -> a + b) AS d2
+       |  FROM rpv p JOIN rcent0 c ON c.sub = p.sub),
+       |rcodes0 AS (
+       |  SELECT vec_id, sub, cid AS code FROM (
+       |    SELECT vec_id, sub, cid, d2,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+       |    FROM rd20) t WHERE rn = 1),
+       |rsublen AS (SELECT sub, MAX(len(pv)) AS l FROM rpv GROUP BY sub),
+       |rposs AS (SELECT sub, unnest(generate_series(1, l)) AS pos FROM rsublen),
+       |rm1 AS (
+       |  SELECT r.sub, r.code AS cid, s.pos,
+       |    CAST(SUM(CAST(floor(p.pv[s.pos] * 67108864.0) AS BIGINT)) AS DOUBLE)
+       |      / (67108864.0 * CAST(COUNT(*) AS DOUBLE)) AS m
+       |  FROM rcodes0 r
+       |  JOIN rpv p ON p.vec_id = r.vec_id AND p.sub = r.sub
+       |  JOIN rposs s ON s.sub = r.sub
+       |  GROUP BY r.sub, r.code, s.pos),
+       |rcent AS (
+       |  SELECT c0.sub, c0.cid, COALESCE(m.cv, c0.cv) AS cv
+       |  FROM rcent0 c0 LEFT JOIN (
+       |    SELECT sub, cid, list(m ORDER BY pos) AS cv FROM rm1 GROUP BY sub, cid) m
+       |  ON m.sub = c0.sub AND m.cid = c0.cid),
        |rd2 AS (
        |  SELECT p.vec_id, p.cell, p.sub, c.cid,
        |    list_reduce(list_prepend(0.0, list_transform(list_zip(p.pv, c.cv),
@@ -2899,7 +2958,7 @@ object VectorOps extends QueryModule {
 
   /** (assignments with unit vectors, bounded-degree edge list) over the
     * full corpus — shared by q245/q246. */
-  private def graphAnnParts(s: SparkSession,
+  private[queries] def graphAnnParts(s: SparkSession,
       d: String): (DataFrame, DataFrame) = {
     val u = unitVectors(s, d)
     val k = ivfKFor(u.count())
@@ -2921,10 +2980,18 @@ object VectorOps extends QueryModule {
     (asg, edges)
   }
 
-  /** Per-query greedy trace: (query_id, found_id, found_cos, exact_id,
-    * hit), unordered. */
-  private def graphAnnTrace(s: SparkSession, d: String): DataFrame = {
-    val (asg, edges) = graphAnnParts(s, d)
+  /** Final beam frontier after [[GraphHops]] hops — ≤`width` rows per
+    * query, plus the summed per-hop expansion count (the candidate
+    * scorings the search paid, q248's cost axis). `width = 1` IS the
+    * greedy search of q245: each hop expands every frontier node's
+    * out-edges, dedups (a node reachable from two frontier members must
+    * occupy ONE beam slot, not two), and keeps the top-`width` by
+    * (gcos, node). The dedup is exact even on the double gcos column:
+    * duplicates are the SAME (query, node) pair scored by the same
+    * codegen'd expression, so the rows are bit-identical within an
+    * engine. */
+  private[queries] def graphBeamFrontier(s: SparkSession, asg: DataFrame,
+      edges: DataFrame, width: Int): (DataFrame, DataFrame) = {
     val qv = asg.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("ue").as("qu"),
         col("cell").as("qcell"))
@@ -2944,29 +3011,47 @@ object VectorOps extends QueryModule {
     var frontier = entry.join(nu, "node")
       .select(col("query_id"), col("qu"), col("node"),
         expr("graft_dot(qu, nu)").as("gcos"))
+    var expansions: Seq[DataFrame] = Nil
     for (_ <- 1 to GraphHops) {
       val nb = frontier.join(edges, col("node") === col("src"))
         .filter(col("dst") =!= col("query_id"))
         .join(nu.withColumnRenamed("node", "dst"), "dst")
         .select(col("query_id"), col("qu"), col("dst").as("node"),
           expr("graft_dot(qu, nu)").as("gcos"))
+      expansions :+= nb.agg(count(lit(1)).as("scored_cands"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("gcos").desc, col("node"))
-      frontier = frontier.unionByName(nb)
+      frontier = frontier.unionByName(nb).distinct()
         .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).drop("rn")
+        .filter(col("rn") <= width).drop("rn")
         .localCheckpoint(true) // keep the unrolled plan hop-sized
     }
-    val exact = {
-      val c = asg.select(col("vec_id").as("neighbor_id"), col("ue").as("cu"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(expr("graft_dot(qu, cu)").desc, col("neighbor_id"))
-      broadcast(qv.select(col("query_id"), col("qu")))
-        .join(c, col("query_id") =!= col("neighbor_id"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("query_id"), col("neighbor_id").as("exact_id"))
-    }
-    frontier.join(exact, "query_id")
+    val scored = expansions.reduce(_ unionAll _)
+      .agg(sum(col("scored_cands")).as("scored_cands"))
+    (frontier, scored)
+  }
+
+  /** Exact cosine top-1 of the graph-ANN query split against the full
+    * corpus under the q32 tie rule — the recall reference shared by the
+    * q245 trace and the q248 card. */
+  private[queries] def graphExactTop1(s: SparkSession, asg: DataFrame): DataFrame = {
+    val qv = asg.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("ue").as("qu"))
+    val c = asg.select(col("vec_id").as("neighbor_id"), col("ue").as("cu"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(expr("graft_dot(qu, cu)").desc, col("neighbor_id"))
+    broadcast(qv)
+      .join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("query_id"), col("neighbor_id").as("exact_id"))
+  }
+
+  /** Per-query greedy trace: (query_id, found_id, found_cos, exact_id,
+    * hit), unordered — the width-1 beam against the exact top-1. */
+  private def graphAnnTrace(s: SparkSession, d: String): DataFrame = {
+    val (asg, edges) = graphAnnParts(s, d)
+    val (frontier, _) = graphBeamFrontier(s, asg, edges, 1)
+    frontier.join(graphExactTop1(s, asg), "query_id")
       .select(col("query_id"), col("node").as("found_id"),
         col("gcos").as("found_cos"), col("exact_id"),
         (col("node") === col("exact_id")).cast("int").as("hit"))
@@ -3104,6 +3189,263 @@ object VectorOps extends QueryModule {
        |  CAST($GraphHops AS INTEGER) AS hops
        |FROM rec, ec, nc, bp""".stripMargin
 
+  // ---------------------------------------------------------------- q248
+
+  /** q248 — beam-vs-greedy graph-ANN card (the production upgrade over
+    * q245's greedy: NSW/HNSW deployments search with a width-ef frontier
+    * precisely because greedy strands in local maxima of the neighbor
+    * graph). Both arms run the SAME [[graphBeamFrontier]] machinery over
+    * the SAME graph and query split — greedy IS the width-1 beam — so
+    * the card's two rows differ only in the knob it prices: recall@1 vs
+    * the exact top-1, against the candidate scorings each search paid
+    * (Σ per-hop frontier-expansion rows, the dots a deployment multiplies
+    * by d to cost a query). The recall step between the rows against the
+    * ~width× scoring multiplier is the graph twin of q247's nprobe sweep:
+    * the operator picks the smallest width that clears their SLA.
+    *
+    * Scale shape: identical to q245 per arm — hop joins touch edge/
+    * vector tables on equi-keys, the frontier is |Q|·width·(1+degree)
+    * rows per hop with |Q| broadcast, and width/hops are constants, so
+    * plan size is fixed; the cost axis is measured from the executed
+    * expansion frames, not modeled. */
+  private val BeamWidth = 3
+
+  private def q248(s: SparkSession, d: String): DataFrame = {
+    val (asg, edges) = graphAnnParts(s, d)
+    val exact = graphExactTop1(s, asg)
+      .localCheckpoint(true) // consumers: one hit-join per arm
+    val nq = asg.filter(col("vec_id") < 8)
+      .agg(count(lit(1)).as("n_queries"))
+    def arm(strategy: String, width: Int): DataFrame = {
+      val (frontier, scored) = graphBeamFrontier(s, asg, edges, width)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("gcos").desc, col("node"))
+      val hits = frontier.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .join(exact, "query_id")
+        .agg(sum((col("node") === col("exact_id")).cast("long")).as("hits"))
+      Seq(scored, nq).foldLeft(hits)(graft.Scalars.withScalar)
+        .select(lit(strategy).as("strategy"), col("n_queries"), col("hits"),
+          (col("hits").cast("double") / col("n_queries").cast("double"))
+            .as("recall_at1"),
+          col("scored_cands"), lit(width).as("width"),
+          lit(GraphHops).as("hops"))
+    }
+    arm("beam", BeamWidth).unionAll(arm("greedy", 1)).orderBy("strategy")
+  }
+
+  /** Beam CTE chain on top of [[graphAnnCtes]]: the greedy arm reuses the
+    * existing h/nb/trace CTEs verbatim; the beam arm re-runs the hop
+    * unrolling with `rn <= width` retention and a DISTINCT before the
+    * rank (one beam slot per reached node). */
+  private def q248Sql: String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), z -> z[1] * z[2])), (x, y) -> x + y)"
+    def bhop(t: Int) =
+      s"""bnb$t AS (
+         |  SELECT f.query_id, n.vec_id AS node, ${dot("q.ue", "n.ue")} AS gcos
+         |  FROM bh${t - 1} f
+         |  JOIN edges e ON e.src = f.node
+         |  JOIN u n ON n.vec_id = e.dst
+         |  JOIN u q ON q.vec_id = f.query_id
+         |  WHERE e.dst <> f.query_id),
+         |bh$t AS (
+         |  SELECT query_id, node, gcos FROM (
+         |    SELECT query_id, node, gcos,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY gcos DESC, node) AS rn
+         |    FROM (SELECT DISTINCT query_id, node, gcos FROM
+         |          (SELECT query_id, node, gcos FROM bh${t - 1}
+         |           UNION ALL SELECT query_id, node, gcos FROM bnb$t) zz) z) t
+         |  WHERE rn <= $BeamWidth)""".stripMargin
+    s"""WITH $graphAnnCtes,
+       |bh0 AS (SELECT query_id, node, gcos FROM h0),
+       |${(1 to GraphHops).map(bhop).mkString(",\n")},
+       |nqg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM qv),
+       |gsc AS (
+       |  SELECT CAST(${(1 to GraphHops)
+            .map(t => s"(SELECT COUNT(*) FROM nb$t)").mkString(" + ")}
+       |    AS BIGINT) AS scored_cands),
+       |bsc AS (
+       |  SELECT CAST(${(1 to GraphHops)
+            .map(t => s"(SELECT COUNT(*) FROM bnb$t)").mkString(" + ")}
+       |    AS BIGINT) AS scored_cands),
+       |ghit AS (SELECT CAST(SUM(hit) AS BIGINT) AS hits FROM trace),
+       |bbest AS (
+       |  SELECT query_id, node FROM (
+       |    SELECT query_id, node,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY gcos DESC, node) AS rn
+       |    FROM bh$GraphHops) t WHERE rn = 1),
+       |bhit AS (
+       |  SELECT CAST(SUM(CASE WHEN b.node = x.exact_id THEN 1 ELSE 0 END) AS BIGINT) AS hits
+       |  FROM bbest b JOIN exact x USING (query_id))
+       |SELECT 'beam' AS strategy, nqg.n_queries, bhit.hits,
+       |  CAST(bhit.hits AS DOUBLE) / CAST(nqg.n_queries AS DOUBLE) AS recall_at1,
+       |  bsc.scored_cands, CAST($BeamWidth AS INTEGER) AS width,
+       |  CAST($GraphHops AS INTEGER) AS hops
+       |FROM nqg, bhit, bsc
+       |UNION ALL
+       |SELECT 'greedy' AS strategy, nqg.n_queries, ghit.hits,
+       |  CAST(ghit.hits AS DOUBLE) / CAST(nqg.n_queries AS DOUBLE) AS recall_at1,
+       |  gsc.scored_cands, CAST(1 AS INTEGER) AS width,
+       |  CAST($GraphHops AS INTEGER) AS hops
+       |FROM nqg, ghit, gsc
+       |ORDER BY strategy""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q249
+
+  /** q249 — filtered ANN over the persisted IVFADC index: top-3 among
+    * neighbors satisfying an attribute predicate (`label = `
+    * [[FilterLabel]], ~10 % selective on the synthetic labels), the
+    * constraint every production retrieval deployment hits the week it
+    * ships (tenant/language/license scoping). The card prices the two
+    * standard strategies against the SAME probe work:
+    *
+    *  - PRE-FILTER: every ADC-scored candidate is attribute-checked
+    *    BEFORE the top-3 cut — full recall w.r.t. the probed cells, at
+    *    one attribute lookup per scored candidate.
+    *  - POST-FILTER with over-fetch: rank the unfiltered top-
+    *    [[FilteredOverFetch]] first, attribute-check only those, keep
+    *    the top-3 survivors — |Q|·overfetch lookups regardless of
+    *    occupancy, but queries whose over-fetch window holds < 3
+    *    matching rows come up short (kept_pairs shows the shortfall;
+    *    recall pays it).
+    *
+    * Both recalls are against the exact cosine top-3 AMONG MATCHING base
+    * vectors, so the card reads as "what the filter costs each way".
+    *
+    * Scale note: here the attribute join hits the embeddings table on
+    * vec_id — candidates are |Q|·occupancy rows, so the join broadcasts
+    * the CANDIDATE side and the attribute side is scanned pruned to two
+    * columns. A deployment whose filter column is known at build time
+    * bakes it into the codes rows instead ([[addPqToSemIndex]]'s codes
+    * write point — +4 bytes/vector beside the m code bytes) making the
+    * pre-filter arm join-free; we keep the artifact SHARED with
+    * q243/q244/q247 and price the lookup honestly as a join. */
+  private val FilterLabel = 1
+  private val FilteredOverFetch = 9
+
+  private def q249(s: SparkSession, d: String): DataFrame = {
+    val dir = builtIvfAdc(s, d)
+    val attrs = t(s, d, "embeddings")
+      .select(col("vec_id").as("neighbor_id"), col("label"))
+    val scored = ivfAdcScoredCands(s, ivfAdcQueries(s, d), dir, IvfAdcNprobe)
+      .localCheckpoint(true) // consumers: both arms + the pair count
+    val exf3 = {
+      val u = unitVectors(s, d) // carries label — no attrs join needed
+      val qv = u.filter(col("vec_id") % 5 === 0 &&
+          col("vec_id") < IvfAdcQueryBound)
+        .select(col("vec_id").as("query_id"), col("ue").as("qu"))
+      val base = u.filter(col("vec_id") % 5 =!= 0 &&
+          col("label") === FilterLabel)
+        .select(col("vec_id").as("neighbor_id"), col("ue").as("cu"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(expr("graft_dot(qu, cu)").desc, col("neighbor_id"))
+      broadcast(qv).join(base, col("query_id") =!= col("neighbor_id"))
+        .withColumn("rnk", rank().over(w)).filter(col("rnk") <= 3)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(true) // consumers: one overlap join per arm
+    }
+    val nq = ivfAdcQueries(s, d).agg(count(lit(1)).as("n_queries"))
+    val pairs = scored.agg(count(lit(1)).as("scored_pairs"))
+    val frac = unitVectors(s, d).filter(col("vec_id") % 5 =!= 0)
+      .agg((sum((col("label") === FilterLabel).cast("long")).cast("double") /
+        count(lit(1)).cast("double")).as("filter_frac"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_cos").desc, col("neighbor_id"))
+    def card(strategy: String, kept: DataFrame,
+        lookups: DataFrame): DataFrame = {
+      val k = kept.localCheckpoint(true) // consumers: kept count + overlap
+      val keptCnt = k.agg(count(lit(1)).as("kept_pairs"))
+      val overlap = k.join(exf3, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("overlap"))
+      Seq(pairs, frac, lookups, keptCnt, overlap)
+        .foldLeft(nq)(graft.Scalars.withScalar)
+        .select(lit(strategy).as("strategy"), col("n_queries"),
+          col("filter_frac"), col("scored_pairs"), col("attr_lookups"),
+          col("kept_pairs"),
+          (col("overlap").cast("double") /
+            (lit(3.0) * col("n_queries").cast("double"))).as("recall_at3"))
+    }
+    val pre3 = scored.join(attrs, Seq("neighbor_id"))
+      .filter(col("label") === FilterLabel)
+      .withColumn("rnk", rank().over(w)).filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val over9 = scored.withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= FilteredOverFetch)
+      .select(col("query_id"), col("neighbor_id"), col("adc_cos"))
+      .localCheckpoint(true) // consumers: lookup count + survivor re-rank
+    val post3 = over9.join(attrs, Seq("neighbor_id"))
+      .filter(col("label") === FilterLabel)
+      .withColumn("rnk", rank().over(w)).filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    card("pre_filter", pre3,
+        scored.agg(count(lit(1)).as("attr_lookups")))
+      .unionAll(card("post_filter", post3,
+        over9.agg(count(lit(1)).as("attr_lookups"))))
+      .orderBy("strategy")
+  }
+
+  private def q249Sql: String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), z -> z[1] * z[2])), (x, y) -> x + y)"
+    s"""WITH $ivfAdcCtes,
+       |attrs AS (SELECT vec_id AS neighbor_id, label FROM embeddings),
+       |exf3 AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |      RANK() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${dot("q.ue", "b.ue")} DESC, b.vec_id) AS rnk
+       |    FROM qv q JOIN buni b ON q.vec_id <> b.vec_id
+       |    JOIN attrs a ON a.neighbor_id = b.vec_id AND a.label = $FilterLabel) t
+       |  WHERE rnk <= 3),
+       |nqx AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM qv),
+       |spx AS (SELECT CAST(COUNT(*) AS BIGINT) AS scored_pairs FROM cand),
+       |fr AS (
+       |  SELECT CAST(SUM(CASE WHEN a.label = $FilterLabel THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE) AS filter_frac
+       |  FROM buni b LEFT JOIN attrs a ON a.neighbor_id = b.vec_id),
+       |pre3 AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT s.query_id, s.neighbor_id,
+       |      RANK() OVER (PARTITION BY s.query_id ORDER BY s.adc_cos DESC, s.neighbor_id) AS rnk
+       |    FROM ascore s JOIN attrs a ON a.neighbor_id = s.neighbor_id
+       |      AND a.label = $FilterLabel) t
+       |  WHERE rnk <= 3),
+       |prelk AS (SELECT CAST(COUNT(*) AS BIGINT) AS attr_lookups FROM cand),
+       |prek AS (SELECT CAST(COUNT(*) AS BIGINT) AS kept_pairs FROM pre3),
+       |preov AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS overlap
+       |  FROM pre3 JOIN exf3 USING (query_id, neighbor_id)),
+       |over9 AS (
+       |  SELECT query_id, neighbor_id, adc_cos FROM (
+       |    SELECT query_id, neighbor_id, adc_cos,
+       |      RANK() OVER (PARTITION BY query_id ORDER BY adc_cos DESC, neighbor_id) AS rnk
+       |    FROM ascore) t WHERE rnk <= $FilteredOverFetch),
+       |post3 AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT o.query_id, o.neighbor_id,
+       |      RANK() OVER (PARTITION BY o.query_id ORDER BY o.adc_cos DESC, o.neighbor_id) AS rnk
+       |    FROM over9 o JOIN attrs a ON a.neighbor_id = o.neighbor_id
+       |      AND a.label = $FilterLabel) t
+       |  WHERE rnk <= 3),
+       |postlk AS (SELECT CAST(COUNT(*) AS BIGINT) AS attr_lookups FROM over9),
+       |postk AS (SELECT CAST(COUNT(*) AS BIGINT) AS kept_pairs FROM post3),
+       |postov AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS overlap
+       |  FROM post3 JOIN exf3 USING (query_id, neighbor_id))
+       |SELECT 'post_filter' AS strategy, nqx.n_queries, fr.filter_frac,
+       |  spx.scored_pairs, postlk.attr_lookups, postk.kept_pairs,
+       |  CAST(postov.overlap AS DOUBLE) / (3.0 * CAST(nqx.n_queries AS DOUBLE)) AS recall_at3
+       |FROM nqx, fr, spx, postlk, postk, postov
+       |UNION ALL
+       |SELECT 'pre_filter' AS strategy, nqx.n_queries, fr.filter_frac,
+       |  spx.scored_pairs, prelk.attr_lookups, prek.kept_pairs,
+       |  CAST(preov.overlap AS DOUBLE) / (3.0 * CAST(nqx.n_queries AS DOUBLE)) AS recall_at3
+       |FROM nqx, fr, spx, prelk, prek, preov
+       |ORDER BY strategy""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q221_pca_power_card", q221, Some(q221Sql)),
     Q("q240_pq_ann", q240, Some(q240Sql)),
@@ -3113,6 +3455,8 @@ object VectorOps extends QueryModule {
     Q("q245_graph_ann_trace", q245, Some(q245Sql)),
     Q("q246_graph_ann_card", q246, Some(q246Sql)),
     Q("q247_ivfadc_nprobe_sweep", q247, Some(q247Sql)),
+    Q("q248_beam_ann_card", q248, Some(q248Sql)),
+    Q("q249_filtered_ann", q249, Some(q249Sql)),
     Q("q31_embed_norms", q31, Some(q31Sql)),
     Q("q114_semdedup", q114, Some(q114Sql)),
     Q("q211_incremental_semdedup", q211, Some(q211Sql)),

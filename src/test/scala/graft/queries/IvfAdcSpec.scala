@@ -56,9 +56,10 @@ class IvfAdcSpec extends SparkSpec {
     val idx = freshIdx("self")
     VectorOps.buildSemIndex(spark, vecsDf(baseRows: _*), idx)
     VectorOps.addPqToSemIndex(spark, idx)
-    // vec 3 is one of the 16 PQ seeds: its residual IS a codeword in
-    // every subspace, so its code error is 0 and an exact-direction
-    // query scores it at the true cosine 1.0 (scaling is norm-invariant).
+    // vec 3 is a centroid seed: its residual is the ZERO vector, which
+    // is codeword 0 in every subspace by construction, so its code error
+    // is 0 and an exact-direction query scores it at the true cosine 1.0
+    // (scaling is norm-invariant).
     val t = top1(vecsDf(500L -> axis(3).map(_ * 7.0)), idx)
     assert(t(500L)._1 === 3L, s"expected seed vec 3 at rank 1: $t")
     assert(math.abs(t(500L)._2 - 1.0) < 1e-12, s"ADC identity violated: $t")
@@ -122,6 +123,28 @@ class IvfAdcSpec extends SparkSpec {
     // cell's residual structure is preserved under refinement here).
     val t = top1(vecsDf(500L -> axis(3).map(_ * 7.0)), trainedIdx)
     assert(t(500L)._1 === 3L, s"refined index must still serve the probe: $t")
+  }
+
+  test("seed books are non-degenerate: codes spread beyond one codeword per sub") {
+    // The k smallest base vec_ids ARE the centroids, so their residuals
+    // are zero; a naive first-ksub seeding collapses every codeword to
+    // zero and ADC to coarse-only scoring (codes_used == m). The shipped
+    // seeding (zero codeword + first ksub−1 NON-centroid residuals) must
+    // actually spread codes on a real corpus.
+    val idx = freshIdx("spread")
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") % 5 =!= 0)
+    VectorOps.buildSemIndex(spark, e, idx)
+    VectorOps.addPqToSemIndex(spark, idx)
+    val codes = graft.operators.IndexStore.read(spark, idx, "codes")
+    val used = codes.select(
+        org.apache.spark.sql.functions.posexplode(
+          org.apache.spark.sql.functions.array(
+            (0 until 4).map(j => col(s"code$j")): _*)).as(Seq("sub", "code")))
+      .distinct().count()
+    assert(used > 4L * 4L,
+      s"residual books must use a real code spread, got $used distinct (sub, code)")
   }
 
   test("determinism: two builds over the same store produce identical codes") {

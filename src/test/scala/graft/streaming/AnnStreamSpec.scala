@@ -27,7 +27,8 @@ class AnnStreamSpec extends SparkSpec {
     val root = java.nio.file.Files.createTempDirectory("graft_astream").toString
     val e = Tables(spark, sf, "embeddings").select(col("vec_id"), col("embedding"))
     VectorOps.buildSemIndex(spark, e.filter(col("vec_id") % 5 =!= 0), s"$root/index")
-    VectorOps.addPqToSemIndex(spark, s"$root/index")
+    // lloydIters = 1 mirrors the registered q243 build (builtIvfAdc).
+    VectorOps.addPqToSemIndex(spark, s"$root/index", lloydIters = 1)
 
     // Stream input: q243's query split + injected in-stream id dups.
     val probe = e.filter(col("vec_id") % 5 === 0 && col("vec_id") < 40)
