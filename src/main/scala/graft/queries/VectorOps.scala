@@ -2957,9 +2957,14 @@ object VectorOps extends QueryModule {
   private val GraphHops = 3
 
   /** (assignments with unit vectors, bounded-degree edge list) over the
-    * full corpus — shared by q245/q246. */
+    * full corpus — shared by q245/q246/q248, built once per (session,
+    * corpus): the edge window is the Σ|cell|² pair pass, and before the
+    * cache each card consumer re-paid it (q246 twice — its own parts plus
+    * the trace's). Both frames are eagerly localCheckpointed, the uvCache
+    * discipline. */
+  private val graphPartsCache = new graft.SessionCache[(DataFrame, DataFrame)]
   private[queries] def graphAnnParts(s: SparkSession,
-      d: String): (DataFrame, DataFrame) = {
+      d: String): (DataFrame, DataFrame) = graphPartsCache.getOrBuild(s, d) {
     val u = unitVectors(s, d)
     val k = ivfKFor(u.count())
     val sc = sortedCells(codebook(u, k), k)
