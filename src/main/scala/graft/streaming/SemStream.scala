@@ -175,6 +175,56 @@ object SemStream {
     q.awaitTermination()
   }
 
+  /** Streaming retrieval over the PERSISTED graph index (the q250
+    * artifact: frozen centroids + src-bucketed `gedges`) — the graph
+    * twin of [[runAnnProbe]], searching through
+    * `VectorOps.probeGraphIndex`, the SAME function batch q250 calls, so
+    * stream ≡ batch results hold by construction (GraphStreamSpec pins
+    * it). `refresh = true` closes the ingest loop: after probing, the
+    * batch's vectors join the index through `appendToSemIndex`, whose
+    * graph arm lays down the novel nodes' out-edges AND the reverse
+    * edges that make them reachable — so batch N+1 retrieves anything
+    * batch N ingested with zero edge rewrites of existing rows.
+    * Compaction at `compactAboveFiles` re-trims the append arm's
+    * temporary degree overflow in the same locked pass that compacts
+    * `vectors` (results invariant, pinned by the spec's dual-run arm). */
+  def runGraphProbe(spark: SparkSession, streamDir: String, indexDir: String,
+      outDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      watermarkDelay: String = "2 hours", width: Int = 1,
+      refresh: Boolean = false,
+      compactAboveFiles: Option[Long] = None): Unit = {
+    val q = read(spark, streamDir, maxFilesPerTrigger)
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("vec_id")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val vecs = batch.select("vec_id", "embedding")
+        val pinned = // two consumers under refresh: search + append
+          if (refresh) vecs.localCheckpoint(true) else vecs
+        VectorOps.probeGraphIndex(spark, pinned, indexDir, width)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        if (refresh) {
+          VectorOps.appendToSemIndex(spark, pinned, indexDir)
+          compactAboveFiles.foreach { thr =>
+            if (VectorOps.semIndexFileCount(spark, indexDir) > thr)
+              VectorOps.compactSemIndex(spark, indexDir)
+          }
+        }
+        (): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** All graph-search results emitted so far (the batch partition column
+    * dropped). */
+  def readGraphResults(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(outDir)
+      .select(col("query_id"), col("found_id"), col("found_cos"))
+
   /** All ANN results emitted so far (the batch partition column
     * dropped). */
   def readAnnResults(spark: SparkSession, outDir: String): DataFrame =

@@ -245,6 +245,44 @@ class IndexColocationSpec extends SparkSpec {
     assert(results === plain, "bucketing must not change any ADC result bit")
   }
 
+  test("graph probe: no Exchange on the gedges side; results == plain layout") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_coloc_g").toString
+    def vec(i: Int): Seq[Double] = {
+      val t = i.toDouble / 7.0
+      Seq(math.cos(t), math.sin(t), math.cos(2 * t) / 3.0, 0.1 * (i % 3))
+    }
+    val base = (0 until 20).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val probes = Seq(
+      (100L, vec(0).map(_ * 2.0)),
+      (101L, Seq(0.0, 0.0, 0.1, -5.0)))
+      .toDF("vec_id", "embedding")
+
+    VectorOps.buildSemIndex(spark, base, s"$root/bucketed")
+    VectorOps.addGraphToSemIndex(spark, s"$root/bucketed")
+    assert(IndexStore.spec(spark, s"$root/bucketed", "gedges") ===
+      Some((IndexStore.DefaultBuckets, Seq("src"))))
+
+    val (results, plans) = withShuffleJoins {
+      capturePlans {
+        VectorOps.probeGraphIndex(spark, probes, s"$root/bucketed", width = 2)
+          .collect().map(_.toSeq).toSet
+      }
+    }
+    assertColocated(plans, s"$root/bucketed", Seq("gedges"))
+
+    try {
+      spark.conf.set(IndexStore.EnabledConf, "false")
+      VectorOps.buildSemIndex(spark, base, s"$root/plain")
+      VectorOps.addGraphToSemIndex(spark, s"$root/plain")
+    } finally spark.conf.unset(IndexStore.EnabledConf)
+    val plain = VectorOps.probeGraphIndex(spark, probes, s"$root/plain",
+        width = 2)
+      .collect().map(_.toSeq).toSet
+    assert(results === plain, "bucketing must not change any search result bit")
+  }
+
   test("compaction preserves bucketing and the co-located probe plan") {
     val root = java.nio.file.Files.createTempDirectory("graft_coloc_c").toString
     val idx = s"$root/index"
