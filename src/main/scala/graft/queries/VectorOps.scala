@@ -3342,7 +3342,10 @@ object VectorOps extends QueryModule {
     probeGraphIndex(s, ivfAdcQueries(s, d), builtGraphIndex(s, d))
       .orderBy("query_id")
 
-  private def q250Sql: String = {
+  /** The persisted-graph CTE chain shared by q250 (search rows) and
+    * q251 (health card): gedges construction + centroid-ranked query
+    * cells + entry + unrolled greedy hops. */
+  private def graphIdxCtes: String = {
     def dot(a: String, b: String) =
       s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), z -> z[1] * z[2])), (x, y) -> x + y)"
     def hop(t: Int) =
@@ -3361,7 +3364,7 @@ object VectorOps extends QueryModule {
          |          (SELECT query_id, node, gcos FROM gh${t - 1}
          |           UNION ALL SELECT query_id, node, gcos FROM gnb$t) zz) z) t
          |  WHERE rn = 1)""".stripMargin
-    s"""WITH $semIndexCtes,
+    s"""$semIndexCtes,
        |gedges AS (
        |  SELECT src, dst FROM (
        |    SELECT a.vec_id AS src, b.vec_id AS dst,
@@ -3396,9 +3399,84 @@ object VectorOps extends QueryModule {
        |  FROM gentry en
        |  JOIN buni n ON n.vec_id = en.node
        |  JOIN u q ON q.vec_id = en.query_id),
-       |${(1 to GraphHops).map(hop).mkString(",\n")}
+       |${(1 to GraphHops).map(hop).mkString(",\n")}""".stripMargin
+  }
+
+  private def q250Sql: String =
+    s"""WITH $graphIdxCtes
        |SELECT query_id, node AS found_id, gcos AS found_cos FROM gh$GraphHops
        |ORDER BY query_id""".stripMargin
+
+  /** q251 — persisted-graph health card (the q208/q212/q244 observability
+    * idiom for the graph index): node/edge counts, realized out-degree
+    * stats vs the bound (srcs_with_edges names the singleton-cell nodes
+    * that legitimately have none), and recall@1 of the persisted greedy
+    * search vs the exact within-split top-1 — the one number an operator
+    * reads before raising width or degree. All counters come from the
+    * SAME persisted tables the probe reads. */
+  private def q251(s: SparkSession, d: String): DataFrame = {
+    val dir = builtGraphIndex(s, d)
+    val nodes = graft.operators.IndexStore.read(s, dir, "vectors")
+    val edges = graft.operators.IndexStore.read(s, dir, "gedges")
+    val degs = edges.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+      .localCheckpoint(true) // consumers: src count + max degree
+    val nn = nodes.agg(count(lit(1)).as("n_nodes"))
+    val ne = edges.agg(count(lit(1)).as("n_edges"))
+    val se = degs.agg(count(lit(1)).as("srcs_with_edges"))
+    val md = degs.agg(max(col("dg")).as("max_out_degree"))
+    val exact = {
+      val u = unitVectors(s, d)
+      val qv = u.filter(col("vec_id") % 5 === 0 &&
+          col("vec_id") < IvfAdcQueryBound)
+        .select(col("vec_id").as("query_id"), col("ue").as("qu"))
+      val base = u.filter(col("vec_id") % 5 =!= 0)
+        .select(col("vec_id").as("neighbor_id"), col("ue").as("cu"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(expr("graft_dot(qu, cu)").desc, col("neighbor_id"))
+      broadcast(qv).join(base, col("query_id") =!= col("neighbor_id"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("query_id"), col("neighbor_id").as("exact_id"))
+    }
+    val hits = probeGraphIndex(s, ivfAdcQueries(s, d), dir)
+      .join(exact, "query_id")
+      .agg(sum((col("found_id") === col("exact_id")).cast("long")).as("hits"))
+    val nq = ivfAdcQueries(s, d).agg(count(lit(1)).as("n_queries"))
+    Seq(ne, se, md, nq, hits).foldLeft(nn)(graft.Scalars.withScalar)
+      .select(col("n_nodes"), col("n_edges"), col("srcs_with_edges"),
+        (col("n_edges").cast("double") / col("n_nodes").cast("double"))
+          .as("mean_out_degree"),
+        col("max_out_degree"), lit(GraphDegree).as("degree_bound"),
+        col("n_queries"), col("hits"),
+        (col("hits").cast("double") / col("n_queries").cast("double"))
+          .as("recall_at1"))
+  }
+
+  private def q251Sql: String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), z -> z[1] * z[2])), (x, y) -> x + y)"
+    s"""WITH $graphIdxCtes,
+       |gdegs AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS dg FROM gedges GROUP BY src),
+       |gnn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM buni),
+       |gne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM gedges),
+       |gse AS (SELECT CAST(COUNT(*) AS BIGINT) AS srcs_with_edges FROM gdegs),
+       |gmd AS (SELECT CAST(MAX(dg) AS BIGINT) AS max_out_degree FROM gdegs),
+       |gex AS (
+       |  SELECT query_id, neighbor_id AS exact_id FROM (
+       |    SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${dot("q.ue", "b.ue")} DESC, b.vec_id) AS rn
+       |    FROM gq q JOIN buni b ON q.vec_id <> b.vec_id) t
+       |  WHERE rn = 1),
+       |ghit AS (
+       |  SELECT CAST(SUM(CASE WHEN f.node = x.exact_id THEN 1 ELSE 0 END) AS BIGINT) AS hits
+       |  FROM gh$GraphHops f JOIN gex x USING (query_id)),
+       |gnq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM gq)
+       |SELECT gnn.n_nodes, gne.n_edges, gse.srcs_with_edges,
+       |  CAST(gne.n_edges AS DOUBLE) / CAST(gnn.n_nodes AS DOUBLE) AS mean_out_degree,
+       |  gmd.max_out_degree, CAST($GraphDegree AS INTEGER) AS degree_bound,
+       |  gnq.n_queries, ghit.hits,
+       |  CAST(ghit.hits AS DOUBLE) / CAST(gnq.n_queries AS DOUBLE) AS recall_at1
+       |FROM gnn, gne, gse, gmd, gnq, ghit""".stripMargin
   }
 
   // ---------------------------------------------------------------- q248
@@ -3670,6 +3748,7 @@ object VectorOps extends QueryModule {
     Q("q248_beam_ann_card", q248, Some(q248Sql)),
     Q("q249_filtered_ann", q249, Some(q249Sql)),
     Q("q250_graph_index_search", q250, Some(q250Sql)),
+    Q("q251_graph_index_card", q251, Some(q251Sql)),
     Q("q31_embed_norms", q31, Some(q31Sql)),
     Q("q114_semdedup", q114, Some(q114Sql)),
     Q("q211_incremental_semdedup", q211, Some(q211Sql)),

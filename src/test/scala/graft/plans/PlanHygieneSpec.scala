@@ -196,16 +196,19 @@ class PlanHygieneSpec extends SparkSpec {
     *    deployment pre-filters candidates through the IVF cells (q52)
     *    before ADC; the oracled query keeps the exhaustive 8·n shape so
     *    recall is measured against the full corpus, like q32/q85.
-    *  - q244/q245/q246: the IVFADC and graph-ANN recall cards EMBED the
-    *    q32 exact baseline (broadcast ≤8-row query set, non-equi ≠ join)
-    *    as the ground truth their recall is measured against; the
-    *    approximate paths under audit (ADC probe, greedy hops) are pure
-    *    equi-joins — only the baseline is a loop join, same 8·n shape. */
+    *  - q244/q245/q246/q251: the IVFADC and graph-ANN recall cards EMBED
+    *    the q32 exact baseline (broadcast ≤8-row query set, non-equi ≠
+    *    join) as the ground truth their recall is measured against; the
+    *    approximate paths under audit (ADC probe, greedy hops over the
+    *    persisted gedges) are pure equi-joins — only the baseline is a
+    *    loop join, same 8·n shape. (q248/q249 embed the same baseline
+    *    but localCheckpoint it, so their returned plans carry only the
+    *    checkpoint scan.) */
   private val loopJoinAllowlist: Set[String] =
     Set("q32_ann_bruteforce", "q85_ann_quantized",
       "q240_pq_ann", "q241_pq_recall_card",
       "q244_ivfadc_recall_card", "q245_graph_ann_trace",
-      "q246_graph_ann_card")
+      "q246_graph_ann_card", "q251_graph_index_card")
 
   test("the loop-join gate FIRES: synthetic all-pairs plans are flagged, bounded ones excused") {
     import org.apache.spark.sql.functions._
