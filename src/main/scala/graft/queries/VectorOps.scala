@@ -1116,9 +1116,28 @@ object VectorOps extends QueryModule {
     // neighbor's out-degree may overflow its bound until compaction
     // re-trims; existing rows are never rewritten in place).
     if (hasGraph(s, dir)) {
-      val all = graft.operators.IndexStore.read(s, dir, "vectors")
+      // Wire against the LIVE, DEDUPED node set (the probeGraphIndex node
+      // filter applied at insert time): a pending-tombstone neighbor must
+      // not consume the novel node's out-degree budget or receive the
+      // reverse edges that make it reachable — compaction removes such
+      // edge rows WITHOUT replacement, which would leave the node
+      // permanently under-connected even though alive neighbors existed.
+      // Same for at-least-once duplicate rows in the float store: the
+      // probe's argmax washes them out, but cellEdges' per-src row_number
+      // trim runs BEFORE any (src, dst) dedup, so duplicate neighbor rows
+      // would occupy multiple top-degree slots that compaction's
+      // dropDuplicates then deletes unreplaced. A tombstoned NOVEL vector
+      // (retire-before-arrival) is likewise not wired: its rows die at
+      // compaction anyway and its reverse edges would squat on live
+      // neighbors' degree slots until then.
+      val tombs = loadSemTombstones(s, dir)
+      val all = dropSemTombstoned(
+          graft.operators.IndexStore.read(s, dir, "vectors"),
+          "vec_id", tombs)
+        .dropDuplicates("vec_id")
         .select(col("vec_id"), col("ue"), col("cell"))
-      val out = cellEdges(assigned, all)
+      val live = dropSemTombstoned(assigned, "vec_id", tombs)
+      val out = cellEdges(live, all)
         .localCheckpoint(true) // consumers: forward append + reverse append
       val back = out.select(col("dst").as("src"), col("src").as("dst"),
         col("ecos"))

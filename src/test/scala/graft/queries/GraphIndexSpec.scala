@@ -83,6 +83,61 @@ class GraphIndexSpec extends SparkSpec {
     assert(back > 0L, "insert must lay down reverse edges — they are the way in")
   }
 
+  test("append with tombstones pending: edges wire to ALIVE neighbors only") {
+    val idx = freshIdx("tombapp")
+    VectorOps.buildSemIndex(spark, vecsDf(baseRows: _*), idx)
+    VectorOps.addGraphToSemIndex(spark, idx)
+    // Tombstone two of cell 0's members, do NOT compact — the append
+    // must not spend the novel node's degree budget (or its reverse
+    // edges) on nodes that compaction will remove without replacement.
+    VectorOps.tombstoneVecs(ids(16L, 17L), idx)
+    VectorOps.appendToSemIndex(spark,
+      vecsDf(100L -> Seq(1.0, 0.015, 0.0, 0.0)), idx)
+    val e = graft.operators.IndexStore.read(spark, idx, "gedges")
+    val toDead = e.filter(col("src") === 100L &&
+      (col("dst") === 16L || col("dst") === 17L)).count()
+    assert(toDead === 0L,
+      "novel out-edges must skip pending-tombstone neighbors")
+    val fromDead = e.filter(col("dst") === 100L &&
+      (col("src") === 16L || col("src") === 17L)).count()
+    assert(fromDead === 0L,
+      "reverse edges must not resurrect pending-tombstone sources")
+    val alive = e.filter(col("src") === 100L).count()
+    assert(alive > 0L, "novel node still wires to the ALIVE cell neighbors")
+    // Compaction removes the tombstoned rows; the novel node keeps its
+    // alive wiring (no silent under-connection window).
+    VectorOps.compactSemIndex(spark, idx)
+    val after = graft.operators.IndexStore.read(spark, idx, "gedges")
+      .filter(col("src") === 100L).count()
+    assert(after === alive,
+      s"compaction must not shrink the novel node's alive wiring: $alive -> $after")
+    val (node, _) = found(idx, 500L -> Seq(1.0, 0.015, 0.0, 0.0))
+    assert(node === 100L, s"appended vector must stay retrievable: $node")
+  }
+
+  test("append against a replay-duplicated store wires DISTINCT neighbors") {
+    val idx = freshIdx("dupapp")
+    VectorOps.buildSemIndex(spark, vecsDf(baseRows: _*), idx)
+    VectorOps.addGraphToSemIndex(spark, idx)
+    // At-least-once replay: the same novel vector appended twice leaves
+    // duplicate rows in the float store (tolerated there — the probe's
+    // argmax washes them out).
+    val replayed = 100L -> Seq(1.0, 0.015, 0.0, 0.0)
+    VectorOps.appendToSemIndex(spark, vecsDf(replayed), idx)
+    VectorOps.appendToSemIndex(spark, vecsDf(replayed), idx)
+    // A LATER novel append must not let 100's duplicate rows occupy two
+    // of its top-degree slots and crowd out a distinct neighbor.
+    VectorOps.appendToSemIndex(spark,
+      vecsDf(101L -> Seq(1.0, 0.016, 0.0, 0.0)), idx)
+    val out = graft.operators.IndexStore.read(spark, idx, "gedges")
+      .filter(col("src") === 101L)
+    val n = out.count()
+    val nd = out.select(col("dst")).distinct().count()
+    assert(n === nd, s"duplicate dst rows in novel out-edges: $n vs $nd distinct")
+    assert(nd >= 4L,
+      s"cell 0 has >= 4 alive distinct neighbors; the budget must reach them: $nd")
+  }
+
   test("takedown: invisible at once, edges gone both ways after compaction") {
     val idx = freshIdx("ttl")
     VectorOps.buildSemIndex(spark, vecsDf(baseRows: _*), idx)
