@@ -1137,10 +1137,15 @@ object VectorOps extends QueryModule {
         .dropDuplicates("vec_id")
         .select(col("vec_id"), col("ue"), col("cell"))
       val live = dropSemTombstoned(assigned, "vec_id", tombs)
-      val out = cellEdges(live, all)
+        .withColumn("cell2", element_at(sc, 2)("cid").cast("bigint"))
+      val out = graphEdges(live, all)
         .localCheckpoint(true) // consumers: forward append + reverse append
+      // A reversed edge keeps its kind: the reverse of a within-cell edge
+      // joins two same-cell nodes, the reverse of a cross edge two
+      // different-cell nodes — so compaction's per-kind re-trim budgets
+      // the reverse rows against the right bound.
       val back = out.select(col("dst").as("src"), col("src").as("dst"),
-        col("ecos"))
+        col("ecos"), col("kind"))
       graft.operators.IndexStore.append(out.unionByName(back), dir, "gedges")
     }
   }
@@ -1230,18 +1235,23 @@ object VectorOps extends QueryModule {
       graft.operators.IndexStore.compactSwap(s, dir, "codes")(df =>
         dropSemTombstoned(df, "vec_id", tombs).dropDuplicates("vec_id"))
     // Graph parity: drop edges with a tombstoned endpoint (either
-    // direction), dedup re-appended pairs, and re-trim per-src to the
-    // degree bound by (ecos, dst) — the append arm's temporary overflow
-    // ends here, in the same locked pass as the float store.
+    // direction), dedup re-appended pairs, and re-trim per (src, kind) to
+    // each kind's bound by (ecos, dst) — the append arm's temporary
+    // overflow ends here, in the same locked pass as the float store.
+    // The trim partitions by kind so a node's within-cell neighbors can
+    // never crowd out its cross-cell escape edge (which is almost always
+    // the lowest-cosine row and would lose a single-bound trim).
     if (hasGraph(s, dir))
       graft.operators.IndexStore.compactSwap(s, dir, "gedges") { df =>
         val alive = dropSemTombstoned(
           dropSemTombstoned(df, "src", tombs), "dst", tombs)
           .dropDuplicates("src", "dst")
-        val w = Window.partitionBy(col("src"))
+        val w = Window.partitionBy(col("src"), col("kind"))
           .orderBy(col("ecos").desc, col("dst"))
         alive.withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= GraphDegree).drop("rn")
+          .filter(col("rn") <= when(col("kind") === 0, lit(WithinDegree))
+            .otherwise(lit(CrossDegree)))
+          .drop("rn")
       }
     // Re-read + overwrite under the writer lock: a concurrent
     // tombstoneVecs serializes against this window instead of racing it.
@@ -2999,8 +3009,22 @@ object VectorOps extends QueryModule {
     * Scale shape: edges are cell-bounded pairs + a per-src window (one
     * shuffle each); the greedy frontier is |Q|·(1+degree) rows per hop
     * with |Q| broadcast — hop joins touch edge/vector tables only on
-    * equi-keys. Degree and hops are constants, so plan size is fixed. */
+    * equi-keys. Degree and hops are constants, so plan size is fixed.
+    *
+    * The [[GraphDegree]] budget is SPLIT (round 16): [[WithinDegree]]
+    * best neighbors in the node's own IVF cell plus [[CrossDegree]]
+    * best neighbor in its SECOND-ranked centroid cell — the HNSW/
+    * DiskANN long-range-link idea expressed in the cell vocabulary. A
+    * purely within-cell graph decomposes into per-cell components, so a
+    * query entering a wrong cell (quantizer boundary error) could never
+    * escape regardless of beam width; the cross edge points along the
+    * node's own second-best Voronoi direction, exactly the boundary the
+    * entry error crosses. The cross pair frame joins each node against
+    * its rank-2 cell's members, so the build budget stays
+    * Σ|cell_i|·|cell_j| over ADJACENT pairs — still never all-pairs. */
   private val GraphDegree = 4
+  private val WithinDegree = 3
+  private val CrossDegree = 1
   private val GraphHops = 3
 
   /** (assignments with unit vectors, bounded-degree edge list) over the
@@ -3016,30 +3040,43 @@ object VectorOps extends QueryModule {
     val k = ivfKFor(u.count())
     val sc = sortedCells(codebook(u, k), k)
     val asg = u.select(col("vec_id"), col("ue"),
-        element_at(sc, 1)("cid").as("cell"))
+        element_at(sc, 1)("cid").as("cell"),
+        element_at(sc, 2)("cid").as("cell2"))
       .localCheckpoint(true) // consumers: both pair sides + entry + hops
-    val edges = cellEdges(asg, asg)
+    val edges = graphEdges(asg, asg)
       .select(col("src"), col("dst"))
       .localCheckpoint(true) // consumers: every hop + the card's count
     (asg, edges)
   }
 
-  /** Per-src top-[[GraphDegree]] within-cell edges of `a` against `b` by
-    * cosine — the bounded-degree construction shared by the ad-hoc q245
-    * graph, the persisted `gedges` build, and its append arm. Both
-    * inputs are (vec_id, ue, cell) frames; ecos rides along for the
-    * compaction re-trim. */
-  private def cellEdges(a0: DataFrame, b0: DataFrame): DataFrame = {
-    val a = a0.select(col("cell"), col("vec_id").as("src"), col("ue").as("su"))
+  /** Bounded-degree out-edges of `a` against `b` by cosine — the
+    * construction shared by the ad-hoc q245 graph, the persisted
+    * `gedges` build, and its append arm: per-src top-[[WithinDegree]]
+    * within the node's own cell (kind 0) plus top-[[CrossDegree]] in its
+    * second-ranked centroid cell (kind 1, the escape edge a wrong-cell
+    * entry needs to leave its component). The `a` side carries
+    * (vec_id, ue, cell, cell2); the `b` side (vec_id, ue, cell). The two
+    * arms can never emit the same (src, dst): a dst matches the within
+    * arm through src's rank-1 cell and the cross arm through its rank-2
+    * cell, and those cell ids are distinct by construction. ecos and
+    * kind ride along so compaction can re-trim each kind to its own
+    * bound without re-scoring. */
+  private def graphEdges(a0: DataFrame, b0: DataFrame): DataFrame = {
     val b = b0.select(col("cell").as("cell_b"), col("vec_id").as("dst"),
       col("ue").as("du"))
-    val w = Window.partitionBy(col("src"))
-      .orderBy(col("ecos").desc, col("dst"))
-    a.join(b, col("cell") === col("cell_b") && col("src") =!= col("dst"))
-      .select(col("src"), col("dst"), expr("graft_dot(su, du)").as("ecos"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= GraphDegree)
-      .select(col("src"), col("dst"), col("ecos"))
+    def arm(joinCell: String, bound: Int, kind: Int): DataFrame = {
+      val a = a0.select(col(joinCell).as("jc"), col("vec_id").as("src"),
+        col("ue").as("su"))
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("ecos").desc, col("dst"))
+      a.join(b, col("jc") === col("cell_b") && col("src") =!= col("dst"))
+        .select(col("src"), col("dst"), expr("graft_dot(su, du)").as("ecos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= bound)
+        .select(col("src"), col("dst"), col("ecos"),
+          lit(kind).as("kind"))
+    }
+    arm("cell", WithinDegree, 0).unionByName(arm("cell2", CrossDegree, 1))
   }
 
   /** Final beam frontier after [[GraphHops]] hops — ≤`width` rows per
@@ -3143,8 +3180,15 @@ object VectorOps extends QueryModule {
       count(lit(1)).as("n_queries"), sum(col("hit")).as("hits"))
     val eCard = edges.agg(count(lit(1)).as("n_edges"))
     val nCard = asg.agg(count(lit(1)).as("n_nodes"))
-    val pairs = asg.groupBy(col("cell")).agg(count(lit(1)).as("n"))
-      .agg(sum(col("n") * (col("n") - 1)).as("build_pairs"))
+    // Build budget = within-cell candidate pairs n·(n−1) plus the cross
+    // arm's rank-2-cell candidates (each node scored against its second
+    // cell's members) — occupancy-sized aggregation, not a re-join.
+    val occ1 = asg.groupBy(col("cell")).agg(count(lit(1)).as("n1"))
+    val occ2 = asg.groupBy(col("cell2").as("cell"))
+      .agg(count(lit(1)).as("n2"))
+    val pairs = occ1.join(occ2, Seq("cell"), "left")
+      .agg(sum(col("n1") * (col("n1") - 1) +
+        col("n1") * coalesce(col("n2"), lit(0L))).as("build_pairs"))
     Seq(eCard, nCard, pairs).foldLeft(rec)(graft.Scalars.withScalar)
       .select(col("n_queries"), col("hits"),
         (col("hits").cast("double") / col("n_queries").cast("double"))
@@ -3194,6 +3238,10 @@ object VectorOps extends QueryModule {
        |  SELECT vec_id, cid AS cell FROM (
        |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
        |    FROM cc) t WHERE rn = 1),
+       |assign2 AS (
+       |  SELECT vec_id, cid AS cell2 FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+       |    FROM cc) t WHERE rn = 2),
        |edges AS (
        |  SELECT src, dst FROM (
        |    SELECT a.vec_id AS src, b.vec_id AS dst,
@@ -3202,7 +3250,16 @@ object VectorOps extends QueryModule {
        |    FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
        |    JOIN u ua ON ua.vec_id = a.vec_id
        |    JOIN u ub ON ub.vec_id = b.vec_id) t
-       |  WHERE rn <= $GraphDegree),
+       |  WHERE rn <= $WithinDegree
+       |  UNION ALL
+       |  SELECT src, dst FROM (
+       |    SELECT a.vec_id AS src, b.vec_id AS dst,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+       |        ${dot("ua.ue", "ub.ue")} DESC, b.vec_id) AS rn
+       |    FROM assign2 a JOIN assign b ON b.cell = a.cell2 AND a.vec_id <> b.vec_id
+       |    JOIN u ua ON ua.vec_id = a.vec_id
+       |    JOIN u ub ON ub.vec_id = b.vec_id) t
+       |  WHERE rn <= $CrossDegree),
        |lows AS (SELECT vec_id FROM u ORDER BY vec_id LIMIT 2),
        |qv AS (
        |  SELECT a.vec_id AS query_id, a.cell AS qcell FROM assign a WHERE a.vec_id < 8),
@@ -3251,8 +3308,11 @@ object VectorOps extends QueryModule {
        |ec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges),
        |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM u),
        |bp AS (
-       |  SELECT CAST(SUM(n * (n - 1)) AS BIGINT) AS build_pairs FROM (
-       |    SELECT CAST(COUNT(*) AS BIGINT) AS n FROM assign GROUP BY cell))
+       |  SELECT CAST(SUM(n1 * (n1 - 1) + n1 * COALESCE(n2, 0)) AS BIGINT) AS build_pairs FROM (
+       |    SELECT o1.cell, o1.n1, o2.n2
+       |    FROM (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n1 FROM assign GROUP BY cell) o1
+       |    LEFT JOIN (SELECT cell2 AS cell, CAST(COUNT(*) AS BIGINT) AS n2
+       |               FROM assign2 GROUP BY cell2) o2 USING (cell)))
        |SELECT rec.n_queries, rec.hits,
        |  CAST(rec.hits AS DOUBLE) / CAST(rec.n_queries AS DOUBLE) AS recall_at1,
        |  nc.n_nodes, ec.n_edges,
@@ -3296,10 +3356,19 @@ object VectorOps extends QueryModule {
     *    dst) — one bucketed rewrite in the same locked pass as
     *    `vectors`. */
   private[graft] def addGraphToSemIndex(s: SparkSession, dir: String): Unit = {
+    // The vector store persists only the rank-1 cell; the cross arm needs
+    // each node's SECOND-ranked centroid cell, recomputed row-locally
+    // against the frozen centroid table (same expression as the build, so
+    // rank 1 reproduces the stored cell bit-identically).
+    // collect-bound: centroid table — ≤ k rows, k ∝ √n via ivfKFor
+    val rows: Seq[Seq[Double]] = s.read.parquet(s"$dir/centroids")
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1)).toSeq
+    val sc = sortedCells(typedlit(rows), rows.size)
     val asg = graft.operators.IndexStore.read(s, dir, "vectors")
-      .select(col("vec_id"), col("ue"), col("cell"))
+      .select(col("vec_id"), col("ue"), col("cell"),
+        element_at(sc, 2)("cid").cast("bigint").as("cell2"))
       .localCheckpoint(true) // consumers: both pair sides
-    graft.operators.IndexStore.create(cellEdges(asg, asg), dir, "gedges",
+    graft.operators.IndexStore.create(graphEdges(asg, asg), dir, "gedges",
       Seq("src"))
   }
 
@@ -3384,6 +3453,10 @@ object VectorOps extends QueryModule {
          |           UNION ALL SELECT query_id, node, gcos FROM gnb$t) zz) z) t
          |  WHERE rn = 1)""".stripMargin
     s"""$semIndexCtes,
+       |bassign2 AS (
+       |  SELECT vec_id, cid AS cell2 FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+       |    FROM bcc) t WHERE rn = 2),
        |gedges AS (
        |  SELECT src, dst FROM (
        |    SELECT a.vec_id AS src, b.vec_id AS dst,
@@ -3392,7 +3465,16 @@ object VectorOps extends QueryModule {
        |    FROM bassign a JOIN bassign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
        |    JOIN buni ua ON ua.vec_id = a.vec_id
        |    JOIN buni ub ON ub.vec_id = b.vec_id) t
-       |  WHERE rn <= $GraphDegree),
+       |  WHERE rn <= $WithinDegree
+       |  UNION ALL
+       |  SELECT src, dst FROM (
+       |    SELECT a.vec_id AS src, b.vec_id AS dst,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+       |        ${dot("ua.ue", "ub.ue")} DESC, b.vec_id) AS rn
+       |    FROM bassign2 a JOIN bassign b ON b.cell = a.cell2 AND a.vec_id <> b.vec_id
+       |    JOIN buni ua ON ua.vec_id = a.vec_id
+       |    JOIN buni ub ON ub.vec_id = b.vec_id) t
+       |  WHERE rn <= $CrossDegree),
        |gq AS (SELECT vec_id, ue FROM u WHERE vec_id % 5 = 0 AND vec_id < $IvfAdcQueryBound),
        |gqcc AS (
        |  SELECT q.vec_id, cent.cid, ${dot("q.ue", "cent.cu")} AS cc

@@ -76,13 +76,15 @@ class BeamAnnSpec extends SparkSpec {
   }
 
   /** One cell (all extras nearest seed e0), two clusters inside it:
-    * A = {16..19} around 33°-41° off e0 in the (e0,e1) plane plus the
+    * A = {16,17,18} around 33°-40° off e0 in the (e0,e1) plane plus the
     * bridge X=20 tilted toward (e0,e2); B = {21,22} at ~31°-32° in the
-    * (e0,e2) plane plus the true nearest T=23 at 18°. Verified geometry:
-    * entry(query 0) = 16; 16's top-4 out-edges = {17,18,19,X}; greedy's
-    * hop-1 argmax is 17 whose neighborhood never beats itself, so greedy
-    * ends at 17; the width-3 frontier keeps X (3rd-best at hop 1), X's
-    * top-4 = {22,21,23,17} crosses to B, and 23 wins every later cut. */
+    * (e0,e2) plane plus the true nearest T=23 at 18°. Verified geometry
+    * (within-degree 3 + one cross edge to the rank-2 cell, which scores
+    * ~0 for query e0 and never enters a cut): entry(query 0) = 16; 16's
+    * within out-edges = {18,17,X}; greedy's hop-1 argmax is 17 whose
+    * neighborhood ({18,16,X}) never beats itself, so greedy ends at 17;
+    * the width-3 frontier keeps X (3rd-best at hop 1), X's within
+    * out-edges {22,21,23} cross to B, and 23 wins every later cut. */
   test("planted trap: greedy strands in the entry cluster, beam crosses the bridge") {
     import spark.implicits._
     val dim = 16
@@ -100,7 +102,7 @@ class BeamAnnSpec extends SparkSpec {
     val rows: Seq[(Long, Seq[Double], Int)] =
       ((0 until dim).map(i => (i.toLong, e(i))) ++ Seq(
         16L -> inPlane(1, 40), 17L -> inPlane(1, 33),
-        18L -> inPlane(1, 35), 19L -> inPlane(1, 41),
+        18L -> inPlane(1, 35),
         20L -> x20,
         21L -> inPlane(2, 32), 22L -> inPlane(2, 31),
         23L -> inPlane(2, 18))).map { case (id, v) => (id, v, 0) }
