@@ -3097,14 +3097,15 @@ object VectorOps extends QueryModule {
     beamSearch(s, qv, asg, edges, width)
   }
 
-  /** The beam core over an ARBITRARY (query_id, qu, qcell) batch —
-    * shared by the ad-hoc q245/q248 searches (qv = the vec_id < 8 split
-    * of the graph itself) and the persisted-graph probe (qv = an
-    * external batch assigned to cells by the index's frozen centroids).
-    * A node equal to a query's own id is never entered or returned (the
-    * q243 held-out discipline). */
+  /** The single-entry beam over an ARBITRARY (query_id, qu, qcell)
+    * batch — the ad-hoc q245/q248 search shape (qv = the vec_id < 8
+    * split of the graph itself): entry = the query's own cell's
+    * smallest-id member, LIMIT-2 corpus fallback for singleton cells,
+    * then [[beamCore]]. A node equal to a query's own id is never
+    * entered or returned (the q243 held-out discipline). */
   private def beamSearch(s: SparkSession, qv: DataFrame, asg: DataFrame,
-      edges: DataFrame, width: Int): (DataFrame, DataFrame) = {
+      edges: DataFrame, width: Int,
+      hops: Int = GraphHops): (DataFrame, DataFrame) = {
     // collect-bound: two smallest corpus ids — 2 rows (entry fallback)
     val low2 = asg.select(col("vec_id")).orderBy(col("vec_id")).limit(2)
       .collect().map(_.getLong(0))
@@ -3113,23 +3114,39 @@ object VectorOps extends QueryModule {
       .filter(col("m") =!= col("query_id"))
       .groupBy(col("query_id")).agg(min(col("m")).as("cell_entry"))
     val entry = qv.join(cellMin, Seq("query_id"), "left")
-      .select(col("query_id"), col("qu"),
+      .select(col("query_id"), col("qu"), lit(0).as("beam"),
         coalesce(col("cell_entry"),
           when(col("query_id") === lit(low2(0)), lit(low2(1)))
             .otherwise(lit(low2(0)))).as("node"))
+    beamCore(s, entry, asg, edges, width, hops)
+  }
+
+  /** The beam engine proper, over an ARBITRARY entry frame (query_id,
+    * qu, beam, node) — one INDEPENDENT beam per (query, beam) pair:
+    * retention partitions by both keys, so a multi-entry probe's walks
+    * never compete for each other's slots (an entry whose cell scores
+    * poorly at hop 1 must still get to walk — it may hold the only path
+    * to the true neighbor; that independence is what makes `entries`
+    * the graph twin of IVF's nprobe rather than a wider shared beam).
+    * Returns the final frontiers (≤ width rows per beam) plus the
+    * summed executed expansion count across all beams — the cost axis
+    * q248/q252 price. */
+  private def beamCore(s: SparkSession, entry: DataFrame, asg: DataFrame,
+      edges: DataFrame, width: Int, hops: Int): (DataFrame, DataFrame) = {
     val nu = asg.select(col("vec_id").as("node"), col("ue").as("nu"))
     var frontier = entry.join(nu, "node")
-      .select(col("query_id"), col("qu"), col("node"),
+      .select(col("query_id"), col("qu"), col("beam"), col("node"),
         expr("graft_dot(qu, nu)").as("gcos"))
     var expansions: Seq[DataFrame] = Nil
-    for (_ <- 1 to GraphHops) {
+    for (_ <- 1 to hops) {
       val nb = frontier.join(edges, col("node") === col("src"))
         .filter(col("dst") =!= col("query_id"))
         .join(nu.withColumnRenamed("node", "dst"), "dst")
-        .select(col("query_id"), col("qu"), col("dst").as("node"),
+        .select(col("query_id"), col("qu"), col("beam"),
+          col("dst").as("node"),
           expr("graft_dot(qu, nu)").as("gcos"))
       expansions :+= nb.agg(count(lit(1)).as("scored_cands"))
-      val w = Window.partitionBy(col("query_id"))
+      val w = Window.partitionBy(col("query_id"), col("beam"))
         .orderBy(col("gcos").desc, col("node"))
       frontier = frontier.unionByName(nb).distinct()
         .withColumn("rn", row_number().over(w))
@@ -3388,7 +3405,31 @@ object VectorOps extends QueryModule {
     * that join's big side streams against the broadcast frontier in any
     * real deployment, which is why vectors carries one layout, not two. */
   private[graft] def probeGraphIndex(s: SparkSession, batch: DataFrame,
-      dir: String, width: Int = 1): DataFrame = {
+      dir: String, entries: Int = GraphConfig.Default.entries,
+      width: Int = GraphConfig.Default.width,
+      hops: Int = GraphConfig.Default.hops): DataFrame =
+    probeGraphIndexCost(s, batch, dir, entries, width, hops)._1
+
+  /** The probe plus its executed cost frame — (top-1 per query, 1-row
+    * Σ candidate-scorings) — q252's measured axis; [[probeGraphIndex]]
+    * is this with the cost discarded. The default (entries, width,
+    * hops) is the [[GraphConfig]]-derived scheme: the cheapest arm of
+    * the committed q252 sweep meeting the default recall target, NOT a
+    * hand-picked constant (the LshConfig.schemeFor discipline applied
+    * to the graph index).
+    *
+    * `entries` seeds one INDEPENDENT beam per top-`entries` query cell
+    * (each entered at that cell's smallest-id live member) — the graph
+    * twin of IVF's nprobe, and the knob that attacks the dominant
+    * failure mode the q252 diagnosis exposed: a quantizer boundary
+    * error at the ENTRY (true neighbor's cell ranked 2nd..Eth for the
+    * query) is unreachable at any width from a single rank-1 entry,
+    * because width only widens the walk INSIDE the entered component.
+    * The LIMIT-2 corpus fallback applies only when none of the probed
+    * cells holds a live non-self member. */
+  private[graft] def probeGraphIndexCost(s: SparkSession, batch: DataFrame,
+      dir: String, entries: Int, width: Int,
+      hops: Int): (DataFrame, DataFrame) = {
     val tombs = loadSemTombstones(s, dir)
     val nodes = dropSemTombstoned(
         graft.operators.IndexStore.read(s, dir, "vectors"), "vec_id", tombs)
@@ -3400,14 +3441,37 @@ object VectorOps extends QueryModule {
       .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1)).toSeq
     val sc = sortedCells(typedlit(rows), rows.size)
     val qv = unitize(batch).select(col("vec_id").as("query_id"),
-      col("ue").as("qu"),
-      element_at(sc, 1)("cid").cast("bigint").as("qcell"))
-    val (frontier, _) = beamSearch(s, qv, nodes, edges, width)
+        col("ue").as("qu"), sc.as("cells"))
+      .select(col("query_id"), col("qu"),
+        expr(s"transform(slice(cells, 1, $entries), c -> cast(c.cid as bigint))")
+          .as("qcells"))
+      .localCheckpoint(true) // consumers: probed-cell spine + qu re-join
+    val probed = qv.select(col("query_id"),
+        posexplode(col("qcells")).as(Seq("pos", "qcell")))
+      .select(col("query_id"), (col("pos") + 1).as("beam"), col("qcell"))
+    val em = broadcast(probed)
+      .join(nodes.select(col("cell").as("qcell"), col("vec_id").as("m")),
+        "qcell")
+      .filter(col("m") =!= col("query_id"))
+      .groupBy(col("query_id"), col("beam")).agg(min(col("m")).as("node"))
+    // collect-bound: two smallest live ids — 2 rows (entry fallback)
+    val low2 = nodes.select(col("vec_id")).orderBy(col("vec_id")).limit(2)
+      .collect().map(_.getLong(0))
+    val fb = qv.join(em.select(col("query_id")).distinct(),
+        Seq("query_id"), "left_anti")
+      .select(col("query_id"), lit(0).as("beam"),
+        when(col("query_id") === lit(low2(0)), lit(low2(1)))
+          .otherwise(lit(low2(0))).as("node"))
+    val entry = em.unionByName(fb)
+      .join(qv.select(col("query_id"), col("qu")), "query_id")
+      .select(col("query_id"), col("qu"), col("beam"), col("node"))
+    val (frontier, scored) = beamCore(s, entry, nodes, edges, width, hops)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("gcos").desc, col("node"))
-    frontier.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    (frontier.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("query_id"), col("node").as("found_id"),
-        col("gcos").as("found_cos"))
+        col("gcos").as("found_cos")),
+      scored)
   }
 
   /** The shared q250 graph index: the q211 semantic index extended with
@@ -3421,37 +3485,24 @@ object VectorOps extends QueryModule {
       dir
     }
 
-  /** q250 — greedy search of the held-out query split through the
-    * PERSISTED graph index (the q243 discipline for the graph member:
-    * q245 proves the algorithm ad hoc, this proves the deployable
-    * artifact end-to-end — build through IndexStore, probe through the
-    * frozen-centroid entry rule, results bit-restated by the oracle). */
+  /** q250 — search of the held-out query split through the PERSISTED
+    * graph index at the [[GraphConfig]]-derived default (width, hops)
+    * (the q243 discipline for the graph member: q245 proves the
+    * algorithm ad hoc, this proves the deployable artifact end-to-end —
+    * build through IndexStore, probe through the frozen-centroid entry
+    * rule at the scheme the committed q252 sweep derives, results
+    * bit-restated by the oracle). */
   private def q250(s: SparkSession, d: String): DataFrame =
     probeGraphIndex(s, ivfAdcQueries(s, d), builtGraphIndex(s, d))
       .orderBy("query_id")
 
-  /** The persisted-graph CTE chain shared by q250 (search rows) and
-    * q251 (health card): gedges construction + centroid-ranked query
-    * cells + entry + unrolled greedy hops. */
+  /** The persisted-graph base CTE chain shared by q250/q251/q252:
+    * gedges construction + centroid-ranked query cells + entry (gh0).
+    * Search chains are appended per (width, hops) arm by
+    * [[graphBeamChain]]. */
   private def graphIdxCtes: String = {
     def dot(a: String, b: String) =
       s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), z -> z[1] * z[2])), (x, y) -> x + y)"
-    def hop(t: Int) =
-      s"""gnb$t AS (
-         |  SELECT f.query_id, n.vec_id AS node, ${dot("q.ue", "n.ue")} AS gcos
-         |  FROM gh${t - 1} f
-         |  JOIN gedges e ON e.src = f.node
-         |  JOIN buni n ON n.vec_id = e.dst
-         |  JOIN u q ON q.vec_id = f.query_id
-         |  WHERE e.dst <> f.query_id),
-         |gh$t AS (
-         |  SELECT query_id, node, gcos FROM (
-         |    SELECT query_id, node, gcos,
-         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY gcos DESC, node) AS rn
-         |    FROM (SELECT DISTINCT query_id, node, gcos FROM
-         |          (SELECT query_id, node, gcos FROM gh${t - 1}
-         |           UNION ALL SELECT query_id, node, gcos FROM gnb$t) zz) z) t
-         |  WHERE rn = 1)""".stripMargin
     s"""$semIndexCtes,
        |bassign2 AS (
        |  SELECT vec_id, cid AS cell2 FROM (
@@ -3479,42 +3530,110 @@ object VectorOps extends QueryModule {
        |gqcc AS (
        |  SELECT q.vec_id, cent.cid, ${dot("q.ue", "cent.cu")} AS cc
        |  FROM gq q CROSS JOIN cent),
-       |gqa AS (
-       |  SELECT vec_id AS query_id, cid AS qcell FROM (
-       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
-       |    FROM gqcc) t WHERE rn = 1),
-       |glows AS (SELECT vec_id FROM buni ORDER BY vec_id LIMIT 2),
-       |gcellmin AS (
-       |  SELECT g.query_id, MIN(m.vec_id) AS cell_entry
-       |  FROM gqa g JOIN bassign m ON m.cell = g.qcell AND m.vec_id <> g.query_id
-       |  GROUP BY g.query_id),
-       |gentry AS (
-       |  SELECT g.query_id,
-       |    COALESCE(c.cell_entry,
-       |      CASE WHEN g.query_id = (SELECT MIN(vec_id) FROM glows)
-       |           THEN (SELECT MAX(vec_id) FROM glows)
-       |           ELSE (SELECT MIN(vec_id) FROM glows) END) AS node
-       |  FROM gqa g LEFT JOIN gcellmin c USING (query_id)),
-       |gh0 AS (
-       |  SELECT en.query_id, en.node, ${dot("q.ue", "n.ue")} AS gcos
-       |  FROM gentry en
-       |  JOIN buni n ON n.vec_id = en.node
-       |  JOIN u q ON q.vec_id = en.query_id),
-       |${(1 to GraphHops).map(hop).mkString(",\n")}""".stripMargin
+       |gqrank AS (
+       |  SELECT vec_id AS query_id, cid AS qcell,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS cell_rank
+       |  FROM gqcc),
+       |glows AS (SELECT vec_id FROM buni ORDER BY vec_id LIMIT 2)""".stripMargin
   }
 
+  /** One (entries, width, hops) search chain over [[graphIdxCtes]],
+    * CTEs prefixed `p`: entry = the smallest-id member of each of the
+    * query's top-`entries` cells (`{p}em`, beam id = the cell's rank),
+    * LIMIT-2 corpus fallback only when NO probed cell has a non-self
+    * member (`{p}fb`), then per hop an expansion (`{p}nb\$t`) and a
+    * per-BEAM deduped top-`width` cut (`{p}h\$t` — beams are
+    * independent walks, the Scala beamCore partitioning), the final
+    * across-beam per-query best (`{p}best`), and the arm's executed
+    * candidate-scoring count (`{p}sc`). Emitted once per arm so
+    * q250/q251 restate the default scheme and q252 restates every
+    * sweep arm from the same builder. */
+  private def graphBeamChain(p: String, entries: Int, width: Int,
+      hops: Int): String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), z -> z[1] * z[2])), (x, y) -> x + y)"
+    def hop(t: Int) =
+      s"""${p}nb$t AS (
+         |  SELECT f.query_id, f.beam, n.vec_id AS node, ${dot("q.ue", "n.ue")} AS gcos
+         |  FROM ${p}h${t - 1} f
+         |  JOIN gedges e ON e.src = f.node
+         |  JOIN buni n ON n.vec_id = e.dst
+         |  JOIN u q ON q.vec_id = f.query_id
+         |  WHERE e.dst <> f.query_id),
+         |${p}h$t AS (
+         |  SELECT query_id, beam, node, gcos FROM (
+         |    SELECT query_id, beam, node, gcos,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id, beam ORDER BY gcos DESC, node) AS rn
+         |    FROM (SELECT DISTINCT query_id, beam, node, gcos FROM
+         |          (SELECT query_id, beam, node, gcos FROM ${p}h${t - 1}
+         |           UNION ALL SELECT query_id, beam, node, gcos FROM ${p}nb$t) zz) z) t
+         |  WHERE rn <= $width)""".stripMargin
+    s"""${p}em AS (
+       |  SELECT c.query_id, c.cell_rank AS beam, MIN(m.vec_id) AS node
+       |  FROM gqrank c JOIN bassign m ON m.cell = c.qcell AND m.vec_id <> c.query_id
+       |  WHERE c.cell_rank <= $entries
+       |  GROUP BY c.query_id, c.cell_rank),
+       |${p}fb AS (
+       |  SELECT g.vec_id AS query_id, CAST(0 AS BIGINT) AS beam,
+       |    CASE WHEN g.vec_id = (SELECT MIN(vec_id) FROM glows)
+       |         THEN (SELECT MAX(vec_id) FROM glows)
+       |         ELSE (SELECT MIN(vec_id) FROM glows) END AS node
+       |  FROM gq g
+       |  WHERE NOT EXISTS (SELECT 1 FROM ${p}em e WHERE e.query_id = g.vec_id)),
+       |${p}h0 AS (
+       |  SELECT en.query_id, en.beam, en.node, ${dot("q.ue", "n.ue")} AS gcos
+       |  FROM (SELECT query_id, beam, node FROM ${p}em
+       |        UNION ALL SELECT query_id, beam, node FROM ${p}fb) en
+       |  JOIN buni n ON n.vec_id = en.node
+       |  JOIN u q ON q.vec_id = en.query_id),
+       |${(1 to hops).map(hop).mkString(",\n")},
+       |${p}best AS (
+       |  SELECT query_id, node, gcos FROM (
+       |    SELECT query_id, node, gcos,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY gcos DESC, node) AS rn
+       |    FROM ${p}h$hops) t WHERE rn = 1),
+       |${p}sc AS (
+       |  SELECT CAST(${(1 to hops)
+            .map(t => s"(SELECT COUNT(*) FROM ${p}nb$t)").mkString(" + ")}
+       |    AS BIGINT) AS scored_cands)""".stripMargin
+  }
+
+  private def defaultChain(p: String): String = graphBeamChain(p,
+    GraphConfig.Default.entries, GraphConfig.Default.width,
+    GraphConfig.Default.hops)
+
   private def q250Sql: String =
-    s"""WITH $graphIdxCtes
-       |SELECT query_id, node AS found_id, gcos AS found_cos FROM gh$GraphHops
+    s"""WITH $graphIdxCtes,
+       |${defaultChain("gd")}
+       |SELECT query_id, node AS found_id, gcos AS found_cos FROM gdbest
        |ORDER BY query_id""".stripMargin
+
+  /** Exact top-1 of the held-out query split (vec_id % 5 = 0 under the
+    * ADC bound) against the indexed base split — the recall reference
+    * shared by the q251 health card and the q252 sweep. Brute-force by
+    * design: it is the measurement's ground truth, |Q| broadcast. */
+  private def heldOutExactTop1(s: SparkSession, d: String): DataFrame = {
+    val u = unitVectors(s, d)
+    val qv = u.filter(col("vec_id") % 5 === 0 &&
+        col("vec_id") < IvfAdcQueryBound)
+      .select(col("vec_id").as("query_id"), col("ue").as("qu"))
+    val base = u.filter(col("vec_id") % 5 =!= 0)
+      .select(col("vec_id").as("neighbor_id"), col("ue").as("cu"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(expr("graft_dot(qu, cu)").desc, col("neighbor_id"))
+    broadcast(qv).join(base, col("query_id") =!= col("neighbor_id"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("query_id"), col("neighbor_id").as("exact_id"))
+  }
 
   /** q251 — persisted-graph health card (the q208/q212/q244 observability
     * idiom for the graph index): node/edge counts, realized out-degree
     * stats vs the bound (srcs_with_edges names the singleton-cell nodes
-    * that legitimately have none), and recall@1 of the persisted greedy
-    * search vs the exact within-split top-1 — the one number an operator
-    * reads before raising width or degree. All counters come from the
-    * SAME persisted tables the probe reads. */
+    * that legitimately have none), and recall@1 of the persisted search
+    * at the [[GraphConfig]]-derived default scheme vs the exact
+    * within-split top-1 — the one number an operator reads before
+    * raising width or degree. All counters come from the SAME persisted
+    * tables the probe reads. */
   private def q251(s: SparkSession, d: String): DataFrame = {
     val dir = builtGraphIndex(s, d)
     val nodes = graft.operators.IndexStore.read(s, dir, "vectors")
@@ -3525,19 +3644,7 @@ object VectorOps extends QueryModule {
     val ne = edges.agg(count(lit(1)).as("n_edges"))
     val se = degs.agg(count(lit(1)).as("srcs_with_edges"))
     val md = degs.agg(max(col("dg")).as("max_out_degree"))
-    val exact = {
-      val u = unitVectors(s, d)
-      val qv = u.filter(col("vec_id") % 5 === 0 &&
-          col("vec_id") < IvfAdcQueryBound)
-        .select(col("vec_id").as("query_id"), col("ue").as("qu"))
-      val base = u.filter(col("vec_id") % 5 =!= 0)
-        .select(col("vec_id").as("neighbor_id"), col("ue").as("cu"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(expr("graft_dot(qu, cu)").desc, col("neighbor_id"))
-      broadcast(qv).join(base, col("query_id") =!= col("neighbor_id"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("query_id"), col("neighbor_id").as("exact_id"))
-    }
+    val exact = heldOutExactTop1(s, d)
     val hits = probeGraphIndex(s, ivfAdcQueries(s, d), dir)
       .join(exact, "query_id")
       .agg(sum((col("found_id") === col("exact_id")).cast("long")).as("hits"))
@@ -3556,6 +3663,7 @@ object VectorOps extends QueryModule {
     def dot(a: String, b: String) =
       s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), z -> z[1] * z[2])), (x, y) -> x + y)"
     s"""WITH $graphIdxCtes,
+       |${defaultChain("gd")},
        |gdegs AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS dg FROM gedges GROUP BY src),
        |gnn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM buni),
        |gne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM gedges),
@@ -3570,7 +3678,7 @@ object VectorOps extends QueryModule {
        |  WHERE rn = 1),
        |ghit AS (
        |  SELECT CAST(SUM(CASE WHEN f.node = x.exact_id THEN 1 ELSE 0 END) AS BIGINT) AS hits
-       |  FROM gh$GraphHops f JOIN gex x USING (query_id)),
+       |  FROM gdbest f JOIN gex x USING (query_id)),
        |gnq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM gq)
        |SELECT gnn.n_nodes, gne.n_edges, gse.srcs_with_edges,
        |  CAST(gne.n_edges AS DOUBLE) / CAST(gnn.n_nodes AS DOUBLE) AS mean_out_degree,
@@ -3578,6 +3686,79 @@ object VectorOps extends QueryModule {
        |  gnq.n_queries, ghit.hits,
        |  CAST(ghit.hits AS DOUBLE) / CAST(gnq.n_queries AS DOUBLE) AS recall_at1
        |FROM gnn, gne, gse, gmd, gnq, ghit""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q252
+
+  /** q252 — persisted-graph (width, hops) sweep card, the measurement
+    * [[GraphConfig.schemeFor]]'s derivation consumes (the q247 nprobe
+    * idiom applied to the graph's two search knobs): one row per
+    * [[GraphConfig.SweepArms]] arm — held-out recall@1 vs the exact
+    * within-split top-1, and the EXECUTED candidate-scoring count the
+    * arm paid (read from the expansion frames, not modeled). The card
+    * is what makes the registered q250/q251 default honest: the shipped
+    * scheme is the cheapest row here meeting [[GraphConfig
+    * .DefaultTarget]], pinned row-by-row by GraphConfigSpec.
+    *
+    * Scale shape: every arm shares the one session-cached index build;
+    * per arm the frontier is |Q|·width rows with |Q| broadcast, hop
+    * joins equi-keyed on the bucketed gedges — the q248 shape over the
+    * persisted artifact. */
+  private def q252(s: SparkSession, d: String): DataFrame = {
+    val dir = builtGraphIndex(s, d)
+    val exact = heldOutExactTop1(s, d)
+      .localCheckpoint(true) // consumers: one hit-join per arm
+    val nq = ivfAdcQueries(s, d).agg(count(lit(1)).as("n_queries"))
+    def arm(sch: GraphConfig.Scheme): DataFrame = {
+      val (res, scored) = probeGraphIndexCost(s, ivfAdcQueries(s, d), dir,
+        sch.entries, sch.width, sch.hops)
+      val hits = res.join(exact, "query_id")
+        .agg(sum((col("found_id") === col("exact_id")).cast("long"))
+          .as("hits"))
+      Seq(scored, nq).foldLeft(hits)(graft.Scalars.withScalar)
+        .select(lit(sch.entries).as("entries"), lit(sch.width).as("width"),
+          lit(sch.hops).as("hops"),
+          col("n_queries"), col("hits"),
+          (col("hits").cast("double") / col("n_queries").cast("double"))
+            .as("recall_at1"),
+          col("scored_cands"))
+    }
+    GraphConfig.SweepArms.map(arm).reduce(_ unionAll _)
+      .orderBy("entries", "width", "hops")
+  }
+
+  private def q252Sql: String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), z -> z[1] * z[2])), (x, y) -> x + y)"
+    val arms = GraphConfig.SweepArms.zipWithIndex
+    def row(sch: GraphConfig.Scheme, p: String) =
+      s"""SELECT CAST(${sch.entries} AS INTEGER) AS entries,
+         |  CAST(${sch.width} AS INTEGER) AS width,
+         |  CAST(${sch.hops} AS INTEGER) AS hops,
+         |  gnq.n_queries, ${p}hit.hits,
+         |  CAST(${p}hit.hits AS DOUBLE) / CAST(gnq.n_queries AS DOUBLE) AS recall_at1,
+         |  ${p}sc.scored_cands
+         |FROM gnq, ${p}hit, ${p}sc""".stripMargin
+    s"""WITH $graphIdxCtes,
+       |gex AS (
+       |  SELECT query_id, neighbor_id AS exact_id FROM (
+       |    SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${dot("q.ue", "b.ue")} DESC, b.vec_id) AS rn
+       |    FROM gq q JOIN buni b ON q.vec_id <> b.vec_id) t
+       |  WHERE rn = 1),
+       |gnq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM gq),
+       |${arms.map { case (sch, i) =>
+           graphBeamChain(s"a$i", sch.entries, sch.width, sch.hops)
+         }.mkString(",\n")},
+       |${arms.map { case (_, i) =>
+           s"""a${i}hit AS (
+              |  SELECT CAST(SUM(CASE WHEN f.node = x.exact_id THEN 1 ELSE 0 END) AS BIGINT) AS hits
+              |  FROM a${i}best f JOIN gex x USING (query_id))""".stripMargin
+         }.mkString(",\n")}
+       |${arms.map { case (sch, i) => row(sch, s"a$i") }
+         .mkString("\nUNION ALL\n")}
+       |ORDER BY entries, width, hops""".stripMargin
   }
 
   // ---------------------------------------------------------------- q248
@@ -3850,6 +4031,7 @@ object VectorOps extends QueryModule {
     Q("q249_filtered_ann", q249, Some(q249Sql)),
     Q("q250_graph_index_search", q250, Some(q250Sql)),
     Q("q251_graph_index_card", q251, Some(q251Sql)),
+    Q("q252_graph_width_sweep", q252, Some(q252Sql)),
     Q("q31_embed_norms", q31, Some(q31Sql)),
     Q("q114_semdedup", q114, Some(q114Sql)),
     Q("q211_incremental_semdedup", q211, Some(q211Sql)),

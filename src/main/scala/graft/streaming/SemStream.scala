@@ -191,7 +191,10 @@ object SemStream {
   def runGraphProbe(spark: SparkSession, streamDir: String, indexDir: String,
       outDir: String, checkpointDir: String,
       maxFilesPerTrigger: Option[Int] = None,
-      watermarkDelay: String = "2 hours", width: Int = 1,
+      watermarkDelay: String = "2 hours",
+      entries: Int = graft.queries.GraphConfig.Default.entries,
+      width: Int = graft.queries.GraphConfig.Default.width,
+      hops: Int = graft.queries.GraphConfig.Default.hops,
       refresh: Boolean = false,
       compactAboveFiles: Option[Long] = None): Unit = {
     val q = read(spark, streamDir, maxFilesPerTrigger)
@@ -202,7 +205,8 @@ object SemStream {
         val vecs = batch.select("vec_id", "embedding")
         val pinned = // two consumers under refresh: search + append
           if (refresh) vecs.localCheckpoint(true) else vecs
-        VectorOps.probeGraphIndex(spark, pinned, indexDir, width)
+        VectorOps.probeGraphIndex(spark, pinned, indexDir, entries, width,
+            hops)
           .write.mode("overwrite").parquet(s"$outDir/batch=$id")
         if (refresh) {
           VectorOps.appendToSemIndex(spark, pinned, indexDir)

@@ -121,8 +121,9 @@ class BeamAnnSpec extends SparkSpec {
         .partitionBy(col("query_id"))
         .orderBy(col("gcos").desc, col("node"))
       val r = frontier.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1 && col("query_id") === 0L).head()
-      (r.getLong(2), r.getDouble(3))
+        .filter(col("rn") === 1 && col("query_id") === 0L)
+        .select(col("node"), col("gcos")).head()
+      (r.getLong(0), r.getDouble(1))
     }
     val (greedyNode, greedyCos) = top1(1)
     val (beamNode, beamCos) = top1(3)
