@@ -1104,11 +1104,22 @@ object VectorOps extends QueryModule {
         .select(col("vec_id"), col("cell"),
           zip_with(col("ue"), col("cu"), (a, b) => a - b).as("ue"))
       val resid = rot.fold(resid0)(r => opqRotate(resid0, r))
-      graft.operators.IndexStore.append(
-        withPqCodes(resid, dims, cb)
-          .select(col("vec_id") +: col("cell") +:
-            dims.indices.map(j => col(s"code$j")): _*),
-        dir, "codes")
+      val enc0 = withPqCodes(resid, dims, cb)
+        .select(col("vec_id") +: col("cell") +:
+          dims.indices.map(j => col(s"code$j")): _*)
+      // Baked-attribute parity: a codes table built with a filter column
+      // keeps it through appends — the novel batch's own label when the
+      // ingest carries one, NULL otherwise (NULL never matches a filter
+      // predicate, so an unlabeled append is conservatively invisible to
+      // filtered probes rather than silently mislabeled).
+      val enc = if (graft.operators.IndexStore.read(s, dir, "codes")
+          .columns.contains("label")) {
+        if (novel.columns.contains("label"))
+          enc0.join(novel.select(col("vec_id"),
+            col("label").cast("int").as("label")), Seq("vec_id"), "left")
+        else enc0.withColumn("label", lit(null).cast("int"))
+      } else enc0
+      graft.operators.IndexStore.append(enc, dir, "codes")
     }
     // Navigable-graph parity: wire novel nodes in cell-locally — out-edges
     // to each node's top-degree cell neighbors plus the REVERSE edges that
@@ -2496,9 +2507,20 @@ object VectorOps extends QueryModule {
     * QUERY once per query (⟨q, r⟩ = ⟨Rq, Rr⟩, so the LUT is built from
     * the rotated query against codewords living in the rotated space;
     * the coarse ⟨q, c⟩ term keeps the raw query). Appends encode with
-    * the frozen rotation exactly like the frozen books. */
+    * the frozen rotation exactly like the frozen books.
+    *
+    * `attrs` (vec_id → label) BAKES a filter attribute into the codes
+    * rows at build time — +4 bytes beside the m code bytes per vector —
+    * which is what makes q249's pre-filter arm JOIN-FREE: at 100 TB a
+    * candidates-sized attribute join is the filtered probe's dominant
+    * cost, while a baked column rides the codes scan for nothing. The
+    * attribute ages like every other index artifact (frozen at build,
+    * appended rows bake their own value or NULL when the ingest doesn't
+    * carry one — NULL never matches a filter, the conservative
+    * verdict). */
   private[graft] def addPqToSemIndex(s: SparkSession, dir: String,
-      lloydIters: Int = 0, learnedRotation: Boolean = false): Unit = {
+      lloydIters: Int = 0, learnedRotation: Boolean = false,
+      attrs: Option[DataFrame] = None): Unit = {
     val resid0 = semResiduals(s, dir)
       .localCheckpoint(true) // consumers: rotation/moments + seeds + codes
     val rotOpt: Option[(Seq[Seq[Double]], Seq[Double])] =
@@ -2547,9 +2569,12 @@ object VectorOps extends QueryModule {
       r.zipWithIndex.map { case (rv, k) => (k, rv) }.toDF("k", "rv")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_rot")
     }
-    val codes = withPqCodes(resid, dims, cb)
+    val codes0 = withPqCodes(resid, dims, cb)
       .select(col("vec_id") +: col("cell") +:
         dims.indices.map(j => col(s"code$j")): _*)
+    val codes = attrs.fold(codes0)(a => codes0.join(
+      a.select(col("vec_id"), col("label").cast("int").as("label")),
+      Seq("vec_id"), "left"))
     graft.operators.IndexStore.create(codes, dir, "codes", Seq("cell"))
   }
 
@@ -2611,7 +2636,7 @@ object VectorOps extends QueryModule {
     * (query, probed-cell occupant) pair, BEFORE the top-k cut. Shared by
     * [[probeIvfAdcTop3]] (ranks it) and q247's sweep card (counts it:
     * the frame's size IS the per-nprobe scored-pair work). */
-  private def ivfAdcScoredCands(s: SparkSession, batch: DataFrame,
+  private[queries] def ivfAdcScoredCands(s: SparkSession, batch: DataFrame,
       dir: String, nprobe: Int): DataFrame = {
     // collect-bound: centroid table — ≤ k rows, k ∝ √n via ivfKFor
     val cRows: Seq[Seq[Double]] = s.read.parquet(s"$dir/centroids")
@@ -2638,17 +2663,25 @@ object VectorOps extends QueryModule {
         }: _*).as("lut"))
       .select(col("query_id"), col("pc")("cid").cast("bigint").as("cell"),
         col("pc")("cc").as("coarse"), col("lut"))
-    val idx = dropSemTombstoned(
+    val codesDf = dropSemTombstoned(
       graft.operators.IndexStore.read(s, dir, "codes"),
       "vec_id", loadSemTombstones(s, dir))
-      .select(col("cell"), col("vec_id").as("neighbor_id"),
-        array(dims.indices.map(j => col(s"code$j")): _*).as("cd"))
+    // A baked filter attribute (see addPqToSemIndex) rides the codes
+    // scan into the candidate frame — downstream filtered probes read
+    // it for free instead of paying a candidates-sized attribute join.
+    val baked =
+      if (codesDf.columns.contains("label")) Seq(col("label")) else Nil
+    val idx = codesDf
+      .select(Seq(col("cell"), col("vec_id").as("neighbor_id"),
+        array(dims.indices.map(j => col(s"code$j")): _*).as("cd")) ++
+        baked: _*)
     probes.join(idx, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("adc_cos", col("coarse") + expr(
         s"aggregate(sequence(0, ${PqM - 1}), cast(0.0 as double), " +
           "(acc, j) -> acc + lut[j][cd[j]])"))
-      .select(col("query_id"), col("neighbor_id"), col("adc_cos"))
+      .select(Seq(col("query_id"), col("neighbor_id"), col("adc_cos")) ++
+        baked: _*)
   }
 
   /** ADC top-3 of a query batch against a persisted IVFADC index:
@@ -2675,8 +2708,12 @@ object VectorOps extends QueryModule {
       // rcent chain (the q215 unrolled-iteration discipline): seed
       // residual books on synthetic corpora are weak enough that raw-seed
       // ADC ranks WORSE than coarse-only ties — one assignment/mean pass
-      // is what makes the LUT term signal instead of noise.
-      addPqToSemIndex(s, dir, lloydIters = 1)
+      // is what makes the LUT term signal instead of noise. The label
+      // column bakes into the codes rows (+4 B/vector) so q249's
+      // pre-filter arm is join-free; q243/q244/q247 ignore it.
+      addPqToSemIndex(s, dir, lloydIters = 1,
+        attrs = Some(t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"))))
       dir
     }
 
@@ -3873,27 +3910,25 @@ object VectorOps extends QueryModule {
     * ships (tenant/language/license scoping). The card prices the two
     * standard strategies against the SAME probe work:
     *
-    *  - PRE-FILTER: every ADC-scored candidate is attribute-checked
-    *    BEFORE the top-3 cut — full recall w.r.t. the probed cells, at
-    *    one attribute lookup per scored candidate.
-    *  - POST-FILTER with over-fetch: rank the unfiltered top-
-    *    [[FilteredOverFetch]] first, attribute-check only those, keep
-    *    the top-3 survivors — |Q|·overfetch lookups regardless of
-    *    occupancy, but queries whose over-fetch window holds < 3
-    *    matching rows come up short (kept_pairs shows the shortfall;
-    *    recall pays it).
+    *  - PRE-FILTER over the BAKED attribute (round 16): the filter
+    *    column rides the codes rows ([[addPqToSemIndex]]'s `attrs` —
+    *    +4 bytes/vector beside the m code bytes), so every ADC-scored
+    *    candidate is attribute-checked BEFORE the top-3 cut with ZERO
+    *    attribute lookups — full recall w.r.t. the probed cells, the
+    *    join gone from the executed plan (FilteredAnnSpec captures the
+    *    plan and pins bit-parity vs the join formulation).
+    *  - POST-FILTER with over-fetch against an EXTERNAL attribute
+    *    table: rank the unfiltered top-[[FilteredOverFetch]] first,
+    *    look up only those, keep the top-3 survivors — the shape a
+    *    deployment is stuck with when the filter column ARRIVES AFTER
+    *    the build (a fresh policy bit): |Q|·overfetch lookups, and
+    *    queries whose over-fetch window holds < 3 matching rows come up
+    *    short (kept_pairs shows the shortfall; recall pays it).
     *
     * Both recalls are against the exact cosine top-3 AMONG MATCHING base
-    * vectors, so the card reads as "what the filter costs each way".
-    *
-    * Scale note: here the attribute join hits the embeddings table on
-    * vec_id — candidates are |Q|·occupancy rows, so the join broadcasts
-    * the CANDIDATE side and the attribute side is scanned pruned to two
-    * columns. A deployment whose filter column is known at build time
-    * bakes it into the codes rows instead ([[addPqToSemIndex]]'s codes
-    * write point — +4 bytes/vector beside the m code bytes) making the
-    * pre-filter arm join-free; we keep the artifact SHARED with
-    * q243/q244/q247 and price the lookup honestly as a join. */
+    * vectors, so the card reads as "bake at build and filtering is
+    * free at full probe recall; retrofit it and you buy lookups OR
+    * recall" — the +4 B/vector rung PLANS.md priced, now executed. */
   private val FilterLabel = 1
   private val FilteredOverFetch = 9
 
@@ -3939,20 +3974,23 @@ object VectorOps extends QueryModule {
           (col("overlap").cast("double") /
             (lit(3.0) * col("n_queries").cast("double"))).as("recall_at3"))
     }
-    val pre3 = scored.join(attrs, Seq("neighbor_id"))
-      .filter(col("label") === FilterLabel)
+    // Pre-filter reads the BAKED label straight off the scored frame —
+    // no attrs join anywhere in this arm's plan.
+    val pre3 = scored.filter(col("label") === FilterLabel)
       .withColumn("rnk", rank().over(w)).filter(col("rnk") <= 3)
       .select(col("query_id"), col("neighbor_id"))
     val over9 = scored.withColumn("rnk", rank().over(w))
       .filter(col("rnk") <= FilteredOverFetch)
       .select(col("query_id"), col("neighbor_id"), col("adc_cos"))
       .localCheckpoint(true) // consumers: lookup count + survivor re-rank
+    // Post-filter deliberately prices the EXTERNAL-attribute shape: the
+    // join stands in for the lookup a retrofit deployment pays.
     val post3 = over9.join(attrs, Seq("neighbor_id"))
       .filter(col("label") === FilterLabel)
       .withColumn("rnk", rank().over(w)).filter(col("rnk") <= 3)
       .select(col("query_id"), col("neighbor_id"))
-    card("pre_filter", pre3,
-        scored.agg(count(lit(1)).as("attr_lookups")))
+    import s.implicits._
+    card("pre_filter", pre3, Seq(0L).toDF("attr_lookups"))
       .unionAll(card("post_filter", post3,
         over9.agg(count(lit(1)).as("attr_lookups"))))
       .orderBy("strategy")
@@ -3984,7 +4022,7 @@ object VectorOps extends QueryModule {
        |    FROM ascore s JOIN attrs a ON a.neighbor_id = s.neighbor_id
        |      AND a.label = $FilterLabel) t
        |  WHERE rnk <= 3),
-       |prelk AS (SELECT CAST(COUNT(*) AS BIGINT) AS attr_lookups FROM cand),
+       |prelk AS (SELECT CAST(0 AS BIGINT) AS attr_lookups),
        |prek AS (SELECT CAST(COUNT(*) AS BIGINT) AS kept_pairs FROM pre3),
        |preov AS (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS overlap

@@ -5,16 +5,19 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 /** Filtered ANN over the persisted IVFADC index (q249): top-3 under an
-  * attribute predicate, priced as pre-filter (attribute-check every
-  * scored candidate) vs post-filter (attribute-check only the unfiltered
-  * top-overfetch). Pinned two ways:
+  * attribute predicate, priced as pre-filter over the BAKED codes-row
+  * attribute (round 16: zero lookups, no join in the executed plan) vs
+  * post-filter against an external attribute table (the retrofit shape:
+  * attribute-check only the unfiltered top-overfetch). Pinned three
+  * ways:
   *
   *  1. THEOREMS on the real corpus — every post-filter survivor is also
   *     a pre-filter survivor (a candidate outside the unfiltered top-9
   *     can never outrank one inside it, so the two arms' top-3 cuts see
-  *     identical beaters), hence kept/recall dominance; the post arm
-  *     never pays more attribute lookups than the pre arm; both arms
-  *     price the same probe (equal scored_pairs).
+  *     identical beaters), hence kept/recall dominance; the baked pre
+  *     arm pays ZERO attribute lookups while the post arm pays its
+  *     overfetch bill; both arms price the same probe (equal
+  *     scored_pairs).
   *  2. A PLANTED SHORTFALL — an engineered corpus whose unfiltered
   *     top-9 is saturated by wrong-label near-neighbors while the three
   *     matching-label vectors sit just outside it: post-filter keeps
@@ -22,6 +25,10 @@ import org.apache.spark.sql.functions._
   *     Every planted vector is a PQ seed, so its residual is a codeword
   *     and its ADC score is its true cosine — the ranking the fixture
   *     engineers is the ranking the probe executes.
+  *  3. BAKED ≡ JOIN — the baked-label filtered candidates are
+  *     bit-identical to the explicit attribute-join formulation, and
+  *     the captured executed plans of the baked arm scan ONLY index
+  *     tables (no attribute-source file scan at all).
   */
 class FilteredAnnSpec extends SparkSpec {
 
@@ -39,8 +46,10 @@ class FilteredAnnSpec extends SparkSpec {
     assert(pre.getDouble(2) > 0.0 && pre.getDouble(2) < 1.0,
       s"label predicate must be selective: ${pre.getDouble(2)}")
     assert(pre.getLong(3) === post.getLong(3), "same scored candidates")
-    assert(post.getLong(4) <= pre.getLong(4),
-      s"post-filter must not pay more lookups: $post vs $pre")
+    assert(pre.getLong(4) === 0L,
+      s"the baked pre-filter arm pays zero attribute lookups: $pre")
+    assert(post.getLong(4) > 0L,
+      s"the external post-filter arm pays its overfetch bill: $post")
     assert(post.getLong(5) <= pre.getLong(5),
       s"post-filter survivors are a subset of pre-filter's: $post vs $pre")
     assert(post.getDouble(6) <= pre.getDouble(6) + 1e-12,
@@ -84,7 +93,81 @@ class FilteredAnnSpec extends SparkSpec {
     assert(pre.getLong(5) === 3L,
       s"pre-filter must keep all three matching candidates: $pre")
     assert(pre.getDouble(6) === 1.0, s"pre-filter recall must be 1: $pre")
-    assert(post.getLong(4) < pre.getLong(4),
-      s"the shortfall is what the cheaper lookup bill buys: $post vs $pre")
+    assert(pre.getLong(4) === 0L && post.getLong(4) > 0L,
+      s"the shortfall buys nothing once the label is baked: $post vs $pre")
+  }
+
+  /** Baked ≡ join, and the baked arm's executed plans never touch the
+    * attribute source: a fixture index built WITH attrs is probed by an
+    * IN-MEMORY batch (so any file scan in the captured plans is the
+    * index's own), filtered two ways — off the baked column and through
+    * an explicit attribute join — and the candidate sets must match
+    * bit-for-bit while the baked arm's plans contain zero scans of the
+    * fixture's embeddings parquet. */
+  test("baked label: bit-parity with the join formulation, no attribute scan") {
+    import spark.implicits._
+    val dim = 16
+    def vec(i: Int): Seq[Double] = {
+      val t = i.toDouble / 9.0
+      Seq.tabulate(dim)(j =>
+        math.cos((j + 1) * t) / math.sqrt(dim.toDouble))
+    }
+    val rows = (0 until 40).map(i => (i.toLong, vec(i), i % 7 % 2))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bake").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val idx = s"$dir/index"
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+    VectorOps.buildSemIndex(spark,
+      base.select(col("vec_id"), col("embedding")), idx)
+    VectorOps.addPqToSemIndex(spark, idx, lloydIters = 1,
+      attrs = Some(base.select(col("vec_id"), col("label"))))
+
+    val batch = Seq((1000L, vec(3).map(_ * 2.0)), (1001L, vec(17)))
+      .toDF("vec_id", "embedding").localCheckpoint(true) // in-memory batch
+    val plans = new scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.execution.SparkPlan]
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan; () }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    val baked =
+      try {
+        val r = VectorOps.ivfAdcScoredCands(spark, batch, idx, 2)
+          .filter(col("label") === 1)
+          .select(col("query_id"), col("neighbor_id"), col("adc_cos"))
+          .collect().map(_.toSeq).toSet
+        var last = -1; var stable = 0
+        while (stable < 3) {
+          Thread.sleep(200)
+          val n = plans.synchronized(plans.size)
+          if (n == last) stable += 1 else { stable = 0; last = n }
+        }
+        r
+      } finally spark.listenerManager.unregister(l)
+    val scans = plans.synchronized(plans.toVector).flatMap(_.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }).flatten
+    assert(scans.nonEmpty, "the probe must scan the index tables")
+    assert(!scans.exists(_.contains("embeddings.parquet")),
+      s"the baked arm must never scan the attribute source: $scans")
+
+    val joined = VectorOps.ivfAdcScoredCands(spark, batch, idx, 2)
+      .drop("label")
+      .join(base.select(col("vec_id").as("neighbor_id"), col("label")),
+        Seq("neighbor_id"))
+      .filter(col("label") === 1)
+      .select(col("query_id"), col("neighbor_id"), col("adc_cos"))
+      .collect().map(_.toSeq).toSet
+    assert(baked === joined,
+      "baked-label filtering must be bit-identical to the join formulation")
+    assert(baked.nonEmpty, "fixture must produce matching candidates")
   }
 }
