@@ -406,4 +406,40 @@ object IndexStore {
       (): Unit
       }
     }
+
+  /** The auto-trigger for [[rebucket]]: when the table's rows-per-
+    * bucket exceed `targetRowsPerBucket`, grow the bucket count to the
+    * next power of two that brings it back under target (powers of two
+    * keep repartition-friendly counts; GROW-ONLY — shrinking a bucketed
+    * index is never urgent and a flapping count would churn rewrites).
+    * Rows are the LAYOUT-INVARIANT growth signal: a production daemon
+    * usually watches per-bucket file size against the 128-512 MB scan
+    * unit, but bytes FEED BACK through the rewrite itself (more buckets
+    * → more per-file overhead → more bytes), which at small scale turns
+    * the trigger into a doubling loop, while the row count is identical
+    * before and after a rewrite — and at fixed schema rows ∝ payload
+    * bytes anyway, so the operator states the same target divided by
+    * the row width. Plain-parquet tables are left alone. Returns
+    * whether a rebucket ran. The rewrite itself serializes on the index
+    * writer lock inside [[rebucket]], so a streaming refresh can call
+    * this between micro-batches exactly like the compaction-threshold
+    * arm. */
+  private[graft] def rebucketIfGrown(s: SparkSession, dir: String,
+      table: String, targetRowsPerBucket: Long): Boolean = {
+    require(targetRowsPerBucket > 0,
+      s"target rows per bucket must be positive: $targetRowsPerBucket")
+    spec(s, dir, table) match {
+      case None => false
+      case Some((n, _)) =>
+        val rows = read(s, dir, table).count()
+        val needed = ((rows + targetRowsPerBucket - 1) /
+          targetRowsPerBucket).max(1L)
+        var want = n.toLong
+        while (want < needed) want *= 2
+        if (want > n && want <= Int.MaxValue) {
+          rebucket(s, dir, table, want.toInt)
+          true
+        } else false
+    }
+  }
 }

@@ -637,7 +637,7 @@ object DedupOps extends QueryModule {
     graft.operators.IndexStore.append(shingleSetOf(nb), dir, "shingles")
   }
 
-  private val IndexTables = Seq("exact", "bands", "shingles")
+  private[graft] val IndexTables = Seq("exact", "bands", "shingles")
 
   /** Parquet data files currently backing the three index tables — the
     * operational signal the compaction threshold reads. Append-only

@@ -116,12 +116,28 @@ object DedupStream {
     * Compaction runs BETWEEN batches inside foreachBatch here; a real
     * deployment runs it as an async maintenance job with a table-format
     * pointer swap — same rewrite, different commit. Same
-    * `watermarkDelay` late-data contract as [[runProbe]]. */
+    * `watermarkDelay` late-data contract as [[runProbe]].
+    *
+    * Rebucket arm (round 16): bucket counts are frozen at build so
+    * probe plans stay exchange-free, which means a LONG-LIVED index fed
+    * by this refresh eventually outgrows them — per-bucket volume
+    * drifts past the scan-unit target and every probe pays oversized
+    * bucket scans. When any index table's rows-per-bucket exceed
+    * `rebucketAboveRowsPerBucket` (rows, not bytes: the layout-invariant
+    * signal — see IndexStore.rebucketIfGrown), it is rewritten to the next
+    * power-of-two count that fits (`IndexStore.rebucketIfGrown`,
+    * grow-only, under the index writer lock — same between-batches
+    * placement as compaction, same async-daemon story in production).
+    * Rows are untouched, so verdicts are invariant before/during/after
+    * (DedupRebucketSpec pins it against a no-rebucket twin) and the
+    * probe is co-located at the NEW count from the next batch on
+    * (IndexColocationSpec's rebucket arm). */
   def runProbeWithRefresh(spark: SparkSession, streamDir: String,
       indexDir: String, outDir: String, checkpointDir: String,
       maxFilesPerTrigger: Option[Int] = None,
       watermarkDelay: String = "2 hours",
-      compactAboveFiles: Option[Long] = None): Unit = {
+      compactAboveFiles: Option[Long] = None,
+      rebucketAboveRowsPerBucket: Option[Long] = None): Unit = {
     val q = read(spark, streamDir, maxFilesPerTrigger)
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("doc_id")
@@ -138,6 +154,12 @@ object DedupStream {
         compactAboveFiles.foreach { thr =>
           if (DedupOps.indexFileCount(spark, indexDir) > thr)
             DedupOps.compactDedupIndex(spark, indexDir)
+        }
+        rebucketAboveRowsPerBucket.foreach { target =>
+          DedupOps.IndexTables.foreach { t =>
+            graft.operators.IndexStore.rebucketIfGrown(spark, indexDir, t,
+              target)
+          }
         }
         (): Unit
       }
