@@ -2731,7 +2731,15 @@ object VectorOps extends QueryModule {
     * SQL restatement of addPqToSemIndex + probeIvfAdcTop3. */
   private def ivfAdcCtes: String =
     s"""$semIndexCtes,
-       |resid AS (
+       |$ivfAdcTailCtes""".stripMargin
+
+  /** The IVFADC chain WITHOUT the leading [[semIndexCtes]] — split out
+    * so q253's hybrid oracle can compose it with [[graphTailCtes]] over
+    * ONE shared sem-index chain (both artifacts ride the same index
+    * dir in the engine, so the oracle restates them over the same base
+    * CTEs). */
+  private def ivfAdcTailCtes: String =
+    s"""resid AS (
        |  SELECT a.vec_id, a.cell,
        |    list_transform(list_zip(b.ue, c.cu), z -> z[1] - z[2]) AS re
        |  FROM bassign a JOIN buni b ON b.vec_id = a.vec_id
@@ -3537,11 +3545,16 @@ object VectorOps extends QueryModule {
     * gedges construction + centroid-ranked query cells + entry (gh0).
     * Search chains are appended per (width, hops) arm by
     * [[graphBeamChain]]. */
-  private def graphIdxCtes: String = {
+  private def graphIdxCtes: String =
+    s"""$semIndexCtes,
+       |$graphTailCtes""".stripMargin
+
+  /** The persisted-graph chain WITHOUT the leading [[semIndexCtes]] —
+    * the composition twin of [[ivfAdcTailCtes]]. */
+  private def graphTailCtes: String = {
     def dot(a: String, b: String) =
       s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), z -> z[1] * z[2])), (x, y) -> x + y)"
-    s"""$semIndexCtes,
-       |bassign2 AS (
+    s"""bassign2 AS (
        |  SELECT vec_id, cid AS cell2 FROM (
        |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
        |    FROM bcc) t WHERE rn = 2),
@@ -3589,22 +3602,6 @@ object VectorOps extends QueryModule {
       hops: Int): String = {
     def dot(a: String, b: String) =
       s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), z -> z[1] * z[2])), (x, y) -> x + y)"
-    def hop(t: Int) =
-      s"""${p}nb$t AS (
-         |  SELECT f.query_id, f.beam, n.vec_id AS node, ${dot("q.ue", "n.ue")} AS gcos
-         |  FROM ${p}h${t - 1} f
-         |  JOIN gedges e ON e.src = f.node
-         |  JOIN buni n ON n.vec_id = e.dst
-         |  JOIN u q ON q.vec_id = f.query_id
-         |  WHERE e.dst <> f.query_id),
-         |${p}h$t AS (
-         |  SELECT query_id, beam, node, gcos FROM (
-         |    SELECT query_id, beam, node, gcos,
-         |      ROW_NUMBER() OVER (PARTITION BY query_id, beam ORDER BY gcos DESC, node) AS rn
-         |    FROM (SELECT DISTINCT query_id, beam, node, gcos FROM
-         |          (SELECT query_id, beam, node, gcos FROM ${p}h${t - 1}
-         |           UNION ALL SELECT query_id, beam, node, gcos FROM ${p}nb$t) zz) z) t
-         |  WHERE rn <= $width)""".stripMargin
     s"""${p}em AS (
        |  SELECT c.query_id, c.cell_rank AS beam, MIN(m.vec_id) AS node
        |  FROM gqrank c JOIN bassign m ON m.cell = c.qcell AND m.vec_id <> c.query_id
@@ -3623,7 +3620,32 @@ object VectorOps extends QueryModule {
        |        UNION ALL SELECT query_id, beam, node FROM ${p}fb) en
        |  JOIN buni n ON n.vec_id = en.node
        |  JOIN u q ON q.vec_id = en.query_id),
-       |${(1 to hops).map(hop).mkString(",\n")},
+       |${beamHopCtes(p, width, hops)}""".stripMargin
+  }
+
+  /** The hop/best/cost portion of a beam chain — assumes `{p}h0`
+    * (query_id, beam, node, gcos) exists; shared by [[graphBeamChain]]
+    * (cell-min entries) and q253's hybrid chain (ADC-seeded entries). */
+  private def beamHopCtes(p: String, width: Int, hops: Int): String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), z -> z[1] * z[2])), (x, y) -> x + y)"
+    def hop(t: Int) =
+      s"""${p}nb$t AS (
+         |  SELECT f.query_id, f.beam, n.vec_id AS node, ${dot("q.ue", "n.ue")} AS gcos
+         |  FROM ${p}h${t - 1} f
+         |  JOIN gedges e ON e.src = f.node
+         |  JOIN buni n ON n.vec_id = e.dst
+         |  JOIN u q ON q.vec_id = f.query_id
+         |  WHERE e.dst <> f.query_id),
+         |${p}h$t AS (
+         |  SELECT query_id, beam, node, gcos FROM (
+         |    SELECT query_id, beam, node, gcos,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id, beam ORDER BY gcos DESC, node) AS rn
+         |    FROM (SELECT DISTINCT query_id, beam, node, gcos FROM
+         |          (SELECT query_id, beam, node, gcos FROM ${p}h${t - 1}
+         |           UNION ALL SELECT query_id, beam, node, gcos FROM ${p}nb$t) zz) z) t
+         |  WHERE rn <= $width)""".stripMargin
+    s"""${(1 to hops).map(hop).mkString(",\n")},
        |${p}best AS (
        |  SELECT query_id, node, gcos FROM (
        |    SELECT query_id, node, gcos,
@@ -3796,6 +3818,145 @@ object VectorOps extends QueryModule {
        |${arms.map { case (sch, i) => row(sch, s"a$i") }
          .mkString("\nUNION ALL\n")}
        |ORDER BY entries, width, hops""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q253
+
+  /** q253 — hybrid ANN card: the DiskANN SERVING shape, composed from
+    * the two persisted artifacts the index dir already carries. The
+    * IVFADC probe is a strong but quantized ranker (ADC error can
+    * misorder the top), the graph walk is exact-scored but entry-bound;
+    * the hybrid uses each where it is strong — ADC ranks the probed
+    * cells' candidates, the top-[[HybridSeeds]] become graph entries
+    * (one independent beam each, exact-scored from hop 0 by
+    * [[beamCore]]'s entry join), and [[HybridHops]] hops of
+    * [[HybridWidth]]-beam refinement recover neighbors the quantizer
+    * misordered or the probed cells missed. Three arms priced on the
+    * SAME executed frames against the same exact top-1: `ivfadc` (ADC
+    * top-1 at nprobe [[IvfAdcNprobe]]), `graph` (the q250 default
+    * scheme), `hybrid` (ADC pairs + its own expansion count — the full
+    * bill, nothing amortized away).
+    *
+    * Scale shape: the seed frame is |Q|·seeds rows (always broadcast),
+    * refinement hops are the bucketed-gedges equi-joins of q250, and
+    * the ADC stage is exactly q243's — composing the probes adds no new
+    * plan class. */
+  private val HybridSeeds = 3
+  private val HybridWidth = 1
+  private val HybridHops = 2
+
+  private def q253(s: SparkSession, d: String): DataFrame = {
+    builtIvfAdc(s, d) // ensures the PQ artifacts on the shared dir
+    val dir = builtGraphIndex(s, d) // same dir; ensures gedges
+    val exact = heldOutExactTop1(s, d)
+      .localCheckpoint(true) // consumers: one hit-join per arm
+    val queries = ivfAdcQueries(s, d)
+    val nq = queries.agg(count(lit(1)).as("n_queries"))
+    val adcScored = ivfAdcScoredCands(s, queries, dir, IvfAdcNprobe)
+      .select(col("query_id"), col("neighbor_id"), col("adc_cos"))
+      .localCheckpoint(true) // consumers: adc arm + seeds + cost
+    val adcCost = adcScored.agg(count(lit(1)).as("scored_cands"))
+    def hitsOf(found: DataFrame): DataFrame = found.join(exact, "query_id")
+      .agg(sum((col("found_id") === col("exact_id")).cast("long")).as("hits"))
+    def row(strategy: String, hits: DataFrame, cost: DataFrame): DataFrame =
+      Seq(cost, nq).foldLeft(hits)(graft.Scalars.withScalar)
+        .select(lit(strategy).as("strategy"), col("n_queries"), col("hits"),
+          (col("hits").cast("double") / col("n_queries").cast("double"))
+            .as("recall_at1"),
+          col("scored_cands"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_cos").desc, col("neighbor_id"))
+    val adc1 = adcScored.withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("neighbor_id").as("found_id"))
+    val (g1, gCost) = probeGraphIndexCost(s, queries, dir,
+      GraphConfig.Default.entries, GraphConfig.Default.width,
+      GraphConfig.Default.hops)
+    val tombs = loadSemTombstones(s, dir)
+    val nodes = dropSemTombstoned(
+        graft.operators.IndexStore.read(s, dir, "vectors"), "vec_id", tombs)
+      .select(col("vec_id"), col("ue"), col("cell"))
+    val edges = graft.operators.IndexStore.read(s, dir, "gedges")
+      .select(col("src"), col("dst"))
+    val seeds = adcScored.withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= HybridSeeds)
+      .select(col("query_id"), col("rn").as("beam"),
+        col("neighbor_id").as("node"))
+    val qu = unitize(queries)
+      .select(col("vec_id").as("query_id"), col("ue").as("qu"))
+    val entry = seeds.join(qu, "query_id")
+      .select(col("query_id"), col("qu"), col("beam"), col("node"))
+    val (frontier, hExp) = beamCore(s, entry, nodes, edges, HybridWidth,
+      HybridHops)
+    val wG = Window.partitionBy(col("query_id"))
+      .orderBy(col("gcos").desc, col("node"))
+    val h1 = frontier.withColumn("rn", row_number().over(wG))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("node").as("found_id"))
+    val hCost = graft.Scalars.withScalar(hExp,
+        adcCost.withColumnRenamed("scored_cands", "adc_pairs"))
+      .select((col("scored_cands") + col("adc_pairs")).as("scored_cands"))
+    row("graph", hitsOf(g1), gCost)
+      .unionAll(row("hybrid", hitsOf(h1), hCost))
+      .unionAll(row("ivfadc", hitsOf(adc1), adcCost))
+      .orderBy("strategy")
+  }
+
+  private def q253Sql: String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), z -> z[1] * z[2])), (x, y) -> x + y)"
+    def rowSql(strategy: String, hit: String, sc: String) =
+      s"""SELECT '$strategy' AS strategy, hnq.n_queries, $hit.hits,
+         |  CAST($hit.hits AS DOUBLE) / CAST(hnq.n_queries AS DOUBLE) AS recall_at1,
+         |  $sc
+         |FROM hnq, $hit""".stripMargin
+    s"""WITH $semIndexCtes,
+       |$ivfAdcTailCtes,
+       |$graphTailCtes,
+       |${defaultChain("gd")},
+       |hascore AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id, adc_cos FROM ascore),
+       |hex AS (
+       |  SELECT query_id, neighbor_id AS exact_id FROM (
+       |    SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${dot("q.ue", "b.ue")} DESC, b.vec_id) AS rn
+       |    FROM gq q JOIN buni b ON q.vec_id <> b.vec_id) t
+       |  WHERE rn = 1),
+       |hnq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM gq),
+       |hcnd AS (SELECT CAST(COUNT(*) AS BIGINT) AS scored_cands FROM hascore),
+       |adcb AS (
+       |  SELECT query_id, neighbor_id AS found_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_cos DESC, neighbor_id) AS rn
+       |    FROM hascore) t WHERE rn = 1),
+       |hseed AS (
+       |  SELECT query_id, rnk AS beam, neighbor_id AS node FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_cos DESC, neighbor_id) AS rnk
+       |    FROM hascore) t WHERE rnk <= $HybridSeeds),
+       |hyh0 AS (
+       |  SELECT en.query_id, en.beam, en.node, ${dot("q.ue", "n.ue")} AS gcos
+       |  FROM hseed en
+       |  JOIN buni n ON n.vec_id = en.node
+       |  JOIN u q ON q.vec_id = en.query_id),
+       |${beamHopCtes("hy", HybridWidth, HybridHops)},
+       |ahit AS (
+       |  SELECT CAST(SUM(CASE WHEN f.found_id = x.exact_id THEN 1 ELSE 0 END) AS BIGINT) AS hits
+       |  FROM adcb f JOIN hex x USING (query_id)),
+       |ghit2 AS (
+       |  SELECT CAST(SUM(CASE WHEN f.node = x.exact_id THEN 1 ELSE 0 END) AS BIGINT) AS hits
+       |  FROM gdbest f JOIN hex x USING (query_id)),
+       |hyhit AS (
+       |  SELECT CAST(SUM(CASE WHEN f.node = x.exact_id THEN 1 ELSE 0 END) AS BIGINT) AS hits
+       |  FROM hybest f JOIN hex x USING (query_id))
+       |${rowSql("graph", "ghit2", "(SELECT scored_cands FROM gdsc) AS scored_cands")}
+       |UNION ALL
+       |${rowSql("hybrid", "hyhit",
+           "(SELECT scored_cands FROM hysc) + (SELECT scored_cands FROM hcnd) AS scored_cands")}
+       |UNION ALL
+       |${rowSql("ivfadc", "ahit", "(SELECT scored_cands FROM hcnd) AS scored_cands")}
+       |ORDER BY strategy""".stripMargin
   }
 
   // ---------------------------------------------------------------- q248
@@ -4070,6 +4231,7 @@ object VectorOps extends QueryModule {
     Q("q250_graph_index_search", q250, Some(q250Sql)),
     Q("q251_graph_index_card", q251, Some(q251Sql)),
     Q("q252_graph_width_sweep", q252, Some(q252Sql)),
+    Q("q253_hybrid_ann_card", q253, Some(q253Sql)),
     Q("q31_embed_norms", q31, Some(q31Sql)),
     Q("q114_semdedup", q114, Some(q114Sql)),
     Q("q211_incremental_semdedup", q211, Some(q211Sql)),
