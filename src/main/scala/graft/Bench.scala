@@ -57,17 +57,23 @@ object Bench {
       if (ratios.isEmpty) 1.0 else ratios(ratios.size / 2)
     }
     System.gc()
-    // Two timed runs per query, min reported: single runs at local[32]
-    // swing ±20% from GC/scheduler noise; the min is the steady-state
-    // signal (standard bench practice, declared in the JSON as agg=min).
+    // Three timed runs per query, MEDIAN reported (round 16, the r15
+    // verdict's methodology ask): single runs at local[32] swing
+    // ±20-30% from GC/scheduler noise and the round-15 notes showed the
+    // 2-run min under-reading that envelope — the min tracks the lucky
+    // tail while the median tracks the value a user actually sees, and
+    // three samples make the median robust to one outlier in either
+    // direction. Declared in the JSON as runs=3/agg=median; cross-round
+    // readers must not compare a median-of-3 total against the r15-era
+    // min-of-2 totals without noting the aggregation change.
     val results = sorted.map { case (name, fn) =>
-      val dt = (1 to 2).map { _ =>
+      val dt = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val t = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         t
-      }.min
+      }.sorted.apply(1)
       // Untimed GC between queries: localCheckpoint RDDs and broadcasts are
       // reclaimed by the ContextCleaner only after their referents are
       // GC'd; on a 24g heap collections are rare, so without this nudge
@@ -97,15 +103,15 @@ object Bench {
     val calibJson = calib.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val stdoutLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":2,"agg":"min","noise_factor":${fmt(noiseFactor)},"n_queries":${results.size},"sf":"$sfDir","queries_file":"BENCH_LINE.json"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":3,"agg":"median","noise_factor":${fmt(noiseFactor)},"n_queries":${results.size},"sf":"$sfDir","queries_file":"BENCH_LINE.json"}"""
     require(stdoutLine.length <= 1900,
       s"stdout bench line must stay under the driver's tail capture (${stdoutLine.length} chars)")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":2,"agg":"min","noise_factor":${fmt(noiseFactor)},"queries":$qsShort,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":3,"agg":"median","noise_factor":${fmt(noiseFactor)},"queries":$qsShort,"sf":"$sfDir"}"""
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val lineFull =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"agg":"min","noise_factor":$noiseFactor,"calib":$calibJson,"queries":$qsFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":3,"agg":"median","noise_factor":$noiseFactor,"calib":$calibJson,"queries":$qsFull,"sf":"$sfDir"}"""
     // Two artifacts (BENCH_r10 parsed:null — log noise overflowed the
     // driver's bounded tail capture of stdout): the exact driver line
     // goes to BENCH_LINE.json so the artifact survives any capture
