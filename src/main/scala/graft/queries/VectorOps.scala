@@ -3474,7 +3474,21 @@ object VectorOps extends QueryModule {
     * cells holds a live non-self member. */
   private[graft] def probeGraphIndexCost(s: SparkSession, batch: DataFrame,
       dir: String, entries: Int, width: Int,
-      hops: Int): (DataFrame, DataFrame) = {
+      hops: Int): (DataFrame, DataFrame) =
+    probeGraphPrepared(s, graphProbePrep(s, batch, dir), entries, width,
+      hops)
+
+  /** Probe inputs shared across schemes: live node/edge frames, the
+    * centroid-ranked query batch (FULL cell ranking — arms slice their
+    * own top-`entries`), and the 2-row entry fallback. Hoisted out of
+    * [[probeGraphPrepared]] so q252's five sweep arms pay the tombstone
+    * load, centroid collect, fallback collect, and batch checkpoint
+    * ONCE instead of per arm. */
+  private case class GraphProbePrep(qv: DataFrame, nodes: DataFrame,
+      edges: DataFrame, low2: Seq[Long])
+
+  private def graphProbePrep(s: SparkSession, batch: DataFrame,
+      dir: String): GraphProbePrep = {
     val tombs = loadSemTombstones(s, dir)
     val nodes = dropSemTombstoned(
         graft.operators.IndexStore.read(s, dir, "vectors"), "vec_id", tombs)
@@ -3488,29 +3502,35 @@ object VectorOps extends QueryModule {
     val qv = unitize(batch).select(col("vec_id").as("query_id"),
         col("ue").as("qu"), sc.as("cells"))
       .select(col("query_id"), col("qu"),
-        expr(s"transform(slice(cells, 1, $entries), c -> cast(c.cid as bigint))")
-          .as("qcells"))
+        expr("transform(cells, c -> cast(c.cid as bigint))").as("qcells"))
       .localCheckpoint(true) // consumers: probed-cell spine + qu re-join
-    val probed = qv.select(col("query_id"),
-        posexplode(col("qcells")).as(Seq("pos", "qcell")))
-      .select(col("query_id"), (col("pos") + 1).as("beam"), col("qcell"))
-    val em = broadcast(probed)
-      .join(nodes.select(col("cell").as("qcell"), col("vec_id").as("m")),
-        "qcell")
-      .filter(col("m") =!= col("query_id"))
-      .groupBy(col("query_id"), col("beam")).agg(min(col("m")).as("node"))
     // collect-bound: two smallest live ids — 2 rows (entry fallback)
     val low2 = nodes.select(col("vec_id")).orderBy(col("vec_id")).limit(2)
       .collect().map(_.getLong(0))
-    val fb = qv.join(em.select(col("query_id")).distinct(),
+    GraphProbePrep(qv, nodes, edges, low2)
+  }
+
+  private def probeGraphPrepared(s: SparkSession, p: GraphProbePrep,
+      entries: Int, width: Int, hops: Int): (DataFrame, DataFrame) = {
+    val probed = p.qv.select(col("query_id"),
+        posexplode(expr(s"slice(qcells, 1, $entries)"))
+          .as(Seq("pos", "qcell")))
+      .select(col("query_id"), (col("pos") + 1).as("beam"), col("qcell"))
+    val em = broadcast(probed)
+      .join(p.nodes.select(col("cell").as("qcell"), col("vec_id").as("m")),
+        "qcell")
+      .filter(col("m") =!= col("query_id"))
+      .groupBy(col("query_id"), col("beam")).agg(min(col("m")).as("node"))
+    val fb = p.qv.join(em.select(col("query_id")).distinct(),
         Seq("query_id"), "left_anti")
       .select(col("query_id"), lit(0).as("beam"),
-        when(col("query_id") === lit(low2(0)), lit(low2(1)))
-          .otherwise(lit(low2(0))).as("node"))
+        when(col("query_id") === lit(p.low2(0)), lit(p.low2(1)))
+          .otherwise(lit(p.low2(0))).as("node"))
     val entry = em.unionByName(fb)
-      .join(qv.select(col("query_id"), col("qu")), "query_id")
+      .join(p.qv.select(col("query_id"), col("qu")), "query_id")
       .select(col("query_id"), col("qu"), col("beam"), col("node"))
-    val (frontier, scored) = beamCore(s, entry, nodes, edges, width, hops)
+    val (frontier, scored) = beamCore(s, entry, p.nodes, p.edges, width,
+      hops)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("gcos").desc, col("node"))
     (frontier.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -3768,8 +3788,12 @@ object VectorOps extends QueryModule {
     val exact = heldOutExactTop1(s, d)
       .localCheckpoint(true) // consumers: one hit-join per arm
     val nq = ivfAdcQueries(s, d).agg(count(lit(1)).as("n_queries"))
+    // One shared prep: the arms differ only in (entries, width, hops),
+    // so the tombstone load, centroid collect, fallback collect, and
+    // batch checkpoint are paid once, not five times.
+    val prep = graphProbePrep(s, ivfAdcQueries(s, d), dir)
     def arm(sch: GraphConfig.Scheme): DataFrame = {
-      val (res, scored) = probeGraphIndexCost(s, ivfAdcQueries(s, d), dir,
+      val (res, scored) = probeGraphPrepared(s, prep,
         sch.entries, sch.width, sch.hops)
       val hits = res.join(exact, "query_id")
         .agg(sum((col("found_id") === col("exact_id")).cast("long"))
