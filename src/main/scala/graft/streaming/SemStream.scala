@@ -88,7 +88,8 @@ object SemStream {
       indexDir: String, outDir: String, checkpointDir: String,
       maxFilesPerTrigger: Option[Int] = None,
       watermarkDelay: String = "2 hours",
-      compactAboveFiles: Option[Long] = None, nprobe: Int = 1): Unit = {
+      compactAboveFiles: Option[Long] = None, nprobe: Int = 1,
+      rebucketAboveRowsPerBucket: Option[Long] = None): Unit = {
     val q = read(spark, streamDir, maxFilesPerTrigger)
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("vec_id")
@@ -105,6 +106,19 @@ object SemStream {
         compactAboveFiles.foreach { thr =>
           if (VectorOps.semIndexFileCount(spark, indexDir) > thr)
             VectorOps.compactSemIndex(spark, indexDir)
+        }
+        // Auto-rebucket arm (round 16, the DedupStream discipline): the
+        // semantic index's bucketed tables — `vectors` always, `codes`
+        // and `gedges` when the dir carries the PQ/graph artifacts —
+        // grow past their frozen build-time counts under a long-lived
+        // refresh; rebucketIfGrown is a no-op for absent tables (no
+        // bucket spec) and grow-only for present ones. Layout only:
+        // DedupRebucketSpec's semantic arm pins verdict invariance.
+        rebucketAboveRowsPerBucket.foreach { target =>
+          Seq("vectors", "codes", "gedges").foreach { t =>
+            graft.operators.IndexStore.rebucketIfGrown(spark, indexDir, t,
+              target)
+          }
         }
         (): Unit
       }

@@ -95,4 +95,46 @@ class DedupRebucketSpec extends SparkSpec {
         s"unchanged rows must not re-trigger a rewrite: $t")
     }
   }
+
+  /** The semantic-index twin: SemStream's refresh rebuckets the
+    * `vectors` store past the threshold with probe verdicts invariant
+    * (absent `codes`/`gedges` artifacts are a no-op — no bucket spec,
+    * nothing to rewrite). */
+  test("semantic refresh auto-rebuckets the vector store; verdicts invariant") {
+    import spark.implicits._
+    val dim = 4
+    def axis(i: Int): Seq[Double] =
+      Seq.tabulate(dim)(j => if (j == i % dim) 1.0 else 0.05 * ((i / dim) + 1))
+    val base = ((0 until 16).map(i => (i.toLong, axis(i))) ++
+      (16 until 20).map(i => (i.toLong, Seq(1.0, 0.01 * (i - 15), 0.0, 0.0))))
+      .toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("graft_srbk").toString
+    def wave(tag: String, rows: (Long, Seq[Double])*) =
+      rows.toSeq.toDF("vec_id", "embedding")
+        .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("vec_id")))
+        .coalesce(1).write.mode("append").parquet(s"$root/$tag/in")
+    def run(tag: String, target: Option[Long]): (Map[Long, String], String) = {
+      val idx = s"$root/$tag/index"
+      graft.queries.VectorOps.buildSemIndex(spark, base, idx)
+      wave(tag, 100L -> Seq(-0.5, -0.5, 0.5, 0.5))
+      wave(tag, 200L -> Seq(-0.5, -0.5, 0.5, 0.5),
+        201L -> Seq(0.5, -0.5, -0.5, 0.5))
+      SemStream.runProbeWithRefresh(spark, s"$root/$tag/in", idx,
+        s"$root/$tag/out", s"$root/$tag/ckpt", maxFilesPerTrigger = Some(1),
+        rebucketAboveRowsPerBucket = target)
+      (SemStream.readVerdicts(spark, s"$root/$tag/out")
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap, idx)
+    }
+    val (plain, plainIdx) = run("plain", None)
+    // 20 base + ingested rows vs a 1-row/bucket target: the 8-bucket
+    // default crosses from the first wave.
+    val (auto, autoIdx) = run("auto", Some(1L))
+    assert(auto === plain, "rebuckets must not change semantic verdicts")
+    assert(auto(200L) === "dup", "cross-batch semantic dup must survive")
+    val n = IndexStore.spec(spark, autoIdx, "vectors").map(_._1)
+    assert(n.exists(_ > IndexStore.DefaultBuckets),
+      s"vector store must have outgrown the default count: $n")
+    assert(IndexStore.spec(spark, plainIdx, "vectors").map(_._1) ===
+      Some(IndexStore.DefaultBuckets), "twin stays at the build count")
+  }
 }
