@@ -3512,6 +3512,20 @@ object VectorOps extends QueryModule {
 
   private def probeGraphPrepared(s: SparkSession, p: GraphProbePrep,
       entries: Int, width: Int, hops: Int): (DataFrame, DataFrame) = {
+    val (frontier, scored) = graphFrontierPrepared(s, p, entries, width,
+      hops)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("gcos").desc, col("node"))
+    (frontier.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("query_id"), col("node").as("found_id"),
+        col("gcos").as("found_cos")),
+      scored)
+  }
+
+  /** The final beam pool (before any top-k cut) of a prepared probe —
+    * shared by the top-1 probe and the q254 top-3 search. */
+  private def graphFrontierPrepared(s: SparkSession, p: GraphProbePrep,
+      entries: Int, width: Int, hops: Int): (DataFrame, DataFrame) = {
     val probed = p.qv.select(col("query_id"),
         posexplode(expr(s"slice(qcells, 1, $entries)"))
           .as(Seq("pos", "qcell")))
@@ -3529,14 +3543,29 @@ object VectorOps extends QueryModule {
     val entry = em.unionByName(fb)
       .join(p.qv.select(col("query_id"), col("qu")), "query_id")
       .select(col("query_id"), col("qu"), col("beam"), col("node"))
-    val (frontier, scored) = beamCore(s, entry, p.nodes, p.edges, width,
-      hops)
+    beamCore(s, entry, p.nodes, p.edges, width, hops)
+  }
+
+  /** Top-3 search through the persisted graph index — the q243 result
+    * shape (query_id, found_id, found_cos, rnk) for the graph member:
+    * the final beam pool (≤ entries·width exact-scored candidates at
+    * the derived default) deduped across beams — two walks reaching the
+    * same node must yield ONE result row, and the dedup is exact even
+    * on the double gcos (same (query, node) scored by the same codegen'd
+    * expression) — then cut by the q243 tie rule (rank, ties included,
+    * (gcos DESC, node)). */
+  private[graft] def probeGraphIndexTop3(s: SparkSession, batch: DataFrame,
+      dir: String): DataFrame = {
+    val p = graphProbePrep(s, batch, dir)
+    val (frontier, _) = graphFrontierPrepared(s, p,
+      GraphConfig.Default.entries, GraphConfig.Default.width,
+      GraphConfig.Default.hops)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("gcos").desc, col("node"))
-    (frontier.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    frontier.select(col("query_id"), col("node"), col("gcos")).distinct()
+      .withColumn("rnk", rank().over(w)).filter(col("rnk") <= 3)
       .select(col("query_id"), col("node").as("found_id"),
-        col("gcos").as("found_cos")),
-      scored)
+        col("gcos").as("found_cos"), col("rnk").cast("int").as("rnk"))
   }
 
   /** The shared q250 graph index: the q211 semantic index extended with
@@ -3686,6 +3715,23 @@ object VectorOps extends QueryModule {
        |${defaultChain("gd")}
        |SELECT query_id, node AS found_id, gcos AS found_cos FROM gdbest
        |ORDER BY query_id""".stripMargin
+
+  /** q254 — graph-index top-3 search (the q243 result shape for the
+    * graph member; see [[probeGraphIndexTop3]]). */
+  private def q254(s: SparkSession, d: String): DataFrame =
+    probeGraphIndexTop3(s, ivfAdcQueries(s, d), builtGraphIndex(s, d))
+      .orderBy("query_id", "rnk", "found_id")
+
+  private def q254Sql: String =
+    s"""WITH $graphIdxCtes,
+       |${defaultChain("gd")}
+       |SELECT query_id, found_id, found_cos, rnk FROM (
+       |  SELECT query_id, node AS found_id, gcos AS found_cos,
+       |    CAST(RANK() OVER (PARTITION BY query_id ORDER BY gcos DESC, node) AS INTEGER) AS rnk
+       |  FROM (SELECT DISTINCT query_id, node, gcos
+       |        FROM gdh${GraphConfig.Default.hops}) z) t
+       |WHERE rnk <= 3
+       |ORDER BY query_id, rnk, found_id""".stripMargin
 
   /** Exact top-1 of the held-out query split (vec_id % 5 = 0 under the
     * ADC bound) against the indexed base split — the recall reference
@@ -4256,6 +4302,7 @@ object VectorOps extends QueryModule {
     Q("q251_graph_index_card", q251, Some(q251Sql)),
     Q("q252_graph_width_sweep", q252, Some(q252Sql)),
     Q("q253_hybrid_ann_card", q253, Some(q253Sql)),
+    Q("q254_graph_index_top3", q254, Some(q254Sql)),
     Q("q31_embed_norms", q31, Some(q31Sql)),
     Q("q114_semdedup", q114, Some(q114Sql)),
     Q("q211_incremental_semdedup", q211, Some(q211Sql)),
