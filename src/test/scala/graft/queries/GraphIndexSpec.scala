@@ -49,6 +49,36 @@ class GraphIndexSpec extends SparkSpec {
     (r.getLong(1), r.getDouble(2))
   }
 
+  test("cross-cell escape edges: present across cells, kept by compaction's per-kind trim") {
+    val idx = freshIdx("xcell")
+    VectorOps.buildSemIndex(spark, vecsDf(baseRows: _*), idx)
+    VectorOps.addGraphToSemIndex(spark, idx)
+    val cells = graft.operators.IndexStore.read(spark, idx, "vectors")
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def kinds(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("src"), col("dst"), col("kind"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val e = kinds(graft.operators.IndexStore.read(spark, idx, "gedges"))
+    val cross = e.filter(_._3 == 1)
+    assert(cross.nonEmpty, "the build must lay down cross-cell edges")
+    cross.foreach { case (a, b, _) =>
+      assert(cells(a) !== cells(b),
+        s"a kind-1 edge must cross cells: $a(${cells(a)}) -> $b(${cells(b)})")
+    }
+    e.filter(_._3 == 0).foreach { case (a, b, _) =>
+      assert(cells(a) === cells(b),
+        s"a kind-0 edge must stay within its cell: $a -> $b")
+    }
+    // Compaction re-trims per (src, kind): the cross edge — almost
+    // always the lowest-cosine row for its src — must survive even
+    // where the src also holds a full within-cell budget.
+    VectorOps.compactSemIndex(spark, idx)
+    val after = kinds(graft.operators.IndexStore.read(spark, idx, "gedges"))
+    assert(after.toSet === e.toSet,
+      "an untouched index must compact to the same edge set, kinds intact")
+  }
+
   test("build + search: exact-direction query finds its nearest stored neighbor") {
     val idx = freshIdx("build")
     VectorOps.buildSemIndex(spark, vecsDf(baseRows: _*), idx)
