@@ -424,6 +424,36 @@ object IndexStore {
     * writer lock inside [[rebucket]], so a streaming refresh can call
     * this between micro-batches exactly like the compaction-threshold
     * arm. */
+  /** Exact table row count from parquet FOOTER metadata — O(files) small
+    * metadata reads instead of a full Spark scan-and-count job, which is
+    * what lets [[rebucketIfGrown]] run in a streaming hot loop per
+    * micro-batch without paying an O(table) scan when far under target
+    * (parquet footers record exact per-file row counts, so this is not
+    * an estimate). None when any file's footer is unreadable — the
+    * caller falls back to the exact count job. */
+  private def footerRowCount(s: SparkSession, dir: String,
+      table: String): Option[Long] = scala.util.Try {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table")
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
+    val it = fs.listFiles(p, true)
+    var total = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(f, conf))
+        try {
+          val blocks = r.getFooter.getBlocks
+          var i = 0
+          while (i < blocks.size()) { total += blocks.get(i).getRowCount; i += 1 }
+        } finally r.close()
+      }
+    }
+    total
+  }.toOption
+
   private[graft] def rebucketIfGrown(s: SparkSession, dir: String,
       table: String, targetRowsPerBucket: Long): Boolean = {
     require(targetRowsPerBucket > 0,
@@ -431,7 +461,12 @@ object IndexStore {
     spec(s, dir, table) match {
       case None => false
       case Some((n, _)) =>
-        val rows = read(s, dir, table).count()
+        // Footer metadata first (cheap, exact); a Spark count job only as
+        // the fallback for an unreadable footer — the round-16 version
+        // paid a full read(...).count() per micro-batch even when far
+        // under target.
+        val rows = footerRowCount(s, dir, table)
+          .getOrElse(read(s, dir, table).count())
         val needed = ((rows + targetRowsPerBucket - 1) /
           targetRowsPerBucket).max(1L)
         var want = n.toLong

@@ -1157,7 +1157,20 @@ object VectorOps extends QueryModule {
       // the reverse rows against the right bound.
       val back = out.select(col("dst").as("src"), col("src").as("dst"),
         col("ecos"), col("kind"))
-      graft.operators.IndexStore.append(out.unionByName(back), dir, "gedges")
+      // Legacy-schema guard (the codes/`label` discipline applied to
+      // gedges): a graph index persisted before the cross-cell-edge round
+      // has no `kind` column, and a bucketed append with an extra column
+      // fails on schema mismatch. Appends project down to the TABLE's
+      // columns — legacy rows stay legacy (compaction's single-bound trim
+      // below handles them) instead of failing the refresh loop.
+      val tableCols = graft.operators.IndexStore.read(s, dir, "gedges")
+        .columns.toSet
+      val rows = out.unionByName(back)
+      val appended =
+        if (tableCols.contains("kind")) rows
+        else rows.select(rows.columns.filter(tableCols.contains)
+          .map(col).toSeq: _*)
+      graft.operators.IndexStore.append(appended, dir, "gedges")
     }
   }
 
@@ -1257,12 +1270,24 @@ object VectorOps extends QueryModule {
         val alive = dropSemTombstoned(
           dropSemTombstoned(df, "src", tombs), "dst", tombs)
           .dropDuplicates("src", "dst")
-        val w = Window.partitionBy(col("src"), col("kind"))
-          .orderBy(col("ecos").desc, col("dst"))
-        alive.withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= when(col("kind") === 0, lit(WithinDegree))
-            .otherwise(lit(CrossDegree)))
-          .drop("rn")
+        // Legacy-schema guard (mirrors the append arm): a pre-cross-edge
+        // gedges table has no `kind` column — re-trim those to the single
+        // [[GraphDegree]] bound they were built with instead of failing on
+        // the missing column.
+        if (alive.columns.contains("kind")) {
+          val w = Window.partitionBy(col("src"), col("kind"))
+            .orderBy(col("ecos").desc, col("dst"))
+          alive.withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= when(col("kind") === 0, lit(WithinDegree))
+              .otherwise(lit(CrossDegree)))
+            .drop("rn")
+        } else {
+          val w = Window.partitionBy(col("src"))
+            .orderBy(col("ecos").desc, col("dst"))
+          alive.withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= GraphDegree)
+            .drop("rn")
+        }
       }
     // Re-read + overwrite under the writer lock: a concurrent
     // tombstoneVecs serializes against this window instead of racing it.
