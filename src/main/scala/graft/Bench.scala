@@ -50,12 +50,20 @@ object Bench {
         }
       (("cpu" -> cpu) +: sq).toMap
     }
-    val noiseFactor = {
+    // Per-probe dispersion beside the median (round-16 verdict: same-day
+    // factors disagreed 0.70 vs 0.81 — a ±40% swing in a correction
+    // applied to a ±20% signal). calib_spread = max/min probe ratio;
+    // calib_ok flags an envelope a reader can trust (spread ≤ 1.5).
+    // Cross-round normalization should be distrusted when calib_ok is
+    // false — the probes themselves disagreed about the machine.
+    val (noiseFactor, calibSpread) = {
       val ratios = calib.collect {
         case (k, v) if calibRef.contains(k) => v / calibRef(k)
       }.toSeq.sorted
-      if (ratios.isEmpty) 1.0 else ratios(ratios.size / 2)
+      if (ratios.isEmpty) (1.0, 1.0)
+      else (ratios(ratios.size / 2), ratios.last / ratios.head)
     }
+    val calibOk = calibSpread <= 1.5
     System.gc()
     // Three timed runs per query, MEDIAN reported (round 16, the r15
     // verdict's methodology ask): single runs at local[32] swing
@@ -66,10 +74,18 @@ object Bench {
     // direction. Declared in the JSON as runs=3/agg=median; cross-round
     // readers must not compare a median-of-3 total against the r15-era
     // min-of-2 totals without noting the aggregation change.
+    // A throwing query must never silently fold a near-zero time into
+    // the total (round-16 verdict note on Bench.scala:62): failures are
+    // counted per query and surfaced as failed_queries in every
+    // artifact. Correctness is gated separately (Verify + the DuckDB
+    // oracles); this counter is what keeps a broken build from
+    // UNDER-reading in the bench.
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = sorted.map { case (name, fn) =>
       val dt = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() }
+        catch { case _: Throwable => failed += name; -1L }
         val t = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         t
@@ -103,15 +119,16 @@ object Bench {
     val calibJson = calib.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val stdoutLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":3,"agg":"median","noise_factor":${fmt(noiseFactor)},"n_queries":${results.size},"sf":"$sfDir","queries_file":"BENCH_LINE.json"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":3,"agg":"median","noise_factor":${fmt(noiseFactor)},"calib_spread":${fmt(calibSpread)},"calib_ok":$calibOk,"failed_queries":${failed.size},"n_queries":${results.size},"sf":"$sfDir","queries_file":"BENCH_LINE.json"}"""
     require(stdoutLine.length <= 1900,
       s"stdout bench line must stay under the driver's tail capture (${stdoutLine.length} chars)")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":3,"agg":"median","noise_factor":${fmt(noiseFactor)},"queries":$qsShort,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":3,"agg":"median","noise_factor":${fmt(noiseFactor)},"calib_spread":${fmt(calibSpread)},"calib_ok":$calibOk,"failed_queries":${failed.size},"queries":$qsShort,"sf":"$sfDir"}"""
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedJson = failed.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
     val lineFull =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":3,"agg":"median","noise_factor":$noiseFactor,"calib":$calibJson,"queries":$qsFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":3,"agg":"median","noise_factor":$noiseFactor,"calib_spread":$calibSpread,"calib_ok":$calibOk,"failed_queries":$failedJson,"calib":$calibJson,"queries":$qsFull,"sf":"$sfDir"}"""
     // Two artifacts (BENCH_r10 parsed:null — log noise overflowed the
     // driver's bounded tail capture of stdout): the exact driver line
     // goes to BENCH_LINE.json so the artifact survives any capture

@@ -2662,6 +2662,15 @@ object VectorOps extends QueryModule {
     * [[probeIvfAdcTop3]] (ranks it) and q247's sweep card (counts it:
     * the frame's size IS the per-nprobe scored-pair work). */
   private[queries] def ivfAdcScoredCands(s: SparkSession, batch: DataFrame,
+      dir: String, nprobe: Int): DataFrame =
+    ivfAdcScoredRanked(s, batch, dir, nprobe).drop("cell_rank")
+
+  /** [[ivfAdcScoredCands]] with the probed cell's RANK (1 = the query's
+    * best coarse cell) kept on every candidate row — the hybrid probe
+    * seeds one graph beam per probed cell at that cell's ADC argmax, so
+    * it needs to know which cell a candidate came from; the plain
+    * ADC consumers drop the column. */
+  private[queries] def ivfAdcScoredRanked(s: SparkSession, batch: DataFrame,
       dir: String, nprobe: Int): DataFrame = {
     // collect-bound: centroid table — ≤ k rows, k ∝ √n via ivfKFor
     val cRows: Seq[Seq[Double]] = s.read.parquet(s"$dir/centroids")
@@ -2679,14 +2688,15 @@ object VectorOps extends QueryModule {
     }
     val probes = qFrame
       .select(col("vec_id").as("query_id"),
-        explode(slice(sc, 1, nprobe)).as("pc"),
+        posexplode(slice(sc, 1, nprobe)).as(Seq("pos", "pc")),
         array(dims.indices.map { j =>
           // LUT over exactly the codewords the book has (see withPqCodes)
           transform(sequence(lit(0), lit(cb(j).size - 1)), c =>
             call_function("graft_dot", col(s"pv$j"),
               element_at(typedlit(cb(j)), c + lit(1))))
         }: _*).as("lut"))
-      .select(col("query_id"), col("pc")("cid").cast("bigint").as("cell"),
+      .select(col("query_id"), (col("pos") + 1).as("cell_rank"),
+        col("pc")("cid").cast("bigint").as("cell"),
         col("pc")("cc").as("coarse"), col("lut"))
     val codesDf = dropSemTombstoned(
       graft.operators.IndexStore.read(s, dir, "codes"),
@@ -2705,8 +2715,8 @@ object VectorOps extends QueryModule {
       .withColumn("adc_cos", col("coarse") + expr(
         s"aggregate(sequence(0, ${PqM - 1}), cast(0.0 as double), " +
           "(acc, j) -> acc + lut[j][cd[j]])"))
-      .select(Seq(col("query_id"), col("neighbor_id"), col("adc_cos")) ++
-        baked: _*)
+      .select(Seq(col("query_id"), col("cell_rank"), col("neighbor_id"),
+        col("adc_cos")) ++ baked: _*)
   }
 
   /** ADC top-3 of a query batch against a persisted IVFADC index:
@@ -3442,7 +3452,9 @@ object VectorOps extends QueryModule {
     *    dedup (src, dst), re-trim per-src to [[GraphDegree]] by (ecos,
     *    dst) — one bucketed rewrite in the same locked pass as
     *    `vectors`. */
-  private[graft] def addGraphToSemIndex(s: SparkSession, dir: String): Unit = {
+  private[graft] def addGraphToSemIndex(s: SparkSession, dir: String,
+      deriveScheme: Boolean = true,
+      target: Double = GraphConfig.DefaultTarget): Unit = {
     // The vector store persists only the rank-1 cell; the cross arm needs
     // each node's SECOND-ranked centroid cell, recomputed row-locally
     // against the frozen centroid table (same expression as the build, so
@@ -3457,7 +3469,113 @@ object VectorOps extends QueryModule {
       .localCheckpoint(true) // consumers: both pair sides
     graft.operators.IndexStore.create(graphEdges(asg, asg), dir, "gedges",
       Seq("src"))
+    if (deriveScheme) deriveGraphScheme(s, dir, target)
   }
+
+  /** Number of in-index calibration queries the build-time scheme sweep
+    * holds out — the same 8-query granularity as the q252 card (recall
+    * quantized to eighths; a larger corpus could afford more, but the
+    * oracle restates this constant so it stays a library constant). */
+  private val GraphCalibQueries = 8
+
+  /** Deterministic, corpus-spread calibration split of an index's own
+    * nodes: the [[GraphCalibQueries]] smallest nodes by md5(vec_id) —
+    * hash order decorrelates the split from the id-ordered centroid
+    * seeds (the round-16 seed-coincidence class: "first k ids ARE the
+    * centroids"), and a global ORDER BY…LIMIT is a distributed top-k,
+    * never a single-partition window. Ties (none in practice — the hash
+    * is 60 bits) break by vec_id. */
+  private def graphCalibBatch(nodes: DataFrame): DataFrame =
+    nodes.select(col("vec_id"), col("ue"),
+        expr("cast(conv(substring(md5(cast(vec_id as string)), 1, 15), 16, 10) as bigint)")
+          .as("hk"))
+      .orderBy(col("hk"), col("vec_id")).limit(GraphCalibQueries)
+      .select(col("vec_id").as("query_id"), col("ue").as("qu"))
+
+  /** Exact cosine top-1 of a (query_id, qu) calibration batch against
+    * the index's live nodes, self excluded — the LEAVE-ONE-OUT ground
+    * truth of the build-time sweep (the q245/q246 protocol: calibration
+    * queries are in-graph nodes, never entered or returned as their own
+    * neighbor). Brute force by design; the broadcast side is the ≤
+    * [[GraphCalibQueries]]-row batch. */
+  private def calibExactTop1(calib: DataFrame, nodes: DataFrame): DataFrame = {
+    val c = nodes.select(col("vec_id").as("neighbor_id"), col("ue").as("cu"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(expr("graft_dot(qu, cu)").desc, col("neighbor_id"))
+    broadcast(calib).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("query_id"), col("neighbor_id").as("exact_id"))
+  }
+
+  /** Run the [[GraphConfig.SweepArms]] grid on the index's OWN corpus
+    * and persist the derived (entries, width, hops) — plus the full
+    * measured curve — as `gscheme`, the graph twin of the LSH index
+    * persisting its (bands, rows) and the semantic index its τ (the
+    * round-16 verdict's top gap: `GraphConfig.MeasuredCurve` is a
+    * compile-time constant pinned at sf0.01, so an index built on any
+    * other corpus silently inherited a curve measured on someone
+    * else's). Protocol: [[graphCalibBatch]] leave-one-out queries, one
+    * [[probeGraphPrepared]] per arm over ONE shared prep, recall@1 vs
+    * [[calibExactTop1]], scheme = [[GraphConfig.schemeFor]] over exactly
+    * those rows. Probes read the persisted scheme back
+    * ([[indexScheme]]); [[GraphConfig.Default]] remains only the
+    * fallback for legacy dirs without the artifact. The scheme is index
+    * METADATA: appends/takedowns do not re-derive it (aged like the
+    * centroids and τ, recalibrated offline by re-running this). */
+  private[graft] def deriveGraphScheme(s: SparkSession, dir: String,
+      target: Double = GraphConfig.DefaultTarget): Unit = {
+    import s.implicits._
+    val nodes = graft.operators.IndexStore.read(s, dir, "vectors")
+      .select(col("vec_id"), col("ue"), col("cell"))
+    val calib = graphCalibBatch(nodes).localCheckpoint(true)
+    val nCal = calib.count()
+    val curve: Seq[(GraphConfig.Scheme, Double)] =
+      if (nCal == 0) GraphConfig.SweepArms.map(_ -> 0.0)
+      else {
+        val exact = calibExactTop1(calib, nodes)
+          .localCheckpoint(true) // consumers: one hit-join per arm
+        val prep = graphProbePrepUnit(s,
+          calib.select(col("query_id").as("vec_id"), col("qu").as("ue")), dir)
+        GraphConfig.SweepArms.map { arm =>
+          val (res, _) = probeGraphPrepared(s, prep, arm.entries, arm.width,
+            arm.hops)
+          // collect-bound: groupless aggregate — 1 row (per-arm hit count)
+          val hits = res.join(exact, "query_id")
+            .agg(coalesce(sum((col("found_id") === col("exact_id"))
+              .cast("long")), lit(0L)).as("hits"))
+            .head().getLong(0)
+          arm -> hits.toDouble / nCal
+        }
+      }
+    // An EMPTY index measures nothing: persist the library default so the
+    // probe behaves exactly like the no-metadata fallback path.
+    val chosen =
+      if (nCal == 0) GraphConfig.Default
+      else GraphConfig.schemeFor(target, curve)
+    curve.map { case (a, r) =>
+        (a.entries, a.width, a.hops, r, nCal, a == chosen) }
+      .toDF("entries", "width", "hops", "recall_at1", "n_calib", "chosen")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/gscheme")
+  }
+
+  /** The persisted search scheme of a graph index, or None for a legacy
+    * dir built before scheme derivation. */
+  private[graft] def loadGraphScheme(s: SparkSession,
+      dir: String): Option[GraphConfig.Scheme] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/gscheme")
+    if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)) None
+    else {
+      val r = s.read.parquet(p.toString).filter(col("chosen")).head()
+      Some(GraphConfig.Scheme(r.getAs[Int]("entries"),
+        r.getAs[Int]("width"), r.getAs[Int]("hops")))
+    }
+  }
+
+  /** The scheme a probe of `dir` runs at: the index's own persisted
+    * derivation when present, [[GraphConfig.Default]] otherwise. */
+  private[graft] def indexScheme(s: SparkSession,
+      dir: String): GraphConfig.Scheme =
+    loadGraphScheme(s, dir).getOrElse(GraphConfig.Default)
 
   /** Greedy (or width-`width` beam) search of a query batch through a
     * PERSISTED graph index: queries rank the frozen centroids to pick
@@ -3475,18 +3593,21 @@ object VectorOps extends QueryModule {
     * that join's big side streams against the broadcast frontier in any
     * real deployment, which is why vectors carries one layout, not two. */
   private[graft] def probeGraphIndex(s: SparkSession, batch: DataFrame,
-      dir: String, entries: Int = GraphConfig.Default.entries,
-      width: Int = GraphConfig.Default.width,
-      hops: Int = GraphConfig.Default.hops): DataFrame =
+      dir: String, entries: Int = -1, width: Int = -1,
+      hops: Int = -1): DataFrame =
     probeGraphIndexCost(s, batch, dir, entries, width, hops)._1
 
   /** The probe plus its executed cost frame — (top-1 per query, 1-row
     * Σ candidate-scorings) — q252's measured axis; [[probeGraphIndex]]
-    * is this with the cost discarded. The default (entries, width,
-    * hops) is the [[GraphConfig]]-derived scheme: the cheapest arm of
-    * the committed q252 sweep meeting the default recall target, NOT a
-    * hand-picked constant (the LshConfig.schemeFor discipline applied
-    * to the graph index).
+    * is this with the cost discarded. Non-positive knobs (the default)
+    * resolve PER KNOB to the INDEX's persisted scheme — the build-time
+    * sweep on the index's own corpus ([[deriveGraphScheme]]), falling
+    * back to [[GraphConfig.Default]] for legacy dirs without the
+    * artifact — so a probe always searches the way the index it reads
+    * was measured, across sessions and regardless of session conf (the
+    * LshConfig persisted-scheme discipline applied to the graph index).
+    * Explicit positive knobs override individually (the sweep/spec
+    * path).
     *
     * `entries` seeds one INDEPENDENT beam per top-`entries` query cell
     * (each entered at that cell's smallest-id live member) — the graph
@@ -3499,9 +3620,13 @@ object VectorOps extends QueryModule {
     * cells holds a live non-self member. */
   private[graft] def probeGraphIndexCost(s: SparkSession, batch: DataFrame,
       dir: String, entries: Int, width: Int,
-      hops: Int): (DataFrame, DataFrame) =
-    probeGraphPrepared(s, graphProbePrep(s, batch, dir), entries, width,
-      hops)
+      hops: Int): (DataFrame, DataFrame) = {
+    lazy val own = indexScheme(s, dir)
+    val e = if (entries > 0) entries else own.entries
+    val w = if (width > 0) width else own.width
+    val h = if (hops > 0) hops else own.hops
+    probeGraphPrepared(s, graphProbePrep(s, batch, dir), e, w, h)
+  }
 
   /** Probe inputs shared across schemes: live node/edge frames, the
     * centroid-ranked query batch (FULL cell ranking — arms slice their
@@ -3513,6 +3638,16 @@ object VectorOps extends QueryModule {
       edges: DataFrame, low2: Seq[Long])
 
   private def graphProbePrep(s: SparkSession, batch: DataFrame,
+      dir: String): GraphProbePrep =
+    graphProbePrepUnit(s, unitize(batch), dir)
+
+  /** [[graphProbePrep]] over an ALREADY-UNIT (vec_id, ue) frame — the
+    * build-time scheme sweep probes the index with ITS OWN stored unit
+    * vectors as calibration queries, and re-normalizing a stored unit
+    * vector (÷ a norm that is 0.999… in floating point) would probe with
+    * bit-different coordinates than the oracle's restatement reads from
+    * the same store. */
+  private def graphProbePrepUnit(s: SparkSession, unit: DataFrame,
       dir: String): GraphProbePrep = {
     val tombs = loadSemTombstones(s, dir)
     val nodes = dropSemTombstoned(
@@ -3524,7 +3659,7 @@ object VectorOps extends QueryModule {
     val rows: Seq[Seq[Double]] = s.read.parquet(s"$dir/centroids")
       .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1)).toSeq
     val sc = sortedCells(typedlit(rows), rows.size)
-    val qv = unitize(batch).select(col("vec_id").as("query_id"),
+    val qv = unit.select(col("vec_id").as("query_id"),
         col("ue").as("qu"), sc.as("cells"))
       .select(col("query_id"), col("qu"),
         expr("transform(cells, c -> cast(c.cid as bigint))").as("qcells"))
@@ -3582,15 +3717,99 @@ object VectorOps extends QueryModule {
   private[graft] def probeGraphIndexTop3(s: SparkSession, batch: DataFrame,
       dir: String): DataFrame = {
     val p = graphProbePrep(s, batch, dir)
+    val own = indexScheme(s, dir)
     val (frontier, _) = graphFrontierPrepared(s, p,
-      GraphConfig.Default.entries, GraphConfig.Default.width,
-      GraphConfig.Default.hops)
+      own.entries, own.width, own.hops)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("gcos").desc, col("node"))
     frontier.select(col("query_id"), col("node"), col("gcos")).distinct()
       .withColumn("rnk", rank().over(w)).filter(col("rnk") <= 3)
       .select(col("query_id"), col("node").as("found_id"),
         col("gcos").as("found_cos"), col("rnk").cast("int").as("rnk"))
+  }
+
+  /** Top-3 HYBRID search — the DiskANN serving shape as a PRODUCT query
+    * (the round-16 verdict's q253 gap: the hybrid existed only as a
+    * pricing card, its seeds capped by the ADC probe's [[IvfAdcNprobe]]
+    * ceiling rather than the index's derived `entries`). Requires an
+    * index dir carrying BOTH artifacts (PQ codes + gedges). Shape:
+    *
+    *  1. the query ranks the frozen centroids and ADC-scores the
+    *     occupants of its top-`entries` cells (`entries` from the
+    *     index's PERSISTED scheme — the graph knob, not the ADC nprobe
+    *     constant: a cell the ADC probe would never open is exactly the
+    *     entry a boundary-missed neighbor needs);
+    *  2. each probed cell seeds ONE independent beam at that cell's
+    *     ADC-argmax candidate — a smarter entry than the graph probe's
+    *     smallest-id member (the quantizer already ranked the cell's
+    *     occupants; entering at its best guess shortens the walk);
+    *     queries whose probed cells are all empty fall back to the
+    *     graph probe's LIMIT-2 corpus entry;
+    *  3. `width`-beam, `hops`-hop exact-scored refinement through the
+    *     bucketed gedges ([[beamCore]] — the SAME engine as the graph
+    *     probe), final pool deduped across beams and cut by the q243
+    *     rank rule.
+    *
+    * Scale shape: stage 1 is the IVFADC probe's plan at nprobe=entries
+    * (batch-sized, cell-bucketed codes join); stages 2-3 are the graph
+    * probe's (frontier always the broadcast side) — composing them adds
+    * no new plan class. */
+  private[graft] def probeHybridTop3(s: SparkSession, batch: DataFrame,
+      dir: String): DataFrame = {
+    val (frontier, _) = hybridFrontierCost(s, batch, dir)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("gcos").desc, col("node"))
+    frontier.select(col("query_id"), col("node"), col("gcos")).distinct()
+      .withColumn("rnk", rank().over(w)).filter(col("rnk") <= 3)
+      .select(col("query_id"), col("node").as("found_id"),
+        col("gcos").as("found_cos"), col("rnk").cast("int").as("rnk"))
+  }
+
+  /** The hybrid search's final beam pool plus its EXECUTED bill — the
+    * 1-row Σ of the ADC candidate scorings (stage 1, the full frame at
+    * nprobe = entries) and the beam expansion scorings (stage 3) —
+    * shared by [[probeHybridTop3]] and the clustered strategy card's
+    * hybrid arm (nothing amortized away: the card prices exactly what
+    * the product query pays). */
+  private def hybridFrontierCost(s: SparkSession, batch: DataFrame,
+      dir: String): (DataFrame, DataFrame) = {
+    val own = indexScheme(s, dir)
+    val scored = ivfAdcScoredRanked(s, batch, dir, nprobe = own.entries)
+      .select(col("query_id"), col("cell_rank"), col("neighbor_id"),
+        col("adc_cos"))
+      .localCheckpoint(true) // consumers: seed argmax + pair count
+    val adcPairs = scored.agg(count(lit(1)).as("adc_pairs"))
+    val wc = Window.partitionBy(col("query_id"), col("cell_rank"))
+      .orderBy(col("adc_cos").desc, col("neighbor_id"))
+    val seeds = scored.withColumn("rn", row_number().over(wc))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("cell_rank").cast("bigint").as("beam"),
+        col("neighbor_id").as("node"))
+      .localCheckpoint(true) // consumers: entry union + fallback anti-join
+    val qu = unitize(batch)
+      .select(col("vec_id").as("query_id"), col("ue").as("qu"))
+      .localCheckpoint(true) // consumers: entry join + fallback spine
+    val tombs = loadSemTombstones(s, dir)
+    val nodes = dropSemTombstoned(
+        graft.operators.IndexStore.read(s, dir, "vectors"), "vec_id", tombs)
+      .select(col("vec_id"), col("ue"), col("cell"))
+    val edges = graft.operators.IndexStore.read(s, dir, "gedges")
+      .select(col("src"), col("dst"))
+    // collect-bound: two smallest live ids — 2 rows (entry fallback)
+    val low2 = nodes.select(col("vec_id")).orderBy(col("vec_id")).limit(2)
+      .collect().map(_.getLong(0))
+    val fb = qu.join(seeds.select(col("query_id")).distinct(),
+        Seq("query_id"), "left_anti")
+      .select(col("query_id"), lit(0L).as("beam"),
+        when(col("query_id") === lit(low2(0)), lit(low2(1)))
+          .otherwise(lit(low2(0))).as("node"))
+    val entry = seeds.unionByName(fb).join(qu, "query_id")
+      .select(col("query_id"), col("qu"), col("beam"), col("node"))
+    val (frontier, exp) = beamCore(s, entry, nodes, edges, own.width,
+      own.hops)
+    val cost = graft.Scalars.withScalar(exp, adcPairs)
+      .select((col("scored_cands") + col("adc_pairs")).as("scored_cands"))
+    (frontier, cost)
   }
 
   /** The shared q250 graph index: the q211 semantic index extended with
@@ -3632,7 +3851,7 @@ object VectorOps extends QueryModule {
        |  SELECT vec_id, cid AS cell2 FROM (
        |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
        |    FROM bcc) t WHERE rn = 2),
-       |gedges AS (
+       |gedges AS MATERIALIZED (
        |  SELECT src, dst FROM (
        |    SELECT a.vec_id AS src, b.vec_id AS dst,
        |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
@@ -3658,7 +3877,31 @@ object VectorOps extends QueryModule {
        |  SELECT vec_id AS query_id, cid AS qcell,
        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS cell_rank
        |  FROM gqcc),
-       |glows AS (SELECT vec_id FROM buni ORDER BY vec_id LIMIT 2)""".stripMargin
+       |glows AS (SELECT vec_id FROM buni ORDER BY vec_id LIMIT 2),
+       |gcq AS MATERIALIZED (
+       |  SELECT vec_id FROM bassign
+       |  ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id
+       |  LIMIT $GraphCalibQueries),
+       |gaq AS MATERIALIZED (
+       |  SELECT b.vec_id, b.ue FROM buni b JOIN gcq c ON c.vec_id = b.vec_id
+       |  UNION ALL
+       |  SELECT vec_id, ue FROM gq),
+       |gacc AS (
+       |  SELECT q.vec_id, cent.cid, ${dot("q.ue", "cent.cu")} AS cc
+       |  FROM gaq q CROSS JOIN cent),
+       |garank AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, cid AS qcell,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS cell_rank
+       |  FROM gacc),
+       |gcex AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id AS exact_id FROM (
+       |    SELECT c.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+       |        ${dot("qu.ue", "b.ue")} DESC, b.vec_id) AS rn
+       |    FROM gcq c JOIN buni qu ON qu.vec_id = c.vec_id
+       |    JOIN buni b ON b.vec_id <> c.vec_id) t
+       |  WHERE rn = 1),
+       |gncal AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_calib FROM gcq)""".stripMargin
   }
 
   /** One (entries, width, hops) search chain over [[graphIdxCtes]],
@@ -3673,12 +3916,13 @@ object VectorOps extends QueryModule {
     * q250/q251 restate the default scheme and q252 restates every
     * sweep arm from the same builder. */
   private def graphBeamChain(p: String, entries: Int, width: Int,
-      hops: Int): String = {
+      hops: Int, rankCte: String = "gqrank",
+      qCte: String = "gq"): String = {
     def dot(a: String, b: String) =
       s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), z -> z[1] * z[2])), (x, y) -> x + y)"
-    s"""${p}em AS (
+    s"""${p}em AS MATERIALIZED (
        |  SELECT c.query_id, c.cell_rank AS beam, MIN(m.vec_id) AS node
-       |  FROM gqrank c JOIN bassign m ON m.cell = c.qcell AND m.vec_id <> c.query_id
+       |  FROM $rankCte c JOIN bassign m ON m.cell = c.qcell AND m.vec_id <> c.query_id
        |  WHERE c.cell_rank <= $entries
        |  GROUP BY c.query_id, c.cell_rank),
        |${p}fb AS (
@@ -3686,9 +3930,9 @@ object VectorOps extends QueryModule {
        |    CASE WHEN g.vec_id = (SELECT MIN(vec_id) FROM glows)
        |         THEN (SELECT MAX(vec_id) FROM glows)
        |         ELSE (SELECT MIN(vec_id) FROM glows) END AS node
-       |  FROM gq g
+       |  FROM $qCte g
        |  WHERE NOT EXISTS (SELECT 1 FROM ${p}em e WHERE e.query_id = g.vec_id)),
-       |${p}h0 AS (
+       |${p}h0 AS MATERIALIZED (
        |  SELECT en.query_id, en.beam, en.node, ${dot("q.ue", "n.ue")} AS gcos
        |  FROM (SELECT query_id, beam, node FROM ${p}em
        |        UNION ALL SELECT query_id, beam, node FROM ${p}fb) en
@@ -3704,14 +3948,14 @@ object VectorOps extends QueryModule {
     def dot(a: String, b: String) =
       s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), z -> z[1] * z[2])), (x, y) -> x + y)"
     def hop(t: Int) =
-      s"""${p}nb$t AS (
+      s"""${p}nb$t AS MATERIALIZED (
          |  SELECT f.query_id, f.beam, n.vec_id AS node, ${dot("q.ue", "n.ue")} AS gcos
          |  FROM ${p}h${t - 1} f
          |  JOIN gedges e ON e.src = f.node
          |  JOIN buni n ON n.vec_id = e.dst
          |  JOIN u q ON q.vec_id = f.query_id
          |  WHERE e.dst <> f.query_id),
-         |${p}h$t AS (
+         |${p}h$t AS MATERIALIZED (
          |  SELECT query_id, beam, node, gcos FROM (
          |    SELECT query_id, beam, node, gcos,
          |      ROW_NUMBER() OVER (PARTITION BY query_id, beam ORDER BY gcos DESC, node) AS rn
@@ -3735,9 +3979,84 @@ object VectorOps extends QueryModule {
     GraphConfig.Default.entries, GraphConfig.Default.width,
     GraphConfig.Default.hops)
 
+  /** The build-time scheme derivation AND the scheme-driven search,
+    * restated — the oracle twin of [[deriveGraphScheme]] +
+    * [[probeGraphIndexCost]]'s metadata read: one beam chain per
+    * [[GraphConfig.SweepArms]] arm over the COMBINED calibration ∪
+    * held-out query set (beams are per-query independent, so one
+    * combined batch ≡ the engine's two separate probes), per-arm
+    * calibration recall against the leave-one-out exact top-1 (`gcex`),
+    * the winner pick with [[GraphConfig.schemeFor]]'s exact ordering
+    * (qualifying arms by modeled cost/hops/width/entries; fallback to
+    * best-recall), and the held-out rows of the winning arm as
+    * `gdbest` (top-1) / `gdpool` (final frontier, the q254 input). An
+    * arm's chain only executes when referenced — DuckDB prunes the
+    * losers' search CTEs where it can; the calibration arms all run, as
+    * they do in the engine's build sweep. */
+  private def derivedSchemeCtes: String = {
+    val arms = GraphConfig.SweepArms.zipWithIndex
+    val chains = arms.map { case (a, i) =>
+      graphBeamChain(s"w$i", a.entries, a.width, a.hops,
+        rankCte = "garank", qCte = "gaq")
+    }.mkString(",\n")
+    val chits = arms.map { case (_, i) =>
+      s"""w${i}chit AS (
+         |  SELECT CAST(COALESCE(SUM(CASE WHEN f.node = x.exact_id THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits
+         |  FROM w${i}best f JOIN gcex x USING (query_id))""".stripMargin
+    }.mkString(",\n")
+    val curve = arms.map { case (a, i) =>
+      s"""  SELECT CAST(${a.entries} AS INTEGER) AS entries,
+         |    CAST(${a.width} AS INTEGER) AS width,
+         |    CAST(${a.hops} AS INTEGER) AS hops,
+         |    CAST(${a.cost()} AS INTEGER) AS cost,
+         |    (SELECT hits FROM w${i}chit) AS hits""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val best = arms.map { case (a, i) =>
+      s"""  SELECT b.query_id, b.node, b.gcos FROM w${i}best b, gwin w
+         |  WHERE w.entries = ${a.entries} AND w.width = ${a.width} AND w.hops = ${a.hops}
+         |    AND b.query_id IN (SELECT vec_id FROM gq)""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val pool = arms.map { case (a, i) =>
+      s"""  SELECT b.query_id, b.node, b.gcos FROM w${i}h${a.hops} b, gwin w
+         |  WHERE w.entries = ${a.entries} AND w.width = ${a.width} AND w.hops = ${a.hops}
+         |    AND b.query_id IN (SELECT vec_id FROM gq)""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    // The winning arm's executed expansion count restricted to the
+    // HELD-OUT queries — the combined chain's own {p}sc sums calibration
+    // expansions too, which the engine's probe (held-out batch only)
+    // never pays.
+    val cost = arms.map { case (a, i) =>
+      val hopSum = (1 to a.hops).map(t =>
+        s"(SELECT COUNT(*) FROM w${i}nb$t WHERE query_id IN (SELECT vec_id FROM gq))")
+        .mkString(" + ")
+      s"""  SELECT CAST($hopSum AS BIGINT) AS scored_cands FROM gwin w
+         |  WHERE w.entries = ${a.entries} AND w.width = ${a.width} AND w.hops = ${a.hops}""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val t = GraphConfig.DefaultTarget
+    s"""$chains,
+       |$chits,
+       |gcurve AS (
+       |$curve),
+       |gwin AS (
+       |  SELECT entries, width, hops FROM (
+       |    SELECT g.entries, g.width, g.hops,
+       |      ROW_NUMBER() OVER (ORDER BY
+       |        CASE WHEN CAST(g.hits AS DOUBLE) / CAST(n.n_calib AS DOUBLE) >= $t THEN 1 ELSE 0 END DESC,
+       |        CASE WHEN CAST(g.hits AS DOUBLE) / CAST(n.n_calib AS DOUBLE) >= $t THEN 0.0
+       |             ELSE -(CAST(g.hits AS DOUBLE) / CAST(n.n_calib AS DOUBLE)) END,
+       |        g.cost, g.hops, g.width, g.entries) AS rn
+       |    FROM gcurve g, gncal n) z WHERE rn = 1),
+       |gdbest AS (
+       |$best),
+       |gdpool AS (
+       |$pool),
+       |gdsc AS (
+       |$cost)""".stripMargin
+  }
+
   private def q250Sql: String =
     s"""WITH $graphIdxCtes,
-       |${defaultChain("gd")}
+       |$derivedSchemeCtes
        |SELECT query_id, node AS found_id, gcos AS found_cos FROM gdbest
        |ORDER BY query_id""".stripMargin
 
@@ -3749,21 +4068,353 @@ object VectorOps extends QueryModule {
 
   private def q254Sql: String =
     s"""WITH $graphIdxCtes,
-       |${defaultChain("gd")}
+       |$derivedSchemeCtes
        |SELECT query_id, found_id, found_cos, rnk FROM (
        |  SELECT query_id, node AS found_id, gcos AS found_cos,
        |    CAST(RANK() OVER (PARTITION BY query_id ORDER BY gcos DESC, node) AS INTEGER) AS rnk
-       |  FROM (SELECT DISTINCT query_id, node, gcos
-       |        FROM gdh${GraphConfig.Default.hops}) z) t
+       |  FROM (SELECT DISTINCT query_id, node, gcos FROM gdpool) z) t
        |WHERE rnk <= 3
        |ORDER BY query_id, rnk, found_id""".stripMargin
+
+  /** q256 — hybrid top-3 search through BOTH persisted artifacts (see
+    * [[probeHybridTop3]]): ADC seeds from the index-scheme-derived
+    * `entries` cells, graph refinement at the index's (width, hops),
+    * the q243/q254 ranked consumer shape. */
+  private def q256(s: SparkSession, d: String): DataFrame = {
+    builtIvfAdc(s, d) // ensures the PQ artifacts on the shared dir
+    val dir = builtGraphIndex(s, d) // same dir; ensures gedges + gscheme
+    probeHybridTop3(s, ivfAdcQueries(s, d), dir)
+      .orderBy("query_id", "rnk", "found_id")
+  }
+
+  /** The hybrid search restated over the composed tails: ADC candidates
+    * of the top-`gwin.entries` cells (DYNAMIC nprobe — a scalar subquery
+    * against the restated scheme derivation, which is why the winner CTE
+    * machinery rides along), per-cell argmax seeds, then one beam chain
+    * per DISTINCT (width, hops) in the sweep grid with the winner's
+    * chain selected at the end — width/hops are structural (unrolled
+    * hops), so every possible shape is emitted and the scheme picks. */
+  private def q256Sql: String =
+    s"""WITH $semIndexCtes,
+       |$ivfAdcTailCtes,
+       |$graphTailCtes,
+       |$derivedSchemeCtes,
+       |$hybridCtes
+       |SELECT query_id, found_id, found_cos, rnk FROM (
+       |  SELECT query_id, node AS found_id, gcos AS found_cos,
+       |    CAST(RANK() OVER (PARTITION BY query_id ORDER BY gcos DESC, node) AS INTEGER) AS rnk
+       |  FROM (SELECT DISTINCT query_id, node, gcos FROM hbpool) z) t
+       |WHERE rnk <= 3
+       |ORDER BY query_id, rnk, found_id""".stripMargin
+
+  /** The hybrid probe's CTE block — assumes the sem-index + ADC + graph
+    * tails and [[derivedSchemeCtes]] (for `gwin`) precede it. Ends with
+    * `hbpool` (the final beam pool of the winning shape) and `hbsc`
+    * (its executed expansion count); `hbscore`'s row count is the ADC
+    * pair bill. */
+  private def hybridCtes: String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), z -> z[1] * z[2])), (x, y) -> x + y)"
+    val shapes = GraphConfig.SweepArms.map(a => (a.width, a.hops)).distinct
+    val chains = shapes.map { case (w, h) =>
+      s"""hb${w}x${h}h0 AS (SELECT query_id, beam, node, gcos FROM hbh0),
+         |${beamHopCtes(s"hb${w}x$h", w, h)}""".stripMargin
+    }.mkString(",\n")
+    val pool = shapes.map { case (w, h) =>
+      s"""  SELECT b.query_id, b.node, b.gcos FROM hb${w}x${h}h$h b, gwin x
+         |  WHERE x.width = $w AND x.hops = $h""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val cost = shapes.map { case (w, h) =>
+      s"""  SELECT sc.scored_cands FROM hb${w}x${h}sc sc, gwin x
+         |  WHERE x.width = $w AND x.hops = $h""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""hbprobe AS (
+       |  SELECT vec_id, cell, cc, cell_rank FROM (
+       |    SELECT vec_id, cid AS cell, cc,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS cell_rank
+       |    FROM qcc) t WHERE cell_rank <= (SELECT entries FROM gwin)),
+       |hbcand AS (
+       |  SELECT p.vec_id AS query_id, p.cell_rank, p.cc AS coarse, r.vec_id AS neighbor_id
+       |  FROM hbprobe p
+       |  JOIN (SELECT DISTINCT vec_id, cell FROM rcodes) r ON r.cell = p.cell
+       |  WHERE r.vec_id <> p.vec_id),
+       |hbcontrib AS (
+       |  SELECT c.query_id, c.cell_rank, c.neighbor_id, c.coarse, rc.sub, l.dotv
+       |  FROM hbcand c JOIN rcodes rc ON rc.vec_id = c.neighbor_id
+       |  JOIN qlut l ON l.query_id = c.query_id AND l.sub = rc.sub AND l.cid = rc.code),
+       |hbscore AS MATERIALIZED (
+       |  SELECT query_id, cell_rank, neighbor_id,
+       |    MIN(coarse) + list_reduce(list_prepend(0.0, list(dotv ORDER BY sub)),
+       |      (a, b) -> a + b) AS adc_cos
+       |  FROM hbcontrib GROUP BY query_id, cell_rank, neighbor_id),
+       |hbseed AS MATERIALIZED (
+       |  SELECT query_id, CAST(cell_rank AS BIGINT) AS beam, neighbor_id AS node FROM (
+       |    SELECT query_id, cell_rank, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id, cell_rank ORDER BY adc_cos DESC, neighbor_id) AS rn
+       |    FROM hbscore) t WHERE rn = 1),
+       |hbfb AS (
+       |  SELECT g.vec_id AS query_id, CAST(0 AS BIGINT) AS beam,
+       |    CASE WHEN g.vec_id = (SELECT MIN(vec_id) FROM glows)
+       |         THEN (SELECT MAX(vec_id) FROM glows)
+       |         ELSE (SELECT MIN(vec_id) FROM glows) END AS node
+       |  FROM gq g
+       |  WHERE NOT EXISTS (SELECT 1 FROM hbseed e WHERE e.query_id = g.vec_id)),
+       |hbh0 AS MATERIALIZED (
+       |  SELECT en.query_id, en.beam, en.node, ${dot("q.ue", "n.ue")} AS gcos
+       |  FROM (SELECT query_id, beam, node FROM hbseed
+       |        UNION ALL SELECT query_id, beam, node FROM hbfb) en
+       |  JOIN buni n ON n.vec_id = en.node
+       |  JOIN u q ON q.vec_id = en.query_id),
+       |$chains,
+       |hbpool AS (
+       |$pool),
+       |hbsc AS (
+       |$cost)""".stripMargin
+  }
 
   /** Exact top-1 of the held-out query split (vec_id % 5 = 0 under the
     * ADC bound) against the indexed base split — the recall reference
     * shared by the q251 health card and the q252 sweep. Brute-force by
     * design: it is the measurement's ground truth, |Q| broadcast. */
-  private def heldOutExactTop1(s: SparkSession, d: String): DataFrame = {
-    val u = unitVectors(s, d)
+  // ------------------------------------------------- clustered ANN corpus
+
+  /** Planted-cluster embedding derivation (round 17, the round-16
+    * verdict's item 2): the committed synthetic embeddings are
+    * near-random, so above sf0.01 EVERY graph/hybrid recall number
+    * measured tie-break noise (PLANS' honest "recall@1 = 0.0 at sf0.1
+    * on every arm" wall) — there is no local structure for greedy
+    * routing to exploit, which real embedding corpora have. This
+    * derivation PLANTS that structure deterministically and
+    * oracle-restatably: cluster id = md5('gclu|' ‖ vec_id) mod
+    * [[ClusterCount]] (the q136/q100 hex idiom — hash, not vec_id
+    * arithmetic, so clusters decorrelate from the %5 held-out split and
+    * the id-ordered centroid seeds), clustered vector = unit(anchor of
+    * the cluster) + [[ClusterNoise]]·unit(original embedding), anchors =
+    * the unit vectors of rows 0..7. Downstream consumers re-normalize
+    * (buildSemIndex/unitize), so the mixture needs no normalization
+    * here. At noise 0.6 the within-cluster cosine sits near
+    * 1/(1+0.36) ≈ 0.74 while cross-cluster pairs stay near the anchors'
+    * ≈0 — separated enough that a query's true neighbor is (almost
+    * always) in its own cluster, confusable enough that entries/width
+    * still earn their keep. The q257/q258/q259 cards run the SAME index
+    * machinery over this corpus; the committed-corpus cards stay
+    * registered beside them (an honest "this corpus is unnavigable"
+    * alarm is worth keeping). */
+  private val ClusterCount = 8
+  private val ClusterNoise = 0.6
+
+  private[queries] def clusteredEmbeddings(s: SparkSession,
+      d: String): DataFrame = {
+    val u = unitVectors(s, d).select(col("vec_id"), col("ue"))
+    // collect-bound: anchor rows vec_id < ClusterCount — ≤ 8 rows
+    val anchors: Seq[Seq[Double]] = u.filter(col("vec_id") < ClusterCount)
+      .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1)).toSeq
+    u.withColumn("clu",
+        expr(s"cast(conv(substring(md5(concat('gclu|', cast(vec_id as string))), 1, 15), 16, 10) as bigint) % $ClusterCount"))
+      .select(col("vec_id"),
+        zip_with(element_at(typedlit(anchors), (col("clu") + 1).cast("int")),
+          col("ue"), (a, e) => a + lit(ClusterNoise) * e).as("embedding"))
+  }
+
+  /** Unit vectors of the clustered corpus — the exact-reference frame. */
+  private def clusteredUnit(s: SparkSession, d: String): DataFrame =
+    unitize(clusteredEmbeddings(s, d))
+
+  private def clusteredQueries(s: SparkSession, d: String): DataFrame =
+    clusteredEmbeddings(s, d)
+      .filter(col("vec_id") % 5 === 0 && col("vec_id") < IvfAdcQueryBound)
+
+  /** The clustered-corpus graph index: built by the SAME buildSemIndex /
+    * addGraphToSemIndex pipeline as q250's (scheme derivation included —
+    * so this index derives ITS OWN scheme from its own navigable
+    * corpus), plus the PQ artifacts for the hybrid arm. One build per
+    * (session, corpus), shared by q257/q258/q259. */
+  private val clusteredIdxCache = new graft.SessionCache[String]
+  private def builtClusteredGraphIndex(s: SparkSession, d: String): String =
+    clusteredIdxCache.getOrBuild(s, d) {
+      val dir = graft.Scratch.dir("cgidx", s, d)
+      buildSemIndex(s,
+        clusteredEmbeddings(s, d).filter(col("vec_id") % 5 =!= 0), dir)
+      addPqToSemIndex(s, dir, lloydIters = 1)
+      addGraphToSemIndex(s, dir)
+      dir
+    }
+
+  /** q257 — graph search through the clustered-corpus index at ITS OWN
+    * derived scheme (the q250 shape one corpus over: same build, same
+    * probe, same oracle machinery — only the embedding CTE differs). */
+  private def q257(s: SparkSession, d: String): DataFrame =
+    probeGraphIndex(s, clusteredQueries(s, d),
+      builtClusteredGraphIndex(s, d)).orderBy("query_id")
+
+  /** q258 — the (entries, width, hops) sweep card on the clustered
+    * corpus: the measurement that makes ANN recall MEANINGFUL at every
+    * committed scale (on the near-random corpus every arm reads 0.0 at
+    * sf0.1; here the curve is non-zero and effort-monotone, so scheme
+    * derivation has signal to work with at the scale the library
+    * actually targets). */
+  private def q258(s: SparkSession, d: String): DataFrame =
+    graphSweepCard(s, builtClusteredGraphIndex(s, d),
+      clusteredQueries(s, d), heldOutExactTop1Of(clusteredUnit(s, d)))
+
+  /** q259 — strategy card on the clustered corpus: ivfadc (static
+    * nprobe), graph (the index's derived scheme), hybrid (ADC-argmax
+    * seeds over the derived `entries` cells + derived-width/hops
+    * refinement — [[probeHybridTop3]]'s exact shape and bill). The
+    * round-16 q253 card priced the hybrid with its seeds capped by the
+    * ADC nprobe ceiling on an unnavigable corpus; this is the
+    * re-measurement the round-16 verdict asked for, on a corpus where
+    * recall is real. */
+  private def q259(s: SparkSession, d: String): DataFrame = {
+    val dir = builtClusteredGraphIndex(s, d)
+    val queries = clusteredQueries(s, d)
+      .localCheckpoint(true) // consumers: three probe arms + count
+    val exact = heldOutExactTop1Of(clusteredUnit(s, d))
+      .localCheckpoint(true) // consumers: one hit-join per arm
+    val nq = queries.agg(count(lit(1)).as("n_queries"))
+    def hitsOf(found: DataFrame): DataFrame = found.join(exact, "query_id")
+      .agg(coalesce(sum((col("found_id") === col("exact_id")).cast("long")),
+        lit(0L)).as("hits"))
+    def row(strategy: String, hits: DataFrame, cost: DataFrame): DataFrame =
+      Seq(cost, nq).foldLeft(hits)(graft.Scalars.withScalar)
+        .select(lit(strategy).as("strategy"), col("n_queries"), col("hits"),
+          (col("hits").cast("double") / col("n_queries").cast("double"))
+            .as("recall_at1"),
+          col("scored_cands"))
+    val adcScored = ivfAdcScoredCands(s, queries, dir, IvfAdcNprobe)
+      .localCheckpoint(true) // consumers: top-1 + pair count
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_cos").desc, col("neighbor_id"))
+    val adc1 = adcScored.withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("neighbor_id").as("found_id"))
+    val adcCost = adcScored.agg(count(lit(1)).as("scored_cands"))
+    val (g1, gCost) = probeGraphIndexCost(s, queries, dir, -1, -1, -1)
+    val (hPool, hCost) = hybridFrontierCost(s, queries, dir)
+    val wG = Window.partitionBy(col("query_id"))
+      .orderBy(col("gcos").desc, col("node"))
+    val h1 = hPool.select(col("query_id"), col("node"), col("gcos"))
+      .distinct()
+      .withColumn("rn", row_number().over(wG)).filter(col("rn") === 1)
+      .select(col("query_id"), col("node").as("found_id"))
+    row("graph", hitsOf(g1), gCost)
+      .unionAll(row("hybrid", hitsOf(h1), hCost))
+      .unionAll(row("ivfadc", hitsOf(adc1), adcCost))
+      .orderBy("strategy")
+  }
+
+  /** The clustered corpus's base CTE chain — [[semIndexCtes]] with the
+    * embedding source swapped for the planted-cluster derivation, ending
+    * in the SAME names (params/u/buni/cent/bcc/bassign) so every
+    * downstream tail ([[ivfAdcTailCtes]], [[graphTailCtes]],
+    * [[derivedSchemeCtes]], [[hybridCtes]]) composes verbatim. The
+    * τ-calibration pair pass is omitted: no clustered card consumes τ. */
+  private def clusteredSemIndexCtes: String =
+    s"""params AS (
+       |  SELECT GREATEST(16, 1 << (LENGTH(BIN(CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) - 1)) AS k
+       |  FROM embeddings WHERE vec_id % 5 <> 0),
+       |e0 AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) AS nrm
+       |  FROM embeddings),
+       |u0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS ue FROM e0),
+       |canch AS (SELECT vec_id AS acid, ue AS au FROM u0 WHERE vec_id < $ClusterCount),
+       |cemb AS MATERIALIZED (
+       |  SELECT q.vec_id,
+       |    list_transform(list_zip(a.au, q.ue), z -> z[1] + $ClusterNoise * z[2]) AS embedding
+       |  FROM u0 q JOIN canch a
+       |    ON a.acid = CAST('0x' || substr(md5('gclu|' || CAST(q.vec_id AS VARCHAR)), 1, 15) AS BIGINT) % $ClusterCount),
+       |e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) AS nrm
+       |  FROM cemb),
+       |u AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS ue FROM e),
+       |buni AS (SELECT vec_id, ue FROM u WHERE vec_id % 5 <> 0),
+       |cent AS (
+       |  SELECT cid, cu FROM (
+       |    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, ue AS cu
+       |    FROM buni) t WHERE cid < (SELECT k FROM params)),
+       |bcc AS (
+       |  SELECT b.vec_id, cent.cid,
+       |    list_reduce(list_prepend(0.0, list_transform(list_zip(b.ue, cent.cu),
+       |      p -> p[1] * p[2])), (a, x) -> a + x) AS cc
+       |  FROM buni b CROSS JOIN cent),
+       |bassign AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+       |    FROM bcc) t WHERE rn = 1)""".stripMargin
+
+  private def q257Sql: String =
+    s"""WITH $clusteredSemIndexCtes,
+       |$graphTailCtes,
+       |$derivedSchemeCtes
+       |SELECT query_id, node AS found_id, gcos AS found_cos FROM gdbest
+       |ORDER BY query_id""".stripMargin
+
+  private def q258Sql: String =
+    sweepCardSql(s"""$clusteredSemIndexCtes,
+                    |$graphTailCtes""".stripMargin)
+
+  private def q259Sql: String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), z -> z[1] * z[2])), (x, y) -> x + y)"
+    def rowSql(strategy: String, hit: String, sc: String) =
+      s"""SELECT '$strategy' AS strategy, hnq.n_queries, $hit.hits,
+         |  CAST($hit.hits AS DOUBLE) / CAST(hnq.n_queries AS DOUBLE) AS recall_at1,
+         |  $sc
+         |FROM hnq, $hit""".stripMargin
+    s"""WITH $clusteredSemIndexCtes,
+       |$ivfAdcTailCtes,
+       |$graphTailCtes,
+       |$derivedSchemeCtes,
+       |$hybridCtes,
+       |hex AS (
+       |  SELECT query_id, neighbor_id AS exact_id FROM (
+       |    SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${dot("q.ue", "b.ue")} DESC, b.vec_id) AS rn
+       |    FROM gq q JOIN buni b ON q.vec_id <> b.vec_id) t
+       |  WHERE rn = 1),
+       |hnq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM gq),
+       |hcnd AS (SELECT CAST(COUNT(*) AS BIGINT) AS scored_cands FROM ascore),
+       |hbcnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS adc_pairs FROM hbscore),
+       |adcb AS (
+       |  SELECT query_id, neighbor_id AS found_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_cos DESC, neighbor_id) AS rn
+       |    FROM ascore) t WHERE rn = 1),
+       |hyb AS (
+       |  SELECT query_id, node AS found_id FROM (
+       |    SELECT query_id, node,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY gcos DESC, node) AS rn
+       |    FROM (SELECT DISTINCT query_id, node, gcos FROM hbpool) z) t
+       |  WHERE rn = 1),
+       |ahit AS (
+       |  SELECT CAST(COALESCE(SUM(CASE WHEN f.found_id = x.exact_id THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits
+       |  FROM adcb f JOIN hex x USING (query_id)),
+       |ghit2 AS (
+       |  SELECT CAST(COALESCE(SUM(CASE WHEN f.node = x.exact_id THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits
+       |  FROM gdbest f JOIN hex x USING (query_id)),
+       |hyhit AS (
+       |  SELECT CAST(COALESCE(SUM(CASE WHEN f.found_id = x.exact_id THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits
+       |  FROM hyb f JOIN hex x USING (query_id))
+       |${rowSql("graph", "ghit2", "(SELECT scored_cands FROM gdsc) AS scored_cands")}
+       |UNION ALL
+       |${rowSql("hybrid", "hyhit",
+           "(SELECT scored_cands FROM hbsc) + (SELECT adc_pairs FROM hbcnt) AS scored_cands")}
+       |UNION ALL
+       |${rowSql("ivfadc", "ahit", "(SELECT scored_cands FROM hcnd) AS scored_cands")}
+       |ORDER BY strategy""".stripMargin
+  }
+
+  private def heldOutExactTop1(s: SparkSession, d: String): DataFrame =
+    heldOutExactTop1Of(unitVectors(s, d))
+
+  /** The same reference over an arbitrary (vec_id, …, ue) unit frame —
+    * the clustered-corpus cards share the measurement machinery. */
+  private def heldOutExactTop1Of(u: DataFrame): DataFrame = {
     val qv = u.filter(col("vec_id") % 5 === 0 &&
         col("vec_id") < IvfAdcQueryBound)
       .select(col("vec_id").as("query_id"), col("ue").as("qu"))
@@ -3799,11 +4450,14 @@ object VectorOps extends QueryModule {
       .join(exact, "query_id")
       .agg(sum((col("found_id") === col("exact_id")).cast("long")).as("hits"))
     val nq = ivfAdcQueries(s, d).agg(count(lit(1)).as("n_queries"))
+    val own = indexScheme(s, dir)
     Seq(ne, se, md, nq, hits).foldLeft(nn)(graft.Scalars.withScalar)
       .select(col("n_nodes"), col("n_edges"), col("srcs_with_edges"),
         (col("n_edges").cast("double") / col("n_nodes").cast("double"))
           .as("mean_out_degree"),
         col("max_out_degree"), lit(GraphDegree).as("degree_bound"),
+        lit(own.entries).as("entries"), lit(own.width).as("width"),
+        lit(own.hops).as("hops"),
         col("n_queries"), col("hits"),
         (col("hits").cast("double") / col("n_queries").cast("double"))
           .as("recall_at1"))
@@ -3813,7 +4467,7 @@ object VectorOps extends QueryModule {
     def dot(a: String, b: String) =
       s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), z -> z[1] * z[2])), (x, y) -> x + y)"
     s"""WITH $graphIdxCtes,
-       |${defaultChain("gd")},
+       |$derivedSchemeCtes,
        |gdegs AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS dg FROM gedges GROUP BY src),
        |gnn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM buni),
        |gne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM gedges),
@@ -3833,9 +4487,10 @@ object VectorOps extends QueryModule {
        |SELECT gnn.n_nodes, gne.n_edges, gse.srcs_with_edges,
        |  CAST(gne.n_edges AS DOUBLE) / CAST(gnn.n_nodes AS DOUBLE) AS mean_out_degree,
        |  gmd.max_out_degree, CAST($GraphDegree AS INTEGER) AS degree_bound,
+       |  gwin.entries, gwin.width, gwin.hops,
        |  gnq.n_queries, ghit.hits,
        |  CAST(ghit.hits AS DOUBLE) / CAST(gnq.n_queries AS DOUBLE) AS recall_at1
-       |FROM gnn, gne, gse, gmd, gnq, ghit""".stripMargin
+       |FROM gnn, gne, gse, gmd, gnq, ghit, gwin""".stripMargin
   }
 
   // ---------------------------------------------------------------- q252
@@ -3854,15 +4509,22 @@ object VectorOps extends QueryModule {
     * per arm the frontier is |Q|·width rows with |Q| broadcast, hop
     * joins equi-keyed on the bucketed gedges — the q248 shape over the
     * persisted artifact. */
-  private def q252(s: SparkSession, d: String): DataFrame = {
-    val dir = builtGraphIndex(s, d)
-    val exact = heldOutExactTop1(s, d)
+  private def q252(s: SparkSession, d: String): DataFrame =
+    graphSweepCard(s, builtGraphIndex(s, d), ivfAdcQueries(s, d),
+      heldOutExactTop1(s, d))
+
+  /** The sweep-card body over an arbitrary (index, query batch, exact
+    * reference) triple — shared by q252 (committed corpus) and q258
+    * (planted-cluster corpus). */
+  private def graphSweepCard(s: SparkSession, dir: String,
+      queries: DataFrame, exact0: DataFrame): DataFrame = {
+    val exact = exact0
       .localCheckpoint(true) // consumers: one hit-join per arm
-    val nq = ivfAdcQueries(s, d).agg(count(lit(1)).as("n_queries"))
+    val nq = queries.agg(count(lit(1)).as("n_queries"))
     // One shared prep: the arms differ only in (entries, width, hops),
     // so the tombstone load, centroid collect, fallback collect, and
     // batch checkpoint are paid once, not five times.
-    val prep = graphProbePrep(s, ivfAdcQueries(s, d), dir)
+    val prep = graphProbePrep(s, queries, dir)
     def arm(sch: GraphConfig.Scheme): DataFrame = {
       val (res, scored) = probeGraphPrepared(s, prep,
         sch.entries, sch.width, sch.hops)
@@ -3881,7 +4543,12 @@ object VectorOps extends QueryModule {
       .orderBy("entries", "width", "hops")
   }
 
-  private def q252Sql: String = {
+  private def q252Sql: String = sweepCardSql(graphIdxCtes)
+
+  /** The sweep-card SQL over an arbitrary base CTE chain (committed
+    * corpus for q252, planted-cluster for q258 — the chains share every
+    * name downstream of the embedding derivation). */
+  private def sweepCardSql(baseCtes: String): String = {
     def dot(a: String, b: String) =
       s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), z -> z[1] * z[2])), (x, y) -> x + y)"
     val arms = GraphConfig.SweepArms.zipWithIndex
@@ -3893,7 +4560,7 @@ object VectorOps extends QueryModule {
          |  CAST(${p}hit.hits AS DOUBLE) / CAST(gnq.n_queries AS DOUBLE) AS recall_at1,
          |  ${p}sc.scored_cands
          |FROM gnq, ${p}hit, ${p}sc""".stripMargin
-    s"""WITH $graphIdxCtes,
+    s"""WITH $baseCtes,
        |gex AS (
        |  SELECT query_id, neighbor_id AS exact_id FROM (
        |    SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -4328,6 +4995,10 @@ object VectorOps extends QueryModule {
     Q("q252_graph_width_sweep", q252, Some(q252Sql)),
     Q("q253_hybrid_ann_card", q253, Some(q253Sql)),
     Q("q254_graph_index_top3", q254, Some(q254Sql)),
+    Q("q256_hybrid_index_top3", q256, Some(q256Sql)),
+    Q("q257_clustered_graph_search", q257, Some(q257Sql)),
+    Q("q258_clustered_graph_sweep", q258, Some(q258Sql)),
+    Q("q259_clustered_hybrid_card", q259, Some(q259Sql)),
     Q("q31_embed_norms", q31, Some(q31Sql)),
     Q("q114_semdedup", q114, Some(q114Sql)),
     Q("q211_incremental_semdedup", q211, Some(q211Sql)),

@@ -201,14 +201,20 @@ object SemStream {
     * batch N ingested with zero edge rewrites of existing rows.
     * Compaction at `compactAboveFiles` re-trims the append arm's
     * temporary degree overflow in the same locked pass that compacts
-    * `vectors` (results invariant, pinned by the spec's dual-run arm). */
+    * `vectors` (results invariant, pinned by the spec's dual-run arm).
+    *
+    * Non-positive (entries, width, hops) — the default — resolve inside
+    * the probe to the INDEX's persisted scheme (the build-time sweep on
+    * its own corpus; `GraphConfig.Default` only for legacy dirs without
+    * the `gscheme` artifact), so a stream searches the way the index it
+    * reads was measured; explicit positive knobs override per knob. */
   def runGraphProbe(spark: SparkSession, streamDir: String, indexDir: String,
       outDir: String, checkpointDir: String,
       maxFilesPerTrigger: Option[Int] = None,
       watermarkDelay: String = "2 hours",
-      entries: Int = graft.queries.GraphConfig.Default.entries,
-      width: Int = graft.queries.GraphConfig.Default.width,
-      hops: Int = graft.queries.GraphConfig.Default.hops,
+      entries: Int = -1,
+      width: Int = -1,
+      hops: Int = -1,
       refresh: Boolean = false,
       compactAboveFiles: Option[Long] = None): Unit = {
     val q = read(spark, streamDir, maxFilesPerTrigger)
