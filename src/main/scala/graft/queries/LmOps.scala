@@ -113,6 +113,59 @@ object LmOps extends QueryModule {
     }
   }
 
+  /** DRIVER-side portable ln over a positive double of ANY magnitude —
+    * [[PortableLnPos]]'s pipeline with the binary-exponent extraction
+    * generalized past its (0, 2) probability range: for x ≥ 1 the bit
+    * length of floor(x) gives the exponent directly (x ∈ [2^(L−1), 2^L)
+    * ⟺ floor(x)'s bit length is L), for x < 1 the 2^62-scaled path of
+    * PortableLnPos applies. Built for driver-resident trainers whose
+    * outputs must bit-match an oracle restatement (round 17:
+    * `VectorOps.opqAllocate`'s log-product balance over eigenvalues in
+    * the tens — JVM `Math.log` and DuckDB's libm disagree in the last
+    * ulp, which could flip a greedy allocation tie). Every operation is
+    * a correctly-rounded double op in the exact order [[lnAnySteps]]'
+    * generated SQL runs, so the implementations agree bit-for-bit.
+    * Precondition: 0 < x < 2^63 (callers clamp below at 1e-12; λ ≤
+    * trace ≤ corpus rows keeps the top in range). */
+  private[queries] def lnPosDriver(x: Double): Double = {
+    val (m, k) =
+      if (x >= 1e0) {
+        val ix = math.floor(x).toLong
+        val bl = 64 - java.lang.Long.numberOfLeadingZeros(ix)
+        (x / (1L << (bl - 1)).toDouble, bl - 1)
+      } else {
+        val ix = math.floor(x * 4.611686018427387904e18).toLong
+        val bl = 64 - java.lang.Long.numberOfLeadingZeros(ix)
+        (x * (1L << (63 - bl)).toDouble, bl - 63)
+      }
+    val t = (m - 1e0) / (m + 1e0)
+    val t2 = t * t
+    var inner = 1e0 / 35e0
+    var den = 33
+    while (den >= 3) { inner = (1e0 / den) + (t2 * inner); den -= 2 }
+    (2e0 * (t * (1e0 + (t2 * inner)))) +
+      (k.toDouble * 6.931471805599453e-1)
+  }
+
+  /** The DuckDB staged restatement of [[lnPosDriver]] — (name, expr)
+    * pairs computing ln(x) into `ln<sfx>`, one CTE per stage (the
+    * PortableLnPos shape, any-magnitude exponent branch). */
+  private[queries] def lnAnySteps(x: String, sfx: String): Seq[(String, String)] =
+    Seq(
+      s"L$sfx" ->
+        (s"(CASE WHEN ($x) >= 1e0 THEN LENGTH(BIN(CAST(FLOOR($x) AS BIGINT))) " +
+          s"ELSE LENGTH(BIN(CAST(FLOOR(($x) * 4.611686018427387904e18) AS BIGINT))) END)"),
+      s"k$sfx" ->
+        s"(CASE WHEN ($x) >= 1e0 THEN L$sfx - 1 ELSE L$sfx - 63 END)",
+      s"m$sfx" ->
+        (s"(CASE WHEN ($x) >= 1e0 THEN ($x) / CAST((CAST(1 AS BIGINT) << (L$sfx - 1)) AS DOUBLE) " +
+          s"ELSE ($x) * CAST((CAST(1 AS BIGINT) << (63 - L$sfx)) AS DOUBLE) END)"),
+      s"t$sfx" -> s"((m$sfx - 1e0) / (m$sfx + 1e0))",
+      s"t2$sfx" -> s"(t$sfx * t$sfx)",
+      s"ln$sfx" ->
+        (s"((2e0 * (t$sfx * ${PortableLn.horner(s"t2$sfx")})) + " +
+          s"(CAST(k$sfx AS DOUBLE) * 6.931471805599453e-1))"))
+
   /** Generated portable exp over a NON-NEGATIVE double expression — the
     * e^x twin of [[PortableLn]], built for the same reason: JVM
     * `Math.exp` and DuckDB's libm disagree in the last ulp, so both

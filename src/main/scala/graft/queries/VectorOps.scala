@@ -2395,7 +2395,10 @@ object VectorOps extends QueryModule {
           .minBy(jj => (logp(jj), jj))
         out(j) :+= i
         used(j) += 1
-        logp(j) += math.log(math.max(l, 1e-12))
+        // Portable ln (not Math.log): the q255 oracle restates this
+        // greedy fold, and a last-ulp log disagreement between the JVM
+        // and DuckDB's libm could flip a near-tie allocation.
+        logp(j) += LmOps.lnPosDriver(math.max(l, 1e-12))
     }
     out.map(_.sorted: Seq[Int]).toSeq
   }
@@ -2545,11 +2548,12 @@ object VectorOps extends QueryModule {
     * verdict). */
   private[graft] def addPqToSemIndex(s: SparkSession, dir: String,
       lloydIters: Int = 0, learnedRotation: Boolean = false,
-      attrs: Option[DataFrame] = None): Unit = {
+      attrs: Option[DataFrame] = None, rotIters: Int = 4): Unit = {
     val resid0 = semResiduals(s, dir)
       .localCheckpoint(true) // consumers: rotation/moments + seeds + codes
     val rotOpt: Option[(Seq[Seq[Double]], Seq[Double])] =
-      if (learnedRotation) Some(trainRotation(resid0, iters = 4)) else None
+      if (learnedRotation) Some(trainRotation(resid0, iters = rotIters))
+      else None
     val resid = rotOpt.fold(resid0) { case (r, _) =>
       opqRotate(resid0, r).localCheckpoint(true) // same consumers, rotated
     }
@@ -4176,6 +4180,256 @@ object VectorOps extends QueryModule {
     * ADC bound) against the indexed base split — the recall reference
     * shared by the q251 health card and the q252 sweep. Brute-force by
     * design: it is the measurement's ground truth, |Q| broadcast. */
+  // ------------------------------------------------------------ q255 (OPQ)
+
+  /** The q255 index: the SAME base split under a LEARNED-ROTATION OPQ
+    * build — `addPqToSemIndex(learnedRotation = true)`, the arm that
+    * was spec-only through round 16 (IvfAdcSpec/OpqSpec own the
+    * production shape; the oracles kept the permutation build). The
+    * oracled build pins `rotIters = 1` — one subspace-iteration round,
+    * exactly the `lloydIters = 1` discipline: with V₀ = I the round's
+    * Y is the residual second-moment matrix itself (the identity dots
+    * reproduce each coordinate bit-for-bit), so the oracle restates Y
+    * as one fixed-point aggregation and the orthonormalization as a
+    * flattened modified-Gram-Schmidt RECURSION (2080 list-algebra
+    * steps at d = 64 — a recursive CTE, the unrolled-CTE discipline's
+    * limit case); production sizes rotIters freely, spec-owned.
+    * Non-degenerate-corpus caveat: the oracle restates the MGS path
+    * without the rank-deficiency fallback (never reachable on a
+    * full-rank residual moment matrix; verified bit-green at all three
+    * committed scales — a degenerate corpus is OpqSpec's territory). */
+  private val opqIdxCache = new graft.SessionCache[String]
+  private def builtOpqIdx(s: SparkSession, d: String): String =
+    opqIdxCache.getOrBuild(s, d) {
+      val dir = graft.Scratch.dir("opqidx", s, d)
+      buildSemIndex(s,
+        t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+          .filter(col("vec_id") % 5 =!= 0), dir)
+      addPqToSemIndex(s, dir, lloydIters = 1, learnedRotation = true,
+        rotIters = 1)
+      dir
+    }
+
+  /** q255 — ADC search through the ROTATED-build IVFADC index (the q243
+    * consumer shape over the `pq_rot` artifact: coarse ranks use the
+    * raw query, the LUT gathers from the rotated one — ⟨q,r⟩ = ⟨Rq,Rr⟩,
+    * codewords live in the rotated space). */
+  private def q255(s: SparkSession, d: String): DataFrame =
+    probeIvfAdcTop3(s, ivfAdcQueries(s, d), builtOpqIdx(s, d))
+      .orderBy("query_id", "rnk", "neighbor_id")
+
+  /** The OPQ tail: residual moment matrix (fixed-point) → flattened
+    * MGS recursion (`omgs`) → Rayleigh eigenvalues → portable-ln greedy
+    * allocation recursion (`oalloc`) → rotated residuals → seed books +
+    * one Lloyd round → rotated-query ADC probe. Restates
+    * [[trainRotation]](iters = 1) + [[opqAllocate]] +
+    * [[addPqToSemIndex]](learnedRotation) + the rot arm of
+    * [[ivfAdcScoredCands]]. */
+  private def q255Sql: String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), z -> z[1] * z[2])), (x, y) -> x + y)"
+    val sc = "67108864.0"
+    // Any-magnitude portable-ln stages over the (λ max 1e-12) argument,
+    // chained one CTE per stage (the q210 idiom) keyed by sort position.
+    val lnStages = graft.queries.LmOps.lnAnySteps("xin", "q255")
+    val lnCtes = lnStages.zipWithIndex.map { case ((name, defn), i) =>
+      val prev = if (i == 0) "olnsrc" else s"olnst${i - 1}"
+      s"olnst$i AS (SELECT *, $defn AS $name FROM $prev)"
+    }.mkString(",\n")
+    val lnLast = s"olnst${lnStages.size - 1}"
+    // Eligibility + lowest-index argmin cascade over the 4 subspaces —
+    // evaluated INSIDE the (y ⋈ s) layer, before the z-aliased update.
+    def elig(j: Int) = s"(y.u$j < y.c$j)"
+    def beats(j: Int, o: Int) = s"(NOT ${elig(o)} OR y.p$j <= y.p$o)"
+    val pick =
+      s"""CASE WHEN ${elig(0)} AND ${beats(0, 1)} AND ${beats(0, 2)} AND ${beats(0, 3)} THEN 0
+         |     WHEN ${elig(1)} AND ${beats(1, 2)} AND ${beats(1, 3)} THEN 1
+         |     WHEN ${elig(2)} AND ${beats(2, 3)} THEN 2
+         |     ELSE 3 END""".stripMargin
+    def upd(j: Int, cur: String, add: String) =
+      s"CASE WHEN z.js = $j THEN $add ELSE $cur END"
+    s"""WITH RECURSIVE $semIndexCtes,
+       |oresid AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cell,
+       |    list_transform(list_zip(b.ue, c.cu), z -> z[1] - z[2]) AS re
+       |  FROM bassign a JOIN buni b ON b.vec_id = a.vec_id
+       |  JOIN cent c ON c.cid = a.cell),
+       |odd AS (SELECT CAST(COALESCE(MAX(len(re)), 0) AS INTEGER) AS d FROM oresid),
+       |ody AS MATERIALIZED (
+       |  SELECT k, p,
+       |    CAST(SUM(CAST(floor(re[p] * re[k] * $sc) AS BIGINT)) AS BIGINT) AS yfp
+       |  FROM oresid,
+       |    (SELECT unnest(generate_series(1, (SELECT d FROM odd))) AS k),
+       |    (SELECT unnest(generate_series(1, (SELECT d FROM odd))) AS p)
+       |  GROUP BY k, p),
+       |oymat AS (
+       |  SELECT k, list(CAST(yfp AS DOUBLE) / $sc ORDER BY p) AS yr
+       |  FROM ody GROUP BY k),
+       |oyl AS MATERIALIZED (SELECT list(yr ORDER BY k) AS ys FROM oymat),
+       |omgs(k, q, w, o) AS (
+       |  SELECT 0, 0, (SELECT ys[1] FROM oyl), CAST([] AS DOUBLE[][])
+       |  UNION ALL
+       |  SELECT
+       |    CASE WHEN z.q < z.k THEN z.k ELSE z.k + 1 END,
+       |    CASE WHEN z.q < z.k THEN z.q + 1 ELSE 0 END,
+       |    CASE WHEN z.q < z.k THEN
+       |        list_transform(list_zip(z.w, z.o[z.q + 1]), y -> y[1] - z.pj * y[2])
+       |      WHEN z.k + 1 < z.d THEN (SELECT ys FROM oyl)[z.k + 2]
+       |      ELSE CAST(NULL AS DOUBLE[]) END,
+       |    CASE WHEN z.q < z.k THEN z.o
+       |      ELSE list_append(z.o, list_transform(z.w, e -> e / z.nw)) END
+       |  FROM (
+       |    SELECT a.k, a.q, a.w, a.o, dd.d,
+       |      CASE WHEN a.q < a.k THEN ${dot("a.w", "a.o[a.q + 1]")} END AS pj,
+       |      CASE WHEN a.q = a.k THEN sqrt(${dot("a.w", "a.w")}) END AS nw
+       |    FROM omgs a, odd dd WHERE a.k < dd.d) z),
+       |orot AS MATERIALIZED (
+       |  SELECT o AS vs FROM omgs WHERE k = (SELECT d FROM odd) AND q = 0),
+       |olamtab AS MATERIALIZED (
+       |  SELECT t.k,
+       |    CAST(SUM(CAST(floor(t.s * t.s * $sc) AS BIGINT)) AS DOUBLE) / $sc AS lam
+       |  FROM (
+       |    SELECT gs.k, ${dot("r.re", "rv.vs[gs.k]")} AS s
+       |    FROM oresid r CROSS JOIN orot rv
+       |    CROSS JOIN (SELECT unnest(generate_series(1, (SELECT d FROM odd))) AS k) gs) t
+       |  GROUP BY t.k),
+       |olnsrc AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY lam DESC, k) AS t, k, lam,
+       |    GREATEST(lam, 1e-12) AS xin
+       |  FROM olamtab),
+       |$lnCtes,
+       |ocaps AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN (i - 1) % 4 = 0 THEN 1 ELSE 0 END) AS INTEGER) AS c0,
+       |    CAST(SUM(CASE WHEN (i - 1) % 4 = 1 THEN 1 ELSE 0 END) AS INTEGER) AS c1,
+       |    CAST(SUM(CASE WHEN (i - 1) % 4 = 2 THEN 1 ELSE 0 END) AS INTEGER) AS c2,
+       |    CAST(SUM(CASE WHEN (i - 1) % 4 = 3 THEN 1 ELSE 0 END) AS INTEGER) AS c3
+       |  FROM (SELECT unnest(generate_series(1, (SELECT d FROM odd))) AS i)),
+       |oalloc(t, u0, u1, u2, u3, p0, p1, p2, p3, o0, o1, o2, o3) AS (
+       |  SELECT 0, 0, 0, 0, 0, 0e0, 0e0, 0e0, 0e0,
+       |    CAST([] AS BIGINT[]), CAST([] AS BIGINT[]),
+       |    CAST([] AS BIGINT[]), CAST([] AS BIGINT[])
+       |  UNION ALL
+       |  SELECT z.t + 1,
+       |    ${upd(0, "z.u0", "z.u0 + 1")}, ${upd(1, "z.u1", "z.u1 + 1")},
+       |    ${upd(2, "z.u2", "z.u2 + 1")}, ${upd(3, "z.u3", "z.u3 + 1")},
+       |    ${upd(0, "z.p0", "z.p0 + z.lnq255")},
+       |    ${upd(1, "z.p1", "z.p1 + z.lnq255")},
+       |    ${upd(2, "z.p2", "z.p2 + z.lnq255")},
+       |    ${upd(3, "z.p3", "z.p3 + z.lnq255")},
+       |    ${upd(0, "z.o0", "list_append(z.o0, z.k)")},
+       |    ${upd(1, "z.o1", "list_append(z.o1, z.k)")},
+       |    ${upd(2, "z.o2", "list_append(z.o2, z.k)")},
+       |    ${upd(3, "z.o3", "list_append(z.o3, z.k)")}
+       |  FROM (
+       |    SELECT y.*, s.k, s.lnq255, $pick AS js
+       |    FROM (
+       |      SELECT a.*, cp.c0, cp.c1, cp.c2, cp.c3
+       |      FROM oalloc a, ocaps cp) y
+       |    JOIN $lnLast s ON s.t = y.t + 1) z),
+       |odl AS MATERIALIZED (
+       |  SELECT 0 AS sub, list_sort(o0) AS dims FROM oalloc WHERE t = (SELECT d FROM odd)
+       |  UNION ALL
+       |  SELECT 1, list_sort(o1) FROM oalloc WHERE t = (SELECT d FROM odd)
+       |  UNION ALL
+       |  SELECT 2, list_sort(o2) FROM oalloc WHERE t = (SELECT d FROM odd)
+       |  UNION ALL
+       |  SELECT 3, list_sort(o3) FROM oalloc WHERE t = (SELECT d FROM odd)),
+       |orre AS MATERIALIZED (
+       |  SELECT r.vec_id, r.cell,
+       |    list_transform(rv.vs, v -> ${dot("r.re", "v")}) AS re
+       |  FROM oresid r CROSS JOIN orot rv),
+       |opv AS (
+       |  SELECT orre.vec_id, orre.cell, odl.sub,
+       |    list_transform(odl.dims, ix -> orre.re[ix]) AS pv
+       |  FROM orre CROSS JOIN odl),
+       |ocent0 AS (
+       |  SELECT 0 AS cid, odl.sub, list_transform(odl.dims, ix -> 0e0) AS cv
+       |  FROM odl
+       |  UNION ALL
+       |  SELECT CAST(t.rn - (SELECT k FROM params) AS INTEGER) AS cid,
+       |    p.sub, p.pv AS cv
+       |  FROM (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+       |        FROM orre) t
+       |  JOIN opv p ON p.vec_id = t.vec_id
+       |  WHERE t.rn > (SELECT k FROM params)
+       |    AND t.rn <= (SELECT k FROM params) + ${PqKsub - 1}),
+       |od20 AS (
+       |  SELECT p.vec_id, p.sub, c.cid,
+       |    list_reduce(list_prepend(0.0, list_transform(list_zip(p.pv, c.cv),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2]))), (a, b) -> a + b) AS d2
+       |  FROM opv p JOIN ocent0 c ON c.sub = p.sub),
+       |ocodes0 AS (
+       |  SELECT vec_id, sub, cid AS code FROM (
+       |    SELECT vec_id, sub, cid, d2,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+       |    FROM od20) t WHERE rn = 1),
+       |osublen AS (SELECT sub, MAX(len(pv)) AS l FROM opv GROUP BY sub),
+       |oposs AS (SELECT sub, unnest(generate_series(1, l)) AS pos FROM osublen),
+       |om1 AS (
+       |  SELECT r.sub, r.code AS cid, s.pos,
+       |    CAST(SUM(CAST(floor(p.pv[s.pos] * $sc) AS BIGINT)) AS DOUBLE)
+       |      / ($sc * CAST(COUNT(*) AS DOUBLE)) AS m
+       |  FROM ocodes0 r
+       |  JOIN opv p ON p.vec_id = r.vec_id AND p.sub = r.sub
+       |  JOIN oposs s ON s.sub = r.sub
+       |  GROUP BY r.sub, r.code, s.pos),
+       |ocent AS MATERIALIZED (
+       |  SELECT c0.sub, c0.cid, COALESCE(m.cv, c0.cv) AS cv
+       |  FROM ocent0 c0 LEFT JOIN (
+       |    SELECT sub, cid, list(m ORDER BY pos) AS cv FROM om1 GROUP BY sub, cid) m
+       |  ON m.sub = c0.sub AND m.cid = c0.cid),
+       |od2 AS (
+       |  SELECT p.vec_id, p.cell, p.sub, c.cid,
+       |    list_reduce(list_prepend(0.0, list_transform(list_zip(p.pv, c.cv),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2]))), (a, b) -> a + b) AS d2
+       |  FROM opv p JOIN ocent c ON c.sub = p.sub),
+       |ocodes AS MATERIALIZED (
+       |  SELECT vec_id, cell, sub, cid AS code FROM (
+       |    SELECT vec_id, cell, sub, cid, d2,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+       |    FROM od2) t WHERE rn = 1),
+       |oqv AS (SELECT vec_id, ue FROM u WHERE vec_id % 5 = 0 AND vec_id < $IvfAdcQueryBound),
+       |oqcc AS (
+       |  SELECT q.vec_id, cent.cid, ${dot("q.ue", "cent.cu")} AS cc
+       |  FROM oqv q CROSS JOIN cent),
+       |oqprobe AS (
+       |  SELECT vec_id, cid AS cell, cc FROM (
+       |    SELECT vec_id, cid, cc,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+       |    FROM oqcc) t WHERE rn <= $IvfAdcNprobe),
+       |oqrot AS (
+       |  SELECT q.vec_id, list_transform(rv.vs, v -> ${dot("q.ue", "v")}) AS re
+       |  FROM oqv q CROSS JOIN orot rv),
+       |oqpv AS (
+       |  SELECT q.vec_id, odl.sub, list_transform(odl.dims, ix -> q.re[ix]) AS pv
+       |  FROM oqrot q CROSS JOIN odl),
+       |oqlut AS (
+       |  SELECT p.vec_id AS query_id, c.sub, c.cid,
+       |    list_reduce(list_prepend(0.0, list_transform(list_zip(p.pv, c.cv),
+       |      z -> z[1] * z[2])), (a, b) -> a + b) AS dotv
+       |  FROM oqpv p JOIN ocent c ON c.sub = p.sub),
+       |ocand AS (
+       |  SELECT p.vec_id AS query_id, p.cc AS coarse, r.vec_id AS neighbor_id
+       |  FROM oqprobe p
+       |  JOIN (SELECT DISTINCT vec_id, cell FROM ocodes) r ON r.cell = p.cell
+       |  WHERE r.vec_id <> p.vec_id),
+       |ocontrib AS (
+       |  SELECT c.query_id, c.neighbor_id, c.coarse, rc.sub, l.dotv
+       |  FROM ocand c JOIN ocodes rc ON rc.vec_id = c.neighbor_id
+       |  JOIN oqlut l ON l.query_id = c.query_id AND l.sub = rc.sub AND l.cid = rc.code),
+       |oascore AS (
+       |  SELECT query_id, neighbor_id,
+       |    MIN(coarse) + list_reduce(list_prepend(0.0, list(dotv ORDER BY sub)),
+       |      (a, b) -> a + b) AS adc_cos
+       |  FROM ocontrib GROUP BY query_id, neighbor_id)
+       |SELECT query_id, neighbor_id, adc_cos, rnk FROM (
+       |  SELECT query_id, neighbor_id, adc_cos,
+       |    CAST(RANK() OVER (PARTITION BY query_id ORDER BY adc_cos DESC, neighbor_id) AS INTEGER) AS rnk
+       |  FROM oascore) t WHERE rnk <= 3
+       |ORDER BY query_id, rnk, neighbor_id""".stripMargin
+  }
+
   // ------------------------------------------------- clustered ANN corpus
 
   /** Planted-cluster embedding derivation (round 17, the round-16
@@ -4995,6 +5249,7 @@ object VectorOps extends QueryModule {
     Q("q252_graph_width_sweep", q252, Some(q252Sql)),
     Q("q253_hybrid_ann_card", q253, Some(q253Sql)),
     Q("q254_graph_index_top3", q254, Some(q254Sql)),
+    Q("q255_opq_rotated_search", q255, Some(q255Sql)),
     Q("q256_hybrid_index_top3", q256, Some(q256Sql)),
     Q("q257_clustered_graph_search", q257, Some(q257Sql)),
     Q("q258_clustered_graph_sweep", q258, Some(q258Sql)),
