@@ -4180,6 +4180,31 @@ object VectorOps extends QueryModule {
     * ADC bound) against the indexed base split — the recall reference
     * shared by the q251 health card and the q252 sweep. Brute-force by
     * design: it is the measurement's ground truth, |Q| broadcast. */
+  /** q260 — graph-scheme observability card: the PERSISTED `gscheme`
+    * artifact read back verbatim (one row per sweep arm, the measured
+    * calibration curve, exactly one chosen row). The oracle RE-RUNS the
+    * build-time derivation and must agree arm-by-arm — the card is the
+    * executable proof that the metadata a probe trusts equals what a
+    * fresh derivation would produce (the q212/q251 observability idiom
+    * for the scheme artifact itself). */
+  private def q260(s: SparkSession, d: String): DataFrame = {
+    val dir = builtGraphIndex(s, d)
+    s.read.parquet(s"$dir/gscheme")
+      .select(col("entries"), col("width"), col("hops"),
+        col("recall_at1"), col("n_calib"), col("chosen"))
+      .orderBy("entries", "width", "hops")
+  }
+
+  private def q260Sql: String =
+    s"""WITH $graphIdxCtes,
+       |$derivedSchemeCtes
+       |SELECT g.entries, g.width, g.hops,
+       |  CAST(g.hits AS DOUBLE) / CAST(n.n_calib AS DOUBLE) AS recall_at1,
+       |  n.n_calib,
+       |  (g.entries = w.entries AND g.width = w.width AND g.hops = w.hops) AS chosen
+       |FROM gcurve g, gncal n, gwin w
+       |ORDER BY g.entries, g.width, g.hops""".stripMargin
+
   // ------------------------------------------------------------ q255 (OPQ)
 
   /** The q255 index: the SAME base split under a LEARNED-ROTATION OPQ
@@ -4460,11 +4485,19 @@ object VectorOps extends QueryModule {
   private[queries] def clusteredEmbeddings(s: SparkSession,
       d: String): DataFrame = {
     val u = unitVectors(s, d).select(col("vec_id"), col("ue"))
-    // collect-bound: anchor rows vec_id < ClusterCount — ≤ 8 rows
-    val anchors: Seq[Seq[Double]] = u.filter(col("vec_id") < ClusterCount)
+    // Anchors are the ClusterCount SMALLEST rows by RANK, not by a
+    // vec_id < 8 predicate: a degenerate corpus's ids need not start at
+    // 0, and a partial anchor set under a fixed modulus would silently
+    // drop every row whose cluster has no anchor (NULL embedding here,
+    // vanished row in the oracle's join). Effective cluster count =
+    // however many anchors exist — total on any non-empty corpus.
+    // collect-bound: orderBy(vec_id).limit(ClusterCount) — ≤ 8 rows
+    val anchors: Seq[Seq[Double]] = u.orderBy(col("vec_id"))
+      .limit(ClusterCount)
       .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1)).toSeq
+    val cEff = math.max(anchors.size, 1)
     u.withColumn("clu",
-        expr(s"cast(conv(substring(md5(concat('gclu|', cast(vec_id as string))), 1, 15), 16, 10) as bigint) % $ClusterCount"))
+        expr(s"cast(conv(substring(md5(concat('gclu|', cast(vec_id as string))), 1, 15), 16, 10) as bigint) % $cEff"))
       .select(col("vec_id"),
         zip_with(element_at(typedlit(anchors), (col("clu") + 1).cast("int")),
           col("ue"), (a, e) => a + lit(ClusterNoise) * e).as("embedding"))
@@ -4573,12 +4606,15 @@ object VectorOps extends QueryModule {
        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) AS nrm
        |  FROM embeddings),
        |u0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS ue FROM e0),
-       |canch AS (SELECT vec_id AS acid, ue AS au FROM u0 WHERE vec_id < $ClusterCount),
+       |canch AS (
+       |  SELECT acid, au FROM (
+       |    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS acid, ue AS au
+       |    FROM u0) t WHERE acid <= $ClusterCount),
        |cemb AS MATERIALIZED (
        |  SELECT q.vec_id,
        |    list_transform(list_zip(a.au, q.ue), z -> z[1] + $ClusterNoise * z[2]) AS embedding
        |  FROM u0 q JOIN canch a
-       |    ON a.acid = CAST('0x' || substr(md5('gclu|' || CAST(q.vec_id AS VARCHAR)), 1, 15) AS BIGINT) % $ClusterCount),
+       |    ON a.acid = 1 + (CAST('0x' || substr(md5('gclu|' || CAST(q.vec_id AS VARCHAR)), 1, 15) AS BIGINT) % (SELECT COUNT(*) FROM canch))),
        |e AS (
        |  SELECT vec_id, embedding,
        |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
@@ -5254,6 +5290,7 @@ object VectorOps extends QueryModule {
     Q("q257_clustered_graph_search", q257, Some(q257Sql)),
     Q("q258_clustered_graph_sweep", q258, Some(q258Sql)),
     Q("q259_clustered_hybrid_card", q259, Some(q259Sql)),
+    Q("q260_graph_scheme_card", q260, Some(q260Sql)),
     Q("q31_embed_norms", q31, Some(q31Sql)),
     Q("q114_semdedup", q114, Some(q114Sql)),
     Q("q211_incremental_semdedup", q211, Some(q211Sql)),
