@@ -438,9 +438,24 @@ object IndexStore {
     val fs = p.getFileSystem(conf)
     val it = fs.listFiles(p, true)
     var total = 0L
+    // Mirror Spark's InMemoryFileIndex visibility filter: any path
+    // component starting with '_' or '.' (e.g. _temporary task files,
+    // .staging leftovers from a crashed or concurrent write) is invisible
+    // to a committed read and must not inflate the rebucket trigger.
+    def visible(path: org.apache.hadoop.fs.Path): Boolean = {
+      var cur = path
+      var ok = true
+      while (cur != null && !cur.toUri.getPath.equals(p.toUri.getPath)) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) ok = false
+        cur = cur.getParent
+      }
+      ok
+    }
     while (it.hasNext) {
       val f = it.next()
-      if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+      if (f.isFile && f.getPath.getName.endsWith(".parquet") &&
+          visible(f.getPath)) {
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile
             .fromStatus(f, conf))

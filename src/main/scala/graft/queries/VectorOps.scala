@@ -3221,7 +3221,7 @@ object VectorOps extends QueryModule {
     var frontier = entry.join(nu, "node")
       .select(col("query_id"), col("qu"), col("beam"), col("node"),
         expr("graft_dot(qu, nu)").as("gcos"))
-    var expansions: Seq[DataFrame] = Nil
+    var scoredTotal = 0L
     for (_ <- 1 to hops) {
       val nb = frontier.join(edges, col("node") === col("src"))
         .filter(col("dst") =!= col("query_id"))
@@ -3229,18 +3229,47 @@ object VectorOps extends QueryModule {
         .select(col("query_id"), col("qu"), col("beam"),
           col("dst").as("node"),
           expr("graft_dot(qu, nu)").as("gcos"))
-      expansions :+= nb.agg(count(lit(1)).as("scored_cands"))
+      // collect-bound: groupless aggregate, exactly 1 row per hop. The
+      // expansion count is taken EAGERLY so the returned cost frame holds
+      // no reference to intermediate frontiers — which is what lets the
+      // previous hop's checkpoint blocks be freed right here instead of
+      // waiting on GC + ContextCleaner (the r17 q258 bench-variance
+      // hypothesis: a 5-arm sweep leaves 15 per-hop checkpoints per run
+      // late in a 260-query battery; eager frees make the standing block
+      // count independent of collector timing).
+      scoredTotal += nb.agg(count(lit(1)).as("scored_cands"))
+        .head().getLong(0)
       val w = Window.partitionBy(col("query_id"), col("beam"))
         .orderBy(col("gcos").desc, col("node"))
-      frontier = frontier.unionByName(nb).distinct()
+      val next = frontier.unionByName(nb).distinct()
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= width).drop("rn")
         .localCheckpoint(true) // keep the unrolled plan hop-sized
+      // The previous hop's last consumer (`next`) is materialized (eager
+      // checkpoint) and its count is already collected — its blocks are
+      // dead. No-op at hop 1, where `frontier` is the un-checkpointed
+      // entry join.
+      freeLocalCheckpoint(frontier)
+      frontier = next
     }
-    val scored = expansions.reduce(_ unionAll _)
-      .agg(sum(col("scored_cands")).as("scored_cands"))
-    (frontier, scored)
+    (frontier, s.range(1).select(lit(scoredTotal).as("scored_cands")))
   }
+
+  /** Eagerly drop the block-manager blocks behind an eager
+    * `localCheckpoint`ed frame — a no-op for any other plan shape. A
+    * localCheckpoint truncates lineage, so a freed frame can never be
+    * evaluated again: callers free ONLY frames whose every consumer has
+    * already materialized (beamCore's per-hop frontiers, where the next
+    * hop's eager checkpoint and the eager expansion count are the last
+    * reads). Without this, dead checkpoint blocks wait on a driver GC
+    * plus the async ContextCleaner — timing a 128 GiB heap makes rare —
+    * and accumulate across a long battery. */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** Exact cosine top-1 of the graph-ANN query split against the full
     * corpus under the q32 tie rule — the recall reference shared by the
@@ -3529,8 +3558,16 @@ object VectorOps extends QueryModule {
   private[graft] def deriveGraphScheme(s: SparkSession, dir: String,
       target: Double = GraphConfig.DefaultTarget): Unit = {
     import s.implicits._
-    val nodes = graft.operators.IndexStore.read(s, dir, "vectors")
-      .select(col("vec_id"), col("ue"), col("cell"))
+    // Tombstones dropped BEFORE the calibration split and ground truth:
+    // this is also the offline recalibration path (run after takedowns,
+    // before compaction), where a tombstoned node picked as calibration
+    // query or exact_id would systematically under-measure recall
+    // against neighbors the probe (which does drop tombstones) can never
+    // return — mis-choosing the persisted scheme.
+    val nodes = dropSemTombstoned(
+      graft.operators.IndexStore.read(s, dir, "vectors")
+        .select(col("vec_id"), col("ue"), col("cell")),
+      "vec_id", loadSemTombstones(s, dir))
     val calib = graphCalibBatch(nodes).localCheckpoint(true)
     val nCal = calib.count()
     val curve: Seq[(GraphConfig.Scheme, Double)] =
@@ -3563,16 +3600,22 @@ object VectorOps extends QueryModule {
   }
 
   /** The persisted search scheme of a graph index, or None for a legacy
-    * dir built before scheme derivation. */
+    * dir built before scheme derivation. The read is failure-isolating:
+    * the gscheme overwrite in [[deriveGraphScheme]] is not atomic, so a
+    * crash mid-write (or a reader racing a recalibration overwrite) can
+    * leave an existing-but-empty/partial dir — an unreadable or
+    * chosen-less artifact degrades to the legacy fallback instead of
+    * throwing into every default-knob probe. */
   private[graft] def loadGraphScheme(s: SparkSession,
       dir: String): Option[GraphConfig.Scheme] = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/gscheme")
     if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)) None
-    else {
-      val r = s.read.parquet(p.toString).filter(col("chosen")).head()
-      Some(GraphConfig.Scheme(r.getAs[Int]("entries"),
+    else scala.util.Try {
+      // collect-bound: chosen filter is ≤1 row by construction
+      val rows = s.read.parquet(p.toString).filter(col("chosen")).head(1)
+      rows.headOption.map(r => GraphConfig.Scheme(r.getAs[Int]("entries"),
         r.getAs[Int]("width"), r.getAs[Int]("hops")))
-    }
+    }.toOption.flatten
   }
 
   /** The scheme a probe of `dir` runs at: the index's own persisted
