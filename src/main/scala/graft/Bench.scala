@@ -36,16 +36,25 @@ object Bench {
     val calibRef = Map( // seconds, round-10 box (idle), sf0.1, min of 3
       "cpu" -> 0.134, "q10" -> 0.129, "q11" -> 0.123, "q15" -> 0.061)
     val sentinels = Seq("q10", "q11", "q15")
+    // Five samples per probe (round 19, the r18 verdict's item 4: the
+    // committed driver artifact read calib_spread 1.5015 because ONE
+    // probe's three samples all landed on a scheduler hiccup — min-of-5
+    // keeps the same estimator as the pinned min-of-3 REF values, a min
+    // can only tighten toward the true floor with more samples, and two
+    // extra sub-second samples per probe cost < 1 s total). The 1.5
+    // bound itself is unchanged.
+    val calibSamples = 5
     val calib: Map[String, Double] = {
       import org.apache.spark.sql.functions.{col, sum => fsum, xxhash64}
       // double sum: an ANSI long sum of 4e8 full-range hashes overflows
       // collect-bound: groupless aggregate, exactly 1 row
-      val cpu = timeMin(3)(
+      val cpu = timeMin(calibSamples)(
         spark.range(400000000L)
           .select(fsum(xxhash64(col("id")).cast("double"))).collect())
       val sq = sorted.filter(q => sentinels.contains(q._1.takeWhile(_ != '_')))
         .map { case (name, fn) =>
-          val t = timeMin(3) { fn(spark, sfDir).count(); spark.catalog.clearCache() }
+          val t = timeMin(calibSamples) {
+            fn(spark, sfDir).count(); spark.catalog.clearCache() }
           name.takeWhile(_ != '_') -> t
         }
       (("cpu" -> cpu) +: sq).toMap

@@ -2990,7 +2990,9 @@ object VectorOps extends QueryModule {
     val exact3 = ivfAdcExactTop3(s, d)
       .localCheckpoint(true) // consumers: one overlap join per nprobe arm
     val nq = ivfAdcQueries(s, d).agg(count(lit(1)).as("n_queries"))
-    val arms = (1 to 3).map { np =>
+    // Independent nprobe arms, each materializing its own ADC scoring —
+    // concurrent submission (guide §2.6), arm order preserved.
+    val arms = graft.Par.map(1 to 3) { np =>
       val scored = ivfAdcScoredCands(s, ivfAdcQueries(s, d), dir, np)
         .localCheckpoint(true) // consumers: pair count + top-3 cut
       val pairs = scored.agg(count(lit(1)).as("scored_pairs"))
@@ -3174,11 +3176,12 @@ object VectorOps extends QueryModule {
     * codegen'd expression, so the rows are bit-identical within an
     * engine. */
   private[queries] def graphBeamFrontier(s: SparkSession, asg: DataFrame,
-      edges: DataFrame, width: Int): (DataFrame, DataFrame) = {
+      edges: DataFrame, width: Int,
+      needCost: Boolean = true): (DataFrame, DataFrame) = {
     val qv = asg.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("ue").as("qu"),
         col("cell").as("qcell"))
-    beamSearch(s, qv, asg, edges, width)
+    beamSearch(s, qv, asg, edges, width, needCost = needCost)
   }
 
   /** The single-entry beam over an ARBITRARY (query_id, qu, qcell)
@@ -3189,7 +3192,8 @@ object VectorOps extends QueryModule {
     * entered or returned (the q243 held-out discipline). */
   private def beamSearch(s: SparkSession, qv: DataFrame, asg: DataFrame,
       edges: DataFrame, width: Int,
-      hops: Int = GraphHops): (DataFrame, DataFrame) = {
+      hops: Int = GraphHops,
+      needCost: Boolean = true): (DataFrame, DataFrame) = {
     // collect-bound: two smallest corpus ids — 2 rows (entry fallback)
     val low2 = asg.select(col("vec_id")).orderBy(col("vec_id")).limit(2)
       .collect().map(_.getLong(0))
@@ -3202,7 +3206,7 @@ object VectorOps extends QueryModule {
         coalesce(col("cell_entry"),
           when(col("query_id") === lit(low2(0)), lit(low2(1)))
             .otherwise(lit(low2(0)))).as("node"))
-    beamCore(s, entry, asg, edges, width, hops)
+    beamCore(s, entry, asg, edges, width, hops, needCost)
   }
 
   /** The beam engine proper, over an ARBITRARY entry frame (query_id,
@@ -3216,39 +3220,58 @@ object VectorOps extends QueryModule {
     * summed executed expansion count across all beams — the cost axis
     * q248/q252 price. */
   private def beamCore(s: SparkSession, entry: DataFrame, asg: DataFrame,
-      edges: DataFrame, width: Int, hops: Int): (DataFrame, DataFrame) = {
+      edges: DataFrame, width: Int, hops: Int,
+      needCost: Boolean = true): (DataFrame, DataFrame) = {
     val nu = asg.select(col("vec_id").as("node"), col("ue").as("nu"))
     var frontier = entry.join(nu, "node")
       .select(col("query_id"), col("qu"), col("beam"), col("node"),
         expr("graft_dot(qu, nu)").as("gcos"))
     var scoredTotal = 0L
     for (_ <- 1 to hops) {
-      val nb = frontier.join(edges, col("node") === col("src"))
+      // The expansion join is the expensive half of a hop (frontier ⨝
+      // edges ⨝ ue-lookup + one graft_dot per candidate). When the
+      // caller prices the walk, materialize it ONCE via an eager
+      // checkpoint so the cost count and the next frontier both read the
+      // checkpointed blocks instead of re-evaluating the join (round-18
+      // shape ran the join twice per hop: once under the eager count,
+      // once under the next-frontier checkpoint — the round-18 verdict's
+      // "fold the per-hop count into the checkpoint materialization"
+      // item, guide §1.2/§2.4: don't compute things twice). When the
+      // caller DISCARDS the cost (probeGraphIndex, the top-3 searches,
+      // the build-time scheme sweep's recall-only arms), `next` is nb's
+      // only consumer — skip both the checkpoint and the count: one
+      // evaluation, one job per hop, nothing for a cost frame to pin
+      // (the r18 ADVICE "gate the eager count behind needCost" note).
+      val nb0 = frontier.join(edges, col("node") === col("src"))
         .filter(col("dst") =!= col("query_id"))
         .join(nu.withColumnRenamed("node", "dst"), "dst")
         .select(col("query_id"), col("qu"), col("beam"),
           col("dst").as("node"),
           expr("graft_dot(qu, nu)").as("gcos"))
-      // collect-bound: groupless aggregate, exactly 1 row per hop. The
-      // expansion count is taken EAGERLY so the returned cost frame holds
-      // no reference to intermediate frontiers — which is what lets the
-      // previous hop's checkpoint blocks be freed right here instead of
-      // waiting on GC + ContextCleaner (the r17 q258 bench-variance
-      // hypothesis: a 5-arm sweep leaves 15 per-hop checkpoints per run
-      // late in a 260-query battery; eager frees make the standing block
+      val nb =
+        if (needCost) nb0.localCheckpoint(true) // consumers: count + next
+        else nb0
+      // collect-bound: groupless aggregate, exactly 1 row per hop, over
+      // already-materialized blocks. The expansion count stays EAGER so
+      // the returned cost frame holds no reference to intermediate
+      // frontiers — which is what lets each hop's checkpoint blocks be
+      // freed right here instead of waiting on GC + ContextCleaner (the
+      // r17 q258 bench-variance fix: eager frees make the standing block
       // count independent of collector timing).
-      scoredTotal += nb.agg(count(lit(1)).as("scored_cands"))
-        .head().getLong(0)
+      if (needCost)
+        scoredTotal += nb.agg(count(lit(1)).as("scored_cands"))
+          .head().getLong(0)
       val w = Window.partitionBy(col("query_id"), col("beam"))
         .orderBy(col("gcos").desc, col("node"))
       val next = frontier.unionByName(nb).distinct()
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= width).drop("rn")
         .localCheckpoint(true) // keep the unrolled plan hop-sized
-      // The previous hop's last consumer (`next`) is materialized (eager
-      // checkpoint) and its count is already collected — its blocks are
-      // dead. No-op at hop 1, where `frontier` is the un-checkpointed
-      // entry join.
+      // Every consumer of `nb` (the count, when priced, and `next`) and
+      // the last consumer of the previous frontier (`next`) have
+      // materialized — their blocks are dead. Both frees are no-ops on
+      // un-checkpointed frames (hop-1 frontier, cost-free nb).
+      freeLocalCheckpoint(nb)
       freeLocalCheckpoint(frontier)
       frontier = next
     }
@@ -3304,7 +3327,8 @@ object VectorOps extends QueryModule {
     * hit), unordered — the width-1 beam against the exact top-1. */
   private def graphAnnTrace(s: SparkSession, d: String): DataFrame = {
     val (asg, edges) = graphAnnParts(s, d)
-    val (frontier, _) = graphBeamFrontier(s, asg, edges, 1)
+    val (frontier, _) = graphBeamFrontier(s, asg, edges, 1,
+      needCost = false)
     frontier.join(graphExactTop1(s, asg), "query_id")
       .select(col("query_id"), col("node").as("found_id"),
         col("gcos").as("found_cos"), col("exact_id"),
@@ -3591,9 +3615,13 @@ object VectorOps extends QueryModule {
           .localCheckpoint(true) // consumers: one hit-join per arm
         val prep = graphProbePrepUnit(s,
           calib.select(col("query_id").as("vec_id"), col("qu").as("ue")), dir)
-        GraphConfig.SweepArms.map { arm =>
+        // Arms are independent probes over ONE shared prep — run them
+        // concurrently (guide §2.6) so the per-hop job latencies of the
+        // five sweeps overlap instead of serializing; results return in
+        // arm order, so the persisted curve is byte-identical.
+        graft.Par.map(GraphConfig.SweepArms) { arm =>
           val (res, _) = probeGraphPrepared(s, prep, arm.entries, arm.width,
-            arm.hops)
+            arm.hops, needCost = false)
           // collect-bound: groupless aggregate — 1 row (per-arm hit count)
           val hits = res.join(exact, "query_id")
             .agg(coalesce(sum((col("found_id") === col("exact_id"))
@@ -3656,7 +3684,9 @@ object VectorOps extends QueryModule {
   private[graft] def probeGraphIndex(s: SparkSession, batch: DataFrame,
       dir: String, entries: Int = -1, width: Int = -1,
       hops: Int = -1): DataFrame =
-    probeGraphIndexCost(s, batch, dir, entries, width, hops)._1
+    // Cost discarded — the beam runs count-free (one job per hop).
+    probeGraphIndexCost(s, batch, dir, entries, width, hops,
+      needCost = false)._1
 
   /** The probe plus its executed cost frame — (top-1 per query, 1-row
     * Σ candidate-scorings) — q252's measured axis; [[probeGraphIndex]]
@@ -3681,12 +3711,12 @@ object VectorOps extends QueryModule {
     * cells holds a live non-self member. */
   private[graft] def probeGraphIndexCost(s: SparkSession, batch: DataFrame,
       dir: String, entries: Int, width: Int,
-      hops: Int): (DataFrame, DataFrame) = {
+      hops: Int, needCost: Boolean = true): (DataFrame, DataFrame) = {
     lazy val own = indexScheme(s, dir)
     val e = if (entries > 0) entries else own.entries
     val w = if (width > 0) width else own.width
     val h = if (hops > 0) hops else own.hops
-    probeGraphPrepared(s, graphProbePrep(s, batch, dir), e, w, h)
+    probeGraphPrepared(s, graphProbePrep(s, batch, dir), e, w, h, needCost)
   }
 
   /** Probe inputs shared across schemes: live node/edge frames, the
@@ -3732,9 +3762,10 @@ object VectorOps extends QueryModule {
   }
 
   private def probeGraphPrepared(s: SparkSession, p: GraphProbePrep,
-      entries: Int, width: Int, hops: Int): (DataFrame, DataFrame) = {
+      entries: Int, width: Int, hops: Int,
+      needCost: Boolean = true): (DataFrame, DataFrame) = {
     val (frontier, scored) = graphFrontierPrepared(s, p, entries, width,
-      hops)
+      hops, needCost)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("gcos").desc, col("node"))
     (frontier.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -3746,7 +3777,8 @@ object VectorOps extends QueryModule {
   /** The final beam pool (before any top-k cut) of a prepared probe —
     * shared by the top-1 probe and the q254 top-3 search. */
   private def graphFrontierPrepared(s: SparkSession, p: GraphProbePrep,
-      entries: Int, width: Int, hops: Int): (DataFrame, DataFrame) = {
+      entries: Int, width: Int, hops: Int,
+      needCost: Boolean = true): (DataFrame, DataFrame) = {
     val probed = p.qv.select(col("query_id"),
         posexplode(expr(s"slice(qcells, 1, $entries)"))
           .as(Seq("pos", "qcell")))
@@ -3764,7 +3796,7 @@ object VectorOps extends QueryModule {
     val entry = em.unionByName(fb)
       .join(p.qv.select(col("query_id"), col("qu")), "query_id")
       .select(col("query_id"), col("qu"), col("beam"), col("node"))
-    beamCore(s, entry, p.nodes, p.edges, width, hops)
+    beamCore(s, entry, p.nodes, p.edges, width, hops, needCost)
   }
 
   /** Top-3 search through the persisted graph index — the q243 result
@@ -3780,7 +3812,7 @@ object VectorOps extends QueryModule {
     val p = graphProbePrep(s, batch, dir)
     val own = indexScheme(s, dir)
     val (frontier, _) = graphFrontierPrepared(s, p,
-      own.entries, own.width, own.hops)
+      own.entries, own.width, own.hops, needCost = false)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("gcos").desc, col("node"))
     frontier.select(col("query_id"), col("node"), col("gcos")).distinct()
@@ -3817,7 +3849,8 @@ object VectorOps extends QueryModule {
     * no new plan class. */
   private[graft] def probeHybridTop3(s: SparkSession, batch: DataFrame,
       dir: String): DataFrame = {
-    val (frontier, _) = hybridFrontierCost(s, batch, dir)
+    // Cost discarded — the beam runs count-free (one job per hop).
+    val (frontier, _) = hybridFrontierCost(s, batch, dir, needCost = false)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("gcos").desc, col("node"))
     frontier.select(col("query_id"), col("node"), col("gcos")).distinct()
@@ -3833,7 +3866,7 @@ object VectorOps extends QueryModule {
     * hybrid arm (nothing amortized away: the card prices exactly what
     * the product query pays). */
   private def hybridFrontierCost(s: SparkSession, batch: DataFrame,
-      dir: String): (DataFrame, DataFrame) = {
+      dir: String, needCost: Boolean = true): (DataFrame, DataFrame) = {
     val own = indexScheme(s, dir)
     val scored = ivfAdcScoredRanked(s, batch, dir, nprobe = own.entries)
       .select(col("query_id"), col("cell_rank"), col("neighbor_id"),
@@ -3867,7 +3900,7 @@ object VectorOps extends QueryModule {
     val entry = seeds.unionByName(fb).join(qu, "query_id")
       .select(col("query_id"), col("qu"), col("beam"), col("node"))
     val (frontier, exp) = beamCore(s, entry, nodes, edges, own.width,
-      own.hops)
+      own.hops, needCost)
     val cost = graft.Scalars.withScalar(exp, adcPairs)
       .select((col("scored_cands") + col("adc_pairs")).as("scored_cands"))
     (frontier, cost)
@@ -4682,8 +4715,12 @@ object VectorOps extends QueryModule {
       val dir = graft.Scratch.dir("cgidx", s, d)
       buildSemIndex(s,
         clusteredEmbeddings(s, d).filter(col("vec_id") % 5 =!= 0), dir)
-      addPqToSemIndex(s, dir, lloydIters = 1)
-      addGraphToSemIndex(s, dir)
+      // PQ and graph artifacts both read only vectors+centroids and
+      // write disjoint files — build them concurrently (guide §2.6).
+      graft.Par.map(Seq("pq", "graph")) {
+        case "pq" => addPqToSemIndex(s, dir, lloydIters = 1)
+        case _ => addGraphToSemIndex(s, dir)
+      }
       dir
     }
 
@@ -4737,22 +4774,33 @@ object VectorOps extends QueryModule {
           (col("hits").cast("double") / col("n_queries").cast("double"))
             .as("recall_at1"),
           col("scored_cands"))
-    val adcScored = ivfAdcScoredCands(s, queries, dir, IvfAdcNprobe)
-      .localCheckpoint(true) // consumers: top-1 + pair count
-    val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_cos").desc, col("neighbor_id"))
-    val adc1 = adcScored.withColumn("rn", row_number().over(wAdc))
-      .filter(col("rn") === 1)
-      .select(col("query_id"), col("neighbor_id").as("found_id"))
-    val adcCost = adcScored.agg(count(lit(1)).as("scored_cands"))
-    val (g1, gCost) = probeGraphIndexCost(s, queries, dir, -1, -1, -1)
-    val (hPool, hCost) = hybridFrontierCost(s, queries, dir)
-    val wG = Window.partitionBy(col("query_id"))
-      .orderBy(col("gcos").desc, col("node"))
-    val h1 = hPool.select(col("query_id"), col("node"), col("gcos"))
-      .distinct()
-      .withColumn("rn", row_number().over(wG)).filter(col("rn") === 1)
-      .select(col("query_id"), col("node").as("found_id"))
+    // The three arms are independent probes of the same index — their
+    // eager work (the ADC checkpoint, the two beams' per-hop jobs) runs
+    // concurrently (guide §2.6); Par.map returns in input order, so the
+    // unioned card is unchanged.
+    val armFrames: Seq[(DataFrame, DataFrame)] =
+      graft.Par.map(Seq("adc", "graph", "hybrid")) {
+        case "adc" =>
+          val adcScored = ivfAdcScoredCands(s, queries, dir, IvfAdcNprobe)
+            .localCheckpoint(true) // consumers: top-1 + pair count
+          val wAdc = Window.partitionBy(col("query_id"))
+            .orderBy(col("adc_cos").desc, col("neighbor_id"))
+          (adcScored.withColumn("rn", row_number().over(wAdc))
+            .filter(col("rn") === 1)
+            .select(col("query_id"), col("neighbor_id").as("found_id")),
+            adcScored.agg(count(lit(1)).as("scored_cands")))
+        case "graph" => probeGraphIndexCost(s, queries, dir, -1, -1, -1)
+        case _ =>
+          val (hPool, hCost) = hybridFrontierCost(s, queries, dir)
+          val wG = Window.partitionBy(col("query_id"))
+            .orderBy(col("gcos").desc, col("node"))
+          (hPool.select(col("query_id"), col("node"), col("gcos"))
+            .distinct()
+            .withColumn("rn", row_number().over(wG)).filter(col("rn") === 1)
+            .select(col("query_id"), col("node").as("found_id")),
+            hCost)
+      }
+    val Seq((adc1, adcCost), (g1, gCost), (h1, hCost)) = armFrames
     row("graph", hitsOf(g1), gCost)
       .unionAll(row("hybrid", hitsOf(h1), hCost))
       .unionAll(row("ivfadc", hitsOf(adc1), adcCost))
@@ -4890,9 +4938,12 @@ object VectorOps extends QueryModule {
       val dir = graft.Scratch.dir("copqidx", s, d)
       buildSemIndex(s,
         clusteredEmbeddings(s, d).filter(col("vec_id") % 5 =!= 0), dir)
-      addPqToSemIndex(s, dir, lloydIters = 1, learnedRotation = true,
-        rotIters = 1)
-      addGraphToSemIndex(s, dir)
+      // Same disjoint-artifact argument as builtClusteredGraphIndex.
+      graft.Par.map(Seq("pq", "graph")) {
+        case "pq" => addPqToSemIndex(s, dir, lloydIters = 1,
+          learnedRotation = true, rotIters = 1)
+        case _ => addGraphToSemIndex(s, dir)
+      }
       dir
     }
 
@@ -4939,17 +4990,27 @@ object VectorOps extends QueryModule {
       val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val base = emb.filter(col("vec_id") % 5 =!= 0)
       val initial = base.filter(col("vec_id") % 7 =!= 3)
-      val churned = graft.Scratch.dir("churnidx", s, d)
-      buildSemIndex(s, initial, churned)
-      addGraphToSemIndex(s, churned)
-      appendToSemIndex(s, base.filter(col("vec_id") % 7 === 3), churned)
-      tombstoneVecs(initial.filter(col("vec_id") % 11 === 5)
-        .select(col("vec_id")), churned)
-      compactSemIndex(s, churned)
-      val fresh = graft.Scratch.dir("churnfresh", s, d)
-      buildSemIndex(s, base.filter(!(col("vec_id") % 7 =!= 3 &&
-        col("vec_id") % 11 === 5)), fresh)
-      addGraphToSemIndex(s, fresh)
+      // The churned lifecycle chain is serial by semantics (each step
+      // reads the previous step's artifacts), but the FRESH rebuild is
+      // independent of all of it — build the two arms concurrently
+      // (guide §2.6); distinct scratch dirs, order restored by the pair.
+      val Seq(churned, fresh) = graft.Par.map(Seq("churned", "fresh")) {
+        case "churned" =>
+          val churned = graft.Scratch.dir("churnidx", s, d)
+          buildSemIndex(s, initial, churned)
+          addGraphToSemIndex(s, churned)
+          appendToSemIndex(s, base.filter(col("vec_id") % 7 === 3), churned)
+          tombstoneVecs(initial.filter(col("vec_id") % 11 === 5)
+            .select(col("vec_id")), churned)
+          compactSemIndex(s, churned)
+          churned
+        case _ =>
+          val fresh = graft.Scratch.dir("churnfresh", s, d)
+          buildSemIndex(s, base.filter(!(col("vec_id") % 7 =!= 3 &&
+            col("vec_id") % 11 === 5)), fresh)
+          addGraphToSemIndex(s, fresh)
+          fresh
+      }
       (churned, fresh)
     }
 
@@ -4986,7 +5047,11 @@ object VectorOps extends QueryModule {
           (col("hits").cast("double") / col("n_queries").cast("double"))
             .as("recall_at1"))
     }
-    val both = armRow("churned", churned).unionAll(armRow("fresh", fresh))
+    // Two independent probes of two independent dirs — concurrent
+    // (guide §2.6), input order preserved so the union is unchanged.
+    val both = graft.Par.map(Seq("churned" -> churned, "fresh" -> fresh)) {
+        case (name, dir) => armRow(name, dir)
+      }.reduce(_ unionAll _)
       .localCheckpoint(true) // consumers: row spine + gap scalar
     val gap = both.agg((max(when(col("arm") === "fresh", col("recall_at1")))
         - max(when(col("arm") === "churned", col("recall_at1"))))
@@ -5181,7 +5246,11 @@ object VectorOps extends QueryModule {
     * production pipeline; the oracle re-derives every point's scheme
     * and search from scratch. */
   private def q263(s: SparkSession, d: String): DataFrame =
-    SeparabilityNoises.map { noise =>
+    // The three noise points are independent (distinct index dirs,
+    // distinct caches): building and probing them concurrently (guide
+    // §2.6) overlaps the cold builds' job chains — the card's dominant
+    // cost on a fresh session; Par.map keeps point order.
+    graft.Par.map(SeparabilityNoises) { noise =>
       val dir = builtClusteredIndexAt(s, d, noise)
       val queries = clusteredQueries(s, d, noise)
       val exact = heldOutExactTop1Of(clusteredUnit(s, d, noise))
@@ -5393,7 +5462,10 @@ object VectorOps extends QueryModule {
           col("scored_cands"),
           col("build_scorings"))
     }
-    GraphConfig.SweepArms.map(arm).reduce(_ unionAll _)
+    // Independent arms over one shared prep: concurrent submission
+    // (guide §2.6) overlaps the five beams' per-hop jobs; Par.map
+    // preserves arm order, so the unioned card is unchanged.
+    graft.Par.map(GraphConfig.SweepArms)(arm).reduce(_ unionAll _)
       .orderBy("entries", "width", "hops")
   }
 
@@ -5515,25 +5587,32 @@ object VectorOps extends QueryModule {
     val adc1 = adcScored.withColumn("rn", row_number().over(wAdc))
       .filter(col("rn") === 1)
       .select(col("query_id"), col("neighbor_id").as("found_id"))
-    val (g1, gCost) = probeGraphIndexCost(s, queries, dir,
-      GraphConfig.Default.entries, GraphConfig.Default.width,
-      GraphConfig.Default.hops)
-    val tombs = loadSemTombstones(s, dir)
-    val nodes = dropSemTombstoned(
-        graft.operators.IndexStore.read(s, dir, "vectors"), "vec_id", tombs)
-      .select(col("vec_id"), col("ue"), col("cell"))
-    val edges = graft.operators.IndexStore.read(s, dir, "gedges")
-      .select(col("src"), col("dst"))
-    val seeds = adcScored.withColumn("rn", row_number().over(wAdc))
-      .filter(col("rn") <= HybridSeeds)
-      .select(col("query_id"), col("rn").as("beam"),
-        col("neighbor_id").as("node"))
-    val qu = unitize(queries)
-      .select(col("vec_id").as("query_id"), col("ue").as("qu"))
-    val entry = seeds.join(qu, "query_id")
-      .select(col("query_id"), col("qu"), col("beam"), col("node"))
-    val (frontier, hExp) = beamCore(s, entry, nodes, edges, HybridWidth,
-      HybridHops)
+    // The graph arm and the hybrid beam are independent once adcScored
+    // is materialized (the hybrid's seeds read it) — overlap the two
+    // beams' per-hop jobs (guide §2.6); Par.map keeps input order.
+    val Seq((g1, gCost), (frontier, hExp)) =
+      graft.Par.map(Seq("graph", "hybrid")) {
+        case "graph" => probeGraphIndexCost(s, queries, dir,
+          GraphConfig.Default.entries, GraphConfig.Default.width,
+          GraphConfig.Default.hops)
+        case _ =>
+          val tombs = loadSemTombstones(s, dir)
+          val nodes = dropSemTombstoned(
+              graft.operators.IndexStore.read(s, dir, "vectors"), "vec_id",
+              tombs)
+            .select(col("vec_id"), col("ue"), col("cell"))
+          val edges = graft.operators.IndexStore.read(s, dir, "gedges")
+            .select(col("src"), col("dst"))
+          val seeds = adcScored.withColumn("rn", row_number().over(wAdc))
+            .filter(col("rn") <= HybridSeeds)
+            .select(col("query_id"), col("rn").as("beam"),
+              col("neighbor_id").as("node"))
+          val qu = unitize(queries)
+            .select(col("vec_id").as("query_id"), col("ue").as("qu"))
+          val entry = seeds.join(qu, "query_id")
+            .select(col("query_id"), col("qu"), col("beam"), col("node"))
+          beamCore(s, entry, nodes, edges, HybridWidth, HybridHops)
+      }
     val wG = Window.partitionBy(col("query_id"))
       .orderBy(col("gcos").desc, col("node"))
     val h1 = frontier.withColumn("rn", row_number().over(wG))
@@ -5647,7 +5726,10 @@ object VectorOps extends QueryModule {
           col("scored_cands"), lit(width).as("width"),
           lit(GraphHops).as("hops"))
     }
-    arm("beam", BeamWidth).unionAll(arm("greedy", 1)).orderBy("strategy")
+    // Two independent beams — concurrent (guide §2.6), order preserved.
+    graft.Par.map(Seq("beam" -> BeamWidth, "greedy" -> 1)) {
+      case (st, w) => arm(st, w)
+    }.reduce(_ unionAll _).orderBy("strategy")
   }
 
   /** Beam CTE chain on top of [[graphAnnCtes]]: the greedy arm reuses the
