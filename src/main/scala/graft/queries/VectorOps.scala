@@ -990,6 +990,23 @@ object VectorOps extends QueryModule {
     * cosine threshold. Probes read the PERSISTED centroid table, so a
     * refined index is probe-compatible by construction — the quantizer
     * choice is index metadata like the scheme and τ. */
+  /** Centroid rows of a persisted index, collected once per (session,
+    * dir) — the ≤ k-row metadata every probe/prep ranks against was
+    * re-read and re-collected on every call (a parquet-scan job ~13
+    * call sites × 3 bench samples × every consumer query). The table is
+    * written exactly once per dir ([[buildSemIndex]], the only writer,
+    * which also REFRESHES this cache entry — a same-dir rebuild within
+    * a session can never serve stale metadata). Guide §1.2 step 1:
+    * don't recompute what is already known. */
+  private val centroidCache = new graft.SessionCache[Seq[Seq[Double]]]
+  private[queries] def centroidRows(s: SparkSession,
+      dir: String): Seq[Seq[Double]] =
+    centroidCache.getOrBuild(s, dir) {
+      // collect-bound: centroid table — ≤ k rows, k ∝ √n via ivfKFor
+      s.read.parquet(s"$dir/centroids")
+        .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1)).toSeq
+    }
+
   private[graft] def buildSemIndex(s: SparkSession, base: DataFrame,
       dir: String, lloydIters: Int = 0): Unit = {
     val u = unitize(base).localCheckpoint(true)
@@ -1002,6 +1019,10 @@ object VectorOps extends QueryModule {
     import s.implicits._
     rows.zipWithIndex.map { case (v, i) => (i, v) }.toDF("cid", "cu")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    // Publish what was just written (producer-refresh): readers get the
+    // in-memory rows without a parquet re-read, and a rebuilt dir
+    // replaces any prior entry.
+    centroidCache.put(s, dir, rows.map(_.toSeq))
     val sc = sortedCells(typedlit(rows), rows.size)
     val asg = u.select(col("vec_id"), col("ue"),
         element_at(sc, 1)("cid").cast("bigint").as("cell"))
@@ -1036,9 +1057,7 @@ object VectorOps extends QueryModule {
     * nprobe = 1 output is byte-identical to the pre-knob shape. */
   private[graft] def probeSemIndex(s: SparkSession, batch: DataFrame,
       dir: String, nprobe: Int = 1): DataFrame = {
-    // collect-bound: centroid table — ≤ k rows, k ∝ √n via ivfKFor
-    val rows: Seq[Seq[Double]] = s.read.parquet(s"$dir/centroids")
-      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1)).toSeq
+    val rows: Seq[Seq[Double]] = centroidRows(s, dir)
     val sc = sortedCells(typedlit(rows), rows.size)
     val assigned = unitize(batch)
       .select(col("vec_id"), col("ue").as("pu"), sc.as("cells"))
@@ -1084,9 +1103,7 @@ object VectorOps extends QueryModule {
     * replays wash out in the probe's argmax. */
   private[graft] def appendToSemIndex(s: SparkSession, novel: DataFrame,
       dir: String): Unit = {
-    // collect-bound: centroid table — ≤ k rows, k ∝ √n via ivfKFor
-    val rows: Seq[Seq[Double]] = s.read.parquet(s"$dir/centroids")
-      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1)).toSeq
+    val rows: Seq[Seq[Double]] = centroidRows(s, dir)
     val sc = sortedCells(typedlit(rows), rows.size)
     val assigned = unitize(novel)
       .select(col("vec_id"), col("ue"),
@@ -1465,9 +1482,7 @@ object VectorOps extends QueryModule {
     // Scored-pair work: per probe vector, the occupancy of its rank-1
     // (and rank-2) cells — the candidate-join cardinality each setting
     // pays. Self-pairs are absent by split disjointness.
-    // collect-bound: centroid table — ≤ k rows, k ∝ √n via ivfKFor
-    val rows: Seq[Seq[Double]] = s.read.parquet(s"$dir/centroids")
-      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1)).toSeq
+    val rows: Seq[Seq[Double]] = centroidRows(s, dir)
     val sc = sortedCells(typedlit(rows), rows.size)
     val probed = unitize(e)
       .select(col("vec_id"),
@@ -1702,9 +1717,7 @@ object VectorOps extends QueryModule {
     * ticket, so the percentile buffer is bounded at any corpus size. */
   private def q218(s: SparkSession, d: String): DataFrame = {
     val dir = builtSemIndex(s, d)
-    // collect-bound: centroid table — ≤ k rows, k ∝ √n via ivfKFor
-    val rows: Seq[Seq[Double]] = s.read.parquet(s"$dir/centroids")
-      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1)).toSeq
+    val rows: Seq[Seq[Double]] = centroidRows(s, dir)
     val sc = sortedCells(typedlit(rows), rows.size)
     val au = unitize(t(s, d, "embeddings").select(col("vec_id"), col("embedding")))
       .select(col("vec_id"), col("ue"),
@@ -2578,7 +2591,7 @@ object VectorOps extends QueryModule {
     // degeneracy IvfAdcSpec's codes_used pin now guards). Codeword 0
     // stays the zero vector on purpose: centroid-exact vectors encode to
     // it with zero error, preserving the ADC identity tests.
-    val k = s.read.parquet(s"$dir/centroids").count().toInt
+    val k = centroidRows(s, dir).size
     // collect-bound: k + ksub − 1 rows — k ∝ √n, the centroid-collect bound
     val seedRows: Seq[Seq[Double]] = resid.select(col("vec_id"), col("ue"))
       .orderBy(col("vec_id")).limit(k + PqKsub - 1)
@@ -2605,12 +2618,30 @@ object VectorOps extends QueryModule {
       a.select(col("vec_id"), col("label").cast("int").as("label")),
       Seq("vec_id"), "left"))
     graft.operators.IndexStore.create(codes, dir, "codes", Seq("cell"))
+    // Publish the just-persisted PQ metadata (producer-refresh): the
+    // values handed to the cache are exactly the ones written above
+    // (doubles round-trip parquet bit-exactly; cb/rot read back in the
+    // same cid/k order they were written in), so readers skip the three
+    // metadata collects without any value drift, and a re-encoded dir
+    // replaces any prior entry.
+    pqMetaCache.put(s, dir,
+      (dims.map(_.toSeq), cb.map(_.map(_.toSeq)), rotOpt.map(_._1.map(_.toSeq))))
   }
 
   /** (permutation/allocation, sub-codebooks, optional learned rotation)
     * reloaded from a persisted IVFADC index — ≤ m + m·ksub + d collected
-    * rows. */
+    * rows. Collected once per (session, dir) — the three metadata
+    * collects otherwise re-run on every ADC scoring call (guide §1.2
+    * step 1). [[addPqToSemIndex]] is the only writer and REFRESHES the
+    * entry with the exact values it persisted, so a same-dir re-encode
+    * within a session can never serve stale metadata. */
+  private val pqMetaCache = new graft.SessionCache[
+    (Seq[Seq[Int]], Seq[Seq[Seq[Double]]], Option[Seq[Seq[Double]]])]
   private def loadPqMeta(s: SparkSession, dir: String):
+      (Seq[Seq[Int]], Seq[Seq[Seq[Double]]], Option[Seq[Seq[Double]]]) =
+    pqMetaCache.getOrBuild(s, dir)(loadPqMetaUncached(s, dir))
+
+  private def loadPqMetaUncached(s: SparkSession, dir: String):
       (Seq[Seq[Int]], Seq[Seq[Seq[Double]]], Option[Seq[Seq[Double]]]) = {
     // collect-bound: pq_dims has one row per subspace — ≤ m rows
     val dims: Seq[Seq[Int]] = s.read.parquet(s"$dir/pq_dims")
@@ -2676,9 +2707,7 @@ object VectorOps extends QueryModule {
     * ADC consumers drop the column. */
   private[queries] def ivfAdcScoredRanked(s: SparkSession, batch: DataFrame,
       dir: String, nprobe: Int): DataFrame = {
-    // collect-bound: centroid table — ≤ k rows, k ∝ √n via ivfKFor
-    val cRows: Seq[Seq[Double]] = s.read.parquet(s"$dir/centroids")
-      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1)).toSeq
+    val cRows: Seq[Seq[Double]] = centroidRows(s, dir)
     val (dims, cb, rot) = loadPqMeta(s, dir)
     val sc = sortedCells(typedlit(cRows), cRows.size)
     // Learned-rotation index: the LUT gathers from the ROTATED query
@@ -3530,9 +3559,7 @@ object VectorOps extends QueryModule {
     // each node's SECOND-ranked centroid cell, recomputed row-locally
     // against the frozen centroid table (same expression as the build, so
     // rank 1 reproduces the stored cell bit-identically).
-    // collect-bound: centroid table — ≤ k rows, k ∝ √n via ivfKFor
-    val rows: Seq[Seq[Double]] = s.read.parquet(s"$dir/centroids")
-      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1)).toSeq
+    val rows: Seq[Seq[Double]] = centroidRows(s, dir)
     val sc = sortedCells(typedlit(rows), rows.size)
     val asg = graft.operators.IndexStore.read(s, dir, "vectors")
       .select(col("vec_id"), col("ue"), col("cell"),
@@ -3746,9 +3773,7 @@ object VectorOps extends QueryModule {
       .select(col("vec_id"), col("ue"), col("cell"))
     val edges = graft.operators.IndexStore.read(s, dir, "gedges")
       .select(col("src"), col("dst"))
-    // collect-bound: centroid table — ≤ k rows, k ∝ √n via ivfKFor
-    val rows: Seq[Seq[Double]] = s.read.parquet(s"$dir/centroids")
-      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1)).toSeq
+    val rows: Seq[Seq[Double]] = centroidRows(s, dir)
     val sc = sortedCells(typedlit(rows), rows.size)
     val qv = unit.select(col("vec_id").as("query_id"),
         col("ue").as("qu"), sc.as("cells"))
@@ -4673,6 +4698,7 @@ object VectorOps extends QueryModule {
   private val ClusterCount = 8
   private val ClusterNoise = 0.6
 
+  private val clusterAnchorCache = new graft.SessionCache[Seq[Seq[Double]]]
   private[queries] def clusteredEmbeddings(s: SparkSession,
       d: String, noise: Double = ClusterNoise): DataFrame = {
     val u = unitVectors(s, d).select(col("vec_id"), col("ue"))
@@ -4682,10 +4708,16 @@ object VectorOps extends QueryModule {
     // drop every row whose cluster has no anchor (NULL embedding here,
     // vanished row in the oracle's join). Effective cluster count =
     // however many anchors exist — total on any non-empty corpus.
-    // collect-bound: orderBy(vec_id).limit(ClusterCount) — ≤ 8 rows
-    val anchors: Seq[Seq[Double]] = u.orderBy(col("vec_id"))
-      .limit(ClusterCount)
-      .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1)).toSeq
+    // Collected once per (session, corpus) — the uvCache discipline for
+    // a pure corpus derivation (noise-independent): every clustered
+    // card/point otherwise re-paid the top-k collect per call (r19,
+    // guide §1.2 step 1).
+    val anchors: Seq[Seq[Double]] = clusterAnchorCache.getOrBuild(s, d) {
+      // collect-bound: orderBy(vec_id).limit(ClusterCount) — ≤ 8 rows
+      u.orderBy(col("vec_id"))
+        .limit(ClusterCount)
+        .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1)).toSeq
+    }
     val cEff = math.max(anchors.size, 1)
     u.withColumn("clu",
         expr(s"cast(conv(substring(md5(concat('gclu|', cast(vec_id as string))), 1, 15), 16, 10) as bigint) % $cEff"))
@@ -5477,9 +5509,7 @@ object VectorOps extends QueryModule {
     * centroids with the build's own expression; the aggregation is
     * occupancy-sized, never a re-join of the pairs themselves. */
   private def graphBuildScorings(s: SparkSession, dir: String): DataFrame = {
-    // collect-bound: centroid table — ≤ k rows, k ∝ √n via ivfKFor
-    val rows: Seq[Seq[Double]] = s.read.parquet(s"$dir/centroids")
-      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1)).toSeq
+    val rows: Seq[Seq[Double]] = centroidRows(s, dir)
     val sc = sortedCells(typedlit(rows), rows.size)
     val asg = graft.operators.IndexStore.read(s, dir, "vectors")
       .select(col("cell"),

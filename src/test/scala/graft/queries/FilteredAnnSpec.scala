@@ -151,10 +151,24 @@ class FilteredAnnSpec extends SparkSpec {
         }
         r
       } finally spark.listenerManager.unregister(l)
-    val scans = plans.synchronized(plans.toVector).flatMap(_.collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-        f.relation.location.rootPaths.map(_.toString)
-    }).flatten
+    // AQE-aware scan harvest (round 19): AdaptiveSparkPlanExec and the
+    // materialized QueryStageExec wrappers are LEAF nodes, so a flat
+    // collect never sees the probe's own file scans — before round 19
+    // this assertion was incidentally satisfied by the PQ/centroid
+    // METADATA collects' simple non-AQE plans, which the session-level
+    // metadata caches have since removed. Recurse through the adaptive
+    // wrappers so the assertion checks what it always meant to: the
+    // executed PROBE scans index tables and nothing else.
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansOf(a.executedPlan)
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scansOf(qs.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toString)
+      }.flatten
+    val scans = plans.synchronized(plans.toVector).flatMap(scansOf)
     assert(scans.nonEmpty, "the probe must scan the index tables")
     assert(!scans.exists(_.contains("embeddings.parquet")),
       s"the baked arm must never scan the attribute source: $scans")
