@@ -4726,10 +4726,20 @@ object VectorOps extends QueryModule {
           col("ue"), (a, e) => a + lit(noise) * e).as("embedding"))
   }
 
-  /** Unit vectors of the clustered corpus — the exact-reference frame. */
+  /** Unit vectors of the clustered corpus — the exact-reference frame.
+    * Materialized once per (session, corpus, noise) — the [[uvCache]]
+    * discipline applied to the derived corpus (round 19): the
+    * md5-anchor derivation + two normalization passes were recomputed
+    * by every clustered card's exact baseline on every bench sample.
+    * A pure corpus derivation, not a query result; every consumer's
+    * exact-top-1 reference is still computed per call from this frame. */
+  private val clusteredUnitCache = new graft.SessionCache[DataFrame]
   private def clusteredUnit(s: SparkSession, d: String,
       noise: Double = ClusterNoise): DataFrame =
-    unitize(clusteredEmbeddings(s, d, noise))
+    clusteredUnitCache.getOrBuild(s, s"$d#$noise") {
+      unitize(clusteredEmbeddings(s, d, noise))
+        .localCheckpoint(true) // consumers: every clustered exact baseline
+    }
 
   private def clusteredQueries(s: SparkSession, d: String,
       noise: Double = ClusterNoise): DataFrame =
